@@ -1,0 +1,46 @@
+"""Text-analysis column expressions for the training-data pipeline surface.
+
+All built-ins (regexp/array functions) — tokenization, shingling, counting and
+fingerprinting run inside whole-stage codegen, so a 100 TB documents table is
+one scan with no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Lower-cased word tokens (``\\w+`` runs)."""
+    return F.regexp_extract_all(F.lower(_c(text)), F.lit(r"\w+"), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace-token count (BPE-ish proxy: non-space runs)."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(r"\S+"), 0))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lower-case, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (the MinHash unit).
+
+    ``sequence(1, size-n+1)`` + ``slice`` keeps it a single codegen'd
+    expression; documents shorter than n words yield an empty array.
+    """
+    ws = tokens(text)
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,63 @@
+"""As-of (temporal) join operators.
+
+Spark has no native ASOF JOIN; two implementations with different scale
+profiles (SURVEY §2.3 J1 discusses the config-validity interval join):
+
+- ``asof_join_window``  — when left and right rows share one event stream (or
+  can be unioned), a carry-forward window ``max`` gives exact as-of semantics
+  with ONE shuffle on the partition key.  Preferred at scale.
+- ``asof_join_pandas``  — general two-table merge_asof via ``applyInPandas``:
+  co-groups both sides by key, runs ``pd.merge_asof`` per key group.  Arrow-
+  batched; right side must fit per-key in executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_window(events: DataFrame, key: str, ts: str,
+                     mark_filter, value_col: str,
+                     out_col: str = "asof_value") -> DataFrame:
+    """Exact as-of within one stream: for each row, the latest ``value_col``
+    at-or-before it among rows satisfying ``mark_filter``."""
+    w = (Window.partitionBy(key).orderBy(ts)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.withColumn(
+        out_col, F.max(F.when(mark_filter, F.col(value_col))).over(w))
+
+
+def asof_join_pandas(left: DataFrame, right: DataFrame, key: str, ts: str,
+                     direction: str = "backward",
+                     suffix: str = "_right") -> DataFrame:
+    """General merge_asof between two tables, per join key.
+
+    Both sides shuffle once on ``key``; each co-group is joined with
+    ``pd.merge_asof`` (sorted by ``ts``).  Arrow moves columnar batches, so
+    the Python cost is per-batch, not per-row.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    l_fields = left.schema.fields
+    r_fields = [f for f in right.schema.fields if f.name not in (key, ts)]
+    out_schema = StructType(
+        l_fields + [type(f)(f.name + suffix, f.dataType, True) for f in r_fields])
+    r_renames = {f.name: f.name + suffix for f in r_fields}
+
+    def merge(key_tuple, l_iter_df, r_iter_df):
+        lp = l_iter_df.sort_values(ts)
+        rp = (r_iter_df.sort_values(ts)
+              .drop(columns=[key], errors="ignore")
+              .rename(columns=r_renames))
+        if lp.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        merged = pd.merge_asof(lp, rp, on=ts, direction=direction)
+        return merged[[f.name for f in out_schema.fields]]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, out_schema)
+    )

@@ -1,0 +1,146 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest-first, as a 100 TB corpus demands:
+
+1. exact         — hash-groupBy on a canonical fingerprint (one shuffle);
+2. MinHash + LSH — near-dup candidate pairs without the O(n²) cross join:
+                   shingle → k min-hashes → band → bucket equi-join;
+3. SimHash       — 32-bit locality-sensitive bit signature (hamming buckets);
+4. n-gram Jaccard — exact verification on candidate pairs only.
+
+All signature math is built-in expressions (``F.hash`` is Murmur3 on the JVM);
+Python never touches row data, so each stage is a scan + one keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import normalize_text, tokens, word_shingles
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-identity dedup: keep the lowest id per normalized-text
+    fingerprint.  One hash-aggregate shuffle on the fingerprint — the 100 TB
+    path (no sort, no window over the whole corpus)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+    """Per-document MinHash signature as ``array<int>`` of length num_hashes.
+
+    Each hash family member is ``murmur3(shingle, seed=i)`` via ``F.hash``
+    with a per-family salt column; the min over the shingle array is an
+    ``array_min(transform(...))`` — all codegen, zero shuffles (signature
+    computation is embarrassingly parallel per document).
+    """
+    sh = word_shingles(text_col, shingle_n)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, i=i: F.hash(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
+                        bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands, hash each band,
+    and equi-join documents sharing any (band, band_hash) bucket.
+
+    The join is on the bucket key — at 100 TB this is the step that replaces
+    the O(n²) cross join with a skew-manageable shuffle (hot buckets are
+    handled by AQE skew-join; pathological buckets can be salted/capped).
+    Returns distinct candidate pairs (id_a < id_b).
+    """
+    n = sig_df.select(F.size("minhash")).head()[0]
+    rows_per_band = max(n // bands, 1)
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.hash(F.concat_ws(",", *[
+                    F.col("minhash")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col(f"a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame, id_col: str,
+                       text_col: str, shingle_n: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify stage).
+
+    Joins the (small) pair list against the corpus twice; set ops are
+    ``array_intersect``/``array_union`` over distinct shingle arrays.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    return (
+        df_pairs.join(a, df_pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(b, df_pairs.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a", "id_b",
+            F.when(union > 0, F.round(inter / union, 4)).otherwise(0.0).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_n: int = 3,
+                           threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
+    pairs → exact Jaccard verify → threshold filter."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    verified = jaccard_similarity(pairs, df, id_col, text_col, shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash: per-token Murmur3 hash, sign-vote per bit position,
+    reassembled to one integer signature.
+
+    explode → groupBy(doc) is one shuffle; the 32 per-bit votes are columnar
+    conditional sums (partial-aggregated map-side), not a Python loop.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.hash("tok")
+    votes = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(32)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    sig = sum(
+        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(32)),
+        F.lit(0),
+    )
+    return voted.select(F.col(id_col), sig.cast("long").alias("simhash"))

@@ -1,0 +1,330 @@
+"""Training-data pipeline queries: dedup, similarity, text analysis,
+multimodal plumbing (SURVEY §2.10 / §7.6 — beyond-reference surface).
+
+Oracle-checked wherever the semantics are SQL-expressible; hash-dependent
+operators (Murmur3 MinHash/SimHash, hyperplane LSH) are rows-only by nature
+and carry dedicated pytest coverage instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.textfns import token_count, tokens
+from ..operators import dedup, multimodal, similarity, text
+from ..session import tune
+
+QUERIES = {}
+ORACLE_SQL = {}
+
+
+def _q(name):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        return wrapped
+    return deco
+
+
+#: Shared normalization used on both sides of every fingerprint oracle.
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@_q("q_dedup_exact")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: one hash-aggregate shuffle on the content fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id", "text")
+
+
+ORACLE_SQL["q_dedup_exact"] = f"""
+SELECT md5({_NORM_SQL}) AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@_q("q_doc_fingerprint")
+def q_doc_fingerprint(spark, sf_dir):
+    """Per-document canonical content fingerprint (md5 of normalized text)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.fingerprint("text").alias("fp"))
+
+
+ORACLE_SQL["q_doc_fingerprint"] = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+"""
+
+
+@_q("q_minhash_lsh_pairs")
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pipeline (signatures → bands → bucket
+    join → exact Jaccard ≥ 0.5).  Murmur3-based ⇒ rows-only check; exact
+    semantics covered by tests/test_dedup.py."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5)
+# (no ORACLE_SQL: engine-specific Murmur3 hash family)
+
+
+@_q("q_simhash")
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash signatures (sign-vote over token hashes)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text")
+# (no ORACLE_SQL: engine-specific Murmur3 hash)
+
+
+@_q("q_word_jaccard_pairs")
+def q_word_jaccard_pairs(spark, sf_dir):
+    """Exact word-set Jaccard over a bounded candidate set (verify-stage
+    shape; the n-gram variant runs inside the MinHash pipeline)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sets = d.select("doc_id", F.array_distinct(tokens("text")).alias("ws"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("long")
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws"))).cast("long")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                inter.alias("n_common"),
+                F.round(inter / union, 4).alias("jaccard"))
+    )
+
+
+ORACLE_SQL["q_word_jaccard_pairs"] = """
+WITH sets AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS ws
+  FROM documents WHERE doc_id < 30
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS BIGINT) AS n_common,
+         CAST(len(a.ws) + len(b.ws) AS BIGINT) AS n_total
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (n_total - n_common), 4) AS jaccard
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@_q("q_token_stats")
+def q_token_stats(spark, sf_dir):
+    """Token counting aggregated by language."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.sum(token_count("text")).cast("long").alias("total_tokens"),
+             F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+             F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+ORACLE_SQL["q_token_stats"] = """
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+       round(avg(len(regexp_extract_all(text, '\\S+'))), 4) AS avg_tokens,
+       count(*) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@_q("q_text_quality")
+def q_text_quality(spark, sf_dir):
+    """Per-document quality features (pre-training filter inputs)."""
+    d = load(spark, sf_dir, "documents")
+    return text.quality_features(d, "doc_id", "text")
+
+
+ORACLE_SQL["q_text_quality"] = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+       round(len(regexp_extract_all(text, '[.,;:!?]'))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(len(regexp_extract_all(text, '[0-9]'))
+             / greatest(length(text), 1), 4) AS digit_ratio,
+       round((length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+             / greatest(length(text), 1), 4) AS space_ratio,
+       round(length(regexp_replace(text, '\\s', '', 'g'))
+             / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4) AS mean_word_len
+FROM documents
+"""
+
+
+@_q("q_lang_id")
+def q_lang_id(spark, sf_dir):
+    """Heuristic stopword-vote language ID vs the labeled lang column."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text.lang_id("text").alias("pred_lang"))
+
+
+def _langid_oracle() -> str:
+    counts = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in text.STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {c} > 0 AND {c} = {best} THEN '{lang}'"
+        for lang, c in counts.items())
+    return f"SELECT doc_id, lang, CASE {whens} ELSE 'und' END AS pred_lang FROM documents"
+
+
+ORACLE_SQL["q_lang_id"] = _langid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@_q("q_array_functions")
+def q_array_functions(spark, sf_dir):
+    """Array-column surface: size, element access, L2 norm (SURVEY §2.6)."""
+    e = load(spark, sf_dir, "embeddings")
+    from ..functions.vectors import l2_norm
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(l2_norm("embedding"), 4).alias("l2"),
+    )
+
+
+ORACLE_SQL["q_array_functions"] = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2
+FROM embeddings
+"""
+
+
+@_q("q_embedding_norm_stats")
+def q_embedding_norm_stats(spark, sf_dir):
+    """Per-label embedding statistics (norm distribution by cluster)."""
+    from ..functions.vectors import l2_norm
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg(l2_norm("embedding")), 4).alias("avg_l2"),
+             F.round(F.min(l2_norm("embedding")), 4).alias("min_l2"),
+             F.round(F.max(l2_norm("embedding")), 4).alias("max_l2"))
+        .orderBy("label")
+    )
+
+
+ORACLE_SQL["q_embedding_norm_stats"] = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(avg(l2), 4) AS avg_l2,
+       round(min(l2), 4) AS min_l2,
+       round(max(l2), 4) AS max_l2
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+@_q("q_cosine_topk")
+def q_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 neighbors for the first 10 vectors —
+    the ANN correctness baseline (broadcast queries, one corpus scan)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", "cosine_sim", "rnk")
+
+
+ORACLE_SQL["q_cosine_topk"] = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@_q("q_ann_lsh_topk")
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via hyperplane-LSH bucketing — the 100 TB scale path
+    (bucket equi-join instead of cross join).  Approximate ⇒ rows-only;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.lsh_ann_topk(e, q, k=5, n_planes=4).select(
+        "query_id", "neighbor_id", "cosine_sim", "rnk")
+# (no ORACLE_SQL: approximate by design)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+@_q("q_binary_bytes_by_source")
+def q_binary_bytes_by_source(spark, sf_dir):
+    """Opaque-binary payload accounting per source (byte-length semantics
+    over a binary column)."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return (
+        d.groupBy("source")
+        .agg(F.sum(F.length(payload)).cast("long").alias("total_bytes"),
+             F.max(F.length(payload)).cast("long").alias("max_bytes"),
+             F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+ORACLE_SQL["q_binary_bytes_by_source"] = """
+SELECT source,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_q("q_multimodal_decode")
+def q_multimodal_decode(spark, sf_dir):
+    """Binary decode plumbing: mapInPandas over Arrow batches of blobs with
+    the deterministic stand-in codec (real codecs absent in-container).
+    Schema/partitioning/batch shape are the real contract."""
+    d = load(spark, sf_dir, "documents")
+    media = multimodal.attach_media_column(d, "doc_id", "text")
+    return multimodal.decode_media(media, multimodal.fake_decoder)
+# (no ORACLE_SQL: decode stage is procedural; deterministic fake asserted in
+#  tests/test_multimodal.py)

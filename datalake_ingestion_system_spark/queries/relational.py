@@ -1,0 +1,933 @@
+"""The relational query surface (SURVEY.md §2.6 + §2.3-2.5).
+
+The reference delegated every ad-hoc relational query to Athena/Presto over
+its ingested catalog (reference README.md:34,:51); this module supplies that
+surface natively through the DataFrame API / Spark SQL.  Every query here is
+declarative — Catalyst handles pushdown, pruning, join strategy (broadcast
+for dims), and AQE handles shuffle sizing/skew — so the same code scales from
+sf0.001 to a 1000-executor cluster.
+
+Cross-engine determinism rules (DuckDB is the correctness oracle):
+- every floating aggregate is ``round()``-ed identically on both sides (FP
+  summation order differs between engines; rounding far above the error bound
+  makes the hash stable);
+- every ORDER BY / window ordering carries a unique tie-break key;
+- integer sums are cast to BIGINT in DuckDB (its ``sum(int)`` is HUGEINT);
+- session timezone is pinned to UTC (parquet timestamps are UTC instants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from ..session import tune
+
+QUERIES = {}
+ORACLE_SQL = {}
+
+
+def _q(name):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        return wrapped
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scan → filter → aggregate → sort (the TPC-H Q1 shape; SURVEY §2.6 A4/§7.1)
+# ---------------------------------------------------------------------------
+
+@_q("q01_pricing_summary")
+def q01_pricing_summary(spark, sf_dir):
+    """Flagship: full-scan grouped aggregation with filter pushdown.
+
+    Shape of reference's delegated ops-report aggregation (D:211) at TPC-H Q1
+    semantics.  Catalyst pushes the shipdate predicate to the parquet scan and
+    plans a partial (map-side) hash aggregate before the exchange.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-01"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_SQL["q01_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@_q("q06_forecast_revenue")
+def q06_forecast_revenue(spark, sf_dir):
+    """Tight-range filter + single global aggregate (TPC-H Q6 shape).
+
+    The whole predicate is parquet-pushdown-able; the aggregate is a two-stage
+    partial+final with one row of shuffle traffic.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+ORACLE_SQL["q06_forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3 J5: inner / outer / semi / anti; broadcast vs shuffle)
+# ---------------------------------------------------------------------------
+
+@_q("q03_shipping_priority")
+def q03_shipping_priority(spark, sf_dir):
+    """3-way join + agg + deterministic top-k (TPC-H Q3 shape).
+
+    customer is the small build side; orders⋈lineitem shuffles on the join
+    key.  Top-k is planned as TakeOrderedAndProject (no global sort).
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SQL["q03_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@_q("q05_region_supplier_volume")
+def q05_region_supplier_volume(spark, sf_dir):
+    """5-way star join with two broadcast dims (TPC-H Q5 shape).
+
+    nation/region are broadcast (always tiny); the c_nationkey = s_nationkey
+    constraint makes it a genuinely multi-way plan Catalyst must reorder.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+ORACLE_SQL["q05_region_supplier_volume"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+@_q("q_join_left_outer")
+def q_join_left_outer(spark, sf_dir):
+    """Left outer join preserving order-less customers (SURVEY §2.6 joins)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("total_spent"))
+    )
+
+
+ORACLE_SQL["q_join_left_outer"] = """
+SELECT c_custkey, c_name,
+       count(o_orderkey) AS n_orders,
+       round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@_q("q_join_full_outer")
+def q_join_full_outer(spark, sf_dir):
+    """Full outer join of two aggregates on nationkey (null-completing both sides)."""
+    c = load(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n_customers"))
+    s = load(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count("*").alias("n_suppliers"))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+ORACLE_SQL["q_join_full_outer"] = """
+WITH c AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+"""
+
+
+@_q("q_join_semi")
+def q_join_semi(spark, sf_dir):
+    """Left-semi join: membership without multiplicity (SURVEY §2.3 J4)."""
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_SQL["q_join_semi"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+@_q("q_join_anti")
+def q_join_anti(spark, sf_dir):
+    """Left-anti join — the reference's processed-list set-diff (D:378, J2)
+    expressed relationally: rows with no match on the right."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+ORACLE_SQL["q_join_anti"] = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@_q("q_join_interval_config")
+def q_join_interval_config(spark, sf_dir):
+    """Broadcast interval (validity-window) join — the reference's per-file
+    config lookup ``STARTDATE <= d AND ENDDATE > d AND TABLE = t`` (D:294-299,
+    SURVEY J1), rebuilt as ONE declarative join instead of a SQL probe per file.
+    Unmatched rows route to 'OUTOFCONFIG' exactly like D:348-352."""
+    epochs = spark.createDataFrame(
+        [("BUILDING", "1995-01-01", "1997-01-01", "epoch_A"),
+         ("BUILDING", "1997-01-01", "1999-01-01", "epoch_B"),
+         ("MACHINERY", "1995-01-01", "2000-01-01", "epoch_M"),
+         ("AUTOMOBILE", "1996-06-01", "1998-06-01", "epoch_X")],
+        "segment string, start_date string, end_date string, epoch string",
+    ).select(
+        "segment", "epoch",
+        F.to_timestamp("start_date").alias("start_ts"),
+        F.to_timestamp("end_date").alias("end_ts"),
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    oc = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "o_orderdate", "c_mktsegment")
+    joined = oc.join(
+        F.broadcast(epochs),
+        (oc.c_mktsegment == epochs.segment)
+        & (oc.o_orderdate >= epochs.start_ts)
+        & (oc.o_orderdate < epochs.end_ts),
+        "left",
+    )
+    return (
+        joined.groupBy("c_mktsegment", F.coalesce("epoch", F.lit("OUTOFCONFIG")).alias("epoch"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORACLE_SQL["q_join_interval_config"] = """
+WITH epochs(segment, start_ts, end_ts, epoch) AS (
+  VALUES ('BUILDING',  TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01', 'epoch_A'),
+         ('BUILDING',  TIMESTAMP '1997-01-01', TIMESTAMP '1999-01-01', 'epoch_B'),
+         ('MACHINERY', TIMESTAMP '1995-01-01', TIMESTAMP '2000-01-01', 'epoch_M'),
+         ('AUTOMOBILE',TIMESTAMP '1996-06-01', TIMESTAMP '1998-06-01', 'epoch_X')
+), oc AS (
+  SELECT o_orderkey, o_orderdate, c_mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       coalesce(epoch, 'OUTOFCONFIG') AS epoch,
+       count(*) AS n_orders
+FROM oc LEFT JOIN epochs
+  ON c_mktsegment = segment AND o_orderdate >= start_ts AND o_orderdate < end_ts
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@_q("q_window_topk_per_group")
+def q_window_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer via row_number (deterministic tie-break)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+ORACLE_SQL["q_window_topk_per_group"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@_q("q_window_running_total")
+def q_window_running_total(spark, sf_dir):
+    """Running sum + lag/lead over a per-customer ordered frame."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(frame), 2).alias("running_spend"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+    )
+
+
+ORACLE_SQL["q_window_running_total"] = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       round(lag(o_totalprice, 1)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+FROM orders
+"""
+
+
+@_q("q_window_rank_funcs")
+def q_window_rank_funcs(spark, sf_dir):
+    """rank / dense_rank / ntile / percent_rank over brand partitions."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_brand", "p_partkey", "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+ORACLE_SQL["q_window_rank_funcs"] = """
+SELECT p_brand, p_partkey, p_retailprice,
+       rank()        OVER w AS rnk,
+       dense_rank()  OVER w AS drnk,
+       ntile(4)      OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+"""
+
+
+@_q("q_window_range_frame")
+def q_window_range_frame(spark, sf_dir):
+    """RANGE frame: count of a supplier's parts within ±50 of each price point."""
+    s = load(spark, sf_dir, "supplier")
+    w = (Window.partitionBy("s_nationkey").orderBy("s_acctbal").rangeBetween(-500, 500))
+    return s.select(
+        "s_suppkey", "s_nationkey", "s_acctbal",
+        F.count("*").over(w).alias("peers_within_500"),
+    )
+
+
+ORACLE_SQL["q_window_range_frame"] = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       count(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                      RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS peers_within_500
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / distinct aggregates (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@_q("q_rollup_region_nation")
+def q_rollup_region_nation(spark, sf_dir):
+    """ROLLUP over the region→nation hierarchy with broadcast dims."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+    )
+
+
+ORACLE_SQL["q_rollup_region_nation"] = """
+SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@_q("q_cube_flag_status")
+def q_cube_flag_status(spark, sf_dir):
+    """CUBE over lineitem flags."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+ORACLE_SQL["q_cube_flag_status"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@_q("q_grouping_sets")
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via Spark SQL (parser path, SURVEY §3.3)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+ORACLE_SQL["q_grouping_sets"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@_q("q_count_distinct")
+def q_count_distinct(spark, sf_dir):
+    """Exact multi-column distinct aggregates (expanded to two-phase agg)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_suppkey").alias("n_supps"),
+             F.count("*").alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SQL["q_count_distinct"] = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@_q("q_approx_count_distinct")
+def q_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct — scale path for 100 TB cardinality
+    estimation.  Hash-dependent ⇒ no SQL oracle (rows-only check)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+# (no ORACLE_SQL: approximate, engine-specific hash)
+
+
+@_q("q_median_percentile")
+def q_median_percentile(spark, sf_dir):
+    """Exact median (interpolated percentile) per group."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.round(F.median("c_acctbal"), 4).alias("median_balance"),
+             F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+             F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SQL["q_median_percentile"] = """
+SELECT c_mktsegment,
+       round(median(c_acctbal), 4) AS median_balance,
+       round(avg(c_acctbal), 4)    AS avg_balance,
+       count(*)                    AS n
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@_q("q_percentile_approx")
+def q_percentile_approx(spark, sf_dir):
+    """approx_percentile sketch — rows-only (approximate by design)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("pctiles"))
+        .select("o_orderpriority",
+                F.round(F.col("pctiles")[0], 2).alias("p50"),
+                F.round(F.col("pctiles")[1], 2).alias("p95"),
+                F.round(F.col("pctiles")[2], 2).alias("p99"))
+        .orderBy("o_orderpriority")
+    )
+# (no ORACLE_SQL: approximate sketch)
+
+
+# ---------------------------------------------------------------------------
+# Set operations, top-k, having, case (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@_q("q_set_union")
+def q_set_union(spark, sf_dir):
+    """UNION (distinct) of two key sets."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_nationkey").alias("nationkey"))
+    b = s.filter(F.col("s_acctbal") > 9000).select(F.col("s_nationkey").alias("nationkey"))
+    return a.union(b).distinct()
+
+
+ORACLE_SQL["q_set_union"] = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+"""
+
+
+@_q("q_set_intersect")
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT of nation keys having customers vs suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+ORACLE_SQL["q_set_intersect"] = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@_q("q_set_except")
+def q_set_except(spark, sf_dir):
+    """EXCEPT: nations with customers but no suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+ORACLE_SQL["q_set_except"] = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@_q("q_topk_orders")
+def q_topk_orders(spark, sf_dir):
+    """Global deterministic top-k (TakeOrderedAndProject — no full sort)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(20)
+    )
+
+
+ORACLE_SQL["q_topk_orders"] = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+@_q("q_having_big_customers")
+def q_having_big_customers(spark, sf_dir):
+    """GROUP BY … HAVING on an aggregate (post-agg filter)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("lifetime_value"),
+             F.count("*").alias("n_orders"))
+        .filter(F.col("lifetime_value") > 1500000)
+    )
+
+
+ORACLE_SQL["q_having_big_customers"] = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS lifetime_value, count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING round(sum(o_totalprice), 2) > 1500000
+"""
+
+
+@_q("q_case_when_bucketing")
+def q_case_when_bucketing(spark, sf_dir):
+    """CASE-expression bucketing + conditional aggregation."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (F.when(F.col("o_totalprice") < 100000, "small")
+               .when(F.col("o_totalprice") < 300000, "medium")
+               .otherwise("large"))
+    return (
+        o.withColumn("size_bucket", bucket)
+        .groupBy("size_bucket")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_finished"),
+             F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .orderBy("size_bucket")
+    )
+
+
+ORACLE_SQL["q_case_when_bucketing"] = """
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS size_bucket,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar subqueries & watermark incremental (SURVEY §2.3 J3 / §2.4 P8)
+# ---------------------------------------------------------------------------
+
+@_q("q_watermark_incremental")
+def q_watermark_incremental(spark, sf_dir):
+    """The reference's incremental-load watermark (C:99: ``WHERE parkey >
+    (SELECT max(parkey) FROM catalog)``) as a Catalyst scalar subquery:
+    events in the last 7 days relative to the stream's max timestamp."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql("""
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        WHERE ts > (SELECT max(ts) - INTERVAL 7 DAYS FROM events)
+        GROUP BY event_type
+        ORDER BY event_type
+    """)
+
+
+ORACLE_SQL["q_watermark_incremental"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_q("q_correlated_subquery")
+def q_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery: customers above their nation's max supplier
+    balance (decorrelated by Catalyst into a join)."""
+    register_views(spark, sf_dir, ("customer", "supplier"))
+    return spark.sql("""
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE c_acctbal > (SELECT max(s_acctbal) FROM supplier
+                           WHERE s_nationkey = c_nationkey)
+    """)
+
+
+ORACLE_SQL["q_correlated_subquery"] = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE c_acctbal > (SELECT max(s_acctbal) FROM supplier
+                   WHERE s_nationkey = c_nationkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / JSON / pivot (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@_q("q_string_functions")
+def q_string_functions(spark, sf_dir):
+    """String-function surface: case, substring, concat, pad, regexp."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("cust_num"),
+        F.regexp_replace("c_name", "0+", "0").alias("name_squeezed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+ORACLE_SQL["q_string_functions"] = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS segment_lower,
+       substring(c_name, 1, 8) AS name_prefix,
+       concat_ws('-', c_mktsegment, c_name) AS seg_name,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       regexp_extract(c_name, '([0-9]+)', 1) AS cust_num,
+       regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+FROM customer
+"""
+
+
+@_q("q_date_functions")
+def q_date_functions(spark, sf_dir):
+    """Date/time surface — with the reference's week-year bug (C:89 used
+    ``'YYYY-MM-dd'``) fixed to ISO year ``yyyy``."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+         .cast("long").alias("days_to_2002"),
+    )
+
+
+ORACLE_SQL["q_date_functions"] = """
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS BIGINT)    AS order_year,
+       CAST(extract(month FROM o_orderdate) AS BIGINT)   AS order_month,
+       CAST(extract(day FROM o_orderdate) AS BIGINT)     AS order_day,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+       strftime(o_orderdate, '%Y-%m')                    AS order_ym,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
+FROM orders
+"""
+
+
+@_q("q_json_extract")
+def q_json_extract(spark, sf_dir):
+    """JSON field extraction from the events.props payload column."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"),
+             F.round(F.avg(k), 4).alias("avg_k"),
+             F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SQL["q_json_extract"] = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_q("q_pivot_events")
+def q_pivot_events(spark, sf_dir):
+    """Pivot: daily event counts, one column per event type."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+ORACLE_SQL["q_pivot_events"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+       CAST(count(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(count(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+       CAST(count(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join & sessionization over the event stream (SURVEY §2.7 batch analog)
+# ---------------------------------------------------------------------------
+
+@_q("q_asof_last_purchase")
+def q_asof_last_purchase(spark, sf_dir):
+    """As-of join: for every event, the user's most recent purchase at-or-
+    before that instant.  Expressed as a carry-forward window max — the
+    shuffle-once scalable formulation (one exchange on user_id; no per-row
+    probe).  ``operators.asof`` has the applyInPandas merge_asof variant."""
+    e = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return e.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.max(purchase_ts).over(w).alias("last_purchase_ts"),
+    )
+
+
+ORACLE_SQL["q_asof_last_purchase"] = """
+SELECT event_id, user_id, ts, event_type,
+       max(CASE WHEN event_type = 'purchase' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+FROM events
+"""
+
+
+@_q("q_sessionization")
+def q_sessionization(spark, sf_dir):
+    """Batch sessionization: 30-minute inactivity gap ⇒ new session
+    (lag + cumulative sum of gap flags)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)) > 1800, 1
+    ).otherwise(0)
+    sessions = (
+        e.withColumn("new_session", gap)
+        .withColumn("session_seq", F.sum("new_session").over(cum))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg((F.max("session_seq") + 1).cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+ORACLE_SQL["q_sessionization"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id,
+       CAST(max(session_seq) + 1 AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id
+"""

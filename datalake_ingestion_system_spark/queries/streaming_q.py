@@ -1,0 +1,163 @@
+"""Structured Streaming query surface (SURVEY §2.7 upgrade).
+
+The reference is a scheduled batch system with a hand-rolled incremental loop
+(D:370-397) and watermark (C:99); here the same semantics run as Structured
+Streaming with ``Trigger.AvailableNow`` (≙ "the daily job over whatever is
+new"), event-time windows, and watermarks.  For oracle checking, a bounded
+parquet directory drives the stream to completion synchronously via the
+memory sink; window aggregates are then plain SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, table_path
+from ..session import tune
+
+QUERIES = {}
+ORACLE_SQL = {}
+_SINK_IDS = itertools.count()
+
+
+def _q(name):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        return wrapped
+    return deco
+
+
+def _run_stream_to_memory(agg: DataFrame, spark: SparkSession,
+                          mode: str = "complete") -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink, return the
+    materialized result as a (batch) DataFrame."""
+    name = f"stream_sink_{next(_SINK_IDS)}"
+    q = (agg.writeStream.outputMode(mode)
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import fix_nanos_ts
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # glob form: the file-stream source needs a directory-rooted basePath
+    stream = (spark.readStream.schema(raw_schema)
+              .parquet(f"{sf_dir}/events.parque*"))
+    return fix_nanos_ts(stream)
+
+
+@_q("q_stream_hourly_events")
+def q_stream_hourly_events(spark, sf_dir):
+    """Tumbling 1-hour event-time windows over the event stream
+    (readStream → window agg → AvailableNow → memory sink)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_stream_to_memory(agg, spark)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+ORACLE_SQL["q_stream_hourly_events"] = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_q("q_stream_sliding_windows")
+def q_stream_sliding_windows(spark, sf_dir):
+    """Sliding 2-hour windows advancing hourly (each event lands in 2
+    windows) — overlap semantics mirrored in SQL as a shifted union."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_stream_to_memory(agg, spark)
+    return out.select(F.col("window.start").alias("window_start"), "n_events")
+
+
+ORACLE_SQL["q_stream_sliding_windows"] = """
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start FROM events
+)
+SELECT window_start, count(*) AS n_events
+FROM w GROUP BY 1
+"""
+
+
+@_q("q_stream_watermark_late_data")
+def q_stream_watermark_late_data(spark, sf_dir):
+    """Watermarked windowed aggregation (10-minute lateness bound) in
+    append mode: only windows sealed by the final watermark are emitted —
+    inherently run-dependent on open windows ⇒ rows-only check."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_stream_to_memory(agg, spark, mode="append")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events")
+# (no ORACLE_SQL: append mode emits only watermark-sealed windows)
+
+
+@_q("q_session_window_agg")
+def q_session_window_agg(spark, sf_dir):
+    """Event-time session windows (30-minute gap) — batch ``session_window``
+    (same operator Structured Streaming uses for stateful sessionization),
+    oracle-mirrored via gap-and-cumsum SQL."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events")
+    )
+
+
+ORACLE_SQL["q_session_window_agg"] = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, session_seq
+"""

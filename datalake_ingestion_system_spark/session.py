@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference tuned for its cluster by hand (120 driver threads sized "close
+to the number of DPU", DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:391-392); here
+parallelism comes from Spark partitions and AQE, so the same code runs on
+local[32] and on a 1000-executor cluster unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to *any* session (including one handed to us
+#: by an external driver).  Session TZ is pinned to UTC so timestamp semantics
+#: match columnar readers (DuckDB/Arrow read parquet timestamps as UTC-naive).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # parquet scans: pushdown + vectorized reader are default-on; keep explicit
+    "spark.sql.parquet.filterPushdown": "true",
+    # a 10 MB broadcast threshold is too small for modern executors; dims like
+    # nation/region/part must broadcast rather than shuffle
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.maxMetadataStringLength": "500",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read natively;
+    # read as long and convert (catalog.load floors ns→µs, matching DuckDB)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable conf on this build — leave as-is
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "datalake_ingestion_system_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a session sized for the local test harness.
+
+    On a real cluster these become spark-submit confs; shuffle partitioning is
+    AQE-coalesced from an upper bound, so over-provisioning is cheap.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", str(max(cpus, 8))))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
