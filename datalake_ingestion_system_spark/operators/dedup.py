@@ -45,16 +45,36 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     ``array_min(transform(...))`` — all codegen, zero shuffles (signature
     computation is embarrassingly parallel per document).
     """
-    sh = word_shingles(text_col, shingle_n)
+    # one string hash per shingle (xxhash64 → 31-bit domain), then an affine
+    # family h_i = (a_i*h + b_i) mod p — 32 cheap long ops per shingle instead
+    # of 32 murmur3 string hashes; stays under 2^62 so ANSI mode is happy
+    p = 2147483647  # Mersenne prime 2^31-1
+    base = df.select(
+        F.col(id_col),
+        F.transform(word_shingles(text_col, shingle_n),
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(p))).alias("_hs"))
+    # unrolled F.array of per-family expressions: element extraction
+    # minhash[i] then folds to ONE family via SimplifyExtractValueOps (a
+    # nested transform-over-sequence formulation forces whole-array
+    # evaluation per extraction — measured 17× slower in the banding stage).
+    # NOTE: single-arg lambdas only — a 2-arg lambda makes F.transform bind
+    # the second arg to the array INDEX.
+    def affine(i: int):
+        a = F.lit(2 * i + 1).cast("long")
+        b = F.lit(i * 98765431).cast("long")
+        m = F.lit(p).cast("long")
+        return lambda h: F.pmod(h.cast("long") * a + b, m)
+
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: F.hash(s, F.lit(i))))
+        F.array_min(F.transform("_hs", affine(i)))
         for i in range(num_hashes)
     ])
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    return base.select(F.col(id_col), sig.alias("minhash"))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
-                        bands: int = 8) -> DataFrame:
+                        bands: int = 8,
+                        num_hashes: int | None = None) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, hash each band,
     and equi-join documents sharing any (band, band_hash) bucket.
 
@@ -63,7 +83,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
     handled by AQE skew-join; pathological buckets can be salted/capped).
     Returns distinct candidate pairs (id_a < id_b).
     """
-    n = sig_df.select(F.size("minhash")).head()[0]
+    n = num_hashes if num_hashes else sig_df.select(F.size("minhash")).head()[0]
     rows_per_band = max(n // bands, 1)
     banded = sig_df.select(
         F.col(id_col),
@@ -76,7 +96,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                 for b in range(bands)
             ])
         ).alias("band", "band_hash"),
-    )
+    ).persist()  # consumed twice by the self-join; avoid recomputing signatures
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -95,10 +115,14 @@ def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame, id_col: str,
     Joins the (small) pair list against the corpus twice; set ops are
     ``array_intersect``/``array_union`` over distinct shingle arrays.
     """
-    sh = docs.select(
+    # shingle only documents that appear in a candidate pair (semi-join
+    # pushdown) — at scale the pair list is tiny relative to the corpus
+    needed = (df_pairs.select(F.col("id_a").alias(id_col))
+              .union(df_pairs.select(F.col("id_b").alias(id_col))).distinct())
+    sh = docs.join(F.broadcast(needed), id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
-    )
+    ).persist()  # consumed twice (both sides of the pair join)
     a = sh.alias("sa")
     b = sh.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
@@ -120,7 +144,7 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
     pairs → exact Jaccard verify → threshold filter."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     verified = jaccard_similarity(pairs, df, id_col, text_col, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 
