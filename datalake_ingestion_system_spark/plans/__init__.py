@@ -1,0 +1,1 @@
+"""Pipeline plans: batch ingestion, lake maintenance, JDBC loads."""

@@ -1,0 +1,214 @@
+"""Batch ingestion pipeline: landing zone → storing zone.
+
+The reference's core job (DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY) rebuilt
+Spark-first.  Where the reference ran 120 driver threads each doing a
+per-file temp-view SQL probe + read + write (D:294-342), this plan is a
+handful of declarative jobs over ALL pending files at once:
+
+1. discover + parse filenames                 (landing.discover — D:276-290)
+2. anti-join processed state                  (J2 — D:370-378 set diff)
+3. broadcast validity-interval join to config (J1 — D:294-299 per-file SQL)
+4. one text scan → per-file arity/row stats   (D:311-318 per-file reads)
+5. route: PROCESSED / EMPTY / UNMATCH / OUTOFCONFIG / IRREGULAR
+   — the totality invariant: every landed file lands in exactly one bucket
+   (D:274-358); quarantine schema is the reference's 7-column contract
+   (D:103-106)
+6. per (table, config-version) group: CSV parse with imposed header +
+   *working* typed casts (fixes §0.3.1), write parquet partitioned by
+   TRANSFERRED_DATE with dynamic partition overwrite (K1 — D:339-342)
+7. append state + quarantine + run report     (D:402-417, O6)
+
+Scale: the only driver-side loop is over (table, config-version) groups —
+the number of distinct table layouts, not files.  At 100 TB the landing
+listing itself can move into Structured Streaming file tracking
+(streaming.ingest_stream) with identical routing semantics.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import landing
+from ..sources.registry import (DATE_FMT, TIMESTAMP_FMT, TYPE_CODES,
+                                validate_registry)
+
+#: Quarantine table schema — reference FAILED_TO_CONVERT contract (D:103).
+QUARANTINE_SCHEMA = ("FILENAME string, HEADER_LIST string, HEADER_CNT string, "
+                     "META_HEADER_LIST string, META_HEADER_CNT string, "
+                     "START_EXEC_TIME string, TYPE string")
+
+STATE_SCHEMA = ("filename string, path string, table string, "
+                "transferred_date date, status string, processed_at timestamp")
+
+
+@dataclass
+class IngestReport:
+    """Run report with REAL status (the reference's JOB_STATUS never left
+    'SUCCEEDED' due to a missing ``global`` — §0.3.2)."""
+    processed: int = 0
+    empty: int = 0
+    unmatch: int = 0
+    outofconfig: int = 0
+    irregular: int = 0
+    tables_written: list[str] = field(default_factory=list)
+    status: str = "SUCCEEDED"
+    started_at: str = ""
+    finished_at: str = ""
+
+    @property
+    def total(self) -> int:
+        return (self.processed + self.empty + self.unmatch
+                + self.outofconfig + self.irregular)
+
+
+def _read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    try:
+        return spark.read.parquet(state_dir)
+    except Exception:
+        return spark.createDataFrame([], STATE_SCHEMA)
+
+
+def route_files(files: DataFrame, conf: DataFrame) -> DataFrame:
+    """Attach config via broadcast validity-interval join and derive the
+    routing class for every file (before any data is read)."""
+    c = conf.withColumnRenamed("TABLE", "conf_table")  # avoid case-insensitive
+    # ambiguity with the files side's lower-case "table" column
+    joined = files.join(
+        F.broadcast(c),
+        (files.table == c.conf_table)
+        & (files.snapshot_date >= c.start_date)
+        & (files.snapshot_date < c.end_date),
+        "left",
+    )
+    return joined.select(
+        "path", "filename", "size", "table", "snapshot_date",
+        "head_list", "type_list", "feq",
+        F.when(F.col("table").isNull() | F.col("snapshot_date").isNull(),
+               "IRREGULAR")
+         .when(F.col("conf_table").isNull(), "OUTOFCONFIG")
+         .otherwise("CANDIDATE").alias("route"),
+    )
+
+
+def ingest(spark: SparkSession,
+           landing_dir: str,
+           storing_dir: str,
+           conf: DataFrame,
+           state_dir: str,
+           quarantine_dir: str,
+           typed: bool = False,
+           delimiter: str = ",") -> IngestReport:
+    """Run one ingestion pass.  Idempotent: re-runs skip files already in
+    state, and re-processing a file overwrites exactly its partition."""
+    started = time.strftime("%Y-%m-%d %H:%M:%S")
+    report = IngestReport(started_at=started)
+    validate_registry(conf)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    files = landing.discover(spark, landing_dir)
+    state = _read_state(spark, state_dir)
+    pending = files.join(state.select("filename"), "filename", "left_anti")
+
+    routed = route_files(pending, conf)
+
+    # one distributed text scan over every candidate file → arity/row stats
+    # (zero-byte files skip the scan: nothing to read — and a 0-byte .gz is
+    # not even valid gzip; they fall out as n_rows=0 ⇒ EMPTY)
+    cand_paths = [r.path for r in
+                  routed.filter((F.col("route") == "CANDIDATE")
+                                & (F.col("size") > 0))
+                        .select("path").collect()]
+    stats = landing.file_stats(spark, cand_paths, delimiter)
+    routed = (
+        routed.join(stats, "filename", "left")
+        .withColumn("n_rows", F.coalesce("n_rows", F.lit(0)))
+        .withColumn(
+            "route",
+            F.when(F.col("route") != "CANDIDATE", F.col("route"))
+             .when(F.col("n_rows") == 0, "EMPTY")
+             .when(F.col("n_cols") != F.size("head_list"), "UNMATCH")
+             .otherwise("OK"))
+    ).persist()
+
+    # ---- write pass: one CSV job per (table, config-version) group --------
+    groups = (
+        routed.filter(F.col("route") == "OK")
+        .groupBy("table", "feq", "head_list", "type_list")
+        .agg(F.collect_list("path").alias("paths"))
+        .collect()
+    )
+    for g in groups:
+        schema_ddl = ", ".join(f"`{c}` string" for c in g.head_list)
+        df = (spark.read
+              .schema(schema_ddl)
+              .option("header", False)
+              .option("sep", delimiter)
+              .csv(g.paths)
+              .withColumn(
+                  "_fn",
+                  F.element_at(F.split(F.input_file_name(), "/"), -1)))
+        # TRANSFERRED_DATE from the filename the row came from — all files of
+        # the group are written in one job, partitioned by snapshot date
+        df = df.withColumn(
+            "TRANSFERRED_DATE",
+            F.to_date(F.regexp_extract("_fn", landing.FILENAME_RE, 2),
+                      "yyyyMMdd")).drop("_fn")
+        if typed and g.type_list:
+            for c, code in zip(g.head_list, g.type_list):
+                t = TYPE_CODES[code]
+                if t == "timestamp":
+                    df = df.withColumn(c, F.to_timestamp(c, TIMESTAMP_FMT))
+                elif t == "date":
+                    df = df.withColumn(c, F.to_date(c, DATE_FMT))
+                else:
+                    df = df.withColumn(c, F.col(c).cast(t))
+        out = f"{storing_dir}/{g.feq}/{g.table}"
+        (df.repartition("TRANSFERRED_DATE")
+           .write.mode("overwrite")
+           .partitionBy("TRANSFERRED_DATE")
+           .parquet(out))
+        report.tables_written.append(g.table)
+
+    # ---- state + quarantine + report --------------------------------------
+    now = F.current_timestamp()
+    new_state = (
+        routed.filter(F.col("route").isin("OK", "EMPTY"))
+        .select("filename", "path", "table",
+                F.col("snapshot_date").alias("transferred_date"),
+                F.when(F.col("route") == "OK", "processed")
+                 .otherwise("processed_empty").alias("status"),
+                now.alias("processed_at"))
+    )
+    if new_state.head(1):
+        new_state.write.mode("append").parquet(state_dir)
+
+    quarantined = (
+        routed.filter(F.col("route").isin("UNMATCH", "OUTOFCONFIG", "IRREGULAR"))
+        .select(
+            F.col("filename").alias("FILENAME"),
+            F.coalesce(F.col("n_cols").cast("string"), F.lit("")).alias("HEADER_CNT"),
+            F.coalesce(F.concat_ws("|", "head_list"), F.lit("")).alias("META_HEADER_LIST"),
+            F.coalesce(F.size("head_list").cast("string"), F.lit("")).alias("META_HEADER_CNT"),
+            F.lit(started).alias("START_EXEC_TIME"),
+            F.col("route").alias("TYPE"))
+        .withColumn("HEADER_LIST", F.lit(""))  # raw header unavailable pre-parse
+        .select("FILENAME", "HEADER_LIST", "HEADER_CNT", "META_HEADER_LIST",
+                "META_HEADER_CNT", "START_EXEC_TIME", "TYPE")
+    )
+    if quarantined.head(1):
+        quarantined.write.mode("append").parquet(quarantine_dir)
+
+    counts = {r["route"]: r["n"] for r in
+              routed.groupBy("route").agg(F.count("*").alias("n")).collect()}
+    routed.unpersist()
+    report.processed = counts.get("OK", 0)
+    report.empty = counts.get("EMPTY", 0)
+    report.unmatch = counts.get("UNMATCH", 0)
+    report.outofconfig = counts.get("OUTOFCONFIG", 0)
+    report.irregular = counts.get("IRREGULAR", 0)
+    report.finished_at = time.strftime("%Y-%m-%d %H:%M:%S")
+    return report

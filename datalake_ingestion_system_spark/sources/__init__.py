@@ -1,0 +1,1 @@
+"""Sources: landing-zone CSV files, the config registry, JDBC tables."""

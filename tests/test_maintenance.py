@@ -1,0 +1,60 @@
+"""Lake maintenance: schema-evolution merge, user-zone replication,
+DDL export, config backup."""
+
+from datalake_ingestion_system_spark.plans import ingest as ing
+from datalake_ingestion_system_spark.plans import maintenance as mnt
+from datalake_ingestion_system_spark.sources import registry
+
+
+def _ingest(spark, fx):
+    conf = registry.load_registry(spark, fx["mapping"])
+    ing.ingest(spark, fx["landing"], fx["storing"], conf,
+               fx["state"], fx["quarantine"])
+    return conf
+
+
+def test_merge_evolved_table(spark, landing):
+    _ingest(spark, landing)
+    src = landing["storing"] + "/daily/CUSTOMER_MASTER"
+    out = landing["storing"] + "/daily/CUSTOMER_MASTER_LAYOUTCHANGED"
+    n = mnt.merge_evolved_table(spark, src, out)
+    assert n == 5
+    df = spark.read.parquet(out)
+    assert "EMAIL" in df.columns  # union of both layouts
+    # old-layout rows have NULL email
+    assert df.filter("EMAIL IS NULL").count() == 3
+
+
+def test_replicate_to_user_zone(spark, landing, tmp_path):
+    _ingest(spark, landing)
+    gm = spark.createDataFrame(
+        [("CUSTOMER_MASTER", "grp_a", "daily", "user-bkt-1")],
+        "TABLE string, GROUP string, FEQ string, USER_BUCKET string")
+    dsts = mnt.replicate_to_user_zone(
+        spark, landing["storing"], gm, str(tmp_path / "user"))
+    assert len(dsts) == 1
+    assert spark.read.parquet(dsts[0]).count() == 5
+
+
+def test_replicate_layout_changed_redirect(spark, landing, tmp_path):
+    _ingest(spark, landing)
+    src = landing["storing"] + "/daily/CUSTOMER_MASTER"
+    mnt.merge_evolved_table(
+        spark, src, landing["storing"] + "/daily/CUSTOMER_MASTER_LAYOUTCHANGED")
+    gm = spark.createDataFrame(
+        [("CUSTOMER_MASTER", "grp_a", "daily", "user-bkt-1")],
+        "TABLE string, GROUP string, FEQ string, USER_BUCKET string")
+    lc = spark.createDataFrame([("CUSTOMER_MASTER",)], "TABLE string")
+    dsts = mnt.replicate_to_user_zone(
+        spark, landing["storing"], gm, str(tmp_path / "user"),
+        layout_changed=lc)
+    df = spark.read.parquet(dsts[0])
+    assert "EMAIL" in df.columns  # replicated from _LAYOUTCHANGED source
+
+
+def test_backup_and_ddl_export(spark, landing, tmp_path):
+    conf = _ingest(spark, landing)
+    out = mnt.backup_config(conf, str(tmp_path / "bkp"), ts="20190601_000000")
+    assert spark.read.parquet(out).count() == 4
+    ddl = mnt.export_ddl(spark)
+    assert ddl.columns == ["table", "ddl", "exported_at"]
