@@ -30,6 +30,19 @@ def normalize_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
 
 
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Array of character n-grams over normalized text (near-dup unit for
+    short/CJK-ish content where word shingles are too coarse)."""
+    t = normalize_text(text)
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Array of n-word shingles (the MinHash unit).
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.textfns import token_count, tokens
+from ..functions.textfns import char_ngrams, token_count, tokens
 from ..operators import dedup, multimodal, similarity, text
 from ..session import tune
 
@@ -118,6 +118,79 @@ WITH sets AS (
 SELECT id_a, id_b, n_common,
        round(CAST(n_common AS DOUBLE) / (n_total - n_common), 4) AS jaccard
 FROM pairs
+"""
+
+
+@_q("q_ngram_jaccard_pairs")
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact character-3-gram Jaccard over a bounded candidate set — the
+    fine-grained near-dup verifier (catches shared substrings that word-level
+    shingles miss).  At 100 TB this runs only on LSH candidate pairs, never
+    all-pairs; the bounded id filter here stands in for that candidate set."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sets = d.select("doc_id", F.array_distinct(char_ngrams("text", 3)).alias("gs"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.gs"), F.col("b.gs"))).cast("long")
+    union = F.size(F.array_union(F.col("a.gs"), F.col("b.gs"))).cast("long")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                inter.alias("n_common"),
+                F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+ORACLE_SQL["q_ngram_jaccard_pairs"] = f"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct([substr(t, CAST(i AS INTEGER), 3)
+                        for i in range(1, length(t) - 1)]) AS gs
+  FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 30)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_filter(a.gs, x -> list_contains(b.gs, x))) AS BIGINT) AS n_common,
+         CAST(len(a.gs) + len(b.gs) AS BIGINT) AS n_total
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (n_total - n_common), 4) AS jaccard
+FROM pairs
+WHERE round(CAST(n_common AS DOUBLE) / (n_total - n_common), 4) >= 0.1
+"""
+
+
+@_q("q_dedup_embedding_cosine")
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by the label column.
+
+    The blocking key turns the O(n²) all-pairs comparison into a per-block
+    equi-self-join — the same shape a 100 TB run uses with coarse ANN
+    buckets (or label/source partitions) as blocks; skewed blocks fall to
+    AQE skew-join handling.
+    """
+    from ..functions.vectors import cosine_similarity
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.col("a.label").alias("label"),
+                F.round(cosine_similarity("a.v", "b.v"), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.3)
+    )
+
+
+ORACLE_SQL["q_dedup_embedding_cosine"] = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
 """
 
 

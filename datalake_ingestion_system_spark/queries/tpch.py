@@ -1,0 +1,517 @@
+"""Adapted TPC-H decision-support suite over the test-lake star schema.
+
+The reference delegates ALL ad-hoc relational querying to Athena/Presto
+(reference README.md:34,:51) — TPC-H is the canonical workload for exactly
+that delegated surface, so this module supplies the classic query *shapes*
+natively (SURVEY §2.6).  The driver's schema is TPC-H-ish but trimmed (no
+partsupp; fewer columns), so each query keeps its distinctive operator
+structure — exists/in subqueries, two-role dimension joins, conditional
+aggregate ratios, max-of-aggregate subqueries, correlated scalar aggregates,
+disjunctive DNF predicates, double aggregation — adapted to the available
+columns.
+
+Scale notes (100 TB stance): every query is declarative DataFrame code —
+Catalyst broadcasts the dimension sides (region/nation always; customer/
+supplier/part under the AQE threshold at small SF, shuffle-hash/SMJ beyond),
+pushes every filter into the parquet scan, and prunes unread columns.  No
+collects, no UDFs, no driver loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..session import tune
+
+QUERIES = {}
+ORACLE_SQL = {}
+
+
+def _q(name):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        return wrapped
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking: EXISTS semi-join with date-range filter
+# ---------------------------------------------------------------------------
+
+@_q("q04_order_priority")
+def q04_order_priority(spark, sf_dir):
+    """Priority histogram of orders that have at least one late-shipping
+    lineitem (EXISTS → left-semi join; TPC-H Q4 shape).
+
+    The orders date filter is parquet-pushed; the semi join shuffles only
+    the two key columns after pruning.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01")))
+    l = load(spark, sf_dir, "lineitem")
+    late = l.join(o, l.l_orderkey == o.o_orderkey) \
+            .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)) \
+            .select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SQL["q04_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping: one dimension joined in two roles (n1 supplier-side,
+# n2 customer-side) with a symmetric pair predicate
+# ---------------------------------------------------------------------------
+
+@_q("q07_volume_shipping")
+def q07_volume_shipping(spark, sf_dir):
+    """Bilateral trade volume between two nations by ship year (TPC-H Q7
+    shape: nation joined twice under different roles)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_SQL["q07_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share: conditional-sum ratio inside a grouped aggregate
+# ---------------------------------------------------------------------------
+
+@_q("q08_market_share")
+def q08_market_share(spark, sf_dir):
+    """NATION_3's share of ASIA order volume per year (TPC-H Q8 shape:
+    CASE-guarded numerator over a common denominator)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n_c = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n_s = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_c), c.c_nationkey == n_c.c_nk)
+        .join(F.broadcast(n_s), s.s_nationkey == n_s.s_nk)
+        .join(F.broadcast(r), n_c.c_rk == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+            / F.sum(vol), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+ORACLE_SQL["q08_market_share"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit: 4-way fact-dimension join + LIKE filter
+# ---------------------------------------------------------------------------
+
+@_q("q09_profit_by_nation")
+def q09_profit_by_nation(spark, sf_dir):
+    """Profit on 'widget' parts by supplier nation and year (TPC-H Q9 shape,
+    sans partsupp — profit is discounted revenue)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLE_SQL["q09_profit_by_nation"] = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting: revenue lost to returns, top 20 customers
+# ---------------------------------------------------------------------------
+
+@_q("q10_returned_items")
+def q10_returned_items(spark, sf_dir):
+    """Top-20 customers by revenue on returned items in one quarter (TPC-H
+    Q10 shape).  Planned as TakeOrderedAndProject — no global sort."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_SQL["q10_returned_items"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: outer join + double aggregation
+# ---------------------------------------------------------------------------
+
+@_q("q13_customer_distribution")
+def q13_customer_distribution(spark, sf_dir):
+    """Histogram of orders-per-customer including zero-order customers
+    (TPC-H Q13 shape: left outer join, then aggregate of an aggregate)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_SQL["q13_customer_distribution"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect: conditional-sum percentage, single output row
+# ---------------------------------------------------------------------------
+
+@_q("q14_promo_revenue")
+def q14_promo_revenue(spark, sf_dir):
+    """PROMO parts' share of one month's revenue (TPC-H Q14 shape)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01")))
+    p = load(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+            * 100.0 / F.sum(vol), 4).alias("promo_revenue_pct"))
+    )
+
+
+ORACLE_SQL["q14_promo_revenue"] = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier: aggregate view + max-of-aggregate scalar subquery
+# ---------------------------------------------------------------------------
+
+@_q("q15_top_supplier")
+def q15_top_supplier(spark, sf_dir):
+    """Supplier(s) with the maximum quarterly revenue (TPC-H Q15 shape:
+    revenue view reused as both input and scalar-subquery source).
+
+    The tiny aggregated view is joined against its own max — Catalyst
+    broadcasts the 1-row max side.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(max_rev),
+                     revenue.total_revenue == max_rev.mx)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_SQL["q15_top_supplier"] = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: correlated scalar aggregate per group
+# ---------------------------------------------------------------------------
+
+@_q("q17_small_quantity_revenue")
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Average yearly revenue lost if small-quantity orders for one brand
+    were dropped (TPC-H Q17 shape: per-part correlated avg).
+
+    The correlated scalar subquery decorrelates to an aggregate + re-join on
+    l_partkey — expressed directly as that plan here.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_lines = l.join(p, l.l_partkey == p.p_partkey)
+    avg_qty = (part_lines.groupBy(F.col("l_partkey").alias("ak"))
+               .agg((F.avg("l_quantity") * 0.8).alias("qty_cut")))
+    return (
+        part_lines.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+ORACLE_SQL["q17_small_quantity_revenue"] = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.8 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers: IN-subquery over a grouped HAVING
+# ---------------------------------------------------------------------------
+
+@_q("q18_large_orders")
+def q18_large_orders(spark, sf_dir):
+    """Customers with orders totalling > 300 units (TPC-H Q18 shape:
+    IN (SELECT … GROUP BY … HAVING) → semi join on the aggregated set)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("tot_qty"))
+           .filter(F.col("tot_qty") > 300))
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate"), "o_totalprice",
+                F.round(F.col("tot_qty"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+ORACLE_SQL["q18_large_orders"] = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(t.tot_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS tot_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) t
+  ON o_orderkey = t.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue: disjunctive-normal-form predicate pushdown
+# ---------------------------------------------------------------------------
+
+@_q("q19_disjunctive_filter")
+def q19_disjunctive_filter(spark, sf_dir):
+    """Revenue under an OR-of-ANDs (brand × size × quantity band) predicate
+    (TPC-H Q19 shape).  Catalyst pushes the common p-side conjuncts into the
+    part scan and plans one join, not three."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+         .alias("revenue"),
+        F.count("*").alias("n_rows"))
+
+
+ORACLE_SQL["q19_disjunctive_filter"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity: anti join + scalar-avg subquery filter
+# ---------------------------------------------------------------------------
+
+@_q("q22_global_sales_opportunity")
+def q22_global_sales_opportunity(spark, sf_dir):
+    """Well-funded customers with no recent orders, grouped by nation band
+    (TPC-H Q22 shape: NOT EXISTS anti join + scalar average threshold)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01"))
+    in_band = c.filter(F.col("c_nationkey") < 10)
+    avg_bal = (in_band.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    return (
+        in_band.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+        .join(o, in_band.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(F.count("*").alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("cntry")
+    )
+
+
+ORACLE_SQL["q22_global_sales_opportunity"] = """
+SELECT c_nationkey AS cntry, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey < 10
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0 AND c_nationkey < 10)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+ORDER BY 1
+"""
