@@ -43,13 +43,16 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Array of n-word shingles (the MinHash unit).
+def shingles_of(ws: Column, n: int = 3) -> Column:
+    """n-word shingles from an ALREADY-MATERIALIZED token-array attribute.
 
-    ``sequence(1, size-n+1)`` + ``slice`` keeps it a single codegen'd
-    expression; documents shorter than n words yield an empty array.
+    ``ws`` must be a plain column reference (stage ``tokens(...)`` in its own
+    projection first).  Passing the tokenization expression directly would
+    re-evaluate the regex once per shingle inside the ``transform`` lambda —
+    higher-order-function bodies are interpreted per element with no
+    cross-lambda subexpression elimination (measured O(tokens²): 5.3s → 0.9s
+    at sf0.1 for MinHash signatures after staging).
     """
-    ws = tokens(text)
     return F.when(
         F.size(ws) >= n,
         F.transform(
@@ -57,3 +60,12 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (the MinHash unit) as one expression.
+
+    Convenience form for one-shot use; hot paths should stage ``tokens``
+    into its own projection and call ``shingles_of`` (see its docstring).
+    """
+    return shingles_of(tokens(text), n)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfns import normalize_text, tokens, word_shingles
+from ..functions.textfns import normalize_text, shingles_of, tokens
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -45,14 +45,30 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     ``array_min(transform(...))`` — all codegen, zero shuffles (signature
     computation is embarrassingly parallel per document).
     """
+    # Signature math is CPU-bound per document (num_hashes passes over the
+    # shingle-hash array).  A small source file arrives as ONE input split, so
+    # without a rebalance every core but one idles — measured 4× end-to-end
+    # on local[32].  At real scale the input already has >= parallelism
+    # splits and this is a no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     # one string hash per shingle (xxhash64 → 31-bit domain), then an affine
     # family h_i = (a_i*h + b_i) mod p — 32 cheap long ops per shingle instead
-    # of 32 murmur3 string hashes; stays under 2^62 so ANSI mode is happy
+    # of 32 murmur3 string hashes; stays under 2^62 so ANSI mode is happy.
+    # tokens → shingles → hashes are STAGED projections: each alias is
+    # consumed multiple times by the next stage, which blocks CollapseProject
+    # from inlining the regex/concat work into per-element lambda bodies
+    # (see shingles_of docstring).
     p = 2147483647  # Mersenne prime 2^31-1
-    base = df.select(
-        F.col(id_col),
-        F.transform(word_shingles(text_col, shingle_n),
-                    lambda s: F.pmod(F.xxhash64(s), F.lit(p))).alias("_hs"))
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("_ws"))
+        .select(F.col(id_col), shingles_of(F.col("_ws"), shingle_n).alias("_sh"))
+        .select(
+            F.col(id_col),
+            F.transform("_sh",
+                        lambda s: F.pmod(F.xxhash64(s), F.lit(p))).alias("_hs"))
+    )
     # unrolled F.array of per-family expressions: element extraction
     # minhash[i] then folds to ONE family via SimplifyExtractValueOps (a
     # nested transform-over-sequence formulation forces whole-array
@@ -119,9 +135,11 @@ def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame, id_col: str,
     # pushdown) — at scale the pair list is tiny relative to the corpus
     needed = (df_pairs.select(F.col("id_a").alias(id_col))
               .union(df_pairs.select(F.col("id_b").alias(id_col))).distinct())
-    sh = docs.join(F.broadcast(needed), id_col, "left_semi").select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    sh = (
+        docs.join(F.broadcast(needed), id_col, "left_semi")
+        .select(F.col(id_col), tokens(text_col).alias("_ws"))
+        .select(F.col(id_col),
+                F.array_distinct(shingles_of(F.col("_ws"), shingle_n)).alias("sh"))
     ).persist()  # consumed twice (both sides of the pair join)
     a = sh.alias("sa")
     b = sh.alias("sb")
