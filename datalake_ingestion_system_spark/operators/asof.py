@@ -21,11 +21,18 @@ def asof_join_window(events: DataFrame, key: str, ts: str,
                      mark_filter, value_col: str,
                      out_col: str = "asof_value") -> DataFrame:
     """Exact as-of within one stream: for each row, the latest ``value_col``
-    at-or-before it among rows satisfying ``mark_filter``."""
+    at-or-before it among rows satisfying ``mark_filter``.
+
+    Carry-forward is ``max`` over ``struct(ts, value)`` — the struct orders by
+    ``ts`` first, so the max IS the most recent marked row (value itself need
+    not be monotone), and ties on ``ts`` break deterministically by value.
+    """
     w = (Window.partitionBy(key).orderBy(ts)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return events.withColumn(
-        out_col, F.max(F.when(mark_filter, F.col(value_col))).over(w))
+    carried = F.max(
+        F.when(mark_filter, F.struct(F.col(ts).alias("_t"),
+                                     F.col(value_col).alias("_v")))).over(w)
+    return events.withColumn(out_col, carried.getField("_v"))
 
 
 def asof_join_pandas(left: DataFrame, right: DataFrame, key: str, ts: str,

@@ -90,14 +90,24 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                         bands: int = 8,
-                        num_hashes: int | None = None) -> DataFrame:
+                        num_hashes: int | None = None,
+                        max_bucket_size: int | None = 500) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, hash each band,
     and equi-join documents sharing any (band, band_hash) bucket.
 
     The join is on the bucket key — at 100 TB this is the step that replaces
-    the O(n²) cross join with a skew-manageable shuffle (hot buckets are
-    handled by AQE skew-join; pathological buckets can be salted/capped).
-    Returns distinct candidate pairs (id_a < id_b).
+    the O(n²) cross join with a skew-manageable shuffle.  Buckets larger than
+    ``max_bucket_size`` are DROPPED before the self-join: one boilerplate-heavy
+    bucket of m docs yields m²/2 pairs, so a single hot bucket can dominate the
+    whole job; docs in such a bucket almost always share other, smaller buckets
+    through their remaining bands (pass ``None`` to disable the cap).
+
+    Returns distinct candidate pairs (id_a < id_b).  Eager: the pair list is
+    materialized (``localCheckpoint``) so the banding cache can be released
+    before returning — repeated calls in a long session do not accumulate
+    storage (ADVICE r1).  On a real cluster an executor loss after this call
+    re-runs the stage from the checkpoint's surviving blocks; swap in a
+    reliable checkpoint dir if that matters.
     """
     n = num_hashes if num_hashes else sig_df.select(F.size("minhash")).head()[0]
     rows_per_band = max(n // bands, 1)
@@ -112,16 +122,32 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                 for b in range(bands)
             ])
         ).alias("band", "band_hash"),
-    ).persist()  # consumed twice by the self-join; avoid recomputing signatures
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col(f"a.band") == F.col("b.band"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    ).persist()  # consumed by hot-bucket agg + both self-join sides
+    try:
+        if max_bucket_size is not None:
+            # pathological buckets are FEW by construction → broadcast anti-join
+            hot = (banded.groupBy("band", "band_hash")
+                   .agg(F.count("*").alias("_bn"))
+                   .filter(F.col("_bn") > max_bucket_size)
+                   .select("band", "band_hash"))
+            pruned = banded.join(F.broadcast(hot),
+                                 ["band", "band_hash"], "left_anti")
+        else:
+            pruned = banded
+        a = pruned.alias("a")
+        b = pruned.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        banded.unpersist()
+    return pairs
 
 
 def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame, id_col: str,
@@ -141,18 +167,25 @@ def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame, id_col: str,
         .select(F.col(id_col),
                 F.array_distinct(shingles_of(F.col("_ws"), shingle_n)).alias("sh"))
     ).persist()  # consumed twice (both sides of the pair join)
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
-    return (
-        df_pairs.join(a, df_pairs.id_a == F.col(f"sa.{id_col}"))
-        .join(b, df_pairs.id_b == F.col(f"sb.{id_col}"))
-        .select(
-            "id_a", "id_b",
-            F.when(union > 0, F.round(inter / union, 4)).otherwise(0.0).alias("jaccard"),
+    try:
+        a = sh.alias("sa")
+        b = sh.alias("sb")
+        inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+        union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+        # eager (scores are |pairs|-sized, small) so the shingle cache can be
+        # released before returning — no storage accumulation across calls
+        scored = (
+            df_pairs.join(a, df_pairs.id_a == F.col(f"sa.{id_col}"))
+            .join(b, df_pairs.id_b == F.col(f"sb.{id_col}"))
+            .select(
+                "id_a", "id_b",
+                F.when(union > 0, F.round(inter / union, 4)).otherwise(0.0).alias("jaccard"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        sh.unpersist()
+    return scored
 
 
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -16,7 +16,28 @@ handful of declarative jobs over ALL pending files at once:
 6. per (table, config-version) group: CSV parse with imposed header +
    *working* typed casts (fixes §0.3.1), write parquet partitioned by
    TRANSFERRED_DATE with dynamic partition overwrite (K1 — D:339-342)
-7. append state + quarantine + run report     (D:402-417, O6)
+7. append quarantine, then state, then run report   (D:402-417, O6)
+
+Crash-safety / exactly-once (the reference's flagship bug class, §0.3.6 —
+a thread-shared ``processed_list.json`` with no commit protocol).  There is
+no transaction log format in this container, so the protocol is *idempotent
+replay* with a strict commit ORDER — every step is safe to repeat:
+
+- data writes are per-partition dynamic overwrites (replay rewrites the same
+  partition bytes);
+- the quarantine log append is deduplicated against existing
+  (FILENAME, TYPE) rows (replay adds nothing);
+- the state append is last, stamped with a ``run_id``, and ``read_state``
+  collapses duplicate filenames (so even a double-append from two racing
+  runs cannot double-process: the anti-join keys on filename).
+
+A crash between any two steps therefore converges on re-run: files whose
+state row was never written are re-processed (overwriting, not appending),
+and files whose state row was written are skipped.  Quarantined files are
+deliberately NOT recorded in state — they are re-evaluated each run so a
+config fix picks them up — but the deduped log keeps quarantine growth
+bounded.  ``force_resync=True`` (the reference's declared-but-unused
+IS_SYNC_ALL_MODE, D:55/79) ignores state and reprocesses everything.
 
 Scale: the only driver-side loop is over (table, config-version) groups —
 the number of distinct table layouts, not files.  At 100 TB the landing
@@ -27,7 +48,9 @@ listing itself can move into Structured Streaming file tracking
 from __future__ import annotations
 
 import time
+import uuid
 from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,7 +65,8 @@ QUARANTINE_SCHEMA = ("FILENAME string, HEADER_LIST string, HEADER_CNT string, "
                      "START_EXEC_TIME string, TYPE string")
 
 STATE_SCHEMA = ("filename string, path string, table string, "
-                "transferred_date date, status string, processed_at timestamp")
+                "transferred_date date, status string, processed_at timestamp, "
+                "run_id string")
 
 
 @dataclass
@@ -58,6 +82,7 @@ class IngestReport:
     status: str = "SUCCEEDED"
     started_at: str = ""
     finished_at: str = ""
+    run_id: str = ""
 
     @property
     def total(self) -> int:
@@ -65,11 +90,36 @@ class IngestReport:
                 + self.outofconfig + self.irregular)
 
 
+def _commit_point(name: str) -> None:
+    """Fault-injection seam for the crash-safety tests: monkeypatched to raise
+    at a named commit point ('data_written' | 'quarantine_appended' |
+    'state_appended'); a no-op in production."""
+
+
 def _read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     try:
         return spark.read.parquet(state_dir)
     except Exception:
         return spark.createDataFrame([], STATE_SCHEMA)
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Processed-file state with duplicate appends collapsed (one row per
+    filename, earliest processed_at wins) — the dedup-on-read half of the
+    commit protocol; see module docstring."""
+    raw = _read_state(spark, state_dir)
+    return (raw.groupBy("filename")
+            .agg(F.min(F.struct("processed_at", *[c for c in raw.columns
+                                                  if c not in ("filename", "processed_at")]))
+                 .alias("_s"))
+            .select("filename", "_s.*"))
+
+
+def _read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
+    try:
+        return spark.read.parquet(quarantine_dir)
+    except Exception:
+        return spark.createDataFrame([], QUARANTINE_SCHEMA)
 
 
 def route_files(files: DataFrame, conf: DataFrame) -> DataFrame:
@@ -101,17 +151,33 @@ def ingest(spark: SparkSession,
            state_dir: str,
            quarantine_dir: str,
            typed: bool = False,
-           delimiter: str = ",") -> IngestReport:
+           delimiter: str = ",",
+           encoding: str = "UTF-8",
+           force_resync: bool = False,
+           runs_dir: str | None = None,
+           notifier: Callable[[IngestReport], None] | None = None) -> IngestReport:
     """Run one ingestion pass.  Idempotent: re-runs skip files already in
-    state, and re-processing a file overwrites exactly its partition."""
+    state, and re-processing a file overwrites exactly its partition.
+
+    ``encoding`` is the landing-file charset (K7 — reference read UTF-8
+    explicitly at D:244 and ran under NLS_LANG=JAPANESE_JAPAN, D:66; e.g.
+    pass ``cp932`` for Shift-JIS feeds).  ``force_resync`` ignores state and
+    reprocesses every landed file (IS_SYNC_ALL_MODE, D:55/79).  ``runs_dir``
+    persists one report row per run to an ``ingest_runs`` parquet table and
+    ``notifier`` is a pluggable publish hook (the reference's SNS report,
+    D:170-215) — called with the finished report, after it is persisted.
+    """
     started = time.strftime("%Y-%m-%d %H:%M:%S")
-    report = IngestReport(started_at=started)
+    report = IngestReport(started_at=started, run_id=uuid.uuid4().hex)
     validate_registry(conf)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     files = landing.discover(spark, landing_dir)
-    state = _read_state(spark, state_dir)
-    pending = files.join(state.select("filename"), "filename", "left_anti")
+    if force_resync:
+        pending = files
+    else:
+        state = read_state(spark, state_dir)
+        pending = files.join(state.select("filename"), "filename", "left_anti")
 
     routed = route_files(pending, conf)
 
@@ -122,7 +188,7 @@ def ingest(spark: SparkSession,
                   routed.filter((F.col("route") == "CANDIDATE")
                                 & (F.col("size") > 0))
                         .select("path").collect()]
-    stats = landing.file_stats(spark, cand_paths, delimiter)
+    stats = landing.file_stats(spark, cand_paths, delimiter, encoding)
     routed = (
         routed.join(stats, "filename", "left")
         .withColumn("n_rows", F.coalesce("n_rows", F.lit(0)))
@@ -133,6 +199,13 @@ def ingest(spark: SparkSession,
              .when(F.col("n_cols") != F.size("head_list"), "UNMATCH")
              .otherwise("OK"))
     ).persist()
+
+    # routing counts are fixed from here on — collect them BEFORE any write:
+    # the state append below refreshes the state_dir file index, which
+    # invalidates this cache (routed's lineage reads state_dir), and a late
+    # recompute would re-anti-join against the NEW state and undercount
+    counts = {r["route"]: r["n"] for r in
+              routed.groupBy("route").agg(F.count("*").alias("n")).collect()}
 
     # ---- write pass: one CSV job per (table, config-version) group --------
     groups = (
@@ -147,6 +220,7 @@ def ingest(spark: SparkSession,
               .schema(schema_ddl)
               .option("header", False)
               .option("sep", delimiter)
+              .option("encoding", encoding)
               .csv(g.paths)
               .withColumn(
                   "_fn",
@@ -172,20 +246,10 @@ def ingest(spark: SparkSession,
            .partitionBy("TRANSFERRED_DATE")
            .parquet(out))
         report.tables_written.append(g.table)
+    _commit_point("data_written")
 
-    # ---- state + quarantine + report --------------------------------------
-    now = F.current_timestamp()
-    new_state = (
-        routed.filter(F.col("route").isin("OK", "EMPTY"))
-        .select("filename", "path", "table",
-                F.col("snapshot_date").alias("transferred_date"),
-                F.when(F.col("route") == "OK", "processed")
-                 .otherwise("processed_empty").alias("status"),
-                now.alias("processed_at"))
-    )
-    if new_state.head(1):
-        new_state.write.mode("append").parquet(state_dir)
-
+    # ---- quarantine, then state, then report (commit order matters: see
+    # module docstring — each step idempotent, state last) -------------------
     quarantined = (
         routed.filter(F.col("route").isin("UNMATCH", "OUTOFCONFIG", "IRREGULAR"))
         .select(
@@ -199,11 +263,31 @@ def ingest(spark: SparkSession,
         .select("FILENAME", "HEADER_LIST", "HEADER_CNT", "META_HEADER_LIST",
                 "META_HEADER_CNT", "START_EXEC_TIME", "TYPE")
     )
+    # dedup against the existing log: a re-routed (still-broken) file or a
+    # crash-replay must not grow the log (ADVICE r1: unbounded duplicates)
+    prior_q = _read_quarantine(spark, quarantine_dir).select("FILENAME", "TYPE")
+    quarantined = quarantined.join(
+        F.broadcast(prior_q), ["FILENAME", "TYPE"], "left_anti"
+    ).select("FILENAME", "HEADER_LIST", "HEADER_CNT", "META_HEADER_LIST",
+             "META_HEADER_CNT", "START_EXEC_TIME", "TYPE")
     if quarantined.head(1):
         quarantined.write.mode("append").parquet(quarantine_dir)
+    _commit_point("quarantine_appended")
 
-    counts = {r["route"]: r["n"] for r in
-              routed.groupBy("route").agg(F.count("*").alias("n")).collect()}
+    now = F.current_timestamp()
+    new_state = (
+        routed.filter(F.col("route").isin("OK", "EMPTY"))
+        .select("filename", "path", "table",
+                F.col("snapshot_date").alias("transferred_date"),
+                F.when(F.col("route") == "OK", "processed")
+                 .otherwise("processed_empty").alias("status"),
+                now.alias("processed_at"),
+                F.lit(report.run_id).alias("run_id"))
+    )
+    if new_state.head(1):
+        new_state.write.mode("append").parquet(state_dir)
+    _commit_point("state_appended")
+
     routed.unpersist()
     report.processed = counts.get("OK", 0)
     report.empty = counts.get("EMPTY", 0)
@@ -211,4 +295,27 @@ def ingest(spark: SparkSession,
     report.outofconfig = counts.get("OUTOFCONFIG", 0)
     report.irregular = counts.get("IRREGULAR", 0)
     report.finished_at = time.strftime("%Y-%m-%d %H:%M:%S")
+    if runs_dir:
+        persist_report(spark, report, runs_dir)
+    if notifier:
+        notifier(report)
     return report
+
+
+#: One row per ingestion run — the reference's SNS report fields (D:183-215)
+#: as a queryable lake table instead of a fire-and-forget message.
+RUNS_SCHEMA = ("run_id string, status string, started_at string, "
+               "finished_at string, processed int, empty int, unmatch int, "
+               "outofconfig int, irregular int, total int, "
+               "tables_written array<string>")
+
+
+def persist_report(spark: SparkSession, report: IngestReport,
+                   runs_dir: str) -> None:
+    """Append the run report to the ``ingest_runs`` table (O6)."""
+    row = [(report.run_id, report.status, report.started_at,
+            report.finished_at, report.processed, report.empty,
+            report.unmatch, report.outofconfig, report.irregular,
+            report.total, sorted(set(report.tables_written)))]
+    spark.createDataFrame(row, RUNS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(runs_dir)

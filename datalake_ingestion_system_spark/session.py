@@ -26,6 +26,10 @@ RUNTIME_CONF = {
     # nation/region/part must broadcast rather than shuffle
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.maxMetadataStringLength": "500",
+    # K7: landing feeds may be Shift-JIS (reference ran under
+    # NLS_LANG=JAPANESE_JAPAN); allow the full Java charset set (MS932, …)
+    # instead of Spark 4's default utf/latin whitelist
+    "spark.sql.legacy.javaCharsets": "true",
     # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read natively;
     # read as long and convert (catalog.load floors ns→µs, matching DuckDB)
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -74,7 +74,8 @@ def dump_table(spark: SparkSession, url: str, dbtable: str, out_dir: str,
 
     assert partition_key, "partitioned dump needs partition_key"
     part_col = f"{partition_key}_date"
-    if not _lake_exists(spark, out_dir):
+
+    def first_load() -> str:
         df = read_jdbc(spark, url, dbtable, driver, **jdbc_options)
         out = df.withColumn(part_col,
                             F.date_format(partition_key, "yyyy-MM-dd"))
@@ -82,13 +83,22 @@ def dump_table(spark: SparkSession, url: str, dbtable: str, out_dir: str,
             .partitionBy(part_col).parquet(out_dir))
         return "first_load"
 
+    if not _lake_exists(spark, out_dir):
+        return first_load()
+
     # incremental: lake max watermark, pushed down into the source query so
     # the DB ships only new rows (reference filtered post-pull, C:96-99)
     import datetime
 
     wm = spark.read.parquet(out_dir).agg(F.max(partition_key)).head()[0]
+    if wm is None:
+        # lake path exists but holds no usable watermark (empty / all-null):
+        # a '> None' predicate would be invalid SQL — full re-pull instead
+        return first_load()
     if isinstance(wm, datetime.datetime):
-        wm_sql = f"TIMESTAMP('{wm.strftime('%Y-%m-%d %H:%M:%S')}')"
+        # microsecond precision: truncating to seconds would re-pull (and
+        # duplicate) every row sharing the true max's second on each run
+        wm_sql = f"TIMESTAMP('{wm.strftime('%Y-%m-%d %H:%M:%S.%f')}')"
     elif isinstance(wm, datetime.date):
         wm_sql = f"DATE('{wm.isoformat()}')"
     elif isinstance(wm, str):

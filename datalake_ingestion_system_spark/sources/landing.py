@@ -59,7 +59,7 @@ def discover(spark: SparkSession, landing_dir: str) -> DataFrame:
 
 
 def file_stats(spark: SparkSession, paths: list[str],
-               delimiter: str = ",") -> DataFrame:
+               delimiter: str = ",", encoding: str = "UTF-8") -> DataFrame:
     """Per-file row/column counts in ONE distributed pass over all pending
     files (the reference opened each file from one of 120 driver threads;
     here every file's lines land in the same text scan).
@@ -76,7 +76,7 @@ def file_stats(spark: SparkSession, paths: list[str],
             [], "filename string, n_rows bigint, n_cols int")
     # key on basename: input_file_name() URI form (file:///...) differs from
     # the Hadoop listing form (file:/...); landing keys are unique by name
-    lines = (spark.read.text(paths)
+    lines = (spark.read.option("encoding", encoding).text(paths)
              .select(F.element_at(F.split(F.input_file_name(), "/"), -1)
                       .alias("filename"), "value"))
     return (

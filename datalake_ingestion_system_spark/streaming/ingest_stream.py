@@ -14,6 +14,8 @@ alone).  Parsing happens from the already-streamed lines (no second read).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,10 +26,12 @@ from ..sources.registry import validate_registry
 def _route_batch(batch: DataFrame, conf: DataFrame,
                  delimiter: str = ",") -> DataFrame:
     """Per-file routing for one micro-batch of (filename, value) lines."""
+    # F.split takes a Java regex — escape so '|' or '.' delimiters split
+    # literally, matching the batch path (landing.file_stats)
     stats = (
         batch.groupBy("filename")
         .agg(F.count("*").alias("n_rows"),
-             F.max(F.size(F.split("value", delimiter, -1)))
+             F.max(F.size(F.split("value", re.escape(delimiter), -1)))
               .cast("int").alias("n_cols"))
     )
     table = F.regexp_extract("filename", FILENAME_RE, 1)
@@ -64,17 +68,19 @@ def start_ingest_stream(spark: SparkSession,
                         checkpoint_dir: str,
                         quarantine_dir: str,
                         delimiter: str = ",",
+                        encoding: str = "UTF-8",
                         available_now: bool = True):
     """Start the streaming ingestion; returns the StreamingQuery.
 
     With ``available_now`` the stream drains current files and stops — call
     per schedule for daily-batch parity, or pass False for continuous tail.
+    ``encoding`` is the landing charset (K7), matching the batch path.
     """
     validate_registry(conf)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     lines = (
-        spark.readStream.text(f"{landing_dir}/*")
+        spark.readStream.option("encoding", encoding).text(f"{landing_dir}/*")
         .select(F.element_at(F.split(F.input_file_name(), "/"), -1)
                  .alias("filename"), "value")
     )
@@ -89,7 +95,7 @@ def start_ingest_stream(spark: SparkSession,
             .collect()
         )
         for g in groups:
-            fields = F.split("value", delimiter, -1)
+            fields = F.split("value", re.escape(delimiter), -1)
             df = (
                 batch.filter(F.col("filename").isin(g.filenames))
                 .withColumn(

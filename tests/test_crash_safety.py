@@ -1,0 +1,129 @@
+"""Crash-safety / exactly-once tests for the ingestion commit protocol.
+
+The reference's flagship bug class (SURVEY §0.3.6) is a thread-shared
+``processed_list.json`` with no commit protocol: a crash mid-run could lose
+or duplicate state (DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:321,402-405).
+Here the protocol is idempotent replay with a strict commit order
+(data → quarantine → state); these tests kill the run at each commit point
+via the ``_commit_point`` seam and assert a re-run converges to exactly-once.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalake_ingestion_system_spark.plans import ingest as ing
+from datalake_ingestion_system_spark.sources import registry
+
+
+def run(spark, fx, **kw):
+    conf = registry.load_registry(spark, fx["mapping"])
+    return ing.ingest(spark, fx["landing"], fx["storing"], conf,
+                      fx["state"], fx["quarantine"], **kw)
+
+
+def crash_at(monkeypatch, point):
+    def boom(name):
+        if name == point:
+            raise RuntimeError(f"injected crash at {name}")
+    monkeypatch.setattr(ing, "_commit_point", boom)
+
+
+def assert_converged(spark, fx):
+    """Post-recovery invariants: data exactly-once, state one row per file,
+    quarantine one row per (FILENAME, TYPE)."""
+    df = spark.read.parquet(fx["storing"] + "/daily/CUSTOMER_MASTER")
+    assert df.count() == 5
+    assert df.filter(F.col("TRANSFERRED_DATE") == "2019-06-01").count() == 3
+    state = spark.read.parquet(fx["state"])
+    per_file = state.groupBy("filename").count().filter("count > 1")
+    assert per_file.count() == 0, "duplicate state rows"
+    # processed 2 + empty 1
+    assert state.count() == 3
+    q = spark.read.parquet(fx["quarantine"])
+    dup_q = q.groupBy("FILENAME", "TYPE").count().filter("count > 1")
+    assert dup_q.count() == 0, "duplicate quarantine rows"
+    assert q.count() == 4  # 1 UNMATCH + 1 OUTOFCONFIG + 2 IRREGULAR
+
+
+def test_crash_after_data_write_then_recover(spark, landing, monkeypatch):
+    """Crash before ANY state/quarantine append: re-run reprocesses the same
+    files (partition overwrite, not append) and lands state exactly once."""
+    crash_at(monkeypatch, "data_written")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run(spark, landing)
+    # data was written, state was not → files still pending
+    assert spark.read.parquet(
+        landing["storing"] + "/daily/CUSTOMER_MASTER").count() == 5
+    monkeypatch.undo()
+    rep = run(spark, landing)
+    assert rep.processed == 2  # re-processed, overwriting the same partitions
+    assert_converged(spark, landing)
+
+
+def test_crash_between_quarantine_and_state(spark, landing, monkeypatch):
+    """Crash after the quarantine append but before state: re-run must not
+    duplicate quarantine rows (deduped append) and completes state."""
+    crash_at(monkeypatch, "quarantine_appended")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run(spark, landing)
+    assert spark.read.parquet(landing["quarantine"]).count() == 4
+    monkeypatch.undo()
+    run(spark, landing)
+    assert_converged(spark, landing)
+
+
+def test_double_state_append_converges(spark, landing):
+    """Two racing/replayed runs may both append state; dedup-on-read makes the
+    duplicate harmless and a third run sees nothing pending."""
+    run(spark, landing)
+    rep2 = run(spark, landing, force_resync=True)  # re-appends state rows
+    assert rep2.processed == 2
+    raw_state = spark.read.parquet(landing["state"])
+    assert raw_state.count() == 6  # genuinely double-appended…
+    deduped = ing.read_state(spark, landing["state"])
+    assert deduped.count() == 3    # …but collapsed on read
+    rep3 = run(spark, landing)
+    assert rep3.processed == 0 and rep3.empty == 0
+    df = spark.read.parquet(landing["storing"] + "/daily/CUSTOMER_MASTER")
+    assert df.count() == 5  # partition overwrite kept data exactly-once
+
+
+def test_quarantine_log_bounded_across_reruns(spark, landing):
+    """Quarantined files re-route every run (so a config fix picks them up)
+    but the log must not grow (ADVICE r1: unbounded duplicate growth)."""
+    run(spark, landing)
+    run(spark, landing)
+    run(spark, landing)
+    q = spark.read.parquet(landing["quarantine"])
+    assert q.count() == 4
+    assert q.groupBy("FILENAME", "TYPE").count().filter("count > 1").count() == 0
+
+
+def test_quarantine_retry_after_config_fix(spark, landing):
+    """An OUTOFCONFIG file becomes ingestable once its table gains a config
+    row — exactly because quarantined files are NOT frozen into state."""
+    run(spark, landing)
+    with open(landing["mapping"], "a") as f:
+        f.write("UNKNOWN_FEED,A|B,,daily,2019/01/01,2020/01/01\n")
+    rep = run(spark, landing)
+    assert rep.processed == 1  # the previously-OUTOFCONFIG file
+    assert rep.outofconfig == 0
+    df = spark.read.parquet(landing["storing"] + "/daily/UNKNOWN_FEED")
+    assert df.count() == 1
+
+
+def test_run_report_persisted_and_notified(spark, landing):
+    """O6: one ingest_runs row per run with the reference's report fields
+    (D:183-215), plus the pluggable notifier hook."""
+    seen = []
+    runs_dir = str(landing["tmp"] / "ingest_runs")
+    rep1 = run(spark, landing, runs_dir=runs_dir, notifier=seen.append)
+    run(spark, landing, runs_dir=runs_dir, notifier=seen.append)
+    runs = spark.read.parquet(runs_dir)
+    assert runs.count() == 2
+    assert len(seen) == 2 and seen[0] is rep1
+    r1 = runs.filter(F.col("run_id") == rep1.run_id).head()
+    assert (r1.processed, r1.empty, r1.unmatch, r1.outofconfig,
+            r1.irregular) == (2, 1, 1, 1, 2)
+    assert r1.total == 7 and r1.status == "SUCCEEDED"
+    assert r1.tables_written == ["CUSTOMER_MASTER"]
