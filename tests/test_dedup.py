@@ -1,0 +1,133 @@
+"""Correctness net for the hash-dependent dedup tier (MinHash/LSH/SimHash) —
+the operators with no SQL oracle (engine-specific Murmur3/xxhash64), promised
+by queries/llmops.py's docstrings.
+
+Plants known near-duplicates in a synthetic corpus and asserts the pipeline
+recovers them with no false positives, that signatures are deterministic
+across partitionings, and that the hot-bucket cap bounds quadratic growth.
+"""
+
+import itertools
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalake_ingestion_system_spark.operators import dedup
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango "
+         "uniform victor whiskey xray yankee zulu").split()
+
+
+def _doc(i: int, n: int = 40) -> str:
+    """Deterministic pseudo-random word sequence per doc id (vocab of 260
+    suffixed words so unrelated docs share few tokens)."""
+    return " ".join(
+        WORDS[(i * 7 + j * j) % len(WORDS)] + str((i * 13 + j * 5) % 10)
+        for j in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _doc(i)) for i in range(30)]
+    # planted near-dups: copy with a 1-word edit (very high Jaccard)
+    rows += [(100, _doc(3).replace("alpha", "omega", 1)),
+             (101, _doc(7) + " extra"),
+             (102, _doc(11))]          # exact duplicate of doc 11
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def exact_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa = {" ".join(a.lower().split()[i:i + n])
+          for i in range(len(a.split()) - n + 1)}
+    sb = {" ".join(b.lower().split()[i:i + n])
+          for i in range(len(b.split()) - n + 1)}
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_pipeline_recovers_planted_pairs_no_false_positives(spark, corpus):
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           dedup.minhash_near_dup_pairs(corpus, "doc_id", "text",
+                                        threshold=0.5).collect()}
+    # high-similarity planted pairs MUST surface (P(miss) < 1e-3 at s>=0.9
+    # with 32 hashes / 8 bands)
+    assert (3, 100) in got
+    assert (7, 101) in got
+    assert (11, 102) in got
+    assert got[(11, 102)] == 1.0
+    # the verify stage is exact shingle Jaccard → NO false positives possible:
+    # every reported pair must agree with a Python reimplementation
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    for (a, b), j in got.items():
+        assert exact_jaccard(texts[a], texts[b]) >= 0.5, (a, b, j)
+        assert abs(exact_jaccard(texts[a], texts[b]) - j) < 1e-3
+
+
+def test_signatures_deterministic_across_partitionings(spark, corpus):
+    one = {r.doc_id: r.minhash for r in
+           dedup.minhash_signatures(corpus.repartition(1),
+                                    "doc_id", "text").collect()}
+    many = {r.doc_id: r.minhash for r in
+            dedup.minhash_signatures(corpus.repartition(7),
+                                     "doc_id", "text").collect()}
+    assert one == many
+    assert all(len(sig) == 32 for sig in one.values())
+
+
+def test_identical_docs_share_signature_distinct_docs_do_not(spark, corpus):
+    sigs = {r.doc_id: tuple(r.minhash) for r in
+            dedup.minhash_signatures(corpus, "doc_id", "text").collect()}
+    assert sigs[11] == sigs[102]           # exact dup → identical signature
+    assert sigs[0] != sigs[15]             # unrelated docs
+
+
+def test_exact_dedup_collapses_normalized_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "  HELLO\tWORLD "),
+         (4, "different")], "doc_id long, text string")
+    out = {r.keep_id: r.n_copies for r in
+           dedup.exact_dedup(df, "doc_id", "text").collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_hot_bucket_cap_bounds_pair_count(spark):
+    """One boilerplate bucket of 50 identical docs would yield 1225 pairs;
+    the cap drops it while unrelated planted pairs still surface."""
+    boiler = [(i, _doc(999)) for i in range(50)]
+    planted = [(200, _doc(5)), (201, _doc(5) + " tail")]
+    df = spark.createDataFrame(boiler + planted, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, "doc_id", "text")
+
+    capped = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=10)
+    uncapped = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None)
+    assert uncapped.count() >= 50 * 49 // 2          # quadratic without cap
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (200, 201) in got                         # planted pair survives
+    assert len(got) < 50                             # hot bucket dropped
+
+
+def test_simhash_near_dups_close_in_hamming(spark, corpus):
+    sigs = {r.doc_id: r.simhash for r in
+            dedup.simhash(corpus, "doc_id", "text").collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    assert hamming(sigs[11], sigs[102]) == 0         # exact dup
+    assert hamming(sigs[3], sigs[100]) <= 6          # near dup: few bits
+    far = [hamming(a, b) for a, b in itertools.combinations(
+        [sigs[0], sigs[9], sigs[15], sigs[22]], 2)]
+    assert min(far) > 6                              # unrelated: many bits
+
+
+def test_repeated_invocations_leave_no_cached_blocks(spark, corpus):
+    """ADVICE r1: the banding/shingle persists must be released — a long
+    session (the 66-query bench) must not accumulate executor storage."""
+    import gc
+    for _ in range(3):
+        dedup.minhash_near_dup_pairs(corpus, "doc_id", "text").collect()
+        gc.collect()  # let the ContextCleaner reap prior localCheckpoints
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    # the old leak kept 2 persists alive per call (6+ after 3 calls); now only
+    # the most recent call's localCheckpoint blocks may remain
+    assert len(infos) <= 4, [str(i.name()) for i in infos]

@@ -1,0 +1,68 @@
+"""Correctness net for the multimodal binary-column plumbing — promised by
+queries/llmops.py: the Spark-side contract (schema, Arrow batch shape,
+determinism across partitionings) is real even though the codec is stubbed."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalake_ingestion_system_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"document body {i} " + "x" * (i % 90)) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decode_schema_is_the_contract(spark, docs):
+    media = multimodal.attach_media_column(docs, "doc_id", "text")
+    out = multimodal.decode_media(media, multimodal.fake_decoder)
+    assert out.schema == multimodal.MEDIA_META_SCHEMA
+
+
+def test_fake_decoder_stable_across_repartition(spark, docs):
+    """mapInPandas output must not depend on how rows land in Arrow batches."""
+    media = multimodal.attach_media_column(docs, "doc_id", "text")
+    def run(df):
+        return sorted(tuple(r) for r in
+                      multimodal.decode_media(df, multimodal.fake_decoder).collect())
+    assert run(media.repartition(1)) == run(media.repartition(17))
+
+
+def test_byte_len_matches_utf8_payload(spark, docs):
+    media = multimodal.attach_media_column(docs, "doc_id", "text")
+    out = {r.media_id: r.byte_len for r in
+           multimodal.decode_media(media, multimodal.fake_decoder).collect()}
+    for r in docs.collect():
+        assert out[r.doc_id] == len(r.text.encode("utf-8"))
+
+
+def test_duration_only_for_timed_media(spark, docs):
+    image = multimodal.attach_media_column(docs, "doc_id", "text", "image")
+    audio = multimodal.attach_media_column(docs, "doc_id", "text", "audio")
+    img = multimodal.decode_media(image, multimodal.fake_decoder)
+    aud = multimodal.decode_media(audio, multimodal.fake_decoder)
+    assert img.filter(F.col("duration_ms") != 0).count() == 0
+    assert aud.filter(F.col("duration_ms") <= 0).count() == 0
+
+
+def test_real_decoder_is_an_honest_stub(spark, docs):
+    """No codec libs in this container: the default decoder must fail loudly,
+    never fabricate metadata."""
+    media = multimodal.attach_media_column(docs.limit(2), "doc_id", "text")
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_media(media).collect()
+    assert "NotImplementedError" in str(exc_info.value) or \
+        isinstance(exc_info.value, NotImplementedError)
+
+
+def test_metadata_only_routing_prunes_binary_column(spark, docs):
+    """Filter/route on metadata must not read blob bytes: the parquet scan
+    schema should exclude media_bytes (column pruning — the 100 TB contract)."""
+    media = multimodal.attach_media_column(docs, "doc_id", "text")
+    import tempfile
+    path = tempfile.mkdtemp() + "/media.parquet"
+    media.write.parquet(path)
+    routed = spark.read.parquet(path).select("media_id", "media_type")
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "media_bytes" not in plan.split("ReadSchema")[-1]
