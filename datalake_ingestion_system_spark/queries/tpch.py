@@ -515,3 +515,114 @@ WHERE c_nationkey < 10
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-mode priority classes: join + CASE-sum histogram
+# (trimmed schema has no l_shipmode/l_receiptdate: l_linestatus serves as the
+#  mode-like group key and the lateness test is ship-lag vs order date —
+#  the distinctive shape, a two-way conditional count per class, is intact)
+# ---------------------------------------------------------------------------
+
+@_q("q12_shipmode_priority")
+def q12_shipmode_priority(spark, sf_dir):
+    """Late-shipment histogram by line status with urgent/non-urgent CASE
+    counts (TPC-H Q12 shape).  Fact-fact equi-join on the order key; both
+    date filters parquet-pushed before the shuffle."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    o = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(urgent, 1).otherwise(0)).cast("long")
+              .alias("high_line_count"),
+             F.sum(F.when(~urgent, 1).otherwise(0)).cast("long")
+              .alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_SQL["q12_shipmode_priority"] = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS over the SAME
+# fact table in two correlated roles (the one join shape absent elsewhere in
+# the suite).  Lateness is ship-lag > 90 days (no l_receiptdate in the
+# trimmed schema); multi-supplier orders via the exists/not-exists pair.
+# ---------------------------------------------------------------------------
+
+@_q("q21_suppliers_kept_waiting")
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """Top suppliers who were the ONLY late supplier on a multi-supplier
+    order (TPC-H Q21 shape: semi + anti join against the same table)."""
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
+    l1 = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .filter(late)
+          .select("l_orderkey", "l_suppkey"))
+    # EXISTS: another supplier shipped a line of the same order
+    others = l.select(F.col("l_orderkey").alias("o_ok"),
+                      F.col("l_suppkey").alias("o_sk"))
+    l1 = l1.join(others,
+                 (l1.l_orderkey == others.o_ok) & (l1.l_suppkey != others.o_sk),
+                 "left_semi")
+    # NOT EXISTS: no OTHER supplier was ALSO late on that order
+    other_late = (l.join(o, l.l_orderkey == o.o_orderkey).filter(late)
+                  .select(F.col("l_orderkey").alias("x_ok"),
+                          F.col("l_suppkey").alias("x_sk")))
+    l1 = l1.join(other_late,
+                 (l1.l_orderkey == other_late.x_ok)
+                 & (l1.l_suppkey != other_late.x_sk),
+                 "left_anti")
+    return (
+        l1.join(s, l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_SQL["q21_suppliers_kept_waiting"] = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_nationkey < 13
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""

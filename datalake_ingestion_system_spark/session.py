@@ -13,10 +13,12 @@ import os
 from pyspark.sql import SparkSession
 
 #: Runtime-settable confs applied to *any* session (including one handed to us
-#: by an external driver).  Session TZ is pinned to UTC so timestamp semantics
-#: match columnar readers (DuckDB/Arrow read parquet timestamps as UTC-naive).
+#: by an external driver).  Session TZ defaults to UTC so timestamp semantics
+#: match columnar readers (DuckDB/Arrow read parquet timestamps as UTC-naive);
+#: operational lakes can pin another zone (the reference ran its daily jobs in
+#: Asia/Tokyo, D:164) via ``get_spark(tz=...)`` / ``tune(spark, tz=...)`` or
+#: the SPARK_GRAFT_TZ env var — O8.
 RUNTIME_CONF = {
-    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -36,9 +38,17 @@ RUNTIME_CONF = {
 }
 
 
-def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (driver-owned or ours)."""
-    for k, v in RUNTIME_CONF.items():
+def tune(spark: SparkSession, tz: str | None = None) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours).
+
+    ``tz`` (or SPARK_GRAFT_TZ) overrides the session timezone; the default
+    UTC keeps date/timestamp functions hash-identical to external columnar
+    readers regardless of what zone the caller's session started in.
+    """
+    confs = dict(RUNTIME_CONF)
+    confs["spark.sql.session.timeZone"] = (
+        tz or os.environ.get("SPARK_GRAFT_TZ", "UTC"))
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # immutable conf on this build — leave as-is
@@ -47,7 +57,8 @@ def tune(spark: SparkSession) -> SparkSession:
 
 
 def get_spark(app_name: str = "datalake_ingestion_system_spark",
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              tz: str | None = None) -> SparkSession:
     """Build (or fetch) a session sized for the local test harness.
 
     On a real cluster these become spark-submit confs; shuffle partitioning is
@@ -68,4 +79,4 @@ def get_spark(app_name: str = "datalake_ingestion_system_spark",
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
-    return tune(builder.getOrCreate())
+    return tune(builder.getOrCreate(), tz=tz)

@@ -105,8 +105,11 @@ def dump_table(spark: SparkSession, url: str, dbtable: str, out_dir: str,
         wm_sql = "'" + wm.replace("'", "''") + "'"
     else:
         wm_sql = repr(wm)
-    pushed = (f"(SELECT * FROM {dbtable} "
-              f"WHERE {partition_key} > {wm_sql}) src")
+    # ANSI double-quote the identifier: JDBC-created columns are stored
+    # case-sensitively (e.g. Derby/Postgres fold unquoted names), so a bare
+    # name may not resolve.  (MySQL needs ANSI_QUOTES for this form.)
+    pushed = (f'(SELECT * FROM {dbtable} '
+              f'WHERE "{partition_key}" > {wm_sql}) src')
     df = read_jdbc(spark, url, pushed, driver, **jdbc_options)
     out = df.withColumn(part_col, F.date_format(partition_key, "yyyy-MM-dd"))
     if out.head(1):
