@@ -46,8 +46,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # tiny warm-up so JVM/codegen startup is not attributed to the first query
+    # warm-up: JVM/codegen startup AND the parquet reader path (footer
+    # decode, vectorized reader classes, OS page cache for the fact table) —
+    # r1's spark.range warm-up left q01 paying ~1.5s of one-off cost
     spark.range(1000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").selectExpr(
+            "count(*)").collect()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

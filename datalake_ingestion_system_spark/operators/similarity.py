@@ -19,7 +19,15 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import dot, l2_norm
+
+
+def _paired_cosine() -> "F.Column":
+    """Cosine from a per-pair dot and PRE-STAGED per-row norms (computing
+    ``l2_norm`` inside the pair loop would redo each row's norm once per
+    counterpart — 3× the arithmetic of dot-only)."""
+    denom = F.col("q_n") * F.col("c_n")
+    return F.when(denom != 0, dot("q_vec", "c_vec") / denom)
 
 
 def brute_force_topk(candidates: DataFrame, queries: DataFrame,
@@ -30,13 +38,17 @@ def brute_force_topk(candidates: DataFrame, queries: DataFrame,
     Rank on the *rounded* similarity (+ id tie-break) so ordering is stable
     under floating-point reassociation across engines/partitionings.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       l2_norm(vec_col).alias("q_n"))
+    c = candidates.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("c_vec"),
+                          l2_norm(vec_col).alias("c_n"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine_similarity("q_vec", "c_vec"), round_digits).alias("cosine_sim"),
+            F.round(_paired_cosine(), round_digits).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -85,18 +97,21 @@ def cosine_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     e = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
         hyperplane_bucket(F.col(vec_col), planes).alias("_bkt"))
     a, b = e.alias("a"), e.alias("b")
     keys = [*block_cols, "_bkt"]
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in keys:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    denom = F.col("a._n") * F.col("b._n")
     return (
         a.join(b, cond)
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 *[F.col(f"a.{c}").alias(c) for c in block_cols],
-                F.round(cosine_similarity("a._v", "b._v"), 6).alias("cosine_sim"))
+                F.round(F.when(denom != 0, dot("a._v", "b._v") / denom), 6)
+                 .alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -122,22 +137,23 @@ def lsh_ann_topk(candidates: DataFrame, queries: DataFrame,
     tables = [_hyperplanes(dim, n_planes, seed + 1013 * t)
               for t in range(n_tables)]
 
-    def bucketed(df, id_alias, vec_alias):
+    def bucketed(df, id_alias, vec_alias, norm_alias):
         return df.select(
             F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias),
+            l2_norm(vec_col).alias(norm_alias),
             F.posexplode(F.array(*[
                 hyperplane_bucket(F.col(vec_col), planes) for planes in tables
             ])).alias("tbl", "bucket"))
 
-    c = bucketed(candidates, "neighbor_id", "c_vec")
-    q = bucketed(queries, "query_id", "q_vec")
+    c = bucketed(candidates, "neighbor_id", "c_vec", "c_n")
+    q = bucketed(queries, "query_id", "q_vec", "q_n")
     scored = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         # a pair can collide in several tables — score each pair once
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id",
-                F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine_sim"))
+                F.round(_paired_cosine(), 6).alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
