@@ -121,12 +121,22 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
     whole job; docs in such a bucket almost always share other, smaller buckets
     through their remaining bands (pass ``None`` to disable the cap).
 
+    Candidate generation is ONE keyed shuffle: the banded rows are hashed to
+    their ``(band, band_hash)`` bucket once; a window ``count`` over that key
+    sizes each bucket, oversized buckets are dropped, and the surviving rows
+    feed ``groupBy(...).collect_list(id)`` + an in-row pair explosion — the
+    groupBy reuses the window's exchange (same key), so no second shuffle and
+    no bucket self-join (which would shuffle both sides and hash-probe).  The
+    size filter runs BEFORE collect_list, so a pathological bucket streams
+    through the window sort (disk-spillable) and is discarded without ever
+    materializing an m-element aggregation buffer.
+
     Returns distinct candidate pairs (id_a < id_b).  Eager: the pair list is
-    materialized (``localCheckpoint``) so the banding cache can be released
-    before returning — repeated calls in a long session do not accumulate
-    storage (ADVICE r1).  On a real cluster an executor loss after this call
-    re-runs the stage from the checkpoint's surviving blocks; swap in a
-    reliable checkpoint dir if that matters.
+    materialized (``localCheckpoint``), so downstream double-consumption
+    (e.g. the verify stage joining both pair sides) does not recompute the
+    pipeline, and no cache is left behind (ADVICE r1).  On a real cluster an
+    executor loss after this call re-runs from the checkpoint's surviving
+    blocks; swap in a reliable checkpoint dir if that matters.
     """
     n = num_hashes if num_hashes else sig_df.select(F.size("minhash")).head()[0]
     rows_per_band = max(n // bands, 1)
@@ -143,32 +153,34 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                 for b in range(bands)
             ])
         ).alias("band", "band_hash"),
-    ).persist()  # consumed by hot-bucket agg + both self-join sides
-    try:
-        if max_bucket_size is not None:
-            # pathological buckets are FEW by construction → broadcast anti-join
-            hot = (banded.groupBy("band", "band_hash")
-                   .agg(F.count("*").alias("_bn"))
-                   .filter(F.col("_bn") > max_bucket_size)
-                   .select("band", "band_hash"))
-            pruned = banded.join(F.broadcast(hot),
-                                 ["band", "band_hash"], "left_anti")
-        else:
-            pruned = banded
-        a = pruned.alias("a")
-        b = pruned.alias("b")
-        pairs = (
-            a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.band_hash") == F.col("b.band_hash"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        banded.unpersist()
-    return pairs
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_hash")
+        banded = (banded
+                  .withColumn("_bn", F.count("*").over(w))
+                  .filter(F.col("_bn") <= max_bucket_size))
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    ids = F.col("_ids")
+    m = F.size(ids)
+    # all ordered pairs from the sorted bucket list, generated in-row:
+    # for i in [1, m-1]: for b in ids[i+1..m]: (ids[i], b)
+    pair_arr = F.flatten(F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.transform(
+            F.slice(ids, i + 1, m),
+            lambda b: F.struct(
+                F.element_at(ids, i).alias("id_a"), b.alias("id_b")))))
+    return (
+        buckets.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
 
 def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame, id_col: str,

@@ -124,10 +124,18 @@ def test_repeated_invocations_leave_no_cached_blocks(spark, corpus):
     """ADVICE r1: the banding/shingle persists must be released — a long
     session (the 66-query bench) must not accumulate executor storage."""
     import gc
+    import time
     for _ in range(3):
         dedup.minhash_near_dup_pairs(corpus, "doc_id", "text").collect()
         gc.collect()  # let the ContextCleaner reap prior localCheckpoints
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    # the old leak kept 2 persists alive per call (6+ after 3 calls); now only
-    # the most recent call's localCheckpoint blocks may remain
+    # the ContextCleaner reaps asynchronously — poll rather than race it
+    deadline = time.time() + 10
+    while True:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        # the old leak kept 2 persists alive per call (6+ after 3 calls); now
+        # only the most recent call's localCheckpoint blocks may remain
+        if len(infos) <= 4 or time.time() > deadline:
+            break
+        gc.collect()
+        time.sleep(0.5)
     assert len(infos) <= 4, [str(i.name()) for i in infos]
