@@ -157,3 +157,83 @@ def lsh_ann_topk(candidates: DataFrame, queries: DataFrame,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
+                        n_cells: int = 16, seed: int = 42,
+                        train_fraction: float | None = None,
+                        max_iter: int = 20) -> list[list[float]]:
+    """Fit the IVF coarse quantizer (k-means) and return the centroid matrix.
+
+    Training is distributed (``pyspark.ml`` k-means over the corpus, or a
+    seeded sample of it via ``train_fraction`` — at 100 TB a <<1% sample is
+    plenty for n_cells centroids); only the n_cells × dim matrix comes back
+    to the driver, where it becomes literal expressions for the assignment
+    scan — no model object, no UDF on the scoring path.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if train_fraction is None else df.sample(train_fraction, seed)
+    feats = train.select(
+        array_to_vector(
+            F.transform(vec_col, lambda x: x.cast("double"))).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _cell_scores(vec_col, centroids: list[list[float]]):
+    """array<struct<s,cell>> of per-cell affinities.  argmax over cells of
+    ``dot(x, c) - |c|^2/2`` equals argmin of squared L2 distance (the
+    row's own |x|^2 is constant across cells), so assignment needs only one
+    dot product per cell."""
+    return F.array(*[
+        F.struct(
+            (dot(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+             - F.lit(sum(x * x for x in c) / 2.0)).alias("s"),
+            F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)
+    ])
+
+
+def ivf_topk(candidates: DataFrame, queries: DataFrame,
+             centroids: list[list[float]],
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = 5, n_probe: int = 4) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means cells as
+    the partition-pruning structure.
+
+    The corpus is assigned to its single nearest cell (one scan, pure
+    Catalyst arithmetic over the broadcast centroid literals); each query
+    probes its ``n_probe`` nearest cells.  The join is a cell-id equi-join,
+    so each query touches ~n_probe/n_cells of the corpus — the same
+    contract as FAISS IVF-Flat, re-expressed as DataFrame ops.  Compared to
+    ``lsh_ann_topk``, cells adapt to the data distribution (trained), so
+    recall per candidate-touched is typically higher on clustered corpora.
+
+    Approximate by design (k-means cells) ⇒ rows-only correctness; recall
+    floor vs ``brute_force_topk`` asserted in tests/test_similarity.py.
+    """
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_n"),
+        F.array_max(_cell_scores(F.col(vec_col), centroids))
+         .getField("cell").alias("cell"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_n"),
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(
+                    _cell_scores(F.col(vec_col), centroids))), 1, n_probe),
+                lambda s: s.getField("cell"))).alias("cell"))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_paired_cosine(), 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -360,6 +360,20 @@ def q_ann_lsh_topk(spark, sf_dir):
 # (no ORACLE_SQL: approximate by design)
 
 
+@_q("q_ann_ivf_topk")
+def q_ann_ivf_topk(spark, sf_dir):
+    """Approximate top-k via an IVF (k-means cell) index — the trained scale
+    path: cells adapt to the data, each query probes n_probe/n_cells of the
+    corpus.  Approximate ⇒ rows-only; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    cents = similarity.train_ivf_centroids(e, n_cells=8, seed=42)
+    return similarity.ivf_topk(e, q, cents, k=5, n_probe=3).select(
+        "query_id", "neighbor_id", "cosine_sim", "rnk")
+# (no ORACLE_SQL: approximate by design, k-means centroids engine-specific)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns
 # ---------------------------------------------------------------------------

@@ -77,3 +77,30 @@ def test_ann_deduplicates_multi_table_collisions(spark, emb):
         assert rnks == list(range(1, len(rnks) + 1)), qid
         ids = [n for _, n in rows]
         assert len(ids) == len(set(ids)), qid
+
+
+def test_ivf_recall_floor_vs_brute_force(spark, emb, brute):
+    """IVF (k-means cells) must recover most true neighbors, and probing
+    more cells must not lose recall."""
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.train_ivf_centroids(emb, n_cells=8, seed=42)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    ivf = {(r.query_id, r.neighbor_id) for r in
+           similarity.ivf_topk(emb, q, cents, k=5, n_probe=3).collect()}
+    recall = len(ivf & set(brute)) / len(brute)
+    assert recall >= 0.6, f"recall {recall}"
+    # probing every cell = exhaustive search = exact
+    ivf_all = {(r.query_id, r.neighbor_id) for r in
+               similarity.ivf_topk(emb, q, cents, k=5, n_probe=8).collect()}
+    assert ivf_all == set(brute)
+
+
+def test_ivf_scores_match_brute_force_on_shared_pairs(spark, emb, brute):
+    """IVF may miss pairs but must never mis-score one (same JVM-side math)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.train_ivf_centroids(emb, n_cells=8, seed=42)
+    ivf = {(r.query_id, r.neighbor_id): r.cosine_sim for r in
+           similarity.ivf_topk(emb, q, cents, k=5, n_probe=3).collect()}
+    shared = set(ivf) & set(brute)
+    assert shared
+    assert all(ivf[p] == brute[p] for p in shared)
