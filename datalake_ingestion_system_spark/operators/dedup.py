@@ -233,6 +233,45 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         id_col: str = "id",
+                         src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components of the near-dup pair graph: ``(id, component)``
+    where ``component`` is the smallest node id reachable from ``id`` —
+    the canonical representative, so "keep one doc per duplicate cluster"
+    is ``filter(id == component)``.
+
+    Iterative min-label propagation: each round joins the (bidirected) edge
+    list against current labels and takes the per-node min — one keyed
+    shuffle per round, converging in O(graph diameter) rounds.  Near-dup
+    clusters are dense (LSH+verify emits most intra-cluster pairs), so the
+    diameter is tiny (2-3 rounds in practice).  Lineage is truncated per
+    round (``localCheckpoint``) — without it the plan doubles every round
+    and the optimizer, not the data, becomes the bottleneck.  Genuinely
+    iterative ⇒ not expressible as one SQL statement in Spark; the DuckDB
+    oracle mirrors it with a recursive CTE.
+    """
+    bi = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+          .union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))))
+    labels = nodes.select(F.col(id_col).alias("_id"),
+                          F.col(id_col).alias("_comp")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (bi.join(labels, bi["_s"] == labels["_id"])
+                .select(F.col("_d").alias("_id"), F.col("_comp")))
+        new = (labels.union(prop).groupBy("_id")
+               .agg(F.min("_comp").alias("_comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "_id")
+                   .filter(F.col("n._comp") != F.col("o._comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("_id").alias(id_col),
+                         F.col("_comp").alias("component"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash: per-token Murmur3 hash, sign-vote per bit position,
     reassembled to one integer signature.

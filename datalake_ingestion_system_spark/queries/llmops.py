@@ -121,6 +121,58 @@ FROM pairs
 """
 
 
+@_q("q_dedup_clusters")
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the near-dup
+    pair graph (word-Jaccard ≥ 0.8 on the bounded candidate set), each doc
+    labeled with its cluster representative (smallest reachable doc_id) and
+    whether it is the kept copy.  Iterative min-label propagation in Spark;
+    the DuckDB oracle mirrors it with a recursive CTE."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sets = d.select("doc_id", F.array_distinct(tokens("text")).alias("ws"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("long")
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws"))).cast("long")
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    comp = dedup.connected_components(edges, d.select("doc_id"),
+                                      id_col="doc_id")
+    return comp.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).alias("is_kept"))
+
+
+ORACLE_SQL["q_dedup_clusters"] = """
+WITH RECURSIVE sets AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS ws
+  FROM documents WHERE doc_id < 30
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS BIGINT) AS n_common,
+         CAST(len(a.ws) + len(b.ws) AS BIGINT) AS n_total
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE round(CAST(n_common AS DOUBLE) / (n_total - n_common), 4) >= 0.8
+), bi AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION ALL SELECT id_b, id_a FROM edges
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM sets
+  UNION
+  SELECT bi.d, reach.r FROM reach JOIN bi ON bi.s = reach.id
+)
+SELECT id AS doc_id, min(r) AS component,
+       (id = min(r)) AS is_kept
+FROM reach GROUP BY id
+"""
+
+
 @_q("q_ngram_jaccard_pairs")
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact character-3-gram Jaccard over a bounded candidate set — the
@@ -264,6 +316,80 @@ def _langid_oracle() -> str:
 
 
 ORACLE_SQL["q_lang_id"] = _langid_oracle()
+
+
+@_q("q_corpus_clean_pipeline")
+def q_corpus_clean_pipeline(spark, sf_dir):
+    """End-to-end corpus cleaning — the flagship training-data shape:
+    quality-filter → heuristic language ID → exact dedup (keep lowest id per
+    fingerprint) → per-language summary of the surviving corpus.
+
+    Every stage is codegen'd expressions over ONE scan + two hash-agg
+    shuffles (fingerprint groupBy, final summary groupBy); the doc survives
+    as a row all the way — no driver round-trips.  At 100 TB the same plan
+    holds: filters push to the scan, both shuffles are on well-distributed
+    keys (md5 fingerprint, language)."""
+    d = load(spark, sf_dir, "documents")
+    q = text.quality_features(d, "doc_id", "text")
+    good = (
+        d.join(q, "doc_id")
+        .filter((F.col("n_words") >= 20)
+                & (F.col("digit_ratio") <= 0.2)
+                & (F.col("mean_word_len").between(3, 12)))
+    )
+    keep = (dedup.exact_dedup(good, "doc_id", "text")
+            .select(F.col("keep_id").alias("doc_id")))
+    cleaned = good.join(keep, "doc_id", "left_semi")
+    return (
+        cleaned.select(text.lang_id("text").alias("pred_lang"),
+                       token_count("text").alias("_tok"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_tok").cast("long").alias("total_tokens"),
+             F.round(F.avg("_tok"), 4).alias("avg_tokens"))
+        .orderBy("pred_lang")
+    )
+
+
+def _corpus_clean_oracle() -> str:
+    counts = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in text.STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {c} > 0 AND {c} = {best} THEN '{lang}'"
+        for lang, c in counts.items())
+    return f"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         round(len(regexp_extract_all(text, '[0-9]'))
+               / greatest(length(text), 1), 4) AS digit_ratio,
+         round(length(regexp_replace(text, '\\s', '', 'g'))
+               / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4) AS mean_word_len
+  FROM documents
+), good AS (
+  SELECT doc_id, text FROM q
+  WHERE n_words >= 20 AND digit_ratio <= 0.2
+    AND mean_word_len BETWEEN 3 AND 12
+), keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM good)
+  GROUP BY fp
+), cleaned AS (
+  SELECT g.doc_id, g.text FROM good g JOIN keep USING (doc_id)
+)
+SELECT CASE {whens} ELSE 'und' END AS pred_lang,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+       round(avg(len(regexp_extract_all(text, '\\S+'))), 4) AS avg_tokens
+FROM cleaned
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_SQL["q_corpus_clean_pipeline"] = _corpus_clean_oracle()
 
 
 # ---------------------------------------------------------------------------

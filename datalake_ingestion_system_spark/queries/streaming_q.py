@@ -125,6 +125,28 @@ def q_stream_watermark_late_data(spark, sf_dir):
 # (no ORACLE_SQL: append mode emits only watermark-sealed windows)
 
 
+@_q("q_stream_dedup_events")
+def q_stream_dedup_events(spark, sf_dir):
+    """Streaming exact dedup with BOUNDED state: the event stream unioned
+    with itself (every record arrives twice) collapses back to one copy via
+    ``dropDuplicatesWithinWatermark`` — dedup state for a key is retained
+    only for the watermark delay, so a continuous 100 TB/day feed does not
+    accumulate unbounded state (the streaming counterpart of
+    ``operators.dedup.exact_dedup``)."""
+    s = _events_stream(spark, sf_dir)
+    doubled = s.select("user_id", "ts", "event_type").union(
+        s.select("user_id", "ts", "event_type"))
+    dd = (doubled
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark(["user_id", "ts", "event_type"]))
+    return _run_stream_to_memory(dd, spark, mode="append")
+
+
+ORACLE_SQL["q_stream_dedup_events"] = """
+SELECT DISTINCT user_id, ts, event_type FROM events
+"""
+
+
 @_q("q_session_window_agg")
 def q_session_window_agg(spark, sf_dir):
     """Event-time session windows (30-minute gap) — batch ``session_window``

@@ -139,3 +139,17 @@ def test_repeated_invocations_leave_no_cached_blocks(spark, corpus):
         gc.collect()
         time.sleep(0.5)
     assert len(infos) <= 4, [str(i.name()) for i in infos]
+
+
+def test_connected_components_planted_graph(spark):
+    """Chain 1-2-3 and pair 10-11 are separate clusters; 20 is isolated;
+    component = smallest reachable id even across a long chain."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (4, 5), (5, 6), (6, 7), (7, 8)],
+        "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 20)], "id long")
+    got = {r.id: r.component
+           for r in dedup.connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 4, 8: 4,
+                   10: 10, 11: 10, 20: 20}
