@@ -19,8 +19,8 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, LongType,
+                               StringType, StructField, StructType)
 
 #: Metadata emitted by the decode stage, alongside the pass-through id.
 MEDIA_META_SCHEMA = StructType([
@@ -83,3 +83,125 @@ def decode_media(df: DataFrame,
             yield out[[f.name for f in MEDIA_META_SCHEMA.fields]]
 
     return df.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
+
+
+#: Output contract of the resize stage — bytes stay a column, new dims typed.
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("media_bytes", BinaryType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+])
+
+
+def fake_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a real image resize: size the payload to
+    w*h bytes by tiling/truncation (stable across runs/partitions)."""
+    if not payload:
+        return bytes(w * h)
+    reps = (w * h) // len(payload) + 1
+    return (payload * reps)[: w * h]
+
+
+def real_resizer(payload: bytes, w: int, h: int) -> bytes:  # pragma: no cover
+    raise NotImplementedError(
+        "image libraries (PIL/libvips) are not available in this "
+        "environment; inject fake_resizer or a real one")
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 resizer: Callable[[bytes, int, int], bytes] = real_resizer
+                 ) -> DataFrame:
+    """Resize stage: mapInPandas blob→blob, preserving the binary-column
+    contract so stages compose (decode → resize → feature-extract).  The
+    real implementation swaps ``resizer`` for PIL/libvips; the Spark-side
+    batch shape, schema, and partition behavior are identical."""
+    import pandas as pd
+
+    rz = resizer
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "media_type": pdf["media_type"].values,
+                "media_bytes": [rz(bytes(b), width, height)
+                                for b in pdf["media_bytes"]],
+                "width": width,
+                "height": height,
+            })
+
+    return df.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+#: One row per sampled frame — the video→frames explosion contract.
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_ts_ms", LongType()),
+    StructField("frame_bytes", BinaryType()),
+])
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000,
+                 max_frames: int = 16,
+                 decoder: Callable[[str, bytes], dict] = real_decoder
+                 ) -> DataFrame:
+    """Frame-sampling stage: one input video row → ≤max_frames output rows
+    (mapInPandas may yield MORE rows than its input — the explosion happens
+    Python-side, Arrow streams the frames back).  Frame payloads here are
+    deterministic byte slices via the injected decoder's duration; a real
+    build swaps in av/ffmpeg keyframe extraction with the same contract."""
+    import pandas as pd
+
+    def sample_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, blob in zip(pdf["media_id"], pdf["media_type"],
+                                        pdf["media_bytes"]):
+                payload = bytes(blob)
+                dur = decoder(mtype, payload)["duration_ms"]
+                n = min(max_frames, max(dur // every_ms, 0))
+                for i in range(int(n)):
+                    ts = i * every_ms
+                    lo = (ts * len(payload) // max(dur, 1)) if dur else 0
+                    rows.append((int(mid), i, ts,
+                                 payload[lo:lo + 32] or b"\x00"))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(sample_batches, FRAME_SCHEMA)
+
+
+#: Feature-extraction output contract — vector column feeds similarity ops.
+FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("features", ArrayType(FloatType())),
+])
+
+
+def byte_histogram_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature-extraction stage stand-in: an L1-normalized byte histogram as
+    the per-blob feature vector (``array<float>``), vectorized in numpy over
+    Arrow batches.  A real extractor (CLIP, wav2vec) swaps the batch body
+    with the same output contract; the vector column feeds the similarity
+    operators (``brute_force_topk`` / ``ivf_topk``) directly."""
+    import numpy as np
+    import pandas as pd
+
+    def hist_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        width = 256 // n_bins
+        for pdf in batches:
+            feats = []
+            for blob in pdf["media_bytes"]:
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if b.size == 0:
+                    feats.append(np.zeros(n_bins, dtype=np.float32).tolist())
+                    continue
+                h = np.bincount(b // width, minlength=n_bins)[:n_bins]
+                feats.append((h / h.sum()).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"].values,
+                                "features": feats})
+
+    return df.mapInPandas(hist_batches, FEATURES_SCHEMA)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfns import token_count
+from ..functions.textfns import token_count, tokens
 
 #: Tiny per-language stopword marker sets (heuristic language ID).
 STOPWORDS = {
@@ -59,4 +59,51 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.greatest(n_chars, F.lit(1)), 4).alias("space_ratio"),
         F.round(F.length(F.regexp_replace(t, r"\s", "")) /
                 F.greatest(n_words, F.lit(1)), 4).alias("mean_word_len"),
+    )
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules shape): fraction
+    of tokens covered by the single most frequent word and by the most
+    frequent word bigram.  Boilerplate/spam scores high; clean prose low.
+
+    All in-row array math over one scan — tokens → (bi)gram counts via a
+    sort + linear run-length pass (``array_sort`` + ``aggregate``), no
+    explode/shuffle, so the 100 TB corpus keeps one stage."""
+    def _max_run(arr) -> "F.Column":
+        # longest run of equal adjacent elements in a SORTED array ==
+        # highest frequency of any element; single linear fold
+        return F.aggregate(
+            arr,
+            F.struct(F.lit(None).cast("string").alias("prev"),
+                     F.lit(0).alias("run"), F.lit(0).alias("best")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(acc.best,
+                           F.when(x == acc.prev, acc.run + 1)
+                            .otherwise(F.lit(1))).alias("best")),
+            lambda acc: acc.best)
+
+    # stage tokenization into its own projection: referencing the tokens
+    # EXPRESSION inside the bigram lambda would re-run the regex per element
+    # (see shingles_of docstring)
+    ws = F.col("_ws0")
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_ws0")) \
+             .select(
+        F.col(id_col),
+        F.array_sort(ws).alias("_w"),
+        F.array_sort(
+            F.when(F.size(ws) >= 2,
+                   F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
+                               lambda i: F.concat_ws(
+                                   " ", F.element_at(ws, i),
+                                   F.element_at(ws, i + F.lit(1)))))
+            .otherwise(F.array().cast("array<string>"))).alias("_b"))
+    return base.select(
+        F.col(id_col),
+        F.round(_max_run("_w") / F.greatest(F.size("_w"), F.lit(1)), 4)
+         .alias("top_word_ratio"),
+        F.round(_max_run("_b") / F.greatest(F.size("_b"), F.lit(1)), 4)
+         .alias("top_bigram_ratio"),
     )

@@ -296,6 +296,46 @@ FROM documents
 """
 
 
+@_q("q_repetition_quality")
+def q_repetition_quality(spark, sf_dir):
+    """Repetition-ratio quality signals (Gopher-rules shape): fraction of
+    tokens covered by the most frequent word / word-bigram — in-row sorted
+    run-length math, one scan, no explode shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return text.repetition_features(d, "doc_id", "text")
+
+
+ORACLE_SQL["q_repetition_quality"] = """
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w
+  FROM documents
+), uni AS (
+  SELECT doc_id, max(n) AS mx, CAST(sum(n) AS BIGINT) AS tot FROM (
+    SELECT doc_id, x, count(*) AS n
+    FROM (SELECT doc_id, unnest(w) AS x FROM ws)
+    GROUP BY doc_id, x
+  ) GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, max(n) AS mx, CAST(sum(n) AS BIGINT) AS tot FROM (
+    SELECT doc_id, x, count(*) AS n
+    FROM (SELECT doc_id,
+                 unnest([w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+                         for i in range(1, len(w))]) AS x
+          FROM ws)
+    GROUP BY doc_id, x
+  ) GROUP BY doc_id
+)
+SELECT ws.doc_id,
+       round(coalesce(uni.mx, 0) / greatest(coalesce(uni.tot, 0), 1), 4)
+         AS top_word_ratio,
+       round(coalesce(bi.mx, 0) / greatest(coalesce(bi.tot, 0), 1), 4)
+         AS top_bigram_ratio
+FROM ws
+LEFT JOIN uni USING (doc_id)
+LEFT JOIN bi USING (doc_id)
+"""
+
+
 @_q("q_lang_id")
 def q_lang_id(spark, sf_dir):
     """Heuristic stopword-vote language ID vs the labeled lang column."""
@@ -540,3 +580,20 @@ def q_multimodal_decode(spark, sf_dir):
     return multimodal.decode_media(media, multimodal.fake_decoder)
 # (no ORACLE_SQL: decode stage is procedural; deterministic fake asserted in
 #  tests/test_multimodal.py)
+
+
+@_q("q_multimodal_feature_ann")
+def q_multimodal_feature_ann(spark, sf_dir):
+    """Composed multimodal pipeline: binary column → Arrow-batched feature
+    extraction (byte-histogram stand-in for CLIP/wav2vec) → exact cosine
+    top-3 over the feature vectors — the decode→embed→search shape end to
+    end.  mapInPandas feature stage ⇒ rows-only; stage contracts asserted
+    in tests/test_multimodal.py."""
+    d = load(spark, sf_dir, "documents")
+    media = multimodal.attach_media_column(d, "doc_id", "text")
+    feats = multimodal.byte_histogram_features(media, n_bins=16)
+    q = feats.filter(F.col("media_id") < 5)
+    return similarity.brute_force_topk(
+        feats, q, id_col="media_id", vec_col="features", k=3).select(
+        "query_id", "neighbor_id", "cosine_sim", "rnk")
+# (no ORACLE_SQL: Arrow-batched feature stage is procedural by design)

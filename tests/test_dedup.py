@@ -127,9 +127,12 @@ def test_repeated_invocations_leave_no_cached_blocks(spark, corpus):
     import time
     for _ in range(3):
         dedup.minhash_near_dup_pairs(corpus, "doc_id", "text").collect()
-        gc.collect()  # let the ContextCleaner reap prior localCheckpoints
-    # the ContextCleaner reaps asynchronously — poll rather than race it
-    deadline = time.time() + 10
+        gc.collect()  # release the Python-side JVM refs to the checkpoints
+    # the ContextCleaner reaps checkpoint blocks only after the JVM GC
+    # collects the unreferenced RDD objects — Python gc alone never triggers
+    # that, so force a JVM GC each poll (what spark.cleaner.periodicGC does
+    # every 30 min in production)
+    deadline = time.time() + 20
     while True:
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
         # the old leak kept 2 persists alive per call (6+ after 3 calls); now
@@ -137,6 +140,7 @@ def test_repeated_invocations_leave_no_cached_blocks(spark, corpus):
         if len(infos) <= 4 or time.time() > deadline:
             break
         gc.collect()
+        spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
     assert len(infos) <= 4, [str(i.name()) for i in infos]
 

@@ -66,3 +66,49 @@ def test_metadata_only_routing_prunes_binary_column(spark, docs):
     routed = spark.read.parquet(path).select("media_id", "media_type")
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "media_bytes" not in plan.split("ReadSchema")[-1]
+
+
+def test_resize_preserves_binary_contract_and_dims(spark, docs):
+    media = multimodal.attach_media_column(docs, "doc_id", "text")
+    out = multimodal.resize_media(media, 8, 4, multimodal.fake_resizer)
+    assert out.schema == multimodal.RESIZED_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(len(r.media_bytes) == 8 * 4 for r in rows)
+    assert all((r.width, r.height) == (8, 4) for r in rows)
+    # stages compose: resized blobs decode again
+    redecoded = multimodal.decode_media(
+        out.select("media_id", "media_type", "media_bytes"),
+        multimodal.fake_decoder)
+    assert redecoded.count() == 200
+
+
+def test_frame_sample_explodes_by_duration(spark, docs):
+    video = multimodal.attach_media_column(docs, "doc_id", "text", "video")
+    frames = multimodal.frame_sample(video, every_ms=100, max_frames=4,
+                                     decoder=multimodal.fake_decoder)
+    assert frames.schema == multimodal.FRAME_SCHEMA
+    per_doc = {r.media_id: r.n for r in
+               frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    durs = {r.media_id: r.duration_ms for r in multimodal.decode_media(
+        video, multimodal.fake_decoder).collect()}
+    for mid, n in per_doc.items():
+        assert n == min(4, durs[mid] // 100)
+    # frame timestamps advance by the sampling stride
+    f0 = frames.filter(F.col("media_id") == 100).orderBy("frame_idx").collect()
+    assert [r.frame_ts_ms for r in f0] == [i * 100 for i in range(len(f0))]
+
+
+def test_byte_histogram_features_feed_similarity_ops(spark, docs):
+    from datalake_ingestion_system_spark.operators import similarity
+    media = multimodal.attach_media_column(docs, "doc_id", "text")
+    feats = multimodal.byte_histogram_features(media, n_bins=16)
+    assert feats.schema == multimodal.FEATURES_SCHEMA
+    one = feats.first()
+    assert len(one.features) == 16
+    assert abs(sum(one.features) - 1.0) < 1e-5  # L1-normalized
+    # the vector column slots straight into the ANN surface
+    q = feats.filter(F.col("media_id") < 3)
+    top = similarity.brute_force_topk(feats, q, id_col="media_id",
+                                      vec_col="features", k=3)
+    assert top.groupBy("query_id").count().collect()[0][1] == 3
