@@ -183,3 +183,42 @@ SELECT user_id,
 FROM s
 GROUP BY user_id, session_seq
 """
+
+
+@_q("q_stream_stateful_user_profile")
+def q_stream_stateful_user_profile(spark, sf_dir):
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running profile (event count, 30-min-gap session count, value sum,
+    last-seen) carried in GroupState across micro-batches
+    (``streaming/stateful.py``).  Each batch emits a cumulative snapshot per
+    active key, so ``max(cum_*)`` per user reconstructs the final totals
+    independent of how the bounded input was micro-batched; the oracle is the
+    equivalent batch lag/cumsum SQL."""
+    from ..streaming.stateful import running_user_profile
+    snap = running_user_profile(_events_stream(spark, sf_dir))
+    out = _run_stream_to_memory(snap, spark, mode="update")
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("cum_events").alias("n_events"),
+             F.max("cum_sessions").alias("n_sessions"),
+             F.round(F.max("cum_value"), 2).alias("total_value"),
+             F.max("last_ts").alias("last_seen"))
+    )
+
+
+ORACLE_SQL["q_stream_stateful_user_profile"] = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+       round(sum(value), 2) AS total_value,
+       max(ts) AS last_seen
+FROM g
+GROUP BY user_id
+"""

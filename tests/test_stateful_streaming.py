@@ -1,0 +1,67 @@
+"""applyInPandasWithState operator: state must carry across micro-batches.
+
+Feeds one user's events as TWO parquet files consumed one-per-trigger
+(maxFilesPerTrigger=1 → two micro-batches), with a session straddling the
+batch boundary.  If GroupState carry-over were broken, the second batch
+would restart counts at zero and/or open a spurious session.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from datalake_ingestion_system_spark.streaming.stateful import (
+    running_user_profile)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double")
+
+
+def test_state_carries_across_batches(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # batch 1: two sessions (gap > 30 min between e2 and e3)
+    batch1 = [(1, t0, 1.0), (1, t0 + 5 * m, 2.0), (1, t0 + 45 * m, 3.0)]
+    # batch 2: first event 10 min after batch 1's last -> SAME session;
+    #          then a 40-min gap -> one new session
+    batch2 = [(1, t0 + 55 * m, 4.0), (1, t0 + 95 * m, 5.0),
+              (2, t0, 10.0)]
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    _mk_events(spark, batch1).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)  # file-source ordering is by modification time
+    _mk_events(spark, batch2).coalesce(1).write.parquet(str(src / "b2"))
+
+    schema = spark.read.parquet(str(src / "b1")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{src}/b*/part-*.parquet"))
+    snap = running_user_profile(stream)
+    q = (snap.writeStream.outputMode("update")
+         .format("memory").queryName("stateful_test")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("stateful_test")
+
+    # two batches => user 1 must have emitted two snapshots (proves the
+    # input really was split), cumulative not per-batch
+    snaps = (out.filter(F.col("user_id") == 1)
+             .orderBy("cum_events").collect())
+    assert len(snaps) == 2, "expected one snapshot per micro-batch"
+    assert [r.cum_events for r in snaps] == [3, 5]
+    # sessions: batch1 opens 2; batch2's first event continues session 2
+    # (10-min gap against carried last_ts), second opens session 3
+    assert [r.cum_sessions for r in snaps] == [2, 3]
+    assert abs(snaps[-1].cum_value - 15.0) < 1e-9
+    assert snaps[-1].last_ts == t0 + 95 * m
+
+    final2 = (out.filter(F.col("user_id") == 2)
+              .orderBy(F.desc("cum_events")).first())
+    assert (final2.cum_events, final2.cum_sessions) == (1, 1)
