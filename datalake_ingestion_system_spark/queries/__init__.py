@@ -8,18 +8,18 @@ views).  Keys absent from ``ORACLE_SQL`` are non-SQL-expressible operators
 
 from __future__ import annotations
 
-from . import llmops, relational, streaming_q, tpch
+from . import functional, llmops, relational, streaming_q, tpch
 
 
 def all_queries():
     merged = {}
-    for mod in (relational, tpch, llmops, streaming_q):
+    for mod in (relational, tpch, llmops, streaming_q, functional):
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracle_sql():
     merged = {}
-    for mod in (relational, tpch, llmops, streaming_q):
+    for mod in (relational, tpch, llmops, streaming_q, functional):
         merged.update(mod.ORACLE_SQL)
     return merged

@@ -1,0 +1,333 @@
+"""Functional / collection surface: higher-order functions, maps, regexp,
+explode, deterministic sampling, and sequence generation (SURVEY §2.6 scalar
+functions, widened).
+
+The reference's Athena surface includes Presto's lambda/collection functions
+(array/map/regexp); this module supplies the Spark-native equivalents as
+declarative expressions — every query is whole-stage-codegen-able, no Python
+touches row data.  Deterministic sampling (hash-mod splits, stratified top-k
+per group) is the training-data-pipeline counterpart: reproducible splits
+that shuffle once (or not at all) regardless of corpus size.
+
+Determinism rules as in ``relational.py``: rounded floats, unique tie-break
+keys, BIGINT casts in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..session import tune
+
+QUERIES = {}
+ORACLE_SQL = {}
+
+
+def _q(name):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        return wrapped
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Higher-order functions: transform / filter / exists / forall / aggregate
+# ---------------------------------------------------------------------------
+
+@_q("q_higher_order_funcs")
+def q_higher_order_funcs(spark, sf_dir):
+    """Array lambdas over the token list of each document: element-wise
+    transform, predicate filter, existential/universal tests, and a fold —
+    all evaluated inside codegen (no UDF)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lens = F.transform(toks, lambda t: F.length(t))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long_tokens"),
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).alias("sum_token_len"),
+        F.exists(toks, lambda t: F.length(t) > 8).alias("has_long"),
+        F.forall(toks, lambda t: F.length(t) < 20).alias("all_short"),
+    )
+
+
+ORACLE_SQL["q_higher_order_funcs"] = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(string_split(text, ' '), t -> len(t) > 5)) AS n_long_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS INT)
+           AS sum_token_len,
+       len(list_filter(string_split(text, ' '), t -> len(t) > 8)) > 0 AS has_long,
+       len(list_filter(string_split(text, ' '), t -> len(t) >= 20)) = 0 AS all_short
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Map construction / lookup / keys
+# ---------------------------------------------------------------------------
+
+@_q("q_map_functions")
+def q_map_functions(spark, sf_dir):
+    """Build a typed map per document, then size / key-list / point-lookup.
+    Map values never leave the row (the output is scalars + a sorted key
+    array), so the comparison stays engine-neutral."""
+    d = load(spark, sf_dir, "documents")
+    m = F.map_from_arrays(
+        F.array(F.lit("chars"), F.lit("tokens"), F.lit("id")),
+        F.array(F.col("n_chars"),
+                F.size(F.split("text", " ")).cast("long"),
+                F.col("doc_id")))
+    return d.select(
+        "doc_id",
+        F.size(m).alias("m_size"),
+        F.array_sort(F.map_keys(m)).alias("m_keys"),
+        F.element_at(m, F.lit("chars")).alias("chars_val"),
+        F.element_at(m, F.lit("tokens")).alias("tokens_val"),
+    )
+
+
+ORACLE_SQL["q_map_functions"] = """
+WITH m AS (
+  SELECT doc_id,
+         MAP(['chars','tokens','id'],
+             [n_chars, CAST(len(string_split(text,' ')) AS BIGINT), doc_id]) AS mp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(cardinality(mp) AS INT) AS m_size,
+       list_sort(map_keys(mp)) AS m_keys,
+       list_extract(element_at(mp, 'chars'), 1) AS chars_val,
+       list_extract(element_at(mp, 'tokens'), 1) AS tokens_val
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regexp surface: extract / replace / rlike over the events props JSON
+# ---------------------------------------------------------------------------
+
+@_q("q_regexp_functions")
+def q_regexp_functions(spark, sf_dir):
+    """regexp_extract (typed pull from a JSON-ish string), regexp_replace
+    (digit redaction — the PII-scrub shape), and rlike filtering, aggregated
+    per event_type."""
+    e = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long")
+    return (
+        e.filter(F.col("props").rlike(r'"k": [0-9]+'))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_with_k"),
+             F.sum(k).alias("sum_k"),
+             F.min(F.regexp_replace("props", "[0-9]+", "<NUM>")).alias("redacted_min"))
+    )
+
+
+ORACLE_SQL["q_regexp_functions"] = """
+SELECT event_type,
+       count(*) AS n_with_k,
+       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       min(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS redacted_min
+FROM events
+WHERE regexp_matches(props, '"k": [0-9]+')
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explode / lateral: corpus token frequencies
+# ---------------------------------------------------------------------------
+
+@_q("q_explode_token_freq")
+def q_explode_token_freq(spark, sf_dir):
+    """Lateral explode of the token array → global top-30 token frequencies.
+    explode → groupBy is one shuffle with map-side partial aggregation; the
+    top-k plans as TakeOrderedAndProject (no global sort)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(30)
+    )
+
+
+ORACLE_SQL["q_explode_token_freq"] = """
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/test split (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+@_q("q_train_test_split")
+def q_train_test_split(spark, sf_dir):
+    """Reproducible 80/20 split by key modulus — the split is a pure
+    projection (no shuffle, no sampling state), so it is stable across runs,
+    partitionings, and cluster sizes; at 100 TB the split column can be
+    computed at scan time and predicate-pushed."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(F.pmod("doc_id", F.lit(10)) < 8, "train").otherwise("test")
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+    )
+
+
+ORACLE_SQL["q_train_test_split"] = """
+SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sample: k docs per (lang, source) stratum
+# ---------------------------------------------------------------------------
+
+@_q("q_stratified_sample")
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: the first 5 docs per (lang, source)
+    stratum by key order.  One shuffle (the window partition); at scale this
+    is the reproducible alternative to ``sampleBy`` when exact per-stratum
+    counts and run-to-run stability matter (eval sets, human-review draws)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", "source", "rn")
+    )
+
+
+ORACLE_SQL["q_stratified_sample"] = """
+SELECT doc_id, lang, source, rn
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence generation + explode (date scaffolding)
+# ---------------------------------------------------------------------------
+
+@_q("q_sequence_dates")
+def q_sequence_dates(spark, sf_dir):
+    """Per-order 7-day date scaffold via sequence() + explode — the
+    generate-rows-from-an-expression shape (calendar spines, gap filling).
+    Bounded to one order week so the row expansion is explicit and small."""
+    o = load(spark, sf_dir, "orders")
+    wk = o.filter((F.col("o_orderdate") >= "1995-01-01")
+                  & (F.col("o_orderdate") < "1995-01-08"))
+    return (
+        wk.select(F.explode(
+            F.sequence(F.col("o_orderdate").cast("date"),
+                       F.date_add("o_orderdate", 6))).alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n_orders_covering"))
+    )
+
+
+ORACLE_SQL["q_sequence_dates"] = """
+SELECT CAST(date_add(o_orderdate, i * INTERVAL 1 DAY) AS DATE) AS d,
+       count(*) AS n_orders_covering
+FROM orders, (SELECT unnest(generate_series(0, 6)) AS i)
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-01-08'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# unionByName with missing columns (schema-drift union)
+# ---------------------------------------------------------------------------
+
+@_q("q_union_by_name")
+def q_union_by_name(spark, sf_dir):
+    """Union of two differently-shaped projections aligned BY NAME with
+    missing columns null-filled — the schema-drift append the reference
+    handles with config epochs (SURVEY §2, P1/S2); here it is one operator."""
+    c = load(spark, sf_dir, "customer")
+    a = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+    b = (c.filter(F.col("c_acctbal") < 0)
+         .select("c_custkey", "c_mktsegment"))  # no acctbal column
+    u = a.unionByName(b, allowMissingColumns=True)
+    return (
+        u.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rows"),
+             F.count("c_acctbal").alias("n_with_bal"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+ORACLE_SQL["q_union_by_name"] = """
+WITH u AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+  UNION ALL BY NAME
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 0
+)
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       count(c_acctbal) AS n_with_bal,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM u
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# lead / lag / first_value / nth_value window navigation
+# ---------------------------------------------------------------------------
+
+@_q("q_window_lead_lag")
+def q_window_lead_lag(spark, sf_dir):
+    """Navigation functions over each customer's order history: previous /
+    next order value, first order date, and 2nd-order date via nth_value
+    over an unbounded frame."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        F.first("o_orderdate").over(wf).alias("first_order"),
+        F.nth_value("o_orderdate", 2).over(wf).alias("second_order"),
+    )
+
+
+ORACLE_SQL["q_window_lead_lag"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(lag(o_totalprice, 1)  OVER w, 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+       first_value(o_orderdate) OVER wf AS first_order,
+       nth_value(o_orderdate, 2) OVER wf AS second_order
+FROM orders
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
