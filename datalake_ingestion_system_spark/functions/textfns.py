@@ -69,3 +69,55 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     into its own projection and call ``shingles_of`` (see its docstring).
     """
     return shingles_of(tokens(text), n)
+
+#: GPT-2-style pre-tokenizer split (simplified to be Java-regex / RE2
+#: compatible on both engines): a token is an optional leading space plus a
+#: letter run, digit run, or punctuation run.  This is the unit a BPE vocab
+#: merges from, so its count tracks LLM token counts far better than
+#: whitespace splitting (code, punctuation-dense and CJK-ish text).
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-pre-tokenizer token array (see ``BPE_SPLIT_RE``)."""
+    return F.regexp_extract_all(_c(text), F.lit(BPE_SPLIT_RE), 0)
+
+
+#: Rabin-Karp rolling-hash parameters (shared with the DuckDB oracle).
+RK_BASE = 257
+RK_MOD = 2147483647  # 2^31 - 1
+
+
+def char_codes(text: Column | str) -> Column:
+    """Char-code array of normalized text — STAGE THIS in its own projection
+    before calling ``rolling_hashes_of`` (same O(len²) re-evaluation trap as
+    ``shingles_of``; unstaged it measured 65s vs 1s at sf0.01)."""
+    return F.transform(F.split(normalize_text(text), ""),
+                       lambda ch: F.ascii(ch).cast("long"))
+
+
+def rolling_hashes_of(codes: Column | str, n: int = 8) -> Column:
+    """Rabin-Karp rolling hashes of every char n-gram:
+    ``h_i = sum_k codes[i+k] * BASE^k mod MOD`` over an ALREADY-MATERIALIZED
+    char-code array attribute (see ``char_codes``).
+
+    The winnowing/fingerprinting unit (Schleimer et al., SIGMOD'03): a
+    document fingerprint is a selection over this array (min, mod-0 sample,
+    or per-window minima).  Pure codegen — per position it is ``n`` multiply-
+    adds; terms stay < 2^42 so no overflow under ANSI mode.  Docs shorter
+    than ``n`` chars yield an empty array (guarded: an unguarded descending
+    ``sequence`` would silently emit reversed positions).
+    """
+    codes = _c(codes)
+    pows = [pow(RK_BASE, k, RK_MOD) for k in range(n)]
+
+    def h(i):
+        s = F.element_at(codes, i) * F.lit(pows[0])
+        for k in range(1, n):
+            s = s + F.element_at(codes, i + F.lit(k)) * F.lit(pows[k])
+        return F.pmod(s, F.lit(RK_MOD))
+
+    return F.when(
+        F.size(codes) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(codes) - (n - 1)), h),
+    ).otherwise(F.array().cast("array<long>"))

@@ -597,3 +597,84 @@ def q_multimodal_feature_ann(spark, sf_dir):
         feats, q, id_col="media_id", vec_col="features", k=3).select(
         "query_id", "neighbor_id", "cosine_sim", "rnk")
 # (no ORACLE_SQL: Arrow-batched feature stage is procedural by design)
+
+
+@_q("q_bpe_token_stats")
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-pre-tokenizer token counting per source (``textfns.BPE_SPLIT_RE``)
+    vs plain whitespace counts — the LLM-cost estimate a corpus budget uses.
+    One scan + one partial-agg shuffle; regex work is all codegen."""
+    from ..functions.textfns import bpe_ish_tokens
+    d = load(spark, sf_dir, "documents")
+    bpe = F.size(bpe_ish_tokens("text"))
+    ws = token_count("text")
+    return (
+        d.select("source", bpe.alias("_b"), ws.alias("_w"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_b").alias("total_bpe_tokens"),
+             F.sum("_w").alias("total_ws_tokens"),
+             F.round(F.avg(F.col("_b") / F.col("_w")), 4).alias("avg_bpe_per_ws"))
+    )
+
+
+ORACLE_SQL["q_bpe_token_stats"] = r"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+             AS b,
+         len(regexp_extract_all(text, '\S+')) AS w
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(b) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(w) AS BIGINT) AS total_ws_tokens,
+       round(avg(CAST(b AS DOUBLE) / w), 4) AS avg_bpe_per_ws
+FROM t
+GROUP BY source
+"""
+
+
+@_q("q_rolling_fingerprint")
+def q_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp rolling-hash document fingerprint (winnowing family): the
+    min rolling 8-gram hash plus the distinct-hash count per document.
+    Hash arithmetic is plain modular math shared verbatim with the SQL
+    oracle, so unlike Murmur3-based fingerprints this one IS hash-checkable
+    cross-engine."""
+    from ..functions.textfns import char_codes, rolling_hashes_of
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", char_codes("text").alias("_cc"))
+        .select("doc_id", rolling_hashes_of("_cc", 8).alias("_rh"))
+        .select("doc_id",
+                F.array_min("_rh").alias("fp_min"),
+                F.size(F.array_distinct("_rh")).alias("n_distinct_grams"))
+    )
+
+
+def _rolling_oracle(n: int = 8, base: int = 257, mod: int = 2147483647) -> str:
+    pows = [pow(base, k, mod) for k in range(n)]
+    terms = " + ".join(
+        f"ord(substr(t, CAST(i + {k} AS INTEGER), 1)) * {p}::BIGINT"
+        for k, p in enumerate(pows))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= {n} THEN
+           [({terms}) % {mod}
+            for i in generate_series(1, length(t) - {n - 1})]
+         ELSE [] END AS rh
+  FROM norm
+)
+SELECT doc_id,
+       list_min(rh) AS fp_min,
+       CAST(len(list_distinct(rh)) AS INT) AS n_distinct_grams
+FROM h
+"""
+
+
+ORACLE_SQL["q_rolling_fingerprint"] = _rolling_oracle()
