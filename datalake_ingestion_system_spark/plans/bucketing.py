@@ -1,0 +1,44 @@
+"""Bucketed-table materialization for shuffle-free co-located joins.
+
+The reference's lake has no physical clustering beyond date partitions
+(SURVEY §4.1) — every Athena fact⋈fact join re-shuffles both sides.  At
+100 TB the shuffle IS the bottleneck, so the engine exposes Spark's native
+bucketing: write both tables bucketed (and optionally sorted) on the join
+key with the SAME bucket count, and Catalyst plans the join with zero
+Exchange on either side (sort-merge directly over bucket files).
+
+Bucket-count sizing: one bucket ≈ one target task; at 100 TB with
+~256 MB/task that is O(100k) buckets for the biggest fact, fewer for dims.
+Bucket counts must divide evenly (identical is simplest) for exchange-free
+joins; AQE cannot coalesce bucketed scans, so do not over-bucket small
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str | list[str],
+                   buckets: int, sort: bool = True,
+                   path: str | None = None) -> None:
+    """Materialize ``df`` as a parquet table bucketed (and sorted) by
+    ``key`` into ``buckets`` files per partition, registered in the session
+    catalog (bucket metadata lives in the catalog, so readers must go
+    through ``spark.table``, not ``read.parquet``)."""
+    keys = [key] if isinstance(key, str) else key
+    w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: str | list[str], how: str = "inner") -> DataFrame:
+    """Join two same-bucket-count tables on their bucket key.  With
+    bucketing aligned, the physical plan has NO Exchange on either side —
+    assert via ``tests/test_bucketing.py``."""
+    on = [on] if isinstance(on, str) else on
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -1,0 +1,66 @@
+"""Plan-shape assertions: pushdown/pruning must actually reach the scan.
+
+The scale contract (SURVEY §4.2) is that filters and projections are
+evaluated by the parquet reader, not after a full materialization — at
+100 TB the difference is the job.  These tests pin that contract so a
+refactor that silently breaks pushdown (e.g. wrapping scans in an opaque
+UDF stage) fails CI, not production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _explain(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    df = (li.filter(F.col("l_shipdate") >= "1995-01-01")
+          .filter(F.col("l_quantity") < 24)
+          .select("l_orderkey", "l_quantity"))
+    plan = _explain(df)
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].split("]")[0], \
+        "quantity predicate not pushed to the scan"
+
+
+def test_column_pruning_reaches_read_schema(spark):
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _explain(df)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema, \
+        "scan reads all columns for a 2-column projection"
+
+
+def test_partition_pruning(spark, tmp_path):
+    src = spark.range(100).withColumn(
+        "TRANSFERRED_DATE",
+        F.when(F.col("id") % 2 == 0, "2024-01-01").otherwise("2024-01-02"))
+    src.write.partitionBy("TRANSFERRED_DATE").parquet(str(tmp_path / "t"))
+    df = (spark.read.parquet(str(tmp_path / "t"))
+          .filter(F.col("TRANSFERRED_DATE") == "2024-01-01"))
+    plan = _explain(df)
+    # the date predicate must appear as a partition filter, not a data filter
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "TRANSFERRED_DATE" in pf
+    assert df.count() == 50
+
+
+def test_broadcast_join_for_small_dim(spark):
+    o = spark.read.parquet(f"{SF001}/orders.parquet")
+    n = spark.read.parquet(f"{SF001}/nation.parquet")
+    c = spark.read.parquet(f"{SF001}/customer.parquet")
+    j = (o.join(c, o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    plan = _explain(j)
+    assert "BroadcastHashJoin" in plan
