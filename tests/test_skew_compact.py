@@ -1,0 +1,65 @@
+"""Skew-salted join correctness + small-file compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_ingestion_system_spark.operators.skew import salted_join
+from datalake_ingestion_system_spark.plans.maintenance import compact_table
+
+
+def _skewed(spark):
+    # 9000 rows on key 1 (hot), 1000 spread over 2..101
+    hot = spark.range(9000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(1000).select(
+        (F.col("id") % 100 + 2).alias("k"), F.col("id").alias("v"))
+    return hot.union(cold)
+
+
+def _dim(spark):
+    return spark.range(102).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name"))
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact, dim = _skewed(spark), _dim(spark)
+    plain = fact.join(dim, "k").groupBy("k").count()
+    salted = salted_join(fact, dim, "k", salts=8).groupBy("k").count()
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+
+def test_salted_join_spreads_hot_key(spark):
+    fact = _skewed(spark)
+    f = fact.withColumn("_s", (F.rand(42) * 8).cast("int"))
+    n_sub = (f.filter(F.col("k") == 1).select("_s").distinct().count())
+    assert n_sub == 8, "hot key did not spread across all salts"
+
+
+def test_salted_join_left_and_anti(spark):
+    fact, dim = _skewed(spark), _dim(spark)
+    small_dim = dim.filter(F.col("k") <= 50)
+    left = salted_join(fact, small_dim, "k", salts=4, how="left")
+    assert left.count() == fact.count()
+    anti = salted_join(fact, small_dim, "k", salts=4, how="left_anti")
+    assert anti.count() == fact.filter(F.col("k") > 50).count()
+
+
+def test_compact_table(spark, tmp_path):
+    out = str(tmp_path / "frag")
+    spark.range(10000).repartition(40).write.parquet(out)
+    before, after = compact_table(spark, out, target_file_bytes=10**9)
+    assert before == 40 and after == 1
+    assert spark.read.parquet(out).count() == 10000
+
+
+def test_compact_table_partitioned(spark, tmp_path):
+    out = str(tmp_path / "fragp")
+    (spark.range(1000)
+     .withColumn("d", F.when(F.col("id") % 2 == 0, "a").otherwise("b"))
+     .repartition(20).write.partitionBy("d").parquet(out))
+    before, after = compact_table(spark, out, target_file_bytes=10**9,
+                                  partition_col="d")
+    assert after < before
+    df = spark.read.parquet(out)
+    assert df.count() == 1000
+    assert df.filter(F.col("d") == "a").count() == 500
