@@ -42,3 +42,22 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     assert via ``tests/test_bucketing.py``."""
     on = [on] if isinstance(on, str) else on
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
+                    n_files: int | None = None) -> None:
+    """Range-clustered parquet write: ``repartitionByRange`` on the cluster
+    columns + ``sortWithinPartitions`` so each output file covers a narrow,
+    (mostly) disjoint range of the cluster key.
+
+    This is the data-skipping play: parquet footers carry per-file/row-group
+    min-max, so a later ``WHERE cluster_col BETWEEN ...`` scan prunes most
+    files without bucketing's catalog dependency.  The linear-order
+    counterpart of Z-ordering — right when queries filter on one key (or a
+    prefix); multi-dimensional workloads want Z/Hilbert curves instead
+    (not built in; would be an interleaved-bits sort key here).
+    """
+    rep = (df.repartitionByRange(n_files, *cluster_cols) if n_files
+           else df.repartitionByRange(*cluster_cols))
+    (rep.sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite").parquet(path))

@@ -63,3 +63,33 @@ def test_compact_table_partitioned(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 1000
     assert df.filter(F.col("d") == "a").count() == 500
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datalake_ingestion_system_spark.plans.bucketing import write_clustered
+
+    out = str(tmp_path / "clustered")
+    df = spark.range(100000).select(
+        (F.xxhash64("id") % 10000).alias("k"), F.col("id").alias("v"))
+    write_clustered(df, out, ["k"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 8
+    ranges.sort()
+    overlaps = sum(1 for (a, b) in zip(ranges, ranges[1:]) if b[0] <= a[1])
+    # range partition boundaries are sampled → at most tiny edge overlap
+    assert overlaps <= 1, f"clustered files overlap heavily: {ranges}"
+    # data intact
+    assert spark.read.parquet(out).count() == 100000
