@@ -107,3 +107,41 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(_max_run("_b") / F.greatest(F.size("_b"), F.lit(1)), 4)
          .alias("top_bigram_ratio"),
     )
+
+
+def profile_table(df, columns=None):
+    """Column profile in long format: per column, the row count, null count,
+    exact distinct count, and min/max (rendered as strings so heterogeneous
+    column types stack in one result).
+
+    One pass for counts/nulls/min/max (single partial-agg) plus one
+    count_distinct aggregate — Spark rewrites multi-column distinct
+    aggregates into an expand + two-stage agg, still a constant number of
+    shuffles regardless of table size.  The lake-operations counterpart of
+    Glue crawler statistics (reference RUN_CRAWLER_JOB.PY delegates stats
+    to the crawler; here it is a query).
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_val"),
+            F.col(f"_max_{c}").alias("max_val")))
+    return (row.select(F.explode(F.array(*parts)).alias("p"))
+            .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct",
+                    "p.min_val", "p.max_val"))

@@ -678,3 +678,30 @@ FROM h
 
 
 ORACLE_SQL["q_rolling_fingerprint"] = _rolling_oracle()
+
+
+@_q("q_profile_documents")
+def q_profile_documents(spark, sf_dir):
+    """Column-level data profile of the documents table (rows / nulls /
+    exact distinct / min / max per column, long format) — crawler-statistics
+    as a query (``operators.text.profile_table``)."""
+    d = load(spark, sf_dir, "documents")
+    return text.profile_table(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+def _profile_oracle() -> str:
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    selects = []
+    for c in cols:
+        selects.append(f"""
+SELECT '{c}' AS column,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents""")
+    return "\nUNION ALL\n".join(selects)
+
+
+ORACLE_SQL["q_profile_documents"] = _profile_oracle()
