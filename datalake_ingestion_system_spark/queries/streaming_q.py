@@ -222,3 +222,50 @@ SELECT user_id,
 FROM g
 GROUP BY user_id
 """
+
+
+@_q("q_stream_stream_join")
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join: each user's 'click' events
+    joined to that user's 'error' events arriving 0-10 minutes later —
+    the funnel/causality shape (click → error-within-10-min).  Both sides
+    carry watermarks and the join condition carries the time bound, so
+    Spark can expire buffered state: per-key state is bounded by
+    watermark + interval regardless of stream length (the unbounded-state
+    trap of an unconstrained stream-stream join).  Bounded input drives it
+    to completion; the oracle is the equivalent batch interval self-join."""
+    s = _events_stream(spark, sf_dir)
+    clicks = (s.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("c_id"))
+              .withWatermark("c_ts", "30 minutes"))
+    errors = (s.filter(F.col("event_type") == "error")
+              .select(F.col("user_id").alias("e_user"),
+                      F.col("ts").alias("e_ts"),
+                      F.col("event_id").alias("e_id"))
+              .withWatermark("e_ts", "30 minutes"))
+    j = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    out = _run_stream_to_memory(j, spark, mode="append")
+    return (out.groupBy("c_user")
+            .agg(F.count("*").alias("n_click_error_pairs"),
+                 F.min("c_id").alias("first_click_id"),
+                 F.max("e_id").alias("last_error_id")))
+
+
+ORACLE_SQL["q_stream_stream_join"] = """
+SELECT c.user_id AS c_user,
+       count(*) AS n_click_error_pairs,
+       min(c.event_id) AS first_click_id,
+       max(e.event_id) AS last_error_id
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+GROUP BY c.user_id
+"""
