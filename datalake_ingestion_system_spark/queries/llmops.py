@@ -705,3 +705,31 @@ FROM documents""")
 
 
 ORACLE_SQL["q_profile_documents"] = _profile_oracle()
+
+
+@_q("q_grouped_pandas_agg")
+def q_grouped_pandas_agg(spark, sf_dir):
+    """Custom aggregate via GROUPED_AGG pandas UDF (Arrow-batched): the
+    geometric mean of document length per language — the U2 capability
+    instance (SURVEY §2.8).  Note the scale caveat in ``pandas_fns``:
+    GROUPED_AGG has no partial aggregation, so prefer builtin
+    ``exp(avg(ln(x)))`` (the oracle's form) when the agg decomposes —
+    this query exists to pin the escape hatch's correctness."""
+    from ..functions.pandas_fns import geo_mean
+    d = load(spark, sf_dir, "documents")
+    # a GROUPED_AGG pandas UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — split and join on the group key
+    g = (d.groupBy("lang")
+         .agg(F.round(geo_mean(F.col("n_chars").cast("double")), 4)
+               .alias("geo_mean_chars")))
+    n = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return n.join(g, "lang").select("lang", "n_docs", "geo_mean_chars")
+
+
+ORACLE_SQL["q_grouped_pandas_agg"] = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(exp(avg(ln(n_chars))), 4) AS geo_mean_chars
+FROM documents
+GROUP BY lang
+"""
