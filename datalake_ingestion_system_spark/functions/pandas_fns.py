@@ -19,15 +19,16 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def sigmoid(x: pd.Series) -> pd.Series:
     """SCALAR shape: elementwise logistic over an Arrow batch."""
     return 1.0 / (1.0 + np.exp(-x.astype("float64")))
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def geo_mean(v: pd.Series) -> float:
     """GROUPED_AGG shape: geometric mean (log-space, overflow-safe).
     Equivalent SQL: ``exp(avg(ln(v)))`` — kept as the oracle for
