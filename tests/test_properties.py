@@ -1,0 +1,83 @@
+"""Property-based + edge-case tests (hypothesis) for the operator layer.
+
+Each property pins an invariant a refactor could silently break:
+- MinHash signatures are a pure function of text — invariant under
+  partitioning/row order;
+- salted_join is result-equivalent to the plain join for any data;
+- exact_dedup keeps exactly one representative (the min id) per
+  normalized-text class;
+- operators accept empty input without erroring (the reference's P10
+  empty-file class, generalized).
+
+Spark-session-per-example would be minutes per case, so examples are
+drawn small, deadline disabled, and the session reused.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from datalake_ingestion_system_spark.operators import dedup
+from datalake_ingestion_system_spark.operators.skew import salted_join
+
+_words = st.sampled_from(
+    ["spark", "lake", "row", "agg", "join", "the", "fast", "slow"])
+_texts = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+_SET = settings(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(texts=st.lists(_texts, min_size=1, max_size=8))
+@_SET
+def test_minhash_invariant_under_partitioning(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dedup.minhash_signatures(df, "doc_id", "text", num_hashes=8)
+    b = dedup.minhash_signatures(
+        df.repartition(7, "text").sortWithinPartitions(F.desc("doc_id")),
+        "doc_id", "text", num_hashes=8)
+    assert {(r.doc_id, tuple(r.minhash or [])) for r in a.collect()} == \
+           {(r.doc_id, tuple(r.minhash or [])) for r in b.collect()}
+
+
+@given(keys=st.lists(st.integers(0, 5), min_size=0, max_size=30),
+       salts=st.integers(1, 5))
+@_SET
+def test_salted_join_equivalent_to_plain(spark, keys, salts):
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)] or [(None, None)],
+        "k long, v long").filter(F.col("k").isNotNull())
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(4)], "k long, name string")
+    plain = sorted((r.k, r.v, r.name) for r in fact.join(dim, "k").collect())
+    salted = sorted((r.k, r.v, r.name) for r in
+                    salted_join(fact, dim, "k", salts=salts).collect())
+    assert plain == salted
+
+
+@given(texts=st.lists(_texts, min_size=1, max_size=10))
+@_SET
+def test_exact_dedup_keeps_min_id_per_class(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.exact_dedup(df, "doc_id", "text").collect()
+    import re
+    classes = {}
+    for i, t in rows:
+        classes.setdefault(re.sub(r"\s+", " ", t.lower()).strip(), []).append(i)
+    assert {(r.keep_id, r.n_copies) for r in got} == \
+           {(min(v), len(v)) for v in classes.values()}
+
+
+def test_operators_accept_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.minhash_signatures(empty, "doc_id", "text").count() == 0
+    assert dedup.exact_dedup(empty, "doc_id", "text").count() == 0
+    assert dedup.simhash(empty, "doc_id", "text").count() == 0
+    from datalake_ingestion_system_spark.operators.text import profile_table
+    prof = profile_table(empty).collect()
+    assert {r.column for r in prof} == {"doc_id", "text"}
+    assert all(r.n_rows == 0 for r in prof)
