@@ -121,3 +121,22 @@ def rolling_hashes_of(codes: Column | str, n: int = 8) -> Column:
         F.size(codes) >= n,
         F.transform(F.sequence(F.lit(1), F.size(codes) - (n - 1)), h),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow(rolling_hashes: Column | str, window: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03): the
+    distinct per-window minima of the rolling-hash array — every ``window``
+    consecutive hashes contribute their min, so any match of length
+    ``>= n + window - 1`` chars between two documents is guaranteed to share
+    a selected fingerprint (the positional-coverage guarantee plain
+    min-sampling lacks).  Input is the STAGED array from
+    ``rolling_hashes_of``; output is sorted for deterministic comparison."""
+    rh = _c(rolling_hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(rh) - (window - 1)),
+        lambda i: F.array_min(F.slice(rh, i, window)))
+    return F.when(F.size(rh) >= window,
+                  F.array_sort(F.array_distinct(mins))).otherwise(
+        F.when(F.size(rh) > 0,
+               F.array(F.array_min(rh))).otherwise(
+            F.array().cast("array<long>")))

@@ -733,3 +733,60 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 """
+
+
+@_q("q_winnow_fingerprints")
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowed document fingerprints: distinct per-window minima of the
+    Rabin-Karp rolling hashes (guaranteed-coverage plagiarism/overlap
+    fingerprints, ~|text|/window selected per doc).  Emits the selected-set
+    size and its cheap set-level digest (min/max) per doc; the full set is
+    array-typed and sorted, so the digest is deterministic."""
+    from ..functions.textfns import char_codes, rolling_hashes_of, winnow
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", char_codes("text").alias("_cc"))
+        .select("doc_id", rolling_hashes_of("_cc", 8).alias("_rh"))
+        .select("doc_id", winnow("_rh", 4).alias("_fp"))
+        .select("doc_id",
+                F.size("_fp").alias("n_fingerprints"),
+                F.element_at("_fp", 1).alias("fp_first"),
+                F.element_at("_fp", -1).alias("fp_last"))
+    )
+
+
+def _winnow_oracle(n: int = 8, w: int = 4,
+                   base: int = 257, mod: int = 2147483647) -> str:
+    pows = [pow(base, k, mod) for k in range(n)]
+    terms = " + ".join(
+        f"ord(substr(t, CAST(i + {k} AS INTEGER), 1)) * {p}::BIGINT"
+        for k, p in enumerate(pows))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= {n} THEN
+           [({terms}) % {mod}
+            for i in generate_series(1, length(t) - {n - 1})]
+         ELSE [] END AS rh
+  FROM norm
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN len(rh) >= {w} THEN
+           list_sort(list_distinct(
+             [list_min(rh[CAST(i AS INTEGER):CAST(i + {w} - 1 AS INTEGER)])
+              for i in generate_series(1, len(rh) - {w - 1})]))
+         WHEN len(rh) > 0 THEN [list_min(rh)]
+         ELSE [] END AS f
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(f) AS INT) AS n_fingerprints,
+       f[1] AS fp_first,
+       f[-1] AS fp_last
+FROM fp
+"""
+
+
+ORACLE_SQL["q_winnow_fingerprints"] = _winnow_oracle()
