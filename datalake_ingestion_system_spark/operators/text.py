@@ -145,3 +145,58 @@ def profile_table(df, columns=None):
     return (row.select(F.explode(F.array(*parts)).alias("p"))
             .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct",
                     "p.min_val", "p.max_val"))
+
+
+def chunk_text(df: DataFrame, id_col: str, text_col: str,
+               chunk_chars: int = 200, overlap: int = 50) -> DataFrame:
+    """Split documents into fixed-size overlapping chunks — the context-window
+    prep step (RAG indexing, long-doc training examples).
+
+    Stride = ``chunk_chars - overlap``; chunk i covers
+    ``[i*stride, i*stride + chunk_chars)`` and the last chunk starts at the
+    last stride position that still adds new content.  Pure projection +
+    in-row explode: no shuffle, chunk boundaries are deterministic character
+    offsets (not token-aware — tokenize per chunk downstream), and at 100 TB
+    the expansion factor is bounded by ~len/stride per doc.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(t) - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: t.substr(i * stride + 1, F.lit(chunk_chars)))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(id_col, "chunk_id", "chunk",
+                F.length("chunk").alias("chunk_len"))
+    )
+
+
+def pack_bins(df: DataFrame, id_col: str, weight_col: Column | str,
+              target_weight: int, part_col: str | None = None) -> DataFrame:
+    """Boundary bin packing: assign items (docs) to consecutive bins of
+    ~``target_weight`` total weight (token-budget batching for training
+    shards / context packing).
+
+    Items are laid out in ``id_col`` order (within ``part_col`` if given) and
+    ``bin = floor(exclusive_cumulative_weight / target)`` — fixed-boundary
+    packing: a bin may overflow by at most one item, never underfills by
+    skipping, and the assignment is a single window cumsum (one shuffle),
+    deterministic under any partitioning.  A greedy first-fit would pack
+    marginally tighter but needs sequential state; at corpus scale the
+    window form wins.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*( [part_col] if part_col else [] ))
+         .orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    cum_excl = F.coalesce(F.sum(wc).over(w), F.lit(0))
+    cols = ([F.col(part_col)] if part_col else []) + [
+        F.col(id_col), wc.alias("weight"),
+        F.floor(cum_excl / target_weight).cast("int").alias("bin")]
+    return df.select(*cols)

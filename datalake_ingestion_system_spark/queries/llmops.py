@@ -790,3 +790,79 @@ FROM fp
 
 
 ORACLE_SQL["q_winnow_fingerprints"] = _winnow_oracle()
+
+
+@_q("q_chunk_documents")
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 200-char chunks with 50-char overlap
+    (``operators.text.chunk_text``) — per-source chunk counts and length
+    stats keep the result compact while pinning every chunk boundary."""
+    d = load(spark, sf_dir, "documents")
+    ch = text.chunk_text(d, "doc_id", "text", chunk_chars=200, overlap=50)
+    return (
+        ch.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum("chunk_len").alias("total_chunk_chars"),
+             F.max("chunk_id").alias("max_chunk_id"),
+             F.min("chunk_len").alias("min_chunk_len"))
+    )
+
+
+ORACLE_SQL["q_chunk_documents"] = """
+WITH n AS (
+  SELECT doc_id, source, text,
+         GREATEST(1, CAST(ceil((length(text) - 50) / 150.0) AS INT)) AS nc
+  FROM documents
+), ch AS (
+  SELECT doc_id, source,
+         i AS chunk_id,
+         length(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS chunk_len
+  FROM n, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i)
+)
+SELECT source,
+       count(*) AS n_chunks,
+       CAST(sum(chunk_len) AS BIGINT) AS total_chunk_chars,
+       CAST(max(chunk_id) AS INT) AS max_chunk_id,
+       CAST(min(chunk_len) AS INT) AS min_chunk_len
+FROM ch
+GROUP BY source
+"""
+
+
+@_q("q_pack_token_bins")
+def q_pack_token_bins(spark, sf_dir):
+    """Token-budget bin packing: documents laid into ~2000-token bins per
+    source (``operators.text.pack_bins`` — one window cumsum shuffle).
+    Emits per-bin document counts and weights; the oracle is the identical
+    exclusive-cumsum floor division."""
+    d = load(spark, sf_dir, "documents")
+    weighted = d.select("doc_id", "source", token_count("text").alias("_tok"))
+    packed = text.pack_bins(weighted, "doc_id", "_tok", 2000,
+                            part_col="source")
+    return (
+        packed.groupBy("source", "bin")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("weight").alias("bin_tokens"))
+    )
+
+
+ORACLE_SQL["q_pack_token_bins"] = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, source, tok,
+         COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT source,
+       CAST(floor(cum_excl / 2000) AS INT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS bin_tokens
+FROM c
+GROUP BY 1, 2
+"""
