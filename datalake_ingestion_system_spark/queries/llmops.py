@@ -866,3 +866,64 @@ SELECT source,
 FROM c
 GROUP BY 1, 2
 """
+
+
+@_q("q_data_expectations")
+def q_data_expectations(spark, sf_dir):
+    """Declarative data-quality contract over lineitem
+    (``operators.expectations``): all row-level rules share ONE scan +
+    partial-agg; the uniqueness rule adds one groupBy.  The lake-level
+    counterpart of the reference's file-arity quarantine."""
+    from ..operators import expectations as ex
+    li = load(spark, sf_dir, "lineitem")
+    return ex.check(li, [
+        ex.not_null("l_orderkey"),
+        ex.in_range("l_quantity", 1, 50),
+        ex.in_range("l_discount", 0.0, 0.1),
+        ex.in_set("l_returnflag", ["A", "N", "R"]),
+        ex.matches("l_linestatus", r"^[OF]$"),
+        ex.unique("l_orderkey", "l_linenumber"),
+    ])
+
+
+ORACLE_SQL["q_data_expectations"] = """
+SELECT 'not_null(l_orderkey)' AS rule, count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+           AS pass
+FROM lineitem
+UNION ALL
+SELECT 'in_range(l_quantity,1,50)', count(*),
+       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                       OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                       OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+FROM lineitem
+UNION ALL
+SELECT 'in_range(l_discount,0.0,0.1)', count(*),
+       CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                       OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                       OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+FROM lineitem
+UNION ALL
+SELECT 'in_set(l_returnflag)', count(*),
+       CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                       OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                       OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+FROM lineitem
+UNION ALL
+SELECT 'matches(l_linestatus)', count(*),
+       CAST(sum(CASE WHEN NOT regexp_matches(l_linestatus, '^[OF]$')
+                       OR l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN NOT regexp_matches(l_linestatus, '^[OF]$')
+                       OR l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+FROM lineitem
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)',
+       CAST(sum(c) AS BIGINT), CAST(sum(c - 1) AS BIGINT),
+       CAST(sum(c - 1) AS BIGINT) = 0
+FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+"""
