@@ -121,3 +121,39 @@ def compact_table(spark: SparkSession, table_dir: str,
     after = sum(len([f for f in files if f.endswith(".parquet")])
                 for _r, _d, files in os.walk(table_dir))
     return before, after
+
+
+def refresh_rollup(spark: SparkSession, fact_dir: str, rollup_dir: str,
+                   partition_col: str, group_cols: list[str],
+                   aggs: dict[str, str],
+                   changed_partitions: list[str] | None = None) -> int:
+    """Incrementally maintain a materialized rollup of a partitioned fact.
+
+    The rollup is grouped by ``[partition_col] + group_cols`` and partitioned
+    on disk by ``partition_col``, so refreshing after new/reprocessed fact
+    partitions touches ONLY those partitions: the fact read prunes to the
+    changed dates (partition filter → no full scan) and the write replaces
+    just the matching rollup directories (dynamic partition overwrite) —
+    at 100 TB the daily refresh cost is proportional to the day, not the
+    lake.  ``changed_partitions=None`` rebuilds everything (first build).
+
+    ``aggs`` maps output column → SQL aggregate over the fact (e.g.
+    ``{"revenue": "sum(l_extendedprice)"}``).  Returns partitions written.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(fact_dir)
+    if changed_partitions is not None:
+        df = df.filter(F.col(partition_col).isin(changed_partitions))
+    agg_exprs = [F.expr(sql).alias(name) for name, sql in aggs.items()]
+    rolled = df.groupBy(partition_col, *group_cols).agg(*agg_exprs)
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (rolled.repartition(partition_col)
+         .write.mode("overwrite").partitionBy(partition_col)
+         .parquet(rollup_dir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return rolled.select(partition_col).distinct().count()

@@ -93,3 +93,43 @@ def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
     assert overlaps <= 1, f"clustered files overlap heavily: {ranges}"
     # data intact
     assert spark.read.parquet(out).count() == 100000
+
+
+def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
+    from datalake_ingestion_system_spark.plans.maintenance import refresh_rollup
+
+    fact = str(tmp_path / "fact")
+    roll = str(tmp_path / "rollup")
+    day1 = [(1, "a", "2024-01-01", 10.0), (2, "b", "2024-01-01", 5.0)]
+    day2 = [(3, "a", "2024-01-02", 7.0), (4, "a", "2024-01-02", 1.0)]
+    schema = "id long, grp string, d string, x double"
+    spark.createDataFrame(day1, schema).write.partitionBy("d").parquet(fact)
+    n = refresh_rollup(spark, fact, roll, "d", ["grp"],
+                       {"total": "round(sum(x), 2)", "n": "count(*)"})
+    assert n == 1
+
+    # new day lands; refresh ONLY that partition
+    (spark.createDataFrame(day2, schema)
+     .write.mode("append").partitionBy("d").parquet(fact))
+    n = refresh_rollup(spark, fact, roll, "d", ["grp"],
+                       {"total": "round(sum(x), 2)", "n": "count(*)"},
+                       changed_partitions=["2024-01-02"])
+    assert n == 1
+
+    got = {(str(r.d), r.grp): (r.total, r.n)
+           for r in spark.read.parquet(roll).collect()}
+    assert got == {("2024-01-01", "a"): (10.0, 1),
+                   ("2024-01-01", "b"): (5.0, 1),
+                   ("2024-01-02", "a"): (8.0, 2)}
+
+    # day-1 reprocess (value changes) refreshed in place, day-2 untouched
+    (spark.createDataFrame([(1, "a", "2024-01-01", 99.0)], schema)
+     .write.mode("overwrite").partitionBy("d")
+     .option("partitionOverwriteMode", "dynamic").parquet(fact))
+    refresh_rollup(spark, fact, roll, "d", ["grp"],
+                   {"total": "round(sum(x), 2)", "n": "count(*)"},
+                   changed_partitions=["2024-01-01"])
+    got = {(str(r.d), r.grp): (r.total, r.n)
+           for r in spark.read.parquet(roll).collect()}
+    assert got == {("2024-01-01", "a"): (99.0, 1),
+                   ("2024-01-02", "a"): (8.0, 2)}
