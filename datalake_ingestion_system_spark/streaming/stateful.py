@@ -10,7 +10,10 @@ express the semantics (arbitrary per-key carry-over logic).
 
 Scale notes: state lives in the state store keyed by user_id (RocksDB-backed
 on a real cluster), partitioned by the groupBy key — no driver state, no
-collect.  Each micro-batch ships only that batch's rows through Arrow to
+collect.  (Spark 4's successor API, ``transformWithStateInPandas``, needs
+the protobuf runtime for its state-server protocol — absent in this
+container, verified crashing at stream start — so the engine standardizes
+on ``applyInPandasWithState``, which is pure Arrow.)  Each micro-batch ships only that batch's rows through Arrow to
 pandas; the emitted rows are one per active key per batch (cumulative
 snapshot), so downstream ``max(cum_*)`` per key reconstructs final totals
 regardless of how many batches the bounded input was split into.
