@@ -331,3 +331,40 @@ WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling over a generated calendar spine
+# ---------------------------------------------------------------------------
+
+@_q("q_events_gap_fill")
+def q_events_gap_fill(spark, sf_dir):
+    """Zero-filled hourly event series: a generated hour spine (sequence over
+    the observed range) left-joined to per-hour counts — the gap-filling
+    shape (dashboards, feature windows) the raw event stream can't answer
+    because absent hours produce no rows.  The spine is one generated-rows
+    expression, the counts one partial-agg shuffle, the join broadcastable
+    (spine is tiny relative to events at any scale)."""
+    e = load(spark, sf_dir, "events")
+    per_hour = (e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+                .agg(F.count("*").alias("n")))
+    bounds = e.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                   F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    return (spine.join(per_hour, "h", "left")
+            .select("h", F.coalesce("n", F.lit(0)).alias("n_events")))
+
+
+ORACLE_SQL["q_events_gap_fill"] = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+), per_hour AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
+)
+SELECT spine.h, COALESCE(per_hour.n, 0) AS n_events
+FROM spine LEFT JOIN per_hour ON spine.h = per_hour.h
+"""
