@@ -44,7 +44,6 @@ def test_percentile_approx_within_tolerance(spark):
 def test_watermark_append_emits_subset_of_batch_windows(spark):
     emitted = SQ["q_stream_watermark_late_data"](spark, SF).collect()
     assert emitted, "bounded stream should seal at least one window"
-    e = spark.read.parquet(f"{SF}/events.parquet")
     # events.parquet carries TIMESTAMP(NANOS); mirror catalog.load's fix
     from datalake_ingestion_system_spark.catalog import load
     e = load(spark, SF, "events")
