@@ -74,6 +74,27 @@ def main() -> None:
     warm.select(
         F.array_sort(F.collect_list(F.hash(F.size("hs")))).alias("a")
     ).select(F.element_at("a", 1)).collect()
+    # warm the actual dedup pipeline's generated classes (signature fold,
+    # banding window, pair flatten, jaccard verify) on 64 synthetic docs —
+    # compiles the same expression shapes the measured query uses, so the
+    # per-query number reflects steady-state cost, not one-off Janino work
+    from datalake_ingestion_system_spark.operators.dedup import (
+        minhash_near_dup_pairs)
+    docs64 = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta eta theta "),
+                 F.col("id").cast("string")).alias("text"))
+    minhash_near_dup_pairs(docs64, "doc_id", "text").collect()
+    # warm the Structured Streaming machinery (listener bus, checkpoint
+    # setup, state store init) with a one-file availableNow count
+    import tempfile
+    wdir = tempfile.mkdtemp(prefix="bench_warm_stream_")
+    spark.range(64).write.mode("overwrite").parquet(wdir)
+    ws = (spark.readStream.schema("id long").parquet(f"{wdir}")
+          .groupBy().count())
+    wq = (ws.writeStream.outputMode("complete").format("memory")
+          .queryName("bench_warm_stream").trigger(availableNow=True).start())
+    wq.awaitTermination()
 
     # SPARK_GRAFT_BENCH_ALL=1 profiles EVERY registered query (coverage-cost
     # view for tuning); the driver-facing default stays the stable headline
