@@ -368,3 +368,76 @@ WITH bounds AS (
 SELECT spine.h, COALESCE(per_hour.n, 0) AS n_events
 FROM spine LEFT JOIN per_hour ON spine.h = per_hour.h
 """
+
+
+# ---------------------------------------------------------------------------
+# Schema-ful JSON parsing (from_json → typed struct)
+# ---------------------------------------------------------------------------
+
+@_q("q_from_json_struct")
+def q_from_json_struct(spark, sf_dir):
+    """``from_json`` with an explicit schema — the typed counterpart of
+    ``get_json_object`` path extraction (q_json_extract): malformed rows
+    become NULL struct fields instead of silently propagating strings."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return (
+        e.select("event_id", parsed.getField("k").alias("k"))
+        .groupBy()
+        .agg(F.count("*").alias("n_rows"),
+             F.count("k").alias("n_parsed"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+ORACLE_SQL["q_from_json_struct"] = """
+SELECT count(*) AS n_rows,
+       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_parsed,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+@_q("q_null_safe_join")
+def q_null_safe_join(spark, sf_dir):
+    """Join on ``eqNullSafe`` (<=>): NULL keys match each other — the
+    semantic corner where plain equality silently drops rows.  Keys are
+    nation keys with a planted NULL class (key % 5 == 0 → NULL) on both
+    sides, so the null-bucket join product is part of the answer."""
+    n = load(spark, sf_dir, "nation")
+    a = n.select(F.when(F.col("n_nationkey") % 5 == 0, None)
+                  .otherwise(F.col("n_nationkey")).alias("k"),
+                 F.col("n_name").alias("name_a"))
+    b = n.select(F.when(F.col("n_nationkey") % 5 == 0, None)
+                  .otherwise(F.col("n_nationkey")).alias("k"),
+                 F.col("n_regionkey").alias("region_b"))
+    j = a.join(b, a["k"].eqNullSafe(b["k"]))
+    return (j.groupBy(a["k"].alias("k"))
+            .agg(F.count("*").alias("n_matches"),
+                 F.sum("region_b").alias("sum_region"))
+    )
+
+
+ORACLE_SQL["q_null_safe_join"] = """
+WITH a AS (
+  SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS k,
+         n_name AS name_a
+  FROM nation
+), b AS (
+  SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS k,
+         n_regionkey AS region_b
+  FROM nation
+)
+SELECT a.k AS k, count(*) AS n_matches,
+       CAST(sum(b.region_b) AS BIGINT) AS sum_region
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+"""
