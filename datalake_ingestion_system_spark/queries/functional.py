@@ -441,3 +441,43 @@ SELECT a.k AS k, count(*) AS n_matches,
 FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
 GROUP BY a.k
 """
+
+
+# ---------------------------------------------------------------------------
+# Math scalar surface
+# ---------------------------------------------------------------------------
+
+@_q("q_math_functions")
+def q_math_functions(spark, sf_dir):
+    """Math scalar coverage (log/exp/sqrt/pow/abs/sign/ceil/floor/mod) over
+    order totals — rounded identically on both sides so FP differences stay
+    below the hash granularity."""
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.log(x), 6).alias("ln_x"),
+        F.round(F.log10(x), 6).alias("log10_x"),
+        F.round(F.sqrt(x), 6).alias("sqrt_x"),
+        F.round(F.pow(x / 100000.0, 2), 6).alias("pow_x"),
+        F.abs(-x).alias("abs_x"),
+        F.signum(x - 150000).cast("int").alias("sign_x"),
+        F.ceil(x).cast("long").alias("ceil_x"),
+        F.floor(x).cast("long").alias("floor_x"),
+        F.round(F.pmod(x, F.lit(97.0)), 6).alias("mod_x"),
+    )
+
+
+ORACLE_SQL["q_math_functions"] = """
+SELECT o_orderkey,
+       round(ln(o_totalprice), 6) AS ln_x,
+       round(log10(o_totalprice), 6) AS log10_x,
+       round(sqrt(o_totalprice), 6) AS sqrt_x,
+       round(pow(o_totalprice / 100000.0, 2), 6) AS pow_x,
+       abs(-o_totalprice) AS abs_x,
+       CAST(sign(o_totalprice - 150000) AS INT) AS sign_x,
+       CAST(ceil(o_totalprice) AS BIGINT) AS ceil_x,
+       CAST(floor(o_totalprice) AS BIGINT) AS floor_x,
+       round(fmod(fmod(o_totalprice, 97.0) + 97.0, 97.0), 6) AS mod_x
+FROM orders
+"""
