@@ -936,3 +936,31 @@ SELECT 'unique(l_orderkey,l_linenumber)',
        CAST(sum(c - 1) AS BIGINT) = 0
 FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
 """
+
+
+@_q("q_hll_sketch_rollup")
+def q_hll_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup (DataSketches HLL): per-source user sketches
+    built in one pass, then UNIONED to a global estimate WITHOUT rescanning
+    — the incremental-analytics contract (persist per-partition sketches,
+    merge on demand; re-aggregating raw data at 100 TB costs a full scan,
+    merging sketches costs KBs).  Estimates are approximate ⇒ rows-only;
+    the 5%-of-exact bound is asserted in tests/test_approx.py."""
+    e = load(spark, sf_dir, "events")
+    per_source = (e.groupBy("event_type")
+                  .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                       F.count("*").alias("n_events")))
+    merged = (per_source
+              .agg(F.hll_union_agg("sk").alias("sk_all"),
+                   F.sum("n_events").alias("n_events")))
+    per = per_source.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+        "n_events")
+    tot = merged.select(
+        F.lit("__ALL__").alias("event_type"),
+        F.hll_sketch_estimate("sk_all").cast("long").alias("est_users"),
+        "n_events")
+    return per.unionByName(tot)
+# (no ORACLE_SQL: sketch binary/estimate is engine-specific; bounded vs
+#  exact in tests/test_approx.py)

@@ -57,3 +57,23 @@ def test_watermark_append_emits_subset_of_batch_windows(spark):
         assert key in batch, f"emitted window {key} not in batch result"
         assert r.n_events == batch[key], \
             f"sealed window {key}: {r.n_events} != batch {batch[key]}"
+
+
+def test_hll_sketch_rollup_within_5pct(spark):
+    from datalake_ingestion_system_spark.queries.llmops import QUERIES as LQ
+    got = {r.event_type: r.est_users
+           for r in LQ["q_hll_sketch_rollup"](spark, SF).collect()}
+    from datalake_ingestion_system_spark.catalog import load
+    e = load(spark, SF, "events")
+    exact = {r[0]: r[1] for r in
+             e.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("nd")).collect()}
+    exact["__ALL__"] = e.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k in got:
+        assert abs(got[k] - exact[k]) / exact[k] < 0.05, (k, got[k], exact[k])
+    # merged sketch must estimate the same cardinality as a direct global
+    # sketch (mergeability, the whole point)
+    direct = e.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("user_id")).cast("long")).head()[0]
+    assert got["__ALL__"] == direct
