@@ -542,8 +542,11 @@ def q_ann_ivf_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 10)
     key = (sf_dir, 8, 42)
     if key not in _IVF_CENTROIDS:
+        # maxIter=10: k-means on a local[32] bench is job-overhead-bound
+        # (~0.3s/iteration of scheduling); 8 centroids converge in <10
+        # rounds on this corpus and the recall floor is asserted in tests
         _IVF_CENTROIDS[key] = similarity.train_ivf_centroids(
-            e, n_cells=8, seed=42)
+            e, n_cells=8, seed=42, max_iter=10)
     return similarity.ivf_topk(e, q, _IVF_CENTROIDS[key], k=5, n_probe=3).select(
         "query_id", "neighbor_id", "cosine_sim", "rnk")
 # (no ORACLE_SQL: approximate by design, k-means centroids engine-specific)
