@@ -61,3 +61,27 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
            else df.repartitionByRange(*cluster_cols))
     (rep.sortWithinPartitions(*cluster_cols)
         .write.mode("overwrite").parquet(path))
+
+
+def z_order_key(cols: list, bits: int = 16):
+    """Bit-interleaved (Morton / Z-order) sort key over 2+ non-negative int
+    columns, each already scaled to ``[0, 2^bits)``.
+
+    ``write_clustered`` on this key gives MULTI-dimensional data skipping:
+    a file covers a compact hyper-rectangle, so range predicates on ANY of
+    the interleaved columns prune files via parquet min-max — the property
+    a linear sort only has for its leading column.  Pure shift/or integer
+    expressions (flat codegen); for value domains wider than 2^bits, rank
+    or quantile-bucket the column first (the standard Delta OPTIMIZE ZORDER
+    preprocessing).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            c = F.col(c) if isinstance(c, str) else c
+            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(1)
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + j))
+    return key

@@ -133,3 +133,44 @@ def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
            for r in spark.read.parquet(roll).collect()}
     assert got == {("2024-01-01", "a"): (99.0, 1),
                    ("2024-01-02", "a"): (8.0, 2)}
+
+
+def test_z_order_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files must bound BOTH dimensions; a linear sort bounds only
+    its leading column (the second dimension spans ~the full domain in every
+    file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datalake_ingestion_system_spark.plans.bucketing import (
+        write_clustered, z_order_key)
+
+    df = (spark.range(65536)
+          .select((F.col("id") % 256).alias("a"),
+                  F.floor(F.col("id") / 256).alias("b")))
+
+    def spread(path, col_idx):
+        widths = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            widths.append(max(maxs) - min(mins))
+        return sum(widths) / len(widths)
+
+    zp = str(tmp_path / "zorder")
+    zdf = df.withColumn("zk", z_order_key(["a", "b"], bits=8))
+    write_clustered(zdf, zp, ["zk"], n_files=16)
+    lp = str(tmp_path / "linear")
+    write_clustered(df, lp, ["a"], n_files=16)
+
+    # columns in written files: zorder file has (a, b, zk); linear (a, b)
+    z_a, z_b = spread(zp, 0), spread(zp, 1)
+    l_a, l_b = spread(lp, 0), spread(lp, 1)
+    assert l_b > 200, "control: linear-by-a should NOT bound b"
+    assert z_a < 128 and z_b < 128, (
+        f"z-order should bound both dims: a={z_a}, b={z_b}")
+    assert spark.read.parquet(zp).count() == 65536
