@@ -54,8 +54,8 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
     min-max, so a later ``WHERE cluster_col BETWEEN ...`` scan prunes most
     files without bucketing's catalog dependency.  The linear-order
     counterpart of Z-ordering — right when queries filter on one key (or a
-    prefix); multi-dimensional workloads want Z/Hilbert curves instead
-    (not built in; would be an interleaved-bits sort key here).
+    prefix); multi-dimensional workloads want ``z_order_key`` below
+    (interleaved-bits sort key) as the cluster column instead.
     """
     rep = (df.repartitionByRange(n_files, *cluster_cols) if n_files
            else df.repartitionByRange(*cluster_cols))
