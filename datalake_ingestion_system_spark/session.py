@@ -35,6 +35,14 @@ RUNTIME_CONF = {
     # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read natively;
     # read as long and convert (catalog.load floors ns→µs, matching DuckDB)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # runtime bloom-filter pruning: for selective shuffle joins whose build
+    # side is small-but-not-broadcastable, inject a bloom filter on the probe
+    # side so most fact rows drop BEFORE the exchange — at 100 TB this is the
+    # difference between shuffling the filtered 1% and shuffling everything.
+    # (runtimeFilter.semiJoinReduction stays OFF: enabling it deadlocked the
+    # MinHash pipeline warm-up — semi-join injection against a
+    # localCheckpoint plan never finished)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 
