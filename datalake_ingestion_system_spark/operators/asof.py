@@ -47,6 +47,13 @@ def asof_join_pandas(left: DataFrame, right: DataFrame, key: str, ts: str,
     import pandas as pd
     from pyspark.sql.types import StructType
 
+    # defensively re-alias the right side: when both sides derive from the
+    # same scan (self-as-of), identical attribute ids on the two cogroup
+    # sides get wrongly deduplicated and the right frame arrives with
+    # columns missing (observed: `ts` pruned from the view side)
+    right = right.select(
+        *[F.col(f.name).alias(f.name) for f in right.schema.fields])
+
     l_fields = left.schema.fields
     r_fields = [f for f in right.schema.fields if f.name not in (key, ts)]
     out_schema = StructType(
@@ -54,13 +61,20 @@ def asof_join_pandas(left: DataFrame, right: DataFrame, key: str, ts: str,
     r_renames = {f.name: f.name + suffix for f in r_fields}
 
     def merge(key_tuple, l_iter_df, r_iter_df):
-        lp = l_iter_df.sort_values(ts)
-        rp = (r_iter_df.sort_values(ts)
-              .drop(columns=[key], errors="ignore")
-              .rename(columns=r_renames))
-        if lp.empty:
+        # a key present on only one side delivers the other side as an
+        # empty frame (no columns) — guard before sort_values touches `ts`
+        if l_iter_df.empty:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        merged = pd.merge_asof(lp, rp, on=ts, direction=direction)
+        lp = l_iter_df.sort_values(ts)
+        if r_iter_df.empty:
+            merged = lp.copy()
+            for f in r_fields:
+                merged[f.name + suffix] = None
+        else:
+            rp = (r_iter_df.sort_values(ts)
+                  .drop(columns=[key], errors="ignore")
+                  .rename(columns=r_renames))
+            merged = pd.merge_asof(lp, rp, on=ts, direction=direction)
         return merged[[f.name for f in out_schema.fields]]
 
     return (

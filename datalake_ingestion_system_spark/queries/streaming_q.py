@@ -285,3 +285,48 @@ FROM events c JOIN events e
  AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
 GROUP BY c.user_id
 """
+
+
+@_q("q_asof_two_table")
+def q_asof_two_table(spark, sf_dir):
+    """General two-table as-of join (cogrouped ``pd.merge_asof``,
+    ``operators/asof.py``): for every click event, that user's latest view
+    event at-or-before the click.  Both sides shuffle once on user_id; the
+    oracle is DuckDB's native ASOF JOIN — cross-engine agreement on the
+    trades/quotes shape.  Aggregated per user to keep the surface compact
+    while pinning every matched (click, view) assignment via sums."""
+    from ..operators.asof import asof_join_pandas
+    e = load(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    # both sides derive from the same scan: re-alias the right side's
+    # shared columns so cogroup sees fresh attribute ids (same-exprId
+    # columns on both sides get wrongly deduplicated/pruned)
+    views = (e.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("user_id"),
+                     F.col("ts").alias("ts"),
+                     F.col("event_id").alias("view_id")))
+    j = asof_join_pandas(clicks, views, key="user_id", ts="ts")
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.count("view_id_right").alias("n_matched"),
+                 F.sum("view_id_right").alias("sum_matched_view_ids"))
+    )
+
+
+ORACLE_SQL["q_asof_two_table"] = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events
+  WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, event_id AS view_id FROM events
+  WHERE event_type = 'view'
+)
+SELECT c.user_id AS user_id,
+       count(*) AS n_clicks,
+       count(v.view_id) AS n_matched,
+       CAST(sum(v.view_id) AS BIGINT) AS sum_matched_view_ids
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+GROUP BY c.user_id
+"""
