@@ -200,3 +200,30 @@ def pack_bins(df: DataFrame, id_col: str, weight_col: Column | str,
         F.col(id_col), wc.alias("weight"),
         F.floor(cum_excl / target_weight).cast("int").alias("bin")]
     return df.select(*cols)
+
+
+def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
+                 chunk_tokens_n: int = 40, overlap: int = 10) -> DataFrame:
+    """Token-boundary chunking: like ``chunk_text`` but chunks are slices of
+    the whitespace-token array re-joined with single spaces, so no chunk
+    ever cuts a word (the shape tokenizer-bound training prep wants).
+    Stride = ``chunk_tokens_n - overlap``; same in-row explode scaling."""
+    if overlap >= chunk_tokens_n:
+        raise ValueError("overlap must be < chunk_tokens_n")
+    stride = chunk_tokens_n - overlap
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    staged = df.select(F.col(id_col), toks.alias("_tk"),
+                       n_chunks.alias("_nc"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("_nc") - 1),
+        lambda i: F.concat_ws(" ", F.slice("_tk", i * stride + 1,
+                                           chunk_tokens_n)))
+    return (
+        staged.select(F.col(id_col),
+                      F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(id_col, "chunk_id", "chunk",
+                F.size(F.split("chunk", " ")).alias("chunk_tokens"))
+    )

@@ -967,3 +967,40 @@ def q_hll_sketch_rollup(spark, sf_dir):
     return per.unionByName(tot)
 # (no ORACLE_SQL: sketch binary/estimate is engine-specific; bounded vs
 #  exact in tests/test_approx.py)
+
+
+@_q("q_chunk_tokens")
+def q_chunk_tokens(spark, sf_dir):
+    """Token-boundary chunking (40-token chunks, 10-token overlap,
+    ``operators.text.chunk_tokens``) aggregated per source — word-safe
+    context-window prep; every chunk boundary pinned via token-count sums."""
+    d = load(spark, sf_dir, "documents")
+    ch = text.chunk_tokens(d, "doc_id", "text", chunk_tokens_n=40, overlap=10)
+    return (
+        ch.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum("chunk_tokens").alias("total_tokens"),
+             F.max("chunk_id").alias("max_chunk_id"))
+    )
+
+
+ORACLE_SQL["q_chunk_tokens"] = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk,
+         GREATEST(1, CAST(ceil((len(string_split(text, ' ')) - 10) / 30.0)
+                          AS INT)) AS nc
+  FROM documents
+), ch AS (
+  SELECT doc_id, source, i AS chunk_id,
+         len(tk[CAST(i * 30 + 1 AS INTEGER)
+                :CAST(LEAST(i * 30 + 40, len(tk)) AS INTEGER)]) AS chunk_tokens
+  FROM t, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i)
+)
+SELECT source,
+       count(*) AS n_chunks,
+       CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(chunk_id) AS INT) AS max_chunk_id
+FROM ch
+GROUP BY source
+"""
