@@ -256,22 +256,11 @@ def ivf_topk(candidates: DataFrame, queries: DataFrame,
         def cells(v: pd.Series) -> pd.Series:
             m = np.array(v.tolist(), dtype=np.float64)
             s = m @ C.T - half
-            # lexsort on (-affinity, -cell) == struct-desc order
-            order = np.argsort(-s, axis=1, kind="stable")
-            ties = np.take_along_axis(s, order, 1)
-            # stable argsort keeps LOWER cell first on ties; flip to match
-            # struct comparison (higher cell wins) only when affinities tie
-            for r in range(s.shape[0]):
-                i = 0
-                row = order[r]
-                while i < len(row) - 1:
-                    j = i
-                    while (j < len(row) - 1
-                           and ties[r, j] == ties[r, j + 1]):
-                        j += 1
-                    if j > i:
-                        row[i:j + 1] = sorted(row[i:j + 1], reverse=True)
-                    i = j + 1
+            # lexsort on (-affinity, -cell) == struct-desc order: primary key
+            # descending affinity, ties broken by higher cell id (matching
+            # array_sort-of-struct comparison).  lexsort's LAST key is primary.
+            neg_cells = np.broadcast_to(-np.arange(s.shape[1]), s.shape)
+            order = np.lexsort((neg_cells, -s), axis=1)
             return pd.Series(list(order[:, :n].astype(np.int32)))
         return cells
 

@@ -177,7 +177,8 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
 
 
 def pack_bins(df: DataFrame, id_col: str, weight_col: Column | str,
-              target_weight: int, part_col: str | None = None) -> DataFrame:
+              target_weight: int, part_col: str | None = None,
+              allow_global: bool = False) -> DataFrame:
     """Boundary bin packing: assign items (docs) to consecutive bins of
     ~``target_weight`` total weight (token-budget batching for training
     shards / context packing).
@@ -189,8 +190,17 @@ def pack_bins(df: DataFrame, id_col: str, weight_col: Column | str,
     deterministic under any partitioning.  A greedy first-fit would pack
     marginally tighter but needs sequential state; at corpus scale the
     window form wins.
+
+    ``part_col`` is required at scale: without it the cumsum runs over an
+    unpartitioned window — every row through ONE task, a non-starter beyond
+    small data.  Pass ``allow_global=True`` to opt into the single-task
+    global form deliberately (small inputs only).
     """
     from pyspark.sql import Window
+    if part_col is None and not allow_global:
+        raise ValueError(
+            "pack_bins without part_col runs a global single-task window; "
+            "pass part_col (preferred) or allow_global=True for small data")
     w = (Window.partitionBy(*( [part_col] if part_col else [] ))
          .orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))

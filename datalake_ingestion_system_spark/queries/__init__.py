@@ -11,15 +11,27 @@ from __future__ import annotations
 from . import functional, llmops, relational, streaming_q, tpch
 
 
-def all_queries():
+# Merge order controls which queries front the dict (CI samples a prefix).
+# Round 2 verified the relational+tpch tier; round 3 fronts the
+# llmops/streaming/functional tier so its queries get verified rows too.
+# The two llmops queries already verified in round 2 are rotated to the back.
+_MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
+_ROTATE_TO_BACK = ("q_dedup_exact", "q_doc_fingerprint")
+
+
+def _merge(attr):
     merged = {}
-    for mod in (relational, tpch, llmops, streaming_q, functional):
-        merged.update(mod.QUERIES)
+    for mod in _MODULE_ORDER:
+        merged.update(getattr(mod, attr))
+    for key in _ROTATE_TO_BACK:
+        if key in merged:
+            merged[key] = merged.pop(key)
     return merged
+
+
+def all_queries():
+    return _merge("QUERIES")
 
 
 def all_oracle_sql():
-    merged = {}
-    for mod in (relational, tpch, llmops, streaming_q, functional):
-        merged.update(mod.ORACLE_SQL)
-    return merged
+    return _merge("ORACLE_SQL")
