@@ -33,6 +33,38 @@ def fix_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def epoch_seconds(col) -> F.Column:
+    """Epoch seconds of a timestamp column, valid for both TIMESTAMP and
+    TIMESTAMP_NTZ inputs (the driver-generated parquet carries no tz
+    metadata, so Spark 4 reads ``ts`` as NTZ; a bare ``cast("long")`` is
+    only legal on LTZ).  NTZ → LTZ interprets the wall clock in the session
+    timezone; epoch *differences* — the only thing callers use this for —
+    are timezone-invariant."""
+    return F.col(col).cast("timestamp").cast("long") if isinstance(col, str) \
+        else col.cast("timestamp").cast("long")
+
+
+def ensure_ltz(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).  Event-time watermarks
+    require LTZ (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`); batch reads of the
+    same parquet surface NTZ.  No-op for columns already LTZ."""
+    for c in cols:
+        if c in df.columns and str(df.schema[c].dataType) == "TimestampNTZType()":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def ensure_ntz(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast TIMESTAMP (LTZ) columns back to TIMESTAMP_NTZ so collected values
+    are naive wall clocks that compare bit-for-bit with the oracle engine's
+    (DuckDB's timestamps are naive).  Round-trips ensure_ltz under any fixed
+    session timezone."""
+    for c in cols:
+        if c in df.columns and str(df.schema[c].dataType) == "TimestampType()":
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Column pruning/pushdown flow from the caller's
     ``select``/``filter`` via Catalyst — never pre-collect or cache here."""

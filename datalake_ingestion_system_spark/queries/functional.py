@@ -78,8 +78,9 @@ FROM documents
 @_q("q_map_functions")
 def q_map_functions(spark, sf_dir):
     """Build a typed map per document, then size / key-list / point-lookup.
-    Map values never leave the row (the output is scalars + a sorted key
-    array), so the comparison stays engine-neutral."""
+    Map values never leave the row (the output is scalars + a sorted,
+    comma-joined key string), so the comparison stays engine-neutral and
+    every output column is a sortable scalar."""
     d = load(spark, sf_dir, "documents")
     m = F.map_from_arrays(
         F.array(F.lit("chars"), F.lit("tokens"), F.lit("id")),
@@ -89,7 +90,7 @@ def q_map_functions(spark, sf_dir):
     return d.select(
         "doc_id",
         F.size(m).alias("m_size"),
-        F.array_sort(F.map_keys(m)).alias("m_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys"),
         F.element_at(m, F.lit("chars")).alias("chars_val"),
         F.element_at(m, F.lit("tokens")).alias("tokens_val"),
     )
@@ -104,7 +105,7 @@ WITH m AS (
 )
 SELECT doc_id,
        CAST(cardinality(mp) AS INT) AS m_size,
-       list_sort(map_keys(mp)) AS m_keys,
+       array_to_string(list_sort(map_keys(mp)), ',') AS m_keys,
        list_extract(element_at(mp, 'chars'), 1) AS chars_val,
        list_extract(element_at(mp, 'tokens'), 1) AS tokens_val
 FROM m

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load, register_views
+from ..catalog import epoch_seconds as _epoch, load, register_views
 from ..session import tune
 
 QUERIES = {}
@@ -917,7 +917,7 @@ def q_sessionization(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap = F.when(
-        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)) > 1800, 1
+        (_epoch("ts") - F.lag(_epoch("ts"), 1).over(w)) > 1800, 1
     ).otherwise(0)
     sessions = (
         e.withColumn("new_session", gap)

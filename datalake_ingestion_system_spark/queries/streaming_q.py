@@ -15,7 +15,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load, table_path
+from ..catalog import ensure_ltz, ensure_ntz, load, table_path
 from ..session import tune
 
 QUERIES = {}
@@ -129,8 +129,9 @@ def q_stream_watermark_late_data(spark, sf_dir):
     """Watermarked windowed aggregation (10-minute lateness bound) in
     append mode: only windows sealed by the final watermark are emitted —
     inherently run-dependent on open windows ⇒ rows-only check."""
+    # Watermarks require LTZ event time (driver parquet reads as NTZ).
     agg = (
-        _events_stream(spark, sf_dir)
+        ensure_ltz(_events_stream(spark, sf_dir), "ts")
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "15 minutes"), "event_type")
         .agg(F.count("*").alias("n_events"))
@@ -149,13 +150,14 @@ def q_stream_dedup_events(spark, sf_dir):
     only for the watermark delay, so a continuous 100 TB/day feed does not
     accumulate unbounded state (the streaming counterpart of
     ``operators.dedup.exact_dedup``)."""
-    s = _events_stream(spark, sf_dir)
+    s = ensure_ltz(_events_stream(spark, sf_dir), "ts")
     doubled = s.select("user_id", "ts", "event_type").union(
         s.select("user_id", "ts", "event_type"))
     dd = (doubled
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark(["user_id", "ts", "event_type"]))
-    return _run_stream_to_memory(dd, spark, mode="append")
+    # NTZ output: naive wall clocks compare exactly with the DuckDB oracle.
+    return ensure_ntz(_run_stream_to_memory(dd, spark, mode="append"), "ts")
 
 
 ORACLE_SQL["q_stream_dedup_events"] = """
@@ -250,7 +252,7 @@ def q_stream_stream_join(spark, sf_dir):
     watermark + interval regardless of stream length (the unbounded-state
     trap of an unconstrained stream-stream join).  Bounded input drives it
     to completion; the oracle is the equivalent batch interval self-join."""
-    s = _events_stream(spark, sf_dir)
+    s = ensure_ltz(_events_stream(spark, sf_dir), "ts")
     clicks = (s.filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user"),
                       F.col("ts").alias("c_ts"),
