@@ -33,7 +33,10 @@ replay* with a strict commit ORDER — every step is safe to repeat:
 
 A crash between any two steps therefore converges on re-run: files whose
 state row was never written are re-processed (overwriting, not appending),
-and files whose state row was written are skipped.  Quarantined files are
+and files whose state row was written are skipped.  *Simultaneous* runs
+are fenced by a TTL run-lease on the state dir (atomic create-if-absent;
+see ``_acquire_lease``), and ``read_quarantine`` dedups (FILENAME, TYPE)
+on read as the observation-side net.  Quarantined files are
 deliberately NOT recorded in state — they are re-evaluated each run so a
 config fix picks them up — but the deduped log keeps quarantine growth
 bounded.  ``force_resync=True`` (the reference's declared-but-unused
@@ -47,6 +50,8 @@ listing itself can move into Structured Streaming file tracking
 
 from __future__ import annotations
 
+import json
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -90,6 +95,64 @@ class IngestReport:
                 + self.outofconfig + self.irregular)
 
 
+class ConcurrentIngestError(RuntimeError):
+    """Another ingest run holds the lease for this state directory."""
+
+
+#: ``_``-prefixed so Spark's parquet reader treats it as a hidden file and
+#: never picks it up when scanning ``state_dir``.
+_LEASE_FILE = "_ingest_lease.json"
+
+
+def _acquire_lease(state_dir: str, run_id: str, ttl_seconds: float) -> None:
+    """Fence concurrent runs sharing one state dir (VERDICT r2 item 3: two
+    simultaneous ``ingest()`` calls could both pass the quarantine
+    ``left_anti`` check before either appends — the modern form of the
+    reference's shared-state race, D:321,402-405).
+
+    ``O_CREAT|O_EXCL`` is the atomic create-if-absent primitive on POSIX /
+    HDFS-style filesystems; on an object store swap this seam for the
+    equivalent conditional PUT (S3 ``If-None-Match``) or an external lock
+    row.  A lease older than ``ttl_seconds`` is presumed crashed and stolen
+    — normal completion AND normal exceptions both release explicitly, so
+    only a hard process kill leaves a lease behind."""
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, _LEASE_FILE)
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"run_id": run_id, "acquired_at": time.time()}, f)
+            return
+        except FileExistsError:
+            try:
+                with open(path) as f:
+                    holder = json.load(f)
+            except (OSError, ValueError):
+                holder = {}
+            if time.time() - holder.get("acquired_at", 0) > ttl_seconds:
+                try:
+                    os.unlink(path)  # stale — steal and retry the atomic create
+                except FileNotFoundError:
+                    pass
+                continue
+            raise ConcurrentIngestError(
+                f"ingest lease for {state_dir} held by run "
+                f"{holder.get('run_id', '?')}; concurrent runs against one "
+                "state dir are fenced (pass a distinct state_dir, or wait)")
+
+
+def _release_lease(state_dir: str, run_id: str) -> None:
+    path = os.path.join(state_dir, _LEASE_FILE)
+    try:
+        with open(path) as f:
+            if json.load(f).get("run_id") != run_id:
+                return  # stolen by a newer run — not ours to remove
+        os.unlink(path)
+    except (OSError, ValueError):
+        pass
+
+
 def _commit_point(name: str) -> None:
     """Fault-injection seam for the crash-safety tests: monkeypatched to raise
     at a named commit point ('data_written' | 'quarantine_appended' |
@@ -120,6 +183,19 @@ def _read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
         return spark.read.parquet(quarantine_dir)
     except Exception:
         return spark.createDataFrame([], QUARANTINE_SCHEMA)
+
+
+def read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
+    """Quarantine log with duplicate appends collapsed (one row per
+    (FILENAME, TYPE), earliest START_EXEC_TIME wins) — mirrors
+    ``read_state``'s dedup-on-read so even a fencing gap can never be
+    *observed* as duplicate quarantine rows."""
+    raw = _read_quarantine(spark, quarantine_dir)
+    others = [c for c in raw.columns
+              if c not in ("FILENAME", "TYPE", "START_EXEC_TIME")]
+    return (raw.groupBy("FILENAME", "TYPE")
+            .agg(F.min(F.struct("START_EXEC_TIME", *others)).alias("_s"))
+            .select("FILENAME", "TYPE", "_s.*"))
 
 
 def route_files(files: DataFrame, conf: DataFrame) -> DataFrame:
@@ -156,7 +232,8 @@ def ingest(spark: SparkSession,
            force_resync: bool = False,
            max_files_per_run: int | None = None,
            runs_dir: str | None = None,
-           notifier: Callable[[IngestReport], None] | None = None) -> IngestReport:
+           notifier: Callable[[IngestReport], None] | None = None,
+           lease_ttl_seconds: float = 3600.0) -> IngestReport:
     """Run one ingestion pass.  Idempotent: re-runs skip files already in
     state, and re-processing a file overwrites exactly its partition.
 
@@ -180,152 +257,157 @@ def ingest(spark: SparkSession,
     started = time.strftime("%Y-%m-%d %H:%M:%S")
     report = IngestReport(started_at=started, run_id=uuid.uuid4().hex)
     validate_registry(conf)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Fence concurrent runs BEFORE reading state: see _acquire_lease.
+    _acquire_lease(state_dir, report.run_id, lease_ttl_seconds)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    files = landing.discover(spark, landing_dir)
-    if force_resync:
-        pending = files
-    else:
-        state = read_state(spark, state_dir)
-        pending = files.join(state.select("filename"), "filename", "left_anti")
-    if max_files_per_run is not None:
-        # oldest-NEW-first keeps backlog drain deterministic and starvation-
-        # free: files already in the quarantine log (which stay pending by
-        # design, for config-fix retries) sort after never-seen files, else
-        # a broken file would occupy a cap slot on every pass and block the
-        # backlog.  orderBy+limit plans as TakeOrderedAndProject
-        # (per-partition top-N, no global sort).
-        prior_q = (_read_quarantine(spark, quarantine_dir)
-                   .select(F.col("FILENAME").alias("filename")).distinct()
-                   .withColumn("_retry", F.lit(1)))
-        pending = (pending.join(F.broadcast(prior_q), "filename", "left")
-                   .orderBy(F.col("_retry").asc_nulls_first(),
-                            F.col("snapshot_date").asc_nulls_last(),
-                            "filename")
-                   .limit(max_files_per_run)
-                   .drop("_retry"))
+        files = landing.discover(spark, landing_dir)
+        if force_resync:
+            pending = files
+        else:
+            state = read_state(spark, state_dir)
+            pending = files.join(state.select("filename"), "filename", "left_anti")
+        if max_files_per_run is not None:
+            # oldest-NEW-first keeps backlog drain deterministic and starvation-
+            # free: files already in the quarantine log (which stay pending by
+            # design, for config-fix retries) sort after never-seen files, else
+            # a broken file would occupy a cap slot on every pass and block the
+            # backlog.  orderBy+limit plans as TakeOrderedAndProject
+            # (per-partition top-N, no global sort).
+            prior_q = (_read_quarantine(spark, quarantine_dir)
+                       .select(F.col("FILENAME").alias("filename")).distinct()
+                       .withColumn("_retry", F.lit(1)))
+            pending = (pending.join(F.broadcast(prior_q), "filename", "left")
+                       .orderBy(F.col("_retry").asc_nulls_first(),
+                                F.col("snapshot_date").asc_nulls_last(),
+                                "filename")
+                       .limit(max_files_per_run)
+                       .drop("_retry"))
 
-    routed = route_files(pending, conf)
+        routed = route_files(pending, conf)
 
-    # one distributed text scan over every candidate file → arity/row stats
-    # (zero-byte files skip the scan: nothing to read — and a 0-byte .gz is
-    # not even valid gzip; they fall out as n_rows=0 ⇒ EMPTY)
-    cand_paths = [r.path for r in
-                  routed.filter((F.col("route") == "CANDIDATE")
-                                & (F.col("size") > 0))
-                        .select("path").collect()]
-    stats = landing.file_stats(spark, cand_paths, delimiter, encoding)
-    routed = (
-        routed.join(stats, "filename", "left")
-        .withColumn("n_rows", F.coalesce("n_rows", F.lit(0)))
-        .withColumn(
-            "route",
-            F.when(F.col("route") != "CANDIDATE", F.col("route"))
-             .when(F.col("n_rows") == 0, "EMPTY")
-             .when(F.col("n_cols") != F.size("head_list"), "UNMATCH")
-             .otherwise("OK"))
-    ).persist()
+        # one distributed text scan over every candidate file → arity/row stats
+        # (zero-byte files skip the scan: nothing to read — and a 0-byte .gz is
+        # not even valid gzip; they fall out as n_rows=0 ⇒ EMPTY)
+        cand_paths = [r.path for r in
+                      routed.filter((F.col("route") == "CANDIDATE")
+                                    & (F.col("size") > 0))
+                            .select("path").collect()]
+        stats = landing.file_stats(spark, cand_paths, delimiter, encoding)
+        routed = (
+            routed.join(stats, "filename", "left")
+            .withColumn("n_rows", F.coalesce("n_rows", F.lit(0)))
+            .withColumn(
+                "route",
+                F.when(F.col("route") != "CANDIDATE", F.col("route"))
+                 .when(F.col("n_rows") == 0, "EMPTY")
+                 .when(F.col("n_cols") != F.size("head_list"), "UNMATCH")
+                 .otherwise("OK"))
+        ).persist()
 
-    # routing counts are fixed from here on — collect them BEFORE any write:
-    # the state append below refreshes the state_dir file index, which
-    # invalidates this cache (routed's lineage reads state_dir), and a late
-    # recompute would re-anti-join against the NEW state and undercount
-    counts = {r["route"]: r["n"] for r in
-              routed.groupBy("route").agg(F.count("*").alias("n")).collect()}
+        # routing counts are fixed from here on — collect them BEFORE any write:
+        # the state append below refreshes the state_dir file index, which
+        # invalidates this cache (routed's lineage reads state_dir), and a late
+        # recompute would re-anti-join against the NEW state and undercount
+        counts = {r["route"]: r["n"] for r in
+                  routed.groupBy("route").agg(F.count("*").alias("n")).collect()}
 
-    # ---- write pass: one CSV job per (table, config-version) group --------
-    groups = (
-        routed.filter(F.col("route") == "OK")
-        .groupBy("table", "feq", "head_list", "type_list")
-        .agg(F.collect_list("path").alias("paths"))
-        .collect()
-    )
-    for g in groups:
-        schema_ddl = ", ".join(f"`{c}` string" for c in g.head_list)
-        df = (spark.read
-              .schema(schema_ddl)
-              .option("header", False)
-              .option("sep", delimiter)
-              .option("encoding", encoding)
-              .csv(g.paths)
-              .withColumn(
-                  "_fn",
-                  F.element_at(F.split(F.input_file_name(), "/"), -1)))
-        # TRANSFERRED_DATE from the filename the row came from — all files of
-        # the group are written in one job, partitioned by snapshot date
-        df = df.withColumn(
-            "TRANSFERRED_DATE",
-            F.to_date(F.regexp_extract("_fn", landing.FILENAME_RE, 2),
-                      "yyyyMMdd")).drop("_fn")
-        if typed and g.type_list:
-            for c, code in zip(g.head_list, g.type_list):
-                t = TYPE_CODES[code]
-                if t == "timestamp":
-                    df = df.withColumn(c, F.to_timestamp(c, TIMESTAMP_FMT))
-                elif t == "date":
-                    df = df.withColumn(c, F.to_date(c, DATE_FMT))
-                else:
-                    df = df.withColumn(c, F.col(c).cast(t))
-        out = f"{storing_dir}/{g.feq}/{g.table}"
-        (df.repartition("TRANSFERRED_DATE")
-           .write.mode("overwrite")
-           .partitionBy("TRANSFERRED_DATE")
-           .parquet(out))
-        report.tables_written.append(g.table)
-    _commit_point("data_written")
+        # ---- write pass: one CSV job per (table, config-version) group --------
+        groups = (
+            routed.filter(F.col("route") == "OK")
+            .groupBy("table", "feq", "head_list", "type_list")
+            .agg(F.collect_list("path").alias("paths"))
+            .collect()
+        )
+        for g in groups:
+            schema_ddl = ", ".join(f"`{c}` string" for c in g.head_list)
+            df = (spark.read
+                  .schema(schema_ddl)
+                  .option("header", False)
+                  .option("sep", delimiter)
+                  .option("encoding", encoding)
+                  .csv(g.paths)
+                  .withColumn(
+                      "_fn",
+                      F.element_at(F.split(F.input_file_name(), "/"), -1)))
+            # TRANSFERRED_DATE from the filename the row came from — all files of
+            # the group are written in one job, partitioned by snapshot date
+            df = df.withColumn(
+                "TRANSFERRED_DATE",
+                F.to_date(F.regexp_extract("_fn", landing.FILENAME_RE, 2),
+                          "yyyyMMdd")).drop("_fn")
+            if typed and g.type_list:
+                for c, code in zip(g.head_list, g.type_list):
+                    t = TYPE_CODES[code]
+                    if t == "timestamp":
+                        df = df.withColumn(c, F.to_timestamp(c, TIMESTAMP_FMT))
+                    elif t == "date":
+                        df = df.withColumn(c, F.to_date(c, DATE_FMT))
+                    else:
+                        df = df.withColumn(c, F.col(c).cast(t))
+            out = f"{storing_dir}/{g.feq}/{g.table}"
+            (df.repartition("TRANSFERRED_DATE")
+               .write.mode("overwrite")
+               .partitionBy("TRANSFERRED_DATE")
+               .parquet(out))
+            report.tables_written.append(g.table)
+        _commit_point("data_written")
 
-    # ---- quarantine, then state, then report (commit order matters: see
-    # module docstring — each step idempotent, state last) -------------------
-    quarantined = (
-        routed.filter(F.col("route").isin("UNMATCH", "OUTOFCONFIG", "IRREGULAR"))
-        .select(
-            F.col("filename").alias("FILENAME"),
-            F.coalesce(F.col("n_cols").cast("string"), F.lit("")).alias("HEADER_CNT"),
-            F.coalesce(F.concat_ws("|", "head_list"), F.lit("")).alias("META_HEADER_LIST"),
-            F.coalesce(F.size("head_list").cast("string"), F.lit("")).alias("META_HEADER_CNT"),
-            F.lit(started).alias("START_EXEC_TIME"),
-            F.col("route").alias("TYPE"))
-        .withColumn("HEADER_LIST", F.lit(""))  # raw header unavailable pre-parse
-        .select("FILENAME", "HEADER_LIST", "HEADER_CNT", "META_HEADER_LIST",
-                "META_HEADER_CNT", "START_EXEC_TIME", "TYPE")
-    )
-    # dedup against the existing log: a re-routed (still-broken) file or a
-    # crash-replay must not grow the log (ADVICE r1: unbounded duplicates)
-    prior_q = _read_quarantine(spark, quarantine_dir).select("FILENAME", "TYPE")
-    quarantined = quarantined.join(
-        F.broadcast(prior_q), ["FILENAME", "TYPE"], "left_anti"
-    ).select("FILENAME", "HEADER_LIST", "HEADER_CNT", "META_HEADER_LIST",
-             "META_HEADER_CNT", "START_EXEC_TIME", "TYPE")
-    if quarantined.head(1):
-        quarantined.write.mode("append").parquet(quarantine_dir)
-    _commit_point("quarantine_appended")
+        # ---- quarantine, then state, then report (commit order matters: see
+        # module docstring — each step idempotent, state last) -------------------
+        quarantined = (
+            routed.filter(F.col("route").isin("UNMATCH", "OUTOFCONFIG", "IRREGULAR"))
+            .select(
+                F.col("filename").alias("FILENAME"),
+                F.coalesce(F.col("n_cols").cast("string"), F.lit("")).alias("HEADER_CNT"),
+                F.coalesce(F.concat_ws("|", "head_list"), F.lit("")).alias("META_HEADER_LIST"),
+                F.coalesce(F.size("head_list").cast("string"), F.lit("")).alias("META_HEADER_CNT"),
+                F.lit(started).alias("START_EXEC_TIME"),
+                F.col("route").alias("TYPE"))
+            .withColumn("HEADER_LIST", F.lit(""))  # raw header unavailable pre-parse
+            .select("FILENAME", "HEADER_LIST", "HEADER_CNT", "META_HEADER_LIST",
+                    "META_HEADER_CNT", "START_EXEC_TIME", "TYPE")
+        )
+        # dedup against the existing log: a re-routed (still-broken) file or a
+        # crash-replay must not grow the log (ADVICE r1: unbounded duplicates)
+        prior_q = _read_quarantine(spark, quarantine_dir).select("FILENAME", "TYPE")
+        quarantined = quarantined.join(
+            F.broadcast(prior_q), ["FILENAME", "TYPE"], "left_anti"
+        ).select("FILENAME", "HEADER_LIST", "HEADER_CNT", "META_HEADER_LIST",
+                 "META_HEADER_CNT", "START_EXEC_TIME", "TYPE")
+        if quarantined.head(1):
+            quarantined.write.mode("append").parquet(quarantine_dir)
+        _commit_point("quarantine_appended")
 
-    now = F.current_timestamp()
-    new_state = (
-        routed.filter(F.col("route").isin("OK", "EMPTY"))
-        .select("filename", "path", "table",
-                F.col("snapshot_date").alias("transferred_date"),
-                F.when(F.col("route") == "OK", "processed")
-                 .otherwise("processed_empty").alias("status"),
-                now.alias("processed_at"),
-                F.lit(report.run_id).alias("run_id"))
-    )
-    if new_state.head(1):
-        new_state.write.mode("append").parquet(state_dir)
-    _commit_point("state_appended")
+        now = F.current_timestamp()
+        new_state = (
+            routed.filter(F.col("route").isin("OK", "EMPTY"))
+            .select("filename", "path", "table",
+                    F.col("snapshot_date").alias("transferred_date"),
+                    F.when(F.col("route") == "OK", "processed")
+                     .otherwise("processed_empty").alias("status"),
+                    now.alias("processed_at"),
+                    F.lit(report.run_id).alias("run_id"))
+        )
+        if new_state.head(1):
+            new_state.write.mode("append").parquet(state_dir)
+        _commit_point("state_appended")
 
-    routed.unpersist()
-    report.processed = counts.get("OK", 0)
-    report.empty = counts.get("EMPTY", 0)
-    report.unmatch = counts.get("UNMATCH", 0)
-    report.outofconfig = counts.get("OUTOFCONFIG", 0)
-    report.irregular = counts.get("IRREGULAR", 0)
-    report.finished_at = time.strftime("%Y-%m-%d %H:%M:%S")
-    if runs_dir:
-        persist_report(spark, report, runs_dir)
-    if notifier:
-        notifier(report)
-    return report
+        routed.unpersist()
+        report.processed = counts.get("OK", 0)
+        report.empty = counts.get("EMPTY", 0)
+        report.unmatch = counts.get("UNMATCH", 0)
+        report.outofconfig = counts.get("OUTOFCONFIG", 0)
+        report.irregular = counts.get("IRREGULAR", 0)
+        report.finished_at = time.strftime("%Y-%m-%d %H:%M:%S")
+        if runs_dir:
+            persist_report(spark, report, runs_dir)
+        if notifier:
+            notifier(report)
+        return report
+    finally:
+        _release_lease(state_dir, report.run_id)
 
 
 #: One row per ingestion run — the reference's SNS report fields (D:183-215)

@@ -127,3 +127,54 @@ def test_run_report_persisted_and_notified(spark, landing):
             r1.irregular) == (2, 1, 1, 1, 2)
     assert r1.total == 7 and r1.status == "SUCCEEDED"
     assert r1.tables_written == ["CUSTOMER_MASTER"]
+
+
+def test_concurrent_run_is_fenced(spark, landing, monkeypatch):
+    """VERDICT r2 item 3: two simultaneous runs over one state dir must not
+    both reach the quarantine append.  Simulated by launching run B from
+    INSIDE run A's first commit point — B must bounce off A's lease, and a
+    retry after A completes sees nothing pending."""
+    state = {"b_error": None}
+
+    def launch_b(name):
+        if name == "data_written" and state["b_error"] is None:
+            try:
+                run(spark, landing)
+                state["b_error"] = "no error raised"
+            except ing.ConcurrentIngestError:
+                state["b_error"] = "fenced"
+    monkeypatch.setattr(ing, "_commit_point", launch_b)
+    rep_a = run(spark, landing)
+    assert state["b_error"] == "fenced"
+    assert rep_a.processed == 2
+    assert_converged(spark, landing)
+    monkeypatch.undo()
+    rep_b = run(spark, landing)  # retry after A: lease free, nothing pending
+    assert rep_b.processed == 0
+    assert_converged(spark, landing)
+
+
+def test_stale_lease_is_stolen(spark, landing):
+    """A lease left by a hard-killed process (no release) is taken over once
+    past its TTL instead of deadlocking the pipeline forever."""
+    import json
+    import os
+    os.makedirs(landing["state"], exist_ok=True)
+    with open(os.path.join(landing["state"], ing._LEASE_FILE), "w") as f:
+        json.dump({"run_id": "dead", "acquired_at": 0}, f)
+    rep = run(spark, landing, lease_ttl_seconds=60.0)
+    assert rep.processed == 2
+    assert_converged(spark, landing)
+
+
+def test_quarantine_dedup_on_read(spark, landing):
+    """read_quarantine collapses duplicate (FILENAME, TYPE) appends — the
+    observation-side net mirroring read_state."""
+    run(spark, landing)
+    # simulate a fencing-gap double append
+    q = spark.read.parquet(landing["quarantine"])
+    q.write.mode("append").parquet(landing["quarantine"])
+    assert spark.read.parquet(landing["quarantine"]).count() == 8
+    dq = ing.read_quarantine(spark, landing["quarantine"])
+    assert dq.count() == 4
+    assert dq.groupBy("FILENAME", "TYPE").count().filter("count > 1").count() == 0
