@@ -25,6 +25,27 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
+#: Mersenne prime 2^31-1 — the shared modulus of every hash family here.
+MINHASH_P = 2147483647
+
+
+def token_hash_expr(tok: Column, mode: str = "xxhash64",
+                    bits: int = 60) -> Column:
+    """Per-token integer hash in [0, 2^bits).
+
+    ``xxhash64`` is the fast JVM-native default.  ``md5`` takes the first
+    ``bits``/4 hex chars of the md5 digest — slower, but md5 is the one
+    hash every SQL engine computes bit-identically, so md5 mode makes the
+    entire MinHash/SimHash pipeline reproducible in DuckDB/Trino/Snowflake
+    for cross-engine verification (the CORRECTNESS oracle runs it in
+    DuckDB as ``('0x' || substring(md5(t), 1, k))::BIGINT``)."""
+    if mode == "xxhash64":
+        return F.xxhash64(tok)
+    if mode == "md5":
+        return F.conv(F.substring(F.md5(tok), 1, bits // 4), 16, 10).cast("long")
+    raise ValueError(f"unknown token hash mode: {mode}")
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact near-identity dedup: keep the lowest id per normalized-text
     fingerprint.  One hash-aggregate shuffle on the fingerprint — the 100 TB
@@ -37,7 +58,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+                       num_hashes: int = 32, shingle_n: int = 3,
+                       token_hash: str = "xxhash64") -> DataFrame:
     """Per-document MinHash signature as ``array<int>`` of length num_hashes.
 
     Each hash family member is ``murmur3(shingle, seed=i)`` via ``F.hash``
@@ -73,11 +95,36 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             s = s + F.element_at("_th", i + F.lit(k)) * F.lit(coef[k])
         return F.pmod(s, F.lit(p))
 
+    if token_hash == "md5":
+        # md5's hex→int chain inside a transform() lambda is interpreted
+        # per ELEMENT (no codegen, measured 139s vs 3s at sf0.1) — so md5
+        # mode explodes tokens into rows, hashes them in a whole-stage-
+        # codegen projection, and reassembles the per-doc hash array with
+        # ONE groupBy(id) shuffle.  The xxhash64 default keeps the
+        # zero-shuffle in-row path; this is the verifiability tradeoff.
+        hashed = (
+            df.select(F.col(id_col),
+                      F.posexplode_outer(tokens(text_col)).alias("_pos", "_t"))
+            .select(F.col(id_col), "_pos",
+                    F.pmod(token_hash_expr(F.col("_t"), "md5"),
+                           F.lit(p)).alias("_h"))
+        )
+        token_arrays = (
+            hashed.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_h"))),
+                lambda x: x["_h"]).alias("_th"))
+        )
+    else:
+        token_arrays = (
+            df.select(F.col(id_col), tokens(text_col).alias("_ws"))
+            .select(F.col(id_col),
+                    F.transform("_ws", lambda t: F.pmod(
+                        token_hash_expr(t, token_hash), F.lit(p)))
+                     .alias("_th"))
+        )
     base = (
-        df.select(F.col(id_col), tokens(text_col).alias("_ws"))
-        .select(F.col(id_col),
-                F.transform("_ws", lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
-                 .alias("_th"))
+        token_arrays
         .select(
             F.col(id_col),
             F.array_distinct(
@@ -114,7 +161,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                         bands: int = 8,
                         num_hashes: int | None = None,
-                        max_bucket_size: int | None = 500) -> DataFrame:
+                        max_bucket_size: int | None = 500,
+                        band_hash: str = "murmur3") -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, hash each band,
     and equi-join documents sharing any (band, band_hash) bucket.
 
@@ -144,19 +192,27 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
     """
     n = num_hashes if num_hashes else sig_df.select(F.size("minhash")).head()[0]
     rows_per_band = max(n // bands, 1)
-    # band hash = one multi-arg murmur3 over the band's minhash slots —
-    # no per-slot string casts/concat (smaller codegen, less alloc)
+
+    def bucket_of(b):
+        slots = [F.col("minhash")[b * rows_per_band + r]
+                 for r in range(rows_per_band)]
+        if band_hash == "murmur3":
+            # one multi-arg murmur3 over the band's minhash slots — no
+            # per-slot string casts/concat (smaller codegen, less alloc)
+            return F.hash(*slots)
+        # "poly": rolling polynomial mod MINHASH_P — pure arithmetic, so the
+        # DuckDB oracle reproduces buckets exactly (slots < 2^31, ×1000003
+        # stays < 2^52: no overflow either side).  A collision only merges
+        # buckets, which the exact-Jaccard verify stage corrects.
+        h = slots[0]
+        for s in slots[1:]:
+            h = F.pmod(h * F.lit(1000003) + s, F.lit(MINHASH_P))
+        return h
+
     banded = sig_df.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(*[
-                F.hash(*[
-                    F.col("minhash")[b * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ])
-                for b in range(bands)
-            ])
-        ).alias("band", "band_hash"),
+        F.posexplode(F.array(*[bucket_of(b) for b in range(bands)])
+                     ).alias("band", "band_hash"),
     )
     if max_bucket_size is not None:
         from pyspark.sql import Window
@@ -228,11 +284,22 @@ def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame, id_col: str,
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 32, bands: int = 8,
                            shingle_n: int = 3,
-                           threshold: float = 0.5) -> DataFrame:
+                           threshold: float = 0.5,
+                           verifiable: bool = False) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
-    pairs → exact Jaccard verify → threshold filter."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
+    pairs → exact Jaccard verify → threshold filter.
+
+    ``verifiable=True`` switches both hash families to pure/portable math
+    (md5 token hash + polynomial band hash) and drops docs too short to
+    shingle, making the ENTIRE pipeline — candidate generation included —
+    bit-reproducible in any SQL engine with ``md5()``.  Identical plan
+    shape and shuffle count; the only cost is md5 vs xxhash64 per token."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                              token_hash="md5" if verifiable else "xxhash64")
+    if verifiable:
+        sigs = sigs.filter(F.col("minhash")[0].isNotNull())
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes,
+                                band_hash="poly" if verifiable else "murmur3")
     verified = jaccard_similarity(pairs, df, id_col, text_col, shingle_n)
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -276,15 +343,19 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                          F.col("_comp").alias("component"))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit SimHash: per-token Murmur3 hash, sign-vote per bit position,
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            token_hash: str = "murmur3") -> DataFrame:
+    """32-bit SimHash: per-token hash, sign-vote per bit position,
     reassembled to one integer signature.
 
     explode → groupBy(doc) is one shuffle; the 32 per-bit votes are columnar
     conditional sums (partial-aggregated map-side), not a Python loop.
+    ``token_hash="md5"`` uses the first 32 bits of md5 instead of Murmur3 —
+    same plan, but reproducible cross-engine (see ``token_hash_expr``).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    h = F.hash("tok")
+    h = (F.hash("tok") if token_hash == "murmur3"
+         else token_hash_expr(F.col("tok"), "md5", bits=32))
     votes = [
         F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"v{b}")
         for b in range(32)

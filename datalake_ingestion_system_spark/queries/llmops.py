@@ -71,20 +71,104 @@ SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
 @_q("q_minhash_lsh_pairs")
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pipeline (signatures → bands → bucket
-    join → exact Jaccard ≥ 0.5).  Murmur3-based ⇒ rows-only check; exact
-    semantics covered by tests/test_dedup.py."""
+    join → exact Jaccard ≥ 0.5) in *verifiable* mode: md5 token hash +
+    polynomial band hash, so the DuckDB oracle reproduces the ENTIRE
+    pipeline — candidate generation included — bit-for-bit (candidate sets,
+    not just verified pairs, must agree for the hashes to match).  Planted
+    near-dup recovery asserted in tests/test_dedup.py."""
     d = load(spark, sf_dir, "documents")
     return dedup.minhash_near_dup_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5)
-# (no ORACLE_SQL: engine-specific Murmur3 hash family)
+        d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5,
+        verifiable=True)
+
+
+# Constant-for-constant mirror of the verifiable pipeline:
+# token md5(60 bit) % p → rolling 3-shingle poly → 32-slot affine min-fold
+# (a_i = 2i+1, b_i = i*98765431) → 8 bands × 4 slots, rolling poly bucket →
+# bucket cap 500 → in-bucket pairs → exact word-3-shingle Jaccard ≥ 0.5.
+ORACLE_SQL["q_minhash_lsh_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents
+), th AS (
+  SELECT doc_id, ws,
+         [('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483647
+          for t in ws] AS th
+  FROM toks
+), sh AS (
+  SELECT doc_id, ws,
+         list_distinct([(th[CAST(i AS INTEGER)] * 1000003
+                        + th[CAST(i AS INTEGER) + 1] * 8191
+                        + th[CAST(i AS INTEGER) + 2] * 524287) % 2147483647
+                        for i in range(1, len(th) - 1)]) AS hs
+  FROM th WHERE len(th) >= 3
+), sig AS (
+  SELECT doc_id,
+         [list_min([(h * (2 * i + 1) + i * 98765431) % 2147483647
+                    for h in hs])
+          for i in range(0, 32)] AS sig
+  FROM sh WHERE len(hs) > 0
+), banded AS (
+  SELECT doc_id, b,
+         ((((sig[CAST(b AS INTEGER) * 4 + 1] * 1000003
+             + sig[CAST(b AS INTEGER) * 4 + 2]) % 2147483647) * 1000003
+             + sig[CAST(b AS INTEGER) * 4 + 3]) % 2147483647 * 1000003
+             + sig[CAST(b AS INTEGER) * 4 + 4]) % 2147483647 AS bh
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+  QUALIFY count(*) OVER (PARTITION BY b, bh) <= 500
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a JOIN banded c ON a.b = c.b AND a.bh = c.bh
+                             AND a.doc_id < c.doc_id
+), ssets AS (
+  SELECT doc_id,
+         list_distinct([ws[CAST(i AS INTEGER)] || ' '
+                        || ws[CAST(i AS INTEGER) + 1] || ' '
+                        || ws[CAST(i AS INTEGER) + 2]
+                        for i in range(1, len(ws) - 1)]) AS sh
+  FROM toks
+), scored AS (
+  SELECT id_a, id_b,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_inter,
+         len(a.sh) + len(b.sh)
+           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_union
+  FROM cand JOIN ssets a ON cand.id_a = a.doc_id
+            JOIN ssets b ON cand.id_b = b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+FROM scored
+WHERE n_union > 0 AND round(CAST(n_inter AS DOUBLE) / n_union, 4) >= 0.5
+"""
 
 
 @_q("q_simhash")
 def q_simhash(spark, sf_dir):
-    """32-bit SimHash signatures (sign-vote over token hashes)."""
+    """32-bit SimHash signatures (sign-vote over token hashes), md5 token
+    hash ⇒ every vote — and therefore every signature bit — reproduces in
+    the DuckDB oracle."""
     d = load(spark, sf_dir, "documents")
-    return dedup.simhash(d, "doc_id", "text")
-# (no ORACLE_SQL: engine-specific Murmur3 hash)
+    return dedup.simhash(d, "doc_id", "text", token_hash="md5")
+
+
+ORACLE_SQL["q_simhash"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(t), 1, 8))::BIGINT AS th FROM tok
+), votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (th >> CAST(b AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << CAST(b AS INTEGER)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
 
 
 @_q("q_word_jaccard_pairs")
