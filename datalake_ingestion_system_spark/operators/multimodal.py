@@ -46,9 +46,14 @@ def attach_media_column(df: DataFrame, id_col: str, text_col: str,
 
 def fake_decoder(media_type: str, payload: bytes) -> dict:
     """Deterministic stand-in for a real codec: dimensions derived from the
-    byte content (stable across runs/partitions)."""
+    payload content (stable across runs/partitions).  The checksum sums the
+    code points of the first 64 decoded characters — pure arithmetic on
+    content, so the CORRECTNESS oracle reproduces the fake exactly in SQL
+    (``ord`` per char) and the decode stage gets a full cross-engine check
+    of its plumbing, not just a rows-only count."""
     n = len(payload)
-    checksum = sum(payload[:64]) if n else 0
+    checksum = sum(ord(c) for c in
+                   payload.decode("utf-8", errors="replace")[:64]) if n else 0
     return {
         "byte_len": n,
         "width": 16 + checksum % 256,

@@ -674,8 +674,27 @@ def q_multimodal_decode(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     media = multimodal.attach_media_column(d, "doc_id", "text")
     return multimodal.decode_media(media, multimodal.fake_decoder)
-# (no ORACLE_SQL: decode stage is procedural; deterministic fake asserted in
-#  tests/test_multimodal.py)
+
+
+# Mirrors fake_decoder exactly: checksum = Σ code points of first 64 chars,
+# width/height from it, byte_len = utf8 octet length — the mapInPandas
+# plumbing (Arrow batching, schema, pass-through columns) is what's checked.
+ORACLE_SQL["q_multimodal_decode"] = """
+WITH cs AS (
+  SELECT doc_id, text,
+         coalesce(list_sum([ord(substring(text, CAST(i AS INTEGER), 1))
+                            for i in range(1, least(length(text), 64) + 1)]),
+                  0) AS checksum
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(16 + checksum % 256 AS BIGINT) AS width,
+       CAST(16 + (checksum * 7) % 256 AS BIGINT) AS height,
+       CAST(0 AS BIGINT) AS duration_ms
+FROM cs
+"""
 
 
 @_q("q_multimodal_feature_ann")
@@ -692,7 +711,42 @@ def q_multimodal_feature_ann(spark, sf_dir):
     return similarity.brute_force_topk(
         feats, q, id_col="media_id", vec_col="features", k=3).select(
         "query_id", "neighbor_id", "cosine_sim", "rnk")
-# (no ORACLE_SQL: Arrow-batched feature stage is procedural by design)
+
+
+# Exact mirror of the Arrow feature stage: per-byte bins via
+# hex(substring(blob)) — engine-agnostic byte access — then the same
+# float32 L1 normalization and rounded-cosine ranking as the Spark side.
+ORACLE_SQL["q_multimodal_feature_ann"] = """
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+), b AS (
+  SELECT doc_id,
+         [('0x' || substring(h, CAST(2 * i - 1 AS INTEGER), 2))::INT // 16
+          for i in range(1, length(h) // 2 + 1)] AS bins
+  FROM hx
+), f AS (
+  SELECT doc_id,
+         CASE WHEN len(bins) = 0
+              THEN [CAST(0.0 AS FLOAT) for z in range(0, 16)]
+              ELSE [CAST(CAST(len(list_filter(bins, x -> x = CAST(bb AS INTEGER)))
+                              AS DOUBLE) / len(bins) AS FLOAT)
+                    for bb in range(0, 16)]
+         END AS features
+  FROM b
+), scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.features AS DOUBLE[]),
+                                      CAST(c.features AS DOUBLE[])), 6) AS cosine_sim
+  FROM f q JOIN f c ON q.doc_id <> c.doc_id
+  WHERE q.doc_id < 5
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
 
 
 @_q("q_bpe_token_stats")
