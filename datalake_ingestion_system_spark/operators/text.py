@@ -237,3 +237,32 @@ def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
         .select(id_col, "chunk_id", "chunk",
                 F.size(F.split("chunk", " ")).alias("chunk_tokens"))
     )
+
+
+#: PII patterns chosen from the RE2-compatible subset of Java regex so the
+#: same pattern strings run verbatim in the DuckDB oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """PII scrub for training corpora: count and replace emails, phone
+    numbers, and SSN-shaped ids with typed placeholders.
+
+    All regexp work (three counts + three replaces on one column) runs in
+    a single whole-stage-codegen projection over one scan — rule count
+    scales the expression, not the pass count.  Adds ``n_emails``,
+    ``n_phones``, ``n_ssns`` and ``<text_col>_redacted``."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"),
+            PHONE_RE, "[PHONE]"),
+        SSN_RE, "[SSN]")
+    return df.withColumns({
+        "n_emails": F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)),
+        "n_ssns": F.size(F.regexp_extract_all(t, F.lit(SSN_RE), 0)),
+        f"{text_col}_redacted": redacted,
+    })

@@ -1142,3 +1142,170 @@ SELECT source,
 FROM ch
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Relevance ranking: TF-IDF / BM25 (operators/ranking.py)
+# ---------------------------------------------------------------------------
+
+@_q("q_tfidf_top_terms")
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 terms per document by smoothed TF-IDF for the first 50 docs
+    (explode → two partial aggs → broadcast idf join)."""
+    from ..operators.ranking import tfidf_top_terms
+    d = load(spark, sf_dir, "documents")
+    out = tfidf_top_terms(d, "doc_id", "text", k=3)
+    return out.filter(F.col("doc_id") < 50).select(
+        "doc_id", "term", "tfidf", "rnk")
+
+
+ORACLE_SQL["q_tfidf_top_terms"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), idf AS (
+  SELECT term,
+         ln(((SELECT count(DISTINCT doc_id) FROM documents) + 1.0)
+            / (count(*) + 1.0)) + 1.0 AS idf
+  FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3 AND doc_id < 50
+"""
+
+
+@_q("q_bm25_search")
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 documents for a 3-term query — explode filtered to
+    the query terms before any shuffle; top-N as TakeOrderedAndProject."""
+    from ..operators.ranking import bm25_scores
+    d = load(spark, sf_dir, "documents")
+    return bm25_scores(d, "doc_id", "text",
+                       query_terms=["spark", "shuffle", "partition"],
+                       top_n=10)
+
+
+ORACLE_SQL["q_bm25_search"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents
+), lens AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM lens) AS avg_len
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'shuffle', 'partition')
+  GROUP BY 1, 2
+), idf AS (
+  SELECT term, ln(1.0 + (stats.n_docs - count(DISTINCT doc_id) + 0.5)
+                  / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf, stats GROUP BY term, stats.n_docs
+), contrib AS (
+  SELECT tf.doc_id,
+         idf.idf * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avg_len)) AS c
+  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id), stats
+), scored AS (
+  SELECT doc_id, round(sum(c), 6) AS bm25,
+         count(*) AS n_matched_terms
+  FROM contrib GROUP BY doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, bm25, n_matched_terms, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (operators/text.py redact_pii)
+# ---------------------------------------------------------------------------
+
+@_q("q_pii_redaction")
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over the corpus with deterministic synthetic PII injected
+    into a slice of docs (the test corpus carries none) — counts + redacted
+    length per doc prove both detection and replacement.  One codegen
+    projection; no extra scan per rule."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.withColumn(
+        "text2",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat("text", F.lit(
+                   " contact alice@example.com or 555-123-4567")))
+         .when(F.col("doc_id") % 11 == 0,
+               F.concat("text", F.lit(
+                   " ssn 123-45-6789 mail bob.smith@corp.io")))
+         .otherwise(F.col("text")))
+    out = text.redact_pii(staged, "text2")
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ssns",
+        F.length("text2_redacted").alias("red_len"))
+
+
+ORACLE_SQL["q_pii_redaction"] = """
+WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact alice@example.com or 555-123-4567'
+              WHEN doc_id % 11 = 0
+              THEN text || ' ssn 123-45-6789 mail bob.smith@corp.io'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INTEGER) AS n_ssns,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+            '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g')) AS INTEGER) AS red_len
+FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (functions/udtf_fns.py — lateral correlated generator)
+# ---------------------------------------------------------------------------
+
+@_q("q_udtf_term_stats")
+def q_udtf_term_stats(spark, sf_dir):
+    """Spark 4 Python UDTF via lateral correlated join: per-document
+    distinct-term stats (term, first position, count) for the first 20
+    docs.  Registered + invoked through SQL — the full UDTF contract."""
+    from ..functions.udtf_fns import register_udtfs
+    register_udtfs(spark)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20) \
+        .createOrReplaceTempView("_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, t.term, t.first_pos, t.n_occurrences
+        FROM _udtf_docs d, LATERAL TermStats(d.text) t
+    """)
+
+
+ORACLE_SQL["q_udtf_term_stats"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\\w+')) AS term,
+         unnest(range(0, len(regexp_extract_all(lower(text), '\\w+')))) AS pos
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, term,
+       CAST(min(pos) AS INTEGER) AS first_pos,
+       CAST(count(*) AS INTEGER) AS n_occurrences
+FROM tok GROUP BY doc_id, term
+"""

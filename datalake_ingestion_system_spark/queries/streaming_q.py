@@ -332,3 +332,30 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 GROUP BY c.user_id
 """
+
+
+@_q("q_stream_static_join")
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: the event stream joined to the static
+    customer dimension (broadcast — re-resolved per micro-batch, so a
+    slowly-changing dim picks up updates between batches), aggregated per
+    market segment.  No watermark/state needed: the static side is not a
+    stream, so this is the cheapest streaming-join shape and the first one
+    a 100 TB pipeline should reach for."""
+    s = _events_stream(spark, sf_dir)
+    cust = (load(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("user_id"),
+                    "c_mktsegment"))
+    agg = (s.join(F.broadcast(cust), "user_id")
+           .groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    return _run_stream_to_memory(agg, spark)
+
+
+ORACLE_SQL["q_stream_static_join"] = """
+SELECT c.c_mktsegment, count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""

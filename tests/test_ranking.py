@@ -1,0 +1,70 @@
+"""Unit tests for ranking (TF-IDF / BM25), PII redaction, and the
+TermStats UDTF — hand-computed expectations on tiny corpora."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from datalake_ingestion_system_spark.operators import text as text_ops
+from datalake_ingestion_system_spark.operators.ranking import (bm25_scores,
+                                                               tfidf_top_terms)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, "spark spark shuffle"),
+         (1, "spark partition"),
+         (2, "window sort merge")],
+        "doc_id long, text string")
+
+
+def test_tfidf_hand_computed(spark):
+    out = {(r.doc_id, r.term): r.tfidf
+           for r in tfidf_top_terms(_docs(spark), "doc_id", "text", k=3).collect()}
+    # 'spark' appears in 2 of 3 docs: idf = ln(4/3) + 1; doc 0 tf = 2
+    assert out[(0, "spark")] == round(2 * (math.log(4 / 3) + 1), 6)
+    # 'shuffle' appears in 1 doc: idf = ln(4/2) + 1
+    assert out[(0, "shuffle")] == round(1 * (math.log(2) + 1), 6)
+    # rank within doc 0: spark (2.575) above shuffle (1.693)
+    ranks = {r.term: r.rnk for r in
+             tfidf_top_terms(_docs(spark), "doc_id", "text", k=3)
+             .filter(F.col("doc_id") == 0).collect()}
+    assert ranks["spark"] == 1 and ranks["shuffle"] == 2
+
+
+def test_bm25_orders_by_relevance(spark):
+    out = bm25_scores(_docs(spark), "doc_id", "text",
+                      query_terms=["spark", "shuffle"], top_n=10).collect()
+    by_rank = [r.doc_id for r in sorted(out, key=lambda r: r.rnk)]
+    # doc 0 matches both terms (one twice), doc 1 one term, doc 2 none
+    assert by_rank == [0, 1]
+    assert {r.doc_id: r.n_matched_terms for r in out} == {0: 2, 1: 1}
+    assert all(r.bm25 > 0 for r in out)
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [(0, "mail a.b@x.io and c@y.org call 555-123-4567"),
+         (1, "ssn 123-45-6789 plain text"),
+         (2, "nothing here")],
+        "id long, t string")
+    rows = {r.id: r for r in text_ops.redact_pii(df, "t").collect()}
+    assert (rows[0].n_emails, rows[0].n_phones, rows[0].n_ssns) == (2, 1, 0)
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ssns) == (0, 0, 1)
+    assert rows[0].t_redacted == "mail [EMAIL] and [EMAIL] call [PHONE]"
+    assert rows[1].t_redacted == "ssn [SSN] plain text"
+    assert rows[2].t_redacted == "nothing here"
+
+
+def test_udtf_term_stats_lateral(spark):
+    from datalake_ingestion_system_spark.functions.udtf_fns import \
+        register_udtfs
+    register_udtfs(spark)
+    spark.createDataFrame([(0, "A b a: b b?")], "doc_id long, text string") \
+        .createOrReplaceTempView("_udtf_t")
+    rows = {r.term: r for r in spark.sql(
+        "SELECT d.doc_id, t.* FROM _udtf_t d, LATERAL TermStats(d.text) t"
+    ).collect()}
+    assert rows["a"].first_pos == 0 and rows["a"].n_occurrences == 2
+    assert rows["b"].first_pos == 1 and rows["b"].n_occurrences == 3
+    assert set(rows) == {"a", "b"}
