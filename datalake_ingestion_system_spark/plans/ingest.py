@@ -60,9 +60,13 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sinks import TableFormat
 from ..sources import landing
 from ..sources.registry import (DATE_FMT, TIMESTAMP_FMT, TYPE_CODES,
                                 validate_registry)
+
+#: Default commit-ordered parquet writer (see sinks.py for the Delta swap).
+_DEFAULT_FORMAT = TableFormat()
 
 #: Quarantine table schema — reference FAILED_TO_CONVERT contract (D:103).
 QUARANTINE_SCHEMA = ("FILENAME string, HEADER_LIST string, HEADER_CNT string, "
@@ -159,18 +163,20 @@ def _commit_point(name: str) -> None:
     'state_appended'); a no-op in production."""
 
 
-def _read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+def _read_state(spark: SparkSession, state_dir: str,
+                fmt: TableFormat = _DEFAULT_FORMAT) -> DataFrame:
     try:
-        return spark.read.parquet(state_dir)
+        return fmt.read(spark, state_dir)
     except Exception:
         return spark.createDataFrame([], STATE_SCHEMA)
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_state(spark: SparkSession, state_dir: str,
+               fmt: TableFormat = _DEFAULT_FORMAT) -> DataFrame:
     """Processed-file state with duplicate appends collapsed (one row per
     filename, earliest processed_at wins) — the dedup-on-read half of the
     commit protocol; see module docstring."""
-    raw = _read_state(spark, state_dir)
+    raw = _read_state(spark, state_dir, fmt)
     return (raw.groupBy("filename")
             .agg(F.min(F.struct("processed_at", *[c for c in raw.columns
                                                   if c not in ("filename", "processed_at")]))
@@ -178,9 +184,10 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
             .select("filename", "_s.*"))
 
 
-def _read_quarantine(spark: SparkSession, quarantine_dir: str) -> DataFrame:
+def _read_quarantine(spark: SparkSession, quarantine_dir: str,
+                     fmt: TableFormat = _DEFAULT_FORMAT) -> DataFrame:
     try:
-        return spark.read.parquet(quarantine_dir)
+        return fmt.read(spark, quarantine_dir)
     except Exception:
         return spark.createDataFrame([], QUARANTINE_SCHEMA)
 
@@ -233,7 +240,8 @@ def ingest(spark: SparkSession,
            max_files_per_run: int | None = None,
            runs_dir: str | None = None,
            notifier: Callable[[IngestReport], None] | None = None,
-           lease_ttl_seconds: float = 3600.0) -> IngestReport:
+           lease_ttl_seconds: float = 3600.0,
+           fmt: TableFormat = _DEFAULT_FORMAT) -> IngestReport:
     """Run one ingestion pass.  Idempotent: re-runs skip files already in
     state, and re-processing a file overwrites exactly its partition.
 
@@ -266,7 +274,7 @@ def ingest(spark: SparkSession,
         if force_resync:
             pending = files
         else:
-            state = read_state(spark, state_dir)
+            state = read_state(spark, state_dir, fmt)
             pending = files.join(state.select("filename"), "filename", "left_anti")
         if max_files_per_run is not None:
             # oldest-NEW-first keeps backlog drain deterministic and starvation-
@@ -275,7 +283,7 @@ def ingest(spark: SparkSession,
             # a broken file would occupy a cap slot on every pass and block the
             # backlog.  orderBy+limit plans as TakeOrderedAndProject
             # (per-partition top-N, no global sort).
-            prior_q = (_read_quarantine(spark, quarantine_dir)
+            prior_q = (_read_quarantine(spark, quarantine_dir, fmt)
                        .select(F.col("FILENAME").alias("filename")).distinct()
                        .withColumn("_retry", F.lit(1)))
             pending = (pending.join(F.broadcast(prior_q), "filename", "left")
@@ -347,10 +355,7 @@ def ingest(spark: SparkSession,
                     else:
                         df = df.withColumn(c, F.col(c).cast(t))
             out = f"{storing_dir}/{g.feq}/{g.table}"
-            (df.repartition("TRANSFERRED_DATE")
-               .write.mode("overwrite")
-               .partitionBy("TRANSFERRED_DATE")
-               .parquet(out))
+            fmt.overwrite_partitions(df, out, "TRANSFERRED_DATE")
             report.tables_written.append(g.table)
         _commit_point("data_written")
 
@@ -371,13 +376,14 @@ def ingest(spark: SparkSession,
         )
         # dedup against the existing log: a re-routed (still-broken) file or a
         # crash-replay must not grow the log (ADVICE r1: unbounded duplicates)
-        prior_q = _read_quarantine(spark, quarantine_dir).select("FILENAME", "TYPE")
+        prior_q = _read_quarantine(spark, quarantine_dir, fmt).select(
+            "FILENAME", "TYPE")
         quarantined = quarantined.join(
             F.broadcast(prior_q), ["FILENAME", "TYPE"], "left_anti"
         ).select("FILENAME", "HEADER_LIST", "HEADER_CNT", "META_HEADER_LIST",
                  "META_HEADER_CNT", "START_EXEC_TIME", "TYPE")
         if quarantined.head(1):
-            quarantined.write.mode("append").parquet(quarantine_dir)
+            fmt.append(quarantined, quarantine_dir)
         _commit_point("quarantine_appended")
 
         now = F.current_timestamp()
@@ -391,7 +397,7 @@ def ingest(spark: SparkSession,
                     F.lit(report.run_id).alias("run_id"))
         )
         if new_state.head(1):
-            new_state.write.mode("append").parquet(state_dir)
+            fmt.append(new_state, state_dir)
         _commit_point("state_appended")
 
         routed.unpersist()
