@@ -8,7 +8,7 @@ and carry dedicated pytest coverage instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -1308,4 +1308,97 @@ SELECT doc_id, term,
        CAST(min(pos) AS INTEGER) AS first_pos,
        CAST(count(*) AS INTEGER) AS n_occurrences
 FROM tok GROUP BY doc_id, term
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / quantization utilities
+# ---------------------------------------------------------------------------
+
+@_q("q_bigram_merge_stats")
+def q_bigram_merge_stats(spark, sf_dir):
+    """Top-20 adjacent token pairs corpus-wide — the candidate-scoring step
+    of a BPE merge round.  Pairs are built in-row (zip of the token array
+    with its own tail: no self-join), exploded, and counted in one
+    partial-agg shuffle; global top-N plans as TakeOrderedAndProject."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(tokens("text").alias("ws"))
+    pairs = staged.select(
+        F.explode(
+            F.when(F.size("ws") >= 2,
+                   F.zip_with(F.slice("ws", 1, F.size("ws") - 1),
+                              F.slice("ws", 2, F.size("ws")),
+                              lambda a, b: F.concat_ws(" ", a, b)))
+            .otherwise(F.array().cast("array<string>"))).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+ORACLE_SQL["q_bigram_merge_stats"] = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
+), pairs AS (
+  SELECT unnest([ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]
+                 for i in range(1, len(ws))]) AS pair
+  FROM toks
+), counts AS (
+  SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+), ranked AS (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rnk
+  FROM counts
+)
+SELECT pair, n, CAST(rnk AS INTEGER) AS rnk FROM ranked WHERE rnk <= 20
+"""
+
+
+@_q("q_embedding_quantize")
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (the storage
+    path for ANN indexes at 100 TB: 4× smaller, scale factor per vector).
+    round-half-up via floor(x + 0.5) so both engines agree bit-for-bit;
+    outputs are scalar summaries (driver-comparable), the quantized array
+    itself never leaves the row."""
+    e = load(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(vec, F.abs))
+    scale = 127.0 / amax
+    q = F.transform(vec, lambda v: F.floor(v * scale + 0.5).cast("long"))
+    recon_err = F.round(
+        F.aggregate(
+            F.zip_with(vec, q, lambda v, qq: F.abs(v - qq / scale)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        / F.size(vec), 9)
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale_r"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        recon_err.alias("recon_mae"))
+
+
+ORACLE_SQL["q_embedding_quantize"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> abs(x))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, vec, scale,
+         list_transform(vec, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+  FROM v
+)
+SELECT vec_id,
+       round(scale, 6) AS scale_r,
+       list_sum(qv) AS q_sum,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max,
+       round(list_sum(list_transform(range(1, len(vec) + 1),
+                      i -> abs(vec[CAST(i AS INTEGER)]
+                               - qv[CAST(i AS INTEGER)] / scale)))
+             / len(vec), 9) AS recon_mae
+FROM q
 """
