@@ -1402,3 +1402,35 @@ SELECT vec_id,
              / len(vec), 9) AS recon_mae
 FROM q
 """
+
+
+@_q("q_scd2_user_state")
+def q_scd2_user_state(spark, sf_dir):
+    """SCD2 (type-2 slowly-changing dimension) build from the event log:
+    per user, the validity interval of each event_type "state" — valid_from
+    = the event, valid_to = the next event's time (NULL while current).
+    One window shuffle on the natural key; the same shape maintains any
+    dimension table from a mutation stream (the reference's config table
+    IS such a validity-interval table, CSV-maintained by hand)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts", 1).over(w).alias("valid_to"),
+        F.col("event_id"))
+        .withColumn("is_current",
+                    F.when(F.col("valid_to").isNull(), 1).otherwise(0)))
+
+
+ORACLE_SQL["q_scd2_user_state"] = """
+SELECT user_id,
+       event_type AS state,
+       ts AS valid_from,
+       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       event_id,
+       CASE WHEN lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+"""
