@@ -68,3 +68,28 @@ def test_udtf_term_stats_lateral(spark):
     assert rows["a"].first_pos == 0 and rows["a"].n_occurrences == 2
     assert rows["b"].first_pos == 1 and rows["b"].n_occurrences == 3
     assert set(rows) == {"a", "b"}
+
+
+def test_quantization_error_bound(spark):
+    """Symmetric int8 quantization: per-element |v - q/scale| ≤ 0.5/scale,
+    so recon_mae ≤ 0.5/scale for every vector (the dequantization bound)."""
+    import __spark_entry__ as e
+    out = e.queries()["q_embedding_quantize"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert -127 <= r.q_min <= r.q_max <= 127
+        assert r.recon_mae <= 0.5 / r.scale_r + 1e-6
+
+
+def test_redact_idempotent(spark):
+    """Redacting already-redacted text is a no-op (placeholders don't match
+    any PII pattern) — safe to re-run the scrub over a partially-clean lake."""
+    df = spark.createDataFrame(
+        [(0, "mail a.b@x.io call 555-123-4567 ssn 123-45-6789")],
+        "id long, t string")
+    once = text_ops.redact_pii(df, "t").select(
+        "id", F.col("t_redacted").alias("t"))
+    twice = text_ops.redact_pii(once, "t").collect()[0]
+    assert twice.t_redacted == twice.t
+    assert (twice.n_emails, twice.n_phones, twice.n_ssns) == (0, 0, 0)

@@ -72,6 +72,17 @@ def main(only: list[str]) -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        # The DRIVER's canonicalizer sorts rows with pandas and crashes on
+        # array/map/struct cells — fail locally so it can't reach CI.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+        complex_cols = [f.name for f in sdf.schema.fields
+                        if isinstance(f.dataType, (ArrayType, MapType,
+                                                   StructType))]
+        if complex_cols:
+            print(f"FAIL  {name}: non-scalar output columns {complex_cols} "
+                  "(driver canonicalizer cannot sort these)")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
