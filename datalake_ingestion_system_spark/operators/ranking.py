@@ -89,3 +89,28 @@ def bm25_scores(df: DataFrame, id_col: str, text_col: str,
     top = scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top_n)
     w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str,
+             rank_a: str = "r_a", rank_b: str = "r_b",
+             k: int = 60, top_n: int = 10,
+             round_digits: int = 9) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval arms:
+    score(d) = Σ 1/(k + rank_arm(d)), missing arm contributes 0 — the
+    standard score-free way to combine lexical (BM25) and semantic
+    (embedding) retrieval.  Inputs are the (id, rank) frames of each arm;
+    both are candidate-list sized, so the full-outer join is tiny
+    regardless of corpus size.  Top-N via orderBy+limit
+    (TakeOrderedAndProject)."""
+    fused = (ranked_a.join(ranked_b, id_col, "full_outer")
+             .select(
+                 F.col(id_col),
+                 F.round(
+                     F.coalesce(1.0 / (F.lit(k) + F.col(rank_a)), F.lit(0.0))
+                     + F.coalesce(1.0 / (F.lit(k) + F.col(rank_b)),
+                                  F.lit(0.0)),
+                     round_digits).alias("rrf"),
+                 rank_a, rank_b))
+    top = fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(top_n)
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return top.withColumn("rnk", F.row_number().over(w))

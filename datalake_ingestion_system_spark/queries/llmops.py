@@ -1434,3 +1434,77 @@ SELECT user_id,
                  IS NULL THEN 1 ELSE 0 END AS is_current
 FROM events
 """
+
+
+@_q("q_hybrid_rrf")
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical arm + embedding-cosine semantic arm
+    (query-by-example: vector 0), fused by reciprocal rank (k=60) — the
+    standard lexical+vector fusion a retrieval-backed corpus slicer runs.
+    Both arms rank on rounded scores with id tie-breaks, so fusion is
+    deterministic cross-engine."""
+    from ..operators.ranking import bm25_scores, rrf_fuse
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    lex = bm25_scores(d, "doc_id", "text",
+                      query_terms=["spark", "shuffle", "partition"],
+                      top_n=50).select("doc_id", F.col("rnk").alias("r_lex"))
+    sem = (similarity.brute_force_topk(e, e.filter(F.col("vec_id") == 0),
+                                       k=50)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rnk").alias("r_sem")))
+    return rrf_fuse(lex, sem, "doc_id", rank_a="r_lex", rank_b="r_sem",
+                    k=60, top_n=10)
+
+
+ORACLE_SQL["q_hybrid_rrf"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents
+), lens AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM lens) AS avg_len
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'shuffle', 'partition') GROUP BY 1, 2
+), idf AS (
+  SELECT term, ln(1.0 + (stats.n_docs - count(DISTINCT doc_id) + 0.5)
+                  / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf, stats GROUP BY term, stats.n_docs
+), contrib AS (
+  SELECT tf.doc_id,
+         idf.idf * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avg_len)) AS c
+  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id), stats
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+  FROM (SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib GROUP BY doc_id)
+  QUALIFY r_lex <= 50
+), sem AS (
+  SELECT neighbor_id AS doc_id,
+         row_number() OVER (ORDER BY cosine_sim DESC, neighbor_id ASC) AS r_sem
+  FROM (
+    SELECT c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6)
+             AS cosine_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id = 0
+  )
+  QUALIFY r_sem <= 50
+), fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + r_lex), 0.0)
+               + coalesce(1.0 / (60 + r_sem), 0.0), 9) AS rrf,
+         r_lex, r_sem
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk
+  FROM fused
+)
+SELECT doc_id, rrf, r_lex, r_sem, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 10
+"""
