@@ -601,13 +601,17 @@ FROM ranked WHERE rnk <= 5
 @_q("q_ann_lsh_topk")
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via hyperplane-LSH bucketing — the 100 TB scale path
-    (bucket equi-join instead of cross join).  Approximate ⇒ rows-only;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    (bucket equi-join instead of cross join).  Approximate vs brute force,
+    but DETERMINISTIC given the seeded planes — the generated DuckDB oracle
+    (``_lsh_ann_oracle_sql``) reproduces buckets, OR-construction, and
+    ranking exactly; recall floor additionally asserted in
+    tests/test_similarity.py."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return similarity.lsh_ann_topk(e, q, k=5, n_planes=4).select(
         "query_id", "neighbor_id", "cosine_sim", "rnk")
-# (no ORACLE_SQL: approximate by design)
+# (ORACLE_SQL registered below: _lsh_ann_oracle_sql generates the mirror
+#  with the same seeded hyperplane literals)
 
 
 #: IVF coarse quantizers are an OFFLINE-built index (train once, serve
@@ -1508,3 +1512,50 @@ WITH tok AS (
 SELECT doc_id, rrf, r_lex, r_sem, CAST(rnk AS INTEGER) AS rnk
 FROM ranked WHERE rnk <= 10
 """
+
+
+def _lsh_ann_oracle_sql(n_queries: int = 10, k: int = 5,
+                        n_planes: int = 4, n_tables: int = 8,
+                        dim: int = 64, seed: int = 42) -> str:
+    """Generate the DuckDB mirror of ``lsh_ann_topk``: the SAME seeded
+    hyperplane constants (``repr`` round-trips each double exactly), the
+    same sign-bit buckets, OR-construction across tables, and the same
+    rounded-cosine ranking.  A sign can only disagree across engines if a
+    dot product lands within ~1e-13 of zero (summation-order noise) —
+    probability ~0 on continuous data, so candidate sets agree."""
+    from ..operators.similarity import _hyperplanes
+    tables = [_hyperplanes(dim, n_planes, seed + 1013 * t)
+              for t in range(n_tables)]
+
+    def bucket_expr(alias: str, planes) -> str:
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product({a}.v, [{lit}]) >= 0 "
+            "THEN {w} ELSE 0 END)".format(
+                a=alias, w=1 << i,
+                lit=", ".join(repr(x) for x in p))
+            for i, p in enumerate(planes))
+        return f"({bits})"
+
+    q_buckets = [bucket_expr("q", t) for t in tables]
+    c_buckets = [bucket_expr("c", t) for t in tables]
+    any_match = " OR ".join(f"{qb} = {cb}"
+                            for qb, cb in zip(q_buckets, c_buckets))
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine_sim
+  FROM v q JOIN v c ON q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+   AND ({any_match})
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+ORACLE_SQL["q_ann_lsh_topk"] = _lsh_ann_oracle_sql()
