@@ -1559,3 +1559,55 @@ FROM ranked WHERE rnk <= {k}
 
 
 ORACLE_SQL["q_ann_lsh_topk"] = _lsh_ann_oracle_sql()
+
+
+@_q("q_fuzzy_match_keys")
+def q_fuzzy_match_keys(spark, sf_dir):
+    """Fuzzy key matching via edit distance over a bounded candidate block
+    (the record-linkage shape: block first, then exact Levenshtein on the
+    survivors — never all-pairs at corpus scale).  Prefixes keep the work
+    bounded and deterministic."""
+    d = (load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+         .select("doc_id", F.substring("text", 1, 20).alias("key")))
+    a, b = d.alias("a"), d.alias("b")
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.levenshtein("a.key", "b.key").alias("edit_dist"))
+            .filter(F.col("edit_dist") <= 12))
+
+
+ORACLE_SQL["q_fuzzy_match_keys"] = """
+WITH k AS (
+  SELECT doc_id, substring(text, 1, 20) AS key
+  FROM documents WHERE doc_id < 30
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.key, b.key) AS INTEGER) AS edit_dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 12
+"""
+
+
+@_q("q_json_path_extract")
+def q_json_path_extract(spark, sf_dir):
+    """JSON path extraction from the event props column
+    (``get_json_object`` — the schemaless probe, vs ``from_json``'s typed
+    parse covered by q_from_json_struct) with per-type stats."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max")))
+
+
+ORACLE_SQL["q_json_path_extract"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events GROUP BY event_type
+"""
