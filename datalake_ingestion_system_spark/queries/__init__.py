@@ -14,9 +14,17 @@ from . import functional, llmops, relational, streaming_q, tpch
 # Merge order controls which queries front the dict (CI samples a prefix).
 # Round 2 verified the relational+tpch tier; round 3 fronts the
 # llmops/streaming/functional tier so its queries get verified rows too.
-# The two llmops queries already verified in round 2 are rotated to the back.
+# Queries with a green CORRECTNESS row in an earlier round rotate to the
+# back so the sampled prefix spends its slots on not-yet-driver-verified
+# entries (every rotated query remains registered and locally verified).
 _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
-_ROTATE_TO_BACK = ("q_dedup_exact", "q_doc_fingerprint")
+_ROTATE_TO_BACK = (
+    # verified green in CORRECTNESS_r02
+    "q_dedup_exact", "q_doc_fingerprint",
+    # verified green in CORRECTNESS_r03
+    "q_word_jaccard_pairs", "q_ngram_jaccard_pairs", "q_text_quality",
+    "q_lang_id",
+)
 
 
 def _merge(attr):

@@ -1611,3 +1611,63 @@ SELECT event_type, count(*) AS n,
        CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
 FROM events GROUP BY event_type
 """
+
+
+@_q("q_dedup_keep_best")
+def q_dedup_keep_best(spark, sf_dir):
+    """The dedup DECISION step: within each duplicate cluster (connected
+    components over the near-dup graph), keep the highest-quality copy
+    (lexical diversity = distinct-token count; doc_id tie-break) instead
+    of the arbitrary smallest-id — what a real corpus clean actually ships.
+    Components + one window over cluster-sized groups."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sets = d.select("doc_id", F.array_distinct(tokens("text")).alias("ws"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("long")
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws"))).cast("long")
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .where(F.round(inter / union, 4) >= 0.8)
+    )
+    comp = dedup.connected_components(edges, d.select("doc_id"),
+                                      id_col="doc_id")
+    quality = sets.select("doc_id", F.size("ws").alias("quality"))
+    w = Window.partitionBy("component").orderBy(F.desc("quality"),
+                                                F.asc("doc_id"))
+    return (comp.join(quality, "doc_id")
+            .withColumn("pick", F.row_number().over(w))
+            .select("doc_id", "component", "quality",
+                    (F.col("pick") == 1).alias("is_kept")))
+
+
+ORACLE_SQL["q_dedup_keep_best"] = """
+WITH RECURSIVE sets AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\\w+')) AS ws
+  FROM documents WHERE doc_id < 30
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS BIGINT) AS n_common,
+         CAST(len(a.ws) + len(b.ws) AS BIGINT) AS n_total
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE round(CAST(n_common AS DOUBLE) / (n_total - n_common), 4) >= 0.8
+), bi AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION ALL SELECT id_b, id_a FROM edges
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM sets
+  UNION
+  SELECT bi.d, reach.r FROM reach JOIN bi ON bi.s = reach.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), q AS (
+  SELECT doc_id, CAST(len(ws) AS INTEGER) AS quality FROM sets
+)
+SELECT comp.doc_id, component, quality,
+       row_number() OVER (PARTITION BY component
+                          ORDER BY quality DESC, comp.doc_id ASC) = 1 AS is_kept
+FROM comp JOIN q ON comp.doc_id = q.doc_id
+"""
