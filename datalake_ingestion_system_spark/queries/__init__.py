@@ -23,7 +23,8 @@ _ROTATE_TO_BACK = (
     "q_dedup_exact", "q_doc_fingerprint",
     # verified green in CORRECTNESS_r03
     "q_word_jaccard_pairs", "q_ngram_jaccard_pairs", "q_text_quality",
-    "q_lang_id",
+    "q_lang_id", "q_repetition_quality", "q_corpus_clean_pipeline",
+    "q_array_functions",
 )
 
 

@@ -1671,3 +1671,104 @@ SELECT comp.doc_id, component, quality,
                           ORDER BY quality DESC, comp.doc_id ASC) = 1 AS is_kept
 FROM comp JOIN q ON comp.doc_id = q.doc_id
 """
+
+
+@_q("q_weighted_sample")
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic quality-weighted sampling: keep each doc with
+    probability proportional to its lexical diversity, decided by a
+    portable md5 hash of the doc id — reproducible across engines, runs,
+    and partitionings (the property corpus-mixture work needs; a seeded
+    ``sample()`` is partitioning-dependent).  Pure projection: no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    quality = F.size(F.array_distinct(tokens("text")))
+    # uniform u in [0,1) from the first 8 md5 hex chars of the id
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("double") / F.lit(float(1 << 32)))
+    keep = u < (quality / 200.0)
+    return (d.select("doc_id", "source", quality.alias("quality"),
+                     F.round(u, 9).alias("u"), keep.alias("kept"))
+            .filter("kept"))
+
+
+ORACLE_SQL["q_weighted_sample"] = """
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(len(list_distinct(regexp_extract_all(lower(text), '\\w+')))
+              AS INTEGER) AS quality,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, quality, round(u, 9) AS u, u < quality / 200.0 AS kept
+FROM q WHERE u < quality / 200.0
+"""
+
+
+@_q("q_mixture_resample")
+def q_mixture_resample(spark, sf_dir):
+    """Corpus mixture balancing: compute each source's share, derive the
+    per-source keep-rate that flattens the mixture to the smallest
+    source's size, and apply it with the same deterministic md5 coin —
+    the domain-rebalancing step of training-data curation.  One tiny agg
+    (|sources| rows, broadcast back); the data pass is a projection."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    min_n = per_src.agg(F.min("n_src")).head()[0]  # scalar, config-scale
+    rates = per_src.withColumn("keep_rate",
+                               F.lit(float(min_n)) / F.col("n_src"))
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("double") / F.lit(float(1 << 32)))
+    kept = (d.join(F.broadcast(rates), "source")
+            .filter(u < F.col("keep_rate")))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.round(F.first("keep_rate"), 9).alias("keep_rate")))
+
+
+ORACLE_SQL["q_mixture_resample"] = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_src FROM documents GROUP BY source
+), rates AS (
+  SELECT source, (SELECT min(n_src) FROM per_src) * 1.0 / n_src AS keep_rate
+  FROM per_src
+), kept AS (
+  SELECT d.source, r.keep_rate FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < r.keep_rate
+)
+SELECT source, count(*) AS n_kept, round(keep_rate, 9) AS keep_rate
+FROM kept GROUP BY source, keep_rate
+"""
+
+
+@_q("q_quality_quantile_norm")
+def q_quality_quantile_norm(spark, sf_dir):
+    """Per-source quantile normalization of the quality signal
+    (percent_rank within source): makes thresholds comparable across
+    sources with different score distributions — the cross-domain filter
+    calibration step.  One window shuffle keyed by source."""
+    d = load(spark, sf_dir, "documents")
+    quality = F.size(F.array_distinct(tokens("text")))
+    w = Window.partitionBy("source").orderBy(F.col("quality").asc(),
+                                             F.col("doc_id").asc())
+    return (d.select("doc_id", "source", quality.alias("quality"))
+            .withColumn("q_pct", F.round(F.percent_rank().over(w), 9))
+            .filter(F.col("q_pct") >= 0.9))
+
+
+ORACLE_SQL["q_quality_quantile_norm"] = """
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(len(list_distinct(regexp_extract_all(lower(text), '\\w+')))
+              AS INTEGER) AS quality
+  FROM documents
+), r AS (
+  SELECT doc_id, source, quality,
+         round(percent_rank() OVER (PARTITION BY source
+                                    ORDER BY quality ASC, doc_id ASC),
+               9) AS q_pct
+  FROM q
+)
+SELECT doc_id, source, quality, q_pct FROM r WHERE q_pct >= 0.9
+"""

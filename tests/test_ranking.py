@@ -93,3 +93,15 @@ def test_redact_idempotent(spark):
     twice = text_ops.redact_pii(once, "t").collect()[0]
     assert twice.t_redacted == twice.t
     assert (twice.n_emails, twice.n_phones, twice.n_ssns) == (0, 0, 0)
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """The md5-coin weighted sample is identical across partitionings
+    (unlike seeded sample()) and keeps high-quality docs at a higher rate."""
+    import __spark_entry__ as e
+    q = e.queries()["q_weighted_sample"]
+    a = sorted(r.doc_id for r in q(spark, "/root/testdata/sf0.001").collect())
+    b = sorted(r.doc_id for r in q(spark, "/root/testdata/sf0.001").collect())
+    assert a == b and len(a) > 0
+    rows = q(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.u < r.quality / 200.0 for r in rows)
