@@ -64,3 +64,40 @@ def test_broadcast_join_for_small_dim(spark):
           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
     plan = _explain(j)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_topn_plans_as_take_ordered(spark):
+    """BM25's global top-N must be TakeOrderedAndProject (per-partition
+    heads), never a single-task global window over all matching docs."""
+    from datalake_ingestion_system_spark.catalog import load
+    from datalake_ingestion_system_spark.operators.ranking import bm25_scores
+    d = load(spark, SF001, "documents")
+    out = bm25_scores(d, "doc_id", "text", ["spark", "shuffle"], top_n=10)
+    plan = _explain(out)
+    assert "TakeOrderedAndProject" in plan
+    # the final row_number window runs AFTER the limit (top_n rows only)
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_pii_redaction_single_scan(spark):
+    """All six regexp expressions (3 counts + 3 replaces) must evaluate in
+    one projection over ONE scan — rule count grows the expression, not
+    the pass count."""
+    from datalake_ingestion_system_spark.catalog import load
+    from datalake_ingestion_system_spark.operators import text as text_ops
+    d = load(spark, SF001, "documents")
+    import re
+    plan = _explain(text_ops.redact_pii(d, "text"))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_minhash_verifiable_no_python_stage(spark):
+    """The verifiable (md5) MinHash path must stay JVM-side: no
+    BatchEvalPython / ArrowEvalPython stage anywhere in the plan."""
+    from datalake_ingestion_system_spark.catalog import load
+    from datalake_ingestion_system_spark.operators import dedup
+    d = load(spark, SF001, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", 32, 3,
+                                    token_hash="md5")
+    plan = _explain(sigs)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
