@@ -948,3 +948,140 @@ SELECT user_id,
 FROM s
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Warehouse analytics classics: cohort retention, RFM, funnel (§2.6 depth)
+# ---------------------------------------------------------------------------
+
+@_q("q_cohort_retention")
+def q_cohort_retention(spark, sf_dir):
+    """Day-cohort retention triangle: users grouped by first-seen day,
+    counted per day-offset of return activity.  Two keyed aggregations
+    (first-seen per user: map-side partial; then cohort × offset counts);
+    the per-user first-seen frame is user-cardinality-sized."""
+    e = load(spark, sf_dir, "events")
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.min(F.to_date(F.col("ts"))).alias("cohort_day")))
+    return (e.join(first_seen, "user_id")
+            .select("user_id", "cohort_day",
+                    F.datediff(F.to_date(F.col("ts")),
+                               F.col("cohort_day")).alias("day_offset"))
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .filter(F.col("day_offset") <= 7))
+
+
+ORACLE_SQL["q_cohort_retention"] = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+  GROUP BY user_id
+)
+SELECT cohort_day,
+       CAST(datediff('day', cohort_day, CAST(ts AS DATE)) AS INTEGER)
+         AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+HAVING day_offset <= 7
+"""
+
+
+@_q("q_rfm_segmentation")
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM segmentation over purchase events: per-user recency (days since
+    last purchase vs corpus max day), frequency, monetary → quartile codes
+    via ntile, segment counts.  Everything after the per-user aggregate
+    runs on user-cardinality data.
+
+    Scale note: the three global ntile windows funnel the per-user frame
+    through one task — exact-quartile semantics are only worth that up to
+    ~1e7 users.  Beyond that, swap to ``percentile_approx`` threshold
+    literals + ``CASE`` bucketing (a broadcast of 9 numbers; same output
+    modulo boundary ties), which keeps the whole query shuffle-partial."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    max_day = e.agg(F.max(F.to_date(F.col("ts")))).head()[0]  # scalar
+    per_user = (e.groupBy("user_id")
+                .agg(F.datediff(F.lit(max_day),
+                                F.max(F.to_date(F.col("ts")))).alias("recency"),
+                     F.count("*").alias("frequency"),
+                     F.round(F.sum("value"), 2).alias("monetary")))
+    r = F.ntile(4).over(Window.orderBy(F.asc("recency"), F.asc("user_id")))
+    fm = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+    seg = per_user.select(
+        "user_id", r.alias("r_q"), fm.alias("f_q"), m.alias("m_q"))
+    return (seg.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count("*").alias("n_users")))
+
+
+ORACLE_SQL["q_rfm_segmentation"] = """
+WITH p AS (
+  SELECT * FROM events WHERE event_type = 'purchase'
+), per_user AS (
+  SELECT user_id,
+         CAST(datediff('day', max(CAST(ts AS DATE)),
+                       (SELECT max(CAST(ts AS DATE)) FROM p)) AS INTEGER)
+           AS recency,
+         count(*) AS frequency,
+         round(sum(value), 2) AS monetary
+  FROM p GROUP BY user_id
+), seg AS (
+  SELECT user_id,
+         ntile(4) OVER (ORDER BY recency ASC, user_id ASC) AS r_q,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_q,
+         ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m_q
+  FROM per_user
+)
+SELECT r_q, f_q, m_q, count(*) AS n_users
+FROM seg GROUP BY 1, 2, 3
+"""
+
+
+@_q("q_funnel_conversion")
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel: per user, did a view → click → purchase sequence
+    occur in timestamp order?  min-timestamp-per-stage comparison — one
+    conditional aggregate per stage in a single per-user agg, no joins,
+    no window."""
+    e = load(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = e.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"))
+    reached_click = (F.col("t_view").isNotNull()
+                     & F.col("t_click").isNotNull()
+                     & (F.col("t_click") > F.col("t_view")))
+    reached_purchase = (reached_click & F.col("t_purchase").isNotNull()
+                        & (F.col("t_purchase") > F.col("t_click")))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("n_view"),
+        F.sum(F.when(reached_click, 1).otherwise(0))
+         .cast("long").alias("n_view_click"),
+        F.sum(F.when(reached_purchase, 1).otherwise(0))
+         .cast("long").alias("n_full_funnel"))
+
+
+ORACLE_SQL["q_funnel_conversion"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click > t_view AND t_purchase IS NOT NULL
+                      AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_funnel
+FROM per_user
+"""
