@@ -36,3 +36,34 @@ def test_ddl_for_codes():
     assert registry.ddl_for(["a"], ["2"], all_string=True) == "`a` string"
     with pytest.raises(registry.ConfigError):
         registry.ddl_for(["a"], ["9"])
+
+
+def test_registry_integrity():
+    """No query name may be defined in two modules (dict merge would
+    silently shadow one), every callable carries its registry name, and
+    every oracle key has a matching query."""
+    from datalake_ingestion_system_spark.queries import (_MODULE_ORDER,
+                                                         all_oracle_sql,
+                                                         all_queries)
+    seen = {}
+    for mod in _MODULE_ORDER:
+        for name in mod.QUERIES:
+            assert name not in seen, \
+                f"{name} defined in both {seen[name]} and {mod.__name__}"
+            seen[name] = mod.__name__
+    qs = all_queries()
+    assert set(seen) == set(qs)
+    for name, fn in qs.items():
+        assert fn.__name__ == name
+    orphans = set(all_oracle_sql()) - set(qs)
+    assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_rotated_queries_stay_registered():
+    """Rotation reorders the dict; it must never drop a query."""
+    from datalake_ingestion_system_spark.queries import (_ROTATE_TO_BACK,
+                                                         all_queries)
+    qs = list(all_queries())
+    for name in _ROTATE_TO_BACK:
+        assert name in qs
+    assert qs[-len(_ROTATE_TO_BACK):] == list(_ROTATE_TO_BACK)
