@@ -366,3 +366,49 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
         F.lit(0),
     )
     return voted.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def chargram_minhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Character-n-gram MinHash-LSH near-dup pairs — the unit of choice for
+    short or unsegmented (CJK-like) text where word shingles are too coarse.
+
+    Always runs in the verifiable md5 hash family.  Simpler plan than the
+    word pipeline: each char n-gram IS the shingle, so after the explode +
+    codegen md5 projection the 32 affine mins aggregate DIRECTLY over rows
+    (map-side partial — no array reassembly at all), then banding/verify
+    reuse ``lsh_candidate_pairs`` / char-gram Jaccard."""
+    from ..functions.textfns import char_ngrams
+    p = MINHASH_P
+    grams = (
+        df.select(F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("_g"))
+        .select(F.col(id_col),
+                F.pmod(token_hash_expr(F.col("_g"), "md5"), F.lit(p)).alias("_h"))
+        .distinct())
+    aggs = [F.min(F.pmod(F.col("_h") * F.lit(2 * i + 1)
+                         + F.lit(i * 98765431), F.lit(p))).alias(f"_m{i}")
+            for i in range(num_hashes)]
+    sigs = (grams.groupBy(id_col).agg(*aggs)
+            .select(F.col(id_col),
+                    F.array(*[f"_m{i}" for i in range(num_hashes)])
+                     .alias("minhash")))
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes,
+                                band_hash="poly")
+    gsets = (df.select(F.col(id_col),
+                       F.array_distinct(char_ngrams(text_col, n)).alias("gs"))
+             .persist())
+    try:
+        a, b = gsets.alias("ga"), gsets.alias("gb")
+        inter = F.size(F.array_intersect(F.col("ga.gs"), F.col("gb.gs")))
+        union = F.size(F.array_union(F.col("ga.gs"), F.col("gb.gs")))
+        out = (pairs.join(a, pairs.id_a == F.col(f"ga.{id_col}"))
+               .join(b, pairs.id_b == F.col(f"gb.{id_col}"))
+               .select("id_a", "id_b",
+                       F.when(union > 0, F.round(inter / union, 4))
+                        .otherwise(0.0).alias("jaccard"))
+               .filter(F.col("jaccard") >= threshold)
+               .localCheckpoint(eager=True))
+    finally:
+        gsets.unpersist()
+    return out

@@ -157,3 +157,38 @@ def refresh_rollup(spark: SparkSession, fact_dir: str, rollup_dir: str,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     return rolled.select(partition_col).distinct().count()
+
+
+def expire_partitions(spark: SparkSession, table_dir: str,
+                      cutoff: str,
+                      partition_col: str = "TRANSFERRED_DATE") -> list[str]:
+    """Retention enforcement: drop date partitions strictly older than
+    ``cutoff`` (ISO date string) from a ``partition_col=value`` layout.
+
+    Works at partition granularity — O(|partitions|) driver-side directory
+    ops, zero data read/rewrite (the property that makes retention viable
+    at 100 TB: deleting a day is a directory unlink, not a job).  Returns
+    the dropped partition values.  On an object store the same walk maps
+    to prefix-delete batches; with a transactional format use its native
+    ``DELETE WHERE`` instead (see sinks.py).
+    """
+    import datetime
+    import os
+    import shutil
+
+    cut = datetime.date.fromisoformat(cutoff)
+    prefix = f"{partition_col}="
+    dropped = []
+    if not os.path.isdir(table_dir):
+        return dropped
+    for name in sorted(os.listdir(table_dir)):
+        if not name.startswith(prefix):
+            continue
+        try:
+            value = datetime.date.fromisoformat(name[len(prefix):])
+        except ValueError:
+            continue  # non-date partition value — never touch it
+        if value < cut:
+            shutil.rmtree(os.path.join(table_dir, name))
+            dropped.append(name[len(prefix):])
+    return dropped

@@ -24,7 +24,7 @@ _ROTATE_TO_BACK = (
     # verified green in CORRECTNESS_r03
     "q_word_jaccard_pairs", "q_ngram_jaccard_pairs", "q_text_quality",
     "q_lang_id", "q_repetition_quality", "q_corpus_clean_pipeline",
-    "q_array_functions",
+    "q_array_functions", "q_embedding_norm_stats",
 )
 
 

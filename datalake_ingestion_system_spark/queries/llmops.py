@@ -1772,3 +1772,63 @@ WITH q AS (
 )
 SELECT doc_id, source, quality, q_pct FROM r WHERE q_pct >= 0.9
 """
+
+
+@_q("q_minhash_chargram_pairs")
+def q_minhash_chargram_pairs(spark, sf_dir):
+    """Char-3-gram MinHash-LSH near-dup pairs — the unit for short or
+    unsegmented (CJK-like) text.  Verifiable md5 family throughout, so the
+    oracle reproduces the whole pipeline; simpler plan than the word
+    variant (gram = shingle ⇒ the 32 mins aggregate straight over rows,
+    map-side partial, no array reassembly)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.chargram_minhash_pairs(d, "doc_id", "text",
+                                        num_hashes=32, bands=8, n=3,
+                                        threshold=0.5)
+
+
+ORACLE_SQL["q_minhash_chargram_pairs"] = f"""
+WITH nt AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 100
+), grams AS (
+  SELECT doc_id,
+         list_distinct([('0x' || substring(md5(substr(t, CAST(i AS INTEGER), 3)),
+                                           1, 15))::BIGINT % 2147483647
+                        for i in range(1, length(t) - 1)]) AS hs
+  FROM nt
+), sig AS (
+  SELECT doc_id,
+         [list_min([(h * (2 * i + 1) + i * 98765431) % 2147483647
+                    for h in hs])
+          for i in range(0, 32)] AS sig
+  FROM grams WHERE len(hs) > 0
+), banded AS (
+  SELECT doc_id, b,
+         ((((sig[CAST(b AS INTEGER) * 4 + 1] * 1000003
+             + sig[CAST(b AS INTEGER) * 4 + 2]) % 2147483647) * 1000003
+             + sig[CAST(b AS INTEGER) * 4 + 3]) % 2147483647 * 1000003
+             + sig[CAST(b AS INTEGER) * 4 + 4]) % 2147483647 AS bh
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+  QUALIFY count(*) OVER (PARTITION BY b, bh) <= 500
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a JOIN banded c ON a.b = c.b AND a.bh = c.bh
+                             AND a.doc_id < c.doc_id
+), gsets AS (
+  SELECT doc_id,
+         list_distinct([substr(t, CAST(i AS INTEGER), 3)
+                        for i in range(1, length(t) - 1)]) AS gs
+  FROM nt
+), scored AS (
+  SELECT id_a, id_b,
+         len(list_filter(a.gs, x -> list_contains(b.gs, x))) AS n_inter,
+         len(a.gs) + len(b.gs)
+           - len(list_filter(a.gs, x -> list_contains(b.gs, x))) AS n_union
+  FROM cand JOIN gsets a ON cand.id_a = a.doc_id
+            JOIN gsets b ON cand.id_b = b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+FROM scored
+WHERE n_union > 0 AND round(CAST(n_inter AS DOUBLE) / n_union, 4) >= 0.5
+"""

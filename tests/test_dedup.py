@@ -157,3 +157,20 @@ def test_connected_components_planted_graph(spark):
            for r in dedup.connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 4, 8: 4,
                    10: 10, 11: 10, 20: 20}
+
+
+def test_chargram_minhash_recovers_planted_pair(spark):
+    """Char-gram MinHash finds a planted copy-with-small-edit pair and
+    scores it above clearly-different text."""
+    from datalake_ingestion_system_spark.operators.dedup import \
+        chargram_minhash_pairs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, base), (1, base.replace("lazy", "hazy")),
+            (2, "completely different content with other words entirely"),
+            (3, "yet another unrelated sentence talking about something")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in chargram_minhash_pairs(df, "doc_id", "text",
+                                             threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.8
+    assert all({a, b} <= {0, 1} for a, b in pairs)

@@ -58,3 +58,23 @@ def test_backup_and_ddl_export(spark, landing, tmp_path):
     assert spark.read.parquet(out).count() == 4
     ddl = mnt.export_ddl(spark)
     assert ddl.columns == ["table", "ddl", "exported_at"]
+
+
+def test_expire_partitions(spark, tmp_path):
+    """Retention drops exactly the partitions older than the cutoff —
+    directory unlinks, no data rewrite — and ignores malformed values."""
+    import os
+    from datalake_ingestion_system_spark.plans.maintenance import \
+        expire_partitions
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")],
+        "v int, TRANSFERRED_DATE string")
+    df.write.partitionBy("TRANSFERRED_DATE").parquet(out)
+    os.makedirs(f"{out}/TRANSFERRED_DATE=__HIVE_DEFAULT_PARTITION__",
+                exist_ok=True)
+    dropped = expire_partitions(spark, out, "2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = spark.read.parquet(out)
+    assert [r.v for r in left.collect()] == [3]
+    assert os.path.isdir(f"{out}/TRANSFERRED_DATE=__HIVE_DEFAULT_PARTITION__")
