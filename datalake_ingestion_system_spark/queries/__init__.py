@@ -25,6 +25,7 @@ _ROTATE_TO_BACK = (
     "q_word_jaccard_pairs", "q_ngram_jaccard_pairs", "q_text_quality",
     "q_lang_id", "q_repetition_quality", "q_corpus_clean_pipeline",
     "q_array_functions", "q_embedding_norm_stats",
+    "q_binary_bytes_by_source", "q_grouped_pandas_agg",
 )
 
 

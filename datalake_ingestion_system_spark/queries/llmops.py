@@ -1832,3 +1832,78 @@ SELECT id_a, id_b,
 FROM scored
 WHERE n_union > 0 AND round(CAST(n_inter AS DOUBLE) / n_union, 4) >= 0.5
 """
+
+
+def _rp_matrix(d_in: int = 64, d_out: int = 8, seed: int = 7):
+    """Seeded Gaussian random-projection matrix, rounded like the LSH
+    planes so both engines parse identical double literals."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((d_out, d_in)).round(6).tolist()
+
+
+@_q("q_random_projection")
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction: project the 64-dim
+    embeddings to 8 dims through a seeded Gaussian matrix (literals in the
+    plan — no model object, no UDF), output rounded components as scalar
+    columns.  The storage/compute shrink step before ANN at 100 TB; same
+    verifiability trick as the LSH planes."""
+    from ..functions.vectors import dot
+    e = load(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    rows = _rp_matrix()
+    cols = [F.round(dot(vec, F.array(*[F.lit(x) for x in r])), 6)
+             .alias(f"p{j}") for j, r in enumerate(rows)]
+    return e.select("vec_id", *cols)
+
+
+def _rp_oracle_sql() -> str:
+    rows = _rp_matrix()
+    comps = ",\n       ".join(
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), [{lit}]), 6) AS p{j}"
+        .format(lit=", ".join(repr(x) for x in r), j=j)
+        for j, r in enumerate(rows))
+    return f"SELECT vec_id,\n       {comps}\nFROM embeddings"
+
+
+ORACLE_SQL["q_random_projection"] = _rp_oracle_sql()
+
+
+@_q("q_time_weighted_avg")
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of the event value per user (irregularly
+    sampled series: each value holds until the next event, weighted by its
+    holding interval) — the correct aggregate for sampled gauges, where a
+    plain avg over-weights bursts.  One window shuffle on the series key."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact epochs: Spark's cast-to-long truncates to whole
+    # seconds while DuckDB's epoch() keeps fractions — unix_micros vs
+    # epoch_us agree exactly (NTZ -> LTZ first; offsets cancel in diffs)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    nxt = F.lead(us, 1).over(w)
+    holds = (e.select("user_id", "ts", "event_id", "value",
+                      (nxt - us).alias("dur"))
+             .filter(F.col("dur").isNotNull()))
+    return (holds.groupBy("user_id")
+            .agg(F.round(F.sum(F.col("value") * F.col("dur"))
+                         / F.sum("dur"), 6).alias("twa"),
+                 F.sum("dur").cast("long").alias("span_us"),
+                 F.count("*").alias("n_intervals")))
+
+
+ORACLE_SQL["q_time_weighted_avg"] = """
+WITH holds AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur
+  FROM events
+)
+SELECT user_id,
+       round(sum(value * dur) / sum(dur), 6) AS twa,
+       CAST(sum(dur) AS BIGINT) AS span_us,
+       count(*) AS n_intervals
+FROM holds WHERE dur IS NOT NULL
+GROUP BY user_id
+"""
