@@ -1907,3 +1907,78 @@ SELECT user_id,
 FROM holds WHERE dur IS NOT NULL
 GROUP BY user_id
 """
+
+
+@_q("q_token_entropy")
+def q_token_entropy(spark, sf_dir):
+    """Unigram entropy per document (-Σ p·ln p over the token frequency
+    distribution) — the information-density quality signal: boilerplate
+    and keyboard-mash both score low.  explode → (doc, term) counts →
+    per-doc entropy in one more partial agg; all log math in doubles with
+    the usual round-before-compare contract."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    tot = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    return (tf.join(tot, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.round(-F.sum((F.col("c") / F.col("n"))
+                                * F.log(F.col("c") / F.col("n"))), 6)
+                 .alias("entropy"),
+                 F.first("n").cast("long").alias("n_tokens"),
+                 F.count("*").alias("n_distinct")))
+
+
+ORACLE_SQL["q_token_entropy"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id
+)
+SELECT tf.doc_id,
+       round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy,
+       CAST(min(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct
+FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+GROUP BY tf.doc_id
+"""
+
+
+@_q("q_zipf_slope")
+def q_zipf_slope(spark, sf_dir):
+    """Zipf slope per source: OLS slope of ln(freq) on ln(rank) over the
+    top-50 terms (natural corpora ≈ -1; synthetic/templated text
+    deviates) — a corpus-level QA fingerprint.  Rank via per-source
+    window over the small per-source vocabularies, then ``regr_slope``."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("term"))
+    freq = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("term"))
+    ranked = (freq.withColumn("rnk", F.row_number().over(w))
+              .filter(F.col("rnk") <= 50))
+    return (ranked.groupBy("source")
+            .agg(F.round(F.regr_slope(F.log("c"), F.log("rnk")), 6)
+                 .alias("zipf_slope"),
+                 F.count("*").alias("n_terms")))
+
+
+ORACLE_SQL["q_zipf_slope"] = """
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents
+), freq AS (
+  SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, term ASC) AS rnk
+  FROM freq QUALIFY rnk <= 50
+)
+SELECT source,
+       round(regr_slope(ln(c), ln(rnk)), 6) AS zipf_slope,
+       count(*) AS n_terms
+FROM ranked GROUP BY source
+"""
