@@ -26,7 +26,7 @@ _ROTATE_TO_BACK = (
     "q_lang_id", "q_repetition_quality", "q_corpus_clean_pipeline",
     "q_array_functions", "q_embedding_norm_stats",
     "q_binary_bytes_by_source", "q_grouped_pandas_agg",
-    "q_rolling_fingerprint", "q_winnow_fingerprints",
+    "q_rolling_fingerprint", "q_winnow_fingerprints", "q_bpe_token_stats",
 )
 
 

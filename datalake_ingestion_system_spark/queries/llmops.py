@@ -1982,3 +1982,39 @@ SELECT source,
        count(*) AS n_terms
 FROM ranked GROUP BY source
 """
+
+
+@_q("q_event_transitions")
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts over per-user event sequences
+    (lag window on the series key, then count per (prev, next) pair with
+    row-probability) — the behavioral-sequence summary recommendation /
+    anomaly work starts from.  One window shuffle + one partial agg."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (e.select("user_id", "event_type",
+                    F.lag("event_type", 1).over(w).alias("prev_type"))
+           .filter(F.col("prev_type").isNotNull()))
+    counts = (seq.groupBy("prev_type", "event_type")
+              .agg(F.count("*").alias("n")))
+    tot = counts.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return (counts.join(tot, "prev_type")
+            .select("prev_type", F.col("event_type").alias("next_type"), "n",
+                    F.round(F.col("n") / F.col("n_from"), 6).alias("p")))
+
+
+ORACLE_SQL["q_event_transitions"] = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from FROM counts GROUP BY 1
+)
+SELECT c.prev_type, next_type, n, round(n * 1.0 / n_from, 6) AS p
+FROM counts c JOIN tot USING (prev_type)
+"""
