@@ -84,7 +84,10 @@ def main() -> None:
         F.col("id").alias("doc_id"),
         F.concat(F.lit("alpha beta gamma delta epsilon zeta eta theta "),
                  F.col("id").cast("string")).alias("text"))
-    minhash_near_dup_pairs(docs64, "doc_id", "text").collect()
+    # verifiable=True matches the registered query's hash family (md5 +
+    # poly banding + the reassembly aggregate) so the SAME generated
+    # classes are compiled here, not the xxhash64 variants
+    minhash_near_dup_pairs(docs64, "doc_id", "text", verifiable=True).collect()
     # warm the Structured Streaming machinery (listener bus, checkpoint
     # setup, state store init) with a one-file availableNow count
     import tempfile
