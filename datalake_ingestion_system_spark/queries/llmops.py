@@ -1361,27 +1361,31 @@ SELECT pair, n, CAST(rnk AS INTEGER) AS rnk FROM ranked WHERE rnk <= 20
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embedding column (the storage
     path for ANN indexes at 100 TB: 4× smaller, scale factor per vector).
-    round-half-up via floor(x + 0.5) so both engines agree bit-for-bit;
-    outputs are scalar summaries (driver-comparable), the quantized array
-    itself never leaves the row."""
+    round-half-up via floor(x + 0.5) so both engines agree bit-for-bit.
+    All float outputs are integer fixed-point: per-ELEMENT doubles are
+    bit-identical cross-engine (same IEEE abs/sub/div/mul), so we floor
+    each element to an integer BEFORE summing — integer addition is
+    associative, making the result immune to reduction-order differences
+    (F.aggregate's sequential fold vs DuckDB list_sum), the cause of the
+    round-4 hash mismatch."""
     e = load(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     amax = F.array_max(F.transform(vec, F.abs))
     scale = 127.0 / amax
     q = F.transform(vec, lambda v: F.floor(v * scale + 0.5).cast("long"))
-    recon_err = F.round(
-        F.aggregate(
-            F.zip_with(vec, q, lambda v, qq: F.abs(v - qq / scale)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        / F.size(vec), 9)
+    # fixed-point per-element error in 1e-9 units; floor(double) -> LONG
+    err_fp = F.aggregate(
+        F.zip_with(vec, q,
+                   lambda v, qq: F.floor(F.abs(v - qq / scale) * 1e9)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
     return e.select(
         "vec_id",
-        F.round(scale, 6).alias("scale_r"),
+        F.floor(scale * 1e6).cast("long").alias("scale_fp"),
         F.aggregate(q, F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("q_sum"),
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
-        recon_err.alias("recon_mae"))
+        err_fp.alias("recon_err_fp"))
 
 
 ORACLE_SQL["q_embedding_quantize"] = """
@@ -1396,14 +1400,15 @@ WITH v AS (
   FROM v
 )
 SELECT vec_id,
-       round(scale, 6) AS scale_r,
+       CAST(floor(scale * 1e6) AS BIGINT) AS scale_fp,
        list_sum(qv) AS q_sum,
        list_min(qv) AS q_min,
        list_max(qv) AS q_max,
-       round(list_sum(list_transform(range(1, len(vec) + 1),
-                      i -> abs(vec[CAST(i AS INTEGER)]
-                               - qv[CAST(i AS INTEGER)] / scale)))
-             / len(vec), 9) AS recon_mae
+       CAST(list_sum(list_transform(range(1, len(vec) + 1),
+                     i -> CAST(floor(abs(vec[CAST(i AS INTEGER)]
+                                         - qv[CAST(i AS INTEGER)] / scale)
+                                     * 1e9) AS BIGINT)))
+            AS BIGINT) AS recon_err_fp
 FROM q
 """
 
