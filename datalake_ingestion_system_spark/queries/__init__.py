@@ -8,34 +8,66 @@ views).  Keys absent from ``ORACLE_SQL`` are non-SQL-expressible operators
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from . import functional, llmops, relational, streaming_q, tpch
 
 
-# Merge order controls which queries front the dict (CI samples a prefix).
-# Round 2 verified the relational+tpch tier; round 3 fronts the
-# llmops/streaming/functional tier so its queries get verified rows too.
-# Queries with a green CORRECTNESS row in an earlier round rotate to the
-# back so the sampled prefix spends its slots on not-yet-driver-verified
-# entries (every rotated query remains registered and locally verified).
+# Merge order controls which queries front the dict (CI samples the first-50
+# prefix for its hash-vs-oracle gate).  Rotation discipline: a query rotates
+# to the BACK once the driver has recorded evidence for it — a green
+# hash_match row, or (for rows-only-by-design entries) any sampled row — so
+# the prefix spends its slots on entries that still lack driver evidence
+# (new queries, fixed failures, rows-only entries that just gained an
+# oracle).  The rotation set is computed from the CORRECTNESS_r*.json
+# records at import time, so it maintains itself round over round; every
+# rotated query remains registered and locally oracle-verified
+# (tools/verify_local.py runs the full registry, not a sample).
 _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
-_ROTATE_TO_BACK = (
-    # verified green in CORRECTNESS_r02
-    "q_dedup_exact", "q_doc_fingerprint",
-    # verified green in CORRECTNESS_r03
-    "q_word_jaccard_pairs", "q_ngram_jaccard_pairs", "q_text_quality",
-    "q_lang_id", "q_repetition_quality", "q_corpus_clean_pipeline",
-    "q_array_functions", "q_embedding_norm_stats",
-    "q_binary_bytes_by_source", "q_grouped_pandas_agg",
-    "q_rolling_fingerprint", "q_winnow_fingerprints", "q_bpe_token_stats",
-)
+
+# Queries whose implementation or oracle changed AFTER their last green
+# driver row belong back in the sampled prefix until re-verified.
+_FORCE_FRONT: tuple[str, ...] = ()
+
+
+def _evidence():
+    """(green, sampled) query-name sets from the driver's CORRECTNESS logs."""
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    green, sampled = set(), set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            sampled.add(name)
+            if isinstance(row, dict) and row.get("hash_match"):
+                green.add(name)
+    return green, sampled
+
+
+def _rotate_to_back():
+    green, sampled = _evidence()
+    oracle_keys = set()
+    for mod in _MODULE_ORDER:
+        oracle_keys.update(getattr(mod, "ORACLE_SQL"))
+    rotated = set(green) | {n for n in sampled if n not in oracle_keys}
+    return rotated - set(_FORCE_FRONT)
 
 
 def _merge(attr):
     merged = {}
     for mod in _MODULE_ORDER:
         merged.update(getattr(mod, attr))
-    for key in _ROTATE_TO_BACK:
-        if key in merged:
+    rotated = _rotate_to_back()
+    for key in list(merged):
+        if key in rotated:
             merged[key] = merged.pop(key)
     return merged
 

@@ -61,9 +61,35 @@ def test_registry_integrity():
 
 def test_rotated_queries_stay_registered():
     """Rotation reorders the dict; it must never drop a query."""
-    from datalake_ingestion_system_spark.queries import (_ROTATE_TO_BACK,
+    from datalake_ingestion_system_spark.queries import (_MODULE_ORDER,
+                                                         _rotate_to_back,
                                                          all_queries)
     qs = list(all_queries())
-    for name in _ROTATE_TO_BACK:
-        assert name in qs
-    assert qs[-len(_ROTATE_TO_BACK):] == list(_ROTATE_TO_BACK)
+    defined = set()
+    for mod in _MODULE_ORDER:
+        defined.update(mod.QUERIES)
+    assert set(qs) == defined
+    rotated = _rotate_to_back()
+    # rotated names occupy the back of the dict, front names the beginning
+    front = [q for q in qs if q not in rotated]
+    assert qs[:len(front)] == front
+
+
+def test_rotation_evidence_coverage():
+    """The driver samples the first-50 prefix of all_queries() for its
+    hash-vs-oracle gate.  Hygiene invariant: every oracle-backed query must
+    either already have a driver CORRECTNESS row (any round) or sit inside
+    the sampled prefix so it gets one next round — otherwise a query could
+    silently accumulate rounds with zero driver evidence (happened to the
+    round-4 analytics trio, VERDICT r4 'What's missing' #2)."""
+    from datalake_ingestion_system_spark.queries import (_evidence,
+                                                         all_oracle_sql,
+                                                         all_queries)
+    _, sampled = _evidence()
+    qs = list(all_queries())
+    prefix = set(qs[:50])
+    missing = [q for q in all_oracle_sql()
+               if q not in sampled and q not in prefix]
+    assert not missing, (
+        f"oracle-backed queries with no driver evidence outside the "
+        f"sampled prefix: {missing}")
