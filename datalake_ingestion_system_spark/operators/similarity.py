@@ -210,6 +210,28 @@ def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
     return [c.tolist() for c in model.clusterCenters()]
 
 
+def seed_centroids(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   n_cells: int = 8) -> list[list[float]]:
+    """Deterministic data-point centroids: the embeddings of the ``n_cells``
+    smallest ids — the k-means *init* step with zero Lloyd iterations (the
+    same sampled-point initialization FAISS uses before refinement).
+
+    This is IVF's *verifiable mode*: because the centroids are corpus rows
+    selected by a total order (not an iterative float fit), an external SQL
+    oracle can reconstruct them from the same parquet and mirror the whole
+    assignment, making candidate generation itself checkable — the exact
+    pattern the MinHash verifiable mode uses.  ``train_ivf_centroids``
+    remains the production quantizer (cells adapt to the data; recall floor
+    asserted in tests/test_similarity.py).  The driver collect is n_cells
+    rows — config-scale, not data-scale.
+    """
+    rows = (df.select(F.col(id_col).alias("i"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy("i").limit(n_cells).collect())
+    return [list(r.v) for r in rows]
+
+
 def _cell_scores(vec_col, centroids: list[list[float]]):
     """array<struct<s,cell>> of per-cell affinities.  argmax over cells of
     ``dot(x, c) - |c|^2/2`` equals argmin of squared L2 distance (the

@@ -622,22 +622,60 @@ _IVF_CENTROIDS: dict = {}
 
 @_q("q_ann_ivf_topk")
 def q_ann_ivf_topk(spark, sf_dir):
-    """Approximate top-k via an IVF (k-means cell) index — the trained scale
-    path: cells adapt to the data, each query probes n_probe/n_cells of the
-    corpus.  Approximate ⇒ rows-only; recall vs brute force asserted in
-    tests/test_similarity.py."""
+    """Approximate top-k via an IVF (inverted-file cell) index in
+    *verifiable* mode: deterministic data-point centroids
+    (``seed_centroids`` — the k-means init step, zero Lloyd iterations) so
+    the DuckDB oracle reconstructs the SAME cells from the parquet and
+    mirrors assignment, probing, and ranking exactly.  Production runs
+    ``train_ivf_centroids`` (k-means-fitted cells; recall floor asserted in
+    tests/test_similarity.py) — same split as MinHash verifiable/xxhash64
+    modes.  Each query probes n_probe/n_cells of the corpus via a cell-id
+    equi-join; the corpus never shuffles (broadcast probe side)."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    key = (sf_dir, 8, 42)
+    key = (sf_dir, 8)
     if key not in _IVF_CENTROIDS:
-        # maxIter=10: k-means on a local[32] bench is job-overhead-bound
-        # (~0.3s/iteration of scheduling); 8 centroids converge in <10
-        # rounds on this corpus and the recall floor is asserted in tests
-        _IVF_CENTROIDS[key] = similarity.train_ivf_centroids(
-            e, n_cells=8, seed=42, max_iter=10)
+        _IVF_CENTROIDS[key] = similarity.seed_centroids(e, n_cells=8)
     return similarity.ivf_topk(e, q, _IVF_CENTROIDS[key], k=5, n_probe=3).select(
         "query_id", "neighbor_id", "cosine_sim", "rnk")
-# (no ORACLE_SQL: approximate by design, k-means centroids engine-specific)
+
+
+# Mirror of the verifiable IVF pipeline: centroids = the 8 smallest-id
+# embeddings; affinity = dot(x, c) - |c|^2/2 (argmax == nearest cell, ties
+# to the HIGHER cell id, matching ivf_topk's lexsort tie-break); corpus row
+# -> 1 cell, query -> top-3 cells; cosine ranked per query.  A cell
+# assignment can only disagree across engines if two affinities land within
+# ~1e-13 (summation-order noise) — probability ~0 on continuous data.
+ORACLE_SQL["q_ann_ivf_topk"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell, v AS cv, list_dot_product(v, v) / 2.0 AS half
+  FROM v ORDER BY vec_id LIMIT 8
+), assign AS (
+  SELECT x.vec_id, x.v, cent.cell,
+         row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY (list_dot_product(x.v, cent.cv) - cent.half) DESC,
+                    cent.cell DESC) AS rc
+  FROM v x CROSS JOIN cent
+), cand AS (
+  SELECT vec_id, v, cell FROM assign WHERE rc = 1
+), probes AS (
+  SELECT vec_id, v, cell FROM assign WHERE vec_id < 10 AND rc <= 3
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine_sim
+  FROM probes q JOIN cand c USING (cell)
+  WHERE q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
