@@ -37,11 +37,19 @@ def epoch_seconds(col) -> F.Column:
     """Epoch seconds of a timestamp column, valid for both TIMESTAMP and
     TIMESTAMP_NTZ inputs (the driver-generated parquet carries no tz
     metadata, so Spark 4 reads ``ts`` as NTZ; a bare ``cast("long")`` is
-    only legal on LTZ).  NTZ → LTZ interprets the wall clock in the session
-    timezone; epoch *differences* — the only thing callers use this for —
-    are timezone-invariant."""
-    return F.col(col).cast("timestamp").cast("long") if isinstance(col, str) \
-        else col.cast("timestamp").cast("long")
+    only legal on LTZ).
+
+    Computed with pure WALL-CLOCK arithmetic — days-since-epoch of the
+    date part plus the time-of-day components — which involves no timezone
+    conversion at all: an earlier ``cast("timestamp").cast("long")`` form
+    interpreted the NTZ wall clock in the session zone, so with a
+    DST-observing SPARK_GRAFT_TZ, differences spanning a transition were
+    off by the offset change vs the naive-timestamp DuckDB oracle
+    (ADVICE r4).  This form treats naive wall clocks as UTC under every
+    session timezone, matching the oracle unconditionally."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.unix_date(F.to_date(c)) * F.lit(86400).cast("long")
+            + F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c))
 
 
 def ensure_ltz(df: DataFrame, *cols: str) -> DataFrame:

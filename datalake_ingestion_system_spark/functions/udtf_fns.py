@@ -20,7 +20,11 @@ import re
 
 from pyspark.sql.functions import udtf
 
-_WORD_RE = re.compile(r"\w+")
+# re.ASCII: Python \w is Unicode-aware by default, but the engine-side
+# tokenizer (textfns.tokens, Java regex) and the DuckDB RE2 oracle both
+# match ASCII-only \w — without the flag, tokenization diverges on any
+# non-ASCII document (ADVICE r4).
+_WORD_RE = re.compile(r"\w+", re.ASCII)
 
 
 @udtf(returnType="term string, first_pos int, n_occurrences int")

@@ -64,7 +64,14 @@ def bm25_scores(df: DataFrame, id_col: str, text_col: str,
     not the corpus."""
     n_docs = df.select(id_col).distinct().count()  # scalar, config-scale
     lens = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
-    avg_len = float(lens.agg(F.avg("dl")).head()[0])  # scalar
+    avg_dl = lens.agg(F.avg("dl")).head()[0]  # scalar; None on empty input
+    if avg_dl is None:
+        # empty corpus (or all-null text): no document can score — return
+        # an empty frame with the output schema instead of a TypeError
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` {dict(df.dtypes)[id_col]}, bm25 double, "
+                "n_matched_terms bigint, rnk int")
+    avg_len = float(avg_dl)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = (tok.filter(F.col("term").isin(query_terms))
           .groupBy(id_col, "term").agg(F.count("*").alias("tf")))

@@ -135,25 +135,75 @@ def _acquire_lease(state_dir: str, run_id: str, ttl_seconds: float) -> None:
             except (OSError, ValueError):
                 holder = {}
             if time.time() - holder.get("acquired_at", 0) > ttl_seconds:
-                try:
-                    os.unlink(path)  # stale — steal and retry the atomic create
-                except FileNotFoundError:
-                    pass
-                continue
+                if _steal_stale_lease(path, run_id, ttl_seconds):
+                    continue  # stale lease removed — retry the atomic create
             raise ConcurrentIngestError(
                 f"ingest lease for {state_dir} held by run "
                 f"{holder.get('run_id', '?')}; concurrent runs against one "
                 "state dir are fenced (pass a distinct state_dir, or wait)")
 
 
-def _release_lease(state_dir: str, run_id: str) -> None:
-    path = os.path.join(state_dir, _LEASE_FILE)
+def _steal_stale_lease(path: str, run_id: str, ttl_seconds: float) -> bool:
+    """Remove a stale lease atomically; True iff the caller may retry the
+    create.  ADVICE r4: plain ``unlink+create`` stealing has a TOCTOU — two
+    runs that both observed the stale lease could each unlink the OTHER's
+    freshly created lease, leaving two concurrent holders.  ``os.rename`` to
+    a run-id-suffixed tombstone is the atomic claim: exactly one stealer
+    wins the rename (the loser gets FileNotFoundError), and the winner
+    re-checks the tombstone's CONTENT — if it grabbed a lease that was
+    already refreshed by a faster stealer, it restores it via ``os.link``
+    (atomic, refuses to clobber any newer lease) and backs off."""
+    tomb = f"{path}.steal.{run_id}"
     try:
-        with open(path) as f:
-            if json.load(f).get("run_id") != run_id:
-                return  # stolen by a newer run — not ours to remove
-        os.unlink(path)
+        os.rename(path, tomb)
+    except OSError:
+        return True  # someone else stole/released first — just retry
+    try:
+        with open(tomb) as f:
+            stolen = json.load(f)
     except (OSError, ValueError):
+        stolen = {}
+    fresh = (stolen
+             and time.time() - stolen.get("acquired_at", 0) <= ttl_seconds)
+    if fresh:
+        # we renamed a lease that a faster stealer had already re-created —
+        # put it back (unless an even newer one exists) and report contention
+        try:
+            os.link(tomb, path)
+        except OSError:
+            pass
+        os.unlink(tomb)
+        return False
+    os.unlink(tomb)
+    return True
+
+
+def _release_lease(state_dir: str, run_id: str) -> None:
+    """Release via the same atomic-rename claim as stealing: rename the
+    lease file aside, verify it is OURS, and only then delete — the plain
+    read-check-unlink form could remove a successor's lease if ours went
+    stale and was stolen between the read and the unlink (ADVICE r4).  A
+    claimed-but-foreign lease is restored with ``os.link`` (never clobbers
+    a lease created while we held the tombstone)."""
+    path = os.path.join(state_dir, _LEASE_FILE)
+    tomb = f"{path}.release.{run_id}"
+    try:
+        os.rename(path, tomb)
+    except OSError:
+        return  # already released / stolen and released
+    try:
+        with open(tomb) as f:
+            owner = json.load(f).get("run_id")
+    except (OSError, ValueError):
+        owner = None  # corrupt lease — treat as removable
+    if owner not in (run_id, None):
+        try:
+            os.link(tomb, path)  # not ours: restore for the real holder
+        except OSError:
+            pass
+    try:
+        os.unlink(tomb)
+    except OSError:
         pass
 
 

@@ -167,6 +167,43 @@ def test_stale_lease_is_stolen(spark, landing):
     assert_converged(spark, landing)
 
 
+def test_steal_backs_off_from_fresh_lease(landing, tmp_path):
+    """ADVICE r4 TOCTOU: run B observed a stale lease, but by the time it
+    steals, faster stealer A has already re-created a FRESH lease.  B's
+    rename-claim must detect the fresh content, restore A's lease, and back
+    off — under the old unlink+create protocol B would have destroyed A's
+    lease and both runs would proceed."""
+    import json
+    import os
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    path = os.path.join(state, ing._LEASE_FILE)
+    import time
+    with open(path, "w") as f:  # A's fresh lease (just re-created)
+        json.dump({"run_id": "A", "acquired_at": time.time()}, f)
+    assert ing._steal_stale_lease(path, "B", ttl_seconds=60.0) is False
+    with open(path) as f:  # A's lease survived B's aborted steal
+        assert json.load(f)["run_id"] == "A"
+
+
+def test_release_preserves_successor_lease(landing, tmp_path):
+    """ADVICE r4: if A's lease went stale and B stole it, A's late release
+    must NOT remove B's lease (the read-check-unlink window)."""
+    import json
+    import os
+    import time
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    path = os.path.join(state, ing._LEASE_FILE)
+    with open(path, "w") as f:  # B's lease, created after stealing A's
+        json.dump({"run_id": "B", "acquired_at": time.time()}, f)
+    ing._release_lease(state, "A")
+    with open(path) as f:
+        assert json.load(f)["run_id"] == "B"
+    ing._release_lease(state, "B")  # the real holder can still release
+    assert not os.path.exists(path)
+
+
 def test_quarantine_dedup_on_read(spark, landing):
     """read_quarantine collapses duplicate (FILENAME, TYPE) appends — the
     observation-side net mirroring read_state."""

@@ -72,14 +72,19 @@ def test_udtf_term_stats_lateral(spark):
 
 def test_quantization_error_bound(spark):
     """Symmetric int8 quantization: per-element |v - q/scale| ≤ 0.5/scale,
-    so recon_mae ≤ 0.5/scale for every vector (the dequantization bound)."""
+    so the summed fixed-point error obeys recon_err_fp ≤ dim · 0.5/scale ·
+    1e9 for every vector (the dequantization bound; outputs are integer
+    fixed-point — scale_fp = floor(scale·1e6), recon_err_fp =
+    Σ floor(err_i·1e9) — for cross-engine hash determinism)."""
     import __spark_entry__ as e
+    dim = 64  # embeddings.embedding width in the generated testdata
     out = e.queries()["q_embedding_quantize"](
         spark, "/root/testdata/sf0.001").collect()
     assert len(out) > 0
     for r in out:
         assert -127 <= r.q_min <= r.q_max <= 127
-        assert r.recon_mae <= 0.5 / r.scale_r + 1e-6
+        scale = r.scale_fp / 1e6
+        assert r.recon_err_fp / 1e9 <= dim * 0.5 / scale + 1e-6
 
 
 def test_redact_idempotent(spark):

@@ -23,6 +23,27 @@ def test_non_utc_session_produces_identical_results(spark):
     assert tokyo == baseline
 
 
+def test_epoch_seconds_dst_invariant(spark):
+    """ADVICE r4: epoch_seconds differences must not shift across a DST
+    transition even when the session zone observes DST.  2024-03-10 in
+    America/New_York skips 02:00→03:00; the naive wall-clock gap between
+    01:30 and 03:30 is 2h and the oracle (naive timestamps) agrees — the
+    old NTZ→LTZ cast produced 1h under that session zone."""
+    from datalake_ingestion_system_spark.catalog import epoch_seconds
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [("2024-03-10 01:30:00", "2024-03-10 03:30:00")],
+            "a string, b string").select(
+            F.col("a").cast("timestamp_ntz").alias("a"),
+            F.col("b").cast("timestamp_ntz").alias("b"))
+        gap = df.select(
+            (epoch_seconds("b") - epoch_seconds("a")).alias("g")).head().g
+    finally:
+        tune(spark)
+    assert gap == 7200
+
+
 def test_operational_tz_override(spark, monkeypatch):
     """tune(tz=...) / SPARK_GRAFT_TZ pin an operational zone for ingestion
     sessions; timestamp rendering follows the configured lake zone."""
