@@ -127,8 +127,18 @@ FROM w GROUP BY 1
 @_q("q_stream_watermark_late_data")
 def q_stream_watermark_late_data(spark, sf_dir):
     """Watermarked windowed aggregation (10-minute lateness bound) in
-    append mode: only windows sealed by the final watermark are emitted —
-    inherently run-dependent on open windows ⇒ rows-only check."""
+    append mode: only windows sealed by the final watermark are emitted.
+
+    DETERMINISTIC here, hence oracle-checked (VERDICT r4 item 6):
+    ``Trigger.AvailableNow`` with no ``maxFilesPerTrigger`` ingests the
+    whole bounded directory in ONE micro-batch, so the watermark is -inf
+    while data flows (no mid-stream late drops regardless of file order)
+    and advances once, at batch end, to ``max(ts) - 10 min``; the final
+    no-data batch then emits exactly the windows with
+    ``window_end < watermark``.  The DuckDB mirror replays that closed
+    form.  (A multi-batch run — e.g. with maxFilesPerTrigger set — would
+    be batch-boundary-dependent again; this query pins the single-batch
+    trigger.)"""
     # Watermarks require LTZ event time (driver parquet reads as NTZ).
     agg = (
         ensure_ltz(_events_stream(spark, sf_dir), "ts")
@@ -139,7 +149,20 @@ def q_stream_watermark_late_data(spark, sf_dir):
     out = _run_stream_to_memory(agg, spark, mode="append")
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "n_events")
-# (no ORACLE_SQL: append mode emits only watermark-sealed windows)
+
+
+ORACLE_SQL["q_stream_watermark_late_data"] = """
+WITH m AS (
+  SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events
+), agg AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events
+FROM agg, m
+WHERE window_start + INTERVAL 15 MINUTE < wm
+"""
 
 
 @_q("q_stream_dedup_events")
