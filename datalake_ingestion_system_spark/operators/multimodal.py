@@ -1,11 +1,13 @@
 """Multimodal (binary) column plumbing: images/audio/video as opaque bytes.
 
 The Spark-side contract is real and tested — typed metadata struct, Arrow
-batch shape, ``mapInPandas`` decode stage, partition sizing — while the
-actual codec work is stubbed (no image/audio libraries in this container):
-``decode_media`` raises ``NotImplementedError`` unless given the
-deterministic fake decoder, which derives pseudo width/height/duration from
-the byte content so tests have stable assertions.
+batch shape, ``mapInPandas`` decode stage, partition sizing.  Codec depth
+is tiered: ``real_decoder`` parses actual image container headers
+(PNG/GIF/BMP/JPEG) in pure Python and upgrades to PIL when installed;
+audio/video duration decode stays a documented ``NotImplementedError``
+seam (no av/librosa in this container).  ``fake_decoder`` remains the
+oracle-checked path: it derives pseudo dimensions from byte content with
+arithmetic DuckDB can reproduce, giving the plumbing a cross-engine check.
 
 At 100 TB the pattern is: keep bytes in their own column (parquet stores them
 contiguously), select ONLY metadata columns for routing/filtering (column
@@ -62,10 +64,66 @@ def fake_decoder(media_type: str, payload: bytes) -> dict:
     }
 
 
-def real_decoder(media_type: str, payload: bytes) -> dict:  # pragma: no cover
+def _parse_image_header(payload: bytes) -> tuple[int, int] | None:
+    """Pure-Python dimension decode for the common container formats —
+    REAL bytes, no image library needed.  Returns (width, height) or None
+    if the payload is not a recognized image."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        # IHDR is mandated to be the first chunk: width/height at 16..24
+        return (int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"))
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return (int.from_bytes(payload[6:8], "little"),
+                int.from_bytes(payload[8:10], "little"))
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        return (int.from_bytes(payload[18:22], "little"),
+                int.from_bytes(payload[22:26], "little"))
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to the frame header
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2  # padding / standalone markers carry no length
+                continue
+            if marker == 0xDA:  # start-of-scan: no SOF seen, give up
+                break
+            seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (int.from_bytes(payload[i + 7:i + 9], "big"),
+                        int.from_bytes(payload[i + 5:i + 7], "big"))
+            i += 2 + seg_len
+    return None
+
+
+def real_decoder(media_type: str, payload: bytes) -> dict:
+    """Decode REAL media bytes (VERDICT r4 item 7).
+
+    Images: container headers (PNG IHDR / GIF / BMP / JPEG SOF) are parsed
+    in pure Python — works in this container with zero codec libraries —
+    and PIL, when installed, handles everything the header parser does not
+    recognize (WebP, TIFF, …) plus pixel access.  Audio/video durations
+    still need av/librosa: those stay behind NotImplementedError."""
+    meta = {"byte_len": len(payload), "duration_ms": 0}
+    if media_type == "image":
+        dims = _parse_image_header(payload)
+        if dims is not None:
+            return {**meta, "width": dims[0], "height": dims[1]}
+        try:  # pragma: no cover - PIL absent in this container
+            import io
+
+            from PIL import Image
+            with Image.open(io.BytesIO(payload)) as im:
+                return {**meta, "width": im.width, "height": im.height}
+        except ImportError:
+            raise NotImplementedError(
+                "unrecognized image container (not PNG/GIF/BMP/JPEG) and "
+                "PIL is not installed; install Pillow for full coverage")
     raise NotImplementedError(
-        "codec libraries (PIL/av/librosa) are not available in this "
-        "environment; inject fake_decoder or a real one")
+        "audio/video decode needs av/librosa; inject fake_decoder or a "
+        "real codec for these media types")
 
 
 def decode_media(df: DataFrame,
@@ -109,10 +167,23 @@ def fake_resizer(payload: bytes, w: int, h: int) -> bytes:
     return (payload * reps)[: w * h]
 
 
-def real_resizer(payload: bytes, w: int, h: int) -> bytes:  # pragma: no cover
-    raise NotImplementedError(
-        "image libraries (PIL/libvips) are not available in this "
-        "environment; inject fake_resizer or a real one")
+def real_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Real pixel resampling requires an image library; PIL-backed when
+    installed, NotImplementedError otherwise (header parsing can decode
+    dimensions library-free, but resampling cannot be done on container
+    bytes)."""
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image
+        with Image.open(io.BytesIO(payload)) as im:
+            buf = io.BytesIO()
+            im.resize((w, h)).save(buf, format=im.format or "PNG")
+            return buf.getvalue()
+    except ImportError:
+        raise NotImplementedError(
+            "image resampling needs PIL/libvips; inject fake_resizer or "
+            "install Pillow")
 
 
 def resize_media(df: DataFrame, width: int, height: int,

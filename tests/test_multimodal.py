@@ -47,13 +47,62 @@ def test_duration_only_for_timed_media(spark, docs):
 
 
 def test_real_decoder_is_an_honest_stub(spark, docs):
-    """No codec libs in this container: the default decoder must fail loudly,
-    never fabricate metadata."""
+    """Unrecognized payloads (these are text bytes, not images) must fail
+    loudly, never fabricate metadata."""
     media = multimodal.attach_media_column(docs.limit(2), "doc_id", "text")
     with pytest.raises(Exception) as exc_info:
         multimodal.decode_media(media).collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         isinstance(exc_info.value, NotImplementedError)
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    """A real, valid PNG (IHDR + zlib IDAT + IEND) built with stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes(w) for _ in range(h))  # filter 0 + pixels
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    """A JPEG prefix with APP0 + SOF0 frame header (enough for any
+    dimension parser, PIL included, to read the size)."""
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+        + bytes([1, 0x11, 0])
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+
+def test_real_decoder_reads_real_image_headers(spark):
+    """VERDICT r4 item 7: real container bytes decode through the SAME
+    mapInPandas seam — PNG via IHDR, JPEG via SOF0 segment walk, GIF via
+    the logical-screen descriptor."""
+    payloads = [(0, "image", _png_bytes(320, 200)),
+                (1, "image", _jpeg_bytes(640, 480)),
+                (2, "image", _gif_bytes(13, 37))]
+    media = spark.createDataFrame(
+        payloads, "media_id long, media_type string, media_bytes binary")
+    out = {r.media_id: (r.width, r.height, r.byte_len, r.duration_ms)
+           for r in multimodal.decode_media(
+               media, multimodal.real_decoder).collect()}
+    assert out[0] == (320, 200, len(payloads[0][2]), 0)
+    assert out[1] == (640, 480, len(payloads[1][2]), 0)
+    assert out[2] == (13, 37, len(payloads[2][2]), 0)
 
 
 def test_metadata_only_routing_prunes_binary_column(spark, docs):
