@@ -43,9 +43,15 @@ bounded.  ``force_resync=True`` (the reference's declared-but-unused
 IS_SYNC_ALL_MODE, D:55/79) ignores state and reprocesses everything.
 
 Scale: the only driver-side loop is over (table, config-version) groups —
-the number of distinct table layouts, not files.  At 100 TB the landing
-listing itself can move into Structured Streaming file tracking
-(streaming.ingest_stream) with identical routing semantics.
+the number of distinct table layouts, not files.  The batch path DOES
+collect candidate paths and per-group path lists to the driver; that is
+bounded by ``max_files_per_run`` when set (asserted by test) and warned
+about when not.  **For backlogs beyond ~DRIVER_LIST_SOFT_CAP files the
+documented PRIMARY is ``streaming.ingest_stream``**: Structured
+Streaming's checkpointed file tracking has identical routing semantics,
+never collects a path list, and bounds each micro-batch with
+``maxFilesPerTrigger`` — run it with ``available_now`` per schedule for
+daily-batch parity.
 """
 
 from __future__ import annotations
@@ -67,6 +73,11 @@ from ..sources.registry import (DATE_FMT, TIMESTAMP_FMT, TYPE_CODES,
 
 #: Default commit-ordered parquet writer (see sinks.py for the Delta swap).
 _DEFAULT_FORMAT = TableFormat()
+
+#: Above this many pending files, an un-capped batch run warns that the
+#: driver-side path lists are growing unboundedly and that the streaming
+#: path (or max_files_per_run) is the scale-safe choice.
+DRIVER_LIST_SOFT_CAP = 100_000
 
 #: Quarantine table schema — reference FAILED_TO_CONVERT contract (D:103).
 QUARANTINE_SCHEMA = ("FILENAME string, HEADER_LIST string, HEADER_CNT string, "
@@ -326,7 +337,17 @@ def ingest(spark: SparkSession,
         else:
             state = read_state(spark, state_dir, fmt)
             pending = files.join(state.select("filename"), "filename", "left_anti")
-        if max_files_per_run is not None:
+        if max_files_per_run is None:
+            n_pending = pending.count()  # metadata-only, no data read
+            if n_pending > DRIVER_LIST_SOFT_CAP:
+                import warnings
+                warnings.warn(
+                    f"{n_pending} pending files with no max_files_per_run: "
+                    "the candidate-path collect is unbounded on the driver. "
+                    "Set max_files_per_run or use streaming.ingest_stream "
+                    "(the documented primary for large backlogs).",
+                    ResourceWarning, stacklevel=2)
+        else:
             # oldest-NEW-first keeps backlog drain deterministic and starvation-
             # free: files already in the quarantine log (which stay pending by
             # design, for config-fix retries) sort after never-seen files, else

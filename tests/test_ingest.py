@@ -120,3 +120,34 @@ def test_max_files_per_run_drains_backlog(spark, landing):
     # drained lake still routes them — but processes nothing new
     rep = run(spark, landing, max_files_per_run=10)
     assert rep.processed == 0 and rep.empty == 0
+
+
+def test_cand_paths_collect_is_bounded_by_cap(spark, landing, monkeypatch):
+    """VERDICT r4 item 8: the driver-side candidate-path collect must never
+    exceed max_files_per_run entries — the asserted driver-memory bound."""
+    observed = []
+    real_stats = land.file_stats
+
+    def spy_stats(spark_, paths, *a, **kw):
+        observed.append(len(paths))
+        return real_stats(spark_, paths, *a, **kw)
+    monkeypatch.setattr(ing.landing, "file_stats", spy_stats)
+    for _ in range(4):
+        run(spark, landing, max_files_per_run=2)
+    assert observed and all(n <= 2 for n in observed)
+
+
+def test_uncapped_large_backlog_warns_toward_streaming(spark, landing,
+                                                       monkeypatch):
+    """An un-capped batch run over a backlog beyond the soft cap must warn
+    (pointing at streaming.ingest_stream), not silently collect unboundedly."""
+    monkeypatch.setattr(ing, "DRIVER_LIST_SOFT_CAP", 3)
+    with pytest.warns(ResourceWarning, match="streaming.ingest_stream"):
+        run(spark, landing)  # 7 pending > 3
+    # drained lake: 4 quarantined files stay pending by design (config-fix
+    # retries) — at cap 4 the backlog is not "large", so no warning
+    monkeypatch.setattr(ing, "DRIVER_LIST_SOFT_CAP", 4)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ResourceWarning)
+        run(spark, landing)
