@@ -106,6 +106,58 @@ def test_hot_bucket_cap_bounds_pair_count(spark):
     assert len(got) < 50                             # hot bucket dropped
 
 
+def test_chain_mode_bounds_pairs_linearly_and_keeps_connectivity(spark):
+    """VERDICT r4 item 10: chain-chunked hot buckets.  A 50-doc boilerplate
+    cluster (identical signatures — the pathological case where every band
+    is hot, so drop mode loses ALL its pairs) must stay one connected
+    component under chain mode, with pair volume linear in cluster size."""
+    boiler = [(i, _doc(999)) for i in range(50)]
+    planted = [(200, _doc(5)), (201, _doc(5) + " tail")]
+    df = spark.createDataFrame(boiler + planted, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, "doc_id", "text")
+
+    cap = 10
+    chained = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=cap,
+                                        hot_buckets="chain")
+    got = {(r.id_a, r.id_b) for r in chained.collect()}
+    assert (200, 201) in got                 # planted pair still surfaces
+    boiler_pairs = {p for p in got if p[0] < 100 and p[1] < 100}
+    assert boiler_pairs                      # drop mode loses these entirely
+    # hard linear bound: per bucket ≤ ceil(m/cap) chunks × C(cap+1, 2) pairs
+    import math
+    per_bucket = math.ceil(50 / cap) * (cap + 1) * cap // 2
+    assert len(boiler_pairs) <= per_bucket   # vs 1225 uncapped (quadratic)
+    # connectivity equals the uncapped reference: all 50 docs in ONE cluster
+    nodes = df.select(F.col("doc_id").alias("id")).filter("id < 100")
+    edges = spark.createDataFrame(sorted(boiler_pairs), "id_a long, id_b long")
+    comp = dedup.connected_components(edges, nodes)
+    assert comp.select("component").distinct().count() == 1
+
+
+def test_chain_components_equal_uncapped_reference(spark):
+    """Property (small n): connected components over chain-capped candidates
+    equal components over UNCAPPED candidates — any uncapped edge implies a
+    shared bucket, and chaining keeps each bucket's members connected."""
+    rows = []
+    for g in range(6):                     # 6 groups × 8 near-identical docs
+        for j in range(8):
+            rows.append((g * 10 + j, _doc(g) + (" x" * j)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, "doc_id", "text")
+
+    def components(pairs_df):
+        nodes = df.select(F.col("doc_id").alias("id"))
+        comp = dedup.connected_components(
+            pairs_df.select(F.col("id_a"), F.col("id_b")), nodes)
+        return {(r.id, r.component) for r in comp.collect()}
+
+    uncapped = dedup.lsh_candidate_pairs(sigs, "doc_id",
+                                         max_bucket_size=None)
+    chained = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=3,
+                                        hot_buckets="chain")
+    assert components(chained) == components(uncapped)
+
+
 def test_simhash_near_dups_close_in_hamming(spark, corpus):
     sigs = {r.doc_id: r.simhash for r in
             dedup.simhash(corpus, "doc_id", "text").collect()}
