@@ -1451,6 +1451,72 @@ FROM q
 """
 
 
+@_q("q_ngram_contamination")
+def q_ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing 5-gram
+    word shingles with an evaluation set (docs with doc_id < 20 stand in
+    for the benchmark).  The standard n-gram-overlap contamination check
+    every LLM data pipeline runs before training (GPT-3 appendix C /
+    PaLM-style 'dirty' document detection — public-paper methodology).
+
+    Scale shape: the eval side collapses to DISTINCT shingles (benchmark
+    sets are tiny vs the corpus) and BROADCASTS; the train side explodes
+    shingles and hash-joins against it — the corpus never shuffles, and
+    the per-doc overlap count aggregates map-side.  Output is one row per
+    contaminated doc: overlap count, shingle total, contamination rate."""
+    from ..functions.textfns import shingles_of
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("_ws"))
+    sh = (toks.select(
+        "doc_id",
+        F.array_distinct(F.coalesce(shingles_of(F.col("_ws"), 5),
+                                    F.array().cast("array<string>")))
+        .alias("_sh"))
+        .filter(F.size("_sh") > 0))
+    eval_sh = (sh.filter(F.col("doc_id") < 20)
+               .select(F.explode("_sh").alias("g")).distinct())
+    train = sh.filter(F.col("doc_id") >= 20)
+    hits = (train.select("doc_id", F.explode("_sh").alias("g"))
+            .join(F.broadcast(eval_sh), "g")
+            .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+    totals = train.select("doc_id", F.size("_sh").alias("n_grams"))
+    return (hits.join(totals, "doc_id")
+            .select("doc_id", "n_overlap", "n_grams",
+                    F.round(F.col("n_overlap") / F.col("n_grams"), 6)
+                    .alias("contam_rate")))
+
+
+ORACLE_SQL["q_ngram_contamination"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([ws[CAST(i AS INTEGER)] || ' '
+                        || ws[CAST(i AS INTEGER) + 1] || ' '
+                        || ws[CAST(i AS INTEGER) + 2] || ' '
+                        || ws[CAST(i AS INTEGER) + 3] || ' '
+                        || ws[CAST(i AS INTEGER) + 4]
+                        for i in range(1, len(ws) - 3)]) AS sh
+  FROM toks WHERE len(ws) >= 5
+), eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 20
+), train AS (
+  SELECT doc_id, sh FROM sh WHERE doc_id >= 20
+), hits AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(sh) AS g FROM train) t
+  JOIN eval_sh USING (g)
+  GROUP BY t.doc_id
+)
+SELECT train.doc_id,
+       n_overlap,
+       len(train.sh) AS n_grams,
+       round(CAST(n_overlap AS DOUBLE) / len(train.sh), 6) AS contam_rate
+FROM hits JOIN train USING (doc_id)
+"""
+
+
 @_q("q_scd2_user_state")
 def q_scd2_user_state(spark, sf_dir):
     """SCD2 (type-2 slowly-changing dimension) build from the event log:

@@ -203,14 +203,46 @@ class TxnLogFormat(TableFormat):
         """Fold the current state into ONE commit (checkpoint analogue):
         stages a full rewrite, then publishes a ``replace_all`` commit that
         supersedes every earlier one.  Bounds replay cost after many small
-        appends; old data dirs stay on disk for time travel until a GC
-        sweep (not implemented — a mtime-threshold delete of unreferenced
-        ``_txn_data`` dirs, same as Delta VACUUM)."""
+        appends; old data dirs stay on disk for time travel until
+        ``vacuum``."""
         current = self.read(spark, path)
         rel = self._stage(current, path, partition_col)
         self._commit(path, {"action": "replace_all", "dir": rel,
                             "partition_col": partition_col,
                             "partitions": []})
+
+    def vacuum(self, path: str, retain_hours: float = 168.0) -> list[str]:
+        """Delete ``_txn_data`` directories no LIVE commit references (Delta
+        VACUUM analogue): superseded pre-``replace_all`` data, and orphans
+        from writers that died before committing.  ``retain_hours`` (same
+        7-day default as Delta) keeps young directories so an in-flight
+        writer's staged-but-uncommitted data is never swept; referenced
+        directories are never deleted regardless of age.  Time travel to
+        vacuumed versions stops working — the usual trade.  Returns the
+        deleted relative paths."""
+        import shutil
+        import time as _time
+        commits = self._commits(path)
+        live_from = 0
+        for i, c in enumerate(commits):
+            if c["action"] == "replace_all":
+                live_from = i
+        referenced = {c["dir"] for c in commits[live_from:]}
+        data_root = os.path.join(path, "_txn_data")
+        try:
+            names = os.listdir(data_root)
+        except FileNotFoundError:
+            return []
+        cutoff = _time.time() - retain_hours * 3600.0
+        deleted = []
+        for n in names:
+            rel = os.path.join("_txn_data", n)
+            full = os.path.join(data_root, n)
+            if rel in referenced or os.path.getmtime(full) > cutoff:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            deleted.append(rel)
+        return deleted
 
 
 class DeltaFormat(TableFormat):

@@ -97,6 +97,30 @@ def test_null_partition_round_trip(spark, tmp_path):
     assert got == {("a", 1), (None, 20)}
 
 
+def test_vacuum_sweeps_only_unreferenced_old_dirs(spark, tmp_path):
+    """Vacuum removes superseded/orphaned data dirs past the retention
+    window, never anything a live commit references, and never young dirs
+    (an in-flight writer's staging must survive)."""
+    import os
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    for i in range(3):
+        fmt.append(spark.createDataFrame([(i,)], "v int"), path)
+    fmt._stage(spark.createDataFrame([(99,)], "v int"), path, None)  # orphan
+    fmt.compact(spark, path)  # supersedes the three appends
+    # young dirs: nothing is old enough to sweep
+    assert fmt.vacuum(path) == []
+    # age everything; only the compacted dir is referenced by the live log
+    data_root = os.path.join(path, "_txn_data")
+    for n in os.listdir(data_root):
+        os.utime(os.path.join(data_root, n), (0, 0))
+    deleted = fmt.vacuum(path, retain_hours=1.0)
+    assert len(deleted) == 4  # 3 superseded appends + 1 orphan
+    assert sorted(r.v for r in fmt.read(spark, path).collect()) == [0, 1, 2]
+    # idempotent
+    assert fmt.vacuum(path, retain_hours=1.0) == []
+
+
 def test_ingest_end_to_end_through_txnlog(spark, landing):
     """The full ingest protocol (overwrite_partitions + two appends +
     state read-back) through the transactional format: same converged
