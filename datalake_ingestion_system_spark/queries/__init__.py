@@ -29,7 +29,9 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 
 # Queries whose implementation or oracle changed AFTER their last green
 # driver row belong back in the sampled prefix until re-verified.
-_FORCE_FRONT: tuple[str, ...] = ()
+# Round 5: epoch_seconds moved to wall-clock arithmetic (DST fix) —
+# re-verify its two consumers even though values are identical under UTC.
+_FORCE_FRONT: tuple[str, ...] = ("q_sessionization", "q_time_weighted_avg")
 
 
 def _evidence():

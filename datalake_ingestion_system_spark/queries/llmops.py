@@ -1451,6 +1451,67 @@ FROM q
 """
 
 
+@_q("q_source_kl_divergence")
+def q_source_kl_divergence(spark, sf_dir):
+    """Per-source token-distribution drift: KL(P_source ‖ P_corpus) over a
+    deterministic support (the corpus's 50 most frequent tokens) — the
+    mixture-QA statistic a training pipeline watches to catch a source
+    whose language suddenly shifts (scraper broke, spam influx).
+
+    Scale shape: the support is a top-50 ``orderBy+limit``
+    (TakeOrderedAndProject) that then BROADCASTS; the token stream joins
+    against it (map-side filter), so the only full shuffles are the two
+    hash aggregations.  Support restriction also makes KL well-defined
+    (every support token has corpus mass; a source missing one contributes
+    its 0·ln0 = 0 limit by construction of the inner join)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("t"))
+    corpus = tok.groupBy("t").agg(F.count("*").alias("nc"))
+    top = corpus.orderBy(F.desc("nc"), F.asc("t")).limit(50)
+    tot = top.agg(F.sum("nc")).head()[0]  # scalar, support-sized
+    st = (tok.join(F.broadcast(top.select("t")), "t")
+          .groupBy("source", "t").agg(F.count("*").alias("ns")))
+    stot = st.groupBy("source").agg(F.sum("ns").alias("s_tot"))
+    terms = (st.join(stot, "source").join(F.broadcast(top), "t")
+             .select("source",
+                     ((F.col("ns") / F.col("s_tot"))
+                      * F.log((F.col("ns") / F.col("s_tot"))
+                              / (F.col("nc") / F.lit(float(tot)))))
+                     .alias("kl_term")))
+    return (terms.groupBy("source")
+            .agg(F.count("*").alias("n_support_tokens"),
+                 F.round(F.sum("kl_term"), 6).alias("kl_divergence")))
+
+
+ORACLE_SQL["q_source_kl_divergence"] = """
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+  FROM documents
+), corpus AS (
+  SELECT t, count(*) AS nc FROM tok GROUP BY t
+), top AS (
+  SELECT t, nc FROM corpus ORDER BY nc DESC, t ASC LIMIT 50
+), ct AS (
+  SELECT CAST(sum(nc) AS DOUBLE) AS tot FROM top
+), st AS (
+  SELECT source, tok.t, count(*) AS ns
+  FROM tok JOIN top ON tok.t = top.t GROUP BY 1, 2
+), stot AS (
+  SELECT source, CAST(sum(ns) AS DOUBLE) AS s_tot FROM st GROUP BY source
+), terms AS (
+  SELECT st.source,
+         (CAST(ns AS DOUBLE) / s_tot)
+           * ln((CAST(ns AS DOUBLE) / s_tot) / (CAST(nc AS DOUBLE) / tot))
+           AS kl_term
+  FROM st JOIN stot USING (source) JOIN top ON st.t = top.t, ct
+)
+SELECT source,
+       count(*) AS n_support_tokens,
+       round(sum(kl_term), 6) AS kl_divergence
+FROM terms GROUP BY source
+"""
+
+
 @_q("q_ngram_contamination")
 def q_ngram_contamination(spark, sf_dir):
     """Benchmark decontamination: flag training documents sharing 5-gram
