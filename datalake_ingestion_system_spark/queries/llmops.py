@@ -1451,6 +1451,43 @@ FROM q
 """
 
 
+@_q("q_dedup_rate_per_source")
+def q_dedup_rate_per_source(spark, sf_dir):
+    """Per-source duplication health: how many docs are exact-dup copies
+    (same normalized-content fingerprint as an earlier doc corpus-wide) —
+    the acceptance metric a data-sourcing team tracks per provider.  One
+    fingerprint projection + a window min over the fingerprint key; a doc
+    is a 'copy' when it is not its fingerprint's keeper (min doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select("source", "doc_id", dedup.fingerprint("text").alias("fp"))
+    keeper = Window.partitionBy("fp")
+    flagged = fp.withColumn(
+        "is_copy", (F.col("doc_id") != F.min("doc_id").over(keeper))
+        .cast("int"))
+    return (flagged.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("is_copy").alias("n_copies"),
+                 F.round(F.sum("is_copy") / F.count("*"), 6)
+                 .alias("dup_rate")))
+
+
+ORACLE_SQL["q_dedup_rate_per_source"] = f"""
+WITH fp AS (
+  SELECT source, doc_id, md5({_NORM_SQL}) AS fp FROM documents
+), flagged AS (
+  SELECT source,
+         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp)
+              THEN 1 ELSE 0 END AS is_copy
+  FROM fp
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(is_copy) AS BIGINT) AS n_copies,
+       round(CAST(sum(is_copy) AS DOUBLE) / count(*), 6) AS dup_rate
+FROM flagged GROUP BY source
+"""
+
+
 @_q("q_source_kl_divergence")
 def q_source_kl_divergence(spark, sf_dir):
     """Per-source token-distribution drift: KL(P_source ‖ P_corpus) over a
