@@ -226,6 +226,57 @@ GROUP BY user_id, session_seq
 """
 
 
+@_q("q_stream_session_windows")
+def q_stream_session_windows(spark, sf_dir):
+    """STREAMING session windows (30-minute gap) with a 10-minute watermark
+    in append mode: only sessions the final watermark has sealed (no
+    further event could extend them) are emitted — the stateful-session
+    operator the batch ``q_session_window_agg`` mirrors, now exercised
+    through Structured Streaming's state store.  Deterministic for the
+    same reason as ``q_stream_watermark_late_data``: single-batch
+    AvailableNow makes the final watermark ``max(ts) - 10 min``, so the
+    emitted set is exactly the sessions with ``session_end < watermark``
+    — a closed form the DuckDB gap-and-cumsum oracle replays."""
+    agg = (
+        ensure_ltz(_events_stream(spark, sf_dir), "ts")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_stream_to_memory(agg, spark, mode="append")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events")
+
+
+ORACLE_SQL["q_stream_session_windows"] = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+), sess AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, session_seq
+), m AS (
+  SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess, m WHERE session_end < wm
+"""
+
+
 @_q("q_stream_stateful_user_profile")
 def q_stream_stateful_user_profile(spark, sf_dir):
     """Custom stateful operator via ``applyInPandasWithState``: per-user
