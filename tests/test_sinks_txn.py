@@ -121,6 +121,50 @@ def test_vacuum_sweeps_only_unreferenced_old_dirs(spark, tmp_path):
     assert fmt.vacuum(path, retain_hours=1.0) == []
 
 
+def test_txnlog_matches_model_under_random_op_sequences(spark, tmp_path):
+    """Model-based check: any interleaving of append / overwrite_partitions /
+    compact must leave read() equal to a trivial in-memory model — the
+    replay algebra (value subtraction, replace_all reset) has no
+    sequence-dependent surprises.  Hypothesis-style coverage with a seeded
+    exhaustible generator (a Spark round-trip per example keeps the example
+    budget small)."""
+    import itertools
+    import random
+    rng = random.Random(20260814)
+    fmt = TxnLogFormat()
+    counter = itertools.count()
+    for example in range(4):
+        path = str(tmp_path / f"t{example}")
+        model: dict = {}  # partition value -> list of (p, v) rows
+        appended: list = []
+        for _ in range(rng.randint(3, 6)):
+            op = rng.choice(["append", "overwrite", "overwrite", "compact"])
+            if op == "append":
+                rows = [(rng.choice("abc"), next(counter))
+                        for _ in range(rng.randint(1, 3))]
+                fmt.append(spark.createDataFrame(rows, "p string, v long"),
+                           path)
+                appended.extend(rows)
+            elif op == "overwrite":
+                parts = rng.sample("abcd", rng.randint(1, 2))
+                rows = [(p, next(counter)) for p in parts
+                        for _ in range(rng.randint(1, 2))]
+                fmt.overwrite_partitions(
+                    spark.createDataFrame(rows, "p string, v long"),
+                    path, "p")
+                appended = [r for r in appended if r[0] not in parts]
+                for p in parts:
+                    model[p] = [r for r in rows if r[0] == p]
+            elif model or appended:
+                fmt.compact(spark, path)
+        if not model and not appended:
+            continue
+        expect = sorted(r for rs in model.values() for r in rs) \
+            + sorted(appended)
+        got = sorted((r.p, r.v) for r in fmt.read(spark, path).collect())
+        assert got == sorted(expect), f"example {example}"
+
+
 def test_ingest_end_to_end_through_txnlog(spark, landing):
     """The full ingest protocol (overwrite_partitions + two appends +
     state read-back) through the transactional format: same converged
