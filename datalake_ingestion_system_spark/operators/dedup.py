@@ -207,7 +207,15 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
     executor loss after this call re-runs from the checkpoint's surviving
     blocks; swap in a reliable checkpoint dir if that matters.
     """
-    n = num_hashes if num_hashes else sig_df.select(F.size("minhash")).head()[0]
+    if num_hashes:
+        n = num_hashes
+    else:
+        first = sig_df.select(F.size("minhash")).head()
+        if first is None:  # empty signature frame: no candidates
+            return sig_df.sparkSession.createDataFrame(
+                [], sig_df.select(F.col(id_col).alias("id_a"),
+                                  F.col(id_col).alias("id_b")).schema)
+        n = first[0]
     rows_per_band = max(n // bands, 1)
 
     def bucket_of(b):

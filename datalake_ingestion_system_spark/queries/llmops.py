@@ -1506,6 +1506,10 @@ def q_source_kl_divergence(spark, sf_dir):
     corpus = tok.groupBy("t").agg(F.count("*").alias("nc"))
     top = corpus.orderBy(F.desc("nc"), F.asc("t")).limit(50)
     tot = top.agg(F.sum("nc")).head()[0]  # scalar, support-sized
+    if tot is None:  # empty/all-null corpus: no support, no divergence
+        return spark.createDataFrame(
+            [], "source string, n_support_tokens bigint, "
+                "kl_divergence double")
     st = (tok.join(F.broadcast(top.select("t")), "t")
           .groupBy("source", "t").agg(F.count("*").alias("ns")))
     stot = st.groupBy("source").agg(F.sum("ns").alias("s_tot"))
@@ -1922,6 +1926,9 @@ def q_mixture_resample(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     per_src = d.groupBy("source").agg(F.count("*").alias("n_src"))
     min_n = per_src.agg(F.min("n_src")).head()[0]  # scalar, config-scale
+    if min_n is None:  # empty corpus: nothing to rebalance
+        return spark.createDataFrame(
+            [], "source string, n_kept bigint, keep_rate double")
     rates = per_src.withColumn("keep_rate",
                                F.lit(float(min_n)) / F.col("n_src"))
     u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),

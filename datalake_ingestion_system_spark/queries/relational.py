@@ -1001,6 +1001,9 @@ def q_rfm_segmentation(spark, sf_dir):
     modulo boundary ties), which keeps the whole query shuffle-partial."""
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     max_day = e.agg(F.max(F.to_date(F.col("ts")))).head()[0]  # scalar
+    if max_day is None:  # no purchases: typed empty result, not a datediff
+        return spark.createDataFrame(  # over a void literal
+            [], "r_q int, f_q int, m_q int, n_users bigint")
     per_user = (e.groupBy("user_id")
                 .agg(F.datediff(F.lit(max_day),
                                 F.max(F.to_date(F.col("ts")))).alias("recency"),

@@ -81,3 +81,27 @@ def test_operators_accept_empty_input(spark):
     prof = profile_table(empty).collect()
     assert {r.column for r in prof} == {"doc_id", "text"}
     assert all(r.n_rows == 0 for r in prof)
+
+
+def test_empty_corpus_scalar_guards(spark, tmp_path):
+    """The driver-scalar class ADVICE r4 flagged on bm25 (float(None) on an
+    empty corpus), swept across every other `.head()[0]` site: full
+    pipelines and registered queries must return typed empty frames, not
+    TypeErrors, when their input tables are empty."""
+    import __spark_entry__ as e
+    sf = str(tmp_path)
+    for name, schema in [
+            ("documents", "doc_id long, source string, text string"),
+            ("events", "event_id long, user_id long, event_type string, "
+                       "ts timestamp, value double"),
+            ("embeddings", "vec_id long, label string, "
+                           "embedding array<float>")]:
+        spark.createDataFrame([], schema).write.parquet(f"{sf}/{name}.parquet")
+    qs = e.queries()
+    for q in ("q_source_kl_divergence", "q_mixture_resample",
+              "q_rfm_segmentation", "q_bm25_search"):
+        assert qs[q](spark, sf).count() == 0, q
+    # full minhash pipeline over an empty corpus (lsh_candidate_pairs guard)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.minhash_near_dup_pairs(
+        empty, "doc_id", "text", verifiable=True).count() == 0
