@@ -10,24 +10,31 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sinks import TableFormat
+
+#: Maintenance shares the ingest default (commit-ordered parquet); pass a
+#: transactional format to route every maintenance write through its log.
+_DEFAULT_FORMAT = TableFormat()
+
 
 def merge_evolved_table(spark: SparkSession, table_dir: str,
                         out_dir: str,
-                        partition_col: str = "TRANSFERRED_DATE") -> int:
+                        partition_col: str = "TRANSFERRED_DATE",
+                        fmt: TableFormat = _DEFAULT_FORMAT) -> int:
     """Schema-evolution merge: re-read every partition of a layout-changed
-    table with ``mergeSchema`` (union of all historical layouts, missing
-    columns null) and rewrite to the ``*_LAYOUTCHANGED`` location —
-    reference D:237-248.  Returns rows written."""
-    df = (spark.read.option("mergeSchema", True).parquet(table_dir))
-    (df.repartition(partition_col)
-       .write.mode("overwrite").partitionBy(partition_col).parquet(out_dir))
-    return spark.read.parquet(out_dir).count()
+    table with schema union (all historical layouts, missing columns null)
+    and rewrite to the ``*_LAYOUTCHANGED`` location — reference D:237-248.
+    Returns rows written."""
+    df = fmt.read_merged(spark, table_dir)
+    fmt.overwrite_partitions(df, out_dir, partition_col)
+    return fmt.read(spark, out_dir).count()
 
 
 def replicate_to_user_zone(spark: SparkSession, storing_dir: str,
                            group_mapping: DataFrame,
                            user_root: str,
-                           layout_changed: DataFrame | None = None) -> list[str]:
+                           layout_changed: DataFrame | None = None,
+                           fmt: TableFormat = _DEFAULT_FORMAT) -> list[str]:
     """Storing→user-zone replication driven by the group mapping table
     (SYNC_BUCKET_STORING_TO_USER_DAILY_JOB.PY:101-125).
 
@@ -46,7 +53,7 @@ def replicate_to_user_zone(spark: SparkSession, storing_dir: str,
         src_table = f"{table}_LAYOUTCHANGED" if table in changed else table
         src = f"{storing_dir}/{feq}/{src_table}"
         dst = f"{user_root}/{bucket}/{group}/{feq}/{table}"
-        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+        fmt.overwrite_table(fmt.read(spark, src), dst)
         written.append(dst)
     return written
 
@@ -69,11 +76,12 @@ def export_ddl(spark: SparkSession, database: str | None = None) -> DataFrame:
 
 
 def backup_config(conf: DataFrame, backup_root: str,
-                  ts: str | None = None) -> str:
+                  ts: str | None = None,
+                  fmt: TableFormat = _DEFAULT_FORMAT) -> str:
     """Timestamped config snapshot (S:94-97's ``aws s3 sync`` backup)."""
     ts = ts or time.strftime("%Y%m%d_%H%M%S")
     out = f"{backup_root}/conf_{ts}"
-    conf.write.mode("overwrite").parquet(out)
+    fmt.overwrite_table(conf, out)
     return out
 
 

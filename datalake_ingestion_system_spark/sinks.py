@@ -48,11 +48,21 @@ class TableFormat:
            .partitionBy(partition_col)
            .parquet(path))
 
+    def overwrite_table(self, df: DataFrame, path: str) -> None:
+        """Replace the WHOLE table (mirror semantics — replication,
+        full-merge rewrites, config snapshots)."""
+        df.write.mode("overwrite").parquet(path)
+
     def append(self, df: DataFrame, path: str) -> None:
         df.write.mode("append").parquet(path)
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
+
+    def read_merged(self, spark: SparkSession, path: str) -> DataFrame:
+        """Read with schema union across historical layouts (the
+        layout-changed merge pass needs every column ever written)."""
+        return spark.read.option("mergeSchema", True).parquet(path)
 
 
 class TxnLogFormat(TableFormat):
@@ -155,6 +165,11 @@ class TxnLogFormat(TableFormat):
                             "partition_col": partition_col,
                             "partitions": parts})
 
+    def overwrite_table(self, df: DataFrame, path: str) -> None:
+        rel = self._stage(df, path, None)
+        self._commit(path, {"action": "replace_all", "dir": rel,
+                            "partition_col": None, "partitions": []})
+
     def append(self, df: DataFrame, path: str) -> None:
         rel = self._stage(df, path, None)
         self._commit(path, {"action": "append", "dir": rel})
@@ -197,6 +212,10 @@ class TxnLogFormat(TableFormat):
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True),
             parts_list)
+
+    def read_merged(self, spark: SparkSession, path: str) -> DataFrame:
+        # replay already unions schemas across commits (allowMissingColumns)
+        return self.read(spark, path)
 
     def compact(self, spark: SparkSession, path: str,
                 partition_col: str | None = None) -> None:

@@ -184,6 +184,36 @@ def test_ingest_end_to_end_through_txnlog(spark, landing):
     assert fmt.read(spark, landing["state"]).count() == 3
 
 
+def test_maintenance_flow_through_txnlog(spark, landing, tmp_path):
+    """The maintenance tier (schema-evolution merge + user-zone replication
+    + config backup) routed through the transactional format end-to-end on
+    top of a txn-ingested lake."""
+    from datalake_ingestion_system_spark.plans import maintenance as mnt
+    fmt = TxnLogFormat()
+    conf = registry.load_registry(spark, landing["mapping"])
+    ing.ingest(spark, landing["landing"], landing["storing"], conf,
+               landing["state"], landing["quarantine"], fmt=fmt)
+    src = landing["storing"] + "/daily/CUSTOMER_MASTER"
+    out = landing["storing"] + "/daily/CUSTOMER_MASTER_LAYOUTCHANGED"
+    assert mnt.merge_evolved_table(spark, src, out, fmt=fmt) == 5
+    merged = fmt.read(spark, out)
+    assert "EMAIL" in merged.columns
+    assert merged.filter("EMAIL IS NULL").count() == 3
+    gm = spark.createDataFrame(
+        [("CUSTOMER_MASTER", "grp_a", "daily", "user-bkt-1")],
+        "TABLE string, GROUP string, FEQ string, USER_BUCKET string")
+    dsts = mnt.replicate_to_user_zone(
+        spark, landing["storing"], gm, str(tmp_path / "user"), fmt=fmt)
+    assert fmt.read(spark, dsts[0]).count() == 5
+    # replication is MIRROR semantics: a second run replaces, not appends
+    mnt.replicate_to_user_zone(
+        spark, landing["storing"], gm, str(tmp_path / "user"), fmt=fmt)
+    assert fmt.read(spark, dsts[0]).count() == 5
+    bkp = mnt.backup_config(conf, str(tmp_path / "bkp"),
+                            ts="20190601_000000", fmt=fmt)
+    assert fmt.read(spark, bkp).count() == 4
+
+
 def test_ingest_crash_recovery_through_txnlog(spark, landing, monkeypatch):
     """Kill the run after the data commit, before state: the re-run must
     re-process the same files via partition overwrite and converge to
