@@ -880,6 +880,38 @@ GROUP BY 1
 """
 
 
+@_q("q_unpivot_metrics")
+def q_unpivot_metrics(spark, sf_dir):
+    """Unpivot (melt): a wide per-priority metrics frame back to long
+    (metric, value) rows via Spark's native ``unpivot`` — the inverse of
+    ``q_pivot_events`` and the §2.6 reshape the pivot surface was missing.
+    Values share one type (double) as the unpivot contract requires."""
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    return wide.unpivot(
+        "o_orderpriority", ["total_price", "n_orders", "avg_price"],
+        "metric", "value")
+
+
+ORACLE_SQL["q_unpivot_metrics"] = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(avg(o_totalprice), 2) AS avg_price
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_orders', n_orders FROM wide
+UNION ALL
+SELECT o_orderpriority, 'avg_price', avg_price FROM wide
+"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join & sessionization over the event stream (SURVEY §2.7 batch analog)
 # ---------------------------------------------------------------------------
