@@ -58,6 +58,39 @@ def replicate_to_user_zone(spark: SparkSession, storing_dir: str,
     return written
 
 
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
+                 key_cols: list[str],
+                 fmt: TableFormat = _DEFAULT_FORMAT) -> int:
+    """MERGE INTO semantics (upsert by key): rows of ``updates`` replace
+    current rows sharing their key; unmatched update rows insert; all other
+    current rows survive.  The SCD1 'latest wins' maintenance write Delta
+    expresses as ``MERGE INTO``, here as one left-anti + union through the
+    TableFormat seam — works on the parquet default and transactionally on
+    ``TxnLogFormat`` (whose staged write never touches the files the plan
+    is still reading).  Returns the merged row count.
+
+    The merged frame is materialized (``localCheckpoint``) BEFORE the
+    overwrite: the parquet default rewrites the directory the plan reads
+    from, and a lazy plan would race its own overwrite.  Schema evolution:
+    new update columns are unioned in, old rows take null (mergeSchema
+    read semantics on the way out).
+    """
+    try:
+        current = fmt.read(spark, path)
+    except Exception:  # first write: the table does not exist yet
+        updates = updates.localCheckpoint(eager=True)
+        fmt.overwrite_table(updates, path)
+        return updates.count()
+    merged = (
+        current.join(updates.select(*key_cols).distinct(),
+                     key_cols, "left_anti")
+        .unionByName(updates, allowMissingColumns=True)
+        .localCheckpoint(eager=True)
+    )
+    fmt.overwrite_table(merged, path)
+    return merged.count()
+
+
 def export_ddl(spark: SparkSession, database: str | None = None) -> DataFrame:
     """DDL snapshot of every catalog table — replaces the reference's Athena
     ``SHOW CREATE TABLE`` poll loop (OUTPUT_METADATA_DDL_WEEKLY_JOB.PY:51-89)

@@ -52,6 +52,23 @@ def test_replicate_layout_changed_redirect(spark, landing, tmp_path):
     assert "EMAIL" in df.columns  # replicated from _LAYOUTCHANGED source
 
 
+def test_merge_upsert_by_key(spark, tmp_path):
+    """MERGE INTO semantics on both table formats: updates replace matched
+    keys, insert unmatched ones, leave the rest, and evolve the schema."""
+    from datalake_ingestion_system_spark.sinks import TableFormat, TxnLogFormat
+    for fmt, sub in ((TableFormat(), "pq"), (TxnLogFormat(), "txn")):
+        path = str(tmp_path / sub)
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+        assert mnt.merge_upsert(spark, path, base, ["id"], fmt=fmt) == 3
+        upd = spark.createDataFrame(
+            [(2, "B", 1.5), (9, "Z", 0.5)], "id long, v string, w double")
+        assert mnt.merge_upsert(spark, path, upd, ["id"], fmt=fmt) == 4
+        got = {r.id: (r.v, r.w) for r in fmt.read(spark, path).collect()}
+        assert got == {1: ("a", None), 2: ("B", 1.5),
+                       3: ("c", None), 9: ("Z", 0.5)}, sub
+
+
 def test_backup_and_ddl_export(spark, landing, tmp_path):
     conf = _ingest(spark, landing)
     out = mnt.backup_config(conf, str(tmp_path / "bkp"), ts="20190601_000000")
