@@ -1451,6 +1451,63 @@ FROM q
 """
 
 
+@_q("q_length_histogram")
+def q_length_histogram(spark, sf_dir):
+    """Per-source document-length histogram (200-char buckets, top-capped
+    at bucket 10) — the size-distribution profile a curation run reports
+    per provider.  Pure floor-division bucketing (identical arithmetic in
+    any engine; ``width_bucket`` is not portable), one partial-agg
+    shuffle."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.length("text") / 200) + 1, F.lit(10)) \
+        .cast("int")
+    return (d.groupBy("source", bucket.alias("len_bucket"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+ORACLE_SQL["q_length_histogram"] = """
+SELECT source,
+       CAST(least(floor(length(text) / 200) + 1, 10) AS INTEGER)
+         AS len_bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+@_q("q_first_touch_attribution")
+def q_first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: each purchase is 'viewed' when the user's
+    FIRST view precedes it, else 'organic' — the standard marketing
+    attribution split, as one per-user min aggregate joined back to the
+    purchase stream (no window over the full event log)."""
+    e = load(spark, sf_dir, "events")
+    views = (e.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    pur = e.filter(F.col("event_type") == "purchase")
+    attributed = F.when(F.col("first_view") <= F.col("ts"),
+                        "viewed").otherwise("organic")
+    return (pur.join(views, "user_id", "left")
+            .groupBy(attributed.alias("attribution"))
+            .agg(F.count("*").alias("n_purchases"),
+                 F.round(F.sum("value"), 2).alias("revenue")))
+
+
+ORACLE_SQL["q_first_touch_attribution"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT CASE WHEN first_view <= ts THEN 'viewed' ELSE 'organic' END
+         AS attribution,
+       count(*) AS n_purchases,
+       round(sum(value), 2) AS revenue
+FROM p LEFT JOIN v USING (user_id)
+GROUP BY 1
+"""
+
+
 @_q("q_dedup_rate_per_source")
 def q_dedup_rate_per_source(spark, sf_dir):
     """Per-source duplication health: how many docs are exact-dup copies
