@@ -1451,6 +1451,83 @@ FROM q
 """
 
 
+@_q("q_peak_concurrency")
+def q_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day via the SWEEP-LINE pattern: each
+    session contributes (+1 at start, -1 at end) deltas, a running sum
+    over the day's ordered deltas is the concurrency curve, and its max is
+    the answer — the scale-safe alternative to the O(n²) interval
+    self-join ('count intervals overlapping each interval').  Sessions are
+    30-minute-gap per-user spans, clipped to their start day so the sweep
+    partitions cleanly by day (one window shuffle keyed by day, never a
+    global ordering).  Tie rule: ends sort before starts at equal
+    timestamps, so back-to-back sessions do not double-count."""
+    from ..catalog import epoch_seconds as ep
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (ep(F.col("ts")) - F.lag(ep(F.col("ts")), 1).over(w)) > 1800,
+        1).otherwise(0)
+    cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = (e.withColumn("new_s", gap)
+            .withColumn("seq", F.sum("new_s").over(cum))
+            .groupBy("user_id", "seq")
+            .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end")))
+    deltas = (sess.select(F.to_date("s_start").alias("day"),
+                          ep(F.col("s_start")).alias("t"),
+                          F.lit(1).alias("delta"))
+              .unionByName(
+                  sess.select(F.to_date("s_start").alias("day"),
+                              ep(F.col("s_end")).alias("t"),
+                              F.lit(-1).alias("delta"))))
+    sweep = (Window.partitionBy("day").orderBy("t", "delta")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    curve = deltas.withColumn("conc", F.sum("delta").over(sweep))
+    return (curve.groupBy("day")
+            .agg(F.max("conc").cast("int").alias("peak_concurrency")))
+
+
+ORACLE_SQL["q_peak_concurrency"] = """
+WITH g AS (
+  -- floor(epoch(.)): Spark's epoch_seconds is integer-second wall-clock
+  -- arithmetic; DuckDB epoch() is fractional — truncate identically or
+  -- sub-second data orders the sweep differently across engines
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS seq
+  FROM g
+), sess AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM s GROUP BY user_id, seq
+), deltas AS (
+  SELECT CAST(s_start AS DATE) AS day,
+         CAST(floor(epoch(s_start)) AS BIGINT) AS t, 1 AS delta
+  FROM sess
+  UNION ALL
+  SELECT CAST(s_start AS DATE) AS day,
+         CAST(floor(epoch(s_end)) AS BIGINT) AS t, -1 AS delta
+  FROM sess
+), curve AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM deltas
+)
+SELECT day, CAST(max(conc) AS INTEGER) AS peak_concurrency
+FROM curve GROUP BY day
+"""
+
+
 @_q("q_length_histogram")
 def q_length_histogram(spark, sf_dir):
     """Per-source document-length histogram (200-char buckets, top-capped
