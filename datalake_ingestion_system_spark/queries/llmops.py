@@ -1451,6 +1451,79 @@ FROM q
 """
 
 
+@_q("q_cdc_apply_latest")
+def q_cdc_apply_latest(spark, sf_dir):
+    """CDC apply: collapse a change log to final table state — keep each
+    key's LATEST record, then drop keys whose latest operation is a
+    delete (here: event_type 'error' plays the delete marker).  The
+    Debezium/Delta-CDF consumption pattern as one key-partitioned window;
+    the same shape `merge_upsert` writes incrementally, expressed as a
+    pure query over the full log."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    latest = (e.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1))
+    return (latest.filter(F.col("event_type") != "error")
+            .select("user_id",
+                    F.col("event_type").alias("last_op"),
+                    F.col("ts").alias("last_ts"),
+                    F.round("value", 2).alias("last_value")))
+
+
+ORACLE_SQL["q_cdc_apply_latest"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_op,
+       ts AS last_ts,
+       round(value, 2) AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@_q("q_weekly_active_users")
+def q_weekly_active_users(spark, sf_dir):
+    """Rolling 7-day active users per day (WAU curve): each (user, active
+    day) pair contributes to the 7 calendar days it keeps the user
+    "active", via an in-row 7-day explode → distinct-count — the
+    scale-safe formulation (a bounded 7× row expansion and ONE distinct
+    aggregate; never a per-day self-join or a global range window).  Days
+    beyond the observed maximum are clipped so the curve ends at the data."""
+    e = load(spark, sf_dir, "events")
+    active = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    max_day = active.agg(F.max("day")).head()[0]  # scalar
+    if max_day is None:
+        return spark.createDataFrame([], "day date, wau bigint")
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.least(F.date_add(F.col("day"), 6), F.lit(max_day))))
+        .alias("day"))
+    return (contrib.groupBy("day")
+            .agg(F.countDistinct("user_id").alias("wau")))
+
+
+ORACLE_SQL["q_weekly_active_users"] = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), m AS (
+  SELECT max(day) AS max_day FROM active
+), contrib AS (
+  SELECT user_id, unnest(generate_series(day, least(day + 6, max_day),
+                                         INTERVAL 1 DAY)) AS day
+  FROM active, m
+)
+SELECT CAST(day AS DATE) AS day, count(DISTINCT user_id) AS wau
+FROM contrib GROUP BY 1
+"""
+
+
 @_q("q_peak_concurrency")
 def q_peak_concurrency(spark, sf_dir):
     """Peak concurrent sessions per day via the SWEEP-LINE pattern: each
