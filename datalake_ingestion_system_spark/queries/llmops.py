@@ -1451,6 +1451,45 @@ FROM q
 """
 
 
+@_q("q_event_cooccurrence")
+def q_event_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users did both.  The per-user type set is collected
+    once (bounded domain) and pairs explode IN-ROW from the sorted set —
+    the scale-safe formulation that replaces the (user,type)⋈(user,type)
+    self-join whose shuffle is quadratic in per-user activity.  The
+    DuckDB oracle states the same result relationally (a self-join is
+    fine at oracle scale)."""
+    e = load(spark, sf_dir, "events")
+    sets = (e.groupBy("user_id")
+            .agg(F.array_sort(F.collect_set("event_type")).alias("ts_")))
+    arr = F.col("ts_")
+    m = F.size(arr)
+    pair_arr = F.flatten(F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.transform(
+            F.slice(arr, i + 1, m),
+            lambda b: F.struct(F.element_at(arr, i).alias("type_a"),
+                               b.alias("type_b")))))
+    return (sets.filter(m >= 2)
+            .select(F.explode(pair_arr).alias("p"))
+            .select("p.type_a", "p.type_b")
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("n_users")))
+
+
+ORACLE_SQL["q_event_cooccurrence"] = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 @_q("q_cdc_apply_latest")
 def q_cdc_apply_latest(spark, sf_dir):
     """CDC apply: collapse a change log to final table state — keep each
