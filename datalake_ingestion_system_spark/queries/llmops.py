@@ -1451,6 +1451,47 @@ FROM q
 """
 
 
+@_q("q_anomaly_zscore")
+def q_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly monitor: per (event_type, day) counts z-scored
+    against the type's own daily distribution; |z| ≥ 2 flags the days a
+    pipeline alert would fire on (feed died / spam burst).  Two partial-agg
+    shuffles (daily counts, then per-type moments broadcast back via a
+    tiny join); sample standard deviation, matching ``stddev_samp`` in
+    any SQL engine."""
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")))
+    z = F.round(
+        F.when(F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd"))
+        .otherwise(F.lit(0.0)), 6)
+    # the flag derives from the ROUNDED z so both engines compare the
+    # same 6-digit value (an unrounded boundary compare could flip on
+    # reassociation noise — the q_embedding_quantize lesson)
+    return (daily.join(F.broadcast(stats), "event_type")
+            .select("event_type", "day", "n",
+                    z.alias("zscore"),
+                    (F.abs(z) >= 2).alias("is_anomaly")))
+
+
+ORACLE_SQL["q_anomaly_zscore"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+  FROM daily GROUP BY event_type
+)
+SELECT daily.event_type, day, n,
+       round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END, 6) AS zscore,
+       abs(round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END, 6)) >= 2
+         AS is_anomaly
+FROM daily JOIN stats USING (event_type)
+"""
+
+
 @_q("q_event_cooccurrence")
 def q_event_cooccurrence(spark, sf_dir):
     """Market-basket co-occurrence: for every unordered pair of event
