@@ -161,9 +161,28 @@ def _steal_stale_lease(path: str, run_id: str, ttl_seconds: float) -> bool:
     freshly created lease, leaving two concurrent holders.  ``os.rename`` to
     a run-id-suffixed tombstone is the atomic claim: exactly one stealer
     wins the rename (the loser gets FileNotFoundError), and the winner
-    re-checks the tombstone's CONTENT — if it grabbed a lease that was
-    already refreshed by a faster stealer, it restores it via ``os.link``
-    (atomic, refuses to clobber any newer lease) and backs off."""
+    re-checks the tombstone's CONTENT.
+
+    ADVICE r5 hardening: ownership is now verified by content BEFORE the
+    live file is touched — a lease that reads fresh is never renamed aside
+    at all, so the path-absent window only opens when the lease was stale
+    µs earlier.  If the post-rename re-check still finds a fresh (foreign)
+    lease, restoring it can collide with a third run that slipped an
+    ``O_EXCL`` create into the window; that collision is now ESCALATED
+    (``ConcurrentIngestError``, tombstone kept on disk for forensics)
+    instead of silently unlinking the displaced holder's lease — the old
+    swallow left two concurrent holders, the exact state the protocol
+    exists to prevent."""
+    # content check first: never remove a live lease that is provably fresh
+    try:
+        with open(path) as f:
+            pre = json.load(f)
+    except FileNotFoundError:
+        return True  # released/stolen under us — retry the atomic create
+    except (OSError, ValueError):
+        pre = {}  # unreadable/corrupt — claim it below and decide by re-read
+    if pre and time.time() - pre.get("acquired_at", 0) <= ttl_seconds:
+        return False  # refreshed since the caller's staleness check
     tomb = f"{path}.steal.{run_id}"
     try:
         os.rename(path, tomb)
@@ -178,11 +197,19 @@ def _steal_stale_lease(path: str, run_id: str, ttl_seconds: float) -> bool:
              and time.time() - stolen.get("acquired_at", 0) <= ttl_seconds)
     if fresh:
         # we renamed a lease that a faster stealer had already re-created —
-        # put it back (unless an even newer one exists) and report contention
+        # put it back (link is atomic and refuses to clobber) and back off
         try:
             os.link(tomb, path)
-        except OSError:
-            pass
+        except FileExistsError:
+            # a THIRD run acquired while the path was absent; restoring
+            # would clobber it and unlinking the tombstone would silently
+            # orphan the displaced holder.  Keep the tombstone (it holds
+            # the displaced lease for operator recovery) and escalate.
+            raise ConcurrentIngestError(
+                f"lease contention at {path}: a fresh lease (run "
+                f"{stolen.get('run_id', '?')}) was displaced during a steal "
+                f"attempt and another run acquired meanwhile; displaced "
+                f"lease preserved at {tomb} — manual intervention required")
         os.unlink(tomb)
         return False
     os.unlink(tomb)
@@ -198,6 +225,18 @@ def _release_lease(state_dir: str, run_id: str) -> None:
     a lease created while we held the tombstone)."""
     path = os.path.join(state_dir, _LEASE_FILE)
     tomb = f"{path}.release.{run_id}"
+    # ADVICE r5: verify ownership by CONTENT before removing the live file —
+    # a lease that already belongs to a successor is left untouched, so the
+    # path-absent window only opens when the lease read as ours µs earlier.
+    try:
+        with open(path) as f:
+            pre_owner = json.load(f).get("run_id")
+    except FileNotFoundError:
+        return  # already released / stolen and released
+    except (OSError, ValueError):
+        pre_owner = None  # corrupt — claim and decide by the re-read below
+    if pre_owner not in (run_id, None):
+        return  # stolen by a successor — nothing of ours to release
     try:
         os.rename(path, tomb)
     except OSError:
@@ -210,8 +249,15 @@ def _release_lease(state_dir: str, run_id: str) -> None:
     if owner not in (run_id, None):
         try:
             os.link(tomb, path)  # not ours: restore for the real holder
-        except OSError:
-            pass
+        except FileExistsError:
+            # a third run acquired while the path was absent — same
+            # escalation as _steal_stale_lease: never silently drop the
+            # displaced holder's lease (tombstone kept for forensics).
+            raise ConcurrentIngestError(
+                f"lease contention at {path}: run {owner}'s lease was "
+                f"displaced during run {run_id}'s release and another run "
+                f"acquired meanwhile; displaced lease preserved at {tomb} "
+                "— manual intervention required")
     try:
         os.unlink(tomb)
     except OSError:

@@ -1439,7 +1439,7 @@ WITH v AS (
 )
 SELECT vec_id,
        CAST(floor(scale * 1e6) AS BIGINT) AS scale_fp,
-       list_sum(qv) AS q_sum,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
        list_min(qv) AS q_min,
        list_max(qv) AS q_max,
        CAST(list_sum(list_transform(range(1, len(vec) + 1),

@@ -79,17 +79,19 @@ class TxnLogFormat(TableFormat):
     Protocol:
 
     - Writers stage parquet under a fresh ``_txn_data/<uuid>`` directory —
-      unreferenced, hence invisible to every reader — then publish it with a
-      single ``O_CREAT|O_EXCL`` create of the next ``_txn_log`` version
-      file.  A crash before the commit leaves only an orphaned data
-      directory; readers never see partial writes (the atomicity the
-      reference's racing JSON-state overwrite lacked,
+      unreferenced, hence invisible to every reader — then publish it by
+      fully writing (+fsync) the next ``_txn_log`` version record to a
+      hidden temp file and ``os.link``-ing it into place: the version name
+      appears with its complete content or not at all.  A crash before the
+      link leaves only an orphaned data dir and a ``.tmp`` log orphan;
+      readers never see partial writes — in name OR in content (the
+      atomicity the reference's racing JSON-state overwrite lacked,
       DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY:402-405).
     - Version collisions (two concurrent committers) resolve by optimistic
-      retry: the loser re-lists the log and takes the next number — both
-      commits land, serialized by version order.  On an object store, swap
-      the O_EXCL create for a conditional PUT (same seam as the ingest
-      lease).
+      retry: the ``os.link`` loser gets FileExistsError, re-lists the log
+      and takes the next number — both commits land, serialized by version
+      order.  On an object store, swap the link for a conditional PUT of
+      the staged record (same seam as the ingest lease).
     - ``overwrite_partitions`` records the replaced partition VALUES in its
       commit; replay subtracts them from every earlier commit, giving
       dynamic-partition-overwrite semantics without ever deleting data
@@ -139,13 +141,26 @@ class TxnLogFormat(TableFormat):
                         if n.endswith(".json")]
             v = (max(versions) + 1) if versions else 0
             target = os.path.join(log, f"{v:012d}.json")
+            # Write the FULL record (+fsync) to an invisible temp file, then
+            # publish with os.link: the commit name either appears with its
+            # complete content or not at all.  A concurrent reader can never
+            # open a half-written commit, and a writer crash before the link
+            # leaves only a ``.tmp`` orphan (ignored by ``_commits``, swept
+            # by ``vacuum``) — same publish discipline as Delta's
+            # put-if-absent of a fully staged log entry.  os.link fails with
+            # FileExistsError on a version race exactly like O_EXCL did.
+            tmp = os.path.join(log, f".{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                json.dump({**record, "version": v}, f)
+                f.flush()
+                os.fsync(f.fileno())
             try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, target)
+                return v
             except FileExistsError:
                 continue  # lost the version race — re-list and retry
-            with os.fdopen(fd, "w") as f:
-                json.dump({**record, "version": v}, f)
-            return v
+            finally:
+                os.unlink(tmp)
 
     # -- TableFormat contract --------------------------------------------
     def overwrite_partitions(self, df: DataFrame, path: str,
@@ -163,16 +178,19 @@ class TxnLogFormat(TableFormat):
         rel = self._stage(df, path, partition_col)
         self._commit(path, {"action": "overwrite", "dir": rel,
                             "partition_col": partition_col,
-                            "partitions": parts})
+                            "partitions": parts,
+                            "schema": df.schema.json()})
 
     def overwrite_table(self, df: DataFrame, path: str) -> None:
         rel = self._stage(df, path, None)
         self._commit(path, {"action": "replace_all", "dir": rel,
-                            "partition_col": None, "partitions": []})
+                            "partition_col": None, "partitions": [],
+                            "schema": df.schema.json()})
 
     def append(self, df: DataFrame, path: str) -> None:
         rel = self._stage(df, path, None)
-        self._commit(path, {"action": "append", "dir": rel})
+        self._commit(path, {"action": "append", "dir": rel,
+                            "schema": df.schema.json()})
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         commits = self._commits(path)
@@ -209,6 +227,21 @@ class TxnLogFormat(TableFormat):
                     keep = keep & cs.isNotNull()
                 df = df.filter(keep)
             parts_list.append(df)
+        if not parts_list:
+            # Every live dir was skipped (e.g. the only commit is an
+            # overwrite of an empty DataFrame, whose empty partition set is
+            # trivially <= any removed set).  The table legitimately exists
+            # with zero live rows — rebuild an empty frame from the most
+            # recent commit-recorded schema (an empty partitioned stage
+            # writes no part files, so the dir itself carries no schema)
+            # instead of letting reduce() raise on an empty iterable.
+            from pyspark.sql.types import StructType
+            sj = next((c["schema"] for c in reversed(commits)
+                       if c.get("schema")), None)
+            if sj is None:  # pre-schema-recording log with no live data
+                raise FileNotFoundError(f"no live data at {path}")
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(sj)))
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True),
             parts_list)
@@ -228,7 +261,8 @@ class TxnLogFormat(TableFormat):
         rel = self._stage(current, path, partition_col)
         self._commit(path, {"action": "replace_all", "dir": rel,
                             "partition_col": partition_col,
-                            "partitions": []})
+                            "partitions": [],
+                            "schema": current.schema.json()})
 
     def vacuum(self, path: str, retain_hours: float = 168.0) -> list[str]:
         """Delete ``_txn_data`` directories no LIVE commit references (Delta
@@ -261,6 +295,18 @@ class TxnLogFormat(TableFormat):
                 continue
             shutil.rmtree(full, ignore_errors=True)
             deleted.append(rel)
+        # Also sweep `.tmp` commit-staging orphans from writers that died
+        # between staging and os.link publish (same age guard).
+        log = self._log_dir(path)
+        try:
+            for n in os.listdir(log):
+                full = os.path.join(log, n)
+                if (n.endswith(".tmp")
+                        and os.path.getmtime(full) <= cutoff):
+                    os.unlink(full)
+                    deleted.append(os.path.join("_txn_log", n))
+        except FileNotFoundError:
+            pass
         return deleted
 
 

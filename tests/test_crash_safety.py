@@ -239,3 +239,104 @@ def test_table_format_seam(spark, landing):
     kinds = [k for k, _ in Spy.calls]
     assert kinds.count("append") == 2  # quarantine + state
     assert_converged(spark, landing)
+
+
+def test_steal_collision_with_third_acquirer_escalates(tmp_path, monkeypatch):
+    """ADVICE r5 (medium): while a displaced FRESH lease sits in the steal
+    tombstone, the lease path is absent and a third run's O_EXCL create can
+    succeed; the restoring os.link then collides.  The old code swallowed
+    that and unlinked the tombstone — silently leaving TWO concurrent
+    holders.  Now the collision escalates (ConcurrentIngestError) and the
+    displaced lease is preserved in the tombstone for operator recovery."""
+    import json
+    import os
+    import time
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    path = os.path.join(state, ing._LEASE_FILE)
+    with open(path, "w") as f:  # stale lease — passes B's pre-check
+        json.dump({"run_id": "dead", "acquired_at": 0}, f)
+
+    real_rename = os.rename
+
+    def racy_rename(src, dst):
+        # faster stealer A re-creates a fresh lease JUST before B's rename…
+        with open(src, "w") as f:
+            json.dump({"run_id": "A", "acquired_at": time.time()}, f)
+        real_rename(src, dst)
+        # …and third run C slips an O_EXCL create into the absent window
+        with open(src, "w") as f:
+            json.dump({"run_id": "C", "acquired_at": time.time()}, f)
+
+    monkeypatch.setattr(os, "rename", racy_rename)
+    with pytest.raises(ing.ConcurrentIngestError, match="manual intervention"):
+        ing._steal_stale_lease(path, "B", ttl_seconds=60.0)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # C's live lease untouched; A's displaced lease preserved in tombstone
+    with open(path) as f:
+        assert json.load(f)["run_id"] == "C"
+    with open(f"{path}.steal.B") as f:
+        assert json.load(f)["run_id"] == "A"
+
+
+def test_release_collision_with_third_acquirer_escalates(tmp_path, monkeypatch):
+    import json
+    import os
+    import time
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    path = os.path.join(state, ing._LEASE_FILE)
+    with open(path, "w") as f:  # reads as OURS at the pre-check
+        json.dump({"run_id": "A", "acquired_at": time.time()}, f)
+
+    real_rename = os.rename
+
+    def racy_rename(src, dst):
+        # B steals+refreshes between A's pre-check and rename…
+        with open(src, "w") as f:
+            json.dump({"run_id": "B", "acquired_at": time.time()}, f)
+        real_rename(src, dst)
+        # …and C acquires in the absent window
+        with open(src, "w") as f:
+            json.dump({"run_id": "C", "acquired_at": time.time()}, f)
+
+    monkeypatch.setattr(os, "rename", racy_rename)
+    with pytest.raises(ing.ConcurrentIngestError, match="manual intervention"):
+        ing._release_lease(state, "A")
+    monkeypatch.setattr(os, "rename", real_rename)
+    with open(path) as f:
+        assert json.load(f)["run_id"] == "C"
+    with open(f"{path}.release.A") as f:
+        assert json.load(f)["run_id"] == "B"
+
+
+def test_fresh_lease_never_renamed_aside_during_steal(tmp_path):
+    """Content-check-first: a fresh lease must not transit through the
+    tombstone at all (no path-absent window is ever opened for it)."""
+    import json
+    import os
+    import time
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    path = os.path.join(state, ing._LEASE_FILE)
+    with open(path, "w") as f:
+        json.dump({"run_id": "A", "acquired_at": time.time()}, f)
+    ino = os.stat(path).st_ino
+    assert ing._steal_stale_lease(path, "B", ttl_seconds=60.0) is False
+    assert os.stat(path).st_ino == ino  # same inode: file never moved
+    assert not os.path.exists(f"{path}.steal.B")
+
+
+def test_release_leaves_successor_lease_untouched_by_content_check(tmp_path):
+    import json
+    import os
+    import time
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    path = os.path.join(state, ing._LEASE_FILE)
+    with open(path, "w") as f:
+        json.dump({"run_id": "B", "acquired_at": time.time()}, f)
+    ino = os.stat(path).st_ino
+    ing._release_lease(state, "A")
+    assert os.stat(path).st_ino == ino  # never renamed aside
+    assert not os.path.exists(f"{path}.release.A")

@@ -234,3 +234,70 @@ def test_ingest_crash_recovery_through_txnlog(spark, landing, monkeypatch):
     state = fmt.read(spark, landing["state"])
     assert state.groupBy("filename").count().filter("count > 1").count() == 0
     assert state.count() == 3
+
+
+def test_commit_publish_is_atomic_in_content(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (high): the old O_EXCL-then-json.dump publish could expose
+    a named-but-empty commit to a concurrent reader, and a writer crash
+    between open and dump bricked the log forever.  The link-publish
+    protocol must (a) never leave a partial ``*.json`` on a crash before
+    publish, and (b) keep the log fully readable afterwards."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1,)], "v int"), path)
+
+    real_link = os.link
+
+    def crash_link(src, dst):  # writer dies AFTER staging record, BEFORE publish
+        raise RuntimeError("simulated crash at publish")
+
+    monkeypatch.setattr(os, "link", crash_link)
+    with pytest.raises(RuntimeError):
+        fmt.append(spark.createDataFrame([(2,)], "v int"), path)
+    monkeypatch.setattr(os, "link", real_link)
+
+    # the crashed publish left no partial commit: every *.json parses, and
+    # the table reads back exactly the pre-crash state
+    log = fmt._log_dir(path)
+    for n in os.listdir(log):
+        if n.endswith(".json"):
+            with open(os.path.join(log, n)) as f:
+                json.load(f)  # must not raise
+    assert [r.v for r in fmt.read(spark, path).collect()] == [1]
+    # and the log is still writable (version numbering undisturbed)
+    fmt.append(spark.createDataFrame([(3,)], "v int"), path)
+    assert sorted(r.v for r in fmt.read(spark, path).collect()) == [1, 3]
+
+
+def test_empty_overwrite_reads_back_as_empty_table(spark, tmp_path):
+    """ADVICE r5 (low): if the only commit overwrites with an EMPTY
+    DataFrame, its recorded partition set is empty, every live dir is
+    skipped, and read() used to die in reduce() over an empty iterable.
+    It must return an empty frame with the staged schema instead."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "p string, v int")
+    fmt.overwrite_partitions(empty, path, "p")
+    got = fmt.read(spark, path)
+    assert got.count() == 0
+    assert set(got.columns) == {"p", "v"}
+    # and a later real overwrite still lands normally
+    fmt.overwrite_partitions(
+        spark.createDataFrame([("a", 1)], "p string, v int"), path, "p")
+    assert [(r.p, r.v) for r in fmt.read(spark, path).collect()] == [("a", 1)]
+
+
+def test_vacuum_sweeps_stale_commit_tmp_orphans(spark, tmp_path):
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1,)], "v int"), path)
+    log = fmt._log_dir(path)
+    orphan = os.path.join(log, ".deadbeef.tmp")
+    with open(orphan, "w") as f:
+        f.write('{"partial":')
+    old = os.path.getmtime(orphan) - 8 * 24 * 3600
+    os.utime(orphan, (old, old))
+    deleted = fmt.vacuum(path)
+    assert not os.path.exists(orphan)
+    assert os.path.join("_txn_log", ".deadbeef.tmp") in deleted
+    assert [r.v for r in fmt.read(spark, path).collect()] == [1]

@@ -4,6 +4,16 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at sf=0.01, comparing row count, column names, and an
 order-insensitive value hash (floats normalized via repr of rounded value).
 
+The DuckDB side is fetched via **Arrow** (``fetch_arrow_table``), not
+``fetchall()``: DuckDB widens some integer aggregates to HUGEINT (e.g.
+``list_sum`` / ``sum`` over BIGINT), which crosses Arrow as
+``decimal128(38,0)`` and surfaces as ``decimal.Decimal`` — the driver's
+normalization sees that as distinct from Spark's LONG.  ``fetchall()``
+yields plain Python ints and silently masked exactly that asymmetry for
+two rounds (``q_embedding_quantize``, CORRECTNESS_r04/r05); with the
+Arrow path plus the strict ``Decimal`` marker in ``_norm_cell`` the
+mismatch reproduces locally.
+
 Usage: python tools/verify_local.py [name ...]
 """
 
@@ -25,9 +35,15 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 def _norm_cell(v):
     import datetime
+    import decimal
     import math
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # Deliberately NOT folded into int/float: a Decimal here means the
+        # engine emitted a decimal type (DuckDB HUGEINT→decimal128, or a
+        # Spark DecimalType) and the driver's hash treats it as distinct.
+        return "DEC:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -89,9 +105,9 @@ def main(only: list[str]) -> int:
             n_rowsonly += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = list(tbl.column_names)
+            drows = [tuple(rec[c] for c in dcols) for rec in tbl.to_pylist()]
         except Exception:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
