@@ -65,3 +65,39 @@ def test_state_carries_across_batches(spark, tmp_path):
     final2 = (out.filter(F.col("user_id") == 2)
               .orderBy(F.desc("cum_events")).first())
     assert (final2.cum_events, final2.cum_sessions) == (1, 1)
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """ADVICE r5 (low) claimed Spark session windows are [start, last+gap)
+    with EXCLUSIVE end, so an event exactly ``gap`` after the previous one
+    would start a new session and the DuckDB oracle's ``> 1800`` predicate
+    would diverge.  Measured on Spark 4: the merge condition is INCLUSIVE —
+    an event at exactly prev_ts + 1800s JOINS the session — so the oracle's
+    ``new_session = gap > 1800`` is the correct mirror and must not be
+    changed to ``>= 1800``.  This test pins that semantic so a future Spark
+    upgrade that flips it fails loudly instead of silently desyncing
+    ``q_session_window_agg`` / ``q_stream_session_windows``."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u", t0),
+        ("u", t0 + dt.timedelta(seconds=1800)),    # exactly gap later: merges
+        ("u", t0 + dt.timedelta(seconds=3601)),    # gap+1 after 12:30: splits
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = (df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+             .agg(F.count("*").alias("n")))
+    sessions = sorted((r["session_window"]["start"], r["n"])
+                      for r in out.collect())
+    assert [n for _, n in sessions] == [2, 1]
+    # and the oracle predicate (> 1800) groups identically
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (user_id VARCHAR, ts TIMESTAMP)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", [list(r) for r in rows])
+    n_sessions = con.execute("""
+        WITH g AS (
+          SELECT CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) > 1800
+                      THEN 1 ELSE 0 END AS ns FROM e)
+        SELECT 1 + sum(ns) FROM g""").fetchone()[0]
+    assert int(n_sessions) == len(sessions) == 2
