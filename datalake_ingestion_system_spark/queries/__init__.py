@@ -29,9 +29,11 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 
 # Queries whose implementation or oracle changed AFTER their last green
 # driver row belong back in the sampled prefix until re-verified.
-# Round 5: epoch_seconds moved to wall-clock arithmetic (DST fix) —
-# re-verify its two consumers even though values are identical under UTC.
-_FORCE_FRONT: tuple[str, ...] = ("q_sessionization", "q_time_weighted_avg")
+# Round 6: empty — the r5 entries (q_sessionization, q_time_weighted_avg)
+# re-verified green in CORRECTNESS_r05 and rotate naturally; the round-6
+# oracle fix (q_embedding_quantize) has no green row ever, so the rotation
+# fronts it automatically.
+_FORCE_FRONT: tuple[str, ...] = ()
 
 
 def _evidence():

@@ -626,3 +626,241 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier: correlated min-subquery matched back per part
+# ---------------------------------------------------------------------------
+
+@_q("q02_min_cost_supplier")
+def q02_min_cost_supplier(spark, sf_dir):
+    """For each selected part, the EUROPE supplier(s) offering the minimum
+    unit cost (TPC-H Q2 shape: the correlated aggregate subquery — min per
+    part over region suppliers — matched back by equality).  The lake has
+    no ``partsupp``, so the supply relation is derived: the minimum unit
+    price each supplier ever shipped a part at (rounded to 4 places BEFORE
+    the equality match so both engines compare identical values).
+
+    Scale: the supply agg is one keyed shuffle of lineitem; supplier/
+    nation/region and the per-part min (card. = selected parts) broadcast.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 25) & (F.col("p_type") == "STANDARD"))
+    supply = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+              .alias("supply_cost"))
+    )
+    eu_supply = (
+        supply
+        .join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+    )
+    best = (
+        eu_supply.groupBy(F.col("l_partkey").alias("bk"))
+        .agg(F.min("supply_cost").alias("best_cost"))
+    )
+    return (
+        eu_supply.join(F.broadcast(best),
+                       (eu_supply.l_partkey == best.bk)
+                       & (eu_supply.supply_cost == best.best_cost))
+        .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
+                "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_SQL["q02_min_cost_supplier"] = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         round(min(l_extendedprice / l_quantity), 4) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       supply_cost
+FROM part, supply, supplier, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size BETWEEN 10 AND 25 AND p_type = 'STANDARD'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND supply_cost = (
+    SELECT min(ps2.supply_cost)
+    FROM supply ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: group agg vs scalar-subquery fraction of the total
+# ---------------------------------------------------------------------------
+
+@_q("q11_important_stock")
+def q11_important_stock(spark, sf_dir):
+    """Parts representing more than 0.1% of one nation's total shipped
+    value (TPC-H Q11 shape: HAVING sum > fraction * scalar-subquery total).
+
+    Money is summed in integer cents so the threshold comparison is exact
+    on both engines — no float-reassociation boundary flips.  At 100 TB the
+    cents total still fits a LONG (~9.2e18 = $92 quadrillion); the partial
+    agg shuffles only (partkey, cents), and the 1-row total broadcasts.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    by_part = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = by_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        by_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("ps_partkey",
+                F.round(F.col("value_cents") / 100.0, 2).alias("stock_value"))
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+ORACLE_SQL["q11_important_stock"] = """
+WITH v AS (
+  SELECT l_partkey AS ps_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT ps_partkey, round(value_cents / 100.0, 2) AS stock_value
+FROM v
+WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM v)
+ORDER BY stock_value DESC, ps_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship: NOT-IN exclusion + count distinct
+# ---------------------------------------------------------------------------
+
+@_q("q16_parts_supplier_cnt")
+def q16_parts_supplier_cnt(spark, sf_dir):
+    """How many suppliers can furnish each (brand, type, size) bucket,
+    excluding blacklisted suppliers (TPC-H Q16 shape: NOT IN anti-membership
+    subquery + multi-attribute COUNT DISTINCT).  The complaint filter is
+    adapted to negative account balance (the lake has no ``s_comment``).
+
+    Scale: the distinct (part, supplier) pair set is one shuffle; the
+    blacklist and part dimension broadcast; the NOT IN is a broadcast
+    left-anti join (safe here — the subquery key is non-null by schema).
+    """
+    pairs = (load(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    bad = (load(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+    return (
+        pairs.join(F.broadcast(bad),
+                   pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_SQL["q16_parts_supplier_cnt"] = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion: nested IN + correlated aggregate threshold
+# ---------------------------------------------------------------------------
+
+@_q("q20_potential_promotion")
+def q20_potential_promotion(spark, sf_dir):
+    """ASIA suppliers who dominated 1997 shipments of some 'small %' part —
+    shipped more than 20% of that part's 1997 volume (TPC-H Q20 shape:
+    suppkey IN (... partkey IN (name-filtered parts) AND qty > fraction *
+    correlated per-part aggregate)).
+
+    Quantities are integral; sums are cast to LONG after rounding so the
+    5x-threshold compare is exact integer math on both engines.  Scale: one
+    keyed agg over the name-filtered lineitem slice (filter parquet-pushed
+    via the broadcast part join), per-part totals broadcast back.
+    """
+    l97 = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    parts = (load(spark, sf_dir, "part")
+             .filter(F.col("p_name").like("small%")).select("p_partkey"))
+    qty = (
+        l97.join(F.broadcast(parts), l97.l_partkey == parts.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("qty"))
+    )
+    tot = (qty.groupBy(F.col("l_partkey").alias("tk"))
+           .agg(F.sum("qty").alias("part_total")))
+    dominant = (
+        qty.join(F.broadcast(tot), qty.l_partkey == tot.tk)
+        .filter(F.col("qty") * 5 > F.col("part_total"))
+        .select("l_suppkey").distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_SQL["q20_potential_promotion"] = """
+SELECT s_name, n_name
+FROM supplier, nation, region
+WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT q.l_suppkey FROM
+      (SELECT l_partkey, l_suppkey,
+              CAST(round(sum(l_quantity)) AS BIGINT) AS qty
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_name LIKE 'small%')
+       GROUP BY 1, 2) q
+    WHERE q.qty * 5 > (
+       SELECT CAST(round(sum(l2.l_quantity)) AS BIGINT) FROM lineitem l2
+       WHERE l2.l_partkey = q.l_partkey
+         AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+ORDER BY s_name
+"""
