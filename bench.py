@@ -30,6 +30,12 @@ HEADLINE = [
     "q_cosine_topk",
     "q_token_stats",
     "q_stream_hourly_events",
+    # round 6 (VERDICT r5 item 6): two LLM-tier heavies promoted so the
+    # extension tier's perf is tracked round-over-round.  Totals are only
+    # comparable to r1-r5 over the original 11 queries — BASELINE.md
+    # documents the split.
+    "q_bm25_search",
+    "q_ann_ivf_topk",
 ]
 
 

@@ -1028,9 +1028,11 @@ def q_rfm_segmentation(spark, sf_dir):
 
     Scale note: the three global ntile windows funnel the per-user frame
     through one task — exact-quartile semantics are only worth that up to
-    ~1e7 users.  Beyond that, swap to ``percentile_approx`` threshold
-    literals + ``CASE`` bucketing (a broadcast of 9 numbers; same output
-    modulo boundary ties), which keeps the whole query shuffle-partial."""
+    ~1e7 users.  ``q_rfm_segmentation_approx`` below is the registered
+    scale default: ``percentile_approx`` thresholds + CASE bucketing (a
+    broadcast of 9 numbers; same output modulo boundary ties) with no
+    single-partition window anywhere; this exact-ntile form stays for
+    oracle parity and small-corpus use."""
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     max_day = e.agg(F.max(F.to_date(F.col("ts")))).head()[0]  # scalar
     if max_day is None:  # no purchases: typed empty result, not a datediff
@@ -1070,6 +1072,92 @@ WITH p AS (
 )
 SELECT r_q, f_q, m_q, count(*) AS n_users
 FROM seg GROUP BY 1, 2, 3
+"""
+
+
+@_q("q_rfm_segmentation_approx")
+def q_rfm_segmentation_approx(spark, sf_dir):
+    """Shuffle-partial RFM segmentation — the 100-TB default form of
+    ``q_rfm_segmentation`` (VERDICT r5 item 4).  Quartile membership comes
+    from ``percentile_approx`` THRESHOLDS (one 1-row aggregate, broadcast
+    back: 9 numbers) + CASE bucketing, so the whole plan is partial-agg +
+    broadcast join — no single-partition window sort anywhere, verified by
+    ``tests/test_pushdown.py``.
+
+    Boundary semantics differ from exact ntile only at quartile ties: all
+    tied users collapse into one bucket here, while ntile splits them by
+    rank to equalize bucket sizes — the documented trade for losing the
+    global sort.  Oracle: DuckDB ``quantile_disc``, which matches Spark's
+    ``percentile_approx`` at high accuracy on discrete data (the same
+    alignment ``q_percentile_approx`` is green on)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    max_day = e.agg(F.max(F.to_date(F.col("ts")))).head()[0]  # scalar
+    if max_day is None:
+        return spark.createDataFrame(
+            [], "r_q int, f_q int, m_q int, n_users bigint")
+    per_user = (e.groupBy("user_id")
+                .agg(F.datediff(F.lit(max_day),
+                                F.max(F.to_date(F.col("ts")))).alias("recency"),
+                     F.count("*").alias("frequency"),
+                     F.round(F.sum("value"), 2).alias("monetary")))
+    th = per_user.agg(
+        F.expr("percentile_approx(recency, array(0.25, 0.5, 0.75), 1000000)")
+         .alias("rt"),
+        F.expr("percentile_approx(frequency, array(0.25, 0.5, 0.75), 1000000)")
+         .alias("ft"),
+        F.expr("percentile_approx(monetary, array(0.25, 0.5, 0.75), 1000000)")
+         .alias("mt"))
+
+    def asc_bucket(c, t):  # bucket 1 = lowest values (recency)
+        return (F.lit(1)
+                + (F.col(c) > F.col(t).getItem(0)).cast("int")
+                + (F.col(c) > F.col(t).getItem(1)).cast("int")
+                + (F.col(c) > F.col(t).getItem(2)).cast("int"))
+
+    def desc_bucket(c, t):  # bucket 1 = highest values (frequency/monetary)
+        return (F.lit(1)
+                + (F.col(c) < F.col(t).getItem(2)).cast("int")
+                + (F.col(c) < F.col(t).getItem(1)).cast("int")
+                + (F.col(c) < F.col(t).getItem(0)).cast("int"))
+
+    return (per_user.join(F.broadcast(th))
+            .select(asc_bucket("recency", "rt").alias("r_q"),
+                    desc_bucket("frequency", "ft").alias("f_q"),
+                    desc_bucket("monetary", "mt").alias("m_q"))
+            .groupBy("r_q", "f_q", "m_q")
+            .agg(F.count("*").alias("n_users")))
+
+
+ORACLE_SQL["q_rfm_segmentation_approx"] = """
+WITH p AS (
+  SELECT * FROM events WHERE event_type = 'purchase'
+), per_user AS (
+  SELECT user_id,
+         CAST(datediff('day', max(CAST(ts AS DATE)),
+                       (SELECT max(CAST(ts AS DATE)) FROM p)) AS INTEGER)
+           AS recency,
+         count(*) AS frequency,
+         round(sum(value), 2) AS monetary
+  FROM p GROUP BY user_id
+), th AS (
+  SELECT quantile_disc(recency, [0.25, 0.5, 0.75]) AS rt,
+         quantile_disc(frequency, [0.25, 0.5, 0.75]) AS ft,
+         quantile_disc(monetary, [0.25, 0.5, 0.75]) AS mt
+  FROM per_user
+)
+SELECT r_q, f_q, m_q, count(*) AS n_users
+FROM (
+  SELECT 1 + CAST(recency > rt[1] AS INTEGER)
+           + CAST(recency > rt[2] AS INTEGER)
+           + CAST(recency > rt[3] AS INTEGER) AS r_q,
+         1 + CAST(frequency < ft[3] AS INTEGER)
+           + CAST(frequency < ft[2] AS INTEGER)
+           + CAST(frequency < ft[1] AS INTEGER) AS f_q,
+         1 + CAST(monetary < mt[3] AS INTEGER)
+           + CAST(monetary < mt[2] AS INTEGER)
+           + CAST(monetary < mt[1] AS INTEGER) AS m_q
+  FROM per_user, th)
+GROUP BY 1, 2, 3
 """
 
 

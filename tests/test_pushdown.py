@@ -101,3 +101,46 @@ def test_minhash_verifiable_no_python_stage(spark):
                                     token_hash="md5")
     plan = _explain(sigs)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_approx_has_no_single_partition_window(spark):
+    """VERDICT r5 item 4: q_rfm_segmentation's three global ntile windows
+    are a single-task sort funnel; the registered scale default
+    q_rfm_segmentation_approx must plan WITHOUT any Window operator (and
+    without the SinglePartition exchange one would require) — thresholds
+    broadcast, bucketing stays a codegen projection."""
+    from datalake_ingestion_system_spark.queries.relational import (
+        QUERIES as RQ)
+    df = RQ["q_rfm_segmentation_approx"](spark, SF001)
+    plan = _explain(df)
+    assert "Window" not in plan, "approx RFM must not use window functions"
+    # the exact form (kept for oracle parity) DOES window — sanity contrast
+    exact = _explain(RQ["q_rfm_segmentation"](spark, SF001))
+    assert "Window" in exact
+
+
+def test_rfm_approx_matches_exact_off_boundary(spark):
+    """The approx variant equals exact ntile wherever no quartile-boundary
+    tie is involved: per-bucket user totals agree on every axis up to the
+    users sitting exactly on a threshold value (ntile splits ties by rank,
+    thresholds collapse them).  On the test corpus the segment populations
+    must agree within the tied-user count per axis."""
+    import pyspark.sql.functions as F
+    from datalake_ingestion_system_spark.queries.relational import (
+        QUERIES as RQ)
+    approx = RQ["q_rfm_segmentation_approx"](spark, SF001)
+    exact = RQ["q_rfm_segmentation"](spark, SF001)
+    n_approx = approx.agg(F.sum("n_users")).head()[0]
+    n_exact = exact.agg(F.sum("n_users")).head()[0]
+    assert n_approx == n_exact  # same user universe, just re-bucketed
+    # marginal distribution per axis: all four quartile buckets populated
+    # in both forms, and no bucket swallows a majority beyond what ties
+    # explain (sf0.001 has only ~15 users, so tied discrete recencies make
+    # buckets lumpy — the bound is deliberately loose; hash-exactness vs
+    # the DuckDB oracle is asserted by verify_local, not here)
+    for df in (approx, exact):
+        for axis in ("r_q", "f_q", "m_q"):
+            marg = {r[axis]: r["n"] for r in
+                    df.groupBy(axis).agg(F.sum("n_users").alias("n")).collect()}
+            assert set(marg) == {1, 2, 3, 4}, (axis, marg)
+            assert max(marg.values()) <= 0.6 * n_exact, (axis, marg)
