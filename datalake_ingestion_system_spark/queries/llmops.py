@@ -2519,3 +2519,94 @@ WITH seq AS (
 SELECT c.prev_type, next_type, n, round(n * 1.0 / n_from, 6) AS p
 FROM counts c JOIN tot USING (prev_type)
 """
+
+
+@_q("q_label_centroid_quality")
+def q_label_centroid_quality(spark, sf_dir):
+    """Label-quality cartography over the embedding corpus: per label, the
+    element-wise mean centroid, the cohesion (mean cosine of members to
+    their own centroid) and the assignment purity (fraction of members
+    whose NEAREST centroid is their own label) — the standard
+    mislabeled-data / cluster-health screen run before training on a
+    labeled corpus.
+
+    Scale shape: the centroid is a dimension-exploded aggregate
+    (posexplode -> groupBy(label, pos) -> avg -> re-assemble), so the mean
+    is a partial-agg shuffle of (label, dim) cells — never a
+    collect_list of vectors; the 10-row centroid table broadcasts back and
+    both the cohesion dot products and the 10-way nearest-centroid scan
+    are in-row HOF arithmetic.  At 100 TB only label-cardinality x dim
+    data ever leaves the executors."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    dims = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (dims.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+            .groupBy(F.col("label").alias("clabel"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("c")))
+
+    def cos(a, b):
+        d = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        return d / (na * nb)
+
+    scored = (e.join(F.broadcast(cent))
+              .select("vec_id", "label", "clabel",
+                      cos(F.col("v"), F.col("c")).alias("cs")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("clabel"))
+    nearest = (scored.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select("vec_id", F.col("clabel").alias("nearest_label")))
+    own = scored.filter(F.col("label") == F.col("clabel"))
+    return (own.join(nearest, "vec_id")
+            .groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.round(F.avg("cs"), 4).alias("cohesion"),
+                 F.round(F.avg((F.col("nearest_label") == F.col("label"))
+                               .cast("double")), 6).alias("purity"))
+            .orderBy("label"))
+
+
+# Mirror: unnest WITH ORDINALITY rebuilds the dimension-exploded centroid;
+# cosine and the 10-way nearest scan replay with list_dot_product.  Cosine
+# ties across two centroids would need affinities within float noise
+# (~1e-13) — probability ~0 on continuous data (same argument as the IVF
+# oracle); cohesion is rounded to 4 places to absorb summation-order noise
+# in the double mean.
+ORACLE_SQL["q_label_centroid_quality"] = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM v
+), cent AS (
+  SELECT label AS clabel, array_agg(m ORDER BY pos) AS c
+  FROM (SELECT label, pos, avg(x) AS m FROM dims GROUP BY 1, 2)
+  GROUP BY 1
+), scored AS (
+  SELECT vec_id, label, clabel,
+         list_dot_product(v, c)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)))
+           AS cs
+  FROM v CROSS JOIN cent
+), nearest AS (
+  SELECT vec_id, clabel AS nearest_label
+  FROM (SELECT vec_id, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, clabel ASC) AS rk
+        FROM scored)
+  WHERE rk = 1
+)
+SELECT s.label, count(*) AS n_vecs,
+       round(avg(cs), 4) AS cohesion,
+       round(avg(CASE WHEN nearest_label = s.label THEN 1.0 ELSE 0.0 END), 6)
+         AS purity
+FROM scored s JOIN nearest USING (vec_id)
+WHERE s.label = s.clabel
+GROUP BY s.label
+ORDER BY s.label
+"""
