@@ -115,6 +115,18 @@ def main() -> None:
     # (xxhash64) so the SAME generated classes are compiled here
     minhash_near_dup_pairs(docs64, "doc_id", "text",
                            verifiable=False).collect()
+    # warm the Arrow/pandas-UDF path (Python worker fork, Arrow IPC init,
+    # numpy/pandas import in the worker): one-off ~1.5-2s that would
+    # otherwise be attributed to whichever vectorized-UDF query runs first
+    # (q_ann_ivf_topk's cell ranker) — measured cold 4.8s vs warm 0.13s
+    from datalake_ingestion_system_spark.operators.similarity import ivf_topk
+    emb64 = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") * (i + 3)) % 7).cast("double")
+                  for i in range(8)]).alias("embedding"))
+    ivf_topk(emb64, emb64.filter(F.col("vec_id") < 2),
+             [[1.0 * (i == j) for j in range(8)] for i in range(4)],
+             k=2, n_probe=2).collect()
     # warm the Structured Streaming machinery (listener bus, checkpoint
     # setup, state store init) with a one-file availableNow count
     import tempfile
