@@ -2610,3 +2610,53 @@ WHERE s.label = s.clabel
 GROUP BY s.label
 ORDER BY s.label
 """
+
+
+@_q("q_soft_dedup_downsample")
+def q_soft_dedup_downsample(spark, sf_dir):
+    """Inverse-frequency duplicate downsampling ("soft dedup"): instead of
+    keeping exactly one copy per duplicate cluster, keep each member with
+    probability 1/cluster_size — the expected surviving mass per cluster is
+    one document, but WHICH copies survive stays unbiased across sources
+    (hard dedup systematically favors whichever copy sorts first).  The
+    cluster key is the bag-of-distinct-words fingerprint (md5 of the sorted
+    vocabulary), which groups template/boilerplate docs that differ only in
+    word order or repetition — the duplicate class where soft dedup beats
+    hard dedup.  The coin is the portable md5-of-doc_id uniform used by the
+    sampling tier, so the draw is reproducible across engines, runs, and
+    partitionings.
+
+    Scale: one fingerprint groupBy for cluster sizes (count-only payload),
+    sizes joined back on the fingerprint — the same single keyed shuffle as
+    exact dedup; the coin and filter are in-row projections."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(
+        F.array_sort(F.array_distinct(tokens("text"))), " ")).alias("fp")
+    sized = d.select("doc_id", "source", fp)
+    csize = sized.groupBy("fp").agg(F.count("*").alias("cluster_size"))
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("double") / F.lit(float(1 << 32)))
+    return (sized.join(csize, "fp")
+            .select("doc_id", "source", "cluster_size",
+                    F.round(u, 9).alias("u"))
+            .filter(F.col("u") < 1.0 / F.col("cluster_size"))
+            .select("doc_id", "source", "cluster_size", "u"))
+
+
+ORACLE_SQL["q_soft_dedup_downsample"] = f"""
+WITH f AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+             list_sort(list_distinct(regexp_extract_all(lower(text),
+                                                        '\\w+'))), ' '))
+           AS fp,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+), c AS (
+  SELECT fp, count(*) AS cluster_size FROM f GROUP BY 1
+)
+SELECT doc_id, source, cluster_size, round(u, 9) AS u
+FROM f JOIN c USING (fp)
+WHERE u < 1.0 / cluster_size
+"""

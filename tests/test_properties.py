@@ -105,3 +105,40 @@ def test_empty_corpus_scalar_guards(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.minhash_near_dup_pairs(
         empty, "doc_id", "text", verifiable=True).count() == 0
+
+
+@given(n_frames=st.integers(1, 200_000),
+       rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+       channels=st.integers(1, 2),
+       sampwidth=st.sampled_from([1, 2, 4]))
+@settings(max_examples=40, deadline=None)
+def test_wav_duration_parser_matches_stdlib_writer(n_frames, rate, channels,
+                                                   sampwidth):
+    """_parse_wav_duration_ms must agree with the stdlib wave module's own
+    frame accounting for any PCM layout it can write: duration_ms ==
+    round(frames / rate * 1000)."""
+    import io
+    import wave
+
+    from datalake_ingestion_system_spark.operators.multimodal import (
+        _parse_wav_duration_ms)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (n_frames * channels * sampwidth))
+    got = _parse_wav_duration_ms(buf.getvalue())
+    assert got == round(n_frames * 1000 / rate)
+
+
+def test_wav_parser_rejects_non_wav_payloads():
+    from datalake_ingestion_system_spark.operators.multimodal import (
+        _parse_wav_duration_ms)
+    assert _parse_wav_duration_ms(b"") is None
+    assert _parse_wav_duration_ms(b"RIFFxxxxWAVE") is None        # too short
+    assert _parse_wav_duration_ms(b"\x89PNG" + bytes(60)) is None  # not RIFF
+    # RIFF/WAVE magic but no fmt/data chunks
+    assert _parse_wav_duration_ms(b"RIFF" + bytes(4) + b"WAVE"
+                                  + b"JUNK" + (8).to_bytes(4, "little")
+                                  + bytes(8) + bytes(16)) is None
