@@ -2660,3 +2660,64 @@ SELECT doc_id, source, cluster_size, round(u, 9) AS u
 FROM f JOIN c USING (fp)
 WHERE u < 1.0 / cluster_size
 """
+
+
+@_q("q_embedding_outliers")
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label outlier screen — the actionable half of
+    ``q_label_centroid_quality``: for every label, the 3 members with the
+    LOWEST cosine to their own label centroid (mislabel / noise
+    candidates, the rows a data-cleaning pass reviews first).  Per-group
+    bottom-k via a rank window partitioned by label — the window sees only
+    one label's members per partition, never a global sort.
+
+    Same dimension-exploded centroid build as the quality query (only
+    label x dim cells shuffle); cosine is rounded to 6 places BEFORE
+    ranking so the rank comparison is on engine-identical values."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    cent = (e.select("label", F.posexplode("v").alias("pos", "x"))
+            .groupBy("label", "pos").agg(F.avg("x").alias("m"))
+            .groupBy(F.col("label").alias("clabel"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("c")))
+    dot = F.aggregate(F.zip_with("v", "c", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nc = F.sqrt(F.aggregate(F.transform("c", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    scored = (e.join(F.broadcast(cent), e.label == F.col("clabel"))
+              .select("vec_id", "label",
+                      F.round(dot / (nv * nc), 6).alias("cs")))
+    w = Window.partitionBy("label").orderBy(F.asc("cs"), F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("label", "vec_id", F.col("cs").alias("cosine_to_centroid"),
+                    "rnk"))
+
+
+ORACLE_SQL["q_embedding_outliers"] = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM v
+), cent AS (
+  SELECT label AS clabel, array_agg(m ORDER BY pos) AS c
+  FROM (SELECT label, pos, avg(x) AS m FROM dims GROUP BY 1, 2)
+  GROUP BY 1
+), scored AS (
+  SELECT vec_id, label,
+         round(list_dot_product(v, c)
+               / (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(c, c))), 6) AS cs
+  FROM v JOIN cent ON label = clabel
+)
+SELECT label, vec_id, cs AS cosine_to_centroid, rnk
+FROM (SELECT label, vec_id, cs,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cs ASC, vec_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
