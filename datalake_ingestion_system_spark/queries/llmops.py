@@ -1850,26 +1850,40 @@ def q_ngram_contamination(spark, sf_dir):
 
     Scale shape: the eval side collapses to DISTINCT shingles (benchmark
     sets are tiny vs the corpus) and BROADCASTS; the train side explodes
-    shingles and hash-joins against it — the corpus never shuffles, and
-    the per-doc overlap count aggregates map-side.  Output is one row per
+    shingles ONCE — carrying the per-doc shingle total through the explode
+    so no second shingling pass computes it — and hash-joins against the
+    broadcast; the corpus never shuffles, and the per-doc overlap count
+    aggregates map-side.  A repartition guard spreads a single-split
+    source across cores (shingling is CPU-bound per doc; measured 8.4s ->
+    ~1s at sf0.1, one task vs 32 — a no-op at real scale where the input
+    already has >= parallelism splits).  Output is one row per
     contaminated doc: overlap count, shingle total, contamination rate."""
     from ..functions.textfns import shingles_of
     d = load(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
     toks = d.select("doc_id", tokens("text").alias("_ws"))
-    sh = (toks.select(
+    # explode_OUTER everywhere, deliberately: a plain explode makes Catalyst
+    # infer `size(_sh) > 0` (InferFiltersFromGenerate) and push it below the
+    # repartition exchange with the WHOLE shingle expression inlined —
+    # recomputing the 3s shingle pass on the unspread 1-task map side.
+    # explode_outer infers nothing; the empty-doc null-g rows die in the
+    # inner equi-join (NULL never equals), so the result is identical.
+    sh = toks.select(
         "doc_id",
         F.array_distinct(F.coalesce(shingles_of(F.col("_ws"), 5),
                                     F.array().cast("array<string>")))
         .alias("_sh"))
-        .filter(F.size("_sh") > 0))
     eval_sh = (sh.filter(F.col("doc_id") < 20)
-               .select(F.explode("_sh").alias("g")).distinct())
-    train = sh.filter(F.col("doc_id") >= 20)
-    hits = (train.select("doc_id", F.explode("_sh").alias("g"))
-            .join(F.broadcast(eval_sh), "g")
-            .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
-    totals = train.select("doc_id", F.size("_sh").alias("n_grams"))
-    return (hits.join(totals, "doc_id")
+               .select(F.explode_outer("_sh").alias("g"))
+               .filter(F.col("g").isNotNull()).distinct())
+    train_ex = (sh.filter(F.col("doc_id") >= 20)
+                .select("doc_id", F.size("_sh").alias("n_grams"),
+                        F.explode_outer("_sh").alias("g")))
+    return (train_ex.join(F.broadcast(eval_sh), "g")
+            .groupBy("doc_id", "n_grams")
+            .agg(F.count("*").alias("n_overlap"))
             .select("doc_id", "n_overlap", "n_grams",
                     F.round(F.col("n_overlap") / F.col("n_grams"), 6)
                     .alias("contam_rate")))

@@ -144,3 +144,18 @@ def test_rfm_approx_matches_exact_off_boundary(spark):
                     df.groupBy(axis).agg(F.sum("n_users").alias("n")).collect()}
             assert set(marg) == {1, 2, 3, 4}, (axis, marg)
             assert max(marg.values()) <= 0.6 * n_exact, (axis, marg)
+
+
+def test_contamination_shingle_work_not_inlined_into_filters(spark):
+    """Catalyst's InferFiltersFromGenerate turns a plain explode into a
+    `size(shingles) > 0` filter and pushes it below the repartition
+    exchange with the WHOLE shingle expression inlined — recomputing the
+    CPU-heavy pass on the unspread map side (measured 8.4s -> 1.1s at
+    sf0.1 after switching to explode_outer).  Pin the fix: no Filter node
+    in the plan may contain the shingle regexp."""
+    from datalake_ingestion_system_spark.queries.llmops import QUERIES as LQ
+    plan = _explain(LQ["q_ngram_contamination"](spark, SF001))
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and ") Filter" in block.splitlines()[0]:
+            assert "regexp_extract_all" not in block, (
+                "shingle expression inlined into a Filter:\n" + block)
