@@ -72,9 +72,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # without a rebalance every core but one idles — measured 4× end-to-end
     # on local[32].  At real scale the input already has >= parallelism
     # splits and this is a no-op.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    from ..catalog import spread
+    df = spread(df)
     # one xxhash64 per TOKEN (not per shingle string), then each shingle hash
     # is a rolling polynomial over the n token hashes — no per-shingle string
     # concat/alloc/hash (measured ~25% off the signature stage), and
@@ -429,7 +428,11 @@ def chargram_minhash_pairs(df: DataFrame, id_col: str, text_col: str,
     codegen md5 projection the 32 affine mins aggregate DIRECTLY over rows
     (map-side partial — no array reassembly at all), then banding/verify
     reuse ``lsh_candidate_pairs`` / char-gram Jaccard."""
+    from ..catalog import spread
     from ..functions.textfns import char_ngrams
+    # char-level explode + md5 is CPU-bound before any shuffle — spread a
+    # single-split source first (same guard as minhash_signatures)
+    df = spread(df)
     p = MINHASH_P
     grams = (
         df.select(F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("_g"))

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions.textfns import char_ngrams, token_count, tokens
 from ..operators import dedup, multimodal, similarity, text
 from ..session import tune
@@ -836,7 +836,7 @@ def q_rolling_fingerprint(spark, sf_dir):
     oracle, so unlike Murmur3-based fingerprints this one IS hash-checkable
     cross-engine."""
     from ..functions.textfns import char_codes, rolling_hashes_of
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         d.select("doc_id", char_codes("text").alias("_cc"))
         .select("doc_id", rolling_hashes_of("_cc", 8).alias("_rh"))
@@ -935,7 +935,7 @@ def q_winnow_fingerprints(spark, sf_dir):
     size and its cheap set-level digest (min/max) per doc; the full set is
     array-typed and sorted, so the digest is deterministic."""
     from ..functions.textfns import char_codes, rolling_hashes_of, winnow
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         d.select("doc_id", char_codes("text").alias("_cc"))
         .select("doc_id", rolling_hashes_of("_cc", 8).alias("_rh"))
@@ -1859,10 +1859,7 @@ def q_ngram_contamination(spark, sf_dir):
     already has >= parallelism splits).  Output is one row per
     contaminated doc: overlap count, shingle total, contamination rate."""
     from ..functions.textfns import shingles_of
-    d = load(spark, sf_dir, "documents")
-    target = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < target:
-        d = d.repartition(target)
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = d.select("doc_id", tokens("text").alias("_ws"))
     # explode_OUTER everywhere, deliberately: a plain explode makes Catalyst
     # infer `size(_sh) > 0` (InferFiltersFromGenerate) and push it below the
