@@ -650,8 +650,14 @@ def q02_min_cost_supplier(spark, sf_dir):
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load(spark, sf_dir, "part").filter(
         F.col("p_size").between(10, 25) & (F.col("p_type") == "STANDARD"))
+    # part filter applied BEFORE the supply aggregation: the broadcast join
+    # prunes lineitem to the selected parts' rows first, so the groupBy
+    # aggregates ~|selected parts| x suppliers groups instead of the full
+    # (part, supplier) matrix — same result (non-selected parts' supply
+    # rows would be discarded by the part join anyway), ~12x less agg input
     supply = (
-        l.groupBy("l_partkey", "l_suppkey")
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
               .alias("supply_cost"))
     )
