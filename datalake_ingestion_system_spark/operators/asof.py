@@ -43,7 +43,8 @@ def asof_join_window(events: DataFrame, key: str, ts: str,
 def asof_join_pandas(left: DataFrame, right: DataFrame, key: str, ts: str,
                      direction: str = "backward",
                      suffix: str = "_right",
-                     num_buckets: int = 64) -> DataFrame:
+                     num_buckets: int = 64,
+                     tolerance: str | None = None) -> DataFrame:
     """General merge_asof between two tables, per join key.
 
     Both sides shuffle once on a hash BUCKET of ``key``, not the raw key:
@@ -54,6 +55,11 @@ def asof_join_pandas(left: DataFrame, right: DataFrame, key: str, ts: str,
     ``pd.merge_asof(..., by=key)`` — semantics identical to the per-key
     form.  At 100 TB, raise ``num_buckets`` until a bucket's rows fit in
     executor memory; the shuffle volume is the same either way.
+
+    ``tolerance`` (a pandas Timedelta string, e.g. ``"30m"``) bounds how
+    far back/forward a match may reach — the attribution-window form; an
+    out-of-window left row keeps NULL right columns, exactly an unmatched
+    one.
     """
     import pandas as pd
 
@@ -91,8 +97,10 @@ def asof_join_pandas(left: DataFrame, right: DataFrame, key: str, ts: str,
             rp = (r_df.drop(columns=[bcol])
                   .sort_values(ts, kind="mergesort")
                   .rename(columns=r_renames))
+            kw = ({"tolerance": pd.Timedelta(tolerance)}
+                  if tolerance is not None else {})
             merged = pd.merge_asof(lp, rp, on=ts, by=key,
-                                   direction=direction)
+                                   direction=direction, **kw)
             # unmatched keys upcast integer columns to float64(NaN) —
             # restore a nullable integer dtype so Arrow hands Spark
             # int64-with-nulls, matching the declared schema

@@ -433,3 +433,52 @@ SELECT c.c_mktsegment, count(*) AS n_events,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 """
+
+
+@_q("q_asof_tolerance_window")
+def q_asof_tolerance_window(spark, sf_dir):
+    """Attribution-window as-of join: for every purchase, the user's latest
+    view AT MOST 30 minutes before it (``asof_join_pandas`` with the
+    ``tolerance`` bound — merge_asof's windowed form; an out-of-window
+    purchase keeps NULL view columns exactly like an unmatched one).  Same
+    bucketed cogroup plan as ``q_asof_two_table``; aggregated per user so
+    every in/out-of-window assignment is pinned via counts and sums.
+    Oracle: DuckDB ASOF join with the window re-applied as a predicate on
+    the matched timestamp (ASOF-then-filter == merge_asof tolerance)."""
+    from ..operators.asof import asof_join_pandas
+    e = load(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", F.col("event_id").alias("buy_id")))
+    views = (e.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("user_id"),
+                     F.col("ts").alias("ts"),
+                     F.col("event_id").alias("view_id")))
+    j = asof_join_pandas(purchases, views, key="user_id", ts="ts",
+                         tolerance="30min")
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.count("view_id_right").alias("n_attributed"),
+                 F.sum("view_id_right").alias("sum_attributed_view_ids")))
+
+
+ORACLE_SQL["q_asof_tolerance_window"] = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id AS buy_id FROM events
+  WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts, event_id AS view_id FROM events
+  WHERE event_type = 'view'
+), m AS (
+  SELECT p.user_id, p.ts AS pts, v.ts AS vts, v.view_id
+  FROM purchases p ASOF LEFT JOIN views v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT user_id,
+       count(*) AS n_purchases,
+       count(CASE WHEN vts >= pts - INTERVAL 30 MINUTE
+                  THEN view_id END) AS n_attributed,
+       CAST(sum(CASE WHEN vts >= pts - INTERVAL 30 MINUTE
+                     THEN view_id END) AS BIGINT)
+         AS sum_attributed_view_ids
+FROM m GROUP BY user_id
+"""
