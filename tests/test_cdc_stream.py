@@ -1,0 +1,112 @@
+"""Streaming CDC upsert (foreachBatch merge into TxnLogFormat): the
+streaming twin of q_cdc_apply_latest.  Asserts convergence with the batch
+apply-latest query, latest-wins across micro-batches, tombstone deletes,
+and replay idempotence (the foreachBatch epoch-redelivery case)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from datalake_ingestion_system_spark.sinks import TxnLogFormat
+from datalake_ingestion_system_spark.streaming.cdc_stream import (
+    latest_per_key, start_cdc_upsert_stream)
+
+SCHEMA = "user_id long, event_type string, ts timestamp, event_id long, value double"
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _rows(*specs):
+    return [(u, op, T0 + dt.timedelta(minutes=m), eid, float(v))
+            for (u, op, m, eid, v) in specs]
+
+
+def _write_batch(spark, src_dir, name, specs):
+    (spark.createDataFrame(_rows(*specs), SCHEMA)
+     .coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/{name}"))
+
+
+def _run(spark, src_glob, table, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(src_glob)
+    q = start_cdc_upsert_stream(
+        spark, stream, table, key="user_id",
+        order_cols=("ts", "event_id"), checkpoint_dir=ckpt,
+        delete_expr=F.col("event_type") == "error")
+    q.awaitTermination()
+
+
+def _state(spark, table):
+    fmt = TxnLogFormat()
+    return {r.user_id: (r.event_type, r.value)
+            for r in fmt.read(spark, table).collect()}
+
+
+def test_upsert_converges_with_batch_apply_latest(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_batch(spark, src, "b1", [
+        (1, "insert", 0, 100, 10), (2, "insert", 1, 101, 20),
+        (1, "update", 2, 102, 11)])
+    _run(spark, f"{src}/*", table, ckpt)
+    assert _state(spark, table) == {1: ("update", 11.0), 2: ("insert", 20.0)}
+
+    # second micro-batch: update key 2, delete key 1, insert key 3
+    _write_batch(spark, src, "b2", [
+        (2, "update", 3, 103, 21), (1, "error", 4, 104, 0),
+        (3, "insert", 5, 105, 30)])
+    _run(spark, f"{src}/*", table, ckpt)
+    got = _state(spark, table)
+    assert got == {2: ("update", 21.0), 3: ("insert", 30.0)}
+
+    # convergence: equals the batch latest-per-key over the FULL change log
+    full = spark.read.parquet(f"{src}/*")
+    batch = (latest_per_key(full, "user_id", ("ts", "event_id"))
+             .filter(F.col("event_type") != "error"))
+    expect = {r.user_id: (r.event_type, r.value) for r in batch.collect()}
+    assert got == expect
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch may re-deliver an epoch after a crash: applying the
+    same change batch twice must leave the table in the same state (and
+    the commit log readable throughout)."""
+    from datalake_ingestion_system_spark.streaming import cdc_stream
+    table = str(tmp_path / "table")
+    fmt = TxnLogFormat()
+    changes = spark.createDataFrame(_rows(
+        (1, "insert", 0, 100, 10), (1, "update", 1, 101, 11)), SCHEMA)
+
+    def apply_once():
+        latest = cdc_stream.latest_per_key(
+            changes, "user_id", ("ts", "event_id"))
+        try:
+            current = fmt.read(spark, table)
+            merged = cdc_stream.latest_per_key(
+                current.unionByName(latest), "user_id", ("ts", "event_id"))
+        except FileNotFoundError:
+            merged = latest
+        fmt.overwrite_table(merged, table)
+
+    apply_once()
+    first = _state(spark, table)
+    apply_once()  # replay
+    assert _state(spark, table) == first == {1: ("update", 11.0)}
+
+
+def test_delete_then_reinsert(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_batch(spark, src, "b1", [(7, "insert", 0, 100, 70)])
+    _run(spark, f"{src}/*", table, ckpt)
+    _write_batch(spark, src, "b2", [(7, "error", 1, 101, 0)])
+    _run(spark, f"{src}/*", table, ckpt)
+    assert _state(spark, table) == {}
+    _write_batch(spark, src, "b3", [(7, "insert", 2, 102, 71)])
+    _run(spark, f"{src}/*", table, ckpt)
+    assert _state(spark, table) == {7: ("insert", 71.0)}
