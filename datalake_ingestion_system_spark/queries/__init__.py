@@ -29,11 +29,17 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 
 # Queries whose implementation or oracle changed AFTER their last green
 # driver row belong back in the sampled prefix until re-verified.
-# Round 6: empty — the r5 entries (q_sessionization, q_time_weighted_avg)
-# re-verified green in CORRECTNESS_r05 and rotate naturally; the round-6
-# oracle fix (q_embedding_quantize) has no green row ever, so the rotation
-# fronts it automatically.
-_FORCE_FRONT: tuple[str, ...] = ()
+# Round 6: the perf rework touched these green queries' implementations
+# (bucketed as-of cogroup; contamination explode_outer restructure; spread
+# guard in the rolling/winnow/chargram/minhash paths) — semantics are
+# partitioning-independent by design and locally re-verified, but the
+# driver should confirm.  q_embedding_quantize (oracle fix) and the new
+# round-6 queries have no green row, so the rotation fronts them
+# automatically.
+_FORCE_FRONT: tuple[str, ...] = (
+    "q_asof_two_table", "q_ngram_contamination", "q_rolling_fingerprint",
+    "q_winnow_fingerprints", "q_minhash_chargram_pairs",
+    "q_minhash_lsh_pairs")
 
 
 def _evidence():
