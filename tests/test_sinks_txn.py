@@ -301,3 +301,41 @@ def test_vacuum_sweeps_stale_commit_tmp_orphans(spark, tmp_path):
     assert not os.path.exists(orphan)
     assert os.path.join("_txn_log", ".deadbeef.tmp") in deleted
     assert [r.v for r in fmt.read(spark, path).collect()] == [1]
+
+
+def test_concurrent_committers_serialize_under_real_threads(spark, tmp_path):
+    """The os.link publish under REAL concurrency: 8 threads race 5 commits
+    each against one log.  Every commit must land exactly once, versions
+    must be gapless, and every record must parse — the property the
+    fsync-then-link protocol guarantees and O_EXCL-then-dump did not."""
+    import threading
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_txn_log"), exist_ok=True)
+    errors = []
+
+    def committer(tid):
+        try:
+            for i in range(5):
+                fmt._commit(path, {"action": "append",
+                                   "dir": f"d{tid}_{i}",
+                                   "schema": None})
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=committer, args=(t,))
+               for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    commits = fmt._commits(path)
+    assert len(commits) == 40
+    assert [c["version"] for c in commits] == list(range(40))  # gapless
+    assert {c["dir"] for c in commits} == {
+        f"d{t}_{i}" for t in range(8) for i in range(5)}  # exactly once
+    # no stray tmp files left behind by the retry loop
+    leftovers = [n for n in os.listdir(os.path.join(path, "_txn_log"))
+                 if n.endswith(".tmp")]
+    assert leftovers == []
