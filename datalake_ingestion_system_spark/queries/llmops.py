@@ -2647,11 +2647,14 @@ def q_soft_dedup_downsample(spark, sf_dir):
     csize = sized.groupBy("fp").agg(F.count("*").alias("cluster_size"))
     u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                 16, 10).cast("double") / F.lit(float(1 << 32)))
+    # filter on the UNROUNDED coin, exactly like the oracle's WHERE — a u
+    # within 5e-10 below the threshold would round up to it and flip the
+    # keep decision between engines if the rounded alias were filtered
     return (sized.join(csize, "fp")
+            .withColumn("_u", u)
+            .filter(F.col("_u") < 1.0 / F.col("cluster_size"))
             .select("doc_id", "source", "cluster_size",
-                    F.round(u, 9).alias("u"))
-            .filter(F.col("u") < 1.0 / F.col("cluster_size"))
-            .select("doc_id", "source", "cluster_size", "u"))
+                    F.round(F.col("_u"), 9).alias("u")))
 
 
 ORACLE_SQL["q_soft_dedup_downsample"] = f"""

@@ -111,6 +111,16 @@ class TxnLogFormat(TableFormat):
     def _log_dir(self, path: str) -> str:
         return os.path.join(path, "_txn_log")
 
+    @staticmethod
+    def _has_data_files(full: str) -> bool:
+        """True iff the staged dir holds at least one data (part) file —
+        hidden/underscore marker files like _SUCCESS don't count."""
+        for _root, _dirs, files in os.walk(full):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    return True
+        return False
+
     def _commits(self, path: str) -> list[dict]:
         try:
             names = sorted(n for n in os.listdir(self._log_dir(path))
@@ -156,6 +166,15 @@ class TxnLogFormat(TableFormat):
                 os.fsync(f.fileno())
             try:
                 os.link(tmp, target)
+                # fsync the DIRECTORY too: the link gave the record its
+                # name, but on power loss the new directory entry itself
+                # can be lost unless the dir inode reaches disk — name
+                # durability, not just content durability.
+                dfd = os.open(log, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
                 return v
             except FileExistsError:
                 continue  # lost the version race — re-list and retry
@@ -216,6 +235,14 @@ class TxnLogFormat(TableFormat):
             if e["pcol"] and e["parts"] <= e["removed"].get(e["pcol"], set()):
                 continue  # every partition this dir holds was re-overwritten
             full = os.path.join(path, e["dir"])
+            if not self._has_data_files(full):
+                # a staged dir with no part files (an empty DataFrame
+                # written partitioned leaves only _SUCCESS — e.g. compact()
+                # of an empty table records it as replace_all with
+                # pcol=None, so the partition-skip above never fires):
+                # treat as zero rows rather than letting the parquet
+                # reader fail schema inference
+                continue
             df = spark.read.option("basePath", full).parquet(full)
             for col, values in e["removed"].items():
                 if col not in df.columns:
@@ -299,14 +326,20 @@ class TxnLogFormat(TableFormat):
         # between staging and os.link publish (same age guard).
         log = self._log_dir(path)
         try:
-            for n in os.listdir(log):
-                full = os.path.join(log, n)
-                if (n.endswith(".tmp")
-                        and os.path.getmtime(full) <= cutoff):
+            tmp_names = [n for n in os.listdir(log) if n.endswith(".tmp")]
+        except FileNotFoundError:
+            tmp_names = []
+        for n in tmp_names:
+            full = os.path.join(log, n)
+            # per-file guard: a concurrent committer's finally-unlink can
+            # remove its .tmp between the listdir and the stat — that must
+            # skip one file, not abort the remaining sweep
+            try:
+                if os.path.getmtime(full) <= cutoff:
                     os.unlink(full)
                     deleted.append(os.path.join("_txn_log", n))
-        except FileNotFoundError:
-            pass
+            except FileNotFoundError:
+                continue
         return deleted
 
 

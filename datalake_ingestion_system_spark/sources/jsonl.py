@@ -14,9 +14,10 @@ Spark-first notes:
   to split good/bad rows in ONE scan.  Spark refuses to filter on the
   corrupt column alone over a lazy JSON relation (SPARK-21610: the
   pushdown would have to re-parse), so the split materializes the parsed
-  batch once via ``cache()`` — documented, bounded by the batch being
-  read, and released by the caller via ``unpersist`` on the returned
-  frames' source.
+  batch once via ``cache()`` — bounded by the batch being read, and
+  released through the ``release`` callable ``read_jsonl`` returns (call
+  it after both frames are consumed; otherwise each call pins a parsed
+  copy in executor storage until the session ends).
 - At 100 TB the schema is the contract: field additions arrive as NULLs
   (forward-compatible), type changes land in quarantine, and the scan
   prunes to referenced fields because JSON parsing is projection-aware
@@ -24,6 +25,8 @@ Spark-first notes:
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,13 +45,15 @@ def _full_schema(schema: StructType) -> StructType:
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType,
-               ) -> tuple[DataFrame, DataFrame]:
+               ) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
     """One-scan good/quarantine split of a JSONL source.
 
-    Returns ``(good, quarantine)``: ``good`` carries exactly ``schema``'s
-    columns (malformed lines excluded); ``quarantine`` carries the raw
-    offending line plus its source file, the same observability the CSV
-    ingest's quarantine table gives (K3).
+    Returns ``(good, quarantine, release)``: ``good`` carries exactly
+    ``schema``'s columns (malformed lines excluded); ``quarantine``
+    carries the raw offending line plus its source file, the same
+    observability the CSV ingest's quarantine table gives (K3);
+    ``release()`` unpersists the cached parsed batch — call it once both
+    frames have been consumed.
     """
     df = (spark.read.schema(_full_schema(schema))
           .option("mode", "PERMISSIVE")
@@ -61,7 +66,11 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType,
     quarantine = (df.filter(F.col(_CORRUPT).isNotNull())
                   .select(F.col(_CORRUPT).alias("raw_line"),
                           F.col("_src_file").alias("src_file")))
-    return good, quarantine
+
+    def release() -> None:
+        df.unpersist()
+
+    return good, quarantine, release
 
 
 def read_jsonl_strict(spark: SparkSession, path: str,

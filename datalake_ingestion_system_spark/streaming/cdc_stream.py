@@ -75,7 +75,9 @@ def start_cdc_upsert_stream(spark: SparkSession, changes: DataFrame,
         except FileNotFoundError:
             merged = latest
         if delete_expr is not None:
-            merged = merged.filter(~delete_expr)
+            # null-safe: a NULL predicate must mean "not a tombstone", not
+            # silent deletion (filter(~NULL) drops the row)
+            merged = merged.filter(~F.coalesce(delete_expr, F.lit(False)))
         fmt.overwrite_table(merged, table_path)
 
     return (changes.writeStream

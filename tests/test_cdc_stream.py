@@ -110,3 +110,32 @@ def test_delete_then_reinsert(spark, tmp_path):
     _write_batch(spark, src, "b3", [(7, "insert", 2, 102, 71)])
     _run(spark, f"{src}/*", table, ckpt)
     assert _state(spark, table) == {7: ("insert", 71.0)}
+
+
+def test_null_delete_predicate_is_not_a_tombstone(spark, tmp_path):
+    """Review r6: filter(~delete_expr) dropped rows whose predicate
+    evaluated to NULL (e.g. a NULL op column) — silent data loss for
+    records that were never deleted.  NULL must mean 'keep'."""
+    from datalake_ingestion_system_spark.streaming import cdc_stream
+    table = str(tmp_path / "table")
+    fmt = TxnLogFormat()
+    changes = spark.createDataFrame(
+        [(1, None, T0, 100, 10.0), (2, "error", T0, 101, 0.0)], SCHEMA)
+    latest = cdc_stream.latest_per_key(changes, "user_id", ("ts", "event_id"))
+    merged = latest.filter(
+        ~F.coalesce(F.col("event_type") == "error", F.lit(False)))
+    fmt.overwrite_table(merged, table)
+    assert _state(spark, table) == {1: (None, 10.0)}
+    # end-to-end through the stream helper too
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    (spark.createDataFrame([(3, None, T0, 102, 30.0)], SCHEMA)
+     .coalesce(1).write.parquet(f"{src}/b1"))
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/*")
+    q = start_cdc_upsert_stream(
+        spark, stream, str(tmp_path / "t2"), key="user_id",
+        order_cols=("ts", "event_id"), checkpoint_dir=ckpt,
+        delete_expr=F.col("event_type") == "error")
+    q.awaitTermination()
+    assert _state(spark, str(tmp_path / "t2")) == {3: (None, 30.0)}

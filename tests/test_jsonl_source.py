@@ -32,13 +32,20 @@ def test_good_and_corrupt_split_one_scan(spark, tmp_path):
         json.dumps({"id": 2, "name": "b"}),
         '{"id": "NaNopeNotALong", "name": "c"}',  # type mismatch -> corrupt
     ])
-    good, quar = jsonl.read_jsonl(spark, p, SCHEMA)
+    good, quar, release = jsonl.read_jsonl(spark, p, SCHEMA)
     assert sorted((r.id, r.name) for r in good.collect()) == [
         (1, "a"), (2, "b")]
     q = quar.collect()
     assert len(q) == 2
     assert all(r.src_file.endswith("feed.jsonl") for r in q)
     assert any("not json" in r.raw_line for r in q)
+    # the cached parsed batch must be droppable by the caller — the review
+    # found the original API returned no handle, pinning one parsed copy
+    # per call in executor storage for the session lifetime
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert before >= 1
+    release()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() < before
 
 
 def test_missing_fields_are_forward_compatible_nulls(spark, tmp_path):
@@ -47,10 +54,11 @@ def test_missing_fields_are_forward_compatible_nulls(spark, tmp_path):
         json.dumps({"id": 5}),                          # name absent -> NULL
         json.dumps({"id": 6, "name": "x", "extra": 1}),  # extra ignored
     ])
-    good, quar = jsonl.read_jsonl(spark, p, SCHEMA)
+    good, quar, release = jsonl.read_jsonl(spark, p, SCHEMA)
     assert quar.count() == 0
     rows = {r.id: r.name for r in good.collect()}
     assert rows == {5: None, 6: "x"}
+    release()
 
 
 def test_strict_mode_fails_fast_on_corruption(spark, tmp_path):

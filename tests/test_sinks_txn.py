@@ -339,3 +339,23 @@ def test_concurrent_committers_serialize_under_real_threads(spark, tmp_path):
     leftovers = [n for n in os.listdir(os.path.join(path, "_txn_log"))
                  if n.endswith(".tmp")]
     assert leftovers == []
+
+
+def test_compact_of_empty_table_stays_readable(spark, tmp_path):
+    """Review r6: compact() of a zero-live-row table stages a partitioned
+    dir with NO part files and records it replace_all/pcol=None — the
+    partition-skip never fires and read() used to die in parquet schema
+    inference.  Fileless staged dirs must read as zero rows, with the
+    schema restored from the commit record."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "p string, v int")
+    fmt.overwrite_partitions(empty, path, "p")
+    fmt.compact(spark, path, partition_col="p")
+    got = fmt.read(spark, path)
+    assert got.count() == 0
+    assert set(got.columns) == {"p", "v"}
+    # and the table accepts new data afterwards
+    fmt.overwrite_partitions(
+        spark.createDataFrame([("a", 1)], "p string, v int"), path, "p")
+    assert [(r.p, r.v) for r in fmt.read(spark, path).collect()] == [("a", 1)]
