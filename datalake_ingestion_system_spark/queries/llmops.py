@@ -2735,3 +2735,44 @@ FROM (SELECT label, vec_id, cs,
       FROM scored)
 WHERE rnk <= 3
 """
+
+
+@_q("q_range_join_clicks_after_purchase")
+def q_range_join_clicks_after_purchase(spark, sf_dir):
+    """Post-purchase engagement window via the BUCKETIZED range join
+    (``operators/range_join.py``): each user's clicks inside
+    [first_purchase, first_purchase + 48h).  Unlike the broadcast interval
+    join (q_join_interval_config, config-scale intervals), this plan works
+    when BOTH sides are data-scale: intervals explode into covered hour
+    cells, points map to their cell, and the match is a plain (user, cell)
+    hash shuffle plus a residual range filter — no broadcast, no
+    BroadcastNestedLoopJoin, no cartesian anywhere."""
+    from ..operators.range_join import point_in_interval_join
+    e = load(spark, sf_dir, "events")
+    windows = (e.filter(F.col("event_type") == "purchase")
+               .groupBy("user_id")
+               .agg(F.min("ts").alias("w_start"))
+               .withColumn("w_end",
+                           F.col("w_start") + F.expr("INTERVAL 48 HOURS")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    j = point_in_interval_join(clicks, windows, "ts", "w_start", "w_end",
+                               keys=["user_id"], bucket=3600)
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.sum("click_id").alias("sum_click_ids")))
+
+
+ORACLE_SQL["q_range_join_clicks_after_purchase"] = """
+WITH fb AS (
+  SELECT user_id, min(ts) AS w_start, min(ts) + INTERVAL 48 HOUR AS w_end
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT c.user_id,
+       count(*) AS n_clicks,
+       CAST(sum(c.event_id) AS BIGINT) AS sum_click_ids
+FROM events c JOIN fb ON c.user_id = fb.user_id
+ AND c.ts >= fb.w_start AND c.ts < fb.w_end
+WHERE c.event_type = 'click'
+GROUP BY 1
+"""
