@@ -39,7 +39,8 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 _FORCE_FRONT: tuple[str, ...] = (
     "q_asof_two_table", "q_ngram_contamination", "q_rolling_fingerprint",
     "q_winnow_fingerprints", "q_minhash_chargram_pairs",
-    "q_minhash_lsh_pairs")
+    "q_minhash_lsh_pairs", "q21_suppliers_kept_waiting",
+    "q_soft_dedup_downsample")
 
 
 def _evidence():

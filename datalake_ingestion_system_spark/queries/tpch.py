@@ -571,29 +571,32 @@ ORDER BY l_linestatus
 @_q("q21_suppliers_kept_waiting")
 def q21_suppliers_kept_waiting(spark, sf_dir):
     """Top suppliers who were the ONLY late supplier on a multi-supplier
-    order (TPC-H Q21 shape: semi + anti join against the same table)."""
+    order (TPC-H Q21 shape: EXISTS + NOT EXISTS against the same table).
+
+    Planned as the classic aggregate rewrite instead of literal semi/anti
+    joins: EXISTS(another supplier) == distinct suppliers on the order
+    > 1, and NOT EXISTS(another LATE supplier) == distinct late suppliers
+    == 1 (the line itself is late, so its supplier IS that one).  Two
+    orderkey-keyed partial aggregates replace two residual-inequality
+    joins and one whole lineitem pass — the shape that survives a 100x
+    scale-up."""
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
-    l1 = (l.join(o, l.l_orderkey == o.o_orderkey)
-          .filter(late)
+    late_lines = (l.join(o, l.l_orderkey == o.o_orderkey)
+                  .filter(late)
+                  .select("l_orderkey", "l_suppkey"))
+    n_supp = (l.groupBy(F.col("l_orderkey").alias("a_ok"))
+              .agg(F.countDistinct("l_suppkey").alias("n_supp")))
+    n_late = (late_lines.groupBy(F.col("l_orderkey").alias("b_ok"))
+              .agg(F.countDistinct("l_suppkey").alias("n_late")))
+    l1 = (late_lines
+          .join(n_supp, late_lines.l_orderkey == n_supp.a_ok)
+          .join(n_late, late_lines.l_orderkey == n_late.b_ok)
+          .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
           .select("l_orderkey", "l_suppkey"))
-    # EXISTS: another supplier shipped a line of the same order
-    others = l.select(F.col("l_orderkey").alias("o_ok"),
-                      F.col("l_suppkey").alias("o_sk"))
-    l1 = l1.join(others,
-                 (l1.l_orderkey == others.o_ok) & (l1.l_suppkey != others.o_sk),
-                 "left_semi")
-    # NOT EXISTS: no OTHER supplier was ALSO late on that order
-    other_late = (l.join(o, l.l_orderkey == o.o_orderkey).filter(late)
-                  .select(F.col("l_orderkey").alias("x_ok"),
-                          F.col("l_suppkey").alias("x_sk")))
-    l1 = l1.join(other_late,
-                 (l1.l_orderkey == other_late.x_ok)
-                 & (l1.l_suppkey != other_late.x_sk),
-                 "left_anti")
     return (
         l1.join(s, l1.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
