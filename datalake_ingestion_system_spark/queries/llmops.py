@@ -2776,3 +2776,80 @@ FROM events c JOIN fb ON c.user_id = fb.user_id
 WHERE c.event_type = 'click'
 GROUP BY 1
 """
+
+
+@_q("q_count_min_heavy_hitters")
+def q_count_min_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch in *verifiable* mode: a d=4 x w=256 counter matrix
+    over the event stream's user_id frequencies (portable md5 hash family
+    — the same cross-engine trick as the verifiable MinHash), then the
+    top-20 users' true counts vs their CMS estimates.  The sketch
+    guarantee ``estimate >= true`` is emitted as the ``overestimate``
+    column, so the oracle confirms the one-sided error bound row by row.
+
+    Scale shape: the sketch build is a 4x row explode + ONE (row, bucket)
+    groupBy — the counter matrix is d*w cells regardless of stream size,
+    and merging sketches across partitions/days is cell-wise addition
+    (that is the point of CMS at 100 TB).  The estimate pass joins the
+    candidate keys against the 1024-cell broadcast matrix."""
+    d_rows, w = 4, 256
+    e = load(spark, sf_dir, "events")
+
+    def bucket(i, key_col):
+        return F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), key_col.cast("string"))),
+                1, 15), 16, 10).cast("long"),
+            F.lit(w))
+
+    hashed = e.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("r"),
+                 bucket(i, F.col("user_id")).alias("b"))
+        for i in range(d_rows)])).alias("rb"))
+    counters = (hashed.groupBy(F.col("rb.r").alias("r"),
+                               F.col("rb.b").alias("b"))
+                .agg(F.count("*").alias("c")))
+    truth = (e.groupBy("user_id").agg(F.count("*").alias("true_count")))
+    probes = truth.select(
+        "user_id", "true_count",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("r"),
+                     bucket(i, F.col("user_id")).alias("b"))
+            for i in range(d_rows)])).alias("rb"))
+    est = (probes.join(F.broadcast(counters),
+                       (probes.rb.r == counters.r)
+                       & (probes.rb.b == counters.b))
+           .groupBy("user_id", "true_count")
+           .agg(F.min("c").alias("cms_estimate")))
+    return (est.select("user_id", "true_count", "cms_estimate",
+                       (F.col("cms_estimate") - F.col("true_count"))
+                       .alias("overestimate"))
+            .orderBy(F.desc("true_count"), "user_id")
+            .limit(20))
+
+
+ORACLE_SQL["q_count_min_heavy_hitters"] = """
+WITH hashes AS (
+  SELECT user_id, r,
+         ('0x' || substring(md5(r || ':' || CAST(user_id AS VARCHAR)),
+                            1, 15))::BIGINT % 256 AS b
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS r)
+), counters AS (
+  SELECT r, b, count(*) AS c FROM hashes GROUP BY 1, 2
+), truth AS (
+  SELECT user_id, count(*) AS true_count FROM events GROUP BY 1
+), probe AS (
+  SELECT DISTINCT t.user_id, t.true_count, h.r, h.b
+  FROM truth t JOIN hashes h USING (user_id)
+), est AS (
+  SELECT p.user_id, p.true_count,
+         CAST(min(c.c) AS BIGINT) AS cms_estimate
+  FROM probe p JOIN counters c ON p.r = c.r AND p.b = c.b
+  GROUP BY 1, 2
+)
+SELECT user_id, true_count, cms_estimate,
+       cms_estimate - true_count AS overestimate
+FROM est
+ORDER BY true_count DESC, user_id
+LIMIT 20
+"""
