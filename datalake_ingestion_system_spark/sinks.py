@@ -211,8 +211,19 @@ class TxnLogFormat(TableFormat):
         self._commit(path, {"action": "append", "dir": rel,
                             "schema": df.schema.json()})
 
-    def read(self, spark: SparkSession, path: str) -> DataFrame:
+    def read(self, spark: SparkSession, path: str,
+             as_of_version: int | None = None) -> DataFrame:
+        """Current state, or — with ``as_of_version`` — TIME TRAVEL: the
+        state after commit ``as_of_version`` landed, by replaying exactly
+        that log prefix (versions are the log's serialization order, so
+        the prefix IS the historical table; Delta's ``versionAsOf``).
+        Vacuumed versions raise when their data dirs are gone."""
         commits = self._commits(path)
+        if as_of_version is not None:
+            commits = [c for c in commits if c["version"] <= as_of_version]
+            if not commits or commits[-1]["version"] != as_of_version:
+                raise ValueError(
+                    f"version {as_of_version} does not exist at {path}")
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
         # replay: every commit contributes its directory minus the partition
@@ -276,6 +287,16 @@ class TxnLogFormat(TableFormat):
     def read_merged(self, spark: SparkSession, path: str) -> DataFrame:
         # replay already unions schemas across commits (allowMissingColumns)
         return self.read(spark, path)
+
+    def history(self, path: str) -> list[dict]:
+        """Commit history, newest first (DESCRIBE HISTORY analogue):
+        version, action, partition column/values, staged dir.  Driver-side
+        and O(commits) — the log is config-scale by construction."""
+        return [{"version": c["version"], "action": c["action"],
+                 "partition_col": c.get("partition_col"),
+                 "partitions": c.get("partitions"),
+                 "dir": c["dir"]}
+                for c in reversed(self._commits(path))]
 
     def compact(self, spark: SparkSession, path: str,
                 partition_col: str | None = None) -> None:

@@ -359,3 +359,38 @@ def test_compact_of_empty_table_stays_readable(spark, tmp_path):
     fmt.overwrite_partitions(
         spark.createDataFrame([("a", 1)], "p string, v int"), path, "p")
     assert [(r.p, r.v) for r in fmt.read(spark, path).collect()] == [("a", 1)]
+
+
+def test_time_travel_replays_log_prefix(spark, tmp_path):
+    """read(as_of_version=N) must reproduce the exact state after commit N
+    — including dynamic partition overwrites that later commits undid."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_partitions(
+        spark.createDataFrame([("a", 1), ("b", 2)], "p string, v int"),
+        path, "p")                                   # v0
+    fmt.overwrite_partitions(
+        spark.createDataFrame([("b", 20)], "p string, v int"), path, "p")  # v1
+    fmt.append(spark.createDataFrame([("c", 30)], "p string, v int"), path)  # v2
+
+    def state(version=None):
+        return {(r.p, r.v)
+                for r in fmt.read(spark, path, as_of_version=version).collect()}
+
+    assert state(0) == {("a", 1), ("b", 2)}
+    assert state(1) == {("a", 1), ("b", 20)}
+    assert state(2) == state() == {("a", 1), ("b", 20), ("c", 30)}
+    with pytest.raises(ValueError):
+        fmt.read(spark, path, as_of_version=99)
+
+
+def test_history_lists_commits_newest_first(spark, tmp_path):
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_partitions(
+        spark.createDataFrame([("a", 1)], "p string, v int"), path, "p")
+    fmt.append(spark.createDataFrame([("b", 2)], "p string, v int"), path)
+    h = fmt.history(path)
+    assert [x["version"] for x in h] == [1, 0]
+    assert h[0]["action"] == "append"
+    assert h[1]["action"] == "overwrite" and h[1]["partitions"] == ["a"]
