@@ -2853,3 +2853,109 @@ FROM est
 ORDER BY true_count DESC, user_id
 LIMIT 20
 """
+
+
+@_q("q_bloom_prefilter_membership")
+def q_bloom_prefilter_membership(spark, sf_dir):
+    """Bloom-filter join pre-filtering in *verifiable* mode: a 4096-bit /
+    3-hash Bloom filter over the purchaser key set (portable md5 hash
+    family), stored as 128 OR-folded 32-bit words, then every user probed
+    against the broadcast bitset.  Per user-cohort (user_id % 10): keys
+    tested, true members, Bloom passes, and false positives — the
+    no-false-negative guarantee (pass >= member) and the bounded FP rate
+    are pinned row-by-row by the oracle.
+
+    Scale shape: this is Spark's runtime bloom-filter join pruning made
+    explicit — the build side is one explode + distinct + 128-row bit_or
+    aggregate; the probe side never shuffles (128-word bitset broadcasts);
+    rows failing the Bloom never reach the expensive join they guard."""
+    # 32-bit words: shift amounts stay < 32, so the OR-fold can never hit
+    # the signed-64 overflow DuckDB rejects at bit 63 (1::BIGINT << 63)
+    m_bits, k_hashes, bits_per_word = 4096, 3, 32
+    e = load(spark, sf_dir, "events")
+
+    def pos(i, key_col):
+        return F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"b{i}:"), key_col.cast("string"))),
+                1, 15), 16, 10).cast("long"),
+            F.lit(m_bits))
+
+    members = (e.filter(F.col("event_type") == "purchase")
+               .select("user_id").distinct())
+    bits = members.select(F.explode(F.array(*[
+        pos(i, F.col("user_id")) for i in range(k_hashes)])).alias("p")) \
+        .select(F.floor(F.col("p") / bits_per_word).alias("word"),
+                (F.col("p") % bits_per_word).alias("bit")).distinct()
+    words = (bits.groupBy("word")
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                         "CAST(bit AS INT)))").alias("mask")))
+    users = e.select("user_id").distinct()
+    probes = users.select("user_id", F.explode(F.array(*[
+        pos(i, F.col("user_id")) for i in range(k_hashes)])).alias("p")) \
+        .select("user_id",
+                F.floor(F.col("p") / bits_per_word).alias("word"),
+                (F.col("p") % bits_per_word).alias("bit"))
+    hit = (F.col("mask").isNotNull()
+           & (F.col("mask").bitwiseAND(
+               F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+              != 0))
+    per_user = (probes.join(F.broadcast(words), "word", "left")
+                .groupBy("user_id")
+                .agg((F.sum(hit.cast("int")) == k_hashes).alias("bloom_pass")))
+    flagged = per_user.join(
+        members.withColumn("is_member", F.lit(True)), "user_id", "left") \
+        .withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+    return (flagged.groupBy((F.col("user_id") % 10).alias("cohort"))
+            .agg(F.count("*").alias("n_tested"),
+                 F.sum(F.col("is_member").cast("int")).alias("n_members"),
+                 F.sum(F.col("bloom_pass").cast("int")).alias("n_pass"),
+                 F.sum((F.col("bloom_pass")
+                        & ~F.col("is_member")).cast("int"))
+                 .alias("n_false_pos"))
+            .orderBy("cohort"))
+
+
+ORACLE_SQL["q_bloom_prefilter_membership"] = """
+WITH members AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), mbits AS (
+  SELECT DISTINCT
+         ('0x' || substring(md5('b' || r || ':'
+                                || CAST(user_id AS VARCHAR)),
+                            1, 15))::BIGINT % 4096 AS p
+  FROM members, (SELECT unnest([0, 1, 2]) AS r)
+), words AS (
+  SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS mask
+  FROM mbits GROUP BY 1
+), users AS (
+  SELECT DISTINCT user_id FROM events
+), probes AS (
+  SELECT user_id, r,
+         ('0x' || substring(md5('b' || r || ':'
+                                || CAST(user_id AS VARCHAR)),
+                            1, 15))::BIGINT % 4096 AS p
+  FROM users, (SELECT unnest([0, 1, 2]) AS r)
+), per_user AS (
+  SELECT pr.user_id,
+         (sum(CASE WHEN w.mask IS NOT NULL
+                    AND (w.mask & (1::BIGINT << CAST(pr.p % 32 AS INTEGER)))
+                        <> 0
+               THEN 1 ELSE 0 END) = 3) AS bloom_pass
+  FROM probes pr LEFT JOIN words w ON pr.p // 32 = w.word
+  GROUP BY 1
+), flagged AS (
+  SELECT u.user_id, u.bloom_pass, m.user_id IS NOT NULL AS is_member
+  FROM per_user u LEFT JOIN members m USING (user_id)
+)
+SELECT user_id % 10 AS cohort,
+       count(*) AS n_tested,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_members,
+       CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       CAST(sum(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM flagged
+GROUP BY 1 ORDER BY 1
+"""
