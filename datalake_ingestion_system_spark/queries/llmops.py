@@ -2959,3 +2959,81 @@ SELECT user_id % 10 AS cohort,
 FROM flagged
 GROUP BY 1 ORDER BY 1
 """
+
+
+@_q("q_pq_encode")
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization (PQ) encoding in *verifiable* mode — the ANN
+    compression tier beyond IVF: each 64-dim vector splits into M=8
+    subvectors; each subvector is assigned the nearest of K=4 codebook
+    entries; the vector compresses to an 8-symbol code (16 bits here,
+    64x smaller than float32x64).  Codebooks are deterministic data-point
+    entries (the 4 smallest-id vectors' subvectors — the same
+    seed-centroid trick as the IVF verifiable mode), so the DuckDB oracle
+    rebuilds them from the parquet and replays assignment exactly;
+    per-dimension squared errors are integer fixed-point (floor(d^2*1e9))
+    so sums are order-independent across engines.
+
+    Scale shape: everything after the 4-row codebook collect is a single
+    in-row codegen projection — no shuffle at all; at 100 TB the encode
+    is a map-only pass (production codebooks come from k-means per
+    subspace, same swap as train_ivf_centroids)."""
+    M, K, D = 8, 4, 8  # subspaces x codebook size x dims-per-subspace
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cb_rows = (e.orderBy("vec_id").limit(K).collect())
+    cb = [list(r.v) for r in cb_rows]  # K x 64, config-scale collect
+
+    def sub_err(m, k):
+        terms = [
+            F.floor(
+                (F.element_at("v", m * D + j + 1) - F.lit(cb[k][m * D + j]))
+                * (F.element_at("v", m * D + j + 1) - F.lit(cb[k][m * D + j]))
+                * F.lit(1e9)).cast("long")
+            for j in range(D)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    best = []
+    for m in range(M):
+        cand = F.array(*[F.struct(sub_err(m, k).alias("e"),
+                                  F.lit(k).alias("k")) for k in range(K)])
+        best.append(F.array_min(cand))
+    codes = F.concat_ws("", *[b["k"].cast("string") for b in best])
+    total = best[0]["e"]
+    for b in best[1:]:
+        total = total + b["e"]
+    return e.select("vec_id", codes.alias("pq_code"),
+                    total.alias("recon_err_fp"))
+
+
+ORACLE_SQL["q_pq_encode"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
+  FROM v ORDER BY vec_id LIMIT 4
+), sub AS (
+  SELECT x.vec_id, m.m, cb.k,
+         {ERR} AS e
+  FROM v x, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS m) m
+  CROSS JOIN cb
+), best AS (
+  SELECT vec_id, m, k, e,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY e ASC, k ASC) AS rn
+  FROM sub
+)
+SELECT vec_id,
+       string_agg(CAST(k AS VARCHAR), '' ORDER BY m) AS pq_code,
+       CAST(sum(e) AS BIGINT) AS recon_err_fp
+FROM best WHERE rn = 1
+GROUP BY vec_id
+""".replace("{ERR}", " + ".join(
+    f"CAST(floor((x.v[CAST(m.m * 8 + {j} AS INTEGER)]"
+    f" - cb.cv[CAST(m.m * 8 + {j} AS INTEGER)])"
+    f" * (x.v[CAST(m.m * 8 + {j} AS INTEGER)]"
+    f" - cb.cv[CAST(m.m * 8 + {j} AS INTEGER)]) * 1e9) AS BIGINT)"
+    for j in range(1, 9)))
