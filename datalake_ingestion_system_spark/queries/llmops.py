@@ -3037,3 +3037,124 @@ GROUP BY vec_id
     f" * (x.v[CAST(m.m * 8 + {j} AS INTEGER)]"
     f" - cb.cv[CAST(m.m * 8 + {j} AS INTEGER)]) * 1e9) AS BIGINT)"
     for j in range(1, 9)))
+
+
+@_q("q_pq_adc_topk")
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) top-k — the search half of
+    ``q_pq_encode``: each query's FULL vector scores every candidate from
+    its 8-symbol CODE alone (distance = sum over subspaces of the exact
+    query-to-centroid error for the candidate's symbol), so the candidate
+    corpus is scanned at 2 bytes/vector instead of 256.  Codebooks and
+    the fixed-point arithmetic are the verifiable-mode choices of
+    ``q_pq_encode``; the DuckDB oracle replays encode + ADC end to end.
+
+    Scale shape: candidates carry only codes (the broadcast side is 5
+    query vectors + the K x 64 codebook literals); per-pair scoring is
+    in-row codegen; top-k is a per-query rank window over |Q| x N scored
+    rows — the FAISS IVF-ADC inner loop as a DataFrame plan."""
+    M, K, D = 8, 4, 8
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cb = [list(r.v) for r in e.orderBy("vec_id").limit(K).collect()]
+
+    def sub_err(m, k):
+        terms = [
+            F.floor(
+                (F.element_at("v", m * D + j + 1) - F.lit(cb[k][m * D + j]))
+                * (F.element_at("v", m * D + j + 1) - F.lit(cb[k][m * D + j]))
+                * F.lit(1e9)).cast("long")
+            for j in range(D)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    best = [F.array_min(F.array(*[
+        F.struct(sub_err(m, k).alias("e"), F.lit(k).alias("k"))
+        for k in range(K)])) for m in range(M)]
+    cand = e.select(F.col("vec_id").alias("neighbor_id"),
+                    F.array(*[b["k"] for b in best]).alias("code"))
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv")))
+
+    def q_err(m, k):  # exact query-subvector -> codebook-entry distance
+        terms = [
+            F.floor(
+                (F.element_at("qv", m * D + j + 1)
+                 - F.lit(cb[k][m * D + j]))
+                * (F.element_at("qv", m * D + j + 1)
+                   - F.lit(cb[k][m * D + j]))
+                * F.lit(1e9)).cast("long")
+            for j in range(D)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    def dist_m(m):
+        sym = F.element_at("code", m + 1)
+        expr = q_err(m, K - 1)
+        for k in range(K - 2, -1, -1):
+            expr = F.when(sym == k, q_err(m, k)).otherwise(expr)
+        return expr
+
+    total = dist_m(0)
+    for m in range(1, M):
+        total = total + dist_m(m)
+    scored = (cand.join(F.broadcast(q))
+              .select("query_id", "neighbor_id",
+                      total.alias("adc_dist_fp")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_fp"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5))
+
+
+ORACLE_SQL["q_pq_adc_topk"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v AS cv
+  FROM v ORDER BY vec_id LIMIT 4
+), sub AS (
+  SELECT x.vec_id, m.m, cb.k,
+         {ERR} AS e
+  FROM v x, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS m) m
+  CROSS JOIN cb
+), best AS (
+  SELECT vec_id, m, k,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY e ASC, k ASC) AS rn
+  FROM sub
+), codes AS (
+  SELECT vec_id AS neighbor_id, m, k FROM best WHERE rn = 1
+), queries AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(sum({QERR}) AS BIGINT) AS adc_dist_fp
+  FROM codes c
+  CROSS JOIN queries q
+  JOIN cb ON cb.k = c.k
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist_fp, rnk
+FROM (SELECT query_id, neighbor_id, adc_dist_fp,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist_fp ASC, neighbor_id ASC)
+               AS rnk
+      FROM scored)
+WHERE rnk <= 5
+""".replace("{ERR}", " + ".join(
+    f"CAST(floor((x.v[CAST(m.m * 8 + {j} AS INTEGER)]"
+    f" - cb.cv[CAST(m.m * 8 + {j} AS INTEGER)])"
+    f" * (x.v[CAST(m.m * 8 + {j} AS INTEGER)]"
+    f" - cb.cv[CAST(m.m * 8 + {j} AS INTEGER)]) * 1e9) AS BIGINT)"
+    for j in range(1, 9))).replace("{QERR}", " + ".join(
+    f"CAST(floor((q.qv[CAST(c.m * 8 + {j} AS INTEGER)]"
+    f" - cb.cv[CAST(c.m * 8 + {j} AS INTEGER)])"
+    f" * (q.qv[CAST(c.m * 8 + {j} AS INTEGER)]"
+    f" - cb.cv[CAST(c.m * 8 + {j} AS INTEGER)]) * 1e9) AS BIGINT)"
+    for j in range(1, 9)))
