@@ -465,3 +465,50 @@ def chargram_minhash_pairs(df: DataFrame, id_col: str, text_col: str,
     finally:
         gsets.unpersist()
     return out
+
+
+def incremental_exact_dedup(new_docs: DataFrame, state_path: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            fmt=None) -> tuple[DataFrame, dict]:
+    """Production incremental dedup: deduplicate a NEW batch against the
+    fingerprints of everything already accepted, then commit the batch's
+    novel fingerprints — so tomorrow's batch dedups against today's.
+
+    Returns ``(unique_docs, stats)``: the batch rows that are neither
+    in-batch duplicates (min ``id_col`` per fingerprint wins, same rule as
+    ``exact_dedup``) nor historical duplicates, plus counts of each class.
+    The fingerprint store is a ``TxnLogFormat`` table (atomic append), so
+    a crash between computing and committing replays convergently: the
+    rerun recomputes the same novel set, and the left-anti against the
+    store makes re-appending the same batch a no-op — the same
+    exactly-once-by-idempotence contract as the ingest state.
+
+    Scale: the store carries (fp, first_id) only — 2 narrow columns per
+    unique doc ever seen; the batch joins it fp-keyed (broadcast while
+    small, shuffle beyond), never the full corpus text."""
+    from ..sinks import TxnLogFormat
+    fmt = fmt or TxnLogFormat()
+    spark = new_docs.sparkSession
+    fp = fingerprint(text_col).alias("fp")
+    batch = new_docs.select(F.col(id_col), fp)
+    in_batch_first = (batch.groupBy("fp")
+                      .agg(F.min(id_col).alias("first_id")))
+    n_rows = new_docs.count()
+    n_batch_unique = in_batch_first.count()
+    try:
+        seen = fmt.read(spark, state_path).select("fp")
+        novel = in_batch_first.join(seen, "fp", "left_anti")
+    except FileNotFoundError:
+        novel = in_batch_first
+    novel = novel.localCheckpoint(eager=True)  # pin before the store moves
+    n_novel = novel.count()
+    if n_novel:
+        fmt.append(novel, state_path)
+    unique_docs = new_docs.join(
+        novel.select(F.col("first_id").alias(id_col)), id_col, "left_semi")
+    stats = {"batch_rows": n_rows,
+             "in_batch_dupes": n_rows - n_batch_unique,
+             "historical_dupes": n_batch_unique - n_novel,
+             "accepted": n_novel}
+    return unique_docs, stats

@@ -3158,3 +3158,75 @@ WHERE rnk <= 5
     f" * (q.qv[CAST(c.m * 8 + {j} AS INTEGER)]"
     f" - cb.cv[CAST(c.m * 8 + {j} AS INTEGER)]) * 1e9) AS BIGINT)"
     for j in range(1, 9)))
+
+
+@_q("q_curation_funnel")
+def q_curation_funnel(spark, sf_dir):
+    """Corpus-curation funnel with per-stage attrition — the observability
+    view every filtering pipeline publishes (the C4/FineWeb-style report):
+    stage 0 all docs -> 1 language gate (en) -> 2 length gate (>= 15
+    words) -> 3 diversity gate (distinct-token ratio >= 0.5) -> 4 exact
+    dedup (keep min doc_id per fingerprint).  One scan: every gate is a
+    boolean projection; the cumulative-survival counts come from a single
+    aggregate over the flags (no per-stage re-scan), plus one fingerprint
+    window for the dedup flag.
+
+    Stages are evaluated CUMULATIVELY (a doc must pass all earlier gates
+    to be counted at a later one), matching how attrition reports read."""
+    d = load(spark, sf_dir, "documents")
+    ws = tokens("text")
+    n_words = F.size(ws)
+    distinct_ratio = F.size(F.array_distinct(ws)) / n_words
+    keep_w = Window.partitionBy(dedup.fingerprint("text"))
+    flagged = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("g1"),
+        (n_words >= 15).alias("g2"),
+        (distinct_ratio >= 0.5).alias("g3"),
+        (F.col("doc_id") == F.min("doc_id").over(keep_w)).alias("g4"))
+    s1 = F.col("g1")
+    s2 = s1 & F.col("g2")
+    s3 = s2 & F.col("g3")
+    s4 = s3 & F.col("g4")
+    agg = flagged.agg(
+        F.count("*").alias("n0"),
+        F.sum(s1.cast("int")).alias("n1"),
+        F.sum(s2.cast("int")).alias("n2"),
+        F.sum(s3.cast("int")).alias("n3"),
+        F.sum(s4.cast("int")).alias("n4"))
+    stages = F.array(*[
+        F.struct(F.lit(i).alias("stage"), F.lit(name).alias("gate"),
+                 F.col(f"n{i}").cast("long").alias("n_surviving"))
+        for i, name in enumerate(
+            ["all", "lang_en", "min_words", "diversity", "dedup"])])
+    return (agg.select(F.explode(stages).alias("s"))
+            .select("s.stage", "s.gate", "s.n_surviving")
+            .orderBy("stage"))
+
+
+ORACLE_SQL["q_curation_funnel"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         lang = 'en' AS g1,
+         len(regexp_extract_all(lower(text), '\\w+')) >= 15 AS g2,
+         len(list_distinct(regexp_extract_all(lower(text), '\\w+'))) * 1.0
+           / len(regexp_extract_all(lower(text), '\\w+')) >= 0.5 AS g3,
+         doc_id = min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS g4
+  FROM documents
+), agg AS (
+  SELECT count(*) AS n0,
+         CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n3,
+         CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n4
+  FROM f
+)
+SELECT 0 AS stage, 'all' AS gate, n0 AS n_surviving FROM agg
+UNION ALL SELECT 1, 'lang_en', n1 FROM agg
+UNION ALL SELECT 2, 'min_words', n2 FROM agg
+UNION ALL SELECT 3, 'diversity', n3 FROM agg
+UNION ALL SELECT 4, 'dedup', n4 FROM agg
+ORDER BY stage
+"""

@@ -288,6 +288,44 @@ class TxnLogFormat(TableFormat):
         # replay already unions schemas across commits (allowMissingColumns)
         return self.read(spark, path)
 
+    def diff_versions(self, spark: SparkSession, path: str, key: str,
+                      v_from: int, v_to: int) -> DataFrame:
+        """Change Data Feed derived by diffing two time-travel replays:
+        key-level changes between version ``v_from`` and ``v_to``, tagged
+        ``_change_type`` in {insert, delete, update_postimage} — the
+        consumable Delta-CDF shape, computed from the commit log alone
+        (no change-tracking at write time; the log IS the history).
+
+        Update detection is a full-row comparison via a full-outer join
+        on ``key``, so the table must hold one row per key at each
+        version (the CDC/dimension contract ``streaming/cdc_stream.py``
+        maintains); md5-of-concat row digests keep the comparison one
+        expression wide regardless of column count."""
+        before = self.read(spark, path, as_of_version=v_from)
+        after = self.read(spark, path, as_of_version=v_to)
+        cols = [c for c in after.columns if c != key]
+
+        def digest(df):
+            return df.select(
+                F.col(key).alias("_k"),
+                F.md5(F.concat_ws("\x1f", *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in sorted(cols)])).alias("_d"),
+                F.struct(*df.columns).alias("_row"))
+
+        b, a = digest(before).alias("b"), digest(after).alias("a")
+        j = b.join(a, F.col("b._k") == F.col("a._k"), "full_outer")
+        change = (F.when(F.col("b._k").isNull(), F.lit("insert"))
+                  .when(F.col("a._k").isNull(), F.lit("delete"))
+                  .when(F.col("b._d") != F.col("a._d"),
+                        F.lit("update_postimage")))
+        picked = F.when(F.col("a._k").isNull(), F.col("b._row")) \
+                  .otherwise(F.col("a._row"))
+        return (j.withColumn("_change_type", change)
+                .filter(F.col("_change_type").isNotNull())
+                .select("_change_type", picked.alias("_row"))
+                .select("_change_type", "_row.*"))
+
     def history(self, path: str) -> list[dict]:
         """Commit history, newest first (DESCRIBE HISTORY analogue):
         version, action, partition column/values, staged dir.  Driver-side

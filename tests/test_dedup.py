@@ -226,3 +226,31 @@ def test_chargram_minhash_recovers_planted_pair(spark):
                                              threshold=0.5).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 0.8
     assert all({a, b} <= {0, 1} for a, b in pairs)
+
+
+def test_incremental_dedup_against_fingerprint_store(spark, tmp_path):
+    """Batches dedup against the accumulated store; reruns converge."""
+    from datalake_ingestion_system_spark.operators.dedup import (
+        incremental_exact_dedup)
+    state = str(tmp_path / "fp_store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  BETA")],
+        "doc_id long, text string")  # 3 normalizes to doc 1's fingerprint
+    u1, s1 = incremental_exact_dedup(b1, state)
+    assert sorted(r.doc_id for r in u1.collect()) == [1, 2]
+    assert s1 == {"batch_rows": 3, "in_batch_dupes": 1,
+                  "historical_dupes": 0, "accepted": 2}
+
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"),   # historical dup of doc 2
+         (11, "epsilon zeta")],  # novel
+        "doc_id long, text string")
+    u2, s2 = incremental_exact_dedup(b2, state)
+    assert [r.doc_id for r in u2.collect()] == [11]
+    assert s2 == {"batch_rows": 2, "in_batch_dupes": 0,
+                  "historical_dupes": 1, "accepted": 1}
+
+    # crash-and-rerun of the SAME batch: nothing new, store unchanged
+    u3, s3 = incremental_exact_dedup(b2, state)
+    assert u3.count() == 0
+    assert s3["accepted"] == 0 and s3["historical_dupes"] == 2

@@ -394,3 +394,27 @@ def test_history_lists_commits_newest_first(spark, tmp_path):
     assert [x["version"] for x in h] == [1, 0]
     assert h[0]["action"] == "append"
     assert h[1]["action"] == "overwrite" and h[1]["partitions"] == ["a"]
+
+
+def test_diff_versions_emits_cdf_changes(spark, tmp_path):
+    """diff_versions derives the Delta-CDF change set from two time-travel
+    replays: inserts, deletes, and full-row-compared updates."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, name string, v long"), path)               # v0
+    fmt.overwrite_table(spark.createDataFrame(
+        [(1, "a", 10),            # unchanged -> absent from the feed
+         (2, "b", 25),            # value changed -> update_postimage
+         (4, "d", 40)],           # new -> insert ; key 3 gone -> delete
+        "k long, name string, v long"), path)               # v1
+    changes = {(r._change_type, r.k): (r.name, r.v)
+               for r in fmt.diff_versions(spark, path, "k", 0, 1).collect()}
+    assert changes == {
+        ("update_postimage", 2): ("b", 25),
+        ("insert", 4): ("d", 40),
+        ("delete", 3): ("c", 30),   # delete carries the pre-image row
+    }
+    # reflexive diff is empty
+    assert fmt.diff_versions(spark, path, "k", 1, 1).count() == 0
