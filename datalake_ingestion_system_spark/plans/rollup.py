@@ -34,13 +34,18 @@ from ..sinks import TxnLogFormat
 BUCKET_COL = "bucket_hour"
 
 
-def rollup_aggregate(events: DataFrame) -> DataFrame:
-    """The rollup body: per (hour bucket, event_type) count / value sum /
+def rollup_aggregate(events: DataFrame,
+                     granularity: str = "hour") -> DataFrame:
+    """The rollup body: per (time bucket, event_type) count / value sum /
     distinct users.  Partial-agg friendly (all three are map-side
     combinable; count_distinct is exact here — swap approx_count_distinct
-    if user cardinality per bucket outgrows memory)."""
+    if user cardinality per bucket outgrows memory).  ``granularity`` is
+    any ``date_trunc`` unit — pick it so the bucket count stays
+    partition-directory-friendly for the target retention (hourly buckets
+    over years => thousands of dirs; day/week coarsens the layout)."""
     return (events
-            .groupBy(F.date_trunc("hour", F.col("ts")).alias(BUCKET_COL),
+            .groupBy(F.date_trunc(granularity, F.col("ts"))
+                      .alias(BUCKET_COL),
                      "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sum_value"),
@@ -49,6 +54,7 @@ def rollup_aggregate(events: DataFrame) -> DataFrame:
 
 def refresh_rollup(spark: SparkSession, events: DataFrame,
                    rollup_path: str, grace_hours: int = 2,
+                   granularity: str = "hour",
                    fmt: TxnLogFormat | None = None) -> int:
     """Incrementally refresh the rollup; returns the number of buckets
     (re)written.  ``events`` is the raw table (lazy — only the refresh
@@ -61,13 +67,20 @@ def refresh_rollup(spark: SparkSession, events: DataFrame,
         wm = None
     if wm is not None:
         # literal cutoff (not a subquery) so the comparison reaches the
-        # scan as a pushed filter / partition prune
-        cutoff_lit = F.lit(wm) - F.expr(f"INTERVAL {grace_hours} HOURS")
-        window = events.filter(F.date_trunc("hour", F.col("ts"))
-                               >= cutoff_lit)
+        # scan as a pushed filter / partition prune.  Compared in
+        # wall-clock epoch seconds (catalog.epoch_seconds) so the same
+        # code handles LTZ and TIMESTAMP_NTZ event columns — a raw
+        # F.lit(datetime) literal is LTZ and cannot compare to NTZ.
+        import calendar
+
+        from ..catalog import epoch_seconds
+        cut = calendar.timegm(wm.timetuple()) - grace_hours * 3600
+        window = events.filter(
+            epoch_seconds(F.date_trunc(granularity, F.col("ts")))
+            >= F.lit(cut))
     else:
         window = events  # first refresh: full history
-    fresh = rollup_aggregate(window)
+    fresh = rollup_aggregate(window, granularity)
     n_buckets = fresh.select(BUCKET_COL).distinct().count()
     if n_buckets == 0:
         return 0

@@ -482,3 +482,88 @@ SELECT user_id,
          AS sum_attributed_view_ids
 FROM m GROUP BY user_id
 """
+
+
+@_q("q_cdc_stream_apply")
+def q_cdc_stream_apply(spark, sf_dir):
+    """STREAMING CDC upsert, oracle-verified end to end: the event stream
+    runs through ``streaming/cdc_stream.py`` (foreachBatch latest-wins
+    merge into a TxnLogFormat table, 'error' as the delete marker) and the
+    FINAL table state is returned — the DuckDB oracle is the batch
+    apply-latest query, so the whole replay-safe streaming merge pipeline
+    (micro-batching, commit-log publishes, tombstone handling) is checked
+    against a pure declarative recomputation.  Deterministic because
+    latest-wins over a total order (ts, event_id) is independent of how
+    the bounded input was micro-batched — the same convergence
+    ``tests/test_cdc_stream.py`` asserts."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+    from ..streaming.cdc_stream import start_cdc_upsert_stream
+    workdir = tempfile.mkdtemp(prefix="cdc_stream_q_")
+    table = f"{workdir}/table"
+    q = start_cdc_upsert_stream(
+        spark, _events_stream(spark, sf_dir), table,
+        key="user_id", order_cols=("ts", "event_id"),
+        checkpoint_dir=f"{workdir}/ckpt",
+        delete_expr=F.col("event_type") == "error")
+    q.awaitTermination()
+    return (TxnLogFormat().read(spark, table)
+            .select("user_id",
+                    F.col("event_type").alias("last_op"),
+                    F.col("ts").alias("last_ts"),
+                    F.round("value", 2).alias("last_value")))
+
+
+ORACLE_SQL["q_cdc_stream_apply"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_op,
+       ts AS last_ts,
+       round(value, 2) AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@_q("q_rollup_incremental")
+def q_rollup_incremental(spark, sf_dir):
+    """Continuous-aggregate rollup, oracle-verified: the DAY-bucket rollup is
+    built in TWO genuine incremental refreshes (history before the median
+    day, then the full table — the second run re-aggregates only buckets
+    inside its grace window plus the new tail) through
+    ``plans/rollup.py``'s watermark + dynamic-partition-overwrite path,
+    and the final table state is returned.  The DuckDB oracle is the
+    straight one-shot aggregate, so incremental == full-recompute is
+    checked cross-engine, not just in unit tests."""
+    import tempfile
+
+    from ..catalog import epoch_seconds, load
+    from ..plans.rollup import BUCKET_COL, refresh_rollup
+    from ..sinks import TxnLogFormat
+    e = load(spark, sf_dir, "events")
+    mid = (e.select(epoch_seconds("ts").alias("ep"))
+           .agg(F.expr("percentile_approx(ep, 0.5)")).head()[0])
+    path = tempfile.mkdtemp(prefix="rollup_q_") + "/rollup"
+    refresh_rollup(spark, e.filter(epoch_seconds("ts") < F.lit(int(mid))),
+                   path, grace_hours=48, granularity="day")
+    refresh_rollup(spark, e, path, grace_hours=48, granularity="day")
+    return (TxnLogFormat().read(spark, path)
+            .select(F.col(BUCKET_COL).alias("bucket_day"), "event_type",
+                    "n_events", F.round("sum_value", 2).alias("sum_value"),
+                    "n_users"))
+
+
+ORACLE_SQL["q_rollup_incremental"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+       event_type,
+       count(*) AS n_events,
+       round(round(sum(value), 2), 2) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
