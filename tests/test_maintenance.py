@@ -95,3 +95,49 @@ def test_expire_partitions(spark, tmp_path):
     left = spark.read.parquet(out)
     assert [r.v for r in left.collect()] == [3]
     assert os.path.isdir(f"{out}/TRANSFERRED_DATE=__HIVE_DEFAULT_PARTITION__")
+
+
+def test_zorder_write_tightens_stats_on_both_columns(spark, tmp_path):
+    """Z-order layout must leave parquet per-file min/max ranges narrow on
+    BOTH clustered columns (the multi-column pruning contract); a
+    single-column sort leaves the second column's ranges ~full-width."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datalake_ingestion_system_spark.plans.maintenance import zorder_write
+
+    n = 20_000
+    df = (spark.range(n)
+          .select((F.col("id") % 1000).alias("a"),
+                  F.floor(F.col("id") / 20).alias("b")))
+
+    def mean_coverage(path, col, global_span):
+        covs = []
+        for f in globmod.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            covs.append((hi - lo) / global_span)
+        return sum(covs) / len(covs)
+
+    zpath = str(tmp_path / "zorder")
+    zorder_write(df, zpath, ["a", "b"], n_files=16)
+    spath = str(tmp_path / "sorted_a")
+    (df.repartitionByRange(16, "a").sortWithinPartitions("a")
+       .write.parquet(spath))
+
+    za, zb = mean_coverage(zpath, "a", 999), mean_coverage(zpath, "b", n / 20)
+    sa, sb = mean_coverage(spath, "a", 999), mean_coverage(spath, "b", n / 20)
+    # z-order: BOTH columns substantially narrower than full width
+    assert za < 0.5 and zb < 0.5, (za, zb)
+    # single-column sort: great on a, useless on b — the contrast that
+    # justifies z-ordering
+    assert sa < 0.2
+    assert zb < sb, (zb, sb)
+    # and the data itself round-trips
+    assert (spark.read.parquet(zpath).count() == n)
