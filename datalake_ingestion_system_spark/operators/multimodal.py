@@ -122,6 +122,59 @@ def _parse_wav_duration_ms(payload: bytes) -> int | None:
     return round(data_size * 1000 / byte_rate)
 
 
+def _parse_mp4_duration_ms(payload: bytes) -> int | None:
+    """Duration of an MP4/ISO-BMFF payload from the ``moov/mvhd`` box —
+    pure Python box walk, no codec needed (the movie header carries
+    ``timescale`` and ``duration`` regardless of track codecs).  None when
+    the payload is not a parseable ISO-BMFF container."""
+    def walk(buf, start, end, box_type):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos:pos + 4], "big")
+            btype = buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    return None
+                size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to end
+                size = end - pos
+            if size < hdr:
+                return None
+            if btype == box_type:
+                return (pos + hdr, min(pos + size, end))
+            pos += size
+        return None
+
+    if len(payload) < 16:
+        return None
+    # sanity: a top-level ftyp or moov box should lead the file
+    if payload[4:8] not in (b"ftyp", b"moov", b"styp", b"free", b"mdat"):
+        return None
+    moov = walk(payload, 0, len(payload), b"moov")
+    if moov is None:
+        return None
+    mvhd = walk(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        return None
+    s, e = mvhd
+    if e - s < 20:
+        return None
+    version = payload[s]
+    if version == 1:
+        if e - s < 28:
+            return None
+        timescale = int.from_bytes(payload[s + 20:s + 24], "big")
+        duration = int.from_bytes(payload[s + 24:s + 32], "big")
+    else:
+        timescale = int.from_bytes(payload[s + 12:s + 16], "big")
+        duration = int.from_bytes(payload[s + 16:s + 20], "big")
+    if not timescale:
+        return None
+    return round(duration * 1000 / timescale)
+
+
 def real_decoder(media_type: str, payload: bytes) -> dict:
     """Decode REAL media bytes (VERDICT r4 item 7).
 
@@ -165,8 +218,16 @@ def real_decoder(media_type: str, payload: bytes) -> dict:
         raise NotImplementedError(
             "compressed-audio decode needs mutagen (WAV is parsed "
             "natively); inject fake_decoder or install mutagen")
+    if media_type == "video":
+        dur = _parse_mp4_duration_ms(payload)
+        if dur is not None:
+            return {**meta, "width": 0, "height": 0, "duration_ms": dur}
+        raise NotImplementedError(
+            "non-MP4 video decode needs av (MP4/ISO-BMFF durations are "
+            "parsed natively from the mvhd box); inject fake_decoder or "
+            "install av")
     raise NotImplementedError(
-        "video decode needs av; inject fake_decoder or a real codec")
+        f"unknown media_type {media_type!r}; inject a custom decoder")
 
 
 def decode_media(df: DataFrame,

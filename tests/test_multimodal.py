@@ -205,3 +205,51 @@ def test_real_decoder_compressed_audio_still_honest(spark):
         multimodal.decode_media(media, multimodal.real_decoder).collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         isinstance(exc_info.value, NotImplementedError)
+
+
+def _mp4_bytes(seconds: float, timescale: int = 1000,
+               version: int = 0) -> bytes:
+    """A minimal valid ISO-BMFF container (ftyp + moov/mvhd) built by hand."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    dur = int(seconds * timescale)
+    if version == 0:
+        mvhd_payload = (bytes([0]) + b"\x00\x00\x00"   # version 0 + flags
+                        + struct.pack(">II", 0, 0)      # creation/modification
+                        + struct.pack(">I", timescale)
+                        + struct.pack(">I", dur)
+                        + bytes(80))                    # rate..next_track_id
+    else:
+        mvhd_payload = (bytes([1]) + b"\x00\x00\x00"
+                        + struct.pack(">QQ", 0, 0)
+                        + struct.pack(">I", timescale)
+                        + struct.pack(">Q", dur)
+                        + bytes(80))
+    return ftyp + box(b"moov", box(b"mvhd", mvhd_payload))
+
+
+def test_real_decoder_reads_mp4_durations(spark):
+    """Video seam closes for MP4: durations come from a pure-Python
+    moov/mvhd box walk, both mvhd versions, through the decode stage."""
+    payloads = [(0, "video", _mp4_bytes(12.5)),
+                (1, "video", _mp4_bytes(3.25, timescale=90000, version=1))]
+    media = spark.createDataFrame(
+        payloads, "media_id long, media_type string, media_bytes binary")
+    out = {r.media_id: r.duration_ms
+           for r in multimodal.decode_media(
+               media, multimodal.real_decoder).collect()}
+    assert out == {0: 12500, 1: 3250}
+
+
+def test_real_decoder_non_mp4_video_still_honest(spark):
+    media = spark.createDataFrame(
+        [(0, "video", b"\x1aE\xdf\xa3 not an mp4 (EBML magic)")],
+        "media_id long, media_type string, media_bytes binary")
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_media(media, multimodal.real_decoder).collect()
+    assert "NotImplementedError" in str(exc_info.value) or \
+        isinstance(exc_info.value, NotImplementedError)
