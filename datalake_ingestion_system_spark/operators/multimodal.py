@@ -3,10 +3,10 @@
 The Spark-side contract is real and tested — typed metadata struct, Arrow
 batch shape, ``mapInPandas`` decode stage, partition sizing.  Codec depth
 is tiered: ``real_decoder`` parses actual image container headers
-(PNG/GIF/BMP/JPEG) and WAV/RIFF audio durations in pure Python, upgrading
-to PIL / mutagen when installed; compressed audio without mutagen and all
-video decode stay documented ``NotImplementedError`` seams (no av/librosa
-in this container).  ``fake_decoder`` remains the
+(PNG/GIF/BMP/JPEG), WAV/RIFF audio durations, and MP4/ISO-BMFF video
+durations in pure Python, upgrading to PIL / mutagen when installed;
+compressed audio without mutagen and non-MP4 video decode stay documented
+``NotImplementedError`` seams (no av/librosa in this container).  ``fake_decoder`` remains the
 oracle-checked path: it derives pseudo dimensions from byte content with
 arithmetic DuckDB can reproduce, giving the plumbing a cross-engine check.
 
@@ -163,7 +163,9 @@ def _parse_mp4_duration_ms(payload: bytes) -> int | None:
         return None
     version = payload[s]
     if version == 1:
-        if e - s < 28:
+        # v1 layout: 4 (version+flags) + 8 + 8 (creation/modification)
+        # + 4 (timescale) + 8 (duration) = 32 bytes minimum
+        if e - s < 32:
             return None
         timescale = int.from_bytes(payload[s + 20:s + 24], "big")
         duration = int.from_bytes(payload[s + 24:s + 32], "big")
@@ -184,8 +186,9 @@ def real_decoder(media_type: str, payload: bytes) -> dict:
     recognize (WebP, TIFF, …) plus pixel access.  Audio: WAV durations come
     from a pure-Python RIFF chunk walk (VERDICT r5 item 7 — closes the seam
     without optional deps); compressed audio (MP3/OGG/FLAC) falls through
-    to mutagen when installed.  Video still needs av: that stays behind
-    NotImplementedError."""
+    to mutagen when installed.  Video: MP4/ISO-BMFF durations come from a
+    pure-Python moov/mvhd box walk; other containers (MKV/WebM) still need
+    av and stay behind NotImplementedError."""
     meta = {"byte_len": len(payload), "duration_ms": 0}
     if media_type == "image":
         dims = _parse_image_header(payload)

@@ -51,30 +51,52 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
     e_ep = epoch_seconds(end_ts)
 
     pts = points.withColumn("_cell", F.floor(p_ep / bucket))
-    # an interval [s, e) covers cells floor(s/b) .. floor((e-1)/b);
-    # e <= s covers nothing (sequence would count backwards — guard it)
+    # an interval [s, e) covers cells floor(s/b) .. floor(e'/b) where e' is
+    # the last contained instant.  epoch_seconds truncates to seconds, so
+    # the end cell is taken CONSERVATIVELY as floor(e_ep/b): a sub-second
+    # fraction on e may extend the interval into that cell, and the extra
+    # candidate rows (at most one cell per interval) die in the exact
+    # residual filter.  e_ep >= s_ep (not >) for the same reason: a
+    # sub-second interval truncates to equal epochs but still contains
+    # points; truly empty intervals (e <= s) emit candidates the residual
+    # kills.  Backwards intervals (e_ep < s_ep) cover nothing.
     cells = F.when(
-        e_ep > s_ep,
-        F.sequence(F.floor(s_ep / bucket), F.floor((e_ep - 1) / bucket)),
+        e_ep >= s_ep,
+        F.sequence(F.floor(s_ep / bucket), F.floor(e_ep / bucket)),
     ).otherwise(F.array().cast("array<bigint>"))
     iv = intervals.withColumn("_cell", F.explode_outer(cells))
 
-    on = [pts[k] == iv[k] for k in keys] + [pts["_cell"] == iv["_cell"]]
-    residual = (pts[point_ts] >= iv[start_ts]) & (pts[point_ts] < iv[end_ts])
-    matched = (pts.join(iv, on, "inner")
+    # string-qualified aliases: when both sides derive from the SAME scan
+    # (e.g. windows and points both carved from one events table), raw
+    # pts[k] == iv[k] shares attribute ids and Spark resolves it only by
+    # self-join heuristics (with a 'trivially true equals' warning) —
+    # explicit aliases make the resolution unambiguous by construction
+    pts_a, iv_a = pts.alias("_rj_p"), iv.alias("_rj_i")
+    on = None
+    for k in [*keys, "_cell"]:
+        term = F.col(f"_rj_p.{k}") == F.col(f"_rj_i.{k}")
+        on = term if on is None else (on & term)
+    residual = ((F.col(f"_rj_p.{point_ts}") >= F.col(f"_rj_i.{start_ts}"))
+                & (F.col(f"_rj_p.{point_ts}") < F.col(f"_rj_i.{end_ts}")))
+    iv_keep = [c for c in iv.columns if c not in (*keys, "_cell")]
+    matched = (pts_a.join(iv_a, on, "inner")
                .filter(residual)
-               .drop(iv["_cell"])
-               .drop(*[iv[k] for k in keys])
-               .drop(pts["_cell"]))
+               .select(*[F.col(f"_rj_p.{c}") for c in points.columns],
+                       *[F.col(f"_rj_i.{c}") for c in iv_keep]))
     if how == "inner":
         return matched
     # left_outer: points with no containing interval come back with NULL
-    # interval columns — recover them with a left_anti on the matched keys'
-    # point identity, then union.  Identity = every point column.
+    # interval columns — recover them with a left_anti on the matched
+    # rows' point identity, then union.  Identity = every point column,
+    # compared NULL-SAFELY: a plain equi-anti would leak any matched row
+    # containing a NULL back in as a spurious unmatched duplicate.
     iv_cols = [c for c in intervals.columns if c not in keys]
-    unmatched = (points.join(
-        matched.select(*points.columns).distinct(),
-        on=points.columns, how="left_anti"))
+    matched_pts = matched.select(*points.columns).distinct()
+    anti_cond = None
+    for c in points.columns:
+        term = points[c].eqNullSafe(matched_pts[c])
+        anti_cond = term if anti_cond is None else (anti_cond & term)
+    unmatched = points.join(matched_pts, on=anti_cond, how="left_anti")
     for c in iv_cols:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(dict(intervals.dtypes)[c]))

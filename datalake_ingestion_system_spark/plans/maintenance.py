@@ -258,6 +258,14 @@ def zorder_write(df: DataFrame, path: str, cols: list[str],
         raise ValueError("z-order over 1-4 columns")
     stats = df.agg(*[f(c).alias(f"{n}_{c}") for c in cols
                      for n, f in (("mn", F.min), ("mx", F.max))]).head()
+    if any(stats[f"mn_{c}"] is None for c in cols):
+        if not df.head(1):  # empty table: nothing to cluster, plain write
+            df.write.mode("overwrite").parquet(path)
+            return
+        bad = [c for c in cols if stats[f"mn_{c}"] is None]
+        raise ValueError(
+            f"z-order columns {bad} are entirely NULL — cluster on "
+            "non-null columns or fill first")
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
         mn = float(stats[f"mn_{c}"])

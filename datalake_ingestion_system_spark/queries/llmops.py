@@ -2961,6 +2961,35 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _pq_fp_err(vec_col: str, cb, m: int, k: int, D: int = 8):
+    """Integer fixed-point squared L2 between subvector ``m`` of
+    ``vec_col`` and codebook entry ``k`` — THE shared arithmetic of the PQ
+    tier: q_pq_encode (assignment) and q_pq_adc_topk (query-side lookup)
+    both call this, so the fixed-point scale (1e9) and subvector indexing
+    can never drift between encode and search."""
+    terms = [
+        F.floor(
+            (F.element_at(vec_col, m * D + j + 1) - F.lit(cb[k][m * D + j]))
+            * (F.element_at(vec_col, m * D + j + 1)
+               - F.lit(cb[k][m * D + j]))
+            * F.lit(1e9)).cast("long")
+        for j in range(D)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _pq_err_sql(vec_ref: str, cb_ref: str, m_ref: str) -> str:
+    """DuckDB twin of ``_pq_fp_err`` as a SQL fragment (1-indexed lists)."""
+    return " + ".join(
+        f"CAST(floor(({vec_ref}[CAST({m_ref} * 8 + {j} AS INTEGER)]"
+        f" - {cb_ref}[CAST({m_ref} * 8 + {j} AS INTEGER)])"
+        f" * ({vec_ref}[CAST({m_ref} * 8 + {j} AS INTEGER)]"
+        f" - {cb_ref}[CAST({m_ref} * 8 + {j} AS INTEGER)]) * 1e9) AS BIGINT)"
+        for j in range(1, 9))
+
+
 @_q("q_pq_encode")
 def q_pq_encode(spark, sf_dir):
     """Product-quantization (PQ) encoding in *verifiable* mode — the ANN
@@ -2983,22 +3012,9 @@ def q_pq_encode(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cb_rows = (e.orderBy("vec_id").limit(K).collect())
     cb = [list(r.v) for r in cb_rows]  # K x 64, config-scale collect
-
-    def sub_err(m, k):
-        terms = [
-            F.floor(
-                (F.element_at("v", m * D + j + 1) - F.lit(cb[k][m * D + j]))
-                * (F.element_at("v", m * D + j + 1) - F.lit(cb[k][m * D + j]))
-                * F.lit(1e9)).cast("long")
-            for j in range(D)]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
-
     best = []
     for m in range(M):
-        cand = F.array(*[F.struct(sub_err(m, k).alias("e"),
+        cand = F.array(*[F.struct(_pq_fp_err("v", cb, m, k, D).alias("e"),
                                   F.lit(k).alias("k")) for k in range(K)])
         best.append(F.array_min(cand))
     codes = F.concat_ws("", *[b["k"].cast("string") for b in best])
@@ -3031,12 +3047,7 @@ SELECT vec_id,
        CAST(sum(e) AS BIGINT) AS recon_err_fp
 FROM best WHERE rn = 1
 GROUP BY vec_id
-""".replace("{ERR}", " + ".join(
-    f"CAST(floor((x.v[CAST(m.m * 8 + {j} AS INTEGER)]"
-    f" - cb.cv[CAST(m.m * 8 + {j} AS INTEGER)])"
-    f" * (x.v[CAST(m.m * 8 + {j} AS INTEGER)]"
-    f" - cb.cv[CAST(m.m * 8 + {j} AS INTEGER)]) * 1e9) AS BIGINT)"
-    for j in range(1, 9)))
+""".replace("{ERR}", _pq_err_sql("x.v", "cb.cv", "m.m"))
 
 
 @_q("q_pq_adc_topk")
@@ -3057,21 +3068,9 @@ def q_pq_adc_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cb = [list(r.v) for r in e.orderBy("vec_id").limit(K).collect()]
-
-    def sub_err(m, k):
-        terms = [
-            F.floor(
-                (F.element_at("v", m * D + j + 1) - F.lit(cb[k][m * D + j]))
-                * (F.element_at("v", m * D + j + 1) - F.lit(cb[k][m * D + j]))
-                * F.lit(1e9)).cast("long")
-            for j in range(D)]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
-
     best = [F.array_min(F.array(*[
-        F.struct(sub_err(m, k).alias("e"), F.lit(k).alias("k"))
+        F.struct(_pq_fp_err("v", cb, m, k, D).alias("e"),
+                 F.lit(k).alias("k"))
         for k in range(K)])) for m in range(M)]
     cand = e.select(F.col("vec_id").alias("neighbor_id"),
                     F.array(*[b["k"] for b in best]).alias("code"))
@@ -3079,25 +3078,12 @@ def q_pq_adc_topk(spark, sf_dir):
          .select(F.col("vec_id").alias("query_id"),
                  F.col("v").alias("qv")))
 
-    def q_err(m, k):  # exact query-subvector -> codebook-entry distance
-        terms = [
-            F.floor(
-                (F.element_at("qv", m * D + j + 1)
-                 - F.lit(cb[k][m * D + j]))
-                * (F.element_at("qv", m * D + j + 1)
-                   - F.lit(cb[k][m * D + j]))
-                * F.lit(1e9)).cast("long")
-            for j in range(D)]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
-
     def dist_m(m):
         sym = F.element_at("code", m + 1)
-        expr = q_err(m, K - 1)
+        expr = _pq_fp_err("qv", cb, m, K - 1, D)
         for k in range(K - 2, -1, -1):
-            expr = F.when(sym == k, q_err(m, k)).otherwise(expr)
+            expr = F.when(sym == k,
+                          _pq_fp_err("qv", cb, m, k, D)).otherwise(expr)
         return expr
 
     total = dist_m(0)
@@ -3147,17 +3133,8 @@ FROM (SELECT query_id, neighbor_id, adc_dist_fp,
                AS rnk
       FROM scored)
 WHERE rnk <= 5
-""".replace("{ERR}", " + ".join(
-    f"CAST(floor((x.v[CAST(m.m * 8 + {j} AS INTEGER)]"
-    f" - cb.cv[CAST(m.m * 8 + {j} AS INTEGER)])"
-    f" * (x.v[CAST(m.m * 8 + {j} AS INTEGER)]"
-    f" - cb.cv[CAST(m.m * 8 + {j} AS INTEGER)]) * 1e9) AS BIGINT)"
-    for j in range(1, 9))).replace("{QERR}", " + ".join(
-    f"CAST(floor((q.qv[CAST(c.m * 8 + {j} AS INTEGER)]"
-    f" - cb.cv[CAST(c.m * 8 + {j} AS INTEGER)])"
-    f" * (q.qv[CAST(c.m * 8 + {j} AS INTEGER)]"
-    f" - cb.cv[CAST(c.m * 8 + {j} AS INTEGER)]) * 1e9) AS BIGINT)"
-    for j in range(1, 9)))
+""".replace("{ERR}", _pq_err_sql("x.v", "cb.cv", "m.m")).replace(
+    "{QERR}", _pq_err_sql("q.qv", "cb.cv", "c.m"))
 
 
 @_q("q_curation_funnel")

@@ -246,6 +246,13 @@ class TxnLogFormat(TableFormat):
             if e["pcol"] and e["parts"] <= e["removed"].get(e["pcol"], set()):
                 continue  # every partition this dir holds was re-overwritten
             full = os.path.join(path, e["dir"])
+            if not os.path.isdir(full):
+                # a LIVE commit whose staged dir is gone: vacuumed time
+                # travel or external corruption — raise, never silently
+                # return partial/empty historical state
+                raise FileNotFoundError(
+                    f"data dir {e['dir']} for a live commit is missing at "
+                    f"{path} (vacuumed version or corrupted table)")
             if not self._has_data_files(full):
                 # a staged dir with no part files (an empty DataFrame
                 # written partitioned leaves only _SUCCESS — e.g. compact()
@@ -303,7 +310,19 @@ class TxnLogFormat(TableFormat):
         expression wide regardless of column count."""
         before = self.read(spark, path, as_of_version=v_from)
         after = self.read(spark, path, as_of_version=v_to)
-        cols = [c for c in after.columns if c != key]
+        # schema may have EVOLVED between the versions (replay unions with
+        # allowMissingColumns) — digest over the union of columns, with
+        # absent ones as NULL placeholders, so both sides stay comparable
+        all_cols = list(dict.fromkeys(before.columns + after.columns))
+        for c in all_cols:
+            if c not in before.columns:
+                before = before.withColumn(
+                    c, F.lit(None).cast(dict(after.dtypes)[c]))
+            if c not in after.columns:
+                after = after.withColumn(
+                    c, F.lit(None).cast(dict(before.dtypes)[c]))
+        before, after = before.select(*all_cols), after.select(*all_cols)
+        cols = [c for c in all_cols if c != key]
 
         def digest(df):
             return df.select(

@@ -141,3 +141,17 @@ def test_zorder_write_tightens_stats_on_both_columns(spark, tmp_path):
     assert zb < sb, (zb, sb)
     # and the data itself round-trips
     assert (spark.read.parquet(zpath).count() == n)
+
+
+def test_zorder_write_empty_and_all_null_inputs(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalake_ingestion_system_spark.plans.maintenance import zorder_write
+    empty = spark.createDataFrame([], "a long, b long")
+    zorder_write(empty, str(tmp_path / "e"), ["a", "b"])  # plain no-op write
+    assert spark.read.parquet(str(tmp_path / "e")).count() == 0
+    nulls = spark.range(5).select(
+        F.lit(None).cast("long").alias("a"), F.col("id").alias("b"))
+    with pytest.raises(ValueError, match="entirely NULL"):
+        zorder_write(nulls, str(tmp_path / "n"), ["a", "b"])

@@ -253,3 +253,18 @@ def test_real_decoder_non_mp4_video_still_honest(spark):
         multimodal.decode_media(media, multimodal.real_decoder).collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         isinstance(exc_info.value, NotImplementedError)
+
+
+def test_truncated_mvhd_v1_returns_none_not_garbage(spark):
+    """Review r6: a version-1 mvhd shorter than its 32-byte minimum must
+    parse as None (unparseable), not read past the box into garbage."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    truncated = (box(b"ftyp", b"isomxxxx")
+                 + box(b"moov", box(b"mvhd",
+                                    bytes([1]) + b"\x00\x00\x00"
+                                    + bytes(24))))  # 28 bytes < 32 minimum
+    assert multimodal._parse_mp4_duration_ms(truncated) is None

@@ -97,3 +97,43 @@ def test_plan_is_hash_join_not_nested_loop(spark):
     plan = j._jdf.queryExecution().explainString(mode)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_subsecond_interval_ends_still_match(spark):
+    """Review r6: cells came from second-truncated epochs while the
+    residual used full precision, silently dropping matches in the final
+    fractional second (and in sub-second intervals entirely)."""
+    points = spark.createDataFrame(
+        [(1, T0 + dt.timedelta(hours=1, microseconds=200_000), 100),
+         (1, T0 + dt.timedelta(seconds=0, microseconds=300_000), 101)],
+        "user_id long, ts timestamp, pid long")
+    intervals = spark.createDataFrame(
+        [(1, T0, T0 + dt.timedelta(hours=1, microseconds=900_000), "a"),
+         (1, T0, T0 + dt.timedelta(microseconds=500_000), "sub")],
+        "user_id long, w_start timestamp, w_end timestamp, iv string")
+    got = (point_in_interval_join(points, intervals, "ts", "w_start",
+                                  "w_end", keys=["user_id"], bucket=3600)
+           .select("pid", "iv"))
+    expect = _naive(points, intervals).select("pid", "iv")
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == sorted(map(tuple, expect.collect()))
+    assert (100, "a") in rows      # point in the interval's last fraction
+    assert (101, "sub") in rows    # sub-second interval
+
+
+def test_left_outer_null_safe_with_null_point_columns(spark):
+    """Review r6: the left_anti recovery compared point identity with a
+    null-unsafe equi-join, re-emitting matched rows that contain NULLs as
+    spurious unmatched duplicates."""
+    points = spark.createDataFrame(
+        [(1, _ts(10), None), (1, _ts(500), None)],
+        "user_id long, ts timestamp, pid long")
+    intervals = spark.createDataFrame(
+        [(1, _ts(0), _ts(120), "a")],
+        "user_id long, w_start timestamp, w_end timestamp, iv string")
+    got = point_in_interval_join(points, intervals, "ts", "w_start",
+                                 "w_end", keys=["user_id"], bucket=3600,
+                                 how="left_outer")
+    rows = sorted((r.ts, r.iv) for r in got.collect())
+    # exactly two rows: the matched one and the genuinely-unmatched one
+    assert rows == [(_ts(10), "a"), (_ts(500), None)]

@@ -418,3 +418,34 @@ def test_diff_versions_emits_cdf_changes(spark, tmp_path):
     }
     # reflexive diff is empty
     assert fmt.diff_versions(spark, path, "k", 1, 1).count() == 0
+
+
+def test_time_travel_to_vacuumed_version_raises(spark, tmp_path):
+    """Review r6: a missing live-commit data dir must raise, never return
+    empty/partial historical state as if the table were legitimately
+    empty."""
+    import shutil
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1,)], "v int"), path)      # v0
+    fmt.compact(spark, path)                                       # v1
+    v0_dir = fmt._commits(path)[0]["dir"]
+    shutil.rmtree(os.path.join(path, v0_dir))  # vacuum analogue
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        fmt.read(spark, path, as_of_version=0)
+    # current state (replayed from the compact) still reads fine
+    assert [r.v for r in fmt.read(spark, path).collect()] == [1]
+
+
+def test_diff_versions_handles_schema_evolution(spark, tmp_path):
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, "a")], "k long, name string"), path)  # v0
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, "a", 9)],
+                              "k long, name string, extra long"), path)  # v1
+    got = {(r._change_type, r.k): (r.name, r.extra)
+           for r in fmt.diff_versions(spark, path, "k", 0, 1).collect()}
+    # the new column's arrival IS a row change (NULL -> 9)
+    assert got == {("update_postimage", 1): ("a", 9)}
