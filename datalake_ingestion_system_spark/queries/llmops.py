@@ -2961,23 +2961,28 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-def _pq_fp_err(vec_col: str, cb, m: int, k: int, D: int = 8):
-    """Integer fixed-point squared L2 between subvector ``m`` of
-    ``vec_col`` and codebook entry ``k`` — THE shared arithmetic of the PQ
-    tier: q_pq_encode (assignment) and q_pq_adc_topk (query-side lookup)
-    both call this, so the fixed-point scale (1e9) and subvector indexing
-    can never drift between encode and search."""
-    terms = [
-        F.floor(
-            (F.element_at(vec_col, m * D + j + 1) - F.lit(cb[k][m * D + j]))
-            * (F.element_at(vec_col, m * D + j + 1)
-               - F.lit(cb[k][m * D + j]))
-            * F.lit(1e9)).cast("long")
-        for j in range(D)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+def _pq_sub_errors(e, cb, D: int = 8):
+    """Per-(vec, subspace, codebook-entry) fixed-point squared L2 — THE
+    shared arithmetic of the PQ tier, as a dimension-EXPLODED aggregation:
+    posexplode the vector, broadcast-join the (pos, k, cv) codebook cells,
+    and partial-agg the floor(d^2*1e9) terms per (vec_id, m, k).  Small
+    codegen expressions over more rows beats one 2048-term in-row
+    expression: the unrolled form blew past codegen limits (1.9 MB task
+    binaries, seconds of driver compile per plan) and is infeasible at
+    production K=256 anyway.  Integer fixed-point keeps the sums
+    order-independent across engines."""
+    spark = e.sparkSession
+    cells = [(pos, k, float(cb[k][pos]))
+             for k in range(len(cb)) for pos in range(len(cb[0]))]
+    cbdf = spark.createDataFrame(cells, "pos int, k int, cv double")
+    dims = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    d = F.col("x") - F.col("cv")
+    return (dims.join(F.broadcast(cbdf), "pos")
+            .groupBy("vec_id",
+                     F.floor(F.col("pos") / D).cast("int").alias("m"),
+                     "k")
+            .agg(F.sum(F.floor(d * d * F.lit(1e9)).cast("long"))
+                 .alias("e")))
 
 
 def _pq_err_sql(vec_ref: str, cb_ref: str, m_ref: str) -> str:
@@ -3003,26 +3008,24 @@ def q_pq_encode(spark, sf_dir):
     per-dimension squared errors are integer fixed-point (floor(d^2*1e9))
     so sums are order-independent across engines.
 
-    Scale shape: everything after the 4-row codebook collect is a single
-    in-row codegen projection — no shuffle at all; at 100 TB the encode
-    is a map-only pass (production codebooks come from k-means per
-    subspace, same swap as train_ivf_centroids)."""
-    M, K, D = 8, 4, 8  # subspaces x codebook size x dims-per-subspace
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cb_rows = (e.orderBy("vec_id").limit(K).collect())
-    cb = [list(r.v) for r in cb_rows]  # K x 64, config-scale collect
-    best = []
-    for m in range(M):
-        cand = F.array(*[F.struct(_pq_fp_err("v", cb, m, k, D).alias("e"),
-                                  F.lit(k).alias("k")) for k in range(K)])
-        best.append(F.array_min(cand))
-    codes = F.concat_ws("", *[b["k"].cast("string") for b in best])
-    total = best[0]["e"]
-    for b in best[1:]:
-        total = total + b["e"]
-    return e.select("vec_id", codes.alias("pq_code"),
-                    total.alias("recon_err_fp"))
+    Scale shape: dimension-exploded assignment (posexplode -> broadcast
+    codebook-cell join -> partial aggs), the form that stays codegen-sized
+    and works at production K=256 where an unrolled in-row expression
+    cannot (see ``_pq_sub_errors``); only the K-row codebook collect is
+    driver-side (production codebooks come from k-means per subspace,
+    same swap as train_ivf_centroids)."""
+    K, D = 4, 8  # codebook size x dims-per-subspace
+    e = spread(load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    cb = [list(r.v) for r in e.orderBy("vec_id").limit(K).collect()]
+    sub = _pq_sub_errors(e, cb, D)
+    best = (sub.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("e", "k")).alias("b")))
+    return (best.groupBy("vec_id")
+            .agg(F.concat_ws("", F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "b"))),
+                    lambda s: s["b"]["k"].cast("string"))).alias("pq_code"),
+                 F.sum("b.e").alias("recon_err_fp")))
 
 
 ORACLE_SQL["q_pq_encode"] = """
@@ -3060,35 +3063,33 @@ def q_pq_adc_topk(spark, sf_dir):
     the fixed-point arithmetic are the verifiable-mode choices of
     ``q_pq_encode``; the DuckDB oracle replays encode + ADC end to end.
 
-    Scale shape: candidates carry only codes (the broadcast side is 5
-    query vectors + the K x 64 codebook literals); per-pair scoring is
-    in-row codegen; top-k is a per-query rank window over |Q| x N scored
-    rows — the FAISS IVF-ADC inner loop as a DataFrame plan."""
+    Scale shape: candidates carry only their codes; each query's ADC
+    LOOKUP TABLE (M x K fixed-point distances) is aggregated once from the
+    exploded form and broadcast, so per-pair scoring is 8 array indexes —
+    the FAISS IVF-ADC inner loop as a DataFrame plan."""
     M, K, D = 8, 4, 8
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = spread(load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")))
     cb = [list(r.v) for r in e.orderBy("vec_id").limit(K).collect()]
-    best = [F.array_min(F.array(*[
-        F.struct(_pq_fp_err("v", cb, m, k, D).alias("e"),
-                 F.lit(k).alias("k"))
-        for k in range(K)])) for m in range(M)]
-    cand = e.select(F.col("vec_id").alias("neighbor_id"),
-                    F.array(*[b["k"] for b in best]).alias("code"))
-    q = (e.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("v").alias("qv")))
-
-    def dist_m(m):
-        sym = F.element_at("code", m + 1)
-        expr = _pq_fp_err("qv", cb, m, K - 1, D)
-        for k in range(K - 2, -1, -1):
-            expr = F.when(sym == k,
-                          _pq_fp_err("qv", cb, m, k, D)).otherwise(expr)
-        return expr
-
-    total = dist_m(0)
-    for m in range(1, M):
-        total = total + dist_m(m)
+    sub = _pq_sub_errors(e, cb, D)
+    cand = (sub.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("e", "k")).alias("b"))
+            .groupBy(F.col("vec_id").alias("neighbor_id"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "b"))),
+                lambda s: s["b"]["k"]).alias("code")))
+    # per-query LUT: M*K fixed-point distances, ordered by (m, k)
+    q = (sub.join(e.filter(F.col("vec_id") < 5).select("vec_id"), "vec_id")
+         .groupBy(F.col("vec_id").alias("query_id"))
+         .agg(F.transform(
+             F.array_sort(F.collect_list(F.struct("m", "k", "e"))),
+             lambda s: s["e"]).alias("lut")))
+    total = None
+    for m in range(M):
+        term = F.element_at(
+            "lut", (F.lit(m * K) + F.element_at("code", m + 1) + 1)
+            .cast("int"))
+        total = term if total is None else (total + term)
     scored = (cand.join(F.broadcast(q))
               .select("query_id", "neighbor_id",
                       total.alias("adc_dist_fp")))
