@@ -1208,3 +1208,134 @@ SELECT count(*) AS n_users,
          AS n_full_funnel
 FROM per_user
 """
+
+
+@_q("q_pagerank_bipartite")
+def q_pagerank_bipartite(spark, sf_dir):
+    """Iterative PageRank (5 damped iterations, d=0.85) over the undirected
+    customer<->part purchase graph (edges = DISTINCT (o_custkey, l_partkey)
+    via orders |x| lineitem) — the iterative-graph-algorithm shape (GraphX /
+    Pregel class) expressed as a declarative DataFrame loop.
+
+    Cross-engine bit-exactness: every rank is LONG fixed-point (1e12 units)
+    and every update uses only integer ops — ``rank DIV out_deg`` per edge,
+    integer SUM over in-edges (associative, so partition/reduction order
+    cannot matter), ``(85 * s) DIV 100`` damping — so Spark and the
+    unrolled-CTE DuckDB oracle agree exactly; no float reassociation
+    anywhere.  Undirected edges mean no dangling-mass correction is needed
+    (every node has out-degree >= 1).
+
+    Scale shape: per iteration = one hash join (edges |x| ranks on src; at
+    1000 executors you'd pre-partition both by src and reuse the exchange)
+    + one partial-agg shuffle on dst.  At real scale each iteration would be
+    ``localCheckpoint()``-ed to truncate lineage and ``edges``/``deg``
+    cached; the verifiable mode keeps the pure 5-iteration plan, which AQE
+    handles fine.  Top-20 is TakeOrderedAndProject."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                     .alias("c_node"),
+                     F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+                     .alias("p_node"))
+             .distinct())
+    edges = (pairs.select(F.col("c_node").alias("src"),
+                          F.col("p_node").alias("dst"))
+             .unionAll(pairs.select(F.col("p_node").alias("src"),
+                                    F.col("c_node").alias("dst"))))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_deg"))
+    nn = deg.agg(F.count("*").alias("n"))  # 1-row, broadcast below
+    ranks = (deg.crossJoin(F.broadcast(nn))
+             .select("node", "out_deg", "n",
+                     F.expr("1000000000000 DIV n").alias("rank_fp")))
+    for _ in range(5):
+        contrib = (ranks
+                   .select(F.col("node").alias("src"),
+                           F.expr("rank_fp DIV out_deg").alias("contrib"))
+                   .join(edges, "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum("contrib").alias("s")))
+        ranks = (deg.crossJoin(F.broadcast(nn))
+                 .join(contrib, "node", "left")
+                 .select("node", "out_deg", "n",
+                         (F.expr("150000000000 DIV n")
+                          + F.expr("(85 * coalesce(s, 0)) DIV 100"))
+                         .alias("rank_fp")))
+    return (ranks.select("node", "out_deg", "rank_fp")
+            .orderBy(F.desc("rank_fp"), F.asc("node")).limit(20))
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE mirror (DuckDB disallows aggregates in recursive CTE
+    terms, so the 5 iterations are generated textually)."""
+    it = """it{k} AS (
+  SELECT d.node, d.out_deg,
+         150000000000 // nn.n
+           + (85 * coalesce(s.c, CAST(0 AS BIGINT))) // 100 AS rank_fp
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(p.rank_fp // p.out_deg) AS BIGINT) AS c
+    FROM it{j} p JOIN edges e ON e.src = p.node GROUP BY e.dst) s
+  ON s.node = d.node
+)"""
+    its = ",\n".join(it.format(k=k, j=k - 1) for k in range(1, 6))
+    return """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c_node,
+                  'p' || CAST(l.l_partkey AS VARCHAR) AS p_node
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT c_node AS src, p_node AS dst FROM pairs
+  UNION ALL
+  SELECT p_node AS src, c_node AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src
+), nn AS (
+  SELECT count(*) AS n FROM deg
+), it0 AS (
+  SELECT node, out_deg, 1000000000000 // nn.n AS rank_fp FROM deg, nn
+),
+""" + its + """
+SELECT node, out_deg, rank_fp FROM it5
+ORDER BY rank_fp DESC, node ASC LIMIT 20
+"""
+
+
+ORACLE_SQL["q_pagerank_bipartite"] = _pagerank_oracle()
+
+
+@_q("q_benford_leading_digit")
+def q_benford_leading_digit(spark, sf_dir):
+    """Benford's-law audit of ``l_extendedprice`` — the classic fraud /
+    data-corruption screen for financial columns.  Leading digit is taken
+    from the STRING of the floored integer part (floor is exact; int->string
+    is engine-identical), never via log10, whose float edge cases at exact
+    powers of ten could diverge across engines.  Deviation is reported in
+    integer parts-per-million (``n * 1000000 DIV total``) so no float
+    division enters the hash.  One partial-agg shuffle over 9 groups."""
+    li = load(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+    per = (li.filter(F.col("l_extendedprice") >= 1)
+           .groupBy(digit.cast("int").alias("digit"))
+           .agg(F.count("*").alias("n")))
+    total = per.agg(F.sum("n").alias("total"))
+    return (per.crossJoin(F.broadcast(total))
+            .select("digit", "n",
+                    F.expr("n * 1000000 DIV total").alias("ppm"))
+            .orderBy("digit"))
+
+
+ORACLE_SQL["q_benford_leading_digit"] = """
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS digit,
+         count(*) AS n
+  FROM lineitem WHERE l_extendedprice >= 1
+  GROUP BY 1
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per)
+SELECT digit, n, n * 1000000 // total AS ppm
+FROM per, t
+ORDER BY digit
+"""
