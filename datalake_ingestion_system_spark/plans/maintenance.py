@@ -34,7 +34,8 @@ def replicate_to_user_zone(spark: SparkSession, storing_dir: str,
                            group_mapping: DataFrame,
                            user_root: str,
                            layout_changed: DataFrame | None = None,
-                           fmt: TableFormat = _DEFAULT_FORMAT) -> list[str]:
+                           fmt: TableFormat = _DEFAULT_FORMAT,
+                           dst_fmt: TableFormat | None = None) -> list[str]:
     """Storing→user-zone replication driven by the group mapping table
     (SYNC_BUCKET_STORING_TO_USER_DAILY_JOB.PY:101-125).
 
@@ -42,7 +43,11 @@ def replicate_to_user_zone(spark: SparkSession, storing_dir: str,
     driver threads; a Spark overwrite write has the same mirror semantics
     (target ends exactly equal to source).  Layout-changed tables replicate
     from their ``*_LAYOUTCHANGED`` directory (S:111-113).
+
+    ``dst_fmt`` (default: same as ``fmt``) lets the user zone transcode —
+    e.g. a parquet lake mirrored into an ORC consumer zone.
     """
+    dst_fmt = dst_fmt or fmt
     changed = set()
     if layout_changed is not None:
         changed = {r[0] for r in layout_changed.select("TABLE").collect()}
@@ -53,7 +58,7 @@ def replicate_to_user_zone(spark: SparkSession, storing_dir: str,
         src_table = f"{table}_LAYOUTCHANGED" if table in changed else table
         src = f"{storing_dir}/{feq}/{src_table}"
         dst = f"{user_root}/{bucket}/{group}/{feq}/{table}"
-        fmt.overwrite_table(fmt.read(spark, src), dst)
+        dst_fmt.overwrite_table(fmt.read(spark, src), dst)
         written.append(dst)
     return written
 

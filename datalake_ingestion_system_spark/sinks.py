@@ -41,28 +41,46 @@ class TableFormat:
 
     name = "parquet"
 
+    #: Columnar file codecs Spark ships natively — both carry the footer
+    #: min/max stats the engine's pruning relies on.  Avro/others would
+    #: need an external package, so they are rejected eagerly.
+    SUPPORTED = ("parquet", "orc")
+
+    def __init__(self, data_format: str = "parquet") -> None:
+        if data_format not in self.SUPPORTED:
+            raise ValueError(
+                f"unsupported data format {data_format!r}; this container "
+                f"ships {self.SUPPORTED} (avro needs spark-avro)")
+        self.name = data_format
+
     def overwrite_partitions(self, df: DataFrame, path: str,
                              partition_col: str) -> None:
+        # The per-write option (Spark 2.4+) makes the dynamic semantics a
+        # property of the seam, not of whatever session conf the caller
+        # happens to have set.
         (df.repartition(partition_col)
            .write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
            .partitionBy(partition_col)
-           .parquet(path))
+           .format(self.name).save(path))
 
     def overwrite_table(self, df: DataFrame, path: str) -> None:
         """Replace the WHOLE table (mirror semantics — replication,
         full-merge rewrites, config snapshots)."""
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").format(self.name).save(path)
 
     def append(self, df: DataFrame, path: str) -> None:
-        df.write.mode("append").parquet(path)
+        df.write.mode("append").format(self.name).save(path)
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
-        return spark.read.parquet(path)
+        return spark.read.format(self.name).load(path)
 
     def read_merged(self, spark: SparkSession, path: str) -> DataFrame:
         """Read with schema union across historical layouts (the
-        layout-changed merge pass needs every column ever written)."""
-        return spark.read.option("mergeSchema", True).parquet(path)
+        layout-changed merge pass needs every column ever written).
+        ``mergeSchema`` is honored by both parquet and ORC readers."""
+        return spark.read.option("mergeSchema", True) \
+            .format(self.name).load(path)
 
 
 class TxnLogFormat(TableFormat):
@@ -106,6 +124,12 @@ class TxnLogFormat(TableFormat):
     """
 
     name = "txnlog"
+
+    def __init__(self) -> None:
+        # No data_format knob: the log's staged data dirs are parquet by
+        # protocol (read() globs them as such); don't inherit the seam
+        # __init__, which would rebind ``name`` per-instance.
+        pass
 
     # -- log plumbing -----------------------------------------------------
     def _log_dir(self, path: str) -> str:
