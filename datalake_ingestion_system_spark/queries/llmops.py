@@ -3208,3 +3208,148 @@ UNION ALL SELECT 3, 'diversity', n3 FROM agg
 UNION ALL SELECT 4, 'dedup', n4 FROM agg
 ORDER BY stage
 """
+
+
+def _kmeans_assign(x, cent):
+    """One Lloyd ASSIGN step, dimension-exploded and bit-exact: join the
+    per-dim rows with the (broadcast) K x D centroid rows, partial-agg the
+    integer squared distance per (vec_id, cid), then argmin via a single
+    packed BIGINT key ``dist * 1000 + cid`` — min() of the packed key is an
+    ordinary partial aggregate (no window), and the +cid term makes ties
+    break on the smaller centroid id identically in both engines."""
+    dist = (x.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("val") - F.col("cval"))
+                       * (F.col("val") - F.col("cval"))).alias("dist")))
+    key = F.min(F.col("dist") * 1000 + F.col("cid")).alias("key")
+    return (dist.groupBy("vec_id").agg(key)
+            .select("vec_id",
+                    (F.col("key") % 1000).alias("cid"),
+                    F.expr("key DIV 1000").alias("dist")))
+
+
+def _kmeans_update(x, assign):
+    """One Lloyd UPDATE step: per-(cluster, dim) integer mean via explicit
+    FLOOR division — ``(s - pmod(s, n)) DIV n``.  Both engines' integer
+    division truncates toward zero (Spark ``DIV`` and DuckDB ``//`` alike,
+    measured: -7 // 2 = -3 in both), so bare division would already agree —
+    but it would round negative means TOWARD zero and positive means away
+    from it, biasing centroids by sign.  Subtracting the positive modulus
+    first makes the numerator an exact multiple, giving true mathematical
+    floor on both engines regardless of sign."""
+    return (assign.join(x, "vec_id")
+            .groupBy("cid", "d")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .select("cid", "d",
+                    F.expr("(s - ((s % n) + n) % n) DIV n").alias("cval"))
+            .localCheckpoint(eager=True))
+
+
+@_q("q_kmeans_verifiable")
+def q_kmeans_verifiable(spark, sf_dir):
+    """k-means (Lloyd) TRAINING in *verifiable* mode — closes the loop the
+    IVF tier left open: ``seed_centroids`` gave an oracle-checkable init
+    with ZERO Lloyd iterations and ``train_ivf_centroids`` (pyspark.ml)
+    gives production training that no external engine can replay.  Here two
+    full Lloyd iterations (assign -> update -> assign -> update -> final
+    assign) run in LONG fixed-point — coordinates quantized to
+    ``floor(x * 1e6)``, distances exact integer sums, centroid means via
+    explicit floor division — so the DuckDB oracle replays TRAINING itself
+    bit-for-bit, not just the assignment scan.
+
+    Scale shape: the corpus appears only as posexploded (vec_id, d, val)
+    rows; every iteration is one broadcast join against the K x D centroid
+    relation (512 rows) plus two partial-agg shuffles — the same cost
+    profile as pyspark.ml's own Lloyd step, with centroids
+    ``localCheckpoint``-ed per iteration to keep the plan linear (the
+    PageRank lesson).  A cluster that loses all members simply drops out
+    of the output — identically in both engines, since the arithmetic is
+    identical.  K=8, dim=64, 2 updates; the production path stays
+    ``train_ivf_centroids``."""
+    K = 8
+    e = spread(load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda v: F.floor(v * 1e6).cast("long")).alias("qv")))
+    x = (e.select("vec_id", F.posexplode("qv").alias("d", "val"))
+         .localCheckpoint(eager=True))
+    seeds = (e.select("vec_id").orderBy("vec_id").limit(K)
+             .select("vec_id",
+                     (F.row_number().over(Window.orderBy("vec_id")) - 1)
+                     .cast("long").alias("cid")))
+    cent = (seeds.join(x, "vec_id").select("cid", "d", "val")
+            .withColumnRenamed("val", "cval")
+            .localCheckpoint(eager=True))
+    for _ in range(2):
+        assign = _kmeans_assign(x, cent)
+        cent = _kmeans_update(x, assign)
+    final = _kmeans_assign(x, cent)
+    stats = (cent.groupBy("cid")
+             .agg(F.sum("cval").alias("c_sum"),
+                  F.min("cval").alias("c_min"),
+                  F.max("cval").alias("c_max")))
+    return (final.groupBy("cid")
+            .agg(F.count("*").alias("n_members"),
+                 F.sum("dist").alias("inertia_fp"))
+            .join(stats, "cid")
+            .orderBy("cid"))
+
+
+def _kmeans_oracle() -> str:
+    assign = """a{t} AS (
+  SELECT vec_id,
+         CAST(min(key) % 1000 AS BIGINT) AS cid,
+         min(key) // 1000 AS dist
+  FROM (
+    SELECT x.vec_id, c.cid,
+           CAST(sum((x.val - c.cval) * (x.val - c.cval)) AS BIGINT)
+             * 1000 + c.cid AS key
+    FROM x JOIN c{u} c ON c.d = x.d
+    GROUP BY x.vec_id, c.cid)
+  GROUP BY vec_id
+)"""
+    update = """c{t} AS (
+  SELECT cid, d, (s - ((s % n) + n) % n) // n AS cval
+  FROM (
+    SELECT a.cid, x.d, CAST(sum(x.val) AS BIGINT) AS s, count(*) AS n
+    FROM a{t} a JOIN x ON x.vec_id = a.vec_id
+    GROUP BY a.cid, x.d)
+)"""
+    steps = []
+    for t in range(1, 3):
+        steps.append(assign.format(t=t, u=t - 1))
+        steps.append(update.format(t=t))
+    steps.append(assign.format(t=3, u=2))
+    return """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        e -> CAST(floor(e * 1e6) AS BIGINT)) AS qv
+  FROM embeddings
+), x AS (
+  SELECT vec_id, g.i AS d, qv[g.i + 1] AS val
+  FROM v CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+), seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM v ORDER BY vec_id LIMIT 8
+), c0 AS (
+  SELECT s.cid, x.d, x.val AS cval
+  FROM seeds s JOIN x ON x.vec_id = s.vec_id
+),
+""" + ",\n".join(steps) + """,
+stats AS (
+  SELECT cid, CAST(sum(cval) AS BIGINT) AS c_sum,
+         min(cval) AS c_min, max(cval) AS c_max
+  FROM c2 GROUP BY cid
+)
+SELECT f.cid, count(*) AS n_members,
+       CAST(sum(f.dist) AS BIGINT) AS inertia_fp,
+       any_value(s.c_sum) AS c_sum,
+       any_value(s.c_min) AS c_min,
+       any_value(s.c_max) AS c_max
+FROM a3 f JOIN stats s ON s.cid = f.cid
+GROUP BY f.cid ORDER BY f.cid
+"""
+
+
+ORACLE_SQL["q_kmeans_verifiable"] = _kmeans_oracle()

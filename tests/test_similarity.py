@@ -104,3 +104,38 @@ def test_ivf_scores_match_brute_force_on_shared_pairs(spark, emb, brute):
     shared = set(ivf) & set(brute)
     assert shared
     assert all(ivf[p] == brute[p] for p in shared)
+
+
+def test_kmeans_assign_tiebreak_and_floor_division(spark):
+    """The verifiable k-means primitives: (1) equal-distance ties assign to
+    the SMALLER centroid id (the packed ``dist*1000+cid`` key), (2) the
+    centroid update's pmod-then-divide gives a true mathematical FLOOR on
+    negative sums — both engines' bare integer division truncates toward
+    zero (DuckDB -7 // 2 = -3, same as Spark DIV), which would bias
+    negative coordinate means toward zero."""
+    from datalake_ingestion_system_spark.queries.llmops import (
+        _kmeans_assign, _kmeans_update)
+
+    # one 2-dim vector equidistant from centroids 0 and 1
+    x = spark.createDataFrame(
+        [(10, 0, 0), (10, 1, 0)], "vec_id long, d int, val long")
+    cent = spark.createDataFrame(
+        [(1, 0, 4), (1, 1, 0), (0, 0, -4), (0, 1, 0)],
+        "cid long, d int, cval long")
+    a = _kmeans_assign(x, cent).collect()
+    assert len(a) == 1 and a[0].cid == 0 and a[0].dist == 16
+
+    # centroid mean of {-3, -4}: true floor gives -4, truncation gives -3
+    x2 = spark.createDataFrame(
+        [(1, 0, -3), (2, 0, -4)], "vec_id long, d int, val long")
+    assign2 = spark.createDataFrame([(1, 0, 0), (2, 0, 0)],
+                                    "vec_id long, cid long, dist long")
+    c2 = {(r.cid, r.d): r.cval for r in _kmeans_update(x2, assign2).collect()}
+    assert c2[(0, 0)] == -4
+    # both engines' bare integer division truncates; the oracle's pmod
+    # construction must therefore match the Spark side exactly
+    import duckdb
+    assert duckdb.sql("SELECT -7 // 2").fetchone()[0] == -3  # truncation
+    assert duckdb.sql(
+        "SELECT (s - ((s % n) + n) % n) // n FROM (SELECT -7 s, 2 n)"
+    ).fetchone()[0] == -4  # true floor via pmod
