@@ -3353,3 +3353,113 @@ GROUP BY f.cid ORDER BY f.cid
 
 
 ORACLE_SQL["q_kmeans_verifiable"] = _kmeans_oracle()
+
+
+@_q("q_semantic_dedup")
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the corpus embeddings with k-means, then prune near-duplicate
+    pairs WITHIN each cluster only — the clustering is the blocking scheme
+    that keeps pairwise cosine from going quadratic over the corpus.
+    Keeps the lowest vec_id of each near-dup pair; reports per-cluster
+    attrition.
+
+    Verifiable mode: cluster assignment is the bit-exact fixed-point
+    argmin of ``q_kmeans_verifiable`` (seed centroids, packed-key
+    tie-break), and the cosine is rounded to 6 digits on both engines
+    (the proven ``q_dedup_embedding_cosine`` recipe) — so the oracle
+    replays blocking AND pruning.
+
+    Scale shape: assignment is one broadcast join + two partial aggs;
+    within-cluster pairing is the algorithm's stated cost, bounded by
+    cluster size (at 100 TB, K scales with N to hold E[|cluster|] at a
+    few thousand; the hyperplane sub-bucket of
+    ``q_dedup_embedding_cosine`` composes if a hot cluster persists)."""
+    K = 8
+    e = spread(load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda u: F.floor(u * 1e6).cast("long")).alias("qv")))
+    x = (e.select("vec_id", F.posexplode("qv").alias("d", "val"))
+         .localCheckpoint(eager=True))
+    seeds = (e.select("vec_id").orderBy("vec_id").limit(K)
+             .select("vec_id",
+                     (F.row_number().over(Window.orderBy("vec_id")) - 1)
+                     .cast("long").alias("cid")))
+    cent = (seeds.join(x, "vec_id").select("cid", "d", "val")
+            .withColumnRenamed("val", "cval"))
+    assign = _kmeans_assign(x, cent).select("vec_id", "cid")
+    ev = (e.select("vec_id", "v",
+                   F.sqrt(F.aggregate(
+                       F.zip_with("v", "v", lambda p, q: p * q),
+                       F.lit(0.0), lambda acc, t: acc + t)).alias("n"))
+          .join(assign, "vec_id"))
+    a, b = ev.alias("a"), ev.alias("b")
+    denom = F.col("a.n") * F.col("b.n")
+    dot = F.aggregate(F.zip_with("a.v", "b.v", lambda p, q: p * q),
+                      F.lit(0.0), lambda acc, t: acc + t)
+    pairs = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.cid").alias("cid"),
+                     F.col("a.vec_id").alias("id_keep"),
+                     F.col("b.vec_id").alias("id_drop"),
+                     F.round(F.when(denom != 0, dot / denom), 6)
+                     .alias("cs"))
+             .filter(F.col("cs") >= 0.3))
+    dropped = (pairs.groupBy("cid")
+               .agg(F.count("*").alias("n_pairs"),
+                    F.countDistinct("id_drop").alias("n_dropped")))
+    return (assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+            .join(dropped, "cid", "left")
+            .select("cid", "n_members",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+                    (F.col("n_members")
+                     - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"))
+            .orderBy("cid"))
+
+
+ORACLE_SQL["q_semantic_dedup"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        e -> CAST(floor(e * 1e6) AS BIGINT)) AS qv
+  FROM embeddings
+), x AS (
+  SELECT vec_id, g.i AS d, qv[g.i + 1] AS val
+  FROM v CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+), seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM v ORDER BY vec_id LIMIT 8
+), c0 AS (
+  SELECT s.cid, x.d, x.val AS cval
+  FROM seeds s JOIN x ON x.vec_id = s.vec_id
+), assign AS (
+  SELECT vec_id, CAST(min(key) % 1000 AS BIGINT) AS cid
+  FROM (
+    SELECT x.vec_id, c.cid,
+           CAST(sum((x.val - c.cval) * (x.val - c.cval)) AS BIGINT)
+             * 1000 + c.cid AS key
+    FROM x JOIN c0 c ON c.d = x.d
+    GROUP BY x.vec_id, c.cid)
+  GROUP BY vec_id
+), ev AS (
+  SELECT a.vec_id, a.v, s.cid FROM v a JOIN assign s USING (vec_id)
+), pairs AS (
+  SELECT a.cid, b.vec_id AS id_drop
+  FROM ev a JOIN ev b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+), dropped AS (
+  SELECT cid, count(*) AS n_pairs,
+         count(DISTINCT id_drop) AS n_dropped
+  FROM pairs GROUP BY cid
+)
+SELECT m.cid, m.n_members,
+       coalesce(d.n_pairs, 0) AS n_pairs,
+       coalesce(d.n_dropped, 0) AS n_dropped,
+       m.n_members - coalesce(d.n_dropped, 0) AS n_kept
+FROM (SELECT cid, count(*) AS n_members FROM assign GROUP BY cid) m
+LEFT JOIN dropped d USING (cid)
+ORDER BY m.cid
+"""
