@@ -142,3 +142,19 @@ def test_wav_parser_rejects_non_wav_payloads():
     assert _parse_wav_duration_ms(b"RIFF" + bytes(4) + b"WAVE"
                                   + b"JUNK" + (8).to_bytes(4, "little")
                                   + bytes(8) + bytes(16)) is None
+
+
+@given(s=st.integers(-10**15, 10**15), n=st.integers(1, 10**6))
+@settings(max_examples=200, deadline=None)
+def test_pmod_floor_division_cross_engine(s, n):
+    """The fixed-point tier's floor-division identity — ``(s - pmod(s, n))
+    / n`` == mathematical floor(s / n) — holds for DuckDB's operators over
+    any sign of ``s`` (Spark's DIV shares C-style truncation + sign-of-
+    dividend %, so DuckDB parity implies Spark parity; the Spark side is
+    pinned on real data by test_similarity and the k-means oracle gate)."""
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT (CAST({s} AS BIGINT) - ((({s} % {n}) + {n}) % {n})) // {n}"
+    ).fetchone()[0]
+    assert int(got) == s // n  # Python // is true floor
