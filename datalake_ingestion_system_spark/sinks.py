@@ -125,11 +125,32 @@ class TxnLogFormat(TableFormat):
 
     name = "txnlog"
 
-    def __init__(self) -> None:
+    def __init__(self, constraints: dict[str, str] | None = None) -> None:
         # No data_format knob: the log's staged data dirs are parquet by
         # protocol (read() globs them as such); don't inherit the seam
         # __init__, which would rebind ``name`` per-instance.
-        pass
+        #
+        # ``constraints`` maps name -> SQL boolean expression (Delta CHECK
+        # constraint parity): every write validates the STAGED data before
+        # commit and raises on violation, so a constrained table can never
+        # publish a violating version.  SQL-standard CHECK semantics: a
+        # row fails only when the expression is FALSE — NULL passes.
+        self.constraints = dict(constraints or {})
+
+    def _check_constraints(self, staged: DataFrame) -> None:
+        if not self.constraints:
+            return
+        flags = [
+            F.sum(F.expr(f"coalesce(NOT ({expr}), false)").cast("long"))
+            .alias(name)
+            for name, expr in self.constraints.items()]
+        row = staged.agg(*flags).head()
+        bad = {n: row[n] for n in self.constraints if row[n]}
+        if bad:
+            raise ValueError(
+                "CHECK constraint violation, commit aborted (staged data "
+                f"left unreferenced for vacuum): {bad} violating rows per "
+                "constraint")
 
     # -- log plumbing -----------------------------------------------------
     def _log_dir(self, path: str) -> str:
@@ -165,6 +186,13 @@ class TxnLogFormat(TableFormat):
             writer = df.repartition(partition_col).write.mode(
                 "errorifexists").partitionBy(partition_col)
         writer.parquet(os.path.join(path, rel))
+        if self.constraints:
+            # Validate the STAGED files (one cheap columnar re-read, data
+            # computed once) — a violation aborts before any commit record
+            # exists, so readers never see it; the orphaned stage dir is
+            # invisible and vacuum() sweeps it.
+            self._check_constraints(
+                df.sparkSession.read.parquet(os.path.join(path, rel)))
         return rel
 
     def _commit(self, path: str, record: dict) -> int:

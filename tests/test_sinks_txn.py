@@ -449,3 +449,36 @@ def test_diff_versions_handles_schema_evolution(spark, tmp_path):
            for r in fmt.diff_versions(spark, path, "k", 0, 1).collect()}
     # the new column's arrival IS a row change (NULL -> 9)
     assert got == {("update_postimage", 1): ("a", 9)}
+
+
+def test_check_constraints_block_violating_commits(spark, tmp_path):
+    """Delta CHECK-constraint parity: a constrained TxnLogFormat validates
+    the staged data BEFORE commit — violations raise, the table keeps its
+    last good version, the orphaned stage dir is invisible and vacuumable.
+    SQL-standard semantics: NULL passes a CHECK; only FALSE fails."""
+    import os
+
+    fmt = TxnLogFormat(constraints={"qty_pos": "qty > 0",
+                                    "id_nn": "id IS NOT NULL"})
+    path = str(tmp_path / "t")
+    ok = spark.createDataFrame([(1, 5.0), (2, None)], "id long, qty double")
+    fmt.overwrite_table(ok, path)  # NULL qty passes (UNKNOWN, not FALSE)
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2]
+
+    bad = spark.createDataFrame([(3, -1.0), (None, 2.0), (4, 1.0)],
+                                "id long, qty double")
+    with pytest.raises(ValueError, match="qty_pos.*1|1.*qty_pos"):
+        fmt.append(bad, path)
+    # table unchanged; exactly one commit on the log
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2]
+    assert len(fmt._commits(path)) == 1
+    # the violating stage is an unreferenced orphan: swept by vacuum(0)
+    n_dirs = len(os.listdir(os.path.join(path, "_txn_data")))
+    assert n_dirs == 2  # good stage + orphaned bad stage
+    swept = fmt.vacuum(path, retain_hours=0)
+    assert len(swept) == 1
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2]
+
+    # an unconstrained handle on the same table is unaffected
+    TxnLogFormat().append(bad.filter("id IS NOT NULL AND qty > 0"), path)
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2, 4]

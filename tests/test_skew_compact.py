@@ -174,3 +174,40 @@ def test_z_order_clusters_both_dimensions(spark, tmp_path):
     assert z_a < 128 and z_b < 128, (
         f"z-order should bound both dims: a={z_a}, b={z_b}")
     assert spark.read.parquet(zp).count() == 65536
+
+
+def test_aqe_skew_join_rescue(spark):
+    """Pins the engine's THIRD skew tool (besides salted_join and the
+    chain-chunked LSH buckets): AQE's runtime skew-join split.  With
+    thresholds scaled to the fixture, a 2/3-hot-key sort-merge join must
+    come out of execution with ``skew=true`` on the join node — i.e. the
+    conf the session ships actually rescues an unsalted skewed join at
+    runtime.  (The executed plan only reflects AQE decisions AFTER an
+    action; an unexecuted AdaptiveSparkPlan shows the initial plan.)"""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(300000).select(
+            F.when(F.col("id") % 3 != 0, F.lit(7))
+             .otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload-"),
+                     F.col("id").cast("string")).alias("p"))
+        dim = spark.range(1000).select(F.col("id").alias("k"),
+                                       F.col("id").alias("v"))
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 300000  # every fact row matches one dim
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
