@@ -567,3 +567,79 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
 FROM events
 GROUP BY 1, 2
 """
+
+
+@_q("q_stream_stream_left_join")
+def q_stream_stream_left_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER interval join — the state-
+    EXPIRY half of the join surface ``q_stream_stream_join`` (inner)
+    doesn't exercise: an unmatched click is buffered until no future error
+    can possibly match it (watermark past ``c_ts + 10min``), and only then
+    emitted with NULLs.  Clicks newer than that horizon are correctly
+    withheld at stream end — the number the oracle must model, not ignore.
+
+    Closed-form watermark model (verified empirically, sf0.01: 6 matched
+    rows + 1999 expired-unmatched, latest emitted click 22:29:46 vs
+    least-of-sides watermark 22:53:43): the global watermark is the MIN of
+    the two stream-side watermarks — ``least(max(click ts), max(error
+    ts)) - 30min`` — NOT global ``max(ts) - 30min``; on this corpus errors
+    end ~1h before events overall, and using the global max would claim
+    expiry Spark hasn't granted.  Expiry comparison is strict (``+10min <
+    watermark``); the corpus doesn't sit on the boundary (same documented
+    data-dependence as the session-window gap note)."""
+    s = ensure_ltz(_events_stream(spark, sf_dir), "ts")
+    clicks = (s.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("c_id"))
+              .withWatermark("c_ts", "30 minutes"))
+    errors = (s.filter(F.col("event_type") == "error")
+              .select(F.col("user_id").alias("e_user"),
+                      F.col("ts").alias("e_ts"),
+                      F.col("event_id").alias("e_id"))
+              .withWatermark("e_ts", "30 minutes"))
+    j = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter")
+    out = _run_stream_to_memory(j, spark, mode="append")
+    return (out.groupBy("c_user")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.when(F.col("e_id").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("n_pairs"),
+                 F.sum(F.when(F.col("e_id").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_expired_unmatched"),
+                 F.min("c_id").alias("first_click_id")))
+
+
+ORACLE_SQL["q_stream_stream_left_join"] = """
+WITH c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), e AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+), wm AS (
+  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM e))
+         - INTERVAL 30 MINUTE AS w
+), pairs AS (
+  SELECT c.user_id, c.event_id AS c_id, e.event_id AS e_id
+  FROM c JOIN e ON c.user_id = e.user_id
+   AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+), expired_unmatched AS (
+  SELECT c.user_id, c.event_id AS c_id, CAST(NULL AS BIGINT) AS e_id
+  FROM c, wm
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.user_id = c.user_id
+      AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE)
+    AND c.ts + INTERVAL 10 MINUTE < wm.w
+)
+SELECT user_id AS c_user, count(*) AS n_rows,
+       CAST(sum(CASE WHEN e_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST(sum(CASE WHEN e_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_expired_unmatched,
+       min(c_id) AS first_click_id
+FROM (SELECT * FROM pairs UNION ALL SELECT * FROM expired_unmatched)
+GROUP BY user_id
+"""
