@@ -263,6 +263,31 @@ class TxnLogFormat(TableFormat):
         self._commit(path, {"action": "append", "dir": rel,
                             "schema": df.schema.json()})
 
+    def _resolve_live(self, commits: list[dict]) -> list[dict]:
+        """Replay a commit list into live (dir, anti-filter) entries: every
+        commit contributes its directory minus the partition values LATER
+        overwrites replaced; ``replace_all`` resets; ``restore`` swaps the
+        state for the resolution of the target-version prefix (metadata
+        only — the restored dirs are the ORIGINAL ones, re-referenced)."""
+        live: list[dict] = []
+        for c in commits:
+            if c["action"] == "restore":
+                live = self._resolve_live(
+                    [x for x in commits if x["version"] <= c["to_version"]])
+                continue
+            if c["action"] == "replace_all":
+                live = [{"dir": c["dir"], "removed": {}, "pcol": None,
+                         "parts": set()}]
+                continue
+            if c["action"] == "overwrite":
+                for e in live:
+                    e["removed"].setdefault(
+                        c["partition_col"], set()).update(c["partitions"])
+            live.append({"dir": c["dir"], "removed": {},
+                         "pcol": c.get("partition_col"),
+                         "parts": set(c.get("partitions") or [])})
+        return live
+
     def read(self, spark: SparkSession, path: str,
              as_of_version: int | None = None) -> DataFrame:
         """Current state, or — with ``as_of_version`` — TIME TRAVEL: the
@@ -278,21 +303,7 @@ class TxnLogFormat(TableFormat):
                     f"version {as_of_version} does not exist at {path}")
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
-        # replay: every commit contributes its directory minus the partition
-        # values that LATER overwrites replaced (per partition column)
-        live: list[dict] = []
-        for c in commits:
-            if c["action"] == "replace_all":
-                live = [{"dir": c["dir"], "removed": {}, "pcol": None,
-                         "parts": set()}]
-                continue
-            if c["action"] == "overwrite":
-                for e in live:
-                    e["removed"].setdefault(
-                        c["partition_col"], set()).update(c["partitions"])
-            live.append({"dir": c["dir"], "removed": {},
-                         "pcol": c.get("partition_col"),
-                         "parts": set(c.get("partitions") or [])})
+        live = self._resolve_live(commits)
         parts_list = []
         for e in live:
             if e["pcol"] and e["parts"] <= e["removed"].get(e["pcol"], set()):
@@ -404,8 +415,35 @@ class TxnLogFormat(TableFormat):
         return [{"version": c["version"], "action": c["action"],
                  "partition_col": c.get("partition_col"),
                  "partitions": c.get("partitions"),
+                 "to_version": c.get("to_version"),
                  "dir": c["dir"]}
                 for c in reversed(self._commits(path))]
+
+    def restore(self, spark: SparkSession, path: str, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — as a METADATA-ONLY commit
+        (Delta's RESTORE shape): no data is rewritten; a ``restore`` record
+        re-references the target version's directories, and replay resolves
+        it recursively.  History is preserved — the bad versions stay
+        readable via time travel, and the restore itself is one more
+        commit (restorable in turn).  Raises if the target version does
+        not exist or its data dirs were vacuumed.  Returns the new commit's
+        version."""
+        commits = self._commits(path)
+        if not any(c["version"] == version for c in commits):
+            raise ValueError(f"version {version} does not exist at {path}")
+        prefix = [c for c in commits if c["version"] <= version]
+        missing = [e["dir"] for e in self._resolve_live(prefix)
+                   if not os.path.isdir(os.path.join(path, e["dir"]))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: data dirs {missing} "
+                "were vacuumed")
+        schema = next((c["schema"] for c in reversed(prefix)
+                       if c.get("schema")), None)
+        return self._commit(path, {"action": "restore",
+                                   "to_version": version, "dir": None,
+                                   "partition_col": None, "partitions": [],
+                                   "schema": schema})
 
     def compact(self, spark: SparkSession, path: str,
                 partition_col: str | None = None) -> None:
@@ -437,7 +475,11 @@ class TxnLogFormat(TableFormat):
         for i, c in enumerate(commits):
             if c["action"] == "replace_all":
                 live_from = i
-        referenced = {c["dir"] for c in commits[live_from:]}
+        referenced = {c["dir"] for c in commits[live_from:]
+                      if c.get("dir")}
+        # a restore commit re-references dirs OLDER than the last
+        # replace_all — the current resolution's dirs must survive too
+        referenced |= {e["dir"] for e in self._resolve_live(commits)}
         data_root = os.path.join(path, "_txn_data")
         try:
             names = os.listdir(data_root)

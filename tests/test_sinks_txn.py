@@ -482,3 +482,48 @@ def test_check_constraints_block_violating_commits(spark, tmp_path):
     # an unconstrained handle on the same table is unaffected
     TxnLogFormat().append(bad.filter("id IS NOT NULL AND qty > 0"), path)
     assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2, 4]
+
+
+def test_restore_is_metadata_only_and_vacuum_safe(spark, tmp_path):
+    """RESTORE TO VERSION AS OF as a metadata commit: no data rewrite, the
+    bad versions stay time-travelable, replay resolves restores recursively
+    (restore-of-restore, post-restore appends), and vacuum protects the
+    re-referenced old dirs that sit BEFORE the last replace_all."""
+    import os
+
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    A = spark.createDataFrame([(1, "a")], "k long, v string")
+    B = spark.createDataFrame([(2, "b")], "k long, v string")
+    fmt.overwrite_table(A, path)                      # v0
+    fmt.overwrite_table(B, path)                      # v1 (the bad write)
+    n_dirs = len(os.listdir(os.path.join(path, "_txn_data")))
+    assert fmt.restore(spark, path, 0) == 2           # v2: metadata only
+    assert len(os.listdir(os.path.join(path, "_txn_data"))) == n_dirs
+    assert [tuple(r) for r in fmt.read(spark, path).collect()] == [(1, "a")]
+    # history preserved: the bad version still reads, restore is visible
+    assert [tuple(r) for r in
+            fmt.read(spark, path, as_of_version=1).collect()] == [(2, "b")]
+    assert fmt.history(path)[0] == {
+        "version": 2, "action": "restore", "partition_col": None,
+        "partitions": [], "to_version": 0, "dir": None}
+    # post-restore writes compose on the restored state
+    fmt.append(spark.createDataFrame([(3, "c")], "k long, v string"), path)
+    assert sorted(r.k for r in fmt.read(spark, path).collect()) == [1, 3]
+    # restore-of-restore: back to the bad version, then out again
+    fmt.restore(spark, path, 1)                       # v4
+    assert [r.k for r in fmt.read(spark, path).collect()] == [2]
+    fmt.restore(spark, path, 3)                       # v5 -> {1, 3}
+    assert sorted(r.k for r in fmt.read(spark, path).collect()) == [1, 3]
+    # vacuum must keep v0's dir (re-referenced from before v1's
+    # replace_all) — current state stays readable after vacuum(0)
+    fmt.vacuum(path, retain_hours=0)
+    assert sorted(r.k for r in fmt.read(spark, path).collect()) == [1, 3]
+    # restoring to a version whose data is gone raises cleanly
+    fmt.overwrite_table(B, path)                      # v6 supersedes all
+    swept = fmt.vacuum(path, retain_hours=0)
+    assert swept  # v0/append dirs now unreferenced and removed
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        fmt.restore(spark, path, 5)
+    with pytest.raises(ValueError, match="does not exist"):
+        fmt.restore(spark, path, 99)
