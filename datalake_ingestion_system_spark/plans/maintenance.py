@@ -125,7 +125,8 @@ def backup_config(conf: DataFrame, backup_root: str,
 
 def compact_table(spark: SparkSession, table_dir: str,
                   target_file_bytes: int = 128 * 1024 * 1024,
-                  partition_col: str | None = None) -> tuple[int, int]:
+                  partition_col: str | None = None,
+                  codec: str | None = None) -> tuple[int, int]:
     """Small-file compaction: rewrite a table directory so each output file
     is ~``target_file_bytes`` (the reference hard-codes ``repartition(1)`` /
     ``repartition(5)`` — K4 — which is wrong in both directions at scale).
@@ -153,11 +154,18 @@ def compact_table(spark: SparkSession, table_dir: str,
 
     df = spark.read.parquet(table_dir)
     tmp = table_dir.rstrip("/") + "__compact_tmp"
+    # codec=None keeps the session default (snappy); compaction is the
+    # natural place to TRANSCODE cold data to a denser codec (zstd ~30%
+    # smaller than snappy at similar scan speed — the modern answer to the
+    # reference's hard-coded gzip, D:123-124, which decodes ~3x slower)
+    writer = df.repartition(n_out, partition_col).write \
+        if partition_col else df.repartition(n_out).write
+    if codec:
+        writer = writer.option("compression", codec)
     if partition_col:
-        (df.repartition(n_out, partition_col)
-           .write.mode("overwrite").partitionBy(partition_col).parquet(tmp))
+        writer.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     else:
-        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        writer.mode("overwrite").parquet(tmp)
 
     old = table_dir.rstrip("/") + "__compact_old"
     os.rename(table_dir, old)
