@@ -1344,3 +1344,58 @@ SELECT digit, n, n * 1000000 // total AS ppm
 FROM per, t
 ORDER BY digit
 """
+
+
+@_q("q_recursive_hierarchy_rollup")
+def q_recursive_hierarchy_rollup(spark, sf_dir):
+    """Recursive-CTE hierarchy rollup — Spark 4's ``WITH RECURSIVE``
+    (SPARK-24497), the last §2.6 SQL-surface shape Athena/Presto users
+    lean on that a DataFrame plan can't express directly.  The hierarchy
+    is derived deterministically (parent = key DIV 2, a binary tree over
+    c_custkey — cycle-free, ~log2(N) depth), and each ancestor rolls up
+    its proper descendants' count, account balance (integer cents via
+    floor(x*100 + 0.5), sign-safe and identical cross-engine), and the
+    deepest chain passing through it.
+
+    Scale shape: each recursion level is one self-reference iteration of a
+    keyed frame — Spark executes it as iterated union steps with the same
+    cost profile as the PageRank loop, but driven by the SQL engine; rows
+    grow as N x depth = N log N.  The recursion depth bound is the tree
+    height (~11 at sf0.01), far under spark.sql.cteRecursionLevelLimit."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+      WITH RECURSIVE chain (desc_key, anc_key, depth) AS (
+        SELECT c_custkey, c_custkey DIV 2, 1
+        FROM customer WHERE c_custkey > 1
+        UNION ALL
+        SELECT desc_key, anc_key DIV 2, depth + 1
+        FROM chain WHERE anc_key > 1
+      )
+      SELECT ch.anc_key,
+             count(*) AS n_descendants,
+             CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS total_acctbal_cents,
+             max(ch.depth) AS max_depth
+      FROM chain ch JOIN customer c ON c.c_custkey = ch.desc_key
+      GROUP BY ch.anc_key
+      ORDER BY ch.anc_key
+    """)
+
+
+ORACLE_SQL["q_recursive_hierarchy_rollup"] = """
+WITH RECURSIVE chain (desc_key, anc_key, depth) AS (
+  SELECT c_custkey, c_custkey // 2, 1
+  FROM customer WHERE c_custkey > 1
+  UNION ALL
+  SELECT desc_key, anc_key // 2, depth + 1
+  FROM chain WHERE anc_key > 1
+)
+SELECT ch.anc_key,
+       count(*) AS n_descendants,
+       CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_acctbal_cents,
+       CAST(max(ch.depth) AS INTEGER) AS max_depth
+FROM chain ch JOIN customer c ON c.c_custkey = ch.desc_key
+GROUP BY ch.anc_key
+ORDER BY ch.anc_key
+"""
