@@ -1399,3 +1399,49 @@ FROM chain ch JOIN customer c ON c.c_custkey = ch.desc_key
 GROUP BY ch.anc_key
 ORDER BY ch.anc_key
 """
+
+
+@_q("q_variant_json_metadata")
+def q_variant_json_metadata(spark, sf_dir):
+    """Semi-structured metadata via Spark 4's VARIANT type: each document's
+    sidecar metadata (the realistic 100 TB shape: a JSON blob riding next
+    to text/binary payloads) is parsed once with ``parse_json`` into a
+    VARIANT and fielded out with typed ``variant_get`` paths — nested
+    object, numeric leaf, and a missing path (NULL, not an error).  The
+    blob here is built in-row from the table's own columns so the query is
+    self-contained; at ingest it would arrive as a string column.  VARIANT
+    keeps the shredded binary form all the way to the extraction (no
+    per-access re-parse, the reason it beats get_json_object at scale).
+
+    The oracle computes the same RESULTS straight from the columns —
+    cross-checking that the JSON round-trip through VARIANT is lossless
+    and correctly typed, which is exactly the property worth gating."""
+    d = load(spark, sf_dir, "documents")
+    meta = F.parse_json(F.to_json(F.struct(
+        F.struct(F.col("lang"), F.col("source")).alias("doc"),
+        F.struct(F.col("n_chars")).alias("stats"))))
+    v = d.withColumn("meta", meta).select(
+        F.expr("variant_get(meta, '$.doc.lang', 'string')").alias("v_lang"),
+        F.expr("variant_get(meta, '$.doc.source', 'string')")
+         .alias("v_source"),
+        F.expr("variant_get(meta, '$.stats.n_chars', 'long')")
+         .alias("v_chars"),
+        F.expr("variant_get(meta, '$.doc.missing', 'string')")
+         .alias("v_missing"))
+    return (v.groupBy("v_lang", "v_source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("v_chars").alias("total_chars"),
+                 F.sum(F.when(F.col("v_missing").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_missing_path"))
+            .orderBy("v_lang", "v_source"))
+
+
+ORACLE_SQL["q_variant_json_metadata"] = """
+SELECT lang AS v_lang, source AS v_source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(*) AS n_missing_path
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
