@@ -482,3 +482,103 @@ SELECT o_orderkey,
        round(fmod(fmod(o_totalprice, 97.0) + 97.0, 97.0), 6) AS mod_x
 FROM orders
 """
+
+
+@_q("q_series_interpolate")
+def q_series_interpolate(spark, sf_dir):
+    """Time-series gap REPAIR, one step past ``q_events_gap_fill``'s
+    zero-fill: per event_type daily means on a full day spine, with gaps
+    LINEARLY interpolated between the surrounding known points, LOCF after
+    the last known point, backfill before the first — the standard sensor/
+    finance resample-and-interpolate operator.
+
+    Cross-engine determinism: known points are round(avg, 4) (the proven
+    aggregate-rounding recipe); the interpolation itself is row-local IEEE
+    arithmetic on staged prev/next scalars (no reassociation possible) and
+    rounds to 6.  Scale shape: one partial-agg shuffle for the daily means,
+    a generated spine broadcast against the series keys, and two
+    IGNORE-NULLS window passes (forward + backward) partitioned per series
+    — each series' window is its own partition, no global sort."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")  # sparse series -> real gaps
+    daily = (e.groupBy((F.col("user_id") % 20).alias("k"),
+                       F.to_date("ts").alias("d"))
+             .agg(F.round(F.avg("value"), 4).alias("v")))
+    bounds = e.agg(F.to_date(F.min("ts")).alias("lo"),
+                   F.to_date(F.max("ts")).alias("hi"))  # purchase range
+    spine = (daily.select("k").distinct()
+             .crossJoin(F.broadcast(bounds))
+             .select("k", F.explode(F.sequence(
+                 "lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")))
+    g = spine.join(daily, ["k", "d"], "left")
+    wf = (Window.partitionBy("k").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wb = (Window.partitionBy("k").orderBy("d")
+          .rowsBetween(0, Window.unboundedFollowing))
+    prev_v = F.last("v", ignorenulls=True).over(wf)
+    next_v = F.first("v", ignorenulls=True).over(wb)
+    prev_d = F.last(F.when(F.col("v").isNotNull(), F.col("d")),
+                    ignorenulls=True).over(wf)
+    next_d = F.first(F.when(F.col("v").isNotNull(), F.col("d")),
+                     ignorenulls=True).over(wb)
+    span = F.datediff(next_d, prev_d)
+    frac = F.datediff(F.col("d"), prev_d) / span
+    filled = (F.when(F.col("v").isNotNull(), F.col("v"))
+              .when(prev_v.isNotNull() & next_v.isNotNull(),
+                    F.round(prev_v + (next_v - prev_v) * frac, 6))
+              .when(prev_v.isNotNull(), prev_v)
+              .otherwise(next_v))
+    kind = (F.when(F.col("v").isNotNull(), F.lit("known"))
+            .when(prev_v.isNotNull() & next_v.isNotNull(), F.lit("interp"))
+            .when(prev_v.isNotNull(), F.lit("locf"))
+            .otherwise(F.lit("backfill")))
+    return (g.select("k", "d", filled.alias("v_filled"),
+                     kind.alias("fill_kind"))
+            .orderBy("k", "d"))
+
+
+ORACLE_SQL["q_series_interpolate"] = """
+WITH p AS (
+  SELECT * FROM events WHERE event_type = 'purchase'
+), daily AS (
+  SELECT user_id % 20 AS k, CAST(ts AS DATE) AS d, round(avg(value), 4) AS v
+  FROM p GROUP BY 1, 2
+), bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM p
+), spine AS (
+  SELECT k, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                        CAST(hi AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) AS DATE) AS d
+  FROM (SELECT DISTINCT k FROM daily), bounds
+), g AS (
+  SELECT spine.k, spine.d, daily.v FROM spine
+  LEFT JOIN daily ON daily.k = spine.k AND daily.d = spine.d
+), staged AS (
+  SELECT k, d, v,
+         last_value(v IGNORE NULLS) OVER fwd AS prev_v,
+         first_value(v IGNORE NULLS) OVER bwd AS next_v,
+         last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER fwd AS prev_d,
+         first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER bwd AS next_d
+  FROM g
+  WINDOW fwd AS (PARTITION BY k ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         bwd AS (PARTITION BY k ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT k, d,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+              round(prev_v + (next_v - prev_v)
+                    * (datediff('day', prev_d, d)
+                       / datediff('day', prev_d, next_d)), 6)
+            WHEN prev_v IS NOT NULL THEN prev_v
+            ELSE next_v END AS v_filled,
+       CASE WHEN v IS NOT NULL THEN 'known'
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN 'interp'
+            WHEN prev_v IS NOT NULL THEN 'locf'
+            ELSE 'backfill' END AS fill_kind
+FROM staged
+ORDER BY k, d
+"""
