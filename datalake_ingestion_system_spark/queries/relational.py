@@ -1445,3 +1445,63 @@ FROM documents
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+@_q("q_session_paths")
+def q_session_paths(spark, sf_dir):
+    """Top session paths (the product-analytics sankey/funnel-discovery
+    query): sessionize with the proven 30-minute-gap recipe, render each
+    session's ordered event_type sequence as a path string, and rank the
+    20 most common paths.
+
+    Determinism: events order by (ts, event_id) — event_id breaks same-
+    second ties identically in both engines; the path is built IN-ROW
+    (array_sort over collected (epoch, event_id, type) structs, then a
+    projection) so no cross-partition ordering is involved.  Scale shape:
+    one window pass per user partition for session ids, one partial-agg
+    per session (bounded by session length), one count shuffle over path
+    strings, TakeOrderedAndProject for the top 20."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        (_epoch("ts") - F.lag(_epoch("ts"), 1).over(w)) > 1800, 1
+    ).otherwise(0)
+    sessions = (e.withColumn("new_session", gap)
+                .withColumn("session_seq", F.sum("new_session").over(cum)))
+    paths = (sessions.groupBy("user_id", "session_seq")
+             .agg(F.concat_ws(">", F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     _epoch("ts").alias("t"),
+                     F.col("event_id").alias("i"),
+                     F.col("event_type").alias("e")))),
+                 lambda s: s["e"])).alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), F.asc("path"))
+            .limit(20))
+
+
+ORACLE_SQL["q_session_paths"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_seq
+  FROM g
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
