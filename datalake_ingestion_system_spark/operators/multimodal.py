@@ -158,37 +158,59 @@ def _parse_mp3_duration_ms(payload: bytes) -> int | None:
     tag, find the first valid frame sync, then either read the exact frame
     count from a Xing/Info VBR header (duration = frames x samples-per-
     frame / rate) or assume CBR from the first frame's bitrate — the same
-    strategy mutagen uses.  None when no valid Layer III sync is found."""
+    strategy mutagen uses.  None when no valid Layer III sync is found.
+
+    False-sync hardening: a bare 11-bit sync plus plausible index bits
+    occurs in arbitrary compressed bytes every ~64 KB, so a candidate
+    header alone is NOT accepted — it must carry a Xing/Info block, or the
+    frame length it implies must land on a SECOND consistent header (same
+    version/layer/sample-rate).  Without this, other codecs' payloads
+    would be misparsed as CBR MP3 instead of falling through to the
+    mutagen seam."""
+    def _header(at: int):
+        """(version, br_idx, sr_idx, padding) if a valid L3 header."""
+        if at + 4 > len(payload):
+            return None
+        if payload[at] != 0xFF or (payload[at + 1] & 0xE0) != 0xE0:
+            return None
+        b1, b2 = payload[at + 1], payload[at + 2]
+        version = (b1 >> 3) & 3           # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 3             # 1 = Layer III
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 3
+        if (version not in _MP3_RATES or layer != 1
+                or not 0 < br_idx < 15 or sr_idx == 3):
+            return None
+        return version, br_idx, sr_idx, (b2 >> 1) & 1
+
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         pos = 10 + int.from_bytes(  # synchsafe 7-bit bytes
             bytes(b & 0x7F for b in payload[6:10]), "big")
     end = min(len(payload) - 4, pos + 4096)
     while pos <= end:
-        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
-            b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
-            version = (b1 >> 3) & 3           # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-            layer = (b1 >> 1) & 3             # 1 = Layer III
-            br_idx = (b2 >> 4) & 0xF
-            sr_idx = (b2 >> 2) & 3
-            if (version in _MP3_RATES and layer == 1
-                    and 0 < br_idx < 15 and sr_idx != 3):
-                rate = _MP3_RATES[version][sr_idx]
-                table = (_MP3_BITRATES_V1 if version == 3
-                         else _MP3_BITRATES_V2)
-                bitrate = table[br_idx] * 1000
-                spf = 1152 if version == 3 else 576
-                mono = ((b3 >> 6) & 3) == 3
-                side = ((17 if mono else 32) if version == 3
-                        else (9 if mono else 17))
-                xing = pos + 4 + side
-                if (payload[xing:xing + 4] in (b"Xing", b"Info")
-                        and len(payload) >= xing + 12
-                        and int.from_bytes(payload[xing + 4:xing + 8],
-                                           "big") & 1):
-                    frames = int.from_bytes(payload[xing + 8:xing + 12],
-                                            "big")
-                    return round(frames * spf * 1000 / rate)
+        h = _header(pos)
+        if h is not None:
+            version, br_idx, sr_idx, padding = h
+            rate = _MP3_RATES[version][sr_idx]
+            table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+            bitrate = table[br_idx] * 1000
+            spf = 1152 if version == 3 else 576
+            mono = ((payload[pos + 3] >> 6) & 3) == 3
+            side = ((17 if mono else 32) if version == 3
+                    else (9 if mono else 17))
+            xing = pos + 4 + side
+            if (payload[xing:xing + 4] in (b"Xing", b"Info")
+                    and len(payload) >= xing + 12
+                    and int.from_bytes(payload[xing + 4:xing + 8],
+                                       "big") & 1):
+                frames = int.from_bytes(payload[xing + 8:xing + 12], "big")
+                return round(frames * spf * 1000 / rate)
+            # CBR: accept only if the implied frame length lands on a
+            # second header consistent with this one
+            flen = (144 if version == 3 else 72) * bitrate // rate + padding
+            h2 = _header(pos + flen)
+            if h2 is not None and h2[0] == version and h2[2] == sr_idx:
                 return round((len(payload) - pos) * 8 * 1000 / bitrate)
         pos += 1
     return None

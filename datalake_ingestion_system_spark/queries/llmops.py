@@ -3245,6 +3245,24 @@ def _kmeans_update(x, assign):
             .localCheckpoint(eager=True))
 
 
+def _kmeans_seed_exploded(e, K: int):
+    """(x, cent) for the verifiable k-means tier: the posexploded
+    fixed-point corpus (vec_id, d, val) — materialized once, it anchors
+    every assign/update — and the K seed centroids (smallest vec_ids,
+    cid by rank).  Shared by ``q_kmeans_verifiable`` and
+    ``q_semantic_dedup`` so the seeding recipe cannot drift between the
+    trainer and its downstream consumer."""
+    x = (e.select("vec_id", F.posexplode("qv").alias("d", "val"))
+         .localCheckpoint(eager=True))
+    seeds = (e.select("vec_id").orderBy("vec_id").limit(K)
+             .select("vec_id",
+                     (F.row_number().over(Window.orderBy("vec_id")) - 1)
+                     .cast("long").alias("cid")))
+    cent = (seeds.join(x, "vec_id").select("cid", "d", "val")
+            .withColumnRenamed("val", "cval"))
+    return x, cent
+
+
 @_q("q_kmeans_verifiable")
 def q_kmeans_verifiable(spark, sf_dir):
     """k-means (Lloyd) TRAINING in *verifiable* mode — closes the loop the
@@ -3271,15 +3289,8 @@ def q_kmeans_verifiable(spark, sf_dir):
         "vec_id",
         F.transform(F.col("embedding").cast("array<double>"),
                     lambda v: F.floor(v * 1e6).cast("long")).alias("qv")))
-    x = (e.select("vec_id", F.posexplode("qv").alias("d", "val"))
-         .localCheckpoint(eager=True))
-    seeds = (e.select("vec_id").orderBy("vec_id").limit(K)
-             .select("vec_id",
-                     (F.row_number().over(Window.orderBy("vec_id")) - 1)
-                     .cast("long").alias("cid")))
-    cent = (seeds.join(x, "vec_id").select("cid", "d", "val")
-            .withColumnRenamed("val", "cval")
-            .localCheckpoint(eager=True))
+    x, cent = _kmeans_seed_exploded(e, K)
+    cent = cent.localCheckpoint(eager=True)
     for _ in range(2):
         assign = _kmeans_assign(x, cent)
         cent = _kmeans_update(x, assign)
@@ -3375,37 +3386,29 @@ def q_semantic_dedup(spark, sf_dir):
     cluster size (at 100 TB, K scales with N to hold E[|cluster|] at a
     few thousand; the hyperplane sub-bucket of
     ``q_dedup_embedding_cosine`` composes if a hot cluster persists)."""
+    from ..functions.vectors import dot, l2_norm
+
     K = 8
     e = spread(load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         F.transform(F.col("embedding").cast("array<double>"),
                     lambda u: F.floor(u * 1e6).cast("long")).alias("qv")))
-    x = (e.select("vec_id", F.posexplode("qv").alias("d", "val"))
-         .localCheckpoint(eager=True))
-    seeds = (e.select("vec_id").orderBy("vec_id").limit(K)
-             .select("vec_id",
-                     (F.row_number().over(Window.orderBy("vec_id")) - 1)
-                     .cast("long").alias("cid")))
-    cent = (seeds.join(x, "vec_id").select("cid", "d", "val")
-            .withColumnRenamed("val", "cval"))
+    x, cent = _kmeans_seed_exploded(e, K)
     assign = _kmeans_assign(x, cent).select("vec_id", "cid")
-    ev = (e.select("vec_id", "v",
-                   F.sqrt(F.aggregate(
-                       F.zip_with("v", "v", lambda p, q: p * q),
-                       F.lit(0.0), lambda acc, t: acc + t)).alias("n"))
+    # l2_norm folds acc + x*x — the same addition sequence as the inline
+    # zip_with form it replaced, so the rounded-6 hash is unchanged
+    ev = (e.select("vec_id", "v", l2_norm("v").alias("n"))
           .join(assign, "vec_id"))
     a, b = ev.alias("a"), ev.alias("b")
     denom = F.col("a.n") * F.col("b.n")
-    dot = F.aggregate(F.zip_with("a.v", "b.v", lambda p, q: p * q),
-                      F.lit(0.0), lambda acc, t: acc + t)
+    cos = F.round(F.when(denom != 0, dot("a.v", "b.v") / denom), 6)
     pairs = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
              .select(F.col("a.cid").alias("cid"),
                      F.col("a.vec_id").alias("id_keep"),
                      F.col("b.vec_id").alias("id_drop"),
-                     F.round(F.when(denom != 0, dot / denom), 6)
-                     .alias("cs"))
+                     cos.alias("cs"))
              .filter(F.col("cs") >= 0.3))
     dropped = (pairs.groupBy("cid")
                .agg(F.count("*").alias("n_pairs"),

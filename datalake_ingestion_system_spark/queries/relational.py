@@ -941,39 +941,55 @@ FROM events
 """
 
 
-@_q("q_sessionization")
-def q_sessionization(spark, sf_dir):
-    """Batch sessionization: 30-minute inactivity gap ⇒ new session
-    (lag + cumulative sum of gap flags)."""
-    e = load(spark, sf_dir, "events")
+def _sessionized(e):
+    """Shared 30-minute-gap sessionization prelude (q_sessionization,
+    q_session_paths): lag + cumulative sum of gap flags, adding a
+    ``session_seq`` column.  The gap compares ``_epoch`` (WHOLE-second
+    wall-clock) differences, so the paired oracle predicate must be
+    ``floor(epoch(ts)) - lag(floor(epoch(ts))) > 1800`` — bare fractional
+    ``epoch()`` diverges on sub-second boundary gaps (e.g. 1800.8s
+    fractional is 1800 whole-second); same floor discipline the
+    sweep-line oracles document at llmops.py."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap = F.when(
         (_epoch("ts") - F.lag(_epoch("ts"), 1).over(w)) > 1800, 1
     ).otherwise(0)
-    sessions = (
-        e.withColumn("new_session", gap)
-        .withColumn("session_seq", F.sum("new_session").over(cum))
-    )
+    return (e.withColumn("new_session", gap)
+            .withColumn("session_seq", F.sum("new_session").over(cum)))
+
+
+#: DuckDB mirror of the ``_sessionized`` prelude (floor() per the note).
+_SESSIONIZED_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts)), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_seq
+  FROM g
+)
+"""
+
+
+@_q("q_sessionization")
+def q_sessionization(spark, sf_dir):
+    """Batch sessionization: 30-minute inactivity gap ⇒ new session
+    (lag + cumulative sum of gap flags; shared ``_sessionized`` prelude)."""
+    e = load(spark, sf_dir, "events")
     return (
-        sessions.groupBy("user_id")
+        _sessionized(e).groupBy("user_id")
         .agg((F.max("session_seq") + 1).cast("long").alias("n_sessions"),
              F.count("*").alias("n_events"))
     )
 
 
-ORACLE_SQL["q_sessionization"] = """
-WITH g AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN epoch(ts) - lag(epoch(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-), s AS (
-  SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-  FROM g
-)
+ORACLE_SQL["q_sessionization"] = _SESSIONIZED_SQL + """
 SELECT user_id,
        CAST(max(session_seq) + 1 AS BIGINT) AS n_sessions,
        count(*) AS n_events
@@ -1462,19 +1478,12 @@ def q_session_paths(spark, sf_dir):
     per session (bounded by session length), one count shuffle over path
     strings, TakeOrderedAndProject for the top 20."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.when(
-        (_epoch("ts") - F.lag(_epoch("ts"), 1).over(w)) > 1800, 1
-    ).otherwise(0)
-    sessions = (e.withColumn("new_session", gap)
-                .withColumn("session_seq", F.sum("new_session").over(cum)))
-    paths = (sessions.groupBy("user_id", "session_seq")
+    paths = (_sessionized(e).groupBy("user_id", "session_seq")
              .agg(F.concat_ws(">", F.transform(
                  F.array_sort(F.collect_list(F.struct(
-                     _epoch("ts").alias("t"),
-                     F.col("event_id").alias("i"),
-                     F.col("event_type").alias("e")))),
+                     F.col("ts").alias("t"),   # FULL precision: the oracle
+                     F.col("event_id").alias("i"),  # orders by microsecond
+                     F.col("event_type").alias("e")))),  # ts, not _epoch
                  lambda s: s["e"])).alias("path")))
     return (paths.groupBy("path")
             .agg(F.count("*").alias("n_sessions"))
@@ -1482,20 +1491,8 @@ def q_session_paths(spark, sf_dir):
             .limit(20))
 
 
-ORACLE_SQL["q_session_paths"] = """
-WITH g AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN epoch(ts) - lag(epoch(ts), 1)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-), s AS (
-  SELECT user_id, ts, event_id, event_type,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS session_seq
-  FROM g
-), paths AS (
+ORACLE_SQL["q_session_paths"] = _SESSIONIZED_SQL + """
+, paths AS (
   SELECT user_id, session_seq,
          string_agg(event_type, '>' ORDER BY ts, event_id) AS path
   FROM s GROUP BY user_id, session_seq

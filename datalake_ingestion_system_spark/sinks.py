@@ -190,9 +190,13 @@ class TxnLogFormat(TableFormat):
             # Validate the STAGED files (one cheap columnar re-read, data
             # computed once) — a violation aborts before any commit record
             # exists, so readers never see it; the orphaned stage dir is
-            # invisible and vacuum() sweeps it.
+            # invisible and vacuum() sweeps it.  The read pins the WRITER'S
+            # schema: bare partition-type inference would retype partition
+            # values (string '01' -> int 1, measured) and fail constraints
+            # on perfectly valid data.
             self._check_constraints(
-                df.sparkSession.read.parquet(os.path.join(path, rel)))
+                df.sparkSession.read.schema(df.schema)
+                .parquet(os.path.join(path, rel)))
         return rel
 
     def _commit(self, path: str, record: dict) -> int:
@@ -432,8 +436,14 @@ class TxnLogFormat(TableFormat):
         if not any(c["version"] == version for c in commits):
             raise ValueError(f"version {version} does not exist at {path}")
         prefix = [c for c in commits if c["version"] <= version]
+        # same fully-shadowed skip as read(): a live entry whose every
+        # partition was re-overwritten contributes no rows, so its dir
+        # being vacuumed must not block the restore
         missing = [e["dir"] for e in self._resolve_live(prefix)
-                   if not os.path.isdir(os.path.join(path, e["dir"]))]
+                   if not (e["pcol"]
+                           and e["parts"] <= e["removed"].get(e["pcol"],
+                                                              set()))
+                   and not os.path.isdir(os.path.join(path, e["dir"]))]
         if missing:
             raise FileNotFoundError(
                 f"cannot restore to version {version}: data dirs {missing} "

@@ -306,13 +306,21 @@ def test_real_decoder_reads_flac_and_mp3_durations():
     assert _parse_mp3_duration_ms(xing) == round(77 * 1152 * 1000 / 44100)
 
     # MP3 CBR: duration from payload bytes at the header bitrate
-    # (128 kbps -> 16000 bytes/s)
-    cbr = _mp3_frame_header() + bytes(16000 - 4)
+    # (128 kbps -> 16000 bytes/s).  The implied frame length for
+    # 128 kbps / 44.1 kHz is 144*128000//44100 = 417 bytes — the parser
+    # demands a CONSISTENT second header there (false-sync hardening)
+    flen = 144 * 128000 // 44100
+    cbr = (_mp3_frame_header() + bytes(flen - 4)
+           + _mp3_frame_header() + bytes(16000 - flen - 4))
     assert _parse_mp3_duration_ms(cbr) == 1000
 
     # ID3v2 tag (synchsafe size) is skipped before the sync scan
     id3 = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 10]) + bytes(10)
     assert _parse_mp3_duration_ms(id3 + cbr) == 1000
+
+    # a lone pseudo-sync with NO consistent second frame (the false-sync
+    # shape arbitrary compressed bytes produce) is rejected, not misparsed
+    assert _parse_mp3_duration_ms(_mp3_frame_header() + bytes(4096)) is None
 
     # garbage does not parse as either
     assert _parse_flac_duration_ms(b"\x00" * 64) is None

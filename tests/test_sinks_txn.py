@@ -527,3 +527,39 @@ def test_restore_is_metadata_only_and_vacuum_safe(spark, tmp_path):
         fmt.restore(spark, path, 5)
     with pytest.raises(ValueError, match="does not exist"):
         fmt.restore(spark, path, 99)
+
+
+def test_restore_skips_fully_shadowed_vacuumed_dirs(spark, tmp_path):
+    """Review regression: restore()'s vacuum check must apply read()'s
+    fully-shadowed skip — a dir whose every partition was re-overwritten
+    contributes no rows, so its (age-vacuumed) absence cannot block the
+    restore that read(as_of_version) already serves."""
+    import os
+    import shutil
+
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    mk = lambda v: spark.createDataFrame([(v, "P1")], "x long, p string")
+    fmt.overwrite_partitions(mk(1), path, "p")          # v0 -> d0
+    fmt.overwrite_partitions(mk(2), path, "p")          # v1 -> d1 shadows d0
+    fmt.overwrite_table(mk(3), path)                    # v2 replace_all
+    d0 = fmt._commits(path)[0]["dir"]
+    shutil.rmtree(os.path.join(path, d0))               # age-based vacuum
+    assert [r.x for r in
+            fmt.read(spark, path, as_of_version=1).collect()] == [2]
+    fmt.restore(spark, path, 1)                         # must not raise
+    assert [r.x for r in fmt.read(spark, path).collect()] == [2]
+
+
+def test_check_constraints_survive_partition_type_inference(spark, tmp_path):
+    """Review regression: constraint validation reads the staged files
+    with the WRITER'S schema — bare partition inference would retype a
+    string partition value '01' to int 1 (dropping the leading zero) and
+    fail length() constraints on perfectly valid data."""
+    fmt = TxnLogFormat(constraints={"snap_ok": "length(SNAPSHOT) = 2"})
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "01"), (2, "10")],
+                               "id long, SNAPSHOT string")
+    fmt.overwrite_partitions(df, path, "SNAPSHOT")      # must not raise
+    got = fmt.read(spark, path)
+    assert sorted(r.id for r in got.collect()) == [1, 2]
