@@ -423,6 +423,33 @@ class TxnLogFormat(TableFormat):
                  "dir": c["dir"]}
                 for c in reversed(self._commits(path))]
 
+    def delete_where(self, spark: SparkSession, path: str,
+                     predicate: str) -> int:
+        """Row-level DELETE (Delta ``DELETE WHERE`` analogue, the
+        right-to-be-forgotten operator): copy-on-write — stage the rows
+        that SURVIVE the predicate and publish one ``replace_all`` commit.
+        Returns the number of rows deleted.  The deleted rows remain
+        reachable via time travel until ``vacuum`` (exactly Delta's
+        semantics — a GDPR purge is delete + vacuum past the retention
+        window).
+
+        Scale note: this rewrites the whole table; at 100 TB pair it with
+        partition pruning (delete keys routed per partition — run one
+        ``overwrite_partitions`` per affected partition instead) or a
+        deletion-vector design.  Constraints, if configured, re-validate
+        the surviving rows like any other write."""
+        current = self.read(spark, path)
+        pred = F.expr(predicate)
+        n_del = current.filter(pred).count()
+        if n_del == 0:
+            return 0
+        survivors = current.filter(~pred | pred.isNull())
+        rel = self._stage(survivors, path, None)
+        self._commit(path, {"action": "replace_all", "dir": rel,
+                            "partition_col": None, "partitions": [],
+                            "schema": survivors.schema.json()})
+        return n_del
+
     def restore(self, spark: SparkSession, path: str, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — as a METADATA-ONLY commit
         (Delta's RESTORE shape): no data is rewritten; a ``restore`` record

@@ -563,3 +563,24 @@ def test_check_constraints_survive_partition_type_inference(spark, tmp_path):
     fmt.overwrite_partitions(df, path, "SNAPSHOT")      # must not raise
     got = fmt.read(spark, path)
     assert sorted(r.id for r in got.collect()) == [1, 2]
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """DELETE WHERE: predicate-TRUE rows go, NULL-predicate rows SURVIVE
+    (SQL DELETE semantics); deleted rows stay time-travelable until
+    vacuum; a no-match delete writes no commit at all."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0), (2, None), (3, -3.0)],
+                               "id long, score double")
+    fmt.overwrite_table(df, path)                       # v0
+    assert fmt.delete_where(spark, path, "score < 0") == 1
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2]
+    # GDPR window: the deleted row is still in v0 until vacuum
+    assert sorted(r.id for r in
+                  fmt.read(spark, path, as_of_version=0).collect()) \
+        == [1, 2, 3]
+    # no matches -> zero deleted, no new commit
+    n_commits = len(fmt._commits(path))
+    assert fmt.delete_where(spark, path, "score > 1e9") == 0
+    assert len(fmt._commits(path)) == n_commits
