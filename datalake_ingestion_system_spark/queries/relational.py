@@ -1502,3 +1502,77 @@ FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path ASC
 LIMIT 20
 """
+
+
+@_q("q_clamped_running_balance")
+def q_clamped_running_balance(spark, sf_dir):
+    """Floor-at-zero running inventory balance — the classic warehouse
+    scan SQL windows canNOT express (the clamp makes each day's balance
+    depend on the clamped previous one: ``bal = max(0, bal + net)``, a
+    max-scan with no closed form).  Implemented as the prompt's
+    category-(b) custom operator: ``applyInPandas`` per supplier — per-key
+    sequential state is inherent to the semantics, and keyed grouping is
+    exactly how it distributes at 100 TB (state never crosses keys).  The
+    oracle replays the same scan with a recursive CTE stepping rn -> rn+1
+    per supplier — two genuinely different execution strategies, one
+    integer-exact answer.
+
+    Flows: per (supplier, ship day) net quantity over the last 60 days of
+    the corpus ('R' returns negative), integer-exact (whole-number
+    quantities, < 2^53 so the double sum is exact before the cast).  The
+    60-day window also bounds the oracle's recursion depth."""
+    li = load(spark, sf_dir, "lineitem")
+    hi = li.agg(F.max(F.to_date("l_shipdate")).alias("hi"))
+    flows = (li.crossJoin(F.broadcast(hi))
+             .filter(F.to_date("l_shipdate")
+                     >= F.date_sub(F.col("hi"), 60))
+             .groupBy(F.col("l_suppkey"),
+                      F.to_date("l_shipdate").alias("day"))
+             .agg(F.round(F.sum(
+                 F.when(F.col("l_returnflag") == "R",
+                        -F.col("l_quantity"))
+                 .otherwise(F.col("l_quantity"))), 0)
+                 .cast("long").alias("net")))
+
+    def clamp(pdf):
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        bal, out = 0, []
+        for n in pdf["net"]:
+            bal = max(0, bal + int(n))
+            out.append(bal)
+        pdf["balance"] = out
+        return pdf
+
+    return (flows.groupBy("l_suppkey")
+            .applyInPandas(clamp,
+                           "l_suppkey long, day date, net long, "
+                           "balance long")
+            .orderBy("l_suppkey", "day"))
+
+
+ORACLE_SQL["q_clamped_running_balance"] = """
+WITH RECURSIVE hi AS (
+  SELECT CAST(max(l_shipdate) AS DATE) AS hi FROM lineitem
+), flows AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                             ELSE l_quantity END), 0) AS BIGINT) AS net
+  FROM lineitem, hi
+  WHERE CAST(l_shipdate AS DATE) >= hi - INTERVAL 60 DAY
+  GROUP BY 1, 2
+), seq AS (
+  SELECT l_suppkey, day, net,
+         row_number() OVER (PARTITION BY l_suppkey ORDER BY day) AS rn
+  FROM flows
+), bal AS (
+  SELECT l_suppkey, day, net, rn, greatest(net, 0) AS balance
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.l_suppkey, s.day, s.net, s.rn,
+         greatest(b.balance + s.net, 0) AS balance
+  FROM bal b JOIN seq s
+    ON s.l_suppkey = b.l_suppkey AND s.rn = b.rn + 1
+)
+SELECT l_suppkey, day, net, balance
+FROM bal ORDER BY l_suppkey, day
+"""
