@@ -40,7 +40,11 @@ _FORCE_FRONT: tuple[str, ...] = (
     "q_asof_two_table", "q_ngram_contamination", "q_rolling_fingerprint",
     "q_winnow_fingerprints", "q_minhash_chargram_pairs",
     "q_minhash_lsh_pairs", "q21_suppliers_kept_waiting",
-    "q_soft_dedup_downsample")
+    "q_soft_dedup_downsample",
+    # round-6 session 2: the sessionization ORACLE changed (floor(epoch)
+    # whole-second parity) after its last green row — the driver must
+    # re-verify it even though it holds historical evidence
+    "q_sessionization")
 
 
 def _evidence():

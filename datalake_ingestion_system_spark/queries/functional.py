@@ -582,3 +582,55 @@ SELECT k, d,
 FROM staged
 ORDER BY k, d
 """
+
+
+@_q("q_ewma_smoothing")
+def q_ewma_smoothing(spark, sf_dir):
+    """Exponentially-weighted moving average (alpha=0.3) over each event
+    type's daily mean — the monitoring/finance smoother whose recurrence
+    ``ewma_t = a*x_t + (1-a)*ewma_{t-1}`` no associative aggregate
+    expresses.  Spark evaluates it as an IN-ROW sequential fold
+    (``F.aggregate`` over the sorted prefix slice — multiplications and
+    additions only, in a defined order, so results are bit-identical to
+    the oracle's recursive-CTE replay of the same recurrence; no pow(),
+    whose last-ulp behavior differs across libm implementations).
+
+    Scale shape: one partial-agg shuffle for daily means, one per-key
+    collect (series length = days, bounded), then O(len^2) in-row
+    arithmetic per series — at 100 TB the per-key series stays small
+    (windowed retention) while keys distribute."""
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("event_type").alias("k"),
+                       F.to_date("ts").alias("d"))
+             .agg(F.round(F.avg("value"), 4).alias("v")))
+    series = (daily.groupBy("k")
+              .agg(F.array_sort(F.collect_list(F.struct("d", "v")))
+                   .alias("arr")))
+    ex = series.select("k", F.posexplode("arr").alias("t", "el"))
+    prefix = F.slice("arr", 1, F.col("t") + 1)
+    fold = F.aggregate(
+        prefix, F.lit(None).cast("double"),
+        lambda acc, s: F.when(acc.isNull(), s["v"])
+                        .otherwise(0.3 * s["v"] + 0.7 * acc))
+    return (ex.join(series, "k")
+            .select("k", F.col("el.d").alias("d"),
+                    F.col("el.v").alias("v"),
+                    F.round(fold, 6).alias("ewma"))
+            .orderBy("k", "d"))
+
+
+ORACLE_SQL["q_ewma_smoothing"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS d, round(avg(value), 4) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY 1, 2
+), ew AS (
+  SELECT k, d, v, rn, v AS ewma FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT dd.k, dd.d, dd.v, dd.rn, 0.3 * dd.v + 0.7 * ew.ewma
+  FROM ew JOIN daily dd ON dd.k = ew.k AND dd.rn = ew.rn + 1
+)
+SELECT k, d, v, round(ewma, 6) AS ewma
+FROM ew ORDER BY k, d
+"""

@@ -37,6 +37,8 @@ DEFAULT_SET = [
     "q_minhash_lsh_pairs", "q_cosine_topk", "q_token_stats",
     "q_bm25_search", "q_ann_ivf_topk", "q_pagerank_bipartite",
     "q_kmeans_verifiable", "q_semantic_dedup", "q_benford_leading_digit",
+    "q_recursive_hierarchy_rollup", "q_variant_json_metadata",
+    "q_series_interpolate", "q_session_paths", "q_clamped_running_balance",
 ]
 
 
