@@ -584,3 +584,61 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     n_commits = len(fmt._commits(path))
     assert fmt.delete_where(spark, path, "score > 1e9") == 0
     assert len(fmt._commits(path)) == n_commits
+
+
+def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
+    """Model check extended over the round-6 ops: random interleavings of
+    append / overwrite_partitions / delete_where / restore must match an
+    in-memory model that snapshots table state per commit VERSION (restore
+    = jump to any recorded snapshot; delete = filtered snapshot).  Pins
+    that recursive restore resolution and copy-on-write deletes compose
+    with the replay algebra in any order."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814 + 1)
+    fmt = TxnLogFormat()
+    counter = itertools.count()
+    for example in range(3):
+        path = str(tmp_path / f"t{example}")
+        state: list = []          # current rows [(p, v), ...]
+        snapshots: dict = {}      # commit version -> rows snapshot
+
+        def snap():
+            snapshots[fmt._commits(path)[-1]["version"]] = list(state)
+
+        # seed so restore/delete always have a table
+        rows = [("a", next(counter)), ("b", next(counter))]
+        fmt.overwrite_table(
+            spark.createDataFrame(rows, "p string, v long"), path)
+        state = list(rows)
+        snap()
+        for _ in range(rng.randint(4, 7)):
+            op = rng.choice(["append", "overwrite", "delete", "restore"])
+            if op == "append":
+                rows = [(rng.choice("abc"), next(counter))]
+                fmt.append(spark.createDataFrame(rows, "p string, v long"),
+                           path)
+                state.extend(rows)
+            elif op == "overwrite":
+                parts = rng.sample("abc", rng.randint(1, 2))
+                rows = [(p, next(counter)) for p in parts]
+                fmt.overwrite_partitions(
+                    spark.createDataFrame(rows, "p string, v long"),
+                    path, "p")
+                state = [r for r in state if r[0] not in parts] + rows
+            elif op == "delete":
+                k = rng.randint(2, 4)
+                n = fmt.delete_where(spark, path, f"v % {k} = 0")
+                survivors = [r for r in state if r[1] % k != 0]
+                assert n == len(state) - len(survivors)
+                state = survivors
+                if n == 0:
+                    continue  # no commit published -> no snapshot
+            else:
+                v = rng.choice(sorted(snapshots))
+                fmt.restore(spark, path, v)
+                state = list(snapshots[v])
+            snap()
+        got = sorted((r.p, r.v) for r in fmt.read(spark, path).collect())
+        assert got == sorted(state), f"example {example}"
