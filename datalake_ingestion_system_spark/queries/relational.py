@@ -1576,3 +1576,77 @@ WITH RECURSIVE hi AS (
 SELECT l_suppkey, day, net, balance
 FROM bal ORDER BY l_suppkey, day
 """
+
+
+@_q("q_prorate_largest_remainder")
+def q_prorate_largest_remainder(spark, sf_dir):
+    """Largest-remainder proration — the financial-allocation classic:
+    distribute each order's total (integer cents) across its line items
+    by quantity share so the allocations SUM EXACTLY to the total (naive
+    rounding drifts by a cent).  Base share is the floor of the
+    proportional cents; the leftover R cents go one each to the R lines
+    with the largest division remainders (line number breaks ties).
+    Entirely integer arithmetic — overflow-safe (cents * qty < 2^63) and
+    bit-identical cross-engine.
+
+    Scale shape: one join pruned to the sampled orders, two windows
+    partitioned per order (line counts are tiny) — no global sort; the
+    per-order partition IS the allocation unit."""
+    o = (load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 97 == 0)
+         .select("o_orderkey",
+                 F.floor(F.col("o_totalprice") * 100 + 0.5)
+                 .cast("long").alias("total_cents")))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"))
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    wo = Window.partitionBy("o_orderkey")
+    staged = j.select(
+        "o_orderkey", "l_linenumber", "qty", "total_cents",
+        F.expr("(total_cents * qty) DIV sum(qty) OVER "
+               "(PARTITION BY o_orderkey)").alias("base_cents"),
+        F.expr("(total_cents * qty) % sum(qty) OVER "
+               "(PARTITION BY o_orderkey)").alias("rem"))
+    wr = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("rem"), F.asc("l_linenumber"))
+    extra = (F.col("total_cents")
+             - F.sum("base_cents").over(wo))
+    return (staged
+            .withColumn("rnk", F.row_number().over(wr))
+            .withColumn("alloc_cents",
+                        F.col("base_cents")
+                        + (F.col("rnk") <= extra).cast("long"))
+            .select("o_orderkey", "l_linenumber", "qty", "alloc_cents")
+            .orderBy("o_orderkey", "l_linenumber"))
+
+
+ORACLE_SQL["q_prorate_largest_remainder"] = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+  FROM orders WHERE o_orderkey % 97 = 0
+), li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+  FROM lineitem
+), staged AS (
+  SELECT o.o_orderkey, li.l_linenumber, li.qty, o.total_cents,
+         (o.total_cents * li.qty)
+           // sum(li.qty) OVER (PARTITION BY o.o_orderkey) AS base_cents,
+         (o.total_cents * li.qty)
+           % sum(li.qty) OVER (PARTITION BY o.o_orderkey) AS rem
+  FROM o JOIN li ON li.l_orderkey = o.o_orderkey
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY rem DESC, l_linenumber ASC) AS rnk,
+         total_cents - CAST(sum(base_cents)
+             OVER (PARTITION BY o_orderkey) AS BIGINT) AS extra
+  FROM staged
+)
+SELECT o_orderkey, l_linenumber, qty,
+       CAST(base_cents + CASE WHEN rnk <= extra THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_cents
+FROM ranked ORDER BY o_orderkey, l_linenumber
+"""
