@@ -1650,3 +1650,60 @@ SELECT o_orderkey, l_linenumber, qty,
             AS BIGINT) AS alloc_cents
 FROM ranked ORDER BY o_orderkey, l_linenumber
 """
+
+
+@_q("q_ab_test_ztest")
+def q_ab_test_ztest(spark, sf_dir):
+    """Two-proportion z-test — the experimentation classic: users split
+    into variants by a deterministic hash coin (user_id % 2), conversion
+    = reached 'purchase'; reports per-variant rates and the pooled
+    z-statistic.  All inputs to the float math are integers; the only
+    irrational op is sqrt, which IEEE 754 requires correctly rounded
+    (unlike pow/exp, whose last ulp varies by libm) — so round(6) output
+    hashes identically cross-engine.  One user-keyed partial agg, then a
+    2-row aggregate; nothing driver-side."""
+    e = load(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.max(((F.col("event_type") == "purchase")
+                             & (F.col("value") > 90)).cast("int"))
+                     .alias("converted")))
+    v = (per_user.groupBy((F.col("user_id") % 2).alias("variant"))
+         .agg(F.count("*").alias("n"),
+              F.sum("converted").cast("long").alias("conv")))
+    a = v.filter("variant = 0").select(
+        F.col("n").alias("n1"), F.col("conv").alias("c1"))
+    b = v.filter("variant = 1").select(
+        F.col("n").alias("n2"), F.col("conv").alias("c2"))
+    j = a.crossJoin(b)
+    p1 = F.col("c1") / F.col("n1")
+    p2 = F.col("c2") / F.col("n2")
+    pp = (F.col("c1") + F.col("c2")) / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(pp * (1 - pp)
+                           * (1 / F.col("n1") + 1 / F.col("n2")))
+    return j.select(
+        "n1", "c1", "n2", "c2",
+        F.round(p1, 6).alias("rate_a"),
+        F.round(p2, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"))
+
+
+ORACLE_SQL["q_ab_test_ztest"] = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 90
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT user_id % 2 AS variant, count(*) AS n,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM per_user GROUP BY 1
+), a AS (SELECT n AS n1, conv AS c1 FROM v WHERE variant = 0),
+b AS (SELECT n AS n2, conv AS c2 FROM v WHERE variant = 1)
+SELECT n1, c1, n2, c2,
+       round(c1 / n1, 6) AS rate_a,
+       round(c2 / n2, 6) AS rate_b,
+       round((c1 / n1 - c2 / n2)
+             / sqrt(((c1 + c2) / (n1 + n2)) * (1 - (c1 + c2) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z_stat
+FROM a, b
+"""
