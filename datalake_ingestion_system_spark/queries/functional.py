@@ -600,31 +600,38 @@ def q_ewma_smoothing(spark, sf_dir):
     arithmetic per series — at 100 TB the per-key series stays small
     (windowed retention) while keys distribute."""
     e = load(spark, sf_dir, "events")
+    # all-NULL days are dropped on BOTH sides ("skip missing" EWMA
+    # semantics): left in, the NULL seed and a NULL data point would be
+    # indistinguishable to the fold and the engines would diverge
     daily = (e.groupBy(F.col("event_type").alias("k"),
                        F.to_date("ts").alias("d"))
-             .agg(F.round(F.avg("value"), 4).alias("v")))
-    series = (daily.groupBy("k")
-              .agg(F.array_sort(F.collect_list(F.struct("d", "v")))
-                   .alias("arr")))
-    ex = series.select("k", F.posexplode("arr").alias("t", "el"))
+             .agg(F.round(F.avg("value"), 4).alias("v"))
+             .filter(F.col("v").isNotNull()))
+    # arr selected ALONGSIDE the generator — a posexplode-then-self-join
+    # would recompute the aggregation and add a join for nothing
+    ex = (daily.groupBy("k")
+          .agg(F.array_sort(F.collect_list(F.struct("d", "v")))
+               .alias("arr"))
+          .select("k", "arr", F.posexplode("arr").alias("t", "el")))
     prefix = F.slice("arr", 1, F.col("t") + 1)
     fold = F.aggregate(
         prefix, F.lit(None).cast("double"),
         lambda acc, s: F.when(acc.isNull(), s["v"])
                         .otherwise(0.3 * s["v"] + 0.7 * acc))
-    return (ex.join(series, "k")
-            .select("k", F.col("el.d").alias("d"),
-                    F.col("el.v").alias("v"),
-                    F.round(fold, 6).alias("ewma"))
+    return (ex.select("k", F.col("el.d").alias("d"),
+                      F.col("el.v").alias("v"),
+                      F.round(fold, 6).alias("ewma"))
             .orderBy("k", "d"))
 
 
 ORACLE_SQL["q_ewma_smoothing"] = """
 WITH RECURSIVE daily AS (
-  SELECT event_type AS k, CAST(ts AS DATE) AS d, round(avg(value), 4) AS v,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY CAST(ts AS DATE)) AS rn
-  FROM events GROUP BY 1, 2
+  SELECT k, d, v, row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+  FROM (
+    SELECT event_type AS k, CAST(ts AS DATE) AS d,
+           round(avg(value), 4) AS v
+    FROM events GROUP BY 1, 2
+  ) WHERE v IS NOT NULL  -- rn AFTER the filter: gaps would break rn+1
 ), ew AS (
   SELECT k, d, v, rn, v AS ewma FROM daily WHERE rn = 1
   UNION ALL

@@ -1678,8 +1678,10 @@ def q_ab_test_ztest(spark, sf_dir):
     p1 = F.col("c1") / F.col("n1")
     p2 = F.col("c2") / F.col("n2")
     pp = (F.col("c1") + F.col("c2")) / (F.col("n1") + F.col("n2"))
-    z = (p1 - p2) / F.sqrt(pp * (1 - pp)
-                           * (1 / F.col("n1") + 1 / F.col("n2")))
+    den = F.sqrt(pp * (1 - pp) * (1 / F.col("n1") + 1 / F.col("n2")))
+    # degenerate pooled rate (0 or 1) -> NULL on BOTH engines; a bare
+    # division would be Spark NULL vs DuckDB IEEE infinity
+    z = F.when(den > 0, (p1 - p2) / den)
     return j.select(
         "n1", "c1", "n2", "c2",
         F.round(p1, 6).alias("rate_a"),
@@ -1702,8 +1704,13 @@ b AS (SELECT n AS n2, conv AS c2 FROM v WHERE variant = 1)
 SELECT n1, c1, n2, c2,
        round(c1 / n1, 6) AS rate_a,
        round(c2 / n2, 6) AS rate_b,
-       round((c1 / n1 - c2 / n2)
-             / sqrt(((c1 + c2) / (n1 + n2)) * (1 - (c1 + c2) / (n1 + n2))
-                    * (1.0 / n1 + 1.0 / n2)), 6) AS z_stat
+       CASE WHEN sqrt(((c1 + c2) / (n1 + n2))
+                      * (1 - (c1 + c2) / (n1 + n2))
+                      * (1.0 / n1 + 1.0 / n2)) > 0
+            THEN round((c1 / n1 - c2 / n2)
+                       / sqrt(((c1 + c2) / (n1 + n2))
+                              * (1 - (c1 + c2) / (n1 + n2))
+                              * (1.0 / n1 + 1.0 / n2)), 6)
+            END AS z_stat
 FROM a, b
 """

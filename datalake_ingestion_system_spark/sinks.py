@@ -83,6 +83,12 @@ class TableFormat:
             .format(self.name).load(path)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A read-modify-write commit lost its optimistic-concurrency race:
+    the log advanced between snapshot read and publish (Delta's
+    ConcurrentAppendException class of conflict).  Re-read and retry."""
+
+
 class TxnLogFormat(TableFormat):
     """Minimal file-based commit log — the transactional TableFormat that
     actually RUNS in this container (delta-spark does not ship here), built
@@ -199,13 +205,23 @@ class TxnLogFormat(TableFormat):
                 .parquet(os.path.join(path, rel)))
         return rel
 
-    def _commit(self, path: str, record: dict) -> int:
+    def _commit(self, path: str, record: dict,
+                expected_version: int | None = None) -> int:
         log = self._log_dir(path)
         os.makedirs(log, exist_ok=True)
         while True:
             versions = [int(n.split(".")[0]) for n in os.listdir(log)
                         if n.endswith(".json")]
             v = (max(versions) + 1) if versions else 0
+            if expected_version is not None and v != expected_version:
+                # optimistic concurrency for read-modify-write commits
+                # (Delta's conflict detection): the snapshot this record
+                # was computed from is no longer the head — surface it
+                # instead of silently erasing the interleaved commit.
+                raise ConcurrentWriteError(
+                    f"table advanced to version {v - 1} while this "
+                    f"write was computed against version "
+                    f"{expected_version - 1}; re-read and retry")
             target = os.path.join(log, f"{v:012d}.json")
             # Write the FULL record (+fsync) to an invisible temp file, then
             # publish with os.link: the commit name either appears with its
@@ -437,7 +453,14 @@ class TxnLogFormat(TableFormat):
         partition pruning (delete keys routed per partition — run one
         ``overwrite_partitions`` per affected partition instead) or a
         deletion-vector design.  Constraints, if configured, re-validate
-        the surviving rows like any other write."""
+        the surviving rows like any other write.
+
+        Concurrency: delete is a read-modify-write, so the commit carries
+        the snapshot's expected version — a commit that landed between
+        the read and the publish raises ``ConcurrentWriteError`` instead
+        of being silently erased by the replace_all (the blind-write ops
+        append/overwrite keep their lock-free retry semantics)."""
+        head = self._commits(path)[-1]["version"]
         current = self.read(spark, path)
         pred = F.expr(predicate)
         n_del = current.filter(pred).count()
@@ -447,7 +470,8 @@ class TxnLogFormat(TableFormat):
         rel = self._stage(survivors, path, None)
         self._commit(path, {"action": "replace_all", "dir": rel,
                             "partition_col": None, "partitions": [],
-                            "schema": survivors.schema.json()})
+                            "schema": survivors.schema.json()},
+                     expected_version=head + 1)
         return n_del
 
     def restore(self, spark: SparkSession, path: str, version: int) -> int:

@@ -642,3 +642,35 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
             snap()
         got = sorted((r.p, r.v) for r in fmt.read(spark, path).collect())
         assert got == sorted(state), f"example {example}"
+
+
+def test_delete_where_detects_concurrent_commit(spark, tmp_path):
+    """Review regression: delete_where is a read-modify-write, so a commit
+    landing between its snapshot read and its publish must raise
+    ConcurrentWriteError — not be silently erased by the replace_all."""
+    from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
+
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, -1.0), (2, 2.0)], "id long, v double"),
+        path)
+
+    racer = TxnLogFormat()
+    orig_read = fmt.read
+
+    def racing_read(spark_, p, **kw):  # a writer sneaks in mid-delete
+        df = orig_read(spark_, p, **kw)
+        racer.append(spark.createDataFrame([(3, 3.0)],
+                                           "id long, v double"), path)
+        fmt.read = orig_read  # only race once
+        return df
+
+    fmt.read = racing_read
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        fmt.delete_where(spark, path, "v < 0")
+    # nothing was lost: the interleaved append survives, no delete applied
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2, 3]
+    # and the retry (now against the new head) succeeds
+    assert fmt.delete_where(spark, path, "v < 0") == 1
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [2, 3]
