@@ -1714,3 +1714,78 @@ SELECT n1, c1, n2, c2,
             END AS z_stat
 FROM a, b
 """
+
+
+@_q("q_spatial_grid_join")
+def q_spatial_grid_join(spark, sf_dir):
+    """Grid-blocked spatial self-join — the distributed spatial pattern
+    (GeoSpark/Sedona's grid partitioning): find all point pairs within
+    radius R by keying each point to its grid cell (cell = floor(coord /
+    R)) and joining each point against its 3x3 neighbor cells, so
+    candidate generation is O(points x local density), never all-pairs.
+    Points are synthesized deterministically from customer keys on an
+    integer lattice; distances compare SQUARED (integer-exact, no sqrt,
+    no trig — sin/cos last-ulp varies across libm, which is why the
+    verifiable mode is planar).  Output: per-cell pair counts + the
+    global pair total.
+
+    Scale shape: one shuffle keyed by (cell, neighbor-offset) — the 9x
+    explode is a constant factor, the classic trade for eliminating the
+    quadratic join; skewed hot cells would chain-chunk exactly like the
+    LSH buckets (operators/dedup.py)."""
+    R = 40
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") * 48271 % 1000).alias("x"),
+        (F.col("c_custkey") * 16807 % 1000).alias("y"))
+    pts = c.select(
+        "id", "x", "y",
+        F.expr(f"x DIV {R}").alias("cx"),
+        F.expr(f"y DIV {R}").alias("cy"))
+    # each point also lands in its 8 neighbor cells as a PROBE-side copy
+    off = spark.range(-1, 2).select(F.col("id").cast("int").alias("dx")) \
+        .crossJoin(spark.range(-1, 2)
+                   .select(F.col("id").cast("int").alias("dy")))
+    probes = (pts.crossJoin(F.broadcast(off))
+              .select("id", "x", "y",
+                      (F.col("cx") + F.col("dx")).alias("cx"),
+                      (F.col("cy") + F.col("dy")).alias("cy")))
+    a, b = probes.alias("a"), pts.alias("b")
+    d2 = ((F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+          + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y")))
+    pairs = (a.join(b, (F.col("a.cx") == F.col("b.cx"))
+                    & (F.col("a.cy") == F.col("b.cy"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .filter(d2 <= R * R)
+             .select(F.col("b.cx").alias("cell_x"),
+                     F.col("b.cy").alias("cell_y"),
+                     F.col("a.id").alias("id_a")))
+    return (pairs.groupBy("cell_x", "cell_y")
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy("cell_x", "cell_y"))
+
+
+ORACLE_SQL["q_spatial_grid_join"] = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         c_custkey * 48271 % 1000 AS x,
+         c_custkey * 16807 % 1000 AS y,
+         (c_custkey * 48271 % 1000) // 40 AS cx,
+         (c_custkey * 16807 % 1000) // 40 AS cy
+  FROM customer
+), off AS (
+  SELECT dx.r AS dx, dy.r AS dy
+  FROM (SELECT unnest([-1, 0, 1]) AS r) dx,
+       (SELECT unnest([-1, 0, 1]) AS r) dy
+), probes AS (
+  SELECT id, x, y, cx + dx AS cx, cy + dy AS cy
+  FROM pts, off
+), pairs AS (
+  SELECT b.cx AS cell_x, b.cy AS cell_y
+  FROM probes a JOIN pts b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1600
+)
+SELECT cell_x, cell_y, count(*) AS n_pairs
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
