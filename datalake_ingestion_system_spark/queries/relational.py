@@ -1789,3 +1789,149 @@ WITH pts AS (
 SELECT cell_x, cell_y, count(*) AS n_pairs
 FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+@_q("q_linear_trend")
+def q_linear_trend(spark, sf_dir):
+    """Per-event-type linear revenue trend (OLS slope over day index) —
+    trend detection in its closed form, made bit-exact by integerizing
+    both regressors BEFORE the sums: x = day index (int), y = daily value
+    cents (int), so sum(x*y) / sum(x^2) etc. are exact integer aggregates
+    (associative — partition order can't matter) and the slope is emitted
+    in LONG fixed-point micro-cents-per-day via integer floor division.
+    Magnitudes: |n*Sxy| < 31 * 31*1e8 * 31 — far under 2^63.
+
+    Scale shape: two partial-agg shuffles (daily cents, then the five
+    OLS sums per key); the regression itself is one projection."""
+    e = load(spark, sf_dir, "events")
+    lo = e.agg(F.min(F.to_date("ts")).alias("lo"))
+    daily = (e.crossJoin(F.broadcast(lo))
+             .groupBy(F.col("event_type").alias("k"),
+                      F.datediff(F.to_date("ts"), F.col("lo"))
+                      .cast("long").alias("x"))
+             # cents are integerized PER ROW, then integer-summed — a
+             # float sum before the floor would re-associate across
+             # partitions and could flip the floor at .5 boundaries
+             .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("y")))
+    sums = (daily.groupBy("k")
+            .agg(F.count("*").alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_fp = F.expr(
+        "CASE WHEN (n * sxx - sx * sx) != 0 THEN "
+        "  ((n * sxy - sx * sy) * 1000000"
+        "   - (((((n * sxy - sx * sy) * 1000000) % (n * sxx - sx * sx))"
+        "       + (n * sxx - sx * sx)) % (n * sxx - sx * sx)))"
+        "  DIV (n * sxx - sx * sx) END")
+    return (sums.select("k", "n", "sx", "sy",
+                        slope_fp.alias("slope_fp_microcents_per_day"))
+            .orderBy("k"))
+
+
+ORACLE_SQL["q_linear_trend"] = """
+WITH lo AS (SELECT CAST(min(ts) AS DATE) AS lo FROM events),
+daily AS (
+  SELECT event_type AS k,
+         CAST(datediff('day', lo, CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM events, lo GROUP BY 1, lo, 2
+), sums AS (
+  SELECT k, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM daily GROUP BY k
+)
+SELECT k, n, sx, sy,
+       CASE WHEN (n * sxx - sx * sx) != 0 THEN
+         ((n * sxy - sx * sy) * 1000000
+          - (((((n * sxy - sx * sy) * 1000000) % (n * sxx - sx * sx))
+              + (n * sxx - sx * sx)) % (n * sxx - sx * sx)))
+         // (n * sxx - sx * sx) END AS slope_fp_microcents_per_day
+FROM sums ORDER BY k
+"""
+
+
+@_q("q_growth_accounting")
+def q_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting — the user-base decomposition every
+    growth team runs: per week, users split into NEW (first week ever),
+    RETAINED (also active previous week), RESURRECTED (active before,
+    gapped last week); plus CHURNED (active last week, absent now,
+    attributed to the week they went missing).  One per-(user, week)
+    frame, one lag window per user, one count aggregation — all integer
+    date arithmetic (weeks as days-since-epoch DIV 7, no ISO-week
+    boundary ambiguity between engines)."""
+    e = load(spark, sf_dir, "events")
+    uw = (e.select("user_id",
+                   F.expr("unix_date(to_date(ts)) DIV 7").alias("wk"))
+          .distinct())
+    w = Window.partitionBy("user_id").orderBy("wk")
+    first_wk = F.min("wk").over(
+        Window.partitionBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lagged = uw.select(
+        "user_id", "wk",
+        F.lag("wk", 1).over(w).alias("prev_wk"),
+        first_wk.alias("first_wk"))
+    status = (F.when(F.col("wk") == F.col("first_wk"), "new")
+              .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+              .otherwise("resurrected"))
+    active = (lagged.groupBy("wk")
+              .agg(F.sum(F.when(status == "new", 1).otherwise(0))
+                   .cast("long").alias("n_new"),
+                   F.sum(F.when(status == "retained", 1).otherwise(0))
+                   .cast("long").alias("n_retained"),
+                   F.sum(F.when(status == "resurrected", 1).otherwise(0))
+                   .cast("long").alias("n_resurrected")))
+    # churn attributed to week w+1: active in w, absent in w+1
+    nxt = F.lead("wk", 1).over(w)
+    churn = (uw.select("user_id", "wk", nxt.alias("next_wk"))
+             .filter(F.col("next_wk").isNull()
+                     | (F.col("next_wk") > F.col("wk") + 1))
+             .groupBy((F.col("wk") + 1).alias("wk"))
+             .agg(F.count("*").cast("long").alias("n_churned")))
+    return (active.join(churn, "wk", "left")
+            .select("wk", "n_new", "n_retained", "n_resurrected",
+                    F.coalesce("n_churned", F.lit(0)).alias("n_churned"))
+            .orderBy("wk"))
+
+
+ORACLE_SQL["q_growth_accounting"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           // 7 AS wk
+  FROM events
+), lagged AS (
+  SELECT user_id, wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+         min(wk) OVER (PARTITION BY user_id) AS first_wk,
+         lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+  FROM uw
+), active AS (
+  SELECT wk,
+         CAST(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN wk != first_wk AND prev_wk = wk - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN wk != first_wk
+                        AND (prev_wk IS NULL OR prev_wk < wk - 1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM lagged GROUP BY wk
+), churn AS (
+  SELECT wk + 1 AS wk, count(*) AS n_churned
+  FROM lagged
+  WHERE next_wk IS NULL OR next_wk > wk + 1
+  GROUP BY wk + 1
+)
+SELECT a.wk, a.n_new, a.n_retained, a.n_resurrected,
+       coalesce(c.n_churned, 0) AS n_churned
+FROM active a LEFT JOIN churn c ON c.wk = a.wk
+ORDER BY a.wk
+"""
