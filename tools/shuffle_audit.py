@@ -39,6 +39,8 @@ DEFAULT_SET = [
     "q_kmeans_verifiable", "q_semantic_dedup", "q_benford_leading_digit",
     "q_recursive_hierarchy_rollup", "q_variant_json_metadata",
     "q_series_interpolate", "q_session_paths", "q_clamped_running_balance",
+    "q_ewma_smoothing", "q_prorate_largest_remainder", "q_ab_test_ztest",
+    "q_spatial_grid_join", "q_linear_trend", "q_growth_accounting",
 ]
 
 
