@@ -1935,3 +1935,88 @@ SELECT a.wk, a.n_new, a.n_retained, a.n_resurrected,
 FROM active a LEFT JOIN churn c ON c.wk = a.wk
 ORDER BY a.wk
 """
+
+
+@_q("q_fifo_lot_matching")
+def q_fifo_lot_matching(spark, sf_dir):
+    """FIFO lot matching WITHOUT sequential state — the inventory/tax-lot
+    classic (match each return against the oldest prior shipments) recast
+    as interval algebra: cumulative quantities turn every buy lot into
+    the half-open range [cum_before, cum_after) on a per-part axis and
+    every sell likewise; FIFO consumption is then exactly the pairwise
+    OVERLAP of those ranges — an ordinary non-equi join, no recursion, no
+    applyInPandas (contrast ``q_clamped_running_balance``, where the
+    clamp genuinely forces sequential state).  All integer: quantities,
+    cents and unit costs are per-row integerized; overlap =
+    min(his) - max(los).
+
+    Scale shape: one cumulative window per (part, side) — FIFO order is
+    (ship date, order, line), a total order, so ranges are unambiguous —
+    then a per-part range join; ``operators/range_join.py``'s bucketized
+    form is the swap if lots-per-part grows unbounded."""
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_partkey") % 53 == 0)  # sample keeps output small
+          .select("l_partkey", "l_returnflag", "l_shipdate", "l_orderkey",
+                  "l_linenumber",
+                  F.floor(F.col("l_quantity") + 0.5).cast("long")
+                  .alias("qty"),
+                  F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                  .alias("cents")))
+    ws = (Window.partitionBy("l_partkey", "l_returnflag")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    sided = li.select(
+        "l_partkey", "l_returnflag", "qty",
+        F.expr("cents DIV qty").alias("unit_cents"),
+        F.sum("qty").over(ws).alias("hi"))
+    sided = sided.withColumn("lo", F.col("hi") - F.col("qty"))
+    buys = (sided.filter(F.col("l_returnflag") != "R")
+            .select("l_partkey", F.col("lo").alias("b_lo"),
+                    F.col("hi").alias("b_hi"), "unit_cents"))
+    sells = (sided.filter(F.col("l_returnflag") == "R")
+             .select(F.col("l_partkey").alias("s_partkey"),
+                     F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi")))
+    ovl = (F.least(F.col("b_hi"), F.col("s_hi"))
+           - F.greatest(F.col("b_lo"), F.col("s_lo")))
+    m = (buys.join(sells, (buys.l_partkey == sells.s_partkey)
+                   & (F.col("b_lo") < F.col("s_hi"))
+                   & (F.col("s_lo") < F.col("b_hi")))
+         .select("l_partkey", ovl.alias("matched_qty"),
+                 (ovl * F.col("unit_cents")).alias("matched_cents")))
+    return (m.groupBy("l_partkey")
+            .agg(F.count("*").alias("n_matches"),
+                 F.sum("matched_qty").alias("matched_qty"),
+                 F.sum("matched_cents").alias("matched_cost_cents"))
+            .orderBy("l_partkey"))
+
+
+ORACLE_SQL["q_fifo_lot_matching"] = """
+WITH li AS (
+  SELECT l_partkey, l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem WHERE l_partkey % 53 = 0
+), sided AS (
+  SELECT l_partkey, l_returnflag, qty, cents // qty AS unit_cents,
+         sum(qty) OVER (PARTITION BY l_partkey, l_returnflag
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hi
+  FROM li
+), ranged AS (
+  SELECT *, hi - qty AS lo FROM sided
+), m AS (
+  SELECT b.l_partkey,
+         least(b.hi, s.hi) - greatest(b.lo, s.lo) AS matched_qty,
+         (least(b.hi, s.hi) - greatest(b.lo, s.lo)) * b.unit_cents
+           AS matched_cents
+  FROM ranged b JOIN ranged s
+    ON b.l_partkey = s.l_partkey
+   AND b.l_returnflag != 'R' AND s.l_returnflag = 'R'
+   AND b.lo < s.hi AND s.lo < b.hi
+)
+SELECT l_partkey, count(*) AS n_matches,
+       CAST(sum(matched_qty) AS BIGINT) AS matched_qty,
+       CAST(sum(matched_cents) AS BIGINT) AS matched_cost_cents
+FROM m GROUP BY l_partkey ORDER BY l_partkey
+"""
