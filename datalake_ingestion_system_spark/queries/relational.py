@@ -1726,8 +1726,7 @@ def q_spatial_grid_join(spark, sf_dir):
     Points are synthesized deterministically from customer keys on an
     integer lattice; distances compare SQUARED (integer-exact, no sqrt,
     no trig — sin/cos last-ulp varies across libm, which is why the
-    verifiable mode is planar).  Output: per-cell pair counts + the
-    global pair total.
+    verifiable mode is planar).  Output: per-cell pair counts.
 
     Scale shape: one shuffle keyed by (cell, neighbor-offset) — the 9x
     explode is a constant factor, the classic trade for eliminating the
@@ -1819,8 +1818,6 @@ def q_linear_trend(spark, sf_dir):
                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
                  F.sum(F.col("x") * F.col("y")).alias("sxy")))
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope_fp = F.expr(
         "CASE WHEN (n * sxx - sx * sx) != 0 THEN "
         "  ((n * sxy - sx * sy) * 1000000"
@@ -1872,9 +1869,9 @@ def q_growth_accounting(spark, sf_dir):
                    F.expr("unix_date(to_date(ts)) DIV 7").alias("wk"))
           .distinct())
     w = Window.partitionBy("user_id").orderBy("wk")
-    first_wk = F.min("wk").over(
-        Window.partitionBy("user_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # whole-partition min — a running min with no orderBy would depend
+    # on nondeterministic row arrival order (review-caught via probe)
+    first_wk = F.min("wk").over(Window.partitionBy("user_id"))
     lagged = uw.select(
         "user_id", "wk",
         F.lag("wk", 1).over(w).alias("prev_wk"),
@@ -1896,8 +1893,14 @@ def q_growth_accounting(spark, sf_dir):
                      | (F.col("next_wk") > F.col("wk") + 1))
              .groupBy((F.col("wk") + 1).alias("wk"))
              .agg(F.count("*").cast("long").alias("n_churned")))
-    return (active.join(churn, "wk", "left")
-            .select("wk", "n_new", "n_retained", "n_resurrected",
+    # FULL join: churn attributed to an all-quiet week (or the week
+    # after the last data week) must still be reported
+    return (active.join(churn, "wk", "full")
+            .select("wk",
+                    F.coalesce("n_new", F.lit(0)).alias("n_new"),
+                    F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+                    F.coalesce("n_resurrected", F.lit(0))
+                    .alias("n_resurrected"),
                     F.coalesce("n_churned", F.lit(0)).alias("n_churned"))
             .orderBy("wk"))
 
@@ -1930,10 +1933,13 @@ WITH uw AS (
   WHERE next_wk IS NULL OR next_wk > wk + 1
   GROUP BY wk + 1
 )
-SELECT a.wk, a.n_new, a.n_retained, a.n_resurrected,
+SELECT coalesce(a.wk, c.wk) AS wk,
+       coalesce(a.n_new, 0) AS n_new,
+       coalesce(a.n_retained, 0) AS n_retained,
+       coalesce(a.n_resurrected, 0) AS n_resurrected,
        coalesce(c.n_churned, 0) AS n_churned
-FROM active a LEFT JOIN churn c ON c.wk = a.wk
-ORDER BY a.wk
+FROM active a FULL JOIN churn c ON c.wk = a.wk
+ORDER BY 1
 """
 
 
@@ -1962,7 +1968,13 @@ def q_fifo_lot_matching(spark, sf_dir):
                   .alias("qty"),
                   F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
                   .alias("cents")))
-    ws = (Window.partitionBy("l_partkey", "l_returnflag")
+    # ONE cumulative axis per SIDE (buy vs return), not per raw flag —
+    # partitioning by the 3-valued returnflag would give 'A' and 'N' buy
+    # lots two independent axes both starting at 0, and every sell range
+    # would overlap both (double-counted matches; review-caught, the
+    # both-engines-share-it class oracle parity cannot catch)
+    ws = (Window.partitionBy("l_partkey",
+                             (F.col("l_returnflag") == "R").alias("is_ret"))
           .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
           .rowsBetween(Window.unboundedPreceding, 0))
     sided = li.select(
@@ -1998,7 +2010,7 @@ WITH li AS (
   FROM lineitem WHERE l_partkey % 53 = 0
 ), sided AS (
   SELECT l_partkey, l_returnflag, qty, cents // qty AS unit_cents,
-         sum(qty) OVER (PARTITION BY l_partkey, l_returnflag
+         sum(qty) OVER (PARTITION BY l_partkey, (l_returnflag = 'R')
                         ORDER BY l_shipdate, l_orderkey, l_linenumber
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS hi

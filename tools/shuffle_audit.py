@@ -41,6 +41,7 @@ DEFAULT_SET = [
     "q_series_interpolate", "q_session_paths", "q_clamped_running_balance",
     "q_ewma_smoothing", "q_prorate_largest_remainder", "q_ab_test_ztest",
     "q_spatial_grid_join", "q_linear_trend", "q_growth_accounting",
+    "q_fifo_lot_matching",
 ]
 
 
