@@ -1597,9 +1597,10 @@ def q_prorate_largest_remainder(spark, sf_dir):
          .select("o_orderkey",
                  F.floor(F.col("o_totalprice") * 100 + 0.5)
                  .cast("long").alias("total_cents")))
-    li = load(spark, sf_dir, "lineitem").select(
+    li = (load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber",
         F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"))
+          .filter(F.col("qty") > 0))  # 0-divisor guard, same as FIFO
     j = o.join(li, o.o_orderkey == li.l_orderkey)
     wo = Window.partitionBy("o_orderkey")
     staged = j.select(
@@ -1630,6 +1631,7 @@ WITH o AS (
   SELECT l_orderkey, l_linenumber,
          CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
   FROM lineitem
+  WHERE CAST(floor(l_quantity + 0.5) AS BIGINT) > 0
 ), staged AS (
   SELECT o.o_orderkey, li.l_linenumber, li.qty, o.total_cents,
          (o.total_cents * li.qty)
@@ -1967,7 +1969,11 @@ def q_fifo_lot_matching(spark, sf_dir):
                   F.floor(F.col("l_quantity") + 0.5).cast("long")
                   .alias("qty"),
                   F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-                  .alias("cents")))
+                  .alias("cents"))
+          # zero-qty rows would make unit_cents a 0-divisor: Spark DIV
+          # yields NULL but DuckDB // RAISES — keep the engines aligned
+          # if the driver ever regenerates data with zero quantities
+          .filter(F.col("qty") > 0))
     # ONE cumulative axis per SIDE (buy vs return), not per raw flag —
     # partitioning by the 3-valued returnflag would give 'A' and 'N' buy
     # lots two independent axes both starting at 0, and every sell range
@@ -2007,7 +2013,8 @@ WITH li AS (
   SELECT l_partkey, l_returnflag, l_shipdate, l_orderkey, l_linenumber,
          CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM lineitem WHERE l_partkey % 53 = 0
+  FROM lineitem
+  WHERE l_partkey % 53 = 0 AND CAST(floor(l_quantity + 0.5) AS BIGINT) > 0
 ), sided AS (
   SELECT l_partkey, l_returnflag, qty, cents // qty AS unit_cents,
          sum(qty) OVER (PARTITION BY l_partkey, (l_returnflag = 'R')
