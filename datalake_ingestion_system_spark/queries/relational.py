@@ -2039,3 +2039,59 @@ SELECT l_partkey, count(*) AS n_matches,
        CAST(sum(matched_cents) AS BIGINT) AS matched_cost_cents
 FROM m GROUP BY l_partkey ORDER BY l_partkey
 """
+
+
+@_q("q_yoy_revenue")
+def q_yoy_revenue(spark, sf_dir):
+    """Period-over-period reporting (MoM / YoY) — the finance-dashboard
+    staple: monthly revenue in integer cents (per-row integerized, exact
+    associative sums) with lag-1 and lag-12 comparisons and growth in
+    integer ppm via the pmod floor-division identity.  The single-series
+    window is over the MONTH frame — bounded by the calendar (~84 rows
+    for 7 years), not by data volume, so the one-partition window is
+    benign at any scale; the data-sized work is all in the partial-agg
+    month rollup."""
+    o = load(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                         .alias("ym"))
+               .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                          .cast("long")).alias("rev_cents")))
+    w = Window.orderBy("ym")
+    prev_m = F.lag("rev_cents", 1).over(w)
+    prev_y = F.lag("rev_cents", 12).over(w)
+    return (monthly.select(
+        "ym", "rev_cents",
+        (F.col("rev_cents") - prev_m).alias("mom_cents"),
+        (F.col("rev_cents") - prev_y).alias("yoy_cents"),
+        F.when(prev_m > 0,
+               F.expr("((rev_cents - lag(rev_cents, 1) OVER (ORDER BY ym))"
+                      " * 1000000) DIV lag(rev_cents, 1) OVER (ORDER BY ym)"
+                      )).alias("mom_ppm"),
+        F.when(prev_y > 0,
+               F.expr("((rev_cents - lag(rev_cents, 12) OVER (ORDER BY ym))"
+                      " * 1000000) DIV lag(rev_cents, 12) OVER (ORDER BY ym)"
+                      )).alias("yoy_ppm"))
+        .orderBy("ym"))
+
+
+ORACLE_SQL["q_yoy_revenue"] = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT ym, rev_cents,
+         lag(rev_cents, 1) OVER (ORDER BY ym) AS pm,
+         lag(rev_cents, 12) OVER (ORDER BY ym) AS py
+  FROM monthly
+)
+SELECT ym, rev_cents,
+       rev_cents - pm AS mom_cents,
+       rev_cents - py AS yoy_cents,
+       CASE WHEN pm > 0 THEN ((rev_cents - pm) * 1000000) // pm END
+         AS mom_ppm,
+       CASE WHEN py > 0 THEN ((rev_cents - py) * 1000000) // py END
+         AS yoy_ppm
+FROM lagged ORDER BY ym
+"""
