@@ -598,14 +598,21 @@ def q_ewma_smoothing(spark, sf_dir):
     Scale shape: one partial-agg shuffle for daily means, one per-key
     collect (series length = days, bounded), then O(len^2) in-row
     arithmetic per series — at 100 TB the per-key series stays small
-    (windowed retention) while keys distribute."""
+    (windowed retention) while keys distribute.
+
+    Rounding discipline (sf0.001 regression): ``round(avg, 4)`` diverged
+    at an exact decimal half (38.37875 -> Spark HALF_UP 38.3788, DuckDB
+    binary-round 38.3787).  Quantization is therefore
+    ``floor(x * 1e4 + 0.5) / 1e4`` — one shared IEEE multiply+floor path,
+    no engine-specific decimal rendering — and the output is emitted as
+    LONG fixed-point for the same reason."""
     e = load(spark, sf_dir, "events")
     # all-NULL days are dropped on BOTH sides ("skip missing" EWMA
     # semantics): left in, the NULL seed and a NULL data point would be
     # indistinguishable to the fold and the engines would diverge
     daily = (e.groupBy(F.col("event_type").alias("k"),
                        F.to_date("ts").alias("d"))
-             .agg(F.round(F.avg("value"), 4).alias("v"))
+             .agg((F.floor(F.avg("value") * 1e4 + 0.5) / 1e4).alias("v"))
              .filter(F.col("v").isNotNull()))
     # arr selected ALONGSIDE the generator — a posexplode-then-self-join
     # would recompute the aggregation and add a join for nothing
@@ -620,7 +627,8 @@ def q_ewma_smoothing(spark, sf_dir):
                         .otherwise(0.3 * s["v"] + 0.7 * acc))
     return (ex.select("k", F.col("el.d").alias("d"),
                       F.col("el.v").alias("v"),
-                      F.round(fold, 6).alias("ewma"))
+                      F.floor(fold * 1e6 + 0.5).cast("long")
+                      .alias("ewma_fp"))
             .orderBy("k", "d"))
 
 
@@ -629,7 +637,7 @@ WITH RECURSIVE daily AS (
   SELECT k, d, v, row_number() OVER (PARTITION BY k ORDER BY d) AS rn
   FROM (
     SELECT event_type AS k, CAST(ts AS DATE) AS d,
-           round(avg(value), 4) AS v
+           floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
     FROM events GROUP BY 1, 2
   ) WHERE v IS NOT NULL  -- rn AFTER the filter: gaps would break rn+1
 ), ew AS (
@@ -638,6 +646,6 @@ WITH RECURSIVE daily AS (
   SELECT dd.k, dd.d, dd.v, dd.rn, 0.3 * dd.v + 0.7 * ew.ewma
   FROM ew JOIN daily dd ON dd.k = ew.k AND dd.rn = ew.rn + 1
 )
-SELECT k, d, v, round(ewma, 6) AS ewma
+SELECT k, d, v, CAST(floor(ewma * 1e6 + 0.5) AS BIGINT) AS ewma_fp
 FROM ew ORDER BY k, d
 """

@@ -641,8 +641,11 @@ def q02_min_cost_supplier(spark, sf_dir):
     unit cost (TPC-H Q2 shape: the correlated aggregate subquery — min per
     part over region suppliers — matched back by equality).  The lake has
     no ``partsupp``, so the supply relation is derived: the minimum unit
-    price each supplier ever shipped a part at (rounded to 4 places BEFORE
-    the equality match so both engines compare identical values).
+    price each supplier ever shipped a part at, in INTEGER fixed-point
+    (1e-4 dollars: ``cents * 100 DIV qty``) — a round(x, 4) here diverged
+    at sf0.001 on an exact decimal half (26.24125: Spark HALF_UP vs
+    DuckDB binary rounding), and the equality match amplifies any
+    last-place difference into missing/extra rows.
 
     Scale: the supply agg is one keyed shuffle of lineitem; supplier/
     nation/region and the per-part min (card. = selected parts) broadcast.
@@ -660,9 +663,13 @@ def q02_min_cost_supplier(spark, sf_dir):
     # rows would be discarded by the part join anyway), ~12x less agg input
     supply = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_partkey", "l_suppkey",
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                .alias("cents"),
+                F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"))
+        .filter(F.col("qty") > 0)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
-              .alias("supply_cost"))
+        .agg(F.min(F.expr("cents * 100 DIV qty")).alias("supply_cost_fp"))
     )
     eu_supply = (
         supply
@@ -673,14 +680,14 @@ def q02_min_cost_supplier(spark, sf_dir):
     )
     best = (
         eu_supply.groupBy(F.col("l_partkey").alias("bk"))
-        .agg(F.min("supply_cost").alias("best_cost"))
+        .agg(F.min("supply_cost_fp").alias("best_cost"))
     )
     return (
         eu_supply.join(F.broadcast(best),
                        (eu_supply.l_partkey == best.bk)
-                       & (eu_supply.supply_cost == best.best_cost))
+                       & (eu_supply.supply_cost_fp == best.best_cost))
         .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
-                "n_name", "p_partkey", "p_name", "supply_cost")
+                "n_name", "p_partkey", "p_name", "supply_cost_fp")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
@@ -689,18 +696,21 @@ def q02_min_cost_supplier(spark, sf_dir):
 ORACLE_SQL["q02_min_cost_supplier"] = """
 WITH supply AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         round(min(l_extendedprice / l_quantity), 4) AS supply_cost
-  FROM lineitem GROUP BY 1, 2
+         min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 100
+             // CAST(floor(l_quantity + 0.5) AS BIGINT)) AS supply_cost_fp
+  FROM lineitem
+  WHERE CAST(floor(l_quantity + 0.5) AS BIGINT) > 0
+  GROUP BY 1, 2
 )
 SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
-       supply_cost
+       supply_cost_fp
 FROM part, supply, supplier, nation, region
 WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
   AND p_size BETWEEN 10 AND 25 AND p_type = 'STANDARD'
   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
   AND r_name = 'EUROPE'
-  AND supply_cost = (
-    SELECT min(ps2.supply_cost)
+  AND supply_cost_fp = (
+    SELECT min(ps2.supply_cost_fp)
     FROM supply ps2, supplier s2, nation n2, region r2
     WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
       AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
