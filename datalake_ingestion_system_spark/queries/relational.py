@@ -2095,3 +2095,81 @@ SELECT ym, rev_cents,
          AS yoy_ppm
 FROM lagged ORDER BY ym
 """
+
+
+@_q("q_merge_upsert")
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO oracle-verified end to end: a per-customer state table is
+    built from the pre-1995 orders, then a CDC batch derived from the
+    post-1995 orders is applied through ``TxnLogFormat.merge`` — matched
+    tombstones DELETE, matched rows UPDATE SET *, unmatched non-tombstones
+    INSERT, unmatched tombstones drop — and the FINAL table state is
+    returned.  The DuckDB oracle recomputes the merge declaratively
+    (anti-join survivors ∪ non-tombstone source rows), so the whole upsert
+    path — copy-on-write staging, commit-log publish, clause routing — is
+    checked cross-engine, not just in unit tests.
+
+    Tombstone rule is deterministic (custkey % 17 = 0 plays the CDC 'D'
+    op), amounts are integer cents (floor(x*100+0.5), the shared IEEE
+    quantization path).  Scale shape: two partial-agg shuffles build the
+    snapshots, the merge itself is one keyed join (AQE broadcasts small
+    CDC batches) — never a driver-side row loop.
+
+    Reference parity: the reference's daily job applies upserts by
+    drop-recreate of the whole output (DATALAKE_TRANSFORMATION_S3_DAILY_
+    JOB.PY); ``merge`` keeps that cost model but adds atomicity, conflict
+    detection, and time travel."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+         .alias("cents"))
+    pivot = F.lit("1995-01-01").cast("date")
+
+    def snap(df):
+        return (df.groupBy("o_custkey")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum("cents").alias("total_cents"),
+                     F.max("d").alias("last_date")))
+
+    target = snap(base.filter(F.col("d") < pivot))
+    source = snap(base.filter(F.col("d") >= pivot)).withColumn(
+        "op", F.when(F.col("o_custkey") % 17 == 0, F.lit("D"))
+               .otherwise(F.lit("U")))
+    path = tempfile.mkdtemp(prefix="merge_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.overwrite_table(target, path)
+    fmt.merge(spark, path, source, "o_custkey",
+              matched_delete_condition="op = 'D'",
+              insert_condition="op <> 'D'")
+    return fmt.read(spark, path).select(
+        "o_custkey", "n_orders", "total_cents", "last_date")
+
+
+ORACLE_SQL["q_merge_upsert"] = """
+WITH base AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), t AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         max(d) AS last_date
+  FROM base WHERE d < DATE '1995-01-01' GROUP BY o_custkey
+), s AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         max(d) AS last_date,
+         CASE WHEN o_custkey % 17 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM base WHERE d >= DATE '1995-01-01' GROUP BY o_custkey
+)
+SELECT t.o_custkey, t.n_orders, t.total_cents, t.last_date
+FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_custkey = t.o_custkey)
+UNION ALL
+SELECT o_custkey, n_orders, total_cents, last_date
+FROM s WHERE op <> 'D'
+"""

@@ -474,6 +474,129 @@ class TxnLogFormat(TableFormat):
                      expected_version=head + 1)
         return n_del
 
+    def update_where(self, spark: SparkSession, path: str, predicate: str,
+                     assignments: dict[str, str]) -> int:
+        """Row-level UPDATE ... SET (Delta ``UPDATE`` analogue): rows
+        matching ``predicate`` get each ``assignments[col]`` SQL expression
+        evaluated against the CURRENT row and cast back to the column's
+        existing type (schema is stable across updates by construction);
+        all other rows pass through byte-identical.  Copy-on-write: one
+        staged full rewrite published as a ``replace_all`` commit, so the
+        pre-update state stays time-travelable until ``vacuum``.
+
+        Same concurrency contract as ``delete_where``: the commit carries
+        the snapshot's expected version and raises ``ConcurrentWriteError``
+        if another commit landed between read and publish.  Same scale
+        note too — at 100 TB route updates per partition or use a
+        deletion-vector/merge-on-read design; the seam here is the commit
+        protocol, not the rewrite granularity.  Returns rows updated."""
+        head = self._commits(path)[-1]["version"]
+        current = self.read(spark, path)
+        unknown = [c for c in assignments if c not in current.columns]
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET references columns not in the table: {unknown}")
+        pred = F.expr(predicate)
+        n_upd = current.filter(pred).count()
+        if n_upd == 0:
+            return 0
+        # SQL UPDATE semantics: a NULL predicate leaves the row unchanged
+        hit = F.coalesce(pred, F.lit(False))
+        types = dict(current.dtypes)
+        updated = current.select(*[
+            (F.when(hit, F.expr(assignments[c]).cast(types[c]))
+              .otherwise(F.col(c)).alias(c)) if c in assignments
+            else F.col(c)
+            for c in current.columns])
+        rel = self._stage(updated, path, None)
+        self._commit(path, {"action": "replace_all", "dir": rel,
+                            "partition_col": None, "partitions": [],
+                            "schema": updated.schema.json()},
+                     expected_version=head + 1)
+        return n_upd
+
+    def merge(self, spark: SparkSession, path: str, source: DataFrame,
+              key: str | list[str],
+              matched_delete_condition: str | None = None,
+              insert_condition: str | None = None) -> dict:
+        """MERGE INTO (Delta upsert analogue), the CDC apply primitive:
+
+        - WHEN MATCHED AND ``matched_delete_condition`` THEN DELETE
+        - WHEN MATCHED THEN UPDATE SET *  (source row replaces target row)
+        - WHEN NOT MATCHED AND ``insert_condition`` THEN INSERT *
+
+        Both conditions are SQL predicates over SOURCE columns (the Delta
+        clause-condition shape); ``insert_condition=None`` inserts every
+        unmatched source row.  The canonical CDC call is
+        ``matched_delete_condition="op = 'D'", insert_condition="op <> 'D'"``
+        — tombstones delete existing keys and are dropped for absent ones.
+        Source may carry extra columns (e.g. ``op``); they are consulted by
+        the conditions and then projected away — but it must supply every
+        target column, and at most one row per merge key (multiple matches
+        make UPDATE SET * ambiguous; raises ``ValueError``, matching
+        Delta's multiple-source-rows-matched error).
+
+        Copy-on-write ``replace_all`` publish with the same
+        ``ConcurrentWriteError`` snapshot guard as ``delete_where``; CHECK
+        constraints re-validate the merged state.  Scale shape: one keyed
+        shuffle join of target × source (AQE picks broadcast when the CDC
+        batch is small) plus one metrics pass — never driver-side row
+        loops.  Returns ``{"updated": n, "deleted": n, "inserted": n}``.
+
+        Reference parity: the reference applies upserts by full-table
+        rewrite in its daily job (DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY's
+        drop-recreate); this keeps that rewrite cost model but adds
+        atomicity, conflict detection, and time travel."""
+        keys = [key] if isinstance(key, str) else list(key)
+        head = self._commits(path)[-1]["version"]
+        target = self.read(spark, path)
+        tcols = target.columns
+        missing = [c for c in tcols if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"merge source is missing target columns: {missing}")
+        if (source.groupBy(*keys).count()
+                .filter(F.col("count") > 1).limit(1).count()):
+            raise ValueError(
+                "multiple source rows share a merge key — UPDATE SET * is "
+                "ambiguous (pre-aggregate the source to one row per key, "
+                "e.g. latest-wins by a CDC ordering column)")
+        del_cond = (F.coalesce(F.expr(matched_delete_condition), F.lit(False))
+                    if matched_delete_condition is not None else F.lit(False))
+        ins_cond = (F.coalesce(F.expr(insert_condition), F.lit(False))
+                    if insert_condition is not None else F.lit(True))
+        types = dict(target.dtypes)
+        src = source.withColumn("_m_del", del_cond).withColumn(
+            "_m_ins", ins_cond)
+        tgt_keys = target.select(*keys).distinct()
+        matched = src.join(tgt_keys, keys, "left_semi")
+        unmatched = src.join(tgt_keys, keys, "left_anti")
+        as_target = [F.col(c).cast(types[c]).alias(c) for c in tcols]
+        upserts = matched.filter(~F.col("_m_del")).select(*as_target)
+        inserts = unmatched.filter(F.col("_m_ins")).select(*as_target)
+        kept = target.join(source.select(*keys), keys, "left_anti")
+        new_state = kept.select(*tcols).unionByName(upserts) \
+                        .unionByName(inserts)
+        stats_row = (src.join(tgt_keys.withColumn("_m", F.lit(True)),
+                              keys, "left")
+                     .agg(F.sum((F.coalesce(F.col("_m"), F.lit(False))
+                                 & ~F.col("_m_del")).cast("long"))
+                          .alias("updated"),
+                          F.sum((F.coalesce(F.col("_m"), F.lit(False))
+                                 & F.col("_m_del")).cast("long"))
+                          .alias("deleted"),
+                          F.sum((F.col("_m").isNull()
+                                 & F.col("_m_ins")).cast("long"))
+                          .alias("inserted")).head())
+        rel = self._stage(new_state, path, None)
+        self._commit(path, {"action": "replace_all", "dir": rel,
+                            "partition_col": None, "partitions": [],
+                            "schema": new_state.schema.json()},
+                     expected_version=head + 1)
+        return {"updated": int(stats_row["updated"] or 0),
+                "deleted": int(stats_row["deleted"] or 0),
+                "inserted": int(stats_row["inserted"] or 0)}
+
     def restore(self, spark: SparkSession, path: str, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — as a METADATA-ONLY commit
         (Delta's RESTORE shape): no data is rewritten; a ``restore`` record

@@ -588,7 +588,8 @@ def test_delete_where_copy_on_write(spark, tmp_path):
 
 def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
     """Model check extended over the round-6 ops: random interleavings of
-    append / overwrite_partitions / delete_where / restore must match an
+    append / overwrite_partitions / delete_where / update_where / restore
+    must match an
     in-memory model that snapshots table state per commit VERSION (restore
     = jump to any recorded snapshot; delete = filtered snapshot).  Pins
     that recursive restore resolution and copy-on-write deletes compose
@@ -614,7 +615,8 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
         state = list(rows)
         snap()
         for _ in range(rng.randint(4, 7)):
-            op = rng.choice(["append", "overwrite", "delete", "restore"])
+            op = rng.choice(["append", "overwrite", "delete", "restore",
+                             "update"])
             if op == "append":
                 rows = [(rng.choice("abc"), next(counter))]
                 fmt.append(spark.createDataFrame(rows, "p string, v long"),
@@ -633,6 +635,16 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
                 survivors = [r for r in state if r[1] % k != 0]
                 assert n == len(state) - len(survivors)
                 state = survivors
+                if n == 0:
+                    continue  # no commit published -> no snapshot
+            elif op == "update":
+                k = rng.randint(2, 4)
+                n = fmt.update_where(spark, path, f"v % {k} = 0",
+                                     {"v": "v + 1000000"})
+                hit = [r for r in state if r[1] % k == 0]
+                assert n == len(hit)
+                state = [(p, v + 1000000 if v % k == 0 else v)
+                         for p, v in state]
                 if n == 0:
                     continue  # no commit published -> no snapshot
             else:
@@ -674,3 +686,120 @@ def test_delete_where_detects_concurrent_commit(spark, tmp_path):
     # and the retry (now against the new head) succeeds
     assert fmt.delete_where(spark, path, "v < 0") == 1
     assert sorted(r.id for r in fmt.read(spark, path).collect()) == [2, 3]
+
+
+def test_merge_upsert_cdc_three_clauses(spark, tmp_path):
+    """MERGE INTO, the CDC apply shape: matched tombstones DELETE, matched
+    rows UPDATE SET *, unmatched non-tombstones INSERT — and unmatched
+    tombstones are DROPPED (the insert_condition).  Extra source columns
+    (op) are consulted then projected away; pre-merge state stays
+    time-travelable."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0),
+                               (3, "c", 30.0)],
+                              "id long, name string, v double"), path)
+    source = spark.createDataFrame(
+        [(2, "b2", 21.0, "U"),     # matched update
+         (3, "c", 0.0, "D"),       # matched tombstone -> delete
+         (4, "d", 40.0, "U"),      # unmatched -> insert
+         (5, "e", 0.0, "D")],      # unmatched tombstone -> dropped
+        "id long, name string, v double, op string")
+    stats = fmt.merge(spark, path, source, "id",
+                      matched_delete_condition="op = 'D'",
+                      insert_condition="op <> 'D'")
+    assert stats == {"updated": 1, "deleted": 1, "inserted": 1}
+    got = sorted((r.id, r.name, r.v)
+                 for r in fmt.read(spark, path).collect())
+    assert got == [(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0)]
+    assert "op" not in fmt.read(spark, path).columns
+    # pre-merge snapshot intact (merge is one replace_all commit)
+    pre = sorted(r.id for r in
+                 fmt.read(spark, path, as_of_version=0).collect())
+    assert pre == [1, 2, 3]
+
+
+def test_merge_default_clauses_upsert_all(spark, tmp_path):
+    """No conditions: every matched row updates, every unmatched row
+    inserts — the plain latest-wins upsert."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        path)
+    stats = fmt.merge(
+        spark, path,
+        spark.createDataFrame([(2, 22.0), (9, 99.0)], "id long, v double"),
+        "id")
+    assert stats == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = sorted((r.id, r.v) for r in fmt.read(spark, path).collect())
+    assert got == [(1, 1.0), (2, 22.0), (9, 99.0)]
+
+
+def test_merge_rejects_ambiguous_and_short_sources(spark, tmp_path):
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), path)
+    with pytest.raises(ValueError, match="multiple source rows"):
+        fmt.merge(spark, path,
+                  spark.createDataFrame([(1, 2.0), (1, 3.0)],
+                                        "id long, v double"), "id")
+    with pytest.raises(ValueError, match="missing target columns"):
+        fmt.merge(spark, path,
+                  spark.createDataFrame([(1,)], "id long"), "id")
+
+
+def test_merge_detects_concurrent_commit(spark, tmp_path):
+    """Merge is read-modify-write like delete_where: a commit landing
+    between snapshot read and publish raises instead of erasing it."""
+    from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
+
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), path)
+    racer = TxnLogFormat()
+    orig_read = fmt.read
+
+    def racing_read(spark_, p, **kw):
+        df = orig_read(spark_, p, **kw)
+        racer.append(spark.createDataFrame([(7, 7.0)],
+                                           "id long, v double"), path)
+        fmt.read = orig_read
+        return df
+
+    fmt.read = racing_read
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        fmt.merge(spark, path,
+                  spark.createDataFrame([(1, 11.0)], "id long, v double"),
+                  "id")
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 7]
+
+
+def test_update_where_copy_on_write(spark, tmp_path):
+    """UPDATE SET: assignment expressions see the CURRENT row, cast back
+    to the column's type (schema stable); NULL-predicate rows are
+    untouched (SQL semantics); zero matches publish no commit; unknown
+    SET columns raise before any write."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 10, None), (2, 20, 5), (3, 30, -5)],
+                              "id long, v int, flag int"), path)
+    n = fmt.update_where(spark, path, "flag < 0",
+                         {"v": "v * 100 + id"})
+    assert n == 1
+    got = {r.id: r.v for r in fmt.read(spark, path).collect()}
+    assert got == {1: 10, 2: 20, 3: 3003}
+    # type is preserved (int stays int despite the widening expression)
+    assert dict(fmt.read(spark, path).dtypes)["v"] == "int"
+    n_commits = len(fmt._commits(path))
+    assert fmt.update_where(spark, path, "flag > 1e9", {"v": "0"}) == 0
+    assert len(fmt._commits(path)) == n_commits
+    with pytest.raises(ValueError, match="not in the table"):
+        fmt.update_where(spark, path, "flag = 5", {"nope": "1"})
+    # pre-update state stays time-travelable
+    assert {r.id: r.v for r in
+            fmt.read(spark, path, as_of_version=0).collect()}[3] == 30
