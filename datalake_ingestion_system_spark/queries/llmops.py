@@ -3466,3 +3466,125 @@ FROM (SELECT cid, count(*) AS n_members FROM assign GROUP BY cid) m
 LEFT JOIN dropped d USING (cid)
 ORDER BY m.cid
 """
+
+
+@_q("q_kmv_distinct_sketch")
+def q_kmv_distinct_sketch(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k theta) distinct-count sketch in
+    *verifiable* mode — the oracle-checkable counterpart to the rows-only
+    ``q_hll_sketch_rollup``: per event type, the k=64 smallest portable
+    md5 hashes of the distinct user set yield the classic
+    ``(k-1) * M / h_k`` cardinality estimate, and because the hash is the
+    same cross-engine trick as the verifiable MinHash, DuckDB reproduces
+    every sketch slot AND every estimate bit-for-bit.
+
+    Set algebra falls out of the sketch (the theta-sketch pitch): the
+    union sketch is the k smallest of the merged per-set sketches, and
+    the intersection estimate is ``rho * est(union) / k`` where ``rho``
+    counts union-sketch slots present in BOTH inputs — emitted as two
+    extra rows for the click/purchase pair.  Sets smaller than k are
+    exact by construction (the sketch IS the set), which also pins the
+    tiny-SF behavior.
+
+    All arithmetic is integer: hashes live in [1, 2^52) (13 hex chars,
+    so ``(k-1) * 2^52`` stays far inside BIGINT) and estimates use
+    integer ``DIV``.  Scale shape: one distinct shuffle, then per-type
+    rank over h — k rows survive per type regardless of input size, and
+    sketch MERGE is "k smallest of a union" (cell-wise, like the CMS
+    matrix), which is why KMV composes across partitions/days at 100 TB.
+    The per-type rank is a 5-partition window here; at extreme per-type
+    cardinality swap in a salted local-top-k pre-pass — the estimate is
+    unchanged, by the merge property."""
+    k, m_num = 64, 63 * (1 << 52)          # (k-1) * M
+    e = load(spark, sf_dir, "events")
+    d = (e.select("event_type", "user_id").distinct()
+         .select("event_type",
+                 F.greatest(
+                     F.conv(F.substring(
+                         F.md5(F.col("user_id").cast("string")), 1, 13),
+                         16, 10).cast("long"),
+                     F.lit(1)).alias("h")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (d.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= k).drop("rn"))
+    per_type = (sk.groupBy("event_type")
+                .agg(F.count("*").alias("n_sketch"),
+                     F.max("h").alias("kth_hash"))
+                .select(F.col("event_type").alias("set_label"),
+                        "n_sketch", "kth_hash",
+                        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+                         .otherwise(F.expr(f"{m_num} DIV kth_hash"))
+                         .alias("est_distinct")))
+    pair = sk.filter(F.col("event_type").isin("click", "purchase"))
+    merged = (pair.groupBy("h")
+              .agg(F.countDistinct("event_type").alias("n_types"))
+              .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+              .filter(F.col("rn") <= k))           # <= 2k input rows
+    u = (merged.agg(F.count("*").alias("n_sketch"),
+                    F.max("h").alias("kth_hash"),
+                    F.sum(F.when(F.col("n_types") == 2, 1).otherwise(0))
+                     .cast("long").alias("rho"))
+         .withColumn("est_u",
+                     F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+                      .otherwise(F.expr(f"{m_num} DIV kth_hash"))))
+    union_row = u.select(
+        F.lit("click|purchase:union").alias("set_label"),
+        "n_sketch", "kth_hash", F.col("est_u").alias("est_distinct"))
+    inter_row = u.select(
+        F.lit("click|purchase:intersect").alias("set_label"),
+        F.col("rho").alias("n_sketch"),
+        F.lit(None).cast("long").alias("kth_hash"),
+        F.expr("(rho * est_u) DIV nullif(n_sketch, 0)")
+         .alias("est_distinct"))
+    return per_type.unionByName(union_row).unionByName(inter_row)
+
+
+ORACLE_SQL["q_kmv_distinct_sketch"] = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hx AS (
+  SELECT event_type,
+         GREATEST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                     1, 13))::BIGINT, 1) AS h
+  FROM d
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hx
+), sk AS (
+  SELECT event_type, h FROM ranked WHERE rn <= 64
+), per_type AS (
+  SELECT event_type AS set_label,
+         CAST(count(*) AS BIGINT) AS n_sketch,
+         max(h) AS kth_hash,
+         CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+              ELSE CAST(283726776524341248 // max(h) AS BIGINT)
+         END AS est_distinct
+  FROM sk GROUP BY event_type
+), pair AS (
+  SELECT event_type, h FROM sk WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT h, count(DISTINCT event_type) AS n_types FROM pair GROUP BY h
+), mr AS (
+  SELECT h, n_types, row_number() OVER (ORDER BY h) AS rn FROM m
+), u AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sketch,
+         max(h) AS kth_hash,
+         CAST(sum(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rho
+  FROM mr WHERE rn <= 64
+), uu AS (
+  SELECT n_sketch, kth_hash, rho,
+         CASE WHEN n_sketch < 64 THEN n_sketch
+              ELSE CAST(283726776524341248 // kth_hash AS BIGINT)
+         END AS est_u
+  FROM u
+)
+SELECT set_label, n_sketch, kth_hash, est_distinct FROM per_type
+UNION ALL
+SELECT 'click|purchase:union', n_sketch, kth_hash, est_u FROM uu
+UNION ALL
+SELECT 'click|purchase:intersect', rho, CAST(NULL AS BIGINT),
+       (rho * est_u) // NULLIF(n_sketch, 0)
+FROM uu
+"""

@@ -77,3 +77,29 @@ def test_hll_sketch_rollup_within_5pct(spark):
     direct = e.agg(F.hll_sketch_estimate(
         F.hll_sketch_agg("user_id")).cast("long")).head()[0]
     assert got["__ALL__"] == direct
+
+
+def test_kmv_estimates_within_sketch_error(spark):
+    """KMV with k=64 has RSE ~ 1/sqrt(k-2) ~ 12.7%; a 3-sigma net (40%)
+    must hold for every per-type estimate, and the union estimate must
+    bound-check against the exact click|purchase user union.  (Hash
+    parity with DuckDB is the oracle's job — this net catches estimator
+    regressions the hash can't, e.g. an off-by-one in the k-th slot.)"""
+    from datalake_ingestion_system_spark.queries.llmops import QUERIES as LQ
+
+    rows = {r.set_label: r for r in
+            LQ["q_kmv_distinct_sketch"](spark, SF).collect()}
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {r[0]: r[1] for r in
+             (e.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("nd")).collect())}
+    for t, nd in exact.items():
+        est = rows[t].est_distinct
+        assert abs(est - nd) / nd < 0.40, (t, est, nd)
+    exact_union = (e.filter(F.col("event_type").isin("click", "purchase"))
+                   .select("user_id").distinct().count())
+    est_union = rows["click|purchase:union"].est_distinct
+    assert abs(est_union - exact_union) / exact_union < 0.40
+    # intersection estimate stays within the union (sanity, not a bound)
+    inter = rows["click|purchase:intersect"].est_distinct
+    assert inter is None or 0 <= inter <= est_union * 1.5
