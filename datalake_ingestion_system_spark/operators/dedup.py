@@ -512,3 +512,44 @@ def incremental_exact_dedup(new_docs: DataFrame, state_path: str,
              "historical_dupes": n_batch_unique - n_novel,
              "accepted": n_novel}
     return unique_docs, stats
+
+
+def segment_dedup(df: DataFrame, id_col: str, text_col: str,
+                  chunk_chars: int = 80, min_docs: int = 2) -> DataFrame:
+    """Cross-document SEGMENT dedup — the CCNet/C4 boilerplate-removal
+    shape (dedup at paragraph granularity, not document granularity):
+    documents are cut into deterministic non-overlapping segments, a
+    segment whose exact hash occurs in >= ``min_docs`` DISTINCT documents
+    is boilerplate (headers, footers, license blocks, injected templates),
+    and the per-document result reports how much content survives.
+
+    Returns one row per document: ``n_segments``, ``n_boiler`` (segments
+    removed), ``chars_kept`` (characters in surviving segments),
+    ``max_seg_docs`` (how widely this doc's most-shared segment spreads).
+
+    Complements the doc-level MinHash/SimHash tier: two documents can be
+    globally dissimilar yet share a boilerplate paragraph — doc-level
+    near-dup never sees it, segment dedup removes exactly it.
+
+    Scale shape: in-row explode (factor ~len/chunk_chars), ONE hash
+    groupBy for segment frequencies, one keyed join back, one per-doc
+    re-aggregate — linear end to end, never all-pairs, and the frequency
+    table is itself a dedupable rollup at 100 TB (cell-wise mergeable
+    across shards like the CMS/KMV sketches).  Segmentation is the same
+    character-offset chunker as ``chunk_text`` (operators/text.py) with
+    overlap=0, so boundaries are reproducible cross-engine."""
+    from .text import chunk_text
+
+    segs = (chunk_text(df, id_col, text_col,
+                       chunk_chars=chunk_chars, overlap=0)
+            .withColumn("h", F.md5("chunk")))
+    freq = segs.groupBy("h").agg(
+        F.countDistinct(id_col).alias("n_docs"))
+    tagged = segs.join(freq, "h")
+    is_boiler = F.col("n_docs") >= min_docs
+    return (tagged.groupBy(id_col)
+            .agg(F.count("*").alias("n_segments"),
+                 F.sum(is_boiler.cast("long")).alias("n_boiler"),
+                 F.sum(F.when(~is_boiler, F.col("chunk_len"))
+                        .otherwise(0)).alias("chars_kept"),
+                 F.max("n_docs").alias("max_seg_docs")))

@@ -3588,3 +3588,48 @@ SELECT 'click|purchase:intersect', rho, CAST(NULL AS BIGINT),
        (rho * est_u) // NULLIF(n_sketch, 0)
 FROM uu
 """
+
+
+@_q("q_segment_dedup")
+def q_segment_dedup(spark, sf_dir):
+    """CCNet/C4-style boilerplate removal: cross-document dedup at SEGMENT
+    granularity (``operators/dedup.py segment_dedup``) — a segment whose
+    exact hash occurs in >= 2 distinct documents is boilerplate; per doc
+    the query reports segments, removals, surviving characters, and the
+    spread of its most-shared segment.  Catches what doc-level
+    MinHash/SimHash cannot: globally-dissimilar documents sharing an
+    injected template paragraph.  The oracle replays the identical
+    chunker (char offsets, overlap 0) and hash in SQL, so segmentation,
+    frequency counting, and the removal rule are all checked
+    cross-engine.  Linear shapes only: in-row explode, one hash groupBy,
+    one keyed join back, one per-doc rollup."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.segment_dedup(d, "doc_id", "text",
+                               chunk_chars=80, min_docs=2)
+
+
+ORACLE_SQL["q_segment_dedup"] = """
+WITH docs AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil(length(text) / 80.0) AS INT)) AS n
+  FROM documents
+), segs AS (
+  SELECT doc_id, text, unnest(range(n)) AS i FROM docs
+), c AS (
+  SELECT doc_id,
+         substring(text, CAST(i * 80 + 1 AS INT), 80) AS chunk
+  FROM segs
+), f AS (
+  SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS n_docs
+  FROM c GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(sum(CASE WHEN f.n_docs >= 2 THEN 0 ELSE length(c.chunk) END)
+            AS BIGINT) AS chars_kept,
+       CAST(max(f.n_docs) AS BIGINT) AS max_seg_docs
+FROM c JOIN f ON md5(c.chunk) = f.h
+GROUP BY c.doc_id
+"""

@@ -254,3 +254,37 @@ def test_incremental_dedup_against_fingerprint_store(spark, tmp_path):
     u3, s3 = incremental_exact_dedup(b2, state)
     assert u3.count() == 0
     assert s3["accepted"] == 0 and s3["historical_dupes"] == 2
+
+
+def test_segment_dedup_removes_shared_paragraph_only(spark):
+    """A template paragraph injected into two otherwise-unrelated docs is
+    flagged in BOTH, while their unique content survives; a third doc
+    without the template loses nothing.  Exercises the removal rule at
+    segment (not document) granularity — doc-level near-dup would score
+    these documents as dissimilar."""
+    boiler = "x" * 80                     # exactly one chunk wide
+    uniq = ["a" * 80, "b" * 80, "c" * 80]
+    rows = [(0, boiler + uniq[0]), (1, boiler + uniq[1]), (2, uniq[2])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dedup.segment_dedup(df, "doc_id", "text",
+                               chunk_chars=80, min_docs=2).collect()}
+    assert got[0].n_segments == 2 and got[0].n_boiler == 1
+    assert got[0].chars_kept == 80 and got[0].max_seg_docs == 2
+    assert got[1].n_boiler == 1 and got[1].chars_kept == 80
+    assert got[2].n_boiler == 0 and got[2].chars_kept == 80
+    assert got[2].max_seg_docs == 1
+
+
+def test_segment_dedup_fires_on_corpus(spark):
+    """The planted near/exact duplicates in the synthetic corpus must
+    surface shared segments — the removal path cannot be vacuously
+    green."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = dedup.segment_dedup(docs, "doc_id", "text")
+    assert got.filter(F.col("n_boiler") > 0).count() > 0
+    # conservation: kept chars never exceed doc length
+    bad = (got.join(docs.select("doc_id", F.length("text").alias("L")),
+                    "doc_id")
+           .filter(F.col("chars_kept") > F.col("L")).count())
+    assert bad == 0
