@@ -643,3 +643,66 @@ SELECT user_id AS c_user, count(*) AS n_rows,
 FROM (SELECT * FROM pairs UNION ALL SELECT * FROM expired_unmatched)
 GROUP BY user_id
 """
+
+
+@_q("q_stream_kmv_distinct")
+def q_stream_kmv_distinct(spark, sf_dir):
+    """STREAMING distinct-count sketch, oracle-verified end to end: the
+    event stream folds into a persistent per-type KMV bottom-k sketch
+    (``streaming/sketch_stream.py`` — foreachBatch union-of-k-smallest
+    into a TxnLogFormat table) and the FINAL sketch's cardinality
+    estimates are returned.  Because KMV union is associative and
+    idempotent, the maintained sketch is bit-identical to the batch
+    sketch over the whole input regardless of micro-batching — so the
+    DuckDB oracle is simply the batch KMV recomputation, and the whole
+    streaming sketch pipeline gets a hash check instead of the rows-only
+    fate of non-replayable sketch state (cf. ``q_hll_sketch_rollup``).
+    State is O(k) per set; estimates are integer-exact (same
+    ``(k-1) * 2^52 DIV h_k`` path as ``q_kmv_distinct_sketch``)."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+    from ..streaming.sketch_stream import start_kmv_stream
+
+    k, m_num = 64, 63 * (1 << 52)
+    workdir = tempfile.mkdtemp(prefix="kmv_stream_q_")
+    q = start_kmv_stream(
+        spark,
+        _events_stream(spark, sf_dir).select("event_type", "user_id"),
+        f"{workdir}/sketch", set_col="event_type", key_col="user_id",
+        checkpoint_dir=f"{workdir}/ckpt", k=k)
+    q.awaitTermination()
+    sk = TxnLogFormat().read(spark, f"{workdir}/sketch")
+    return (sk.groupBy("event_type")
+            .agg(F.count("*").alias("n_sketch"),
+                 F.max("h").alias("kth_hash"))
+            .select(F.col("event_type").alias("set_label"),
+                    "n_sketch", "kth_hash",
+                    F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+                     .otherwise(F.expr(f"{m_num} DIV kth_hash"))
+                     .alias("est_distinct")))
+
+
+ORACLE_SQL["q_stream_kmv_distinct"] = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hx AS (
+  SELECT event_type,
+         GREATEST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                     1, 13))::BIGINT, 1) AS h
+  FROM d
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hx
+), sk AS (
+  SELECT event_type, h FROM ranked WHERE rn <= 64
+)
+SELECT event_type AS set_label,
+       CAST(count(*) AS BIGINT) AS n_sketch,
+       max(h) AS kth_hash,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+            ELSE CAST(283726776524341248 // max(h) AS BIGINT)
+       END AS est_distinct
+FROM sk GROUP BY event_type
+"""

@@ -1,0 +1,79 @@
+"""Streaming mergeable-sketch maintenance (foreachBatch KMV union).
+
+The streaming counterpart of ``q_kmv_distinct_sketch``
+(``queries/llmops.py``): each micro-batch's distinct keys are hashed and
+folded into a persistent bottom-k (KMV) sketch table — per set, the k
+smallest portable md5 hashes seen so far — published as ONE atomic
+commit per epoch through the bundled ``TxnLogFormat``.
+
+Why this shape matters at 100 TB: KMV union is "k smallest of the merged
+slot lists", so the maintained state is O(k) PER SET regardless of
+stream length, the merge is associative/commutative/idempotent, and the
+final sketch is bit-identical to the batch sketch over the union of all
+inputs — which is exactly what makes the streaming query
+oracle-checkable (DuckDB replays the batch computation) instead of
+rows-only.  Contrast HLL, whose register state Spark does not expose for
+this kind of cross-engine replay.
+
+Replay safety: ``foreachBatch`` may re-deliver an epoch after a crash;
+folding the same keys into the sketch twice is a no-op (set union), so a
+replayed epoch converges — the same exactly-once-by-idempotence contract
+as the CDC stream (``cdc_stream.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sinks import TxnLogFormat
+
+
+def kmv_hash(col) -> F.Column:
+    """Portable 52-bit md5 hash in [1, 2^52) — reproducible in DuckDB as
+    ``GREATEST(('0x' || substring(md5(x), 1, 13))::BIGINT, 1)``; 13 hex
+    chars keep ``(k-1) * 2^52`` far inside BIGINT for the estimator."""
+    return F.greatest(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 13),
+               16, 10).cast("long"),
+        F.lit(1))
+
+
+def bottom_k(df: DataFrame, set_col: str, k: int) -> DataFrame:
+    """Per-set k smallest distinct hashes (columns: set_col, h)."""
+    w = Window.partitionBy(set_col).orderBy("h")
+    return (df.select(set_col, "h").distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def start_kmv_stream(spark: SparkSession, keys: DataFrame,
+                     table_path: str, set_col: str, key_col: str,
+                     checkpoint_dir: str, k: int = 64,
+                     fmt: TxnLogFormat | None = None,
+                     available_now: bool = True):
+    """Start the sketch-maintenance stream; returns the StreamingQuery.
+
+    ``keys`` is a streaming DataFrame carrying ``set_col`` (the sketch
+    partition, e.g. event_type) and ``key_col`` (the distinct-counted
+    value, e.g. user_id).  The sketch table at ``table_path`` holds
+    (set_col, h) rows, at most k per set."""
+    fmt = fmt or TxnLogFormat()
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return  # empty epoch: no commit, no table churn
+        fresh = batch.select(
+            F.col(set_col), kmv_hash(F.col(key_col)).alias("h"))
+        try:
+            current = fmt.read(spark, table_path)
+            merged = bottom_k(current.unionByName(fresh), set_col, k)
+        except FileNotFoundError:
+            merged = bottom_k(fresh, set_col, k)
+        fmt.overwrite_table(merged, table_path)
+
+    writer = (keys.writeStream.foreachBatch(apply_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -101,3 +101,38 @@ def test_session_window_exact_gap_boundary_merges(spark):
                       THEN 1 ELSE 0 END AS ns FROM e)
         SELECT 1 + sum(ns) FROM g""").fetchone()[0]
     assert int(n_sessions) == len(sessions) == 2
+
+
+def test_kmv_stream_merge_property_across_epochs(spark, tmp_path):
+    """The maintained sketch must be bit-identical to the one-shot batch
+    sketch no matter how the input is micro-batched: fold three disjoint
+    chunks through apply_batch-style merges, replay one chunk (crash
+    redelivery), and compare against bottom_k over the union."""
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat
+    from datalake_ingestion_system_spark.streaming.sketch_stream import (
+        bottom_k, kmv_hash)
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    all_rows = e.select("event_type", "user_id")
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "sketch")
+    chunks = [all_rows.filter(F.pmod(F.col("user_id"), F.lit(3)) == i)
+              for i in range(3)]
+    chunks.append(chunks[1])  # replayed epoch: must be a no-op
+    for c in chunks:
+        fresh = c.select("event_type", kmv_hash(F.col("user_id")).alias("h"))
+        try:
+            merged = bottom_k(fmt.read(spark, path).unionByName(fresh),
+                              "event_type", 64)
+        except FileNotFoundError:
+            merged = bottom_k(fresh, "event_type", 64)
+        fmt.overwrite_table(merged, path)
+    got = sorted((r.event_type, r.h)
+                 for r in fmt.read(spark, path).collect())
+    want = sorted(
+        (r.event_type, r.h)
+        for r in bottom_k(
+            all_rows.select("event_type",
+                            kmv_hash(F.col("user_id")).alias("h")),
+            "event_type", 64).collect())
+    assert got == want
