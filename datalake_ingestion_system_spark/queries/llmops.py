@@ -3507,6 +3507,12 @@ def q_kmv_distinct_sketch(spark, sf_dir):
     w = Window.partitionBy("event_type").orderBy("h")
     sk = (d.withColumn("rn", F.row_number().over(w))
           .filter(F.col("rn") <= k).drop("rn"))
+    # The per-type, union, and intersection branches all consume the
+    # sketch; without a barrier each union branch re-runs the expensive
+    # distinct+rank over the full input (3 scans in the static plan).
+    # The sketch is <= k rows per set — pin it once, derive everything
+    # from the tiny materialized frame.
+    sk = sk.localCheckpoint(eager=True)
     per_type = (sk.groupBy("event_type")
                 .agg(F.count("*").alias("n_sketch"),
                      F.max("h").alias("kth_hash"))
