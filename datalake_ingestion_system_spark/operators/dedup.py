@@ -14,7 +14,7 @@ Python never touches row data, so each stage is a scan + one keyed shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import normalize_text, shingles_of, tokens
@@ -512,6 +512,29 @@ def incremental_exact_dedup(new_docs: DataFrame, state_path: str,
              "historical_dupes": n_batch_unique - n_novel,
              "accepted": n_novel}
     return unique_docs, stats
+
+
+def kmv_hash(col: Column) -> Column:
+    """Portable 52-bit md5 hash in [1, 2^52) for KMV/bottom-k sketches —
+    ``token_hash_expr`` md5 mode at bits=52 (13 hex chars keep
+    ``(k-1) * 2^52`` far inside BIGINT for the estimator) with a floor of
+    1 so the estimator's divisor can never be zero.  DuckDB twin:
+    ``GREATEST(('0x' || substring(md5(x), 1, 13))::BIGINT, 1)``."""
+    return F.greatest(token_hash_expr(col.cast("string"), "md5", bits=52),
+                      F.lit(1))
+
+
+def kmv_bottom_k(df: DataFrame, set_col: str, k: int) -> DataFrame:
+    """Per-set k smallest DISTINCT hash values (columns: set_col, h) —
+    the KMV sketch is a SET of hash values, so colliding inputs occupy
+    one slot (the definition every consumer shares: the batch query, the
+    streaming fold, and both DuckDB oracles rank over ``SELECT
+    DISTINCT``).  One distinct shuffle + per-set rank; k rows survive
+    per set regardless of input size."""
+    w = Window.partitionBy(set_col).orderBy("h")
+    return (df.select(set_col, "h").distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
 
 
 def segment_dedup(df: DataFrame, id_col: str, text_col: str,

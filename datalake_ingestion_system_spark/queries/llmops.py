@@ -3497,16 +3497,8 @@ def q_kmv_distinct_sketch(spark, sf_dir):
     unchanged, by the merge property."""
     k, m_num = 64, 63 * (1 << 52)          # (k-1) * M
     e = load(spark, sf_dir, "events")
-    d = (e.select("event_type", "user_id").distinct()
-         .select("event_type",
-                 F.greatest(
-                     F.conv(F.substring(
-                         F.md5(F.col("user_id").cast("string")), 1, 13),
-                         16, 10).cast("long"),
-                     F.lit(1)).alias("h")))
-    w = Window.partitionBy("event_type").orderBy("h")
-    sk = (d.withColumn("rn", F.row_number().over(w))
-          .filter(F.col("rn") <= k).drop("rn"))
+    d = e.select("event_type", dedup.kmv_hash(F.col("user_id")).alias("h"))
+    sk = dedup.kmv_bottom_k(d, "event_type", k)
     # The per-type, union, and intersection branches all consume the
     # sketch; without a barrier each union branch re-runs the expensive
     # distinct+rank over the full input (3 scans in the static plan).
@@ -3554,9 +3546,10 @@ WITH d AS (
                                      1, 13))::BIGINT, 1) AS h
   FROM d
 ), ranked AS (
+  -- the sketch is a SET of hash values: colliding inputs occupy one slot
   SELECT event_type, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-  FROM hx
+  FROM (SELECT DISTINCT event_type, h FROM hx) dh
 ), sk AS (
   SELECT event_type, h FROM ranked WHERE rn <= 64
 ), per_type AS (

@@ -692,9 +692,10 @@ WITH d AS (
                                      1, 13))::BIGINT, 1) AS h
   FROM d
 ), ranked AS (
+  -- the sketch is a SET of hash values: colliding inputs occupy one slot
   SELECT event_type, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-  FROM hx
+  FROM (SELECT DISTINCT event_type, h FROM hx) dh
 ), sk AS (
   SELECT event_type, h FROM ranked WHERE rn <= 64
 )

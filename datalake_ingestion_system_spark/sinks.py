@@ -538,10 +538,20 @@ class TxnLogFormat(TableFormat):
 
         Copy-on-write ``replace_all`` publish with the same
         ``ConcurrentWriteError`` snapshot guard as ``delete_where``; CHECK
-        constraints re-validate the merged state.  Scale shape: one keyed
-        shuffle join of target × source (AQE picks broadcast when the CDC
-        batch is small) plus one metrics pass — never driver-side row
-        loops.  Returns ``{"updated": n, "deleted": n, "inserted": n}``.
+        constraints re-validate the merged state.  The TARGET must hold at
+        most one row per MATCHED merge key (the CDC/dimension contract
+        ``streaming/cdc_stream.py`` maintains) — duplicate matched target
+        rows would be silently collapsed by the upsert, so they raise
+        ``ValueError`` instead; duplicates on keys the source never
+        touches are left untouched and legal.  Internal marker columns are
+        uniquified per call, so any source column name is safe.
+
+        Scale shape: ONE combined guard+stats aggregation job (each table
+        scanned once), then the staged write (one more scan each) — two
+        passes total, keyed joins only (AQE picks broadcast when the CDC
+        batch is small), never driver-side row loops.  Returns
+        ``{"updated": n, "deleted": n, "inserted": n}`` in units of
+        affected target/source rows.
 
         Reference parity: the reference applies upserts by full-table
         rewrite in its daily job (DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY's
@@ -555,47 +565,60 @@ class TxnLogFormat(TableFormat):
         if missing:
             raise ValueError(
                 f"merge source is missing target columns: {missing}")
-        if (source.groupBy(*keys).count()
-                .filter(F.col("count") > 1).limit(1).count()):
-            raise ValueError(
-                "multiple source rows share a merge key — UPDATE SET * is "
-                "ambiguous (pre-aggregate the source to one row per key, "
-                "e.g. latest-wins by a CDC ordering column)")
         del_cond = (F.coalesce(F.expr(matched_delete_condition), F.lit(False))
                     if matched_delete_condition is not None else F.lit(False))
         ins_cond = (F.coalesce(F.expr(insert_condition), F.lit(False))
                     if insert_condition is not None else F.lit(True))
+        # per-call unique marker names: the docstring invites extra source
+        # columns, so fixed names like "_m_del" could collide or be
+        # silently clobbered
+        tag = uuid.uuid4().hex[:8]
+        c_del, c_ins = f"_mrg_del_{tag}", f"_mrg_ins_{tag}"
+        c_scnt, c_tcnt = f"_mrg_scnt_{tag}", f"_mrg_tcnt_{tag}"
         types = dict(target.dtypes)
-        src = source.withColumn("_m_del", del_cond).withColumn(
-            "_m_ins", ins_cond)
-        tgt_keys = target.select(*keys).distinct()
-        matched = src.join(tgt_keys, keys, "left_semi")
-        unmatched = src.join(tgt_keys, keys, "left_anti")
+        src = source.withColumn(c_del, del_cond).withColumn(c_ins, ins_cond)
+        # one combined guard + metrics pass: both ambiguity checks and all
+        # three clause counts come out of a single aggregation job
+        t_cnt = target.groupBy(*keys).agg(F.count("*").alias(c_tcnt))
+        s_agg = src.groupBy(*keys).agg(F.count("*").alias(c_scnt),
+                                       F.first(c_del).alias(c_del),
+                                       F.first(c_ins).alias(c_ins))
+        matched_flag = F.col(c_tcnt).isNotNull()
+        row = (s_agg.join(t_cnt, keys, "left")
+               .agg(F.max(c_scnt).alias("max_s"),
+                    F.max(c_tcnt).alias("max_t"),
+                    F.sum((matched_flag & ~F.col(c_del)).cast("long"))
+                     .alias("updated"),
+                    F.sum((matched_flag & F.col(c_del)).cast("long"))
+                     .alias("deleted"),
+                    F.sum((~matched_flag & F.col(c_ins)).cast("long"))
+                     .alias("inserted")).head())
+        if row["max_s"] is not None and row["max_s"] > 1:
+            raise ValueError(
+                "multiple source rows share a merge key — UPDATE SET * is "
+                "ambiguous (pre-aggregate the source to one row per key, "
+                "e.g. latest-wins by a CDC ordering column)")
+        if row["max_t"] is not None and row["max_t"] > 1:
+            raise ValueError(
+                "target holds multiple rows for a merge key the source "
+                "matches — the upsert would silently collapse them; "
+                "dedupe the target first (compact/apply-latest)")
         as_target = [F.col(c).cast(types[c]).alias(c) for c in tcols]
-        upserts = matched.filter(~F.col("_m_del")).select(*as_target)
-        inserts = unmatched.filter(F.col("_m_ins")).select(*as_target)
+        matched = src.join(target.select(*keys), keys, "left_semi")
+        unmatched = src.join(target.select(*keys), keys, "left_anti")
+        upserts = matched.filter(~F.col(c_del)).select(*as_target)
+        inserts = unmatched.filter(F.col(c_ins)).select(*as_target)
         kept = target.join(source.select(*keys), keys, "left_anti")
         new_state = kept.select(*tcols).unionByName(upserts) \
                         .unionByName(inserts)
-        stats_row = (src.join(tgt_keys.withColumn("_m", F.lit(True)),
-                              keys, "left")
-                     .agg(F.sum((F.coalesce(F.col("_m"), F.lit(False))
-                                 & ~F.col("_m_del")).cast("long"))
-                          .alias("updated"),
-                          F.sum((F.coalesce(F.col("_m"), F.lit(False))
-                                 & F.col("_m_del")).cast("long"))
-                          .alias("deleted"),
-                          F.sum((F.col("_m").isNull()
-                                 & F.col("_m_ins")).cast("long"))
-                          .alias("inserted")).head())
         rel = self._stage(new_state, path, None)
         self._commit(path, {"action": "replace_all", "dir": rel,
                             "partition_col": None, "partitions": [],
                             "schema": new_state.schema.json()},
                      expected_version=head + 1)
-        return {"updated": int(stats_row["updated"] or 0),
-                "deleted": int(stats_row["deleted"] or 0),
-                "inserted": int(stats_row["inserted"] or 0)}
+        return {"updated": int(row["updated"] or 0),
+                "deleted": int(row["deleted"] or 0),
+                "inserted": int(row["inserted"] or 0)}
 
     def restore(self, spark: SparkSession, path: str, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — as a METADATA-ONLY commit

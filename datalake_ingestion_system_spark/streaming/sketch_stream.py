@@ -23,28 +23,17 @@ as the CDC stream (``cdc_stream.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# shared sketch primitives — ONE definition for the batch query, the
+# streaming fold, and the oracles (operators/dedup.py), so hash width or
+# collision-semantics fixes can never drift between consumers
+from ..operators.dedup import kmv_bottom_k as bottom_k
+from ..operators.dedup import kmv_hash
 from ..sinks import TxnLogFormat
 
-
-def kmv_hash(col) -> F.Column:
-    """Portable 52-bit md5 hash in [1, 2^52) — reproducible in DuckDB as
-    ``GREATEST(('0x' || substring(md5(x), 1, 13))::BIGINT, 1)``; 13 hex
-    chars keep ``(k-1) * 2^52`` far inside BIGINT for the estimator."""
-    return F.greatest(
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 13),
-               16, 10).cast("long"),
-        F.lit(1))
-
-
-def bottom_k(df: DataFrame, set_col: str, k: int) -> DataFrame:
-    """Per-set k smallest distinct hashes (columns: set_col, h)."""
-    w = Window.partitionBy(set_col).orderBy("h")
-    return (df.select(set_col, "h").distinct()
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k).drop("_rn"))
+__all__ = ["kmv_hash", "bottom_k", "start_kmv_stream"]
 
 
 def start_kmv_stream(spark: SparkSession, keys: DataFrame,
@@ -72,8 +61,13 @@ def start_kmv_stream(spark: SparkSession, keys: DataFrame,
             merged = bottom_k(fresh, set_col, k)
         fmt.overwrite_table(merged, table_path)
 
-    writer = (keys.writeStream.foreachBatch(apply_batch)
-              .option("checkpointLocation", checkpoint_dir))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    # continuous mode gets an explicit pacing trigger (same contract as
+    # cdc_stream): the default ASAP trigger would publish a full commit +
+    # stage dir per micro-batch as fast as batches arrive — unbounded
+    # log/stage churn for a table whose content changes at most k rows
+    # per set per epoch
+    return (keys.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**({"availableNow": True} if available_now
+                        else {"processingTime": "10 seconds"}))
+            .start())

@@ -803,3 +803,44 @@ def test_update_where_copy_on_write(spark, tmp_path):
     # pre-update state stays time-travelable
     assert {r.id: r.v for r in
             fmt.read(spark, path, as_of_version=0).collect()}[3] == 30
+
+
+def test_merge_rejects_duplicate_matched_target_rows(spark, tmp_path):
+    """Review regression: duplicate target rows on a MATCHED key would be
+    silently collapsed by the upsert (and the stats would undercount), so
+    they raise; duplicates on keys the source never touches are legal and
+    survive untouched."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 1.0), (1, 1.5), (2, 2.0)],
+                              "id long, v double"), path)
+    with pytest.raises(ValueError, match="multiple rows for a merge key"):
+        fmt.merge(spark, path,
+                  spark.createDataFrame([(1, 9.0)], "id long, v double"),
+                  "id")
+    # untouched duplicate keys are fine
+    stats = fmt.merge(spark, path,
+                      spark.createDataFrame([(2, 22.0)],
+                                            "id long, v double"), "id")
+    assert stats == {"updated": 1, "deleted": 0, "inserted": 0}
+    got = sorted((r.id, r.v) for r in fmt.read(spark, path).collect())
+    assert got == [(1, 1.0), (1, 1.5), (2, 22.0)]
+
+
+def test_merge_tolerates_reserved_looking_source_columns(spark, tmp_path):
+    """Internal marker columns are uniquified per call — a source column
+    named _m or _m_del must neither collide nor be clobbered."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), path)
+    source = spark.createDataFrame(
+        [(1, 11.0, True, "x"), (2, 22.0, False, "y")],
+        "id long, v double, _m boolean, _m_del string")
+    stats = fmt.merge(spark, path, source, "id",
+                      matched_delete_condition="_m_del = 'nope'")
+    assert stats == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = sorted((r.id, r.v) for r in fmt.read(spark, path).collect())
+    assert got == [(1, 11.0), (2, 22.0)]
+    assert set(fmt.read(spark, path).columns) == {"id", "v"}
