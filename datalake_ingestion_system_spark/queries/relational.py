@@ -2173,3 +2173,51 @@ UNION ALL
 SELECT o_custkey, n_orders, total_cents, last_date
 FROM s WHERE op <> 'D'
 """
+
+
+@_q("q_delete_vector_read")
+def q_delete_vector_read(spark, sf_dir):
+    """Merge-on-read DELETE oracle-verified end to end: the events table
+    is committed once, then TWO accumulating deletion vectors
+    (``TxnLogFormat.delete_where_dv`` — scan-file + row-index identities,
+    no data rewrite) remove error events and negative values, and the
+    surviving rows' per-type rollup is returned.  The DuckDB oracle is
+    the plain declarative filter (survivors = predicate NOT TRUE, so
+    NULLs survive — SQL DELETE semantics), checking the whole
+    metadata-column identity plumbing, vector accumulation, and
+    anti-join read path cross-engine.
+
+    Scale shape: each delete touches O(matching rows); the read applies
+    one anti-join against the (small) vector union — the point of
+    merge-on-read at 100 TB, vs the copy-on-write rewrite
+    ``delete_where`` costs."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="dv_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.overwrite_table(e, path)
+    fmt.delete_where_dv(spark, path, "event_type = 'error'")
+    fmt.delete_where_dv(spark, path, "value < 0")
+    return (fmt.read(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_delete_vector_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE coalesce(event_type <> 'error', TRUE)
+  AND coalesce(value >= 0, TRUE)
+GROUP BY event_type
+"""

@@ -185,14 +185,14 @@ class TxnLogFormat(TableFormat):
         return out
 
     def _stage(self, df: DataFrame, path: str,
-               partition_col: str | None) -> str:
+               partition_col: str | None, check: bool = True) -> str:
         rel = os.path.join("_txn_data", uuid.uuid4().hex)
         writer = df.write.mode("errorifexists")
         if partition_col is not None:
             writer = df.repartition(partition_col).write.mode(
                 "errorifexists").partitionBy(partition_col)
         writer.parquet(os.path.join(path, rel))
-        if self.constraints:
+        if self.constraints and check:
             # Validate the STAGED files (one cheap columnar re-read, data
             # computed once) — a violation aborts before any commit record
             # exists, so readers never see it; the orphaned stage dir is
@@ -291,6 +291,8 @@ class TxnLogFormat(TableFormat):
         only — the restored dirs are the ORIGINAL ones, re-referenced)."""
         live: list[dict] = []
         for c in commits:
+            if c["action"] == "add_dv":
+                continue  # deletion vectors are not data dirs
             if c["action"] == "restore":
                 live = self._resolve_live(
                     [x for x in commits if x["version"] <= c["to_version"]])
@@ -308,8 +310,26 @@ class TxnLogFormat(TableFormat):
                          "parts": set(c.get("partitions") or [])})
         return live
 
+    def _resolve_dvs(self, commits: list[dict]) -> list[str]:
+        """Replay the commit list into the list of LIVE deletion-vector
+        dirs — same restore/replace_all algebra as ``_resolve_live``:
+        ``replace_all`` (compact, copy-on-write delete/update/merge)
+        materializes a DV-free state so earlier vectors retire; ``restore``
+        swaps in the target prefix's vectors."""
+        dvs: list[str] = []
+        for c in commits:
+            if c["action"] == "restore":
+                dvs = self._resolve_dvs(
+                    [x for x in commits if x["version"] <= c["to_version"]])
+            elif c["action"] == "replace_all":
+                dvs = []
+            elif c["action"] == "add_dv":
+                dvs.append(c["dir"])
+        return dvs
+
     def read(self, spark: SparkSession, path: str,
-             as_of_version: int | None = None) -> DataFrame:
+             as_of_version: int | None = None,
+             _with_pos: bool = False) -> DataFrame:
         """Current state, or — with ``as_of_version`` — TIME TRAVEL: the
         state after commit ``as_of_version`` landed, by replaying exactly
         that log prefix (versions are the log's serialization order, so
@@ -324,6 +344,11 @@ class TxnLogFormat(TableFormat):
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
         live = self._resolve_live(commits)
+        dvs = self._resolve_dvs(commits)
+        # merge-on-read deletes need each row's physical identity; expose
+        # it via the scan-time _metadata columns (file path + parquet row
+        # index) only when something will consume it
+        need_pos = bool(dvs) or _with_pos
         parts_list = []
         for e in live:
             if e["pcol"] and e["parts"] <= e["removed"].get(e["pcol"], set()):
@@ -345,6 +370,10 @@ class TxnLogFormat(TableFormat):
                 # reader fail schema inference
                 continue
             df = spark.read.option("basePath", full).parquet(full)
+            if need_pos:
+                df = df.select("*",
+                               F.col("_metadata.file_path").alias("_dv_file"),
+                               F.col("_metadata.row_index").alias("_dv_pos"))
             for col, values in e["removed"].items():
                 if col not in df.columns:
                     continue
@@ -370,9 +399,20 @@ class TxnLogFormat(TableFormat):
                 raise FileNotFoundError(f"no live data at {path}")
             return spark.createDataFrame(
                 [], StructType.fromJson(json.loads(sj)))
-        return reduce(
+        out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True),
             parts_list)
+        if dvs:
+            dv_df = reduce(
+                DataFrame.unionByName,
+                [spark.read.parquet(os.path.join(path, d)) for d in dvs])
+            # the vector is small by design (that is why merge-on-read
+            # beats rewrite for point deletes); anti-join on physical row
+            # identity — AQE broadcasts it when it fits
+            out = out.join(dv_df, ["_dv_file", "_dv_pos"], "left_anti")
+        if need_pos and not _with_pos:
+            out = out.drop("_dv_file", "_dv_pos")
+        return out
 
     def read_merged(self, spark: SparkSession, path: str) -> DataFrame:
         # replay already unions schemas across commits (allowMissingColumns)
@@ -471,6 +511,42 @@ class TxnLogFormat(TableFormat):
         self._commit(path, {"action": "replace_all", "dir": rel,
                             "partition_col": None, "partitions": [],
                             "schema": survivors.schema.json()},
+                     expected_version=head + 1)
+        return n_del
+
+    def delete_where_dv(self, spark: SparkSession, path: str,
+                        predicate: str) -> int:
+        """Row-level DELETE as a DELETION VECTOR (merge-on-read — Delta's
+        DV feature): instead of rewriting the table, stage only the
+        matching rows' physical identities (scan file path + parquet row
+        index, via Spark's ``_metadata`` columns) and publish one
+        ``add_dv`` commit; ``read`` anti-joins live vectors on that
+        identity.  This is the 100 TB path the copy-on-write
+        ``delete_where`` docstring promises: a point delete touches
+        O(deleted rows), not O(table).
+
+        Semantics match ``delete_where`` exactly (predicate-TRUE rows go,
+        NULL survives, zero matches publish nothing, deleted rows stay
+        time-travelable); vectors accumulate until any ``replace_all``
+        (compact / copy-on-write delete / update / merge) materializes a
+        clean state and retires them — run ``compact`` when accumulated
+        vectors make the read-side anti-join noticeable, exactly Delta's
+        DV-then-rewrite lifecycle.  CHECK constraints are not re-validated
+        (deleting rows cannot introduce a violation).  Same
+        ``ConcurrentWriteError`` snapshot guard as every read-modify-write
+        commit.  Returns rows deleted."""
+        head = self._commits(path)[-1]["version"]
+        current = self.read(spark, path, _with_pos=True)
+        if "_dv_file" not in current.columns:
+            return 0  # zero-live-row table: nothing to delete
+        hits = (current.filter(F.expr(predicate))
+                .select("_dv_file", "_dv_pos"))
+        n_del = hits.count()
+        if n_del == 0:
+            return 0
+        rel = self._stage(hits, path, None, check=False)
+        self._commit(path, {"action": "add_dv", "dir": rel,
+                            "partition_col": None, "partitions": []},
                      expected_version=head + 1)
         return n_del
 
@@ -641,6 +717,8 @@ class TxnLogFormat(TableFormat):
                            and e["parts"] <= e["removed"].get(e["pcol"],
                                                               set()))
                    and not os.path.isdir(os.path.join(path, e["dir"]))]
+        missing += [d for d in self._resolve_dvs(prefix)
+                    if not os.path.isdir(os.path.join(path, d))]
         if missing:
             raise FileNotFoundError(
                 f"cannot restore to version {version}: data dirs {missing} "
@@ -685,8 +763,10 @@ class TxnLogFormat(TableFormat):
         referenced = {c["dir"] for c in commits[live_from:]
                       if c.get("dir")}
         # a restore commit re-references dirs OLDER than the last
-        # replace_all — the current resolution's dirs must survive too
+        # replace_all — the current resolution's dirs must survive too,
+        # data and deletion vectors alike
         referenced |= {e["dir"] for e in self._resolve_live(commits)}
+        referenced |= set(self._resolve_dvs(commits))
         data_root = os.path.join(path, "_txn_data")
         try:
             names = os.listdir(data_root)

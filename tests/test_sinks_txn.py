@@ -616,7 +616,7 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
         snap()
         for _ in range(rng.randint(4, 7)):
             op = rng.choice(["append", "overwrite", "delete", "restore",
-                             "update"])
+                             "update", "dv_delete"])
             if op == "append":
                 rows = [(rng.choice("abc"), next(counter))]
                 fmt.append(spark.createDataFrame(rows, "p string, v long"),
@@ -645,6 +645,14 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
                 assert n == len(hit)
                 state = [(p, v + 1000000 if v % k == 0 else v)
                          for p, v in state]
+                if n == 0:
+                    continue  # no commit published -> no snapshot
+            elif op == "dv_delete":
+                k = rng.randint(2, 4)
+                n = fmt.delete_where_dv(spark, path, f"v % {k} = 1")
+                survivors = [r for r in state if r[1] % k != 1]
+                assert n == len(state) - len(survivors)
+                state = survivors
                 if n == 0:
                     continue  # no commit published -> no snapshot
             else:
@@ -844,3 +852,83 @@ def test_merge_tolerates_reserved_looking_source_columns(spark, tmp_path):
     got = sorted((r.id, r.v) for r in fmt.read(spark, path).collect())
     assert got == [(1, 11.0), (2, 22.0)]
     assert set(fmt.read(spark, path).columns) == {"id", "v"}
+
+
+def test_deletion_vector_delete_is_merge_on_read(spark, tmp_path):
+    """delete_where_dv: matching rows disappear from read() WITHOUT any
+    data rewrite (the original staged dir is untouched and no new data
+    dir holds table rows — only the vector); NULL-predicate rows survive;
+    zero matches publish nothing; pre-delete state stays
+    time-travelable; vectors accumulate across deletes."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 10.0), (2, None), (3, -3.0), (4, -4.0)],
+                              "id long, score double"), path)
+    dirs_before = set(os.listdir(os.path.join(path, "_txn_data")))
+    assert fmt.delete_where_dv(spark, path, "score = -3.0") == 1
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) \
+        == [1, 2, 4]
+    # merge-on-read: exactly ONE new dir (the vector), old data untouched
+    dirs_after = set(os.listdir(os.path.join(path, "_txn_data")))
+    assert dirs_before < dirs_after and len(dirs_after - dirs_before) == 1
+    # time travel to the pre-delete version still sees the row
+    assert sorted(r.id for r in
+                  fmt.read(spark, path, as_of_version=0).collect()) \
+        == [1, 2, 3, 4]
+    # NULL predicate survives; accumulating second vector works
+    n_commits = len(fmt._commits(path))
+    assert fmt.delete_where_dv(spark, path, "score > 100") == 0
+    assert len(fmt._commits(path)) == n_commits
+    assert fmt.delete_where_dv(spark, path, "score < 0") == 1  # id=4
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2]
+
+
+def test_deletion_vectors_retire_at_compact_and_survive_vacuum(spark,
+                                                               tmp_path):
+    """compact materializes the DV-applied state and retires the vectors
+    (replace_all resets _resolve_dvs); vacuum never sweeps a LIVE
+    vector's dir, and after compact the retired vector ages out."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(i, float(i)) for i in range(6)],
+                              "id long, v double"), path)
+    fmt.delete_where_dv(spark, path, "id % 2 = 1")
+    commits = fmt._commits(path)
+    assert commits[-1]["action"] == "add_dv"
+    # LIVE vector: aging everything must not sweep it (read still correct)
+    data_root = os.path.join(path, "_txn_data")
+    for n in os.listdir(data_root):
+        os.utime(os.path.join(data_root, n), (0, 0))
+    fmt.vacuum(path, retain_hours=1.0)
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) \
+        == [0, 2, 4]
+    fmt.compact(spark, path)
+    assert fmt._resolve_dvs(fmt._commits(path)) == []
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) \
+        == [0, 2, 4]
+    # retired vector + superseded data age out now
+    for n in os.listdir(data_root):
+        os.utime(os.path.join(data_root, n), (0, 0))
+    assert len(fmt.vacuum(path, retain_hours=1.0)) >= 2
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) \
+        == [0, 2, 4]
+
+
+def test_restore_replays_deletion_vectors(spark, tmp_path):
+    """restore to a version inside a DV window re-applies exactly the
+    vectors live at that version — and restore validates vector dirs the
+    same way it validates data dirs."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1,), (2,), (3,)], "id long"), path)  # v0
+    fmt.delete_where_dv(spark, path, "id = 2")                       # v1
+    fmt.delete_where_dv(spark, path, "id = 3")                       # v2
+    fmt.restore(spark, path, 1)                                      # v3
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) \
+        == [1, 3]
+    # and restoring to v2 brings the second vector back
+    fmt.restore(spark, path, 2)
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1]
