@@ -293,6 +293,12 @@ class TxnLogFormat(TableFormat):
         for c in commits:
             if c["action"] == "add_dv":
                 continue  # deletion vectors are not data dirs
+            if c["action"] == "dv_update":
+                # the commit's data dir (rewritten rows) is an append; its
+                # vector dir is handled by _resolve_dvs
+                live.append({"dir": c["dir"], "removed": {},
+                             "pcol": None, "parts": set()})
+                continue
             if c["action"] == "restore":
                 live = self._resolve_live(
                     [x for x in commits if x["version"] <= c["to_version"]])
@@ -325,6 +331,8 @@ class TxnLogFormat(TableFormat):
                 dvs = []
             elif c["action"] == "add_dv":
                 dvs.append(c["dir"])
+            elif c["action"] == "dv_update":
+                dvs.append(c["dv_dir"])
         return dvs
 
     def read(self, spark: SparkSession, path: str,
@@ -550,6 +558,49 @@ class TxnLogFormat(TableFormat):
                      expected_version=head + 1)
         return n_del
 
+    def update_where_dv(self, spark: SparkSession, path: str,
+                        predicate: str,
+                        assignments: dict[str, str]) -> int:
+        """Row-level UPDATE as merge-on-read (Delta's DV update shape):
+        vector out the matching rows' physical identities AND append their
+        rewritten versions, published as ONE atomic ``dv_update`` commit —
+        an update touches O(updated rows), not O(table), unlike the
+        copy-on-write ``update_where``.  Same assignment semantics
+        (expressions see the current row, cast back to the column's type)
+        and the same snapshot conflict guard; CHECK constraints validate
+        the REWRITTEN rows (the only new data).  A crash between staging
+        and commit leaves two invisible orphans for vacuum.  Vectors and
+        rewrite dirs retire together at the next ``replace_all``.
+        Returns rows updated."""
+        head = self._commits(path)[-1]["version"]
+        current = self.read(spark, path, _with_pos=True)
+        if "_dv_file" not in current.columns:
+            return 0  # zero-live-row table: nothing to update
+        unknown = [c for c in assignments
+                   if c not in current.columns or c.startswith("_dv_")]
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET references columns not in the table: {unknown}")
+        matching = current.filter(F.expr(predicate))
+        n_upd = matching.count()
+        if n_upd == 0:
+            return 0
+        tcols = [c for c in current.columns
+                 if c not in ("_dv_file", "_dv_pos")]
+        types = dict(current.dtypes)
+        rewritten = matching.select(*[
+            (F.expr(assignments[c]).cast(types[c]).alias(c))
+            if c in assignments else F.col(c)
+            for c in tcols])
+        data_rel = self._stage(rewritten, path, None)  # constraints run
+        dv_rel = self._stage(
+            matching.select("_dv_file", "_dv_pos"), path, None, check=False)
+        self._commit(path, {"action": "dv_update", "dir": data_rel,
+                            "dv_dir": dv_rel,
+                            "partition_col": None, "partitions": []},
+                     expected_version=head + 1)
+        return n_upd
+
     def update_where(self, spark: SparkSession, path: str, predicate: str,
                      assignments: dict[str, str]) -> int:
         """Row-level UPDATE ... SET (Delta ``UPDATE`` analogue): rows
@@ -762,6 +813,8 @@ class TxnLogFormat(TableFormat):
                 live_from = i
         referenced = {c["dir"] for c in commits[live_from:]
                       if c.get("dir")}
+        referenced |= {c["dv_dir"] for c in commits[live_from:]
+                       if c.get("dv_dir")}
         # a restore commit re-references dirs OLDER than the last
         # replace_all — the current resolution's dirs must survive too,
         # data and deletion vectors alike

@@ -616,7 +616,7 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
         snap()
         for _ in range(rng.randint(4, 7)):
             op = rng.choice(["append", "overwrite", "delete", "restore",
-                             "update", "dv_delete"])
+                             "update", "dv_delete", "dv_update"])
             if op == "append":
                 rows = [(rng.choice("abc"), next(counter))]
                 fmt.append(spark.createDataFrame(rows, "p string, v long"),
@@ -653,6 +653,16 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
                 survivors = [r for r in state if r[1] % k != 1]
                 assert n == len(state) - len(survivors)
                 state = survivors
+                if n == 0:
+                    continue  # no commit published -> no snapshot
+            elif op == "dv_update":
+                k = rng.randint(2, 4)
+                n = fmt.update_where_dv(spark, path, f"v % {k} = 0",
+                                        {"v": "v + 1000000"})
+                hit = [r for r in state if r[1] % k == 0]
+                assert n == len(hit)
+                state = [(p, v + 1000000 if v % k == 0 else v)
+                         for p, v in state]
                 if n == 0:
                     continue  # no commit published -> no snapshot
             else:
@@ -932,3 +942,47 @@ def test_restore_replays_deletion_vectors(spark, tmp_path):
     # and restoring to v2 brings the second vector back
     fmt.restore(spark, path, 2)
     assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1]
+
+
+def test_update_where_dv_is_merge_on_read(spark, tmp_path):
+    """update_where_dv: one atomic dv_update commit vectors out the old
+    rows and appends the rewritten ones — no full rewrite (old data dir
+    untouched, exactly two new dirs), same assignment semantics as
+    update_where, pre-update state time-travelable, vectors retire at
+    compact."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 10, None), (2, 20, 5), (3, 30, -5)],
+                              "id long, v int, flag int"), path)
+    dirs_before = set(os.listdir(os.path.join(path, "_txn_data")))
+    n = fmt.update_where_dv(spark, path, "flag < 0", {"v": "v * 100 + id"})
+    assert n == 1
+    dirs_after = set(os.listdir(os.path.join(path, "_txn_data")))
+    assert len(dirs_after - dirs_before) == 2  # vector + rewritten rows
+    got = {r.id: r.v for r in fmt.read(spark, path).collect()}
+    assert got == {1: 10, 2: 20, 3: 3003}
+    assert dict(fmt.read(spark, path).dtypes)["v"] == "int"
+    # NULL predicate rows untouched; zero matches publish nothing
+    n_commits = len(fmt._commits(path))
+    assert fmt.update_where_dv(spark, path, "flag > 1e9", {"v": "0"}) == 0
+    assert len(fmt._commits(path)) == n_commits
+    # pre-update state still readable
+    assert {r.id: r.v for r in
+            fmt.read(spark, path, as_of_version=0).collect()}[3] == 30
+    fmt.compact(spark, path)
+    assert fmt._resolve_dvs(fmt._commits(path)) == []
+    assert {r.id: r.v for r in fmt.read(spark, path).collect()}[3] == 3003
+
+
+def test_update_where_dv_respects_check_constraints(spark, tmp_path):
+    """Constraints validate the REWRITTEN rows: a violating update aborts
+    before any commit and the table state is unchanged."""
+    fmt = TxnLogFormat(constraints={"v_pos": "v >= 0"})
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 10)], "id long, v long"), path)
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        fmt.update_where_dv(spark, path, "id = 1", {"v": "-1"})
+    assert [r.v for r in fmt.read(spark, path).collect()] == [10]
+    assert fmt._commits(path)[-1]["action"] == "replace_all"
