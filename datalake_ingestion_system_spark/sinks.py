@@ -127,6 +127,13 @@ class TxnLogFormat(TableFormat):
       folds the whole table into one commit to bound replay cost (the
       checkpoint analogue: run it on the same cadence as Delta's
       ``checkpointInterval``).
+    - Row-level writes come in BOTH cost models: copy-on-write
+      (``delete_where`` / ``update_where`` / ``merge`` publish a
+      ``replace_all``) and merge-on-read (``delete_where_dv`` /
+      ``update_where_dv`` publish deletion vectors keyed by scan file +
+      parquet row index; ``read`` anti-joins live vectors).  Vectors
+      retire at any ``replace_all`` and replay correctly under time
+      travel and ``restore``.
     """
 
     name = "txnlog"
