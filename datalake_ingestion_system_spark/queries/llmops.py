@@ -3632,3 +3632,89 @@ SELECT c.doc_id,
 FROM c JOIN f ON md5(c.chunk) = f.h
 GROUP BY c.doc_id
 """
+
+
+@_q("q_training_shards_e2e")
+def q_training_shards_e2e(spark, sf_dir):
+    """The END-TO-END training-data build, composed from the tier's own
+    operators and oracle-checked as ONE query: curation gates (language,
+    min length, exact dedup keep-first) -> deterministic chunking
+    (``chunk_text``, 200 chars, no overlap) -> per-chunk token counts ->
+    token-budget bin packing into shards per source (``pack_bins``,
+    256-token target) -> the shard MANIFEST (chunks + tokens per bin)
+    a training loader would consume.  This is the "switch your pipeline
+    to this
+    repo" proof: every stage is the registered operator, composed, and
+    the DuckDB oracle replays the entire pipeline declaratively.
+
+    Scale shape: gates are one scan + one fingerprint window; chunking
+    is an in-row explode; packing is one window cumsum PARTITIONED BY
+    source (never a global single-task window); the manifest is one
+    partial-agg rollup."""
+    from ..operators.text import chunk_text
+
+    d = load(spark, sf_dir, "documents")
+    keep_w = Window.partitionBy(dedup.fingerprint("text"))
+    survivors = (d.withColumn(
+        "_keep",
+        (F.col("lang") == "en")
+        & (F.size(tokens("text")) >= 15)
+        & (F.col("doc_id") == F.min("doc_id").over(keep_w)))
+        .filter(F.col("_keep")).drop("_keep"))
+    chunks = chunk_text(survivors.select("doc_id", "source", "text"),
+                        "doc_id", "text", chunk_chars=200, overlap=0)
+    # chunk_text keys rows by (doc_id, chunk_id); re-attach source and
+    # build the composite pack order doc-major, chunk-minor
+    chunks = (chunks.join(survivors.select("doc_id", "source"), "doc_id")
+              .select("source",
+                      (F.col("doc_id") * 10000 + F.col("chunk_id"))
+                      .alias("seq"),
+                      F.size(tokens(F.col("chunk"))).alias("n_tokens")))
+    from ..operators.text import pack_bins
+    packed = pack_bins(chunks, "seq", "n_tokens",
+                       target_weight=256, part_col="source")
+    return (packed.groupBy("source", "bin")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("weight").alias("n_tokens"))
+            .select("source", F.col("bin").cast("long").alias("bin"),
+                    "n_chunks", F.col("n_tokens").cast("long")
+                    .alias("n_tokens")))
+
+
+ORACLE_SQL["q_training_shards_e2e"] = f"""
+WITH survivors AS (
+  SELECT doc_id, source, text
+  FROM (
+    SELECT doc_id, source, text,
+           lang = 'en'
+             AND len(regexp_extract_all(lower(text), '\\w+')) >= 15
+             AND doc_id = min(doc_id)
+                   OVER (PARTITION BY md5({_NORM_SQL})) AS keep
+    FROM documents
+  ) WHERE keep
+), base AS (
+  SELECT doc_id, source, text,
+         greatest(1, CAST(ceil(length(text) / 200.0) AS INT)) AS n
+  FROM survivors
+), segs AS (
+  SELECT doc_id, source, text, unnest(range(n)) AS i FROM base
+), chunks AS (
+  SELECT source,
+         doc_id * 10000 + i AS seq,
+         len(regexp_extract_all(
+             lower(substring(text, CAST(i * 200 + 1 AS INT), 200)),
+             '\\w+')) AS n_tokens
+  FROM segs
+), packed AS (
+  SELECT source, seq, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 256.0) AS BIGINT) AS bin
+  FROM chunks
+)
+SELECT source, bin,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM packed GROUP BY source, bin
+"""
