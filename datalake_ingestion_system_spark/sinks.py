@@ -217,6 +217,17 @@ class TxnLogFormat(TableFormat):
         log = self._log_dir(path)
         os.makedirs(log, exist_ok=True)
         while True:
+            if record.get("txn_app") is not None:
+                # idempotent-transaction dedup, rechecked on EVERY retry:
+                # if a concurrent committer of the same (app, version)
+                # wins the os.link race, the loser re-enters here, sees
+                # the winner's record, and skips — the pair can never
+                # commit twice (Delta txnAppId/txnVersion semantics)
+                applied = [c for c in self._commits(path)
+                           if c.get("txn_app") == record["txn_app"]
+                           and c.get("txn_version") == record["txn_version"]]
+                if applied:
+                    return applied[0]["version"]
             versions = [int(n.split(".")[0]) for n in os.listdir(log)
                         if n.endswith(".json")]
             v = (max(versions) + 1) if versions else 0
@@ -279,16 +290,54 @@ class TxnLogFormat(TableFormat):
                             "partitions": parts,
                             "schema": df.schema.json()})
 
-    def overwrite_table(self, df: DataFrame, path: str) -> None:
+    def overwrite_table(self, df: DataFrame, path: str,
+                        txn_app: str | None = None,
+                        txn_version: int | None = None) -> None:
+        """Full-table replace.  With ``txn_app``/``txn_version`` the write
+        is an IDEMPOTENT TRANSACTION (Delta's ``txnAppId``/``txnVersion``):
+        a commit carrying an (app, version) pair an earlier commit already
+        recorded is silently skipped — race-safely, inside the publish
+        loop — so an exactly-once foreachBatch sink can simply pass its
+        epoch id and stop relying on convergence arguments."""
+        if self._txn_already_applied(path, txn_app, txn_version):
+            return  # fast path: skip the staging write entirely
         rel = self._stage(df, path, None)
-        self._commit(path, {"action": "replace_all", "dir": rel,
-                            "partition_col": None, "partitions": [],
-                            "schema": df.schema.json()})
+        rec = {"action": "replace_all", "dir": rel,
+               "partition_col": None, "partitions": [],
+               "schema": df.schema.json()}
+        if txn_app is not None:
+            rec.update(txn_app=txn_app, txn_version=txn_version)
+        self._commit(path, rec)
 
-    def append(self, df: DataFrame, path: str) -> None:
+    def append(self, df: DataFrame, path: str,
+               txn_app: str | None = None,
+               txn_version: int | None = None) -> None:
+        """Append rows.  Same idempotent-transaction contract as
+        ``overwrite_table`` — a replayed (app, version) append is a no-op,
+        the exactly-once upgrade over replay-safe-by-dedup-on-read."""
+        if self._txn_already_applied(path, txn_app, txn_version):
+            return
         rel = self._stage(df, path, None)
-        self._commit(path, {"action": "append", "dir": rel,
-                            "schema": df.schema.json()})
+        rec = {"action": "append", "dir": rel, "schema": df.schema.json()}
+        if txn_app is not None:
+            rec.update(txn_app=txn_app, txn_version=txn_version)
+        self._commit(path, rec)
+
+    @staticmethod
+    def _txn_matches(commits: list[dict], app: str, version: int) -> bool:
+        return any(c.get("txn_app") == app
+                   and c.get("txn_version") == version for c in commits)
+
+    def _txn_already_applied(self, path: str, app: str | None,
+                             version: int | None) -> bool:
+        if app is None:
+            return False
+        if version is None:
+            raise ValueError("txn_app requires txn_version")
+        try:
+            return self._txn_matches(self._commits(path), app, version)
+        except FileNotFoundError:
+            return False
 
     def _resolve_live(self, commits: list[dict]) -> list[dict]:
         """Replay a commit list into live (dir, anti-filter) entries: every

@@ -78,7 +78,16 @@ def start_cdc_upsert_stream(spark: SparkSession, changes: DataFrame,
             # null-safe: a NULL predicate must mean "not a tombstone", not
             # silent deletion (filter(~NULL) drops the row)
             merged = merged.filter(~F.coalesce(delete_expr, F.lit(False)))
-        fmt.overwrite_table(merged, table_path)
+        if isinstance(fmt, TxnLogFormat):
+            # exactly-once upgrade: a redelivered epoch is SKIPPED by the
+            # commit log's idempotent-transaction dedup (epoch ids are
+            # stable across foreachBatch replays, scoped per checkpoint),
+            # not merely converged-through
+            fmt.overwrite_table(merged, table_path,
+                                txn_app=f"cdc:{checkpoint_dir}",
+                                txn_version=epoch_id)
+        else:
+            fmt.overwrite_table(merged, table_path)
 
     return (changes.writeStream
             .foreachBatch(apply_batch)

@@ -59,7 +59,12 @@ def start_kmv_stream(spark: SparkSession, keys: DataFrame,
             merged = bottom_k(current.unionByName(fresh), set_col, k)
         except FileNotFoundError:
             merged = bottom_k(fresh, set_col, k)
-        fmt.overwrite_table(merged, table_path)
+        # exactly-once via the commit log's idempotent-transaction dedup
+        # (a redelivered epoch would also be a no-op by the union's
+        # idempotence — the txn skip just avoids the wasted rewrite)
+        fmt.overwrite_table(merged, table_path,
+                            txn_app=f"kmv:{checkpoint_dir}",
+                            txn_version=epoch_id)
 
     # continuous mode gets an explicit pacing trigger (same contract as
     # cdc_stream): the default ASAP trigger would publish a full commit +

@@ -986,3 +986,50 @@ def test_update_where_dv_respects_check_constraints(spark, tmp_path):
         fmt.update_where_dv(spark, path, "id = 1", {"v": "-1"})
     assert [r.v for r in fmt.read(spark, path).collect()] == [10]
     assert fmt._commits(path)[-1]["action"] == "replace_all"
+
+
+def test_idempotent_txn_writes_dedup_by_app_version(spark, tmp_path):
+    """Delta txnAppId/txnVersion parity: a write replaying an already-
+    committed (app, version) pair is a silent no-op — even with different
+    data (the contract is 'this epoch already landed'); a new version
+    applies; txn_app without txn_version is rejected."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1,)], "v int"), path,
+               txn_app="job", txn_version=1)
+    n_commits = len(fmt._commits(path))
+    # replayed epoch: skipped entirely (no commit, no rows)
+    fmt.append(spark.createDataFrame([(999,)], "v int"), path,
+               txn_app="job", txn_version=1)
+    assert len(fmt._commits(path)) == n_commits
+    assert sorted(r.v for r in fmt.read(spark, path).collect()) == [1]
+    # next epoch applies
+    fmt.append(spark.createDataFrame([(2,)], "v int"), path,
+               txn_app="job", txn_version=2)
+    assert sorted(r.v for r in fmt.read(spark, path).collect()) == [1, 2]
+    # a DIFFERENT app's version 1 is unrelated
+    fmt.overwrite_table(spark.createDataFrame([(7,)], "v int"), path,
+                        txn_app="other", txn_version=1)
+    fmt.overwrite_table(spark.createDataFrame([(8,)], "v int"), path,
+                        txn_app="other", txn_version=1)
+    assert [r.v for r in fmt.read(spark, path).collect()] == [7]
+    with pytest.raises(ValueError, match="txn_version"):
+        fmt.append(spark.createDataFrame([(3,)], "v int"), path,
+                   txn_app="job")
+
+
+def test_txn_dedup_rechecked_inside_publish_loop(spark, tmp_path):
+    """The race path: if the fast pre-stage check misses (a concurrent
+    committer lands between it and the publish), the in-loop recheck must
+    still skip — the (app, version) pair can never commit twice."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1,)], "v int"), path,
+               txn_app="job", txn_version=5)
+    # blind the fast path, forcing the decision into _commit's loop
+    fmt._txn_already_applied = lambda *a, **kw: False
+    n_commits = len(fmt._commits(path))
+    fmt.append(spark.createDataFrame([(999,)], "v int"), path,
+               txn_app="job", txn_version=5)
+    assert len(fmt._commits(path)) == n_commits
+    assert sorted(r.v for r in fmt.read(spark, path).collect()) == [1]
