@@ -435,9 +435,15 @@ class TxnLogFormat(TableFormat):
                 continue
             df = spark.read.option("basePath", full).parquet(full)
             if need_pos:
-                df = df.select("*",
-                               F.col("_metadata.file_path").alias("_dv_file"),
-                               F.col("_metadata.row_index").alias("_dv_pos"))
+                # TABLE-RELATIVE file identity (the `_txn_data/...` suffix,
+                # like Delta's relative add/remove paths): an absolute URI
+                # would break every deletion vector the moment the table
+                # directory is copied or mounted elsewhere
+                df = df.select(
+                    "*",
+                    F.regexp_extract(F.col("_metadata.file_path"),
+                                     "_txn_data/.*$", 0).alias("_dv_file"),
+                    F.col("_metadata.row_index").alias("_dv_pos"))
             for col, values in e["removed"].items():
                 if col not in df.columns:
                     continue

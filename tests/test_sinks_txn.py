@@ -1033,3 +1033,23 @@ def test_txn_dedup_rechecked_inside_publish_loop(spark, tmp_path):
                txn_app="job", txn_version=5)
     assert len(fmt._commits(path)) == n_commits
     assert sorted(r.v for r in fmt.read(spark, path).collect()) == [1]
+
+
+def test_deletion_vectors_survive_table_relocation(spark, tmp_path):
+    """DV identities are table-relative (the _txn_data suffix), so
+    copying the whole table directory elsewhere keeps every vector
+    correct — the failure mode absolute file URIs would have."""
+    import shutil
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "orig" / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1,), (2,), (3,)], "id long"), path)
+    fmt.delete_where_dv(spark, path, "id = 2")
+    moved = str(tmp_path / "moved" / "t")
+    os.makedirs(os.path.dirname(moved), exist_ok=True)
+    shutil.copytree(path, moved)
+    assert sorted(r.id for r in fmt.read(spark, moved).collect()) == [1, 3]
+    fmt.delete_where_dv(spark, moved, "id = 3")
+    assert [r.id for r in fmt.read(spark, moved).collect()] == [1]
+    # the original table is untouched by the copy's delete
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 3]
