@@ -44,7 +44,11 @@ _FORCE_FRONT: tuple[str, ...] = (
     # round-6 session 2: the sessionization ORACLE changed (floor(epoch)
     # whole-second parity) after its last green row — the driver must
     # re-verify it even though it holds historical evidence
-    "q_sessionization")
+    "q_sessionization",
+    # round-6 session 3: the sf0.1 cross-SF sweep caught round(avg,4)
+    # half-boundary divergence in the interpolation series; both sides
+    # moved to the shared floor-quantization path — re-verify
+    "q_series_interpolate")
 
 
 def _evidence():

@@ -492,10 +492,13 @@ def q_series_interpolate(spark, sf_dir):
     the last known point, backfill before the first — the standard sensor/
     finance resample-and-interpolate operator.
 
-    Cross-engine determinism: known points are round(avg, 4) (the proven
-    aggregate-rounding recipe); the interpolation itself is row-local IEEE
-    arithmetic on staged prev/next scalars (no reassociation possible) and
-    rounds to 6.  Scale shape: one partial-agg shuffle for the daily means,
+    Cross-engine determinism: known points quantize through the shared
+    IEEE path ``floor(x * 1e4 + 0.5) / 1e4`` (``round(avg, 4)`` diverged
+    at an exact decimal half at sf0.1 — Spark BigDecimal HALF_UP vs
+    DuckDB binary rounding, the same failure the r6 cross-SF sweep first
+    caught in EWMA); the interpolation is row-local IEEE arithmetic on
+    staged prev/next scalars (no reassociation possible), quantized the
+    same way at 1e6.  Scale shape: one partial-agg shuffle for the daily means,
     a generated spine broadcast against the series keys, and two
     IGNORE-NULLS window passes (forward + backward) partitioned per series
     — each series' window is its own partition, no global sort."""
@@ -503,7 +506,8 @@ def q_series_interpolate(spark, sf_dir):
         F.col("event_type") == "purchase")  # sparse series -> real gaps
     daily = (e.groupBy((F.col("user_id") % 20).alias("k"),
                        F.to_date("ts").alias("d"))
-             .agg(F.round(F.avg("value"), 4).alias("v")))
+             .agg((F.floor(F.avg("value") * 1e4 + 0.5) / 1e4)
+                  .alias("v")))
     bounds = e.agg(F.to_date(F.min("ts")).alias("lo"),
                    F.to_date(F.max("ts")).alias("hi"))  # purchase range
     spine = (daily.select("k").distinct()
@@ -525,7 +529,8 @@ def q_series_interpolate(spark, sf_dir):
     frac = F.datediff(F.col("d"), prev_d) / span
     filled = (F.when(F.col("v").isNotNull(), F.col("v"))
               .when(prev_v.isNotNull() & next_v.isNotNull(),
-                    F.round(prev_v + (next_v - prev_v) * frac, 6))
+                    F.floor((prev_v + (next_v - prev_v) * frac)
+                            * 1e6 + 0.5) / 1e6)
               .when(prev_v.isNotNull(), prev_v)
               .otherwise(next_v))
     kind = (F.when(F.col("v").isNotNull(), F.lit("known"))
@@ -541,7 +546,8 @@ ORACLE_SQL["q_series_interpolate"] = """
 WITH p AS (
   SELECT * FROM events WHERE event_type = 'purchase'
 ), daily AS (
-  SELECT user_id % 20 AS k, CAST(ts AS DATE) AS d, round(avg(value), 4) AS v
+  SELECT user_id % 20 AS k, CAST(ts AS DATE) AS d,
+         floor(avg(value) * 1e4 + 0.5) / 1e4 AS v
   FROM p GROUP BY 1, 2
 ), bounds AS (
   SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM p
@@ -570,9 +576,10 @@ WITH p AS (
 SELECT k, d,
        CASE WHEN v IS NOT NULL THEN v
             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
-              round(prev_v + (next_v - prev_v)
-                    * (datediff('day', prev_d, d)
-                       / datediff('day', prev_d, next_d)), 6)
+              floor((prev_v + (next_v - prev_v)
+                     * (datediff('day', prev_d, d)
+                        / datediff('day', prev_d, next_d)))
+                    * 1e6 + 0.5) / 1e6
             WHEN prev_v IS NOT NULL THEN prev_v
             ELSE next_v END AS v_filled,
        CASE WHEN v IS NOT NULL THEN 'known'

@@ -3665,9 +3665,12 @@ def q_training_shards_e2e(spark, sf_dir):
                         "doc_id", "text", chunk_chars=200, overlap=0)
     # chunk_text keys rows by (doc_id, chunk_id); re-attach source and
     # build the composite pack order doc-major, chunk-minor
+    # 2^20 chunks/doc (~200 MB of text at 200 chars/chunk) bounds the
+    # composite key; a collision would make the pack-order ties
+    # engine-dependent, so beyond that split the file upstream
     chunks = (chunks.join(survivors.select("doc_id", "source"), "doc_id")
               .select("source",
-                      (F.col("doc_id") * 10000 + F.col("chunk_id"))
+                      (F.col("doc_id") * (1 << 20) + F.col("chunk_id"))
                       .alias("seq"),
                       F.size(tokens(F.col("chunk"))).alias("n_tokens")))
     from ..operators.text import pack_bins
@@ -3700,7 +3703,7 @@ WITH survivors AS (
   SELECT doc_id, source, text, unnest(range(n)) AS i FROM base
 ), chunks AS (
   SELECT source,
-         doc_id * 10000 + i AS seq,
+         doc_id * 1048576 + i AS seq,
          len(regexp_extract_all(
              lower(substring(text, CAST(i * 200 + 1 AS INT), 200)),
              '\\w+')) AS n_tokens

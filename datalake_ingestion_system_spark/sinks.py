@@ -149,6 +149,13 @@ class TxnLogFormat(TableFormat):
         # publish a violating version.  SQL-standard CHECK semantics: a
         # row fails only when the expression is FALSE — NULL passes.
         self.constraints = dict(constraints or {})
+        #: per-table incremental cache for idempotent-transaction lookups:
+        #: path -> {"seen": highest version already parsed, "recs":
+        #: [(version, app, txn_version), ...]}.  Commit files are
+        #: immutable once named, so files at or below "seen" never need
+        #: re-reading — a long-lived stream pays O(new commits) per epoch
+        #: instead of re-parsing the whole log.
+        self._txn_cache: dict[str, dict] = {}
 
     def _check_constraints(self, staged: DataFrame) -> None:
         if not self.constraints:
@@ -218,19 +225,25 @@ class TxnLogFormat(TableFormat):
         os.makedirs(log, exist_ok=True)
         while True:
             if record.get("txn_app") is not None:
-                # idempotent-transaction dedup, rechecked on EVERY retry:
-                # if a concurrent committer of the same (app, version)
-                # wins the os.link race, the loser re-enters here, sees
-                # the winner's record, and skips — the pair can never
-                # commit twice (Delta txnAppId/txnVersion semantics)
-                applied = [c for c in self._commits(path)
-                           if c.get("txn_app") == record["txn_app"]
-                           and c.get("txn_version") == record["txn_version"]]
-                if applied:
-                    return applied[0]["version"]
-            versions = [int(n.split(".")[0]) for n in os.listdir(log)
-                        if n.endswith(".json")]
-            v = (max(versions) + 1) if versions else 0
+                # Idempotent-transaction dedup, rechecked on EVERY retry —
+                # and, crucially, the dedup answer and the version claim
+                # come from the SAME log listing: versions are dense
+                # (every writer links at its listing's head+1), so any
+                # commit that lands between this scan and our os.link
+                # necessarily takes exactly our chosen v, the link fails
+                # with FileExistsError, and we re-enter with a fresh scan
+                # that sees it.  A check-then-act gap between a separate
+                # dedup scan and a later listdir would let the same
+                # (app, version) pair commit twice.
+                head, hit = self._txn_scan(path, record["txn_app"],
+                                           record["txn_version"])
+                if hit is not None:
+                    return hit
+                v = head + 1
+            else:
+                versions = [int(n.split(".")[0]) for n in os.listdir(log)
+                            if n.endswith(".json")]
+                v = (max(versions) + 1) if versions else 0
             if expected_version is not None and v != expected_version:
                 # optimistic concurrency for read-modify-write commits
                 # (Delta's conflict detection): the snapshot this record
@@ -323,21 +336,49 @@ class TxnLogFormat(TableFormat):
             rec.update(txn_app=txn_app, txn_version=txn_version)
         self._commit(path, rec)
 
-    @staticmethod
-    def _txn_matches(commits: list[dict], app: str, version: int) -> bool:
-        return any(c.get("txn_app") == app
-                   and c.get("txn_version") == version for c in commits)
+    def _txn_scan(self, path: str, app: str,
+                  version: int) -> tuple[int, int | None]:
+        """(log head version, matched commit version or None) for an
+        idempotent-transaction pair — THE single matching rule, used by
+        both the pre-stage fast path and the in-loop publish recheck so
+        the two can never diverge.  Incremental: commit files are
+        immutable, so only files above the per-table cache's high-water
+        mark are parsed (O(new commits) per call, not O(log))."""
+        log = self._log_dir(path)
+        try:
+            names = sorted(n for n in os.listdir(log)
+                           if n.endswith(".json"))
+        except FileNotFoundError:
+            return -1, None
+        cache = self._txn_cache.setdefault(path, {"seen": -1, "recs": []})
+        head = -1
+        for n in names:
+            v = int(n.split(".")[0])
+            head = max(head, v)
+            if v <= cache["seen"]:
+                continue
+            with open(os.path.join(log, n)) as f:
+                c = json.load(f)
+            cache["seen"] = v
+            if c.get("txn_app") is not None:
+                cache["recs"].append(
+                    (c["version"], c["txn_app"], c["txn_version"]))
+        for cv, ca, cver in cache["recs"]:
+            if ca == app and cver == version:
+                return head, cv
+        return head, None
 
     def _txn_already_applied(self, path: str, app: str | None,
                              version: int | None) -> bool:
         if app is None:
+            if version is not None:
+                raise ValueError(
+                    "txn_version requires txn_app — passing only one "
+                    "silently drops the idempotence you asked for")
             return False
         if version is None:
             raise ValueError("txn_app requires txn_version")
-        try:
-            return self._txn_matches(self._commits(path), app, version)
-        except FileNotFoundError:
-            return False
+        return self._txn_scan(path, app, version)[1] is not None
 
     def _resolve_live(self, commits: list[dict]) -> list[dict]:
         """Replay a commit list into live (dir, anti-filter) entries: every
@@ -473,6 +514,25 @@ class TxnLogFormat(TableFormat):
             lambda a, b: a.unionByName(b, allowMissingColumns=True),
             parts_list)
         if dvs:
+            if out.columns.count("_dv_file") > 1:
+                # a user column shadowed the reserved name AFTER a vector
+                # existed (vector creation itself rejects such schemas) —
+                # surface the repair path instead of an opaque
+                # ambiguous-reference crash
+                raise ValueError(
+                    "table data contains a column named _dv_file/_dv_pos "
+                    "(reserved for deletion vectors) — compact() the "
+                    "table to materialize and clear the vectors")
+            missing_dv = [d for d in dvs
+                          if not os.path.isdir(os.path.join(path, d))]
+            if missing_dv:
+                # same contract as a missing live DATA dir: a vacuumed
+                # historical version raises FileNotFoundError, never a raw
+                # path-not-found from the parquet reader
+                raise FileNotFoundError(
+                    f"deletion-vector dirs {missing_dv} for a live commit "
+                    f"are missing at {path} (vacuumed version or "
+                    "corrupted table)")
             dv_df = reduce(
                 DataFrame.unionByName,
                 [spark.read.parquet(os.path.join(path, d)) for d in dvs])
@@ -606,6 +666,7 @@ class TxnLogFormat(TableFormat):
         ``ConcurrentWriteError`` snapshot guard as every read-modify-write
         commit.  Returns rows deleted."""
         head = self._commits(path)[-1]["version"]
+        self._check_dv_reserved_columns(spark, path)
         current = self.read(spark, path, _with_pos=True)
         if "_dv_file" not in current.columns:
             return 0  # zero-live-row table: nothing to delete
@@ -619,6 +680,17 @@ class TxnLogFormat(TableFormat):
                             "partition_col": None, "partitions": []},
                      expected_version=head + 1)
         return n_del
+
+    def _check_dv_reserved_columns(self, spark: SparkSession,
+                                   path: str) -> None:
+        """Vector ops reserve _dv_file/_dv_pos for the physical row
+        identity; creating a vector over a table whose DATA carries either
+        name would make every subsequent read ambiguous."""
+        bad = {"_dv_file", "_dv_pos"} & set(self.read(spark, path).columns)
+        if bad:
+            raise ValueError(
+                f"table columns {sorted(bad)} are reserved for deletion "
+                "vectors; rename them before using merge-on-read ops")
 
     def update_where_dv(self, spark: SparkSession, path: str,
                         predicate: str,
@@ -635,6 +707,7 @@ class TxnLogFormat(TableFormat):
         rewrite dirs retire together at the next ``replace_all``.
         Returns rows updated."""
         head = self._commits(path)[-1]["version"]
+        self._check_dv_reserved_columns(spark, path)
         current = self.read(spark, path, _with_pos=True)
         if "_dv_file" not in current.columns:
             return 0  # zero-live-row table: nothing to update

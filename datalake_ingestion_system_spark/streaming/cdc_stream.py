@@ -44,7 +44,8 @@ def start_cdc_upsert_stream(spark: SparkSession, changes: DataFrame,
                             checkpoint_dir: str,
                             delete_expr: Column | None = None,
                             fmt: TxnLogFormat | None = None,
-                            available_now: bool = True):
+                            available_now: bool = True,
+                            txn_app: str | None = None):
     """Start the CDC upsert stream; returns the StreamingQuery.
 
     ``changes`` is a streaming DataFrame of change records carrying
@@ -82,9 +83,14 @@ def start_cdc_upsert_stream(spark: SparkSession, changes: DataFrame,
             # exactly-once upgrade: a redelivered epoch is SKIPPED by the
             # commit log's idempotent-transaction dedup (epoch ids are
             # stable across foreachBatch replays, scoped per checkpoint),
-            # not merely converged-through
+            # not merely converged-through.
+            # WIPED-CHECKPOINT footgun (same as Delta's txnAppId rule):
+            # deleting the checkpoint dir resets epoch ids to 0, but the
+            # old (app, epoch) records are still in the table's log — the
+            # replays would silently no-op.  Pass a FRESH ``txn_app``
+            # whenever you reset the checkpoint to reprocess.
             fmt.overwrite_table(merged, table_path,
-                                txn_app=f"cdc:{checkpoint_dir}",
+                                txn_app=txn_app or f"cdc:{checkpoint_dir}",
                                 txn_version=epoch_id)
         else:
             fmt.overwrite_table(merged, table_path)

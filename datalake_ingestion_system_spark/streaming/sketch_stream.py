@@ -40,7 +40,8 @@ def start_kmv_stream(spark: SparkSession, keys: DataFrame,
                      table_path: str, set_col: str, key_col: str,
                      checkpoint_dir: str, k: int = 64,
                      fmt: TxnLogFormat | None = None,
-                     available_now: bool = True):
+                     available_now: bool = True,
+                     txn_app: str | None = None):
     """Start the sketch-maintenance stream; returns the StreamingQuery.
 
     ``keys`` is a streaming DataFrame carrying ``set_col`` (the sketch
@@ -61,10 +62,16 @@ def start_kmv_stream(spark: SparkSession, keys: DataFrame,
             merged = bottom_k(fresh, set_col, k)
         # exactly-once via the commit log's idempotent-transaction dedup
         # (a redelivered epoch would also be a no-op by the union's
-        # idempotence — the txn skip just avoids the wasted rewrite)
-        fmt.overwrite_table(merged, table_path,
-                            txn_app=f"kmv:{checkpoint_dir}",
-                            txn_version=epoch_id)
+        # idempotence — the txn skip just avoids the wasted rewrite).
+        # Pass a fresh ``txn_app`` after wiping the checkpoint dir, or
+        # the restarted epochs 0..N silently skip (same contract as
+        # cdc_stream / Delta txnAppId).
+        if isinstance(fmt, TxnLogFormat):
+            fmt.overwrite_table(merged, table_path,
+                                txn_app=txn_app or f"kmv:{checkpoint_dir}",
+                                txn_version=epoch_id)
+        else:  # degrade gracefully for seam formats without txn kwargs
+            fmt.overwrite_table(merged, table_path)
 
     # continuous mode gets an explicit pacing trigger (same contract as
     # cdc_stream): the default ASAP trigger would publish a full commit +

@@ -1053,3 +1053,33 @@ def test_deletion_vectors_survive_table_relocation(spark, tmp_path):
     assert [r.id for r in fmt.read(spark, moved).collect()] == [1]
     # the original table is untouched by the copy's delete
     assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 3]
+
+
+def test_dv_ops_reject_reserved_column_names(spark, tmp_path):
+    """A table whose DATA carries _dv_file/_dv_pos would make every
+    post-vector read ambiguous — vector creation refuses up front."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, "x")], "id long, _dv_file string"),
+        path)
+    with pytest.raises(ValueError, match="reserved for deletion vectors"):
+        fmt.delete_where_dv(spark, path, "id = 1")
+    with pytest.raises(ValueError, match="reserved for deletion vectors"):
+        fmt.update_where_dv(spark, path, "id = 1", {"id": "2"})
+
+
+def test_missing_dv_dir_raises_cleanly(spark, tmp_path):
+    """A live commit whose VECTOR dir is gone (vacuumed historical
+    version / external corruption) must raise the same FileNotFoundError
+    contract as a missing data dir, not a raw parquet path error."""
+    import shutil
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1,), (2,)], "id long"), path)   # v0
+    fmt.delete_where_dv(spark, path, "id = 2")                  # v1
+    dv_dir = fmt._commits(path)[-1]["dir"]
+    shutil.rmtree(os.path.join(path, dv_dir))
+    with pytest.raises(FileNotFoundError, match="deletion-vector"):
+        fmt.read(spark, path)
