@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import time as _time_mod
 import uuid
 from functools import reduce
 
@@ -264,7 +265,13 @@ class TxnLogFormat(TableFormat):
             # FileExistsError on a version race exactly like O_EXCL did.
             tmp = os.path.join(log, f".{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as f:
-                json.dump({**record, "version": v}, f)
+                # wall-clock publish time enables timestamp time travel
+                # (Delta's timestampAsOf); version order remains the
+                # authoritative serialization — ts is resolved to the
+                # LATEST version at-or-before the cutoff, so clock skew
+                # between writers cannot reorder history
+                json.dump({**record, "version": v,
+                           "ts": _time_mod.time()}, f)
                 f.flush()
                 os.fsync(f.fileno())
             try:
@@ -434,13 +441,35 @@ class TxnLogFormat(TableFormat):
 
     def read(self, spark: SparkSession, path: str,
              as_of_version: int | None = None,
+             as_of_timestamp: float | str | None = None,
              _with_pos: bool = False) -> DataFrame:
         """Current state, or — with ``as_of_version`` — TIME TRAVEL: the
         state after commit ``as_of_version`` landed, by replaying exactly
         that log prefix (versions are the log's serialization order, so
         the prefix IS the historical table; Delta's ``versionAsOf``).
-        Vacuumed versions raise when their data dirs are gone."""
+        ``as_of_timestamp`` (epoch seconds, or an ISO ``YYYY-mm-dd
+        HH:MM:SS`` string — Delta's ``timestampAsOf``) resolves to the
+        LATEST version published at or before the cutoff; raises if the
+        cutoff predates the table.  Vacuumed versions raise when their
+        data dirs are gone."""
         commits = self._commits(path)
+        if as_of_timestamp is not None:
+            if as_of_version is not None:
+                raise ValueError(
+                    "pass as_of_version OR as_of_timestamp, not both")
+            if isinstance(as_of_timestamp, str):
+                import datetime as _dt
+                as_of_timestamp = _dt.datetime.fromisoformat(
+                    as_of_timestamp).timestamp()
+            eligible = [c["version"] for c in commits
+                        if c.get("ts") is not None
+                        and c["ts"] <= as_of_timestamp]
+            if not eligible:
+                raise ValueError(
+                    f"no commit at or before timestamp {as_of_timestamp} "
+                    f"at {path} (table created later, or a pre-timestamp "
+                    "log — use as_of_version)")
+            as_of_version = max(eligible)
         if as_of_version is not None:
             commits = [c for c in commits if c["version"] <= as_of_version]
             if not commits or commits[-1]["version"] != as_of_version:
@@ -606,6 +635,7 @@ class TxnLogFormat(TableFormat):
                  "partition_col": c.get("partition_col"),
                  "partitions": c.get("partitions"),
                  "to_version": c.get("to_version"),
+                 "ts": c.get("ts"),
                  "dir": c["dir"]}
                 for c in reversed(self._commits(path))]
 

@@ -1083,3 +1083,33 @@ def test_missing_dv_dir_raises_cleanly(spark, tmp_path):
     shutil.rmtree(os.path.join(path, dv_dir))
     with pytest.raises(FileNotFoundError, match="deletion-vector"):
         fmt.read(spark, path)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """timestampAsOf parity: a cutoff resolves to the LATEST version
+    published at or before it; a pre-table cutoff raises; version and
+    timestamp selectors are mutually exclusive; history exposes ts."""
+    import time as time_mod
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(spark.createDataFrame([(1,)], "v int"), path)
+    t_after_v0 = time_mod.time()
+    time_mod.sleep(0.05)
+    fmt.append(spark.createDataFrame([(2,)], "v int"), path)
+    assert sorted(r.v for r in
+                  fmt.read(spark, path,
+                           as_of_timestamp=t_after_v0).collect()) == [1]
+    assert sorted(r.v for r in
+                  fmt.read(spark, path,
+                           as_of_timestamp=time_mod.time()).collect()) \
+        == [1, 2]
+    with pytest.raises(ValueError, match="at or before"):
+        fmt.read(spark, path, as_of_timestamp=1.0)
+    with pytest.raises(ValueError, match="not both"):
+        fmt.read(spark, path, as_of_version=0, as_of_timestamp=1.0)
+    assert all(h["ts"] is not None for h in fmt.history(path))
+    # ISO-string form resolves too (string cutoff far in the future)
+    assert sorted(r.v for r in
+                  fmt.read(spark, path,
+                           as_of_timestamp="2093-01-01 00:00:00")
+                  .collect()) == [1, 2]
