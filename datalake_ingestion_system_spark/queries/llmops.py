@@ -3721,3 +3721,64 @@ SELECT source, bin,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM packed GROUP BY source, bin
 """
+
+
+@_q("q_charngram_lm_score")
+def q_charngram_lm_score(spark, sf_dir):
+    """Character-trigram language-model typicality score — the CCNet/
+    FineWeb perplexity-filter shape with the external KenLM swapped for
+    an in-engine model trained on the corpus itself: every trigram
+    occurrence is scored by how probable the model says it is given its
+    2-char context, and a document's mean score separates typical text
+    from line noise / wrong-language / binary-ish outliers.
+
+    Determinism choice: the score is LINEAR probability mass in integer
+    ppm — ``(1e6 * C3(g)) DIV C2(ctx)`` summed and integer-averaged —
+    not log-probability, because ``ln``/``log2`` last-ulp behavior
+    differs between the JVM and DuckDB's libm (the same reason the EWMA
+    fold avoids ``pow``); ranking power is equivalent for filtering.
+    All-integer arithmetic end to end, so the oracle reproduces every
+    score bit-for-bit.
+
+    Scale shape: one in-row explode (len-2 trigrams per doc), two
+    vocab-scale groupBys for the model (trigram and context counts), a
+    broadcast model join back onto the occurrence stream, one per-doc
+    partial-agg rollup — linear, never all-pairs; the model table is
+    alphabet^3-bounded and merges across shards by count addition."""
+    d = load(spark, sf_dir, "documents")
+    occ = d.select("doc_id",
+                   F.explode(char_ngrams("text", 3)).alias("g"))
+    c3 = occ.groupBy("g").agg(F.count("*").alias("c3"))
+    c2 = (occ.groupBy(F.col("g").substr(1, 2).alias("ctx"))
+          .agg(F.count("*").alias("c2")))
+    model = (c3.withColumn("ctx", F.col("g").substr(1, 2))
+             .join(c2, "ctx")
+             .select("g", F.expr("(1000000 * c3) DIV c2").alias("s")))
+    return (occ.join(F.broadcast(model), "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.expr("sum(s) DIV count(*)").alias("lm_ppm")))
+
+
+ORACLE_SQL["q_charngram_lm_score"] = f"""
+WITH nt AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest([substr(t, CAST(i AS INTEGER), 3)
+                 for i in range(1, length(t) - 1)]) AS g
+  FROM nt WHERE length(t) >= 3
+), c3 AS (
+  SELECT g, count(*) AS c3 FROM occ GROUP BY g
+), c2 AS (
+  SELECT substr(g, 1, 2) AS ctx, count(*) AS c2 FROM occ GROUP BY 1
+), model AS (
+  SELECT g, (1000000 * c3.c3) // c2.c2 AS s
+  FROM c3 JOIN c2 ON substr(c3.g, 1, 2) = c2.ctx
+)
+SELECT occ.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(model.s) // count(*) AS BIGINT) AS lm_ppm
+FROM occ JOIN model ON occ.g = model.g
+GROUP BY occ.doc_id
+"""
