@@ -3782,3 +3782,67 @@ SELECT occ.doc_id,
 FROM occ JOIN model ON occ.g = model.g
 GROUP BY occ.doc_id
 """
+
+
+@_q("q_bpe_merge_step")
+def q_bpe_merge_step(spark, sf_dir):
+    """One VERIFIABLE BPE tokenizer-training step: from the corpus word
+    frequencies, the top-10 adjacent-symbol merge candidates ranked by
+    the compression they would actually buy.  ``adj_weighted`` is the
+    classic BPE pair count (adjacent occurrences x word frequency);
+    ``tokens_saved`` is the non-overlapping merge gain (one symbol saved
+    per applied merge — "aaa" holds two "aa" pairs but only one merge),
+    computed as the length delta of a literal single-char-marker
+    replace, which is leftmost-non-overlapping in both engines.  Ties
+    break on the pair string, so the ranking is fully deterministic and
+    the oracle reproduces the whole training step.
+
+    Scale shape: word-frequency rollup first (pair work runs on the
+    VOCABULARY, not the corpus — the standard BPE trick), one in-row
+    pair explode over distinct words, two partial-agg shuffles, top-10
+    via TakeOrderedAndProject.  Iterating the step re-runs this query
+    on the re-segmented vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    w = (d.select(F.explode(tokens("text")).alias("w"))
+         .groupBy("w").agg(F.count("*").alias("freq")))
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)))
+    ).otherwise(F.array().cast("array<string>"))
+    wp = (w.select("w", "freq", F.explode(pair_arr).alias("p"))
+          .groupBy("w", "p")
+          .agg(F.min("freq").alias("freq"), F.count("*").alias("n_adj")))
+    saved = (F.length("w")
+             - F.length(F.replace(F.col("w"), F.col("p"), F.lit("\x01"))))
+    return (wp.groupBy("p")
+            .agg(F.sum(F.col("freq") * F.col("n_adj"))
+                  .alias("adj_weighted"),
+                 F.sum(F.col("freq") * saved).alias("tokens_saved"))
+            .select(F.col("p").alias("pair"), "adj_weighted",
+                    "tokens_saved")
+            .orderBy(F.desc("tokens_saved"), "pair").limit(10))
+
+
+ORACLE_SQL["q_bpe_merge_step"] = r"""
+WITH w AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+        FROM documents)
+  GROUP BY w
+), wp AS (
+  SELECT w, freq,
+         unnest([substr(w, CAST(i AS INTEGER), 2)
+                 for i in range(1, length(w))]) AS p
+  FROM w WHERE length(w) >= 2
+), per_wp AS (
+  SELECT w, p, min(freq) AS freq, count(*) AS n_adj
+  FROM wp GROUP BY w, p
+)
+SELECT p AS pair,
+       CAST(sum(freq * n_adj) AS BIGINT) AS adj_weighted,
+       CAST(sum(freq * (length(w) - length(replace(w, p, chr(1)))))
+            AS BIGINT) AS tokens_saved
+FROM per_wp GROUP BY p
+ORDER BY tokens_saved DESC, pair LIMIT 10
+"""
