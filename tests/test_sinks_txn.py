@@ -1113,3 +1113,21 @@ def test_timestamp_time_travel(spark, tmp_path):
                   fmt.read(spark, path,
                            as_of_timestamp="2093-01-01 00:00:00")
                   .collect()) == [1, 2]
+
+
+def test_txn_cache_tracks_other_writers_incrementally(spark, tmp_path):
+    """The per-instance txn cache must still see commits OTHER writers
+    publish (it only skips files it already parsed, never the tail)."""
+    a, b = TxnLogFormat(), TxnLogFormat()
+    path = str(tmp_path / "t")
+    a.append(spark.createDataFrame([(1,)], "v int"), path,
+             txn_app="x", txn_version=1)
+    assert b._txn_already_applied(path, "x", 1)
+    b.append(spark.createDataFrame([(2,)], "v int"), path,
+             txn_app="y", txn_version=1)
+    assert a._txn_already_applied(path, "y", 1)
+    assert not a._txn_already_applied(path, "x", 2)
+    # and the dedup actually fires across instances
+    b.append(spark.createDataFrame([(999,)], "v int"), path,
+             txn_app="x", txn_version=1)
+    assert sorted(r.v for r in a.read(spark, path).collect()) == [1, 2]
