@@ -504,7 +504,9 @@ def test_restore_is_metadata_only_and_vacuum_safe(spark, tmp_path):
     # history preserved: the bad version still reads, restore is visible
     assert [tuple(r) for r in
             fmt.read(spark, path, as_of_version=1).collect()] == [(2, "b")]
-    assert fmt.history(path)[0] == {
+    head = dict(fmt.history(path)[0])
+    assert head.pop("ts") is not None  # publish time recorded per commit
+    assert head == {
         "version": 2, "action": "restore", "partition_col": None,
         "partitions": [], "to_version": 0, "dir": None}
     # post-restore writes compose on the restored state
