@@ -3749,8 +3749,12 @@ def q_charngram_lm_score(spark, sf_dir):
     occ = d.select("doc_id",
                    F.explode(char_ngrams("text", 3)).alias("g"))
     c3 = occ.groupBy("g").agg(F.count("*").alias("c3"))
-    c2 = (occ.groupBy(F.col("g").substr(1, 2).alias("ctx"))
-          .agg(F.count("*").alias("c2")))
+    # context counts derive from the VOCAB-scale c3 (every trigram
+    # occurrence contributes to exactly one prefix bigram), so the c2
+    # branch never re-scans the corpus — bit-identical to counting
+    # occurrences directly, integer sums both ways
+    c2 = (c3.groupBy(F.col("g").substr(1, 2).alias("ctx"))
+          .agg(F.sum("c3").alias("c2")))
     model = (c3.withColumn("ctx", F.col("g").substr(1, 2))
              .join(c2, "ctx")
              .select("g", F.expr("(1000000 * c3) DIV c2").alias("s")))
@@ -3771,7 +3775,8 @@ WITH nt AS (
 ), c3 AS (
   SELECT g, count(*) AS c3 FROM occ GROUP BY g
 ), c2 AS (
-  SELECT substr(g, 1, 2) AS ctx, count(*) AS c2 FROM occ GROUP BY 1
+  SELECT substr(g, 1, 2) AS ctx, CAST(sum(c3) AS BIGINT) AS c2
+  FROM c3 GROUP BY 1
 ), model AS (
   SELECT g, (1000000 * c3.c3) // c2.c2 AS s
   FROM c3 JOIN c2 ON substr(c3.g, 1, 2) = c2.ctx

@@ -461,9 +461,18 @@ class TxnLogFormat(TableFormat):
                 import datetime as _dt
                 as_of_timestamp = _dt.datetime.fromisoformat(
                     as_of_timestamp).timestamp()
-            eligible = [c["version"] for c in commits
-                        if c.get("ts") is not None
-                        and c["ts"] <= as_of_timestamp]
+            # MONOTONIZE timestamps over version order (Delta does the
+            # same): with raw per-commit clocks, a backward step between
+            # writers could make the cutoff select a version whose
+            # PREFIX includes a commit published after the cutoff.  The
+            # effective ts of a version is the running max up to it.
+            eligible, run_max = [], None
+            for c in commits:
+                ts = c.get("ts")
+                if ts is not None:
+                    run_max = ts if run_max is None else max(run_max, ts)
+                if run_max is not None and run_max <= as_of_timestamp:
+                    eligible.append(c["version"])
             if not eligible:
                 raise ValueError(
                     f"no commit at or before timestamp {as_of_timestamp} "
@@ -970,7 +979,6 @@ class TxnLogFormat(TableFormat):
         vacuumed versions stops working — the usual trade.  Returns the
         deleted relative paths."""
         import shutil
-        import time as _time
         commits = self._commits(path)
         live_from = 0
         for i, c in enumerate(commits):
@@ -990,7 +998,7 @@ class TxnLogFormat(TableFormat):
             names = os.listdir(data_root)
         except FileNotFoundError:
             return []
-        cutoff = _time.time() - retain_hours * 3600.0
+        cutoff = _time_mod.time() - retain_hours * 3600.0
         deleted = []
         for n in names:
             rel = os.path.join("_txn_data", n)

@@ -1133,3 +1133,30 @@ def test_txn_cache_tracks_other_writers_incrementally(spark, tmp_path):
     b.append(spark.createDataFrame([(999,)], "v int"), path,
              txn_app="x", txn_version=1)
     assert sorted(r.v for r in a.read(spark, path).collect()) == [1, 2]
+
+
+def test_timestamp_travel_monotonizes_backward_clock_steps(spark,
+                                                           tmp_path):
+    """A backward clock step between writers must not let a cutoff
+    select a version whose replay prefix includes a LATER-published
+    commit: effective ts is the running max over version order (the
+    Delta monotonization)."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(spark.createDataFrame([(1,)], "v int"), path)
+    fmt.append(spark.createDataFrame([(2,)], "v int"), path)
+    log = fmt._log_dir(path)
+    for name, ts in ((f"{0:012d}.json", 100.0), (f"{1:012d}.json", 90.0)):
+        p = os.path.join(log, name)
+        with open(p) as f:
+            rec = json.load(f)
+        rec["ts"] = ts
+        with open(p, "w") as f:
+            json.dump(rec, f)
+    # raw-ts resolution would pick v1 (ts 90 <= 95) and replay v0 too,
+    # a state containing a commit published at 100 > 95
+    with pytest.raises(ValueError, match="at or before"):
+        fmt.read(spark, path, as_of_timestamp=95.0)
+    got = sorted(r.v for r in
+                 fmt.read(spark, path, as_of_timestamp=100.0).collect())
+    assert got == [1, 2]  # both versions' effective ts collapse to 100
