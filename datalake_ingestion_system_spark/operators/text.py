@@ -212,6 +212,83 @@ def pack_bins(df: DataFrame, id_col: str, weight_col: Column | str,
     return df.select(*cols)
 
 
+def pack_bins_prefix(df: DataFrame, id_col: str, weight_col: Column | str,
+                     target_weight: int, part_col: str | None = None,
+                     num_buckets: int | None = None) -> DataFrame:
+    """``pack_bins`` semantics via a DISTRIBUTED two-level prefix sum —
+    identical output (``bin = floor(exclusive_cumsum / target)`` in
+    ``id_col`` order, within ``part_col`` if given), but no
+    single-task-per-group window, so it scales to few-huge-sources
+    corpora AND to fully global packing (no ``part_col`` needed).
+
+    Classic parallel scan, expressed in DataFrame ops:
+
+    1. range-partition rows by ``(part_col, id_col)`` into ``num_buckets``
+       ordered buckets (``repartitionByRange``; bucket id =
+       ``spark_partition_id()`` — range order makes bucket ids monotone
+       in the pack order);
+    2. one partial-agg pass computes per-(part, bucket) weight totals —
+       ``num_buckets × n_parts`` rows, config-scale, collected to the
+       driver where the exclusive per-part running offset across buckets
+       is a trivial scan;
+    3. offsets broadcast-join back; a window cumsum PARTITIONED BY
+       (part, bucket) — every window partition is ~1/num_buckets of the
+       data, all buckets in parallel — plus the bucket offset gives the
+       exact global exclusive cumsum.
+
+    Exactness does not depend on where the range boundaries fall, so the
+    sampled boundaries need only be CONSISTENT between the totals pass
+    and the final pass: the bucketed projection is persisted (it is the
+    skinny ``(part, id, weight)`` triple — a fraction of a percent of the
+    corpus bytes, safe to cache at 100 TB) because
+    ``repartitionByRange``'s boundary sampling is seeded per RDD id and
+    would otherwise re-sample differently on recompute.
+
+    Nulls in ``part_col``/``id_col`` are rejected by precondition (they
+    would break the range order and the equi-join back).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    pcols = [part_col] if part_col else []
+    n = int(num_buckets
+            or spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    staged = df.select(*[F.col(c) for c in pcols],
+                       F.col(id_col), wc.alias("weight"))
+    ranged = (staged
+              .repartitionByRange(n, *[F.col(c) for c in pcols + [id_col]])
+              .withColumn("_bkt", F.spark_partition_id())
+              .persist())
+    keys = pcols + ["_bkt"]
+    totals = (ranged.groupBy(*[F.col(k) for k in keys])
+              .agg(F.sum("weight").alias("_w"))
+              .collect())
+    # Driver-side exclusive prefix across range-ordered buckets, per part.
+    # Bucket ids are globally monotone in (part, id) order, so ascending
+    # _bkt within each part IS the pack order.
+    acc: dict = {}
+    off_rows = []
+    for r in sorted(totals, key=lambda r: r["_bkt"]):
+        pkey = r[part_col] if part_col else None
+        off_rows.append(tuple(([r[part_col]] if part_col else [])
+                              + [r["_bkt"], acc.get(pkey, 0)]))
+        acc[pkey] = acc.get(pkey, 0) + int(r["_w"])
+    off_fields = ([staged.schema[part_col]] if part_col else []) + [
+        T.StructField("_bkt", T.IntegerType(), False),
+        T.StructField("_off", T.LongType(), False)]
+    off = spark.createDataFrame(off_rows, T.StructType(off_fields))
+    w = (Window.partitionBy(*keys).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local_excl = F.coalesce(F.sum("weight").over(w), F.lit(0))
+    out = ([F.col(c) for c in pcols]
+           + [F.col(id_col), F.col("weight"),
+              F.floor((F.col("_off") + local_excl) / target_weight)
+              .cast("int").alias("bin")])
+    return ranged.join(F.broadcast(off), keys).select(*out)
+
+
 def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
                  chunk_tokens_n: int = 40, overlap: int = 10) -> DataFrame:
     """Token-boundary chunking: like ``chunk_text`` but chunks are slices of

@@ -37,24 +37,18 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 # round-6 queries have no green row, so the rotation fronts them
 # automatically.
 _FORCE_FRONT: tuple[str, ...] = (
-    # round-6 session 3: q_rolling_fingerprint / q_winnow_fingerprints
-    # were RELEASED from this list — their only change was the
-    # catalog.spread repartition guard (partitioning-neutral by
-    # construction, re-verified locally at 3 SFs), and the 50-slot
-    # sampled prefix had grown past 50 entries, which would have pushed
-    # the never-driver-sampled q16/q20 TPC-H rows out of the sample.
-    "q_asof_two_table", "q_ngram_contamination",
-    "q_minhash_chargram_pairs",
-    "q_minhash_lsh_pairs", "q21_suppliers_kept_waiting",
-    "q_soft_dedup_downsample",
-    # round-6 session 2: the sessionization ORACLE changed (floor(epoch)
-    # whole-second parity) after its last green row — the driver must
-    # re-verify it even though it holds historical evidence
-    "q_sessionization",
-    # round-6 session 3: the sf0.1 cross-SF sweep caught round(avg,4)
-    # half-boundary divergence in the interpolation series; both sides
-    # moved to the shared floor-quantization path — re-verify
-    "q_series_interpolate")
+    # Round 7: all eight round-6 force-front entries went green in
+    # CORRECTNESS_r06 and are RELEASED to the rotation.  Fronted now:
+    # VERDICT r6 item 2 — these two gained the catalog.spread guard
+    # after their last green driver row (r6 released them to keep
+    # q16/q20 inside the 50-slot sample; those are green now, so the
+    # slots are free for the re-verification)
+    "q_rolling_fingerprint", "q_winnow_fingerprints",
+    # round-7: packing switched from the per-source window cumsum to the
+    # distributed two-level prefix sum (pack_bins_prefix) — bit-identical
+    # by construction and equivalence-tested, but the implementation
+    # changed after its last green row, so the driver must confirm
+    "q_training_shards_e2e")
 
 
 def _evidence():

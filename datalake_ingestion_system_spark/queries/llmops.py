@@ -1060,6 +1060,46 @@ GROUP BY 1, 2
 """
 
 
+@_q("q_pack_bins_global")
+def q_pack_bins_global(spark, sf_dir):
+    """GLOBAL token-budget bin packing — one corpus-wide bin sequence in
+    doc_id order, with NO partition column.  The naive form is a
+    single-task global window (banned at scale); this uses
+    ``operators.text.pack_bins_prefix``: a distributed two-level prefix
+    sum (range-bucket → bucket-local cumsum → broadcast bucket offsets)
+    whose plan contains no SinglePartition exchange (pinned in
+    tests/test_pack_bins.py) yet whose result is bit-identical to the
+    exclusive-cumsum floor division the oracle replays."""
+    d = load(spark, sf_dir, "documents")
+    weighted = d.select("doc_id", token_count("text").alias("_tok"))
+    packed = text.pack_bins_prefix(weighted, "doc_id", "_tok", 2000)
+    return (
+        packed.groupBy("bin")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("weight").alias("bin_tokens"))
+    )
+
+
+ORACLE_SQL["q_pack_bins_global"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, tok,
+         COALESCE(sum(tok) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT CAST(floor(cum_excl / 2000) AS INT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS bin_tokens
+FROM c
+GROUP BY 1
+"""
+
+
 @_q("q_data_expectations")
 def q_data_expectations(spark, sf_dir):
     """Declarative data-quality contract over lineitem
@@ -3648,9 +3688,10 @@ def q_training_shards_e2e(spark, sf_dir):
     the DuckDB oracle replays the entire pipeline declaratively.
 
     Scale shape: gates are one scan + one fingerprint window; chunking
-    is an in-row explode; packing is one window cumsum PARTITIONED BY
-    source (never a global single-task window); the manifest is one
-    partial-agg rollup."""
+    is an in-row explode; packing is the DISTRIBUTED two-level prefix
+    sum (``pack_bins_prefix`` — range-bucketed local cumsums + broadcast
+    bucket offsets, exact and never single-task even with few huge
+    sources); the manifest is one partial-agg rollup."""
     from ..operators.text import chunk_text
 
     d = load(spark, sf_dir, "documents")
@@ -3673,9 +3714,9 @@ def q_training_shards_e2e(spark, sf_dir):
                       (F.col("doc_id") * (1 << 20) + F.col("chunk_id"))
                       .alias("seq"),
                       F.size(tokens(F.col("chunk"))).alias("n_tokens")))
-    from ..operators.text import pack_bins
-    packed = pack_bins(chunks, "seq", "n_tokens",
-                       target_weight=256, part_col="source")
+    from ..operators.text import pack_bins_prefix
+    packed = pack_bins_prefix(chunks, "seq", "n_tokens",
+                              target_weight=256, part_col="source")
     return (packed.groupBy("source", "bin")
             .agg(F.count("*").alias("n_chunks"),
                  F.sum("weight").alias("n_tokens"))
