@@ -36,6 +36,10 @@ HEADLINE = [
     # documents the split.
     "q_bm25_search",
     "q_ann_ivf_topk",
+    # round 7 (VERDICT r6 item 6): the transactional table format's
+    # write+read overhead tracked round-over-round — MERGE INTO stages,
+    # guards, commits, and reads back through the TxnLog.
+    "q_merge_upsert",
 ]
 
 
@@ -144,13 +148,35 @@ def main() -> None:
     names = (sorted(qs) if os.environ.get("SPARK_GRAFT_BENCH_ALL")
              else HEADLINE)
     overrides = _bench_overrides()
+    # MEDIAN-OF-3 protocol (VERDICT r6 item 5): this fresh-VM class shows
+    # documented 2.5x per-query environmental swings — a single shot
+    # cannot distinguish a real 30% regression from noise.  Each query
+    # runs 3 times after the warm-up; the reported number is the median,
+    # all raw runs are recorded under "runs".  SPARK_GRAFT_BENCH_REPS
+    # overrides (the all-query coverage sweep uses 1).
+    reps = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_REPS",
+        "1" if os.environ.get("SPARK_GRAFT_BENCH_ALL") else "3"))
     per_query: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in names:
         fn = overrides.get(name, qs[name])
-        t0 = time.perf_counter()
-        n = len(fn(spark, sf_dir).collect())
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
+        if reps > 1:
+            # one untimed PRIMING run: each query's own generated classes
+            # (Janino codegen for its specific expression shapes) are a
+            # one-off cost — measured spreads like [5.55, 3.13, 1.16]s
+            # show it bleeding across the first TWO timed runs otherwise.
+            # Steady-state per-query cost is the number that scales.
+            fn(spark, sf_dir).collect()
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf_dir).collect())
+            times.append(round(time.perf_counter() - t0, 3))
+        raw_runs[name] = times
+        per_query[name] = sorted(times)[len(times) // 2]
+        print(f"# {name}: median {per_query[name]:.3f}s of {times} "
+              f"({n} rows)", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
@@ -158,6 +184,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "runs": raw_runs,
+        "protocol": f"median-of-{reps}",
         "sf": sf,
     }))
 

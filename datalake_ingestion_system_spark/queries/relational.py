@@ -35,6 +35,7 @@ def _q(name):
             return fn(spark, sf_dir)
         wrapped.__name__ = name
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # lets tools fingerprint the real body
         QUERIES[name] = wrapped
         return wrapped
     return deco
@@ -2211,6 +2212,56 @@ def q_delete_vector_read(spark, sf_dir):
 
 
 ORACLE_SQL["q_delete_vector_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE coalesce(event_type <> 'error', TRUE)
+  AND coalesce(value >= 0, TRUE)
+GROUP BY event_type
+"""
+
+
+@_q("q_dv_compact_read")
+def q_dv_compact_read(spark, sf_dir):
+    """DV-aware targeted compaction verified END TO END against the
+    declarative oracle: commit events across several physical files,
+    accumulate two deletion vectors, run
+    ``compact(rewrite_dv_threshold=0.3)`` (round-7 ``rewrite_files``
+    commit — only tombstone-heavy files are materialized, their source
+    files pruned from the scan, surviving vector entries consolidated),
+    then roll up the survivors.  The oracle is the same plain filter as
+    ``q_delete_vector_read``: compaction must be invisible to readers.
+
+    Scale shape: the rewrite touches O(rows in hot files); fractions are
+    two per-FILE keyed counts; the read after compaction opens only
+    surviving files (file pruning, not row filtering)."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="dvc_q_") + "/t"
+    fmt = TxnLogFormat()
+    # repartition by range on user_id so the error/negative rows are
+    # SKEWED across physical files — some files cross the DV threshold,
+    # others stay cold (the shape targeted rewrite exists for)
+    fmt.overwrite_table(e.repartitionByRange(8, "user_id"), path)
+    fmt.delete_where_dv(spark, path, "event_type = 'error'")
+    fmt.delete_where_dv(spark, path, "value < 0")
+    fmt.compact(spark, path, rewrite_dv_threshold=0.3)
+    return (fmt.read(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_dv_compact_read"] = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -36,6 +36,7 @@ def _q(name):
             return fn(spark, sf_dir)
         wrapped.__name__ = name
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # lets tools fingerprint the real body
         QUERIES[name] = wrapped
         return wrapped
     return deco

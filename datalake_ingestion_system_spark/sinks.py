@@ -356,12 +356,36 @@ class TxnLogFormat(TableFormat):
             names = sorted(n for n in os.listdir(log)
                            if n.endswith(".json"))
         except FileNotFoundError:
+            # the table (or at least its log) is GONE — drop any cached
+            # state so a recreated table at this path starts clean
+            self._txn_cache.pop(path, None)
             return -1, None
-        cache = self._txn_cache.setdefault(path, {"seen": -1, "recs": []})
-        head = -1
+        # Table identity = the version-0 commit FILE's (inode, mtime_ns):
+        # commit files are immutable once linked, so a changed identity
+        # means the table at this path was deleted and rebuilt (a stream
+        # reset).  The log-dir inode alone is not enough — ext4 happily
+        # reuses a freed inode for the recreated directory.
+        origin = None
+        if names:
+            try:
+                st = os.stat(os.path.join(log, names[0]))
+                origin = (st.st_ino, st.st_mtime_ns)
+            except FileNotFoundError:
+                pass  # racing vacuum/drop: fall through, head check below
+        cache = self._txn_cache.setdefault(
+            path, {"seen": -1, "recs": [], "origin": origin})
+        head = max((int(n.split(".")[0]) for n in names), default=-1)
+        if cache.get("origin") != origin or head < cache["seen"]:
+            # The table was recreated (new origin commit) or the log head
+            # regressed below the cached high-water mark.  Stale recs
+            # would return false 'already applied' hits for the new
+            # table's first (app, version) epochs — silently no-opping
+            # real writes — and the stale 'seen' watermark would hide the
+            # new log's txn records from re-parsing.
+            cache = self._txn_cache[path] = {
+                "seen": -1, "recs": [], "origin": origin}
         for n in names:
             v = int(n.split(".")[0])
-            head = max(head, v)
             if v <= cache["seen"]:
                 continue
             with open(os.path.join(log, n)) as f:
@@ -403,6 +427,13 @@ class TxnLogFormat(TableFormat):
                 live.append({"dir": c["dir"], "removed": {},
                              "pcol": None, "parts": set()})
                 continue
+            if c["action"] == "rewrite_files":
+                # targeted DV compaction: the rewritten survivors are an
+                # append; the retired source FILES are subtracted by
+                # _resolve_removed_files (file-granular, not dir)
+                live.append({"dir": c["dir"], "removed": {},
+                             "pcol": None, "parts": set()})
+                continue
             if c["action"] == "restore":
                 live = self._resolve_live(
                     [x for x in commits if x["version"] <= c["to_version"]])
@@ -437,7 +468,28 @@ class TxnLogFormat(TableFormat):
                 dvs.append(c["dir"])
             elif c["action"] == "dv_update":
                 dvs.append(c["dv_dir"])
+            elif c["action"] == "rewrite_files":
+                # DV-aware compaction CONSOLIDATES the surviving vector
+                # entries into one dir (or none) — earlier vectors retire
+                dvs = [c["dv_dir"]] if c.get("dv_dir") else []
         return dvs
+
+    def _resolve_removed_files(self, commits: list[dict]) -> set[str]:
+        """Replay the commit list into the set of table-relative data
+        FILES retired by ``rewrite_files`` commits — same restore /
+        replace_all algebra as the dir and vector resolvers.  File
+        identities are the ``_txn_data/...`` suffixes deletion vectors
+        use, so pruning and vectors share one addressing scheme."""
+        removed: set[str] = set()
+        for c in commits:
+            if c["action"] == "restore":
+                removed = self._resolve_removed_files(
+                    [x for x in commits if x["version"] <= c["to_version"]])
+            elif c["action"] == "replace_all":
+                removed = set()
+            elif c["action"] == "rewrite_files":
+                removed |= set(c["removed_files"])
+        return removed
 
     def read(self, spark: SparkSession, path: str,
              as_of_version: int | None = None,
@@ -459,8 +511,15 @@ class TxnLogFormat(TableFormat):
                     "pass as_of_version OR as_of_timestamp, not both")
             if isinstance(as_of_timestamp, str):
                 import datetime as _dt
-                as_of_timestamp = _dt.datetime.fromisoformat(
-                    as_of_timestamp).timestamp()
+                cutoff = _dt.datetime.fromisoformat(as_of_timestamp)
+                if cutoff.tzinfo is None:
+                    # NAIVE strings are pinned to UTC: commit ts values
+                    # are epoch seconds, so a local-TZ interpretation
+                    # would resolve the same string to different versions
+                    # on hosts with different TZ settings (offset-aware
+                    # strings are honored as written)
+                    cutoff = cutoff.replace(tzinfo=_dt.timezone.utc)
+                as_of_timestamp = cutoff.timestamp()
             # MONOTONIZE timestamps over version order (Delta does the
             # same): with raw per-commit clocks, a backward step between
             # writers could make the cutoff select a version whose
@@ -488,6 +547,7 @@ class TxnLogFormat(TableFormat):
             raise FileNotFoundError(f"no committed table at {path}")
         live = self._resolve_live(commits)
         dvs = self._resolve_dvs(commits)
+        removed_files = self._resolve_removed_files(commits)
         # merge-on-read deletes need each row's physical identity; expose
         # it via the scan-time _metadata columns (file path + parquet row
         # index) only when something will consume it
@@ -512,7 +572,31 @@ class TxnLogFormat(TableFormat):
                 # treat as zero rows rather than letting the parquet
                 # reader fail schema inference
                 continue
-            df = spark.read.option("basePath", full).parquet(full)
+            scan_target: list[str] = [full]
+            if removed_files:
+                # FILE PRUNING, not row filtering: a rewrite_files commit
+                # retired specific physical files — hand the reader only
+                # the survivors so retired files are never opened (the
+                # read-path win DV compaction exists for).  File identity
+                # is derived exactly like the _dv_file column: the
+                # `_txn_data/...` suffix of the absolute path.
+                import re as _re
+                kept, pruned = [], 0
+                for dp, _dns, fns in os.walk(full):
+                    for fn in fns:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        ap = os.path.join(dp, fn)
+                        m = _re.search(r"_txn_data/.*$", ap)
+                        if m and m.group(0) in removed_files:
+                            pruned += 1
+                        else:
+                            kept.append(ap)
+                if pruned:
+                    if not kept:
+                        continue  # every file in this dir was rewritten
+                    scan_target = kept
+            df = spark.read.option("basePath", full).parquet(*scan_target)
             if need_pos:
                 # TABLE-RELATIVE file identity (the `_txn_data/...` suffix,
                 # like Delta's relative add/remove paths): an absolute URI
@@ -861,6 +945,13 @@ class TxnLogFormat(TableFormat):
         keys = [key] if isinstance(key, str) else list(key)
         head = self._commits(path)[-1]["version"]
         target = self.read(spark, path)
+        # The source is evaluated by TWO jobs (the guard/stats aggregation,
+        # then the staged write).  A non-deterministic source — sampling,
+        # now(), shuffle-order-dependent first() — could pass the
+        # one-row-per-key guard yet materialize different rows in the
+        # committed state, so pin it once; localCheckpoint costs one
+        # materialization of the CDC batch (small by contract).
+        source = source.localCheckpoint(eager=True)
         tcols = target.columns
         missing = [c for c in tcols if c not in source.columns]
         if missing:
@@ -956,18 +1047,91 @@ class TxnLogFormat(TableFormat):
                                    "schema": schema})
 
     def compact(self, spark: SparkSession, path: str,
-                partition_col: str | None = None) -> None:
+                partition_col: str | None = None,
+                rewrite_dv_threshold: float | None = None):
         """Fold the current state into ONE commit (checkpoint analogue):
         stages a full rewrite, then publishes a ``replace_all`` commit that
         supersedes every earlier one.  Bounds replay cost after many small
         appends; old data dirs stay on disk for time travel until
-        ``vacuum``."""
-        current = self.read(spark, path)
-        rel = self._stage(current, path, partition_col)
-        self._commit(path, {"action": "replace_all", "dir": rel,
-                            "partition_col": partition_col,
-                            "partitions": [],
-                            "schema": current.schema.json()})
+        ``vacuum``.
+
+        With ``rewrite_dv_threshold`` set (0..1), runs the TARGETED form
+        instead (Delta's OPTIMIZE-on-tombstone-heavy-files): only files
+        whose deletion-vector fraction (vectored rows / file rows) meets
+        the threshold are materialized — their surviving rows re-staged,
+        the source files retired from the read path entirely (file-level
+        pruning, retired files are never opened again), and the remaining
+        vector entries consolidated into one dir — all as ONE atomic
+        ``rewrite_files`` commit with the usual snapshot conflict guard.
+        A rewrite touches O(rows in hot files), not O(table); cold files
+        and their sparse vectors are left alone.  Returns
+        ``{"rewritten_files": n, "retired_dv_entries": n}`` (the full
+        form returns ``None``).
+
+        Scale shape: fractions come from two keyed counts (one over the
+        live rows, one over the vectors — both reduced per FILE, so the
+        shuffle payload is file-cardinality); the hot-file list and the
+        commit record are file-metadata scale on the driver, the same
+        order as Delta's add/remove file actions."""
+        if rewrite_dv_threshold is None:
+            current = self.read(spark, path)
+            rel = self._stage(current, path, partition_col)
+            self._commit(path, {"action": "replace_all", "dir": rel,
+                                "partition_col": partition_col,
+                                "partitions": [],
+                                "schema": current.schema.json()})
+            return None
+        if not 0.0 < rewrite_dv_threshold <= 1.0:
+            raise ValueError("rewrite_dv_threshold must be in (0, 1]")
+        commits = self._commits(path)
+        if not commits:
+            raise FileNotFoundError(f"no committed table at {path}")
+        head = commits[-1]["version"]
+        dvs = self._resolve_dvs(commits)
+        if not dvs:
+            return {"rewritten_files": 0, "retired_dv_entries": 0}
+        dv_all = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(os.path.join(path, d)) for d in dvs])
+        cur = self.read(spark, path, _with_pos=True)
+        live_counts = (cur.groupBy("_dv_file")
+                       .agg(F.count("*").alias("_live")))
+        # countDistinct guards against a row vectored twice across
+        # restore-replayed vector sets; entries for files already pruned
+        # by an earlier rewrite are dead — the left-semi against the live
+        # row counts CANNOT drop them here because a FULLY-deleted file
+        # has no live rows yet is exactly the file most worth retiring,
+        # so dead entries are excluded via the resolver's removed set.
+        already_removed = sorted(self._resolve_removed_files(commits))
+        dv_counts = (dv_all.filter(~F.col("_dv_file").isin(already_removed))
+                     .groupBy("_dv_file")
+                     .agg(F.count_distinct("_dv_pos").alias("_dead")))
+        frac = F.col("_dead") / (F.col("_dead")
+                                 + F.coalesce(F.col("_live"), F.lit(0)))
+        hot = sorted(r["_dv_file"] for r in
+                     (dv_counts.join(live_counts, "_dv_file", "left")
+                      .filter(frac >= rewrite_dv_threshold)
+                      .select("_dv_file").collect()))
+        if not hot:
+            return {"rewritten_files": 0, "retired_dv_entries": 0}
+        survivors = (cur.filter(F.col("_dv_file").isin(hot))
+                     .drop("_dv_file", "_dv_pos"))
+        # check=False: every survivor is already a committed, validated row
+        data_rel = self._stage(survivors, path, None, check=False)
+        remaining = (dv_all.filter(~F.col("_dv_file").isin(hot))
+                     .filter(~F.col("_dv_file").isin(already_removed))
+                     .distinct())
+        n_total = dv_all.count()
+        n_remaining = remaining.count()
+        rec = {"action": "rewrite_files", "dir": data_rel,
+               "removed_files": hot,
+               "partition_col": None, "partitions": [],
+               "schema": survivors.schema.json()}
+        if n_remaining:
+            rec["dv_dir"] = self._stage(remaining, path, None, check=False)
+        self._commit(path, rec, expected_version=head + 1)
+        return {"rewritten_files": len(hot),
+                "retired_dv_entries": int(n_total - n_remaining)}
 
     def vacuum(self, path: str, retain_hours: float = 168.0) -> list[str]:
         """Delete ``_txn_data`` directories no LIVE commit references (Delta
@@ -1030,7 +1194,15 @@ class TxnLogFormat(TableFormat):
 
 class DeltaFormat(TableFormat):
     """Delta Lake writes (requires the delta-spark package + a session
-    built with Delta's catalog extensions)."""
+    built with Delta's catalog extensions).
+
+    Install-blocked note (round 7): ``import delta`` fails in this
+    container and package installation is unavailable, so the shared
+    TableFormat contract tests cannot be parametrized over this class
+    here; ``TxnLogFormat`` (model-checked, multi-process race-tested) is
+    the shipped transactional default.  A deployment with delta-spark
+    should run ``tests/test_sinks_txn.py``'s contract cases against this
+    class once before switching ``plans/ingest`` to it."""
 
     name = "delta"
 

@@ -341,6 +341,129 @@ def test_concurrent_committers_serialize_under_real_threads(spark, tmp_path):
     assert leftovers == []
 
 
+_MP_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from datalake_ingestion_system_spark.sinks import TxnLogFormat
+
+path, wid = sys.argv[1], int(sys.argv[2])
+fmt = TxnLogFormat()
+results = []
+# every process races the SAME shared idempotent pairs AND its own
+# unique appends, interleaved so dedup and version claims contend
+for i in range(8):
+    v = fmt._commit(path, {{"action": "append", "dir": f"u{{wid}}_{{i}}",
+                            "schema": None}})
+    results.append(("uniq", wid, i, v))
+    v = fmt._commit(path, {{"action": "append", "dir": f"s{{wid}}_{{i}}",
+                            "schema": None, "txn_app": "shared",
+                            "txn_version": i}})
+    results.append(("shared", wid, i, v))
+print(json.dumps(results))
+"""
+
+
+def test_multiprocess_writers_race_one_log(tmp_path):
+    """VERDICT r6 item 4: the publish protocol under TRUE multi-process
+    contention — four OS processes (separate interpreters, no shared
+    _txn_cache, no GIL) race unique appends and one SHARED idempotent
+    (app, version) sequence against a single table log.  Required:
+    gapless serialized versions, every unique commit lands exactly once,
+    and each shared (app, version) pair commits exactly once with every
+    process agreeing on its winning version."""
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "worker.py"
+    worker.write_text(_MP_WORKER.format(repo=repo))
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_txn_log"), exist_ok=True)
+    procs = [subprocess.Popen(
+        [_sys.executable, str(worker), path, str(w)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for w in range(4)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err
+        outs.append(json.loads(out))
+
+    fmt = TxnLogFormat()
+    commits = fmt._commits(path)
+    n_uniq = 4 * 8
+    # exactly one commit per shared pair regardless of 4 attempts each
+    shared = [c for c in commits if c.get("txn_app") == "shared"]
+    assert sorted(c["txn_version"] for c in shared) == list(range(8))
+    assert len(commits) == n_uniq + 8
+    assert [c["version"] for c in commits] == list(range(len(commits)))
+    assert {c["dir"] for c in commits if c.get("txn_app") is None} \
+        == {f"u{w}_{i}" for w in range(4) for i in range(8)}
+    # cross-process dedup agreement: every process's recorded version for
+    # shared pair i is the SAME committed version
+    won = {c["txn_version"]: c["version"] for c in shared}
+    for res in outs:
+        for kind, _wid, i, v in res:
+            if kind == "shared":
+                assert v == won[i], "a process saw a non-winning version"
+    leftovers = [n for n in os.listdir(os.path.join(path, "_txn_log"))
+                 if n.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_two_spark_processes_full_stack_race(spark, tmp_path):
+    """Full-stack two-process race: each subprocess builds its OWN
+    SparkSession and drives the public API (append with idempotent txns,
+    then a merge) against one shared table.  Serialized versions, no
+    lost rows, exactly-once shared epochs — the claim the single-process
+    model check could not close."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "writer.py"
+    script.write_text(textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repo!r})
+        from pyspark.sql import SparkSession
+        from datalake_ingestion_system_spark.sinks import (
+            ConcurrentWriteError, TxnLogFormat)
+        path, wid = sys.argv[1], int(sys.argv[2])
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName(f"racer{{wid}}")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        fmt = TxnLogFormat()
+        for i in range(3):
+            df = spark.createDataFrame(
+                [(wid * 100 + i, f"w{{wid}}")], "id int, src string")
+            fmt.append(df, path)                       # unique rows
+            fmt.append(spark.createDataFrame(
+                [(9000 + i, "shared")], "id int, src string"),
+                path, txn_app="epoch", txn_version=i)  # contended epoch
+        spark.stop()
+    """))
+    path = str(tmp_path / "t")
+    procs = [subprocess.Popen(
+        [_sys.executable, str(script), path, str(w)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for w in range(2)]
+    for p in procs:
+        _out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err
+
+    fmt = TxnLogFormat()
+    commits = fmt._commits(path)
+    assert [c["version"] for c in commits] == list(range(len(commits)))
+    # both writers' unique appends all landed; shared epochs exactly once
+    shared = [c for c in commits if c.get("txn_app") == "epoch"]
+    assert sorted(c["txn_version"] for c in shared) == [0, 1, 2]
+    assert len(commits) == 2 * 3 + 3
+    rows = sorted((r.id, r.src) for r in fmt.read(spark, path).collect())
+    assert rows == sorted(
+        [(w * 100 + i, f"w{w}") for w in range(2) for i in range(3)]
+        + [(9000 + i, "shared") for i in range(3)])
+
+
 def test_compact_of_empty_table_stays_readable(spark, tmp_path):
     """Review r6: compact() of a zero-live-row table stages a partitioned
     dir with NO part files and records it replace_all/pcol=None — the
@@ -590,7 +713,8 @@ def test_delete_where_copy_on_write(spark, tmp_path):
 
 def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
     """Model check extended over the round-6 ops: random interleavings of
-    append / overwrite_partitions / delete_where / update_where / restore
+    append / overwrite_partitions / delete_where / update_where / DV
+    delete+update / DV-threshold compaction (round 7) / restore
     must match an
     in-memory model that snapshots table state per commit VERSION (restore
     = jump to any recorded snapshot; delete = filtered snapshot).  Pins
@@ -618,7 +742,8 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
         snap()
         for _ in range(rng.randint(4, 7)):
             op = rng.choice(["append", "overwrite", "delete", "restore",
-                             "update", "dv_delete", "dv_update"])
+                             "update", "dv_delete", "dv_update",
+                             "dv_compact"])
             if op == "append":
                 rows = [(rng.choice("abc"), next(counter))]
                 fmt.append(spark.createDataFrame(rows, "p string, v long"),
@@ -666,6 +791,15 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
                 state = [(p, v + 1000000 if v % k == 0 else v)
                          for p, v in state]
                 if n == 0:
+                    continue  # no commit published -> no snapshot
+            elif op == "dv_compact":
+                # round-7 targeted rewrite: MUST be invisible to readers
+                # and to the model (state unchanged); snapshot only when
+                # a rewrite_files commit actually published
+                res = fmt.compact(spark, path,
+                                  rewrite_dv_threshold=rng.choice(
+                                      [0.3, 0.6, 1.0]))
+                if res["rewritten_files"] == 0:
                     continue  # no commit published -> no snapshot
             else:
                 v = rng.choice(sorted(snapshots))
@@ -1133,6 +1267,148 @@ def test_txn_cache_tracks_other_writers_incrementally(spark, tmp_path):
     b.append(spark.createDataFrame([(999,)], "v int"), path,
              txn_app="x", txn_version=1)
     assert sorted(r.v for r in a.read(spark, path).collect()) == [1, 2]
+
+
+def test_compact_rewrites_only_dv_heavy_files(spark, tmp_path):
+    """VERDICT r6 item 3: ``compact(rewrite_dv_threshold=...)`` must
+    materialize ONLY files whose deletion-vector fraction meets the
+    threshold — retiring their vectors and pruning the retired files from
+    the read path — while cold files and their sparse vectors are left
+    untouched, data identical pre/post."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    mk = lambda lo, hi, tag: spark.createDataFrame(
+        [(i, tag) for i in range(lo, hi)], "id int, tag string").coalesce(1)
+    fmt.append(mk(0, 10, "a"), path)      # file A: one physical file
+    fmt.append(mk(100, 110, "b"), path)   # file B
+    assert fmt.delete_where_dv(spark, path, "id < 8") == 8    # A: 8/10
+    assert fmt.delete_where_dv(spark, path, "id = 100") == 1  # B: 1/10
+    before = sorted(map(tuple, fmt.read(spark, path).collect()))
+    files_before = {r[0] for r in fmt.read(spark, path, _with_pos=True)
+                    .select("_dv_file").distinct().collect()}
+    assert len(files_before) == 2
+
+    res = fmt.compact(spark, path, rewrite_dv_threshold=0.5)
+    assert res == {"rewritten_files": 1, "retired_dv_entries": 8}
+
+    # data identical pre/post
+    after = sorted(map(tuple, fmt.read(spark, path).collect()))
+    assert after == before
+    # read path: the DV-heavy file is GONE (pruned, not row-filtered),
+    # replaced by the survivors' file; the cold file is untouched
+    files_after = {r[0] for r in fmt.read(spark, path, _with_pos=True)
+                   .select("_dv_file").distinct().collect()}
+    assert len(files_after) == 2
+    assert len(files_before & files_after) == 1  # cold file B survives
+    # vectors consolidated: exactly one live dir holding B's one entry
+    commits = fmt._commits(path)
+    dvs = fmt._resolve_dvs(commits)
+    assert len(dvs) == 1
+    assert spark.read.parquet(os.path.join(path, dvs[0])).count() == 1
+    # below-threshold pass is a no-op
+    assert fmt.compact(spark, path, rewrite_dv_threshold=0.5) \
+        == {"rewritten_files": 0, "retired_dv_entries": 0}
+    # time travel across the rewrite still replays both sides
+    v_pre_delete = commits[1]["version"]
+    assert len(fmt.read(spark, path,
+                        as_of_version=v_pre_delete).collect()) == 20
+    v_pre_compact = commits[3]["version"]
+    assert sorted(map(tuple, fmt.read(
+        spark, path, as_of_version=v_pre_compact).collect())) == before
+
+
+def test_compact_dv_retires_fully_deleted_file(spark, tmp_path):
+    """A file whose EVERY row is vectored (fraction 1.0, zero live rows)
+    is the most valuable rewrite target — it must be retired even though
+    it contributes nothing to the live row counts, and a later full
+    compact still resets the rewrite bookkeeping."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    mk = lambda lo, hi, tag: spark.createDataFrame(
+        [(i, tag) for i in range(lo, hi)], "id int, tag string").coalesce(1)
+    fmt.append(mk(0, 5, "a"), path)
+    fmt.append(mk(100, 105, "b"), path)
+    fmt.delete_where_dv(spark, path, "tag = 'a'")  # all of file A
+    res = fmt.compact(spark, path, rewrite_dv_threshold=1.0)
+    assert res == {"rewritten_files": 1, "retired_dv_entries": 5}
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) \
+        == [100, 101, 102, 103, 104]
+    # no vectors remain → dv-threshold compact is now a no-op
+    assert fmt._resolve_dvs(fmt._commits(path)) == []
+    # further row-level ops on the rewritten table behave normally
+    fmt.delete_where_dv(spark, path, "id = 104")
+    fmt.compact(spark, path)  # full rewrite resets files AND vectors
+    assert fmt._resolve_removed_files(fmt._commits(path)) == set()
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) \
+        == [100, 101, 102, 103]
+
+
+def test_txn_cache_resets_when_table_is_recreated(spark, tmp_path):
+    """ADVICE r6: deleting and rebuilding a table at the same path (a
+    stream reset) must not leave the writer's txn cache poisoned — stale
+    recs would fake 'already applied' for the NEW table's first epochs
+    and silently no-op its writes.  Covers both regression shapes: a
+    recreated log with FEWER commits (head < seen) and one that has
+    already grown PAST the old head (inode change only)."""
+    import shutil
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    one = spark.createDataFrame([(1,)], "v int")
+    for v in range(1, 4):
+        fmt.append(one, path, txn_app="job", txn_version=v)
+    assert fmt._txn_already_applied(path, "job", 1)
+    shutil.rmtree(path)
+
+    # shape 1: fresh table, shorter log — epoch 1 must apply again
+    fmt.append(spark.createDataFrame([(10,)], "v int"), path,
+               txn_app="job", txn_version=1)
+    assert [r.v for r in fmt.read(spark, path).collect()] == [10]
+    # and the new log's own records are visible (watermark not stale)
+    assert fmt._txn_already_applied(path, "job", 1)
+    assert not fmt._txn_already_applied(path, "job", 2)
+
+    # shape 2: recreate again, then grow the new log PAST the old head
+    # via a second writer before the first looks — inode check catches
+    # what the head<seen comparison alone cannot
+    shutil.rmtree(path)
+    other = TxnLogFormat()
+    for v in range(1, 6):
+        other.append(one, path, txn_app="job2", txn_version=v)
+    assert not fmt._txn_already_applied(path, "job", 1)
+    assert fmt._txn_already_applied(path, "job2", 5)
+    fmt.append(spark.createDataFrame([(99,)], "v int"), path,
+               txn_app="job", txn_version=1)
+    assert sorted(r.v for r in fmt.read(spark, path).collect()) \
+        == [1, 1, 1, 1, 1, 99]
+
+
+def test_timestamp_travel_naive_iso_string_is_utc(spark, tmp_path):
+    """ADVICE r6: a NAIVE ISO cutoff string resolves as UTC — the same
+    string must select the same version on every host TZ.  An
+    offset-aware string is honored as written."""
+    import datetime as dt
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(spark.createDataFrame([(1,)], "v int"), path)
+    ts0 = fmt.history(path)[-1]["ts"]
+    # the commit instant rendered as a naive UTC string must already
+    # include version 0 (+2µs: fromtimestamp rounds to the nearest
+    # microsecond, which could land the rendered cutoff just BEFORE the
+    # float commit ts)
+    cut = (dt.datetime.fromtimestamp(ts0, dt.timezone.utc)
+           + dt.timedelta(microseconds=2))
+    s = cut.strftime("%Y-%m-%d %H:%M:%S.%f")
+    assert [r.v for r in
+            fmt.read(spark, path, as_of_timestamp=s).collect()] == [1]
+    # the same instant written with an explicit offset resolves equally
+    s_off = cut.isoformat()
+    assert [r.v for r in
+            fmt.read(spark, path, as_of_timestamp=s_off).collect()] == [1]
+    # one second BEFORE the commit, as a naive UTC string, predates it
+    early = dt.datetime.fromtimestamp(ts0 - 1, dt.timezone.utc) \
+        .strftime("%Y-%m-%d %H:%M:%S")
+    with pytest.raises(ValueError):
+        fmt.read(spark, path, as_of_timestamp=early)
 
 
 def test_timestamp_travel_monotonizes_backward_clock_steps(spark,

@@ -42,6 +42,8 @@ DEFAULT_SET = [
     "q_ewma_smoothing", "q_prorate_largest_remainder", "q_ab_test_ztest",
     "q_spatial_grid_join", "q_linear_trend", "q_growth_accounting",
     "q_fifo_lot_matching",
+    # round 7: distributed prefix-sum packing + the table-format headline
+    "q_pack_bins_global", "q_training_shards_e2e", "q_merge_upsert",
 ]
 
 

@@ -14,7 +14,20 @@ two rounds (``q_embedding_quantize``, CORRECTNESS_r04/r05); with the
 Arrow path plus the strict ``Decimal`` marker in ``_norm_cell`` the
 mismatch reproduces locally.
 
-Usage: python tools/verify_local.py [name ...]
+Usage:
+    python tools/verify_local.py [name ...]
+    python tools/verify_local.py --changed-since <git-rev>
+
+``--changed-since`` makes the "changed after last green row" discipline
+MECHANICAL: it fingerprints every registered query (the query function's
+source + its oracle SQL) in the working tree AND in ``<git-rev>`` (via
+``git archive`` into a temp dir), then verifies exactly the
+changed/added set at ALL THREE scale factors (sf0.001/0.01/0.1).  Any
+query it reports belongs in ``queries/__init__._FORCE_FRONT`` until the
+driver re-confirms it.  Limitation (by design): the fingerprint covers
+the query function and oracle text, not transitively-called operator
+code — after editing ``operators/``/``sinks.py`` internals, run the
+full registry instead.
 """
 
 from __future__ import annotations
@@ -64,7 +77,68 @@ def result_digest(cols, rows):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
-def main(only: list[str]) -> int:
+_FP_SNIPPET = r"""
+import hashlib, inspect, json, sys
+sys.path.insert(0, sys.argv[1])
+import __spark_entry__ as e
+qs, oracles = e.queries(), e.oracle_sql()
+h = lambda s: hashlib.sha256(s.encode()).hexdigest()
+out = {}
+for name, fn in qs.items():
+    # registry entries are tune()-wrapping closures whose own source is
+    # identical for every query — fingerprint the REAL body via
+    # __wrapped__.  Revs predating __wrapped__ report src=None and the
+    # comparison falls back to the oracle fingerprint alone.
+    target = inspect.unwrap(fn)
+    if target is fn:
+        src = None
+    else:
+        try:
+            src = h(inspect.getsource(target))
+        except (OSError, TypeError):
+            src = h(repr(target))
+    out[name] = {"src": src, "oracle": h(oracles.get(name, ""))}
+print(json.dumps(out))
+"""
+
+
+def _fingerprints(tree: str) -> dict[str, str]:
+    """Per-query sha256(function source + oracle SQL) computed in a
+    SUBPROCESS rooted at ``tree`` — each tree imports its own registry."""
+    import json as _json
+    import subprocess
+    r = subprocess.run([sys.executable, "-c", _FP_SNIPPET, tree],
+                       capture_output=True, text=True, cwd=tree)
+    if r.returncode != 0:
+        raise RuntimeError(f"fingerprinting {tree} failed:\n{r.stderr}")
+    return _json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def changed_since(rev: str) -> list[str]:
+    """Names of queries whose function source or oracle changed (or that
+    are new) relative to ``rev``."""
+    import subprocess
+    import tempfile
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory(prefix="verify_rev_") as old_tree:
+        subprocess.run(
+            f"git -C {repo} archive {rev} | tar -x -C {old_tree}",
+            shell=True, check=True)
+        old_fp = _fingerprints(old_tree)
+    new_fp = _fingerprints(repo)
+    changed = []
+    for n, fp in new_fp.items():
+        old = old_fp.get(n)
+        if old is None:  # new query
+            changed.append(n)
+        elif old["oracle"] != fp["oracle"]:
+            changed.append(n)
+        elif old["src"] is not None and old["src"] != fp["src"]:
+            changed.append(n)
+    return sorted(changed)
+
+
+def main(only: list[str], sf_dir: str = SF_DIR) -> int:
     from datalake_ingestion_system_spark.session import get_spark
     import __spark_entry__ as e
 
@@ -72,7 +146,7 @@ def main(only: list[str]) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     names = only or list(qs)
@@ -80,7 +154,7 @@ def main(only: list[str]) -> int:
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, SF_DIR)
+            sdf = qs[name](spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
         except Exception:
@@ -142,4 +216,18 @@ def main(only: list[str]) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--changed-since":
+        if len(argv) != 2:
+            raise SystemExit("usage: verify_local.py --changed-since <rev>")
+        names = changed_since(argv[1])
+        if not names:
+            print(f"no query/oracle source changed since {argv[1]}")
+            raise SystemExit(0)
+        print(f"changed since {argv[1]}: {names}")
+        rc = 0
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            print(f"\n== {sf} ==")
+            rc |= main(names, f"/root/testdata/{sf}")
+        raise SystemExit(rc)
+    raise SystemExit(main(argv))
