@@ -154,9 +154,9 @@ def main() -> None:
     # runs 3 times after the warm-up; the reported number is the median,
     # all raw runs are recorded under "runs".  SPARK_GRAFT_BENCH_REPS
     # overrides (the all-query coverage sweep uses 1).
-    reps = int(os.environ.get(
+    reps = max(1, int(os.environ.get(
         "SPARK_GRAFT_BENCH_REPS",
-        "1" if os.environ.get("SPARK_GRAFT_BENCH_ALL") else "3"))
+        "1" if os.environ.get("SPARK_GRAFT_BENCH_ALL") else "3")))
     per_query: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for name in names:
@@ -174,7 +174,8 @@ def main() -> None:
             n = len(fn(spark, sf_dir).collect())
             times.append(round(time.perf_counter() - t0, 3))
         raw_runs[name] = times
-        per_query[name] = sorted(times)[len(times) // 2]
+        import statistics
+        per_query[name] = round(statistics.median(times), 3)
         print(f"# {name}: median {per_query[name]:.3f}s of {times} "
               f"({n} rows)", file=sys.stderr)
 

@@ -238,14 +238,18 @@ def pack_bins_prefix(df: DataFrame, id_col: str, weight_col: Column | str,
 
     Exactness does not depend on where the range boundaries fall, so the
     sampled boundaries need only be CONSISTENT between the totals pass
-    and the final pass: the bucketed projection is persisted (it is the
-    skinny ``(part, id, weight)`` triple — a fraction of a percent of the
-    corpus bytes, safe to cache at 100 TB) because
+    and the final pass: the bucketed projection is pinned once with
+    ``localCheckpoint`` (it is the skinny ``(part, id, weight)`` triple —
+    a fraction of a percent of the corpus bytes) because
     ``repartitionByRange``'s boundary sampling is seeded per RDD id and
-    would otherwise re-sample differently on recompute.
+    would otherwise re-sample differently on recompute.  localCheckpoint
+    (not ``persist``) so the blocks are GC-reclaimed with the returned
+    DataFrame instead of living in the CacheManager forever.
 
-    Nulls in ``part_col``/``id_col`` are rejected by precondition (they
-    would break the range order and the equi-join back).
+    NULL handling matches ``pack_bins``: a NULL ``part_col`` value is its
+    own pack group (the offset join is null-safe) and NULL weights
+    contribute nothing to the cumsum; NULL ``id_col`` values sort first,
+    as in the window form.
     """
     from pyspark.sql import Window
     from pyspark.sql import types as T
@@ -260,7 +264,7 @@ def pack_bins_prefix(df: DataFrame, id_col: str, weight_col: Column | str,
     ranged = (staged
               .repartitionByRange(n, *[F.col(c) for c in pcols + [id_col]])
               .withColumn("_bkt", F.spark_partition_id())
-              .persist())
+              .localCheckpoint(eager=True))
     keys = pcols + ["_bkt"]
     totals = (ranged.groupBy(*[F.col(k) for k in keys])
               .agg(F.sum("weight").alias("_w"))
@@ -274,19 +278,28 @@ def pack_bins_prefix(df: DataFrame, id_col: str, weight_col: Column | str,
         pkey = r[part_col] if part_col else None
         off_rows.append(tuple(([r[part_col]] if part_col else [])
                               + [r["_bkt"], acc.get(pkey, 0)]))
-        acc[pkey] = acc.get(pkey, 0) + int(r["_w"])
+        # an all-NULL-weight bucket sums to NULL — contributes nothing
+        acc[pkey] = acc.get(pkey, 0) + int(r["_w"] or 0)
     off_fields = ([staged.schema[part_col]] if part_col else []) + [
         T.StructField("_bkt", T.IntegerType(), False),
         T.StructField("_off", T.LongType(), False)]
     off = spark.createDataFrame(off_rows, T.StructType(off_fields))
-    w = (Window.partitionBy(*keys).orderBy(id_col)
+    # qualified refs: the explicit join condition keeps BOTH sides' key
+    # columns in scope, so bare names would be ambiguous here
+    w = (Window.partitionBy(*[ranged[k] for k in keys])
+         .orderBy(ranged[id_col])
          .rowsBetween(Window.unboundedPreceding, -1))
-    local_excl = F.coalesce(F.sum("weight").over(w), F.lit(0))
-    out = ([F.col(c) for c in pcols]
-           + [F.col(id_col), F.col("weight"),
+    local_excl = F.coalesce(F.sum(ranged["weight"]).over(w), F.lit(0))
+    out = ([ranged[c] for c in pcols]
+           + [ranged[id_col], ranged["weight"],
               F.floor((F.col("_off") + local_excl) / target_weight)
               .cast("int").alias("bin")])
-    return ranged.join(F.broadcast(off), keys).select(*out)
+    # null-safe on the part key: a NULL part value is a legitimate pack
+    # group in the window form, so it must find its offset row too
+    cond = ranged["_bkt"] == off["_bkt"]
+    if part_col:
+        cond = ranged[part_col].eqNullSafe(off[part_col]) & cond
+    return ranged.join(F.broadcast(off), cond).select(*out)
 
 
 def chunk_tokens(df: DataFrame, id_col: str, text_col: str,

@@ -552,6 +552,8 @@ class TxnLogFormat(TableFormat):
         # it via the scan-time _metadata columns (file path + parquet row
         # index) only when something will consume it
         need_pos = bool(dvs) or _with_pos
+        removed_dirs = {"/".join(p.split("/", 2)[:2])
+                        for p in removed_files}
         parts_list = []
         for e in live:
             if e["pcol"] and e["parts"] <= e["removed"].get(e["pcol"], set()):
@@ -573,7 +575,10 @@ class TxnLogFormat(TableFormat):
                 # reader fail schema inference
                 continue
             scan_target: list[str] = [full]
-            if removed_files:
+            # only dirs a rewrite actually touched pay the file walk:
+            # removed identities are '_txn_data/<stage>/...', so the
+            # stage-dir membership check is a string split, no listing
+            if e["dir"] in removed_dirs:
                 # FILE PRUNING, not row filtering: a rewrite_files commit
                 # retired specific physical files — hand the reader only
                 # the survivors so retired files are never opened (the
@@ -1083,6 +1088,11 @@ class TxnLogFormat(TableFormat):
             return None
         if not 0.0 < rewrite_dv_threshold <= 1.0:
             raise ValueError("rewrite_dv_threshold must be in (0, 1]")
+        if partition_col is not None:
+            raise ValueError(
+                "partition_col only applies to the full rewrite — the "
+                "targeted form re-stages hot files' survivors as-is "
+                "(pass one or the other, not both)")
         commits = self._commits(path)
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")

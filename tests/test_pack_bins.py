@@ -70,6 +70,27 @@ def test_prefix_bucket_boundary_invariance(spark):
             == sorted(map(tuple, r11.collect())))
 
 
+def test_prefix_handles_null_part_and_null_weights(spark):
+    """Review finding: a NULL part value is its own pack group in the
+    window form (Window.partitionBy groups NULLs together) — the prefix
+    form's offset join must be null-safe, not silently drop those rows;
+    NULL weights contribute nothing to either cumsum."""
+    w = _weighted(spark).withColumn(
+        "source", F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+                   .otherwise(F.col("source"))) \
+        .withColumn(
+        "_tok", F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+                 .otherwise(F.col("_tok")))
+    a = text_ops.pack_bins(w, "doc_id", "_tok", 1000, part_col="source")
+    b = text_ops.pack_bins_prefix(w, "doc_id", "_tok", 1000,
+                                  part_col="source", num_buckets=6)
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == len(rb) == w.count()  # no silent row loss
+    key = lambda t: tuple((v is None, v) for v in t)
+    assert sorted(map(tuple, ra), key=key) \
+        == sorted(map(tuple, rb), key=key)
+
+
 def test_prefix_plan_has_no_single_partition(spark):
     """VERDICT r6 item 1 'done' criterion: the plan shows no
     single-partition-per-source window.  Every Window partitions by

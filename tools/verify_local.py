@@ -117,13 +117,19 @@ def _fingerprints(tree: str) -> dict[str, str]:
 def changed_since(rev: str) -> list[str]:
     """Names of queries whose function source or oracle changed (or that
     are new) relative to ``rev``."""
+    import io
     import subprocess
+    import tarfile
     import tempfile
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with tempfile.TemporaryDirectory(prefix="verify_rev_") as old_tree:
-        subprocess.run(
-            f"git -C {repo} archive {rev} | tar -x -C {old_tree}",
-            shell=True, check=True)
+        # list args + Python tarfile: no shell word-splitting on revs
+        # like 'HEAD@{2 days ago}', and git's OWN exit status is checked
+        # (a shell pipeline only surfaces tar's)
+        ar = subprocess.run(["git", "-C", repo, "archive", rev],
+                            capture_output=True, check=True)
+        with tarfile.open(fileobj=io.BytesIO(ar.stdout)) as tf:
+            tf.extractall(old_tree)
         old_fp = _fingerprints(old_tree)
     new_fp = _fingerprints(repo)
     changed = []
