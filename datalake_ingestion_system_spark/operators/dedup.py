@@ -157,6 +157,33 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return base.select(F.col(id_col), sig.alias("minhash"))
 
 
+def _band_buckets(sig_df: DataFrame, id_col: str, bands: int,
+                  rows_per_band: int, band_hash: str) -> DataFrame:
+    """(id, band, band_hash) bucket rows for LSH banding — shared by the
+    one-shot pair generator and the incremental store join."""
+    def bucket_of(b):
+        slots = [F.col("minhash")[b * rows_per_band + r]
+                 for r in range(rows_per_band)]
+        if band_hash == "murmur3":
+            # one multi-arg murmur3 over the band's minhash slots — no
+            # per-slot string casts/concat (smaller codegen, less alloc)
+            return F.hash(*slots)
+        # "poly": rolling polynomial mod MINHASH_P — pure arithmetic, so the
+        # DuckDB oracle reproduces buckets exactly (slots < 2^31, ×1000003
+        # stays < 2^52: no overflow either side).  A collision only merges
+        # buckets, which the verify stage corrects.
+        h = slots[0]
+        for s in slots[1:]:
+            h = F.pmod(h * F.lit(1000003) + s, F.lit(MINHASH_P))
+        return h
+
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[bucket_of(b) for b in range(bands)])
+                     ).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                         bands: int = 8,
                         num_hashes: int | None = None,
@@ -216,28 +243,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                                   F.col(id_col).alias("id_b")).schema)
         n = first[0]
     rows_per_band = max(n // bands, 1)
-
-    def bucket_of(b):
-        slots = [F.col("minhash")[b * rows_per_band + r]
-                 for r in range(rows_per_band)]
-        if band_hash == "murmur3":
-            # one multi-arg murmur3 over the band's minhash slots — no
-            # per-slot string casts/concat (smaller codegen, less alloc)
-            return F.hash(*slots)
-        # "poly": rolling polynomial mod MINHASH_P — pure arithmetic, so the
-        # DuckDB oracle reproduces buckets exactly (slots < 2^31, ×1000003
-        # stays < 2^52: no overflow either side).  A collision only merges
-        # buckets, which the exact-Jaccard verify stage corrects.
-        h = slots[0]
-        for s in slots[1:]:
-            h = F.pmod(h * F.lit(1000003) + s, F.lit(MINHASH_P))
-        return h
-
-    banded = sig_df.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[bucket_of(b) for b in range(bands)])
-                     ).alias("band", "band_hash"),
-    )
+    banded = _band_buckets(sig_df, id_col, bands, rows_per_band, band_hash)
     group_keys = ["band", "band_hash"]
     if max_bucket_size is not None:
         from pyspark.sql import Window
@@ -512,6 +518,136 @@ def incremental_exact_dedup(new_docs: DataFrame, state_path: str,
              "historical_dupes": n_batch_unique - n_novel,
              "accepted": n_novel}
     return unique_docs, stats
+
+
+def incremental_minhash_dedup(new_docs: DataFrame, state_path: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              num_hashes: int = 32, bands: int = 8,
+                              shingle_n: int = 3,
+                              threshold: float = 0.5,
+                              max_bucket_size: int | None = 500,
+                              verifiable: bool = False,
+                              fmt=None) -> tuple[DataFrame, dict]:
+    """Incremental NEAR-dup detection: find near-duplicate pairs between a
+    NEW batch and everything already accepted (plus within the batch),
+    using a persistent MinHash SIGNATURE store — the daily-ingest shape
+    where yesterday's corpus text is no longer at hand, only its
+    signatures.  The ``minhash_near_dup_pairs`` counterpart of
+    ``incremental_exact_dedup``.
+
+    Per batch: signatures for the new docs; the store (a ``TxnLogFormat``
+    table of ``(id, minhash)`` — num_hashes longs per unique doc ever
+    accepted) is banded and JOIN-PRUNED to buckets the batch actually
+    touches (left-semi on the batch's (band, bucket) keys), so the cost
+    scales with the batch and its collisions, never the corpus.  Pairs
+    are generated in-row per bucket exactly like ``lsh_candidate_pairs``
+    but with a new-member flag so historical-historical pairs are never
+    emitted; the bucket-size cap counts the FULL population of any bucket
+    containing a new member (matched store rows + batch rows), which is
+    identical to the one-shot pipeline's count for those buckets — so
+    batch-then-batch equals one-shot, asserted by test.  Verification is
+    the ESTIMATED Jaccard (fraction of agreeing signature slots —
+    exact-text Jaccard is impossible without the historical text):
+    ``n_agree >= ceil(threshold * num_hashes)``, integer-exact in any
+    engine.  Finally the batch's signatures are appended id-novel-only,
+    so replaying a crashed batch converges (same contract as the exact
+    store).
+
+    Returns ``(pairs, stats)``: pairs ``(id_a, id_b, n_agree,
+    est_jaccard)`` with at least one new member, and counts.
+    ``verifiable=True`` uses the md5 + polynomial hash families so a SQL
+    oracle replays signatures, buckets, and estimates bit-for-bit.
+    Docs too short to shingle have no signature and never pair (the
+    one-shot verifiable path drops them identically)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from ..sinks import TxnLogFormat
+    fmt = fmt or TxnLogFormat()
+    spark = new_docs.sparkSession
+    sigs_new = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n,
+        token_hash="md5" if verifiable else "xxhash64")
+    # pin: consumed by banding, the verify join, and the store append
+    sigs_new = (sigs_new.filter(F.col("minhash")[0].isNotNull())
+                .localCheckpoint(eager=True))
+    try:
+        store = fmt.read(spark, state_path).select(
+            F.col(id_col), F.col("minhash"))
+        store_ids = store.select(id_col)
+        # a replayed/overlapping batch's ids may already be in the store;
+        # the batch's own (identical, deterministic) signatures supersede
+        # them — without this a rerun pairs every doc with its own store
+        # copy (self-pairs) and double-counts cross candidates
+        sigs_old = store.join(sigs_new.select(id_col), id_col,
+                              "left_anti")
+        store_existed = True
+    except FileNotFoundError:
+        sigs_old = spark.createDataFrame([], sigs_new.schema)
+        store_ids = sigs_old.select(id_col)
+        store_existed = False
+
+    band_hash = "poly" if verifiable else "murmur3"
+    rows_per_band = max(num_hashes // bands, 1)
+    nb = _band_buckets(sigs_new, id_col, bands, rows_per_band, band_hash) \
+        .withColumn("_new", F.lit(True))
+    ob = _band_buckets(sigs_old, id_col, bands, rows_per_band, band_hash) \
+        .withColumn("_new", F.lit(False))
+    # join-prune the store to buckets the batch touches BEFORE any
+    # window/aggregate: the store side never shuffles untouched buckets
+    touched = nb.select("band", "band_hash").distinct()
+    union_b = (ob.join(touched, ["band", "band_hash"], "left_semi")
+               .unionByName(nb))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_hash")
+        union_b = (union_b.withColumn("_bn", F.count("*").over(w))
+                   .filter(F.col("_bn") <= max_bucket_size).drop("_bn"))
+    buckets = (union_b.groupBy("band", "band_hash")
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.col(id_col).alias("id"),
+                   F.col("_new").alias("nw")))).alias("_ms"))
+               .filter(F.size("_ms") > 1))
+    ms, m = F.col("_ms"), F.size("_ms")
+    pair_arr = F.flatten(F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.transform(
+            F.slice(ms, i + 1, m),
+            lambda b: F.struct(
+                F.element_at(ms, i)["id"].alias("id_a"),
+                b["id"].alias("id_b"),
+                (F.element_at(ms, i)["nw"] | b["nw"]).alias("any_new")))))
+    pairs = (buckets.select(F.explode(pair_arr).alias("_p"))
+             .filter(F.col("_p.any_new"))
+             .select("_p.id_a", "_p.id_b").distinct())
+
+    all_sigs = sigs_old.unionByName(sigs_new)
+    sa = all_sigs.select(F.col(id_col).alias("id_a"),
+                         F.col("minhash").alias("_sa"))
+    sb = all_sigs.select(F.col(id_col).alias("id_b"),
+                         F.col("minhash").alias("_sb"))
+    # signature slots are never null here (null-sig docs were filtered),
+    # so plain equality mirrors the SQL oracle exactly
+    n_agree = F.size(F.filter(
+        F.zip_with("_sa", "_sb", lambda x, y: x == y),
+        lambda v: v)).cast("long")
+    min_agree = int(math.ceil(threshold * num_hashes))
+    verified = (pairs.join(sa, "id_a").join(sb, "id_b")
+                .select("id_a", "id_b", n_agree.alias("n_agree"))
+                .filter(F.col("n_agree") >= min_agree)
+                .withColumn("est_jaccard",
+                            F.col("n_agree") / F.lit(num_hashes)))
+
+    novel = (sigs_new.join(store_ids, id_col, "left_anti")
+             if store_existed else sigs_new)
+    novel = novel.localCheckpoint(eager=True)
+    n_novel = novel.count()
+    if n_novel:
+        fmt.append(novel, state_path)
+    stats = {"batch_sigs": sigs_new.count(),
+             "accepted_sigs": n_novel}
+    return verified, stats
 
 
 def kmv_hash(col: Column) -> Column:

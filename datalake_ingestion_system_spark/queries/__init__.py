@@ -48,7 +48,11 @@ _FORCE_FRONT: tuple[str, ...] = (
     # distributed two-level prefix sum (pack_bins_prefix) — bit-identical
     # by construction and equivalence-tested, but the implementation
     # changed after its last green row, so the driver must confirm
-    "q_training_shards_e2e")
+    "q_training_shards_e2e",
+    # round-7: gained the catalog.spread guard (28s -> 3s single-split
+    # fix at sf0.1) — partitioning-neutral integer aggregation, locally
+    # re-verified at 3 SFs, driver to confirm
+    "q_charngram_lm_score")
 
 
 def _evidence():

@@ -143,6 +143,90 @@ WHERE n_union > 0 AND round(CAST(n_inter AS DOUBLE) / n_union, 4) >= 0.5
 """
 
 
+@_q("q_minhash_incremental")
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup detection against a persistent SIGNATURE store
+    (``operators.dedup.incremental_minhash_dedup``): even doc_ids are
+    yesterday's accepted corpus (their signatures seeded into a
+    TxnLogFormat store — the text is gone), odd doc_ids are today's
+    batch.  Emitted pairs all touch the new batch; verification is the
+    slot-agreement estimate (``n_agree``/32 ≥ 16/32), integer-exact.
+    Verifiable mode (md5 + polynomial band hash) so the oracle replays
+    signatures, bucket membership, the 500-cap, the no-old-old-pairs
+    rule, and the estimate bit-for-bit.
+
+    Scale shape: the store is banded then LEFT-SEMI pruned to buckets the
+    batch touches before any aggregation — cost follows the batch, not
+    the corpus; the store append is id-novel-only (crash-replay
+    convergent)."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="mh_inc_") + "/sigs"
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    # batch 1 seeds the store (its old-old pairs are yesterday's output)
+    dedup.incremental_minhash_dedup(old, path, verifiable=True)
+    pairs, _stats = dedup.incremental_minhash_dedup(new, path,
+                                                    verifiable=True)
+    return pairs.select("id_a", "id_b", "n_agree", "est_jaccard")
+
+
+# Mirror of the incremental run's SECOND batch: signatures over ALL docs
+# (constants identical to q_minhash_lsh_pairs), full-union banding with
+# the 500 cap (for any bucket holding an odd doc the populations agree),
+# pairs sharing a bucket EXCEPT old-old (both even), slot-agreement >= 16.
+ORACLE_SQL["q_minhash_incremental"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         [('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483647
+          for t in ws] AS th
+  FROM toks
+), sh AS (
+  SELECT doc_id,
+         list_distinct([(th[CAST(i AS INTEGER)] * 1000003
+                        + th[CAST(i AS INTEGER) + 1] * 8191
+                        + th[CAST(i AS INTEGER) + 2] * 524287) % 2147483647
+                        for i in range(1, len(th) - 1)]) AS hs
+  FROM th WHERE len(th) >= 3
+), sig AS (
+  SELECT doc_id,
+         [list_min([(h * (2 * i + 1) + i * 98765431) % 2147483647
+                    for h in hs])
+          for i in range(0, 32)] AS sig
+  FROM sh WHERE len(hs) > 0
+), banded AS (
+  SELECT doc_id, b,
+         ((((sig[CAST(b AS INTEGER) * 4 + 1] * 1000003
+             + sig[CAST(b AS INTEGER) * 4 + 2]) % 2147483647) * 1000003
+             + sig[CAST(b AS INTEGER) * 4 + 3]) % 2147483647 * 1000003
+             + sig[CAST(b AS INTEGER) * 4 + 4]) % 2147483647 AS bh
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+  QUALIFY count(*) OVER (PARTITION BY b, bh) <= 500
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a JOIN banded c ON a.b = c.b AND a.bh = c.bh
+                             AND a.doc_id < c.doc_id
+  WHERE NOT (a.doc_id % 2 = 0 AND c.doc_id % 2 = 0)
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(range(1, 33),
+                i -> sa.sig[CAST(i AS INTEGER)]
+                     = sb.sig[CAST(i AS INTEGER)])) AS BIGINT) AS n_agree,
+       len(list_filter(range(1, 33),
+                i -> sa.sig[CAST(i AS INTEGER)]
+                     = sb.sig[CAST(i AS INTEGER)])) / 32.0 AS est_jaccard
+FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+          JOIN sig sb ON cand.id_b = sb.doc_id
+WHERE len(list_filter(range(1, 33),
+          i -> sa.sig[CAST(i AS INTEGER)]
+               = sb.sig[CAST(i AS INTEGER)])) >= 16
+"""
+
+
 @_q("q_simhash")
 def q_simhash(spark, sf_dir):
     """32-bit SimHash signatures (sign-vote over token hashes), md5 token
@@ -3787,7 +3871,10 @@ def q_charngram_lm_score(spark, sf_dir):
     broadcast model join back onto the occurrence stream, one per-doc
     partial-agg rollup — linear, never all-pairs; the model table is
     alphabet^3-bounded and merges across shards by count addition."""
-    d = load(spark, sf_dir, "documents")
+    # spread: a single-split documents file would run the whole trigram
+    # explosion (the CPU-heavy stage) on one core — measured 28s → 3s at
+    # sf0.1 on local[32]
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     occ = d.select("doc_id",
                    F.explode(char_ngrams("text", 3)).alias("g"))
     c3 = occ.groupBy("g").agg(F.count("*").alias("c3"))

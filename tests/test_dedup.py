@@ -256,6 +256,58 @@ def test_incremental_dedup_against_fingerprint_store(spark, tmp_path):
     assert s3["accepted"] == 0 and s3["historical_dupes"] == 2
 
 
+def test_incremental_minhash_matches_one_shot(spark, tmp_path):
+    """Round 7: feeding the corpus as two batches through the signature
+    store must find exactly the one-shot pipeline's candidate structure
+    minus old-old pairs: every cross(old,new) and new-new pair with
+    slot agreement >= threshold, none among the first batch only."""
+    from datalake_ingestion_system_spark.catalog import load
+    from datalake_ingestion_system_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_signatures)
+    import pyspark.sql.functions as F
+
+    d = load(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    state = str(tmp_path / "sig_store")
+    p1, s1 = incremental_minhash_dedup(old, state, verifiable=True)
+    # batch 1 vs empty store = plain within-batch pairs
+    assert all(r.id_a % 2 == 0 and r.id_b % 2 == 0
+               for r in p1.collect())
+    p2, s2 = incremental_minhash_dedup(new, state, verifiable=True)
+    got = sorted((r.id_a, r.id_b) for r in p2.collect())
+    assert got, "expected at least one cross/new pair on the test corpus"
+    assert all(a % 2 == 1 or b % 2 == 1 for a, b in got)
+
+    # reference: one-shot est-jaccard pairs over the union, minus old-old
+    sigs = minhash_signatures(d, "doc_id", "text", 32, 3, token_hash="md5") \
+        .filter(F.col("minhash")[0].isNotNull())
+    from datalake_ingestion_system_spark.operators.dedup import (
+        lsh_candidate_pairs)
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=8, num_hashes=32,
+                               band_hash="poly", hot_buckets="drop")
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     F.col("minhash").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     F.col("minhash").alias("_sb"))
+    agree = F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y),
+                            lambda v: v))
+    ref = sorted((r.id_a, r.id_b) for r in
+                 cand.join(sa, "id_a").join(sb, "id_b")
+                 .filter(agree >= 16)
+                 .filter(~((F.col("id_a") % 2 == 0)
+                           & (F.col("id_b") % 2 == 0))).collect())
+    assert got == ref
+
+    # store accumulated both batches' signatures, id-novel-only
+    assert s1["accepted_sigs"] + s2["accepted_sigs"] == sigs.count()
+    # crash-and-rerun of batch 2 converges: same pairs, nothing appended
+    p3, s3 = incremental_minhash_dedup(new, state, verifiable=True)
+    assert s3["accepted_sigs"] == 0
+    assert sorted((r.id_a, r.id_b) for r in p3.collect()) == got
+
+
 def test_segment_dedup_removes_shared_paragraph_only(spark):
     """A template paragraph injected into two otherwise-unrelated docs is
     flagged in BOTH, while their unique content survives; a third doc
