@@ -2224,6 +2224,51 @@ GROUP BY event_type
 """
 
 
+@_q("q_data_skipping_read")
+def q_data_skipping_read(spark, sf_dir):
+    """Data skipping on the commit log, oracle-verified: events are
+    committed range-clustered on user_id (8 files with disjoint ranges,
+    per-file min/max harvested from the parquet footers into the commit
+    record — Delta's per-AddFile stats), then ``read(where=...)`` serves
+    a selective predicate by opening ONLY the files whose stats admit a
+    match (pinned by tests/test_sinks_txn.py via inputFiles; the
+    predicate itself always re-applies, so pruning is access-path only).
+    The DuckDB oracle is the plain declarative filter — skipping must be
+    invisible to results.
+
+    Scale shape: pruning is a driver-side stats comparison over the
+    commit metadata (file-cardinality, like Delta's log replay); the
+    scan cost follows the predicate's selectivity, not the table size."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="skip_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(e.repartitionByRange(8, "user_id"), path)
+    return (fmt.read(spark, path,
+                     where="user_id >= 100 AND user_id < 300")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_data_skipping_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE user_id >= 100 AND user_id < 300
+GROUP BY event_type
+"""
+
+
 @_q("q_dv_compact_read")
 def q_dv_compact_read(spark, sf_dir):
     """DV-aware targeted compaction verified END TO END against the

@@ -220,8 +220,76 @@ class TxnLogFormat(TableFormat):
                 .parquet(os.path.join(path, rel)))
         return rel
 
+    #: Delta's dataSkippingNumIndexedCols default — stats beyond the
+    #: first 32 leaf columns are cost without much pruning power.
+    _SKIP_MAX_COLS = 32
+
+    def _collect_file_stats(self, path: str, rel: str) -> dict | None:
+        """Per-file column min/max harvested from the staged parquet
+        FOOTERS (metadata read, no data scan) — the Delta per-AddFile
+        stats that make ``read(where=...)`` skip files without opening
+        them.  ``{relfile: {col: [min, max] | None}}``; ``None`` marks a
+        column whose stats are absent/undecodable (never pruned on).
+        Returns None (no stats recorded) if pyarrow is unavailable."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in here
+            return None
+        import re as _re
+        stats: dict = {}
+        for dp, _dns, fns in os.walk(os.path.join(path, rel)):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                ap = os.path.join(dp, fn)
+                relfile = _re.search(r"_txn_data/.*$", ap).group(0)
+                md = pq.ParquetFile(ap).metadata
+                per: dict = {}
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        name = col.path_in_schema
+                        if "." in name:  # nested leaf — not prunable here
+                            continue
+                        if (name not in per
+                                and len(per) >= self._SKIP_MAX_COLS):
+                            continue
+                        st = col.statistics
+                        if (st is None or not st.has_min_max
+                                or per.get(name, ()) is None):
+                            per[name] = None
+                            continue
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            try:
+                                mn, mx = mn.decode(), mx.decode()
+                            except UnicodeDecodeError:
+                                per[name] = None
+                                continue
+                        if not isinstance(mn, (int, float, str, bool)):
+                            # dates/decimals etc: stringify loses the
+                            # comparison semantics — record as unknown
+                            per[name] = None
+                            continue
+                        if name in per:
+                            omn, omx = per[name]
+                            per[name] = [min(omn, mn), max(omx, mx)]
+                        else:
+                            per[name] = [mn, mx]
+                stats[relfile] = per
+        return stats
+
     def _commit(self, path: str, record: dict,
                 expected_version: int | None = None) -> int:
+        if record.get("dir") and record["action"] in (
+                "append", "overwrite", "replace_all", "dv_update",
+                "rewrite_files") and "stats" not in record:
+            # data-skipping stats ride the commit record (Delta's
+            # per-AddFile stats): harvested once at publish time so no
+            # reader ever fetches footers
+            st = self._collect_file_stats(path, record["dir"])
+            if st is not None:
+                record["stats"] = st
         log = self._log_dir(path)
         os.makedirs(log, exist_ok=True)
         while True:
@@ -491,9 +559,65 @@ class TxnLogFormat(TableFormat):
                 removed |= set(c["removed_files"])
         return removed
 
+    @staticmethod
+    def _skip_clauses(where: str) -> list:
+        """Conservative decomposition of ``where`` into prunable
+        ``(col, op, literal)`` conjuncts.  Only a flat AND of binary
+        comparisons against int/float/string literals qualifies; any OR /
+        NOT / parenthesis disables pruning entirely (the filter itself
+        still applies, so pruning is never load-bearing for correctness)."""
+        import re as _re
+        if _re.search(r"\bOR\b|\bNOT\b|\(", where, _re.IGNORECASE):
+            return []
+        clauses = []
+        for part in _re.split(r"\bAND\b", where, flags=_re.IGNORECASE):
+            m = _re.match(r"^\s*([A-Za-z_]\w*)\s*(<=|>=|==|=|<|>)"
+                          r"\s*(.+?)\s*$", part)
+            if not m:
+                continue
+            col, op, lit = m.groups()
+            if lit[:1] in "'\"" and lit[-1:] == lit[:1] and len(lit) >= 2:
+                val = lit[1:-1]
+            else:
+                try:
+                    val = int(lit)
+                except ValueError:
+                    try:
+                        val = float(lit)
+                    except ValueError:
+                        continue
+            clauses.append((col, "=" if op == "==" else op, val))
+        return clauses
+
+    @staticmethod
+    def _provably_empty(per: dict | None, clauses: list) -> bool:
+        """True iff some clause proves NO row of a file (with per-column
+        ``[min, max]`` stats) can satisfy it.  Unknown stats or
+        type-family mismatches never prune."""
+        for col, op, lit in clauses:
+            s = (per or {}).get(col)
+            if not s:
+                continue
+            mn, mx = s
+            if isinstance(mn, bool) or isinstance(lit, bool):
+                continue
+            if isinstance(lit, str) != isinstance(mn, str):
+                continue
+            try:
+                if ((op == "<" and mn >= lit)
+                        or (op == "<=" and mn > lit)
+                        or (op == ">" and mx <= lit)
+                        or (op == ">=" and mx < lit)
+                        or (op == "=" and (lit < mn or lit > mx))):
+                    return True
+            except TypeError:  # incomparable despite the family guard
+                continue
+        return False
+
     def read(self, spark: SparkSession, path: str,
              as_of_version: int | None = None,
              as_of_timestamp: float | str | None = None,
+             where: str | None = None,
              _with_pos: bool = False) -> DataFrame:
         """Current state, or — with ``as_of_version`` — TIME TRAVEL: the
         state after commit ``as_of_version`` landed, by replaying exactly
@@ -503,7 +627,11 @@ class TxnLogFormat(TableFormat):
         HH:MM:SS`` string — Delta's ``timestampAsOf``) resolves to the
         LATEST version published at or before the cutoff; raises if the
         cutoff predates the table.  Vacuumed versions raise when their
-        data dirs are gone."""
+        data dirs are gone.  ``where`` applies the predicate AND uses the
+        commit-recorded per-file min/max stats to skip files that
+        provably hold no matching row (Delta data skipping) — at 100 TB
+        the difference between opening every file of every live dir and
+        opening the few the predicate touches."""
         commits = self._commits(path)
         if as_of_timestamp is not None:
             if as_of_version is not None:
@@ -548,6 +676,20 @@ class TxnLogFormat(TableFormat):
         live = self._resolve_live(commits)
         dvs = self._resolve_dvs(commits)
         removed_files = self._resolve_removed_files(commits)
+        # DATA SKIPPING (Delta per-AddFile stats parity): with ``where``,
+        # files whose commit-recorded min/max prove no row can match are
+        # never opened; the predicate is ALSO applied to the result, so
+        # pruning is purely an access-path optimization — unparsable or
+        # stat-less cases degrade to a plain filtered scan.
+        skip_files: set[str] = set()
+        if where is not None:
+            clauses = self._skip_clauses(where)
+            if clauses:
+                for c in commits:
+                    for relfile, per in (c.get("stats") or {}).items():
+                        if self._provably_empty(per, clauses):
+                            skip_files.add(relfile)
+        removed_files = removed_files | skip_files
         # merge-on-read deletes need each row's physical identity; expose
         # it via the scan-time _metadata columns (file path + parquet row
         # index) only when something will consume it
@@ -640,6 +782,10 @@ class TxnLogFormat(TableFormat):
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True),
             parts_list)
+        if where is not None:
+            # the predicate always applies in full — file skipping above
+            # only narrowed the access path
+            out = out.filter(F.expr(where))
         if dvs:
             if out.columns.count("_dv_file") > 1:
                 # a user column shadowed the reserved name AFTER a vector

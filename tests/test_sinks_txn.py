@@ -1343,6 +1343,58 @@ def test_compact_dv_retires_fully_deleted_file(spark, tmp_path):
         == [100, 101, 102, 103]
 
 
+def test_data_skipping_prunes_files_by_commit_stats(spark, tmp_path):
+    """Round 7: commits record per-file min/max from the parquet footers;
+    read(where=...) must open ONLY files whose stats admit a match
+    (proven via inputFiles), while returning exactly the filtered rows."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(100)],
+        "id int, tag string, v double")
+    # range-clustered: 4 files with disjoint id ranges
+    fmt.append(df.repartitionByRange(4, "id"), path)
+    rec = fmt._commits(path)[-1]
+    assert rec.get("stats"), "commit must carry per-file stats"
+    assert all(s.get("id") for s in rec["stats"].values())
+
+    full = fmt.read(spark, path)
+    n_files = len(full.inputFiles())
+    assert n_files == 4
+    pruned = fmt.read(spark, path, where="id >= 80")
+    assert len(pruned.inputFiles()) < n_files
+    assert sorted(r.id for r in pruned.collect()) == list(range(80, 100))
+    # string stats prune too
+    tag = fmt.read(spark, path, where="tag = 'zzz'")
+    assert tag.count() == 0
+    # conjunction: each conjunct prunes independently
+    both = fmt.read(spark, path, where="id >= 80 AND v < 90.0")
+    assert sorted(r.id for r in both.collect()) == list(range(80, 90))
+    assert len(both.inputFiles()) < n_files
+    # pruning is never load-bearing: OR disables it, result still exact
+    disj = fmt.read(spark, path, where="id >= 95 OR id < 5")
+    assert disj.count() == 10
+    assert len(disj.inputFiles()) == n_files
+
+
+def test_data_skipping_composes_with_dv_and_time_travel(spark, tmp_path):
+    """Skipping + deletion vectors + versions: the filter semantics stay
+    exact when vectors hide rows, and a time-travel read only consults
+    the prefix's stats."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)],
+                               "id int, v double")
+    fmt.append(df.repartitionByRange(4, "id"), path)          # v0
+    fmt.delete_where_dv(spark, path, "id >= 35")              # v1
+    got = fmt.read(spark, path, where="id >= 30")
+    assert sorted(r.id for r in got.collect()) == [30, 31, 32, 33, 34]
+    assert len(got.inputFiles()) < 4
+    # pre-DV version still sees the vectored rows, pruned the same way
+    old = fmt.read(spark, path, as_of_version=0, where="id >= 30")
+    assert sorted(r.id for r in old.collect()) == list(range(30, 40))
+
+
 def test_txn_cache_resets_when_table_is_recreated(spark, tmp_path):
     """ADVICE r6: deleting and rebuilding a table at the same path (a
     stream reset) must not leave the writer's txn cache poisoned — stale
