@@ -941,7 +941,10 @@ class TxnLogFormat(TableFormat):
         commit.  Returns rows deleted."""
         head = self._commits(path)[-1]["version"]
         self._check_dv_reserved_columns(spark, path)
-        current = self.read(spark, path, _with_pos=True)
+        # where=predicate lets the stats pruner skip files that provably
+        # hold no matching row — a point delete opens O(matching files),
+        # not O(live files); complex predicates degrade to a full scan
+        current = self.read(spark, path, where=predicate, _with_pos=True)
         if "_dv_file" not in current.columns:
             return 0  # zero-live-row table: nothing to delete
         hits = (current.filter(F.expr(predicate))
@@ -982,7 +985,9 @@ class TxnLogFormat(TableFormat):
         Returns rows updated."""
         head = self._commits(path)[-1]["version"]
         self._check_dv_reserved_columns(spark, path)
-        current = self.read(spark, path, _with_pos=True)
+        # same stats pruning as delete_where_dv: only files that can hold
+        # a matching row are opened to compute the rewrite
+        current = self.read(spark, path, where=predicate, _with_pos=True)
         if "_dv_file" not in current.columns:
             return 0  # zero-live-row table: nothing to update
         unknown = [c for c in assignments
@@ -1199,12 +1204,18 @@ class TxnLogFormat(TableFormat):
 
     def compact(self, spark: SparkSession, path: str,
                 partition_col: str | None = None,
-                rewrite_dv_threshold: float | None = None):
+                rewrite_dv_threshold: float | None = None,
+                cluster_by: list[str] | None = None):
         """Fold the current state into ONE commit (checkpoint analogue):
         stages a full rewrite, then publishes a ``replace_all`` commit that
         supersedes every earlier one.  Bounds replay cost after many small
         appends; old data dirs stay on disk for time travel until
         ``vacuum``.
+
+        With ``cluster_by`` the rewrite is RANGE-CLUSTERED on those
+        columns (Delta OPTIMIZE ZORDER/CLUSTER BY parity): each file
+        covers a tight value range, which is what gives
+        ``read(where=...)``'s stats-based skipping its selectivity.
 
         With ``rewrite_dv_threshold`` set (0..1), runs the TARGETED form
         instead (Delta's OPTIMIZE-on-tombstone-heavy-files): only files
@@ -1226,12 +1237,33 @@ class TxnLogFormat(TableFormat):
         order as Delta's add/remove file actions."""
         if rewrite_dv_threshold is None:
             current = self.read(spark, path)
+            if cluster_by:
+                # OPTIMIZE ... ZORDER/CLUSTER BY parity: range-cluster the
+                # rewrite on the given columns so each file covers a tight
+                # value range — this is what makes read(where=...)'s
+                # stats-based skipping selective on those columns.  Range
+                # (not Z-order bit interleave) because single- and
+                # few-column predicates dominate and range gives them the
+                # tightest per-file min/max; the Morton variant lives in
+                # plans/maintenance.zorder_write for layout experiments.
+                if partition_col is not None:
+                    raise ValueError(
+                        "pass partition_col or cluster_by, not both")
+                n = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                       "200"))
+                current = (current
+                           .repartitionByRange(n, *cluster_by)
+                           .sortWithinPartitions(*cluster_by))
             rel = self._stage(current, path, partition_col)
             self._commit(path, {"action": "replace_all", "dir": rel,
                                 "partition_col": partition_col,
                                 "partitions": [],
                                 "schema": current.schema.json()})
             return None
+        if cluster_by:
+            raise ValueError(
+                "cluster_by only applies to the full rewrite (the "
+                "targeted DV form re-stages hot files' survivors as-is)")
         if not 0.0 < rewrite_dv_threshold <= 1.0:
             raise ValueError("rewrite_dv_threshold must be in (0, 1]")
         if partition_col is not None:

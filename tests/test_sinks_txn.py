@@ -1377,6 +1377,30 @@ def test_data_skipping_prunes_files_by_commit_stats(spark, tmp_path):
     assert len(disj.inputFiles()) == n_files
 
 
+def test_compact_cluster_by_enables_skipping(spark, tmp_path):
+    """OPTIMIZE CLUSTER BY parity: hash-scattered files have overlapping
+    min/max (nothing prunes); compact(cluster_by=...) range-clusters the
+    rewrite, after which the same predicate opens a file subset.  DV row
+    ops ride the same pruner via where=predicate."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(200)],
+                               "id int, v double")
+    fmt.append(df.repartition(4), path)  # hash-scattered: ranges overlap
+    q = fmt.read(spark, path, where="id < 10")
+    assert len(q.inputFiles()) == 4      # nothing prunable
+    fmt.compact(spark, path, cluster_by=["id"])
+    q2 = fmt.read(spark, path, where="id < 10")
+    assert len(q2.inputFiles()) < len(fmt.read(spark, path).inputFiles())
+    assert sorted(r.id for r in q2.collect()) == list(range(10))
+    # a clustered point delete prunes too, and stays exact
+    assert fmt.delete_where_dv(spark, path, "id >= 190") == 10
+    assert fmt.read(spark, path).count() == 190
+    with pytest.raises(ValueError, match="cluster_by"):
+        fmt.compact(spark, path, cluster_by=["id"],
+                    rewrite_dv_threshold=0.5)
+
+
 def test_data_skipping_composes_with_dv_and_time_travel(spark, tmp_path):
     """Skipping + deletion vectors + versions: the filter semantics stay
     exact when vectors hide rows, and a time-travel read only consults
