@@ -708,3 +708,50 @@ SELECT event_type AS set_label,
        END AS est_distinct
 FROM sk GROUP BY event_type
 """
+
+
+@_q("q_txnlog_stream_source")
+def q_txnlog_stream_source(spark, sf_dir):
+    """The commit log as a STREAMING SOURCE (Spark-4 Python Data Source,
+    ``sources/txnlog_stream.py`` — Delta streaming-source parity): events
+    are committed in three separate appends (three versions), a
+    ``readStream.format("txnlog")`` consumer drains them (commit versions
+    are the offsets, each staged file one Arrow-batched partition), and
+    the per-type rollup of everything the STREAM delivered must equal the
+    declarative rollup of the table — exactly-once delivery across
+    micro-batches, checked cross-engine.
+
+    Scale shape: offset planning is O(new commits) driver-side metadata;
+    file reads are executor-side pyarrow -> Arrow batches (no per-row
+    Python); the three-way split rides one keyed repartition."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+    from ..sources.txnlog_stream import TxnLogDataSource
+
+    spark.dataSource.register(TxnLogDataSource)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="txnsrc_q_") + "/t"
+    fmt = TxnLogFormat()
+    for part in range(3):  # three commits -> three source versions
+        fmt.append(e.filter(F.pmod("event_id", F.lit(3)) == part), path)
+    # collect_set size, not countDistinct: streaming aggs reject DISTINCT
+    stream = (spark.readStream.format("txnlog").load(path)
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n_rows"),
+                   F.size(F.collect_set("user_id")).alias("n_users"),
+                   F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                    .alias("value_cents")))
+    return _run_stream_to_memory(stream, spark)
+
+
+ORACLE_SQL["q_txnlog_stream_source"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+"""

@@ -1,0 +1,142 @@
+"""Spark-4 Python Data Source over the commit log (sources/txnlog_stream).
+
+The Delta-streaming-source contract: commit versions are offsets, appends
+become micro-batches, checkpoint restart resumes exactly after the last
+processed commit, data-change commits fail the stream unless
+ignoreChanges opts into skipping them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datalake_ingestion_system_spark.sinks import TxnLogFormat
+from datalake_ingestion_system_spark.sources.txnlog_stream import (
+    TxnLogDataSource)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(TxnLogDataSource)
+    return spark
+
+
+def _mk(spark, *rows):
+    return spark.createDataFrame(list(rows), "id int, s string")
+
+
+def test_stream_emits_appends_and_resumes_from_checkpoint(
+        registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a"), (2, "b")), path)
+    fmt.append(_mk(spark, (3, "c")), path)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    def run_stream():
+        return (spark.readStream.format("txnlog").load(path)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt).start())
+
+    q = run_stream()
+    q.processAllAvailable()
+    # mid-stream append becomes its own micro-batch
+    fmt.append(_mk(spark, (4, "d")), path)
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.id, r.s) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    # append while the stream is DOWN, then restart from the checkpoint:
+    # only the new commit is emitted — no re-emission, no loss
+    fmt.append(_mk(spark, (5, "e")), path)
+    q2 = run_stream()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted((r.id, r.s) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+
+def test_stream_fails_on_data_change_unless_ignored(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a")), path)
+    fmt.delete_where_dv(spark, path, "id = 1")  # a data CHANGE
+    fmt.append(_mk(spark, (2, "b")), path)
+
+    q = (spark.readStream.format("txnlog").load(path)
+         .writeStream.format("memory").queryName("chg_fail")
+         .option("checkpointLocation", str(tmp_path / "ck1")).start())
+    with pytest.raises(Exception, match="ignoreChanges"):
+        q.processAllAvailable()
+    q.stop()
+
+    q2 = (spark.readStream.format("txnlog")
+          .option("ignoreChanges", "true").load(path)
+          .writeStream.format("memory").queryName("chg_ok")
+          .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted((r.id, r.s) for r in
+                 spark.sql("select * from chg_ok").collect())
+    # appends flow; the delete's change is skipped, not re-emitted
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_batch_source_matches_format_read(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a"), (2, "b")), path)
+    fmt.append(_mk(spark, (3, "c")), path)
+    via_src = sorted((r.id, r.s) for r in
+                     spark.read.format("txnlog").load(path).collect())
+    via_fmt = sorted((r.id, r.s) for r in fmt.read(spark, path).collect())
+    assert via_src == via_fmt == [(1, "a"), (2, "b"), (3, "c")]
+    # schema came from the log, not inference
+    assert [f.name for f in
+            spark.read.format("txnlog").load(path).schema.fields] \
+        == ["id", "s"]
+
+
+def test_batch_source_refuses_dv_tables(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a"), (2, "b")), path)
+    fmt.delete_where_dv(spark, path, "id = 1")
+    with pytest.raises(Exception, match="deletion vectors"):
+        spark.read.format("txnlog").load(path).collect()
+    # after compaction retires the vectors, the plain scan is legal again
+    fmt.compact(spark, path)
+    assert [r.id for r in
+            spark.read.format("txnlog").load(path).collect()] == [2]
+
+
+def test_stream_sees_rows_ingested_through_the_format_api(
+        registered, tmp_path):
+    """End-to-end composition: a foreachBatch producer writing through
+    append(txn_app=...) feeds a txnlog stream consumer — the table is
+    simultaneously an exactly-once sink AND an exactly-once source."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    for epoch in range(3):
+        fmt.append(_mk(spark, (epoch, f"e{epoch}")), path,
+                   txn_app="producer", txn_version=epoch)
+        fmt.append(_mk(spark, (epoch, f"e{epoch}")), path,
+                   txn_app="producer", txn_version=epoch)  # replay no-ops
+    q = (spark.readStream.format("txnlog").load(path)
+         .writeStream.format("memory").queryName("compose")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.id, r.s) for r in
+                 spark.sql("select * from compose").collect())
+    assert got == [(0, "e0"), (1, "e1"), (2, "e2")]
