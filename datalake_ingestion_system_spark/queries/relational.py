@@ -2224,6 +2224,57 @@ GROUP BY event_type
 """
 
 
+@_q("q_schema_evolution_read")
+def q_schema_evolution_read(spark, sf_dir):
+    """Schema evolution round-trip, oracle-verified: half the events are
+    committed under the ORIGINAL schema (…, value), then ``alter_table``
+    renames value→amount and adds a ``source`` column (one metadata-only
+    commit — zero files rewritten), then the other half lands under the
+    NEW schema.  The read must serve ONE coherent relation: historical
+    rows remapped to the new names with ``source`` as typed NULL, new
+    rows as written.  The DuckDB oracle is the same rollup phrased
+    directly over events — evolution must be invisible to results.
+
+    Scale shape: the alter is one JSON commit; the read applies a
+    rename/projection per historical dir (plan-level, no data movement)
+    and unions by name."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="evo_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
+    fmt.alter_table(path, rename_columns={"value": "amount"},
+                    add_columns={"source": "string"})
+    fmt.append(
+        e.filter(F.pmod("event_id", F.lit(2)) == 1)
+        .select("event_id", "event_type",
+                F.col("value").alias("amount"),
+                F.lit("new").alias("source")), path)
+    return (fmt.read(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("amount") * 100 + 0.5).cast("long"))
+                  .alias("amount_cents"),
+                 F.sum(F.col("source").isNull().cast("long"))
+                  .alias("n_legacy")))
+
+
+ORACLE_SQL["q_schema_evolution_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS amount_cents,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_legacy
+FROM events
+GROUP BY event_type
+"""
+
+
 @_q("q_data_skipping_read")
 def q_data_skipping_read(spark, sf_dir):
     """Data skipping on the commit log, oracle-verified: events are

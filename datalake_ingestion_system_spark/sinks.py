@@ -487,20 +487,22 @@ class TxnLogFormat(TableFormat):
         only — the restored dirs are the ORIGINAL ones, re-referenced)."""
         live: list[dict] = []
         for c in commits:
-            if c["action"] == "add_dv":
-                continue  # deletion vectors are not data dirs
+            if c["action"] in ("add_dv", "alter"):
+                continue  # vectors and schema changes are not data dirs
             if c["action"] == "dv_update":
                 # the commit's data dir (rewritten rows) is an append; its
                 # vector dir is handled by _resolve_dvs
                 live.append({"dir": c["dir"], "removed": {},
-                             "pcol": None, "parts": set()})
+                             "pcol": None, "parts": set(),
+                             "version": c["version"]})
                 continue
             if c["action"] == "rewrite_files":
                 # targeted DV compaction: the rewritten survivors are an
                 # append; the retired source FILES are subtracted by
                 # _resolve_removed_files (file-granular, not dir)
                 live.append({"dir": c["dir"], "removed": {},
-                             "pcol": None, "parts": set()})
+                             "pcol": None, "parts": set(),
+                             "version": c["version"]})
                 continue
             if c["action"] == "restore":
                 live = self._resolve_live(
@@ -508,7 +510,7 @@ class TxnLogFormat(TableFormat):
                 continue
             if c["action"] == "replace_all":
                 live = [{"dir": c["dir"], "removed": {}, "pcol": None,
-                         "parts": set()}]
+                         "parts": set(), "version": c["version"]}]
                 continue
             if c["action"] == "overwrite":
                 for e in live:
@@ -516,7 +518,8 @@ class TxnLogFormat(TableFormat):
                         c["partition_col"], set()).update(c["partitions"])
             live.append({"dir": c["dir"], "removed": {},
                          "pcol": c.get("partition_col"),
-                         "parts": set(c.get("partitions") or [])})
+                         "parts": set(c.get("partitions") or []),
+                         "version": c["version"]})
         return live
 
     def _resolve_dvs(self, commits: list[dict]) -> list[str]:
@@ -541,6 +544,107 @@ class TxnLogFormat(TableFormat):
                 # entries into one dir (or none) — earlier vectors retire
                 dvs = [c["dv_dir"]] if c.get("dv_dir") else []
         return dvs
+
+    def _resolve_alters(self, commits: list[dict]) -> list[dict]:
+        """Replay the commit list into the ordered list of live ALTER
+        records (same restore algebra as the other resolvers; an alter is
+        never cleared by replace_all — it simply becomes inert once every
+        live dir postdates it, because alters apply only to dirs written
+        BEFORE them)."""
+        alters: list[dict] = []
+        for c in commits:
+            if c["action"] == "restore":
+                alters = self._resolve_alters(
+                    [x for x in commits if x["version"] <= c["to_version"]])
+            elif c["action"] == "alter":
+                alters.append(c)
+        return alters
+
+    def alter_table(self, path: str,
+                    add_columns: dict[str, str] | None = None,
+                    rename_columns: dict[str, str] | None = None,
+                    drop_columns: list[str] | None = None) -> int:
+        """Metadata-only schema evolution (Delta column-mapping parity):
+        ADD COLUMN (typed, reads as NULL for pre-alter rows), RENAME
+        COLUMN, and DROP COLUMN as ONE ``alter`` commit — no data file is
+        touched; ``read`` replays the mapping onto every dir written
+        before the alter.  Time travel to a pre-alter version serves the
+        old schema, and RESTORE swaps the mapping set with the data.
+
+        Refuses to rename or drop a column that a live dynamic-partition
+        overwrite anti-filters on (its removal bookkeeping is keyed by
+        the original name — renaming would silently resurrect replaced
+        partitions) — compact first, then alter.  Returns the commit
+        version.  Stats note: per-file stats recorded under a column's
+        original name stop pruning for it after a rename (lookup by
+        current name misses — conservative, never wrong); a compact
+        re-records stats under the new names."""
+        from pyspark.sql import types as T
+        commits = self._commits(path)
+        if not commits:
+            raise FileNotFoundError(f"no committed table at {path}")
+        head = commits[-1]["version"]
+        sj = self._resolve_schema(commits)
+        if sj is None:
+            raise ValueError(f"no schema-bearing commit at {path}")
+        schema = T.StructType.fromJson(json.loads(sj))
+        add_columns = add_columns or {}
+        rename_columns = rename_columns or {}
+        drop_columns = list(drop_columns or [])
+        names = [f.name for f in schema.fields]
+        missing = [c for c in list(rename_columns) + drop_columns
+                   if c not in names]
+        if missing:
+            raise ValueError(f"alter references unknown columns {missing}")
+        touched_pcols: set = set()
+        for e in self._resolve_live(commits):
+            touched_pcols.update(e["removed"].keys())
+            if e["pcol"]:
+                touched_pcols.add(e["pcol"])
+        bad = touched_pcols & (set(rename_columns) | set(drop_columns))
+        if bad:
+            raise ValueError(
+                f"columns {sorted(bad)} key live partition-overwrite "
+                "bookkeeping; compact() the table before renaming or "
+                "dropping them")
+        after_ren = [rename_columns.get(n, n) for n in names
+                     if n not in drop_columns]
+        clash = [n for n in after_ren + list(add_columns)
+                 if (after_ren + list(add_columns)).count(n) > 1]
+        if clash:
+            raise ValueError(f"alter would duplicate columns {sorted(set(clash))}")
+        fields = []
+        for f in schema.fields:
+            if f.name in drop_columns:
+                continue
+            nf = (T.StructField(rename_columns[f.name], f.dataType,
+                                f.nullable, f.metadata)
+                  if f.name in rename_columns else f)
+            fields.append(nf)
+        for name, ddl in add_columns.items():
+            fields.append(T.StructField(
+                name, T._parse_datatype_string(ddl), True))
+        new_schema = T.StructType(fields)
+        rec = {"action": "alter", "dir": None,
+               "partition_col": None, "partitions": [],
+               "add": {n: d for n, d in add_columns.items()},
+               "rename": dict(rename_columns),
+               "drop": drop_columns,
+               "schema": new_schema.json()}
+        return self._commit(path, rec, expected_version=head + 1)
+
+    def _resolve_schema(self, commits: list[dict]) -> str | None:
+        """The current schema JSON under the same restore algebra: the
+        last schema-bearing commit of the resolved history (a RESTORE
+        brings back the target version's schema along with its data)."""
+        sj = None
+        for c in commits:
+            if c["action"] == "restore":
+                sj = self._resolve_schema(
+                    [x for x in commits if x["version"] <= c["to_version"]])
+            elif c.get("schema"):
+                sj = c["schema"]
+        return sj
 
     def _resolve_removed_files(self, commits: list[dict]) -> set[str]:
         """Replay the commit list into the set of table-relative data
@@ -676,6 +780,7 @@ class TxnLogFormat(TableFormat):
         live = self._resolve_live(commits)
         dvs = self._resolve_dvs(commits)
         removed_files = self._resolve_removed_files(commits)
+        alters = self._resolve_alters(commits)
         # DATA SKIPPING (Delta per-AddFile stats parity): with ``where``,
         # files whose commit-recorded min/max prove no row can match are
         # never opened; the predicate is ALSO applied to the result, so
@@ -763,6 +868,21 @@ class TxnLogFormat(TableFormat):
                 if None in values:  # the null partition itself was replaced
                     keep = keep & cs.isNotNull()
                 df = df.filter(keep)
+            # COLUMN MAPPING: alters published after this dir's commit
+            # rewrite its historical column names/set to the current
+            # schema (Delta column-mapping semantics, name-based here);
+            # added columns materialize as typed NULLs post-union
+            for a in alters:
+                if a["version"] <= e["version"]:
+                    continue
+                ren = {o: n for o, n in (a.get("rename") or {}).items()
+                       if o in df.columns}
+                if ren:
+                    df = df.withColumnsRenamed(ren)
+                drops = [c for c in (a.get("drop") or [])
+                         if c in df.columns]
+                if drops:
+                    df = df.drop(*drops)
             parts_list.append(df)
         if not parts_list:
             # Every live dir was skipped (e.g. the only commit is an
@@ -773,8 +893,7 @@ class TxnLogFormat(TableFormat):
             # writes no part files, so the dir itself carries no schema)
             # instead of letting reduce() raise on an empty iterable.
             from pyspark.sql.types import StructType
-            sj = next((c["schema"] for c in reversed(commits)
-                       if c.get("schema")), None)
+            sj = self._resolve_schema(commits)
             if sj is None:  # pre-schema-recording log with no live data
                 raise FileNotFoundError(f"no live data at {path}")
             return spark.createDataFrame(
@@ -782,6 +901,23 @@ class TxnLogFormat(TableFormat):
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True),
             parts_list)
+        if alters:
+            # conform to the CURRENT schema: columns added by alter that
+            # no live dir carries yet become typed NULLs, and the column
+            # order follows the recorded schema (gated on alters so
+            # alter-free tables keep their existing plans untouched)
+            from pyspark.sql.types import StructType
+            tsj = self._resolve_schema(commits)
+            target = StructType.fromJson(json.loads(tsj))
+            for f in target.fields:
+                if f.name not in out.columns:
+                    out = out.withColumn(f.name,
+                                         F.lit(None).cast(f.dataType))
+            keep_cols = [f.name for f in target.fields]
+            if need_pos:
+                keep_cols += [c for c in ("_dv_file", "_dv_pos")
+                              if c in out.columns]
+            out = out.select(*keep_cols)
         if where is not None:
             # the predicate always applies in full — file skipping above
             # only narrowed the access path

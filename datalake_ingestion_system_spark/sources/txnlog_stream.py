@@ -104,6 +104,13 @@ class TxnLogStreamReader(DataSourceStreamReader):
             if c["action"] == "append":
                 parts.extend(_FilePartition(ap) for ap
                              in _data_files(self.path, c["dir"]))
+            elif c["action"] == "alter":
+                # metadata-only: no data to emit.  The stream's schema is
+                # pinned at start — appends after an ADD still read (the
+                # new column is simply not selected); appends after a
+                # RENAME/DROP fail the missing-column check honestly
+                # (restart the stream to pick up the new schema).
+                continue
             elif not self.ignore_changes:
                 raise ValueError(
                     f"commit {v} is a data change ({c['action']}); the "

@@ -1343,6 +1343,81 @@ def test_compact_dv_retires_fully_deleted_file(spark, tmp_path):
         == [100, 101, 102, 103]
 
 
+def test_alter_table_add_rename_drop(spark, tmp_path):
+    """Schema evolution as metadata-only commits (Delta column-mapping
+    parity): ADD reads as typed NULL for pre-alter rows, RENAME remaps
+    historical dirs at read time, DROP projects them out — no data file
+    rewritten; time travel serves the pre-alter schema."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "id int, tag string"), path)   # v0
+    n_dirs = len(os.listdir(os.path.join(path, "_txn_data")))
+    v_alter = fmt.alter_table(path,
+                              add_columns={"score": "double"},
+                              rename_columns={"tag": "label"})       # v1
+    assert v_alter == 1
+    assert len(os.listdir(os.path.join(path, "_txn_data"))) == n_dirs
+    cur = fmt.read(spark, path)
+    assert cur.columns == ["id", "label", "score"]
+    assert sorted((r.id, r.label, r.score) for r in cur.collect()) \
+        == [(1, "a", None), (2, "b", None)]
+    # post-alter appends carry the new schema; unions line up by name
+    fmt.append(spark.createDataFrame([(3, "c", 0.5)],
+                                     "id int, label string, score double"),
+               path)                                                 # v2
+    assert sorted((r.id, r.label, r.score)
+                  for r in fmt.read(spark, path).collect()) \
+        == [(1, "a", None), (2, "b", None), (3, "c", 0.5)]
+    # time travel to the pre-alter version serves the OLD schema
+    old = fmt.read(spark, path, as_of_version=0)
+    assert old.columns == ["id", "tag"]
+    # drop the added column again — data in v2's files is simply unread
+    fmt.alter_table(path, drop_columns=["score"])                    # v3
+    assert fmt.read(spark, path).columns == ["id", "label"]
+    # predicates work against current names
+    assert [r.id for r in
+            fmt.read(spark, path, where="id >= 3").collect()] == [3]
+
+
+def test_alter_table_guards(spark, tmp_path):
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "P1", "x")], "id int, p string, v string")
+    fmt.overwrite_partitions(df, path, "p")
+    with pytest.raises(ValueError, match="unknown columns"):
+        fmt.alter_table(path, rename_columns={"nope": "x"})
+    with pytest.raises(ValueError, match="duplicate"):
+        fmt.alter_table(path, rename_columns={"v": "id"})
+    # a live dynamic-overwrite partition key cannot be renamed or dropped
+    with pytest.raises(ValueError, match="partition-overwrite"):
+        fmt.alter_table(path, rename_columns={"p": "part"})
+    # compact materializes the state; the key is then free to evolve
+    # (partitioned dirs read back partition-column-last, so the compacted
+    # schema records that order)
+    fmt.compact(spark, path)
+    fmt.alter_table(path, rename_columns={"p": "part"})
+    assert fmt.read(spark, path).columns == ["id", "v", "part"]
+
+
+def test_alter_interacts_with_restore_and_dv(spark, tmp_path):
+    """RESTORE swaps the mapping set with the data; deletion vectors on
+    pre-alter files still hide their rows under the new names."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(i, f"t{i}") for i in range(6)],
+                                     "id int, tag string"), path)    # v0
+    fmt.delete_where_dv(spark, path, "id >= 4")                      # v1
+    fmt.alter_table(path, rename_columns={"tag": "label"})           # v2
+    got = sorted((r.id, r.label)
+                 for r in fmt.read(spark, path).collect())
+    assert got == [(0, "t0"), (1, "t1"), (2, "t2"), (3, "t3")]
+    fmt.restore(spark, path, 1)                                      # v3
+    assert fmt.read(spark, path).columns == ["id", "tag"]
+    fmt.restore(spark, path, 2)                                      # v4
+    assert fmt.read(spark, path).columns == ["id", "label"]
+
+
 def test_data_skipping_prunes_files_by_commit_stats(spark, tmp_path):
     """Round 7: commits record per-file min/max from the parquet footers;
     read(where=...) must open ONLY files whose stats admit a match
