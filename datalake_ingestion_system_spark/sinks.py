@@ -90,6 +90,31 @@ class ConcurrentWriteError(RuntimeError):
     ConcurrentAppendException class of conflict).  Re-read and retry."""
 
 
+def retry_on_conflict(op, attempts: int = 3):
+    """Run a read-modify-write table operation, retrying on
+    ``ConcurrentWriteError`` — each attempt calls ``op()`` afresh, which
+    re-reads the new head and recomputes against it (the only correct
+    response to losing the optimistic race; blind re-publish of the stale
+    result would erase the interleaved commit).  Returns ``op()``'s
+    result; re-raises after ``attempts`` losses.
+
+    Usage::
+
+        retry_on_conflict(lambda: fmt.merge(spark, path, batch, "k"))
+
+    Bounded, not infinite: under real sustained contention the caller
+    should serialize writers (one committer per table is the
+    high-throughput shape anyway) rather than spin."""
+    if attempts < 1:
+        raise ValueError("attempts must be >= 1")
+    for i in range(attempts):
+        try:
+            return op()
+        except ConcurrentWriteError:
+            if i == attempts - 1:
+                raise
+
+
 class TxnLogFormat(TableFormat):
     """Minimal file-based commit log — the transactional TableFormat that
     actually RUNS in this container (delta-spark does not ship here), built

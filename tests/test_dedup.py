@@ -308,6 +308,65 @@ def test_incremental_minhash_matches_one_shot(spark, tmp_path):
     assert sorted((r.id_a, r.id_b) for r in p3.collect()) == got
 
 
+def test_streaming_near_dup_ingestion(spark, tmp_path):
+    """streaming/dedup_stream: documents arriving file-by-file are
+    near-dup-checked against the accumulating signature store; after the
+    stream drains, the pairs table equals the one-shot est-jaccard
+    pipeline over the union (every pair has a later-arriving side), and
+    a restart from the checkpoint publishes nothing new."""
+    import pyspark.sql.functions as F
+
+    from datalake_ingestion_system_spark.catalog import load
+    from datalake_ingestion_system_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat
+    from datalake_ingestion_system_spark.streaming.dedup_stream import (
+        start_near_dup_stream)
+
+    d = load(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "src")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    work = str(tmp_path)
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_near_dup_stream(
+        spark, stream, f"{work}/sigs", f"{work}/pairs", f"{work}/ckpt",
+        verifiable=True)
+    q.awaitTermination()
+
+    fmt = TxnLogFormat()
+    got = sorted((r.id_a, r.id_b) for r in
+                 fmt.read(spark, f"{work}/pairs").collect())
+
+    sigs = minhash_signatures(d, "doc_id", "text", 32, 3,
+                              token_hash="md5") \
+        .filter(F.col("minhash")[0].isNotNull())
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=8, num_hashes=32,
+                               band_hash="poly", hot_buckets="drop")
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     F.col("minhash").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     F.col("minhash").alias("_sb"))
+    agree = F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y),
+                            lambda v: v))
+    ref = sorted((r.id_a, r.id_b) for r in
+                 cand.join(sa, "id_a").join(sb, "id_b")
+                 .filter(agree >= 16).collect())
+    assert got == ref and got
+
+    # restart on the same checkpoint: nothing new arrives, nothing lands
+    n_commits = len(fmt._commits(f"{work}/pairs"))
+    q2 = start_near_dup_stream(
+        spark, stream, f"{work}/sigs", f"{work}/pairs", f"{work}/ckpt",
+        verifiable=True)
+    q2.awaitTermination()
+    assert len(fmt._commits(f"{work}/pairs")) == n_commits
+
+
 def test_segment_dedup_removes_shared_paragraph_only(spark):
     """A template paragraph injected into two otherwise-unrelated docs is
     flagged in BOTH, while their unique content survives; a third doc

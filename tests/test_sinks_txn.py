@@ -842,6 +842,46 @@ def test_delete_where_detects_concurrent_commit(spark, tmp_path):
     assert sorted(r.id for r in fmt.read(spark, path).collect()) == [2, 3]
 
 
+def test_retry_on_conflict_recomputes_against_new_head(spark, tmp_path):
+    """The retry helper re-executes the op (fresh snapshot), so the
+    interleaved commit survives and the delete applies on top of it."""
+    from datalake_ingestion_system_spark.sinks import retry_on_conflict
+
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, -1.0), (2, 2.0)], "id long, v double"),
+        path)
+    racer = TxnLogFormat()
+    orig_read = fmt.read
+    raced = {"done": False}
+
+    def racing_read(spark_, p, **kw):
+        df = orig_read(spark_, p, **kw)
+        if not raced["done"]:
+            raced["done"] = True
+            racer.append(spark.createDataFrame(
+                [(3, -3.0)], "id long, v double"), path)
+        return df
+
+    fmt.read = racing_read
+    try:
+        n = retry_on_conflict(
+            lambda: fmt.delete_where(spark, path, "v < 0"))
+    finally:
+        fmt.read = orig_read
+    # the retry's fresh snapshot saw the racer's row too
+    assert n == 2
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [2]
+    # exhausted attempts re-raise
+    from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
+
+    def always_lose():
+        raise ConcurrentWriteError("x")
+    with pytest.raises(ConcurrentWriteError):
+        retry_on_conflict(always_lose, attempts=2)
+
+
 def test_merge_upsert_cdc_three_clauses(spark, tmp_path):
     """MERGE INTO, the CDC apply shape: matched tombstones DELETE, matched
     rows UPDATE SET *, unmatched non-tombstones INSERT — and unmatched
