@@ -502,10 +502,13 @@ def incremental_exact_dedup(new_docs: DataFrame, state_path: str,
                       .agg(F.min(id_col).alias("first_id")))
     n_rows = new_docs.count()
     n_batch_unique = in_batch_first.count()
-    try:
+    # log-presence probe, not except FileNotFoundError: a store whose log
+    # exists but whose data dirs are gone is CORRUPTION — treating it as
+    # empty would re-accept every historical duplicate
+    if fmt._commits(state_path):
         seen = fmt.read(spark, state_path).select("fp")
         novel = in_batch_first.join(seen, "fp", "left_anti")
-    except FileNotFoundError:
+    else:
         novel = in_batch_first
     novel = novel.localCheckpoint(eager=True)  # pin before the store moves
     n_novel = novel.count()
@@ -573,7 +576,12 @@ def incremental_minhash_dedup(new_docs: DataFrame, state_path: str,
     # pin: consumed by banding, the verify join, and the store append
     sigs_new = (sigs_new.filter(F.col("minhash")[0].isNotNull())
                 .localCheckpoint(eager=True))
-    try:
+    # distinguish "store not created yet" from "store exists but its data
+    # is gone" (vacuumed/corrupted — read() raises FileNotFoundError for
+    # both): treating corruption as empty would silently admit near-dups
+    # AND append ids the broken log already records
+    store_existed = bool(fmt._commits(state_path))
+    if store_existed:
         store = fmt.read(spark, state_path).select(
             F.col(id_col), F.col("minhash"))
         store_ids = store.select(id_col)
@@ -583,11 +591,9 @@ def incremental_minhash_dedup(new_docs: DataFrame, state_path: str,
         # copy (self-pairs) and double-counts cross candidates
         sigs_old = store.join(sigs_new.select(id_col), id_col,
                               "left_anti")
-        store_existed = True
-    except FileNotFoundError:
+    else:
         sigs_old = spark.createDataFrame([], sigs_new.schema)
         store_ids = sigs_old.select(id_col)
-        store_existed = False
 
     band_hash = "poly" if verifiable else "murmur3"
     rows_per_band = max(num_hashes // bands, 1)

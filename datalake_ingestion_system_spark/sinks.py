@@ -707,6 +707,11 @@ class TxnLogFormat(TableFormat):
             col, op, lit = m.groups()
             if lit[:1] in "'\"" and lit[-1:] == lit[:1] and len(lit) >= 2:
                 val = lit[1:-1]
+                if any(ch in val for ch in ("'", '"', "\\")):
+                    # escaped-quote/backslash literals: the SQL engine's
+                    # unescaping differs from this raw slice, so the
+                    # comparison value would be wrong — never prune on it
+                    continue
             else:
                 try:
                     val = int(lit)
@@ -884,6 +889,30 @@ class TxnLogFormat(TableFormat):
                     F.regexp_extract(F.col("_metadata.file_path"),
                                      "_txn_data/.*$", 0).alias("_dv_file"),
                     F.col("_metadata.row_index").alias("_dv_pos"))
+            # COLUMN MAPPING first, anti-filters second: alters published
+            # after this dir's commit rewrite its historical column
+            # names/set to the CURRENT schema (Delta column-mapping
+            # semantics, name-based here), and the partition-overwrite
+            # subtraction below is keyed by current names (alter_table
+            # refuses to rename/drop a column with live overwrite
+            # bookkeeping, so overwrite-time names ARE current names) —
+            # filtering before mapping would skip the subtraction on
+            # pre-rename dirs and silently resurrect replaced
+            # partitions.  Within one alter, drops apply BEFORE renames
+            # (matching the schema construction), so renaming onto a
+            # just-dropped name replaces it instead of creating a
+            # duplicate column that drop() would doubly remove.
+            for a in alters:
+                if a["version"] <= e["version"]:
+                    continue
+                drops = [c for c in (a.get("drop") or [])
+                         if c in df.columns]
+                if drops:
+                    df = df.drop(*drops)
+                ren = {o: n for o, n in (a.get("rename") or {}).items()
+                       if o in df.columns}
+                if ren:
+                    df = df.withColumnsRenamed(ren)
             for col, values in e["removed"].items():
                 if col not in df.columns:
                     continue
@@ -893,21 +922,6 @@ class TxnLogFormat(TableFormat):
                 if None in values:  # the null partition itself was replaced
                     keep = keep & cs.isNotNull()
                 df = df.filter(keep)
-            # COLUMN MAPPING: alters published after this dir's commit
-            # rewrite its historical column names/set to the current
-            # schema (Delta column-mapping semantics, name-based here);
-            # added columns materialize as typed NULLs post-union
-            for a in alters:
-                if a["version"] <= e["version"]:
-                    continue
-                ren = {o: n for o, n in (a.get("rename") or {}).items()
-                       if o in df.columns}
-                if ren:
-                    df = df.withColumnsRenamed(ren)
-                drops = [c for c in (a.get("drop") or [])
-                         if c in df.columns]
-                if drops:
-                    df = df.drop(*drops)
             parts_list.append(df)
         if not parts_list:
             # Every live dir was skipped (e.g. the only commit is an

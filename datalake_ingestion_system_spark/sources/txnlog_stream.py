@@ -15,16 +15,20 @@ that rewrites or removes data (``replace_all``/``overwrite``/
 the stream fails on it unless ``option("ignoreChanges", "true")`` is set,
 in which case such commits are skipped (their data is NOT re-emitted —
 Delta's ignoreChanges caveat applies verbatim: downstream must tolerate
-not seeing updates).
+not seeing updates).  ``alter`` commits are METADATA: files written under
+a historical schema are column-mapped to the stream's schema at read
+time (renames inverted, later-added columns null-filled — the same
+name-based mapping ``TxnLogFormat.read`` applies), so a stream started
+after an alter still drains the pre-alter backlog.
 
-Scale shape: offset planning reads only the commit records in the
-(start, end] window (O(new commits), driver-side, file-metadata scale);
-each staged parquet FILE becomes one InputPartition, read executor-side
-with pyarrow and handed to Spark as Arrow record batches (zero
-row-by-row Python).  Reference parity: the reference's streaming story
-is file-arrival polling (LANDING_CHECK S3 listing, README.md:24); this
-is that contract made transactional — arrivals are commits, not
-filesystem races.
+Scale shape: offset planning replays the commit records via the SAME
+``TxnLogFormat._commits`` every reader uses (O(log), driver-side,
+file-metadata scale); each staged parquet FILE becomes one
+InputPartition, read executor-side with pyarrow and handed to Spark as
+Arrow record batches (zero row-by-row Python).  Reference parity: the
+reference's streaming story is file-arrival polling (LANDING_CHECK S3
+listing, README.md:24); this is that contract made transactional —
+arrivals are commits, not filesystem races.
 """
 
 from __future__ import annotations
@@ -36,28 +40,15 @@ from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceStreamReader, InputPartition)
 from pyspark.sql.types import StructType
 
+from ..sinks import TxnLogFormat
+
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str):
+    def __init__(self, abs_path: str, mapping: list):
         self.abs_path = abs_path
-
-
-def _log_dir(path: str) -> str:
-    return os.path.join(path, "_txn_log")
-
-
-def _commit_versions(path: str) -> list[int]:
-    try:
-        return sorted(int(n.split(".")[0])
-                      for n in os.listdir(_log_dir(path))
-                      if n.endswith(".json"))
-    except FileNotFoundError:
-        return []
-
-
-def _load_commit(path: str, version: int) -> dict:
-    with open(os.path.join(_log_dir(path), f"{version:012d}.json")) as f:
-        return json.load(f)
+        #: [(src_name | None, tgt_name, arrow_type)] aligned to the
+        #: stream's schema; src None = column added after this file
+        self.mapping = mapping
 
 
 def _data_files(path: str, rel: str) -> list[str]:
@@ -68,48 +59,86 @@ def _data_files(path: str, rel: str) -> list[str]:
     return out
 
 
-def _read_arrow_batches(abs_path: str, field_names: list[str]):
-    """Executor-side file read: Arrow batches aligned to the source
-    schema's field order (staged files are written from the recorded
-    schema, so this is a column select, not a cast)."""
+def _mapping_for(version: int, alters: list[dict],
+                 schema: StructType) -> list:
+    """Per-target-column source name in a file written at ``version``:
+    invert every rename published after it (newest first); a column
+    first ADDED after it has no source and null-fills.  Drops need no
+    handling — dropped columns are absent from the target schema."""
+    from pyspark.sql.pandas.types import to_arrow_type
+    later = [a for a in alters if a["version"] > version]
+    mapping = []
+    for f in schema.fields:
+        src: str | None = f.name
+        for a in reversed(later):
+            if src is None:
+                break
+            ren_inv = {n: o for o, n in (a.get("rename") or {}).items()}
+            if src in ren_inv:
+                src = ren_inv[src]
+            elif src in (a.get("add") or {}):
+                src = None  # column did not exist when this file landed
+        mapping.append((src, f.name, to_arrow_type(f.dataType)))
+    return mapping
+
+
+def _read_arrow_batches(abs_path: str, mapping: list):
+    """Executor-side file read: Arrow batches aligned to the stream's
+    schema via the per-file column mapping (historical names inverted,
+    later-added columns null-filled)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
     tbl = pq.read_table(abs_path)
-    missing = [n for n in field_names if n not in tbl.column_names]
+    missing = [src for src, _tgt, _t in mapping
+               if src is not None and src not in tbl.column_names]
     if missing:
         raise ValueError(
             f"staged file {abs_path} lacks columns {missing} of the "
             "table schema (schema-drift append — read the table with "
             "TxnLogFormat.read, which unions by name)")
-    yield from tbl.select(field_names).to_batches()
+    cols, names = [], []
+    for src, tgt, patype in mapping:
+        if src is not None:
+            cols.append(tbl[src])
+        else:
+            cols.append(pa.nulls(tbl.num_rows, type=patype))
+        names.append(tgt)
+    yield from pa.table(dict(zip(names, cols))).to_batches()
 
 
 class TxnLogStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.path = options["path"]
-        self.fields = [f.name for f in schema.fields]
+        self.schema = schema
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
+        self._fmt = TxnLogFormat()
 
     def initialOffset(self) -> dict:
         return {"version": -1}
 
     def latestOffset(self) -> dict:
-        versions = _commit_versions(self.path)
-        return {"version": versions[-1] if versions else -1}
+        commits = self._fmt._commits(self.path)
+        return {"version": commits[-1]["version"] if commits else -1}
 
     def partitions(self, start: dict, end: dict):
+        commits = self._fmt._commits(self.path)
+        by_version = {c["version"]: c for c in commits}
+        alters = self._fmt._resolve_alters(commits)
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            c = _load_commit(self.path, v)
+            c = by_version.get(v)
+            if c is None:
+                continue  # racing vacuum of a .tmp; versions are dense
             if c["action"] == "append":
-                parts.extend(_FilePartition(ap) for ap
+                mapping = _mapping_for(v, alters, self.schema)
+                parts.extend(_FilePartition(ap, mapping) for ap
                              in _data_files(self.path, c["dir"]))
             elif c["action"] == "alter":
-                # metadata-only: no data to emit.  The stream's schema is
-                # pinned at start — appends after an ADD still read (the
-                # new column is simply not selected); appends after a
-                # RENAME/DROP fail the missing-column check honestly
-                # (restart the stream to pick up the new schema).
+                # metadata-only: no data to emit; files AFTER it are
+                # mapped per their own version (columns this stream's
+                # pinned schema does not know are simply not selected —
+                # restart the stream to pick up the widened schema)
                 continue
             elif not self.ignore_changes:
                 raise ValueError(
@@ -120,25 +149,26 @@ class TxnLogStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _FilePartition):
-        yield from _read_arrow_batches(partition.abs_path, self.fields)
+        yield from _read_arrow_batches(partition.abs_path,
+                                       partition.mapping)
 
     def commit(self, end: dict) -> None:
         pass  # the table's own log is the source of truth; nothing to ack
 
 
 class TxnLogBatchReader(DataSourceReader):
-    """Batch counterpart: the current LIVE file set as one parallel scan.
-    Refuses tables with live deletion vectors or partition-overwrite
-    subtractions — those need the anti-join/value-filter replay only
+    """Batch counterpart: the current LIVE file set as one parallel scan,
+    with the same per-file column mapping for alters.  Refuses tables
+    with live deletion vectors or partition-overwrite subtractions —
+    those need the anti-join/value-filter replay only
     ``TxnLogFormat.read`` performs (a bare file scan would resurrect
     deleted rows)."""
 
     def __init__(self, schema: StructType, options: dict):
         self.path = options["path"]
-        self.fields = [f.name for f in schema.fields]
+        self.schema = schema
 
     def partitions(self):
-        from ..sinks import TxnLogFormat
         fmt = TxnLogFormat()
         commits = fmt._commits(self.path)
         if not commits:
@@ -153,18 +183,21 @@ class TxnLogBatchReader(DataSourceReader):
                 "table has partition-overwrite subtractions — use "
                 "TxnLogFormat.read")
         removed = fmt._resolve_removed_files(commits)
+        alters = fmt._resolve_alters(commits)
         parts = []
         for e in live:
+            mapping = _mapping_for(e["version"], alters, self.schema)
             for ap in _data_files(self.path, e["dir"]):
                 import re
                 m = re.search(r"_txn_data/.*$", ap)
                 if m and m.group(0) in removed:
                     continue
-                parts.append(_FilePartition(ap))
+                parts.append(_FilePartition(ap, mapping))
         return parts
 
     def read(self, partition: _FilePartition):
-        yield from _read_arrow_batches(partition.abs_path, self.fields)
+        yield from _read_arrow_batches(partition.abs_path,
+                                       partition.mapping)
 
 
 class TxnLogDataSource(DataSource):
@@ -178,10 +211,12 @@ class TxnLogDataSource(DataSource):
 
     def schema(self):
         path = self.options["path"]
-        for v in reversed(_commit_versions(path)):
-            sj = _load_commit(path, v).get("schema")
-            if sj:
-                return StructType.fromJson(json.loads(sj))
+        fmt = TxnLogFormat()
+        # the SAME restore-aware resolution every table reader uses — a
+        # newest-schema-bearing-commit walk would diverge after RESTORE
+        sj = fmt._resolve_schema(fmt._commits(path))
+        if sj:
+            return StructType.fromJson(json.loads(sj))
         raise ValueError(
             f"no schema-bearing commit at {path} (empty or pre-schema "
             "log) — pass an explicit .schema(...)")

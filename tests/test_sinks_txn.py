@@ -1458,6 +1458,67 @@ def test_alter_interacts_with_restore_and_dv(spark, tmp_path):
     assert fmt.read(spark, path).columns == ["id", "label"]
 
 
+def test_overwrite_on_renamed_column_does_not_resurrect(spark, tmp_path):
+    """Review regression: dir written pre-rename, partition overwrite
+    keyed by the NEW name post-rename — the subtraction must still apply
+    to the old dir (mapping runs before the anti-filter), or the
+    replaced partition's old rows silently come back."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id int, tag string"), path)           # v0
+    fmt.alter_table(path, rename_columns={"tag": "label"})           # v1
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [(10, "x")], "id int, label string"), path, "label")         # v2
+    got = sorted((r.id, r.label) for r in fmt.read(spark, path).collect())
+    assert got == [(2, "y"), (10, "x")], \
+        "old label=x row resurrected past the overwrite"
+
+
+def test_alter_rename_onto_dropped_name(spark, tmp_path):
+    """Review regression: one alter dropping b and renaming a->b must
+    read historical a-values as the new b (drop before rename), not
+    null them via a duplicate-column double-drop."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame(
+        [(1, "keep", "gone")], "id int, a string, b string"), path)
+    fmt.alter_table(path, rename_columns={"a": "b"}, drop_columns=["b"])
+    rows = fmt.read(spark, path).collect()
+    assert [tuple(r) for r in rows] == [(1, "keep")]
+    assert fmt.read(spark, path).columns == ["id", "b"]
+
+
+def test_skip_clauses_never_prune_on_escaped_literals():
+    """Review regression: a quoted literal containing quote/backslash
+    characters unescapes differently in the SQL engine — the clause must
+    be dropped from pruning (never a wrong file skip)."""
+    clauses = TxnLogFormat._skip_clauses("tag = 'it''s' AND id >= 3")
+    assert clauses == [("id", ">=", 3)]
+    assert TxnLogFormat._skip_clauses(r"tag = 'a\b'") == []
+    # plain literals still parse
+    assert TxnLogFormat._skip_clauses("tag = 'plain'") \
+        == [("tag", "=", "plain")]
+
+
+def test_incremental_dedup_raises_on_corrupted_store(spark, tmp_path):
+    """Review regression: a store whose LOG exists but whose data dir is
+    gone is corruption, not an empty store — proceeding as empty would
+    silently re-admit every historical duplicate."""
+    import shutil
+
+    from datalake_ingestion_system_spark.operators.dedup import (
+        incremental_exact_dedup, incremental_minhash_dedup)
+    b = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                              "doc_id long, text string")
+    for op in (incremental_exact_dedup, incremental_minhash_dedup):
+        state = str(tmp_path / f"s_{op.__name__}")
+        op(b, state)
+        shutil.rmtree(os.path.join(state, "_txn_data"))
+        with pytest.raises(FileNotFoundError):
+            op(b, state)
+
+
 def test_data_skipping_prunes_files_by_commit_stats(spark, tmp_path):
     """Round 7: commits record per-file min/max from the parquet footers;
     read(where=...) must open ONLY files whose stats admit a match

@@ -119,6 +119,47 @@ def test_batch_source_refuses_dv_tables(registered, tmp_path):
             spark.read.format("txnlog").load(path).collect()] == [2]
 
 
+def test_stream_drains_pre_alter_backlog(registered, tmp_path):
+    """Review regression: a stream started AFTER a schema alter must
+    still read the pre-alter append backlog — renames inverted, added
+    columns null-filled — instead of failing on 'missing columns'."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a")), path)                            # v0
+    fmt.alter_table(path, rename_columns={"s": "label"},
+                    add_columns={"score": "double"})                  # v1
+    fmt.append(spark.createDataFrame(
+        [(2, "b", 0.5)], "id int, label string, score double"), path)  # v2
+    q = (spark.readStream.format("txnlog").load(path)
+         .writeStream.format("memory").queryName("backlog")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.id, r.label, r.score) for r in
+                 spark.sql("select * from backlog").collect())
+    assert got == [(1, "a", None), (2, "b", 0.5)]
+    # batch source applies the same mapping
+    got_b = sorted((r.id, r.label, r.score) for r in
+                   spark.read.format("txnlog").load(path).collect())
+    assert got_b == got
+
+
+def test_source_schema_is_restore_aware(registered, tmp_path):
+    """Review regression: schema() must replay the restore algebra —
+    after RESTORE to a pre-widening version, the source serves the old
+    schema exactly like TxnLogFormat.read does."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a")), path)                            # v0
+    fmt.alter_table(path, add_columns={"extra": "int"})               # v1
+    fmt.restore(spark, path, 0)                                       # v2
+    df = spark.read.format("txnlog").load(path)
+    assert df.columns == ["id", "s"]
+    assert [tuple(r) for r in df.collect()] == [(1, "a")]
+
+
 def test_stream_sees_rows_ingested_through_the_format_api(
         registered, tmp_path):
     """End-to-end composition: a foreachBatch producer writing through
