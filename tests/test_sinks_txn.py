@@ -729,10 +729,12 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
     for example in range(3):
         path = str(tmp_path / f"t{example}")
         state: list = []          # current rows [(p, v), ...]
-        snapshots: dict = {}      # commit version -> rows snapshot
+        vcol = "v"                # current name of the value column
+        snapshots: dict = {}      # commit version -> (rows, vcol)
 
         def snap():
-            snapshots[fmt._commits(path)[-1]["version"]] = list(state)
+            snapshots[fmt._commits(path)[-1]["version"]] = (list(state),
+                                                            vcol)
 
         # seed so restore/delete always have a table
         rows = [("a", next(counter)), ("b", next(counter))]
@@ -743,22 +745,22 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
         for _ in range(rng.randint(4, 7)):
             op = rng.choice(["append", "overwrite", "delete", "restore",
                              "update", "dv_delete", "dv_update",
-                             "dv_compact"])
+                             "dv_compact", "alter"])
             if op == "append":
                 rows = [(rng.choice("abc"), next(counter))]
-                fmt.append(spark.createDataFrame(rows, "p string, v long"),
-                           path)
+                fmt.append(spark.createDataFrame(
+                    rows, f"p string, {vcol} long"), path)
                 state.extend(rows)
             elif op == "overwrite":
                 parts = rng.sample("abc", rng.randint(1, 2))
                 rows = [(p, next(counter)) for p in parts]
                 fmt.overwrite_partitions(
-                    spark.createDataFrame(rows, "p string, v long"),
+                    spark.createDataFrame(rows, f"p string, {vcol} long"),
                     path, "p")
                 state = [r for r in state if r[0] not in parts] + rows
             elif op == "delete":
                 k = rng.randint(2, 4)
-                n = fmt.delete_where(spark, path, f"v % {k} = 0")
+                n = fmt.delete_where(spark, path, f"{vcol} % {k} = 0")
                 survivors = [r for r in state if r[1] % k != 0]
                 assert n == len(state) - len(survivors)
                 state = survivors
@@ -766,8 +768,8 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
                     continue  # no commit published -> no snapshot
             elif op == "update":
                 k = rng.randint(2, 4)
-                n = fmt.update_where(spark, path, f"v % {k} = 0",
-                                     {"v": "v + 1000000"})
+                n = fmt.update_where(spark, path, f"{vcol} % {k} = 0",
+                                     {vcol: f"{vcol} + 1000000"})
                 hit = [r for r in state if r[1] % k == 0]
                 assert n == len(hit)
                 state = [(p, v + 1000000 if v % k == 0 else v)
@@ -776,7 +778,7 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
                     continue  # no commit published -> no snapshot
             elif op == "dv_delete":
                 k = rng.randint(2, 4)
-                n = fmt.delete_where_dv(spark, path, f"v % {k} = 1")
+                n = fmt.delete_where_dv(spark, path, f"{vcol} % {k} = 1")
                 survivors = [r for r in state if r[1] % k != 1]
                 assert n == len(state) - len(survivors)
                 state = survivors
@@ -784,14 +786,21 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
                     continue  # no commit published -> no snapshot
             elif op == "dv_update":
                 k = rng.randint(2, 4)
-                n = fmt.update_where_dv(spark, path, f"v % {k} = 0",
-                                        {"v": "v + 1000000"})
+                n = fmt.update_where_dv(spark, path, f"{vcol} % {k} = 0",
+                                        {vcol: f"{vcol} + 1000000"})
                 hit = [r for r in state if r[1] % k == 0]
                 assert n == len(hit)
                 state = [(p, v + 1000000 if v % k == 0 else v)
                          for p, v in state]
                 if n == 0:
                     continue  # no commit published -> no snapshot
+            elif op == "alter":
+                # flip the value column's name back and forth — a pure
+                # metadata commit; every later data op works against the
+                # new name, every earlier dir is mapped at read time
+                new_name = "w" if vcol == "v" else "v"
+                fmt.alter_table(path, rename_columns={vcol: new_name})
+                vcol = new_name
             elif op == "dv_compact":
                 # round-7 targeted rewrite: MUST be invisible to readers
                 # and to the model (state unchanged); snapshot only when
@@ -804,9 +813,11 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
             else:
                 v = rng.choice(sorted(snapshots))
                 fmt.restore(spark, path, v)
-                state = list(snapshots[v])
+                state, vcol = list(snapshots[v][0]), snapshots[v][1]
             snap()
-        got = sorted((r.p, r.v) for r in fmt.read(spark, path).collect())
+        out = fmt.read(spark, path)
+        assert out.columns == ["p", vcol], f"example {example}"
+        got = sorted((r["p"], r[vcol]) for r in out.collect())
         assert got == sorted(state), f"example {example}"
 
 
@@ -1517,6 +1528,36 @@ def test_incremental_dedup_raises_on_corrupted_store(spark, tmp_path):
         shutil.rmtree(os.path.join(state, "_txn_data"))
         with pytest.raises(FileNotFoundError):
             op(b, state)
+
+
+def test_skip_pruner_soundness_property():
+    """Hypothesis: for random per-file int stats and random conjunctive
+    predicates, ``_provably_empty`` NEVER prunes a file that contains a
+    matching row — the one property pruning must hold unconditionally
+    (selectivity is best-effort; soundness is not)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops = st.sampled_from(["<", "<=", ">", ">=", "="])
+    vals = st.integers(-50, 50)
+
+    @settings(max_examples=300, deadline=None)
+    @given(rows=st.lists(st.tuples(vals, vals), min_size=1, max_size=8),
+           clauses=st.lists(st.tuples(st.sampled_from(["a", "b"]), ops,
+                                      vals), min_size=1, max_size=4))
+    def check(rows, clauses):
+        per = {"a": [min(r[0] for r in rows), max(r[0] for r in rows)],
+               "b": [min(r[1] for r in rows), max(r[1] for r in rows)]}
+        def sat(row, col, op, lit):
+            v = row[0] if col == "a" else row[1]
+            return {"<": v < lit, "<=": v <= lit, ">": v > lit,
+                    ">=": v >= lit, "=": v == lit}[op]
+        any_match = any(all(sat(r, *c) for c in clauses) for r in rows)
+        pruned = TxnLogFormat._provably_empty(per, clauses)
+        assert not (pruned and any_match), \
+            f"unsound prune: {per} {clauses} rows={rows}"
+
+    check()
 
 
 def test_data_skipping_prunes_files_by_commit_stats(spark, tmp_path):
