@@ -52,7 +52,10 @@ _FORCE_FRONT: tuple[str, ...] = (
     # round-7: gained the catalog.spread guard (28s -> 3s single-split
     # fix at sf0.1) — partitioning-neutral integer aggregation, locally
     # re-verified at 3 SFs, driver to confirm
-    "q_charngram_lm_score")
+    "q_charngram_lm_score",
+    # round-7: switched to pack_bins_prefix (bit-identical by equivalence
+    # tests) — implementation changed after its last green row
+    "q_pack_token_bins")
 
 
 def _evidence():

@@ -1110,13 +1110,16 @@ GROUP BY source
 @_q("q_pack_token_bins")
 def q_pack_token_bins(spark, sf_dir):
     """Token-budget bin packing: documents laid into ~2000-token bins per
-    source (``operators.text.pack_bins`` — one window cumsum shuffle).
-    Emits per-bin document counts and weights; the oracle is the identical
-    exclusive-cumsum floor division."""
+    source via the DISTRIBUTED two-level prefix sum
+    (``operators.text.pack_bins_prefix`` — round 7; bit-identical to the
+    window-cumsum form but never single-task per source, the shape that
+    survives a few-huge-sources corpus).  Emits per-bin document counts
+    and weights; the oracle is the identical exclusive-cumsum floor
+    division."""
     d = load(spark, sf_dir, "documents")
     weighted = d.select("doc_id", "source", token_count("text").alias("_tok"))
-    packed = text.pack_bins(weighted, "doc_id", "_tok", 2000,
-                            part_col="source")
+    packed = text.pack_bins_prefix(weighted, "doc_id", "_tok", 2000,
+                                   part_col="source")
     return (
         packed.groupBy("source", "bin")
         .agg(F.count("*").alias("n_docs"),
