@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re_mod
 import time as _time_mod
 import uuid
 from functools import reduce
@@ -82,6 +83,15 @@ class TableFormat:
         ``mergeSchema`` is honored by both parquet and ORC readers."""
         return spark.read.option("mergeSchema", True) \
             .format(self.name).load(path)
+
+
+
+def _relfile(abs_path: str) -> str:
+    """Table-relative file identity: the `_txn_data/...` suffix of an
+    absolute path — ONE derivation shared by deletion vectors, stats
+    collection, file pruning, and the txnlog data source, so the
+    addressing scheme cannot drift between consumers."""
+    return _re_mod.search(r"_txn_data/.*$", abs_path).group(0)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -260,14 +270,13 @@ class TxnLogFormat(TableFormat):
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow is baked in here
             return None
-        import re as _re
         stats: dict = {}
         for dp, _dns, fns in os.walk(os.path.join(path, rel)):
             for fn in fns:
                 if not fn.endswith(".parquet"):
                     continue
                 ap = os.path.join(dp, fn)
-                relfile = _re.search(r"_txn_data/.*$", ap).group(0)
+                relfile = _relfile(ap)
                 md = pq.ParquetFile(ap).metadata
                 per: dict = {}
                 for rg in range(md.num_row_groups):
@@ -632,12 +641,12 @@ class TxnLogFormat(TableFormat):
                 f"columns {sorted(bad)} key live partition-overwrite "
                 "bookkeeping; compact() the table before renaming or "
                 "dropping them")
-        after_ren = [rename_columns.get(n, n) for n in names
-                     if n not in drop_columns]
-        clash = [n for n in after_ren + list(add_columns)
-                 if (after_ren + list(add_columns)).count(n) > 1]
+        from collections import Counter
+        final_names = [rename_columns.get(n, n) for n in names
+                       if n not in drop_columns] + list(add_columns)
+        clash = sorted(n for n, k in Counter(final_names).items() if k > 1)
         if clash:
-            raise ValueError(f"alter would duplicate columns {sorted(set(clash))}")
+            raise ValueError(f"alter would duplicate columns {clash}")
         fields = []
         for f in schema.fields:
             if f.name in drop_columns:
@@ -652,7 +661,7 @@ class TxnLogFormat(TableFormat):
         new_schema = T.StructType(fields)
         rec = {"action": "alter", "dir": None,
                "partition_col": None, "partitions": [],
-               "add": {n: d for n, d in add_columns.items()},
+               "add": dict(add_columns),
                "rename": dict(rename_columns),
                "drop": drop_columns,
                "schema": new_schema.json()}
@@ -695,13 +704,14 @@ class TxnLogFormat(TableFormat):
         comparisons against int/float/string literals qualifies; any OR /
         NOT / parenthesis disables pruning entirely (the filter itself
         still applies, so pruning is never load-bearing for correctness)."""
-        import re as _re
-        if _re.search(r"\bOR\b|\bNOT\b|\(", where, _re.IGNORECASE):
+        if _re_mod.search(r"\bOR\b|\bNOT\b|\(", where,
+                          _re_mod.IGNORECASE):
             return []
         clauses = []
-        for part in _re.split(r"\bAND\b", where, flags=_re.IGNORECASE):
-            m = _re.match(r"^\s*([A-Za-z_]\w*)\s*(<=|>=|==|=|<|>)"
-                          r"\s*(.+?)\s*$", part)
+        for part in _re_mod.split(r"\bAND\b", where,
+                                  flags=_re_mod.IGNORECASE):
+            m = _re_mod.match(r"^\s*([A-Za-z_]\w*)\s*(<=|>=|==|=|<|>)"
+                              r"\s*(.+?)\s*$", part)
             if not m:
                 continue
             col, op, lit = m.groups()
@@ -862,15 +872,13 @@ class TxnLogFormat(TableFormat):
                 # read-path win DV compaction exists for).  File identity
                 # is derived exactly like the _dv_file column: the
                 # `_txn_data/...` suffix of the absolute path.
-                import re as _re
                 kept, pruned = [], 0
                 for dp, _dns, fns in os.walk(full):
                     for fn in fns:
                         if not fn.endswith(".parquet"):
                             continue
                         ap = os.path.join(dp, fn)
-                        m = _re.search(r"_txn_data/.*$", ap)
-                        if m and m.group(0) in removed_files:
+                        if _relfile(ap) in removed_files:
                             pruned += 1
                         else:
                             kept.append(ap)

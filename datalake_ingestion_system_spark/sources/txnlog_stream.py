@@ -40,7 +40,7 @@ from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceStreamReader, InputPartition)
 from pyspark.sql.types import StructType
 
-from ..sinks import TxnLogFormat
+from ..sinks import TxnLogFormat, _relfile
 
 
 class _FilePartition(InputPartition):
@@ -188,9 +188,7 @@ class TxnLogBatchReader(DataSourceReader):
         for e in live:
             mapping = _mapping_for(e["version"], alters, self.schema)
             for ap in _data_files(self.path, e["dir"]):
-                import re
-                m = re.search(r"_txn_data/.*$", ap)
-                if m and m.group(0) in removed:
+                if _relfile(ap) in removed:
                     continue
                 parts.append(_FilePartition(ap, mapping))
         return parts

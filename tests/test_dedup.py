@@ -256,6 +256,30 @@ def test_incremental_dedup_against_fingerprint_store(spark, tmp_path):
     assert s3["accepted"] == 0 and s3["historical_dupes"] == 2
 
 
+
+def _est_jaccard_reference(d, min_agree=16):
+    """One-shot est-jaccard pairs over the whole corpus (verifiable md5 +
+    poly mode) — the reference both incremental tests compare against."""
+    import pyspark.sql.functions as F
+
+    from datalake_ingestion_system_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+    sigs = minhash_signatures(d, "doc_id", "text", 32, 3,
+                              token_hash="md5") \
+        .filter(F.col("minhash")[0].isNotNull())
+    cand = lsh_candidate_pairs(sigs, "doc_id", bands=8, num_hashes=32,
+                               band_hash="poly", hot_buckets="drop")
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     F.col("minhash").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     F.col("minhash").alias("_sb"))
+    agree = F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y),
+                            lambda v: v))
+    scored = (cand.join(sa, "id_a").join(sb, "id_b")
+              .filter(agree >= min_agree))
+    return scored, sigs
+
+
 def test_incremental_minhash_matches_one_shot(spark, tmp_path):
     """Round 7: feeding the corpus as two batches through the signature
     store must find exactly the one-shot pipeline's candidate structure
@@ -281,23 +305,11 @@ def test_incremental_minhash_matches_one_shot(spark, tmp_path):
     assert all(a % 2 == 1 or b % 2 == 1 for a, b in got)
 
     # reference: one-shot est-jaccard pairs over the union, minus old-old
-    sigs = minhash_signatures(d, "doc_id", "text", 32, 3, token_hash="md5") \
-        .filter(F.col("minhash")[0].isNotNull())
-    from datalake_ingestion_system_spark.operators.dedup import (
-        lsh_candidate_pairs)
-    cand = lsh_candidate_pairs(sigs, "doc_id", bands=8, num_hashes=32,
-                               band_hash="poly", hot_buckets="drop")
-    sa = sigs.select(F.col("doc_id").alias("id_a"),
-                     F.col("minhash").alias("_sa"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"),
-                     F.col("minhash").alias("_sb"))
-    agree = F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y),
-                            lambda v: v))
+    import pyspark.sql.functions as F
+    scored, sigs = _est_jaccard_reference(d)
     ref = sorted((r.id_a, r.id_b) for r in
-                 cand.join(sa, "id_a").join(sb, "id_b")
-                 .filter(agree >= 16)
-                 .filter(~((F.col("id_a") % 2 == 0)
-                           & (F.col("id_b") % 2 == 0))).collect())
+                 scored.filter(~((F.col("id_a") % 2 == 0)
+                                 & (F.col("id_b") % 2 == 0))).collect())
     assert got == ref
 
     # store accumulated both batches' signatures, id-novel-only
@@ -342,20 +354,8 @@ def test_streaming_near_dup_ingestion(spark, tmp_path):
     got = sorted((r.id_a, r.id_b) for r in
                  fmt.read(spark, f"{work}/pairs").collect())
 
-    sigs = minhash_signatures(d, "doc_id", "text", 32, 3,
-                              token_hash="md5") \
-        .filter(F.col("minhash")[0].isNotNull())
-    cand = lsh_candidate_pairs(sigs, "doc_id", bands=8, num_hashes=32,
-                               band_hash="poly", hot_buckets="drop")
-    sa = sigs.select(F.col("doc_id").alias("id_a"),
-                     F.col("minhash").alias("_sa"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"),
-                     F.col("minhash").alias("_sb"))
-    agree = F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y),
-                            lambda v: v))
-    ref = sorted((r.id_a, r.id_b) for r in
-                 cand.join(sa, "id_a").join(sb, "id_b")
-                 .filter(agree >= 16).collect())
+    scored, _sigs = _est_jaccard_reference(d)
+    ref = sorted((r.id_a, r.id_b) for r in scored.collect())
     assert got == ref and got
 
     # restart on the same checkpoint: nothing new arrives, nothing lands
