@@ -99,6 +99,43 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
+    """Morton z-value Column over ``cols`` (each quantized to ``2**bits``
+    uniform buckets between its min and max — two scalars per column),
+    or None for an empty frame.  The shared primitive behind
+    ``plans.maintenance.zorder_write`` and
+    ``TxnLogFormat.compact(..., zorder=True)``: interleaved bucket bits
+    keep per-file min/max TIGHT on every clustered column at once, which
+    is what multi-column data skipping needs (single-column range
+    clustering prunes one column and nothing else).  Raises on
+    entirely-NULL cluster columns."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("z-order over 1-4 columns")
+    stats = df.agg(*[f(c).alias(f"{n}_{c}") for c in cols
+                     for n, f in (("mn", F.min), ("mx", F.max))]).head()
+    if any(stats[f"mn_{c}"] is None for c in cols):
+        if not df.head(1):
+            return None  # empty frame: nothing to cluster
+        bad = [c for c in cols if stats[f"mn_{c}"] is None]
+        raise ValueError(
+            f"z-order columns {bad} are entirely NULL — cluster on "
+            "non-null columns or fill first")
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        mn = float(stats[f"mn_{c}"])
+        mx = float(stats[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        bucket = F.least(
+            F.lit(2 ** bits - 1),
+            F.floor((F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span) * F.lit(2 ** bits))).cast("long")
+        for b in range(bits):
+            z = z + (F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+                     .cast("long")
+                     * F.lit(1 << (b * len(cols) + ci)).cast("long"))
+    return z
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    names: tuple[str, ...] = TABLES) -> None:
     """Register every lake table as a temp view for the SQL surface."""

@@ -265,33 +265,12 @@ def zorder_write(df: DataFrame, path: str, cols: list[str],
     which is exactly what makes the per-file stats narrow.  Readers need
     nothing special: plain parquet scans skip row groups via the stats.
     """
-    from pyspark.sql import functions as F
+    from ..catalog import zorder_key
 
-    if not 1 <= len(cols) <= 4:
-        raise ValueError("z-order over 1-4 columns")
-    stats = df.agg(*[f(c).alias(f"{n}_{c}") for c in cols
-                     for n, f in (("mn", F.min), ("mx", F.max))]).head()
-    if any(stats[f"mn_{c}"] is None for c in cols):
-        if not df.head(1):  # empty table: nothing to cluster, plain write
-            df.write.mode("overwrite").parquet(path)
-            return
-        bad = [c for c in cols if stats[f"mn_{c}"] is None]
-        raise ValueError(
-            f"z-order columns {bad} are entirely NULL — cluster on "
-            "non-null columns or fill first")
-    z = F.lit(0).cast("long")
-    for ci, c in enumerate(cols):
-        mn = float(stats[f"mn_{c}"])
-        mx = float(stats[f"mx_{c}"])
-        span = (mx - mn) or 1.0
-        bucket = F.least(
-            F.lit(2 ** bits - 1),
-            F.floor((F.col(c).cast("double") - F.lit(mn))
-                    / F.lit(span) * F.lit(2 ** bits))).cast("long")
-        for b in range(bits):
-            z = z + (F.shiftright(bucket, b).bitwiseAND(F.lit(1))
-                     .cast("long")
-                     * F.lit(1 << (b * len(cols) + ci)).cast("long"))
+    z = zorder_key(df, cols, bits)
+    if z is None:  # empty table: nothing to cluster, plain write
+        df.write.mode("overwrite").parquet(path)
+        return
     (df.withColumn("_z", z)
        .repartitionByRange(n_files, "_z")
        .sortWithinPartitions("_z")

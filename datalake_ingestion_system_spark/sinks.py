@@ -1388,7 +1388,8 @@ class TxnLogFormat(TableFormat):
     def compact(self, spark: SparkSession, path: str,
                 partition_col: str | None = None,
                 rewrite_dv_threshold: float | None = None,
-                cluster_by: list[str] | None = None):
+                cluster_by: list[str] | None = None,
+                zorder: bool = False):
         """Fold the current state into ONE commit (checkpoint analogue):
         stages a full rewrite, then publishes a ``replace_all`` commit that
         supersedes every earlier one.  Bounds replay cost after many small
@@ -1418,25 +1419,39 @@ class TxnLogFormat(TableFormat):
         shuffle payload is file-cardinality); the hot-file list and the
         commit record are file-metadata scale on the driver, the same
         order as Delta's add/remove file actions."""
+        if zorder and not cluster_by:
+            raise ValueError("zorder=True requires cluster_by")
         if rewrite_dv_threshold is None:
             current = self.read(spark, path)
             if cluster_by:
-                # OPTIMIZE ... ZORDER/CLUSTER BY parity: range-cluster the
-                # rewrite on the given columns so each file covers a tight
-                # value range — this is what makes read(where=...)'s
-                # stats-based skipping selective on those columns.  Range
-                # (not Z-order bit interleave) because single- and
-                # few-column predicates dominate and range gives them the
-                # tightest per-file min/max; the Morton variant lives in
-                # plans/maintenance.zorder_write for layout experiments.
+                # OPTIMIZE ... ZORDER/CLUSTER BY parity: lay the rewrite
+                # out so each file covers a tight value range — this is
+                # what makes read(where=...)'s stats-based skipping
+                # selective on the clustered columns.  Default is RANGE
+                # clustering (lexicographic): the tightest per-file
+                # min/max for leading-column predicates.  ``zorder=True``
+                # bit-interleaves instead (the shared Morton key behind
+                # plans/maintenance.zorder_write): a little per-column
+                # tightness traded for pruning on EVERY clustered column
+                # at once — the right layout when predicates hit the
+                # columns independently.
                 if partition_col is not None:
                     raise ValueError(
                         "pass partition_col or cluster_by, not both")
                 n = int(spark.conf.get("spark.sql.shuffle.partitions",
                                        "200"))
-                current = (current
-                           .repartitionByRange(n, *cluster_by)
-                           .sortWithinPartitions(*cluster_by))
+                if zorder:
+                    from .catalog import zorder_key
+                    z = zorder_key(current, cluster_by)
+                    if z is not None:
+                        current = (current.withColumn("_zorder_tmp", z)
+                                   .repartitionByRange(n, "_zorder_tmp")
+                                   .sortWithinPartitions("_zorder_tmp")
+                                   .drop("_zorder_tmp"))
+                else:
+                    current = (current
+                               .repartitionByRange(n, *cluster_by)
+                               .sortWithinPartitions(*cluster_by))
             rel = self._stage(current, path, partition_col)
             self._commit(path, {"action": "replace_all", "dir": rel,
                                 "partition_col": partition_col,

@@ -1618,6 +1618,30 @@ def test_compact_cluster_by_enables_skipping(spark, tmp_path):
                     rewrite_dv_threshold=0.5)
 
 
+def test_compact_zorder_prunes_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY parity: with two independent predicate columns
+    (v anti-correlated with id so lexicographic range clustering on id
+    leaves v's per-file ranges wide), the Morton layout must prune
+    corner predicates on BOTH axes; results stay exact either way."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    n = 512
+    df = spark.createDataFrame([(i, n - 1 - i) for i in range(n)],
+                               "id int, v int")
+    fmt.append(df.repartition(4), path)
+    fmt.compact(spark, path, cluster_by=["id", "v"], zorder=True)
+    total = len(fmt.read(spark, path).inputFiles())
+    assert total > 1
+    corner = fmt.read(spark, path, where="id < 64 AND v < 64")
+    assert len(corner.inputFiles()) < total
+    assert corner.count() == 0  # anti-correlated: the corner is empty
+    edge = fmt.read(spark, path, where="id >= 448")
+    assert len(edge.inputFiles()) < total
+    assert sorted(r.id for r in edge.collect()) == list(range(448, 512))
+    with pytest.raises(ValueError, match="requires cluster_by"):
+        fmt.compact(spark, path, zorder=True)
+
+
 def test_data_skipping_composes_with_dv_and_time_travel(spark, tmp_path):
     """Skipping + deletion vectors + versions: the filter semantics stay
     exact when vectors hide rows, and a time-travel read only consults
