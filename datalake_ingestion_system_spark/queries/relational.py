@@ -2224,6 +2224,49 @@ GROUP BY event_type
 """
 
 
+@_q("q_zorder_skipping_read")
+def q_zorder_skipping_read(spark, sf_dir):
+    """OPTIMIZE ZORDER BY + data skipping, oracle-verified end to end:
+    events are committed hash-scattered (overlapping per-file ranges —
+    nothing prunable), rewritten Z-ORDERED on (user_id, value) via the
+    shared Morton key, then read through a TWO-column predicate that the
+    bit-interleaved layout can prune on both axes.  The DuckDB oracle is
+    the plain declarative filter — layout must be invisible to results.
+
+    Scale shape: the rewrite is one range shuffle on the z-value; the
+    read's pruning is a driver-side stats comparison (file-metadata
+    scale); scan cost follows the predicate's 2-D selectivity."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="zorder_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(e.repartition(8), path)
+    fmt.compact(spark, path, cluster_by=["user_id", "value"], zorder=True)
+    return (fmt.read(spark, path,
+                     where="user_id >= 200 AND value >= 50.0")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_zorder_skipping_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE user_id >= 200 AND value >= 50.0
+GROUP BY event_type
+"""
+
+
 @_q("q_schema_evolution_read")
 def q_schema_evolution_read(spark, sf_dir):
     """Schema evolution round-trip, oracle-verified: half the events are
