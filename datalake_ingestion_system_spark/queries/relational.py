@@ -2246,8 +2246,11 @@ def q_zorder_skipping_read(spark, sf_dir):
     fmt = TxnLogFormat()
     fmt.append(e.repartition(8), path)
     fmt.compact(spark, path, cluster_by=["user_id", "value"], zorder=True)
+    # literals chosen to be NON-VACUOUS at every SF (sf0.001's user_id
+    # tops out at 14): a predicate no row matches would hash-"pass"
+    # against the oracle while verifying nothing
     return (fmt.read(spark, path,
-                     where="user_id >= 200 AND value >= 50.0")
+                     where="user_id >= 5 AND value >= 100.0")
             .groupBy("event_type")
             .agg(F.count("*").alias("n_rows"),
                  F.countDistinct("user_id").alias("n_users"),
@@ -2262,7 +2265,7 @@ SELECT event_type,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events
-WHERE user_id >= 200 AND value >= 50.0
+WHERE user_id >= 5 AND value >= 100.0
 GROUP BY event_type
 """
 
@@ -2342,8 +2345,10 @@ def q_data_skipping_read(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="skip_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(e.repartitionByRange(8, "user_id"), path)
+    # lower bound 5, not 100: sf0.001's user_id range ends at 14 and a
+    # vacuously-true hash match would verify nothing
     return (fmt.read(spark, path,
-                     where="user_id >= 100 AND user_id < 300")
+                     where="user_id >= 5 AND user_id < 300")
             .groupBy("event_type")
             .agg(F.count("*").alias("n_rows"),
                  F.countDistinct("user_id").alias("n_users"),
@@ -2358,7 +2363,7 @@ SELECT event_type,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events
-WHERE user_id >= 100 AND user_id < 300
+WHERE user_id >= 5 AND user_id < 300
 GROUP BY event_type
 """
 
