@@ -55,7 +55,12 @@ _FORCE_FRONT: tuple[str, ...] = (
     "q_charngram_lm_score",
     # round-7: switched to pack_bins_prefix (bit-identical by equivalence
     # tests) — implementation changed after its last green row
-    "q_pack_token_bins")
+    "q_pack_token_bins",
+    # round-7 vacuity audit: these two hash-"passed" for six rounds on
+    # empty-vs-empty results (every customer has an order / every
+    # customer nation a supplier at small SFs); now filtered to be
+    # non-empty at every SF — re-verify the first REAL comparison
+    "q_join_anti", "q_set_except")
 
 
 def _evidence():

@@ -267,9 +267,14 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
 @_q("q_join_anti")
 def q_join_anti(spark, sf_dir):
     """Left-anti join — the reference's processed-list set-diff (D:378, J2)
-    expressed relationally: rows with no match on the right."""
+    expressed relationally: rows with no match on the right.  The right
+    side is filtered (orders above 300k) so the result is NON-EMPTY at
+    every SF — on this synthetic data every customer has some order, and
+    an always-empty result would hash-match the oracle while verifying
+    nothing (round-7 vacuity audit)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_nationkey")
@@ -279,7 +284,9 @@ def q_join_anti(spark, sf_dir):
 ORACLE_SQL["q_join_anti"] = """
 SELECT c_custkey, c_name, c_nationkey
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > 300000)
 """
 
 
@@ -630,16 +637,21 @@ SELECT s_nationkey AS nationkey FROM supplier
 
 @_q("q_set_except")
 def q_set_except(spark, sf_dir):
-    """EXCEPT: nations with customers but no suppliers."""
+    """EXCEPT: nations with customers but no IN-DEBT supplier (negative
+    account balance).  The debt filter keeps the set difference
+    non-empty at every SF — every customer nation has some supplier on
+    this synthetic data, and an always-empty EXCEPT would hash-match
+    the oracle while verifying nothing (round-7 vacuity audit)."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+         .select(F.col("s_nationkey").alias("nationkey")))
     return c.subtract(s)
 
 
 ORACLE_SQL["q_set_except"] = """
 SELECT c_nationkey AS nationkey FROM customer
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0
 """
 
 
