@@ -214,7 +214,10 @@ def main(only: list[str], sf_dir: str = SF_DIR) -> int:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            vac = ("  ** VACUOUS (0 rows both sides — verifies nothing; "
+                   "widen the predicate) **" if not srows else "")
+            print(f"PASS  {name}: {len(srows)} rows "
+                  f"[{time.time()-t0:.1f}s]{vac}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail "
           f"/ {len(names)} total")
