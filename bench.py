@@ -40,6 +40,11 @@ HEADLINE = [
     # write+read overhead tracked round-over-round — MERGE INTO stages,
     # guards, commits, and reads back through the TxnLog.
     "q_merge_upsert",
+    # round 8 (VERDICT r7 item 6): the txn READ path — commit-log replay
+    # (now checkpoint + tail), per-file stats pruning, and the filtered
+    # scan — so log/checkpoint/skipping overhead is the regression
+    # canary for the metadata-scale work.
+    "q_data_skipping_read",
 ]
 
 
@@ -168,16 +173,22 @@ def main() -> None:
             # show it bleeding across the first TWO timed runs otherwise.
             # Steady-state per-query cost is the number that scales.
             fn(spark, sf_dir).collect()
-        times = []
+        times, counts = [], []
         for _ in range(reps):
             t0 = time.perf_counter()
             n = len(fn(spark, sf_dir).collect())
             times.append(round(time.perf_counter() - t0, 3))
+            counts.append(n)
+        # ADVICE r7: a benchmark query must be deterministic in SIZE —
+        # reps disagreeing on row count means the number measures
+        # different work each run (and the report would hide it)
+        assert len(set(counts)) == 1, (
+            f"{name} returned varying row counts across reps: {counts}")
         raw_runs[name] = times
         import statistics
         per_query[name] = round(statistics.median(times), 3)
         print(f"# {name}: median {per_query[name]:.3f}s of {times} "
-              f"({n} rows)", file=sys.stderr)
+              f"({counts[0]} rows)", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({

@@ -214,7 +214,8 @@ def pack_bins(df: DataFrame, id_col: str, weight_col: Column | str,
 
 def pack_bins_prefix(df: DataFrame, id_col: str, weight_col: Column | str,
                      target_weight: int, part_col: str | None = None,
-                     num_buckets: int | None = None) -> DataFrame:
+                     num_buckets: int | None = None,
+                     max_offset_rows: int = 200_000) -> DataFrame:
     """``pack_bins`` semantics via a DISTRIBUTED two-level prefix sum —
     identical output (``bin = floor(exclusive_cumsum / target)`` in
     ``id_col`` order, within ``part_col`` if given), but no
@@ -228,9 +229,17 @@ def pack_bins_prefix(df: DataFrame, id_col: str, weight_col: Column | str,
        ``spark_partition_id()`` — range order makes bucket ids monotone
        in the pack order);
     2. one partial-agg pass computes per-(part, bucket) weight totals —
-       ``num_buckets × n_parts`` rows, config-scale, collected to the
-       driver where the exclusive per-part running offset across buckets
-       is a trivial scan;
+       at most ``num_buckets × distinct(part_col)`` rows — collected to
+       the driver where the exclusive per-part running offset across
+       buckets is a trivial scan.  NOTE (ADVICE r7): that bound is
+       DATA-dependent through ``part_col``'s cardinality, not
+       config-scale — this operator assumes a LOW-cardinality pack
+       grouping (source, language, shard family).  ``max_offset_rows``
+       (default 200k ≈ tens of MB of driver rows) guards the
+       assumption: a high-cardinality ``part_col`` (e.g. per-document)
+       raises with guidance instead of silently OOMing the driver —
+       use the window form ``pack_bins`` there, where each tiny group
+       is its own window partition anyway;
     3. offsets broadcast-join back; a window cumsum PARTITIONED BY
        (part, bucket) — every window partition is ~1/num_buckets of the
        data, all buckets in parallel — plus the bucket offset gives the
@@ -266,9 +275,21 @@ def pack_bins_prefix(df: DataFrame, id_col: str, weight_col: Column | str,
               .withColumn("_bkt", F.spark_partition_id())
               .localCheckpoint(eager=True))
     keys = pcols + ["_bkt"]
+    # limit(bound + 1) bounds the DRIVER transfer itself: if the
+    # aggregation exceeds the cap we see exactly one extra row and raise
+    # before materializing an unbounded result driver-side
     totals = (ranged.groupBy(*[F.col(k) for k in keys])
               .agg(F.sum("weight").alias("_w"))
+              .limit(max_offset_rows + 1)
               .collect())
+    if len(totals) > max_offset_rows:
+        raise ValueError(
+            f"pack_bins_prefix: over {max_offset_rows} (part, bucket) "
+            "offset rows — part_col cardinality is data-scale, not "
+            "config-scale, and the driver-side prefix would not be "
+            "safe.  Use pack_bins (window form) for high-cardinality "
+            "pack groups, pick a coarser part_col, or raise "
+            "max_offset_rows deliberately.")
     # Driver-side exclusive prefix across range-ordered buckets, per part.
     # Bucket ids are globally monotone in (part, id) order, so ascending
     # _bkt within each part IS the pack order.

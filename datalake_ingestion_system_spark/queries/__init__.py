@@ -37,30 +37,20 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 # round-6 queries have no green row, so the rotation fronts them
 # automatically.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Round 7: all eight round-6 force-front entries went green in
-    # CORRECTNESS_r06 and are RELEASED to the rotation.  Fronted now:
-    # VERDICT r6 item 2 — these two gained the catalog.spread guard
-    # after their last green driver row (r6 released them to keep
-    # q16/q20 inside the 50-slot sample; those are green now, so the
-    # slots are free for the re-verification)
-    "q_rolling_fingerprint", "q_winnow_fingerprints",
-    # round-7: packing switched from the per-source window cumsum to the
-    # distributed two-level prefix sum (pack_bins_prefix) — bit-identical
-    # by construction and equivalence-tested, but the implementation
-    # changed after its last green row, so the driver must confirm
-    "q_training_shards_e2e",
-    # round-7: gained the catalog.spread guard (28s -> 3s single-split
-    # fix at sf0.1) — partitioning-neutral integer aggregation, locally
-    # re-verified at 3 SFs, driver to confirm
-    "q_charngram_lm_score",
-    # round-7: switched to pack_bins_prefix (bit-identical by equivalence
-    # tests) — implementation changed after its last green row
-    "q_pack_token_bins",
-    # round-7 vacuity audit: these two hash-"passed" for six rounds on
-    # empty-vs-empty results (every customer has an order / every
-    # customer nation a supplier at small SFs); now filtered to be
-    # non-empty at every SF — re-verify the first REAL comparison
-    "q_join_anti", "q_set_except")
+    # Round 8: all seven round-7 force-front entries hold green rows in
+    # CORRECTNESS_r07 and are RELEASED to the rotation.  Fronted now:
+    # every registry query that rides the TxnLogFormat / txnlog-source
+    # code paths the round-8 commit-log checkpointing rework rewrote
+    # (checkpoint + tail planning, alter-aware stats pruning,
+    # commit-recorded file lists, monotone txn watermarks).  All are
+    # byte-identical by the model check and locally re-verified at 3
+    # SFs, but their load-bearing machinery changed after their last
+    # green driver row — the driver must confirm.  (--changed-since
+    # cannot see transitive sinks edits; this is the manual closure.)
+    "q_data_skipping_read", "q_dv_compact_read", "q_zorder_skipping_read",
+    "q_schema_evolution_read", "q_delete_vector_read", "q_merge_upsert",
+    "q_txnlog_stream_source", "q_minhash_incremental",
+    "q_cdc_stream_apply", "q_rollup_incremental", "q_stream_kmv_distinct")
 
 
 def _evidence():

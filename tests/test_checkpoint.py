@@ -1,0 +1,294 @@
+"""Commit-log checkpointing (VERDICT r7 item 1): Delta
+``_last_checkpoint`` parity for the TxnLogFormat.
+
+Claims pinned here:
+- a checkpoint is pure METADATA: reads, time travel, history, txn
+  dedup, restore, and data skipping are byte-identical pre/post (also
+  across a fresh instance with a cold cache);
+- a checkpointed table plans its reads from O(interval) log files, not
+  O(history) — the scale property the feature exists for;
+- ``vacuum(log_retain_hours=...)`` prunes only files strictly below the
+  latest checkpoint; current reads and streams survive, pre-horizon
+  time travel raises the documented error instead of a wrong answer;
+- the txnlog streaming source plans pre-checkpoint backlog from the
+  checkpoint's live entries + commit-recorded file lists (no os.walk),
+  and raises on a genuinely missing committed version (ADVICE r7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from datalake_ingestion_system_spark.sinks import TxnLogFormat
+
+
+def _mk(spark, lo, hi, tag="t"):
+    return spark.createDataFrame(
+        [(i, tag) for i in range(lo, hi)], "id int, tag string").coalesce(1)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_checkpoint_is_pure_metadata(spark, tmp_path):
+    """A mixed history (appends, dynamic-partition overwrite, DV delete,
+    alter, restore) must read byte-identical before a checkpoint, after
+    it, and from a FRESH instance that has never seen the raw prefix —
+    including time travel to every pre-checkpoint version while the raw
+    records remain."""
+    fmt = TxnLogFormat(checkpoint_interval=None)  # manual control
+    path = str(tmp_path / "t")
+    p = lambda rows: spark.createDataFrame(rows, "p string, v int")
+    fmt.append(p([("a", 1), ("b", 2)]), path)                    # v0
+    fmt.overwrite_partitions(p([("a", 10)]), path, "p")          # v1
+    fmt.append(p([("c", 3)]), path)                              # v2
+    assert fmt.delete_where_dv(spark, path, "v = 2") == 1        # v3
+    fmt.alter_table(path, rename_columns={"v": "val"},
+                    add_columns={"score": "double"})             # v4
+    fmt.restore(spark, path, 3)                                  # v5
+    fmt.append(p([("d", 4)]), path)                              # v6
+    before = _rows(fmt.read(spark, path))
+    travels = {v: _rows(fmt.read(spark, path, as_of_version=v))
+               for v in range(7)}
+    hist_before = fmt.history(path)
+
+    v = fmt.checkpoint(path)
+    assert v == 6
+    assert os.path.exists(os.path.join(
+        path, "_txn_log", "000000000006.checkpoint.json"))
+    ptr = json.load(open(os.path.join(path, "_txn_log",
+                                      "_last_checkpoint")))
+    assert ptr["version"] == 6
+
+    assert _rows(fmt.read(spark, path)) == before
+    fresh = TxnLogFormat()  # cold cache, reads via checkpoint + tail
+    assert _rows(fresh.read(spark, path)) == before
+    for v, want in travels.items():
+        assert _rows(fresh.read(spark, path, as_of_version=v)) == want
+    # history prefers the raw records while they exist
+    assert fresh.history(path) == hist_before
+    # post-checkpoint writes keep composing
+    fresh.append(p([("e", 5)]), path)                            # v7
+    assert _rows(fresh.read(spark, path)) \
+        == sorted(before + [("e", 5)])
+    # checkpointing is idempotent
+    fmt.checkpoint(path)
+
+
+def test_auto_checkpoint_every_interval(spark, tmp_path):
+    fmt = TxnLogFormat(checkpoint_interval=3)
+    path = str(tmp_path / "t")
+    for i in range(7):
+        fmt.append(_mk(spark, i * 10, i * 10 + 2), path)
+    cps = [n for n in os.listdir(os.path.join(path, "_txn_log"))
+           if n.endswith(".checkpoint.json")]
+    assert sorted(cps) == ["000000000003.checkpoint.json",
+                           "000000000006.checkpoint.json"]
+    assert len(fmt.read(spark, path).collect()) == 14
+    # planning view: latest checkpoint + tail only
+    commits = fmt._commits(path)
+    assert commits[0]["action"] == "checkpoint"
+    assert commits[0]["version"] == 6
+    assert len(commits) == 1
+
+
+def test_checkpointed_read_plans_from_o_tail_files(tmp_path):
+    """The scale regression VERDICT r7 asks for: a table with hundreds
+    of commits plans a read from the latest checkpoint + tail — the
+    parse count is bounded by the interval, not the history.  Commits
+    are fabricated through ``_commit`` with pyarrow-staged files (no
+    Spark) so the test covers 120 commits in seconds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    fmt = TxnLogFormat(checkpoint_interval=10)
+    path = str(tmp_path / "t")
+    schema_json = ('{"type":"struct","fields":[{"name":"id","type":'
+                   '"integer","nullable":true,"metadata":{}}]}')
+    for i in range(120):
+        rel = os.path.join("_txn_data", f"d{i:04d}")
+        os.makedirs(os.path.join(path, rel))
+        pq.write_table(pa.table({"id": pa.array([i], pa.int32())}),
+                       os.path.join(path, rel, "part-0.parquet"))
+        fmt._commit(path, {"action": "append", "dir": rel,
+                           "schema": schema_json})
+    fresh = TxnLogFormat()
+    commits = fresh._commits(path)
+    # cp@120 + nothing? no: head is 119... cp at 110 + tail 111..119
+    assert commits[0]["action"] == "checkpoint"
+    assert commits[0]["version"] == 110
+    assert len(commits) == 1 + (119 - 110)
+    # the lazy loader parsed exactly the files it planned from
+    parsed = fresh._log_cache[path]["recs"]
+    assert len(parsed) == len(commits)
+    # live entries carry the staged file names — planning needs no walk
+    live = fresh._resolve_live(commits)
+    assert len(live) == 120
+    assert all(e["files"] for e in live)
+
+
+def test_vacuum_log_retention_and_horizon_error(spark, tmp_path):
+    """``vacuum(log_retain_hours=0)`` prunes commit files strictly below
+    the checkpoint (never at/after it); the current read and every
+    post-checkpoint time travel still work from checkpoint + tail;
+    pre-horizon time travel and timestamp travel raise the documented
+    horizon error; history collapses to what the log still holds."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    for i in range(5):
+        fmt.append(_mk(spark, i * 10, i * 10 + 2), path)         # v0..v4
+    fmt.checkpoint(path)                                         # cp@4
+    fmt.append(_mk(spark, 100, 102), path)                       # v5
+    before = _rows(fmt.read(spark, path))
+    t5 = _rows(fmt.read(spark, path, as_of_version=5))
+
+    deleted = fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+    pruned = sorted(n for n in deleted if n.startswith("_txn_log"))
+    assert pruned == [os.path.join("_txn_log", f"{v:012d}.json")
+                      for v in range(4)]
+    names = os.listdir(os.path.join(path, "_txn_log"))
+    assert "000000000004.json" in names           # AT the checkpoint
+    assert "000000000005.json" in names           # after it
+    assert "000000000004.checkpoint.json" in names
+
+    fresh = TxnLogFormat()
+    assert _rows(fresh.read(spark, path)) == before
+    assert _rows(fresh.read(spark, path, as_of_version=5)) == t5
+    assert _rows(fresh.read(spark, path, as_of_version=4)) \
+        == sorted(set(before) - {(100, "t"), (101, "t")})
+    with pytest.raises(ValueError, match="checkpoint horizon"):
+        fresh.read(spark, path, as_of_version=2)
+    with pytest.raises(ValueError, match="checkpoint horizon|at or before"):
+        fresh.read(spark, path, as_of_timestamp=1.0)
+    with pytest.raises(ValueError, match="checkpoint horizon"):
+        fresh.restore(spark, path, 2)
+    # restore to a post-horizon version still works
+    fresh.restore(spark, path, 4)
+    assert _rows(fresh.read(spark, path)) \
+        == sorted(set(before) - {(100, "t"), (101, "t")})
+    # history = the surviving span, with the pruned prefix as its
+    # checkpoint row
+    hist = fresh.history(path)
+    assert [h["version"] for h in hist] == [6, 5, 4]
+    assert hist[-1]["action"] == "checkpoint"
+
+
+def test_txn_watermarks_survive_checkpoint_and_pruning(spark, tmp_path):
+    """Idempotent-transaction watermarks ride the checkpoint: after the
+    pre-checkpoint records are pruned, a replayed epoch still skips and
+    the next epoch still applies — exactly-once across log cleanup."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    one = lambda v: spark.createDataFrame([(v,)], "v int")
+    for i in range(4):
+        fmt.append(one(i), path, txn_app="job", txn_version=i)
+    fmt.checkpoint(path)
+    fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+    fresh = TxnLogFormat()
+    fresh.append(one(999), path, txn_app="job", txn_version=2)  # replay
+    assert sorted(r.v for r in fresh.read(spark, path).collect()) \
+        == [0, 1, 2, 3]
+    fresh.append(one(4), path, txn_app="job", txn_version=4)    # next
+    assert sorted(r.v for r in fresh.read(spark, path).collect()) \
+        == [0, 1, 2, 3, 4]
+
+
+def test_stream_plans_backlog_from_checkpoint_without_walk(
+        spark, tmp_path, monkeypatch):
+    """A FRESH stream over a checkpointed, log-pruned, append-only table
+    must still drain the whole backlog — planned from the checkpoint's
+    live entries and commit-recorded file lists, with zero ``os.walk``
+    in the offset-planning path (VERDICT r7 item 2)."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogStreamReader)
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    for i in range(4):
+        fmt.append(_mk(spark, i * 10, i * 10 + 3), path)
+    fmt.checkpoint(path)                                        # cp@3
+    fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+    fmt.append(_mk(spark, 100, 103), path)                      # v4 tail
+
+    reader = TxnLogStreamReader(fmt.read(spark, path).schema,
+                                {"path": path})
+    walked = []
+    real_walk = os.walk
+    monkeypatch.setattr(os, "walk",
+                        lambda *a, **k: walked.append(a) or real_walk(*a))
+    parts = reader.partitions({"version": -1},
+                              reader.latestOffset())
+    assert walked == []
+    assert len(parts) == 5  # one coalesced file per append
+    import pyarrow as pa
+    got = sorted(r for p in parts for b in reader.read(p)
+                 for r in b.column(0).to_pylist())
+    assert got == sorted(
+        [i * 10 + j for i in range(4) for j in range(3)]
+        + [100, 101, 102])
+    # resuming past the checkpoint plans only the tail
+    assert len(reader.partitions({"version": 3},
+                                 {"version": 4})) == 1
+
+
+def test_stream_raises_on_missing_committed_version(spark, tmp_path):
+    """ADVICE r7: a genuinely absent committed version in the planned
+    range is log corruption — the stream must fail its exactly-once
+    contract loudly, never silently drop that commit's rows."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogStreamReader)
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    for i in range(3):
+        fmt.append(_mk(spark, i * 10, i * 10 + 2), path)
+    schema = fmt.read(spark, path, as_of_version=0).schema
+    os.unlink(os.path.join(path, "_txn_log", "000000000001.json"))
+    reader = TxnLogStreamReader(schema, {"path": path})
+    with pytest.raises(ValueError, match="missing from the log"):
+        reader.partitions({"version": -1}, {"version": 2})
+
+
+def test_string_stats_truncation_never_false_prunes(spark, tmp_path):
+    """Delta-parity string-stats truncation (VERDICT r7 item 3): 32+
+    char min/max are widened to a prefix lower bound and a
+    prefix-successor upper bound.  Pruning on long-string predicates
+    must stay correct — a value beyond the true max but below the
+    widened bound is simply not pruned (conservative), and a value
+    provably outside the widened range still is."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    long_a = "a" * 40
+    long_b = "b" * 40
+    fmt.append(spark.createDataFrame([(long_a,), (long_b,)],
+                                     "s string").coalesce(1), path)
+    fmt.append(spark.createDataFrame([("zz",)],
+                                     "s string").coalesce(1), path)
+    rec = fmt._raw_full(path)[0]
+    mn, mx = list(rec["stats"].values())[0]["s"]
+    assert mn == "a" * 32 and mx == "b" * 31 + "c"  # widened bounds
+    # equality on the real long value: inside the widened range -> the
+    # file is scanned and the row found
+    got = fmt.read(spark, path, where=f"s = '{long_b}'")
+    assert [r.s for r in got.collect()] == [long_b]
+    # the second file ('zz') is provably outside and pruned
+    assert len(got.inputFiles()) == 1
+    # a probe above the widened bound prunes file 1, keeps file 2
+    got2 = fmt.read(spark, path, where="s >= 'x'")
+    assert [r.s for r in got2.collect()] == ["zz"]
+    assert len(got2.inputFiles()) == 1
+
+
+def test_untruncatable_max_records_no_stats(spark, tmp_path):
+    """A 32+ char max of U+10FFFF has no successor — the column records
+    no stats (never pruned on) instead of a wrong bound."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    big = chr(0x10FFFF) * 40
+    fmt.append(spark.createDataFrame([(big,)], "s string").coalesce(1),
+               path)
+    rec = fmt._raw_full(path)[0]
+    assert list(rec["stats"].values())[0]["s"] is None
+    got = fmt.read(spark, path, where=f"s >= '{chr(0x10FFFF)}'")
+    assert got.count() == 1

@@ -34,15 +34,19 @@ def main() -> None:
     from datalake_ingestion_system_spark.session import get_spark
 
     names = sys.argv[1:] or BENCH_SET
+    qs = e.queries()
+    # VERDICT r7 item 4: reject unknown names UP FRONT instead of
+    # emitting bogus "NOT REGISTERED" sections into PLANS.md (a past
+    # invocation passed prose words as query names and committed them)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"not registered queries (refusing to write PLANS.md "
+                 f"sections for them): {unknown}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("explain-audit")
-    qs = e.queries()
     out = ["# Physical plans (formatted), sf dir: " + sf_dir, ""]
     flags = []
     for name in names:
-        if name not in qs:
-            out.append(f"## {name}\n\nNOT REGISTERED\n")
-            continue
         df = qs[name](spark, sf_dir)
         jvm = df.sparkSession._jvm
         mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
