@@ -792,7 +792,7 @@ class TxnLogFormat(TableFormat):
         ``{app: [latest_version, commit]}`` map instead of an
         O(epochs) pair list.  Table-recreation safety (a rebuilt table
         at the same path must not inherit the old watermarks) lives in
-        ``_parse_log``'s origin-identity cache drop."""
+        ``_log_names``'s origin-identity cache drop."""
         commits = self._commits(path)
         if not commits:
             return -1, None
@@ -1998,6 +1998,21 @@ class TxnLogFormat(TableFormat):
             log_cutoff = _time_mod.time() - log_retain_hours * 3600.0
             raw, cps = self._list_log(path)
             if cps:
+                # A tail ``restore`` targeting a pre-checkpoint version
+                # resolves through the RAW prefix (the checkpoint cannot
+                # serve a prefix below itself) — pruning that prefix
+                # would brick every read until the restore is folded.
+                # Fold it NOW: checkpoint the current head first, then
+                # prune below the new checkpoint.
+                cp_v = max(int(n.split(".")[0]) for n in cps)
+                head = max((int(n.split(".")[0]) for n in raw),
+                           default=-1)
+                if any(c["action"] == "restore"
+                       and c["to_version"] < cp_v
+                       for c in self._commits(path)
+                       if c["action"] != "checkpoint"):
+                    self._write_checkpoint(path, head)
+                    raw, cps = self._list_log(path)
                 cp_v = max(int(n.split(".")[0]) for n in cps)
                 for n in raw + cps:
                     v = int(n.split(".")[0])

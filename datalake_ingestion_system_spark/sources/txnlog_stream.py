@@ -22,13 +22,20 @@ name-based mapping ``TxnLogFormat.read`` applies), so a stream started
 after an alter still drains the pre-alter backlog.
 
 Scale shape: offset planning replays the commit records via the SAME
-``TxnLogFormat._commits`` every reader uses (O(log), driver-side,
-file-metadata scale); each staged parquet FILE becomes one
+``TxnLogFormat._commits`` every reader uses — checkpoint + tail, so a
+long-lived stream pays O(interval) driver work per offset plan, not
+O(history) — and plans each batch's scan from the COMMIT-RECORDED file
+names (no storage listing / os.walk at plan time).  A fresh stream over
+a checkpointed, log-pruned append-only table drains its backlog from
+the checkpoint's live entries.  Each staged parquet FILE becomes one
 InputPartition, read executor-side with pyarrow and handed to Spark as
-Arrow record batches (zero row-by-row Python).  Reference parity: the
-reference's streaming story is file-arrival polling (LANDING_CHECK S3
-listing, README.md:24); this is that contract made transactional —
-arrivals are commits, not filesystem races.
+Arrow record batches (zero row-by-row Python).  A committed version
+missing from a planned range raises (exactly-once over a gapped log is
+impossible); only ``.tmp`` staging orphans are ever silently absent.
+Reference parity: the reference's streaming story is file-arrival
+polling (LANDING_CHECK S3 listing, README.md:24); this is that
+contract made transactional — arrivals are commits, not filesystem
+races.
 """
 
 from __future__ import annotations

@@ -176,6 +176,31 @@ def test_vacuum_log_retention_and_horizon_error(spark, tmp_path):
     assert hist[-1]["action"] == "checkpoint"
 
 
+def test_log_pruning_folds_pre_checkpoint_restore_first(spark, tmp_path):
+    """A tail ``restore`` targeting a pre-checkpoint version resolves
+    through the raw prefix; pruning that prefix would brick every read.
+    ``vacuum(log_retain_hours=...)`` must fold a fresh checkpoint at the
+    head first, then prune below it — reads stay correct throughout."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    for i in range(4):
+        fmt.append(_mk(spark, i * 10, i * 10 + 2), path)        # v0..v3
+    fmt.checkpoint(path)                                        # cp@3
+    fmt.restore(spark, path, 1)                                 # v4: pre-cp
+    want = _rows(fmt.read(spark, path))
+    assert want == _rows(fmt.read(spark, path, as_of_version=1))
+
+    fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+    cps = sorted(n for n in os.listdir(os.path.join(path, "_txn_log"))
+                 if n.endswith(".checkpoint.json"))
+    assert cps[-1] == "000000000004.checkpoint.json"  # folded at head
+    fresh = TxnLogFormat()
+    assert _rows(fresh.read(spark, path)) == want
+    fresh.append(_mk(spark, 200, 202), path)
+    assert _rows(fresh.read(spark, path)) \
+        == sorted(want + [(200, "t"), (201, "t")])
+
+
 def test_txn_watermarks_survive_checkpoint_and_pruning(spark, tmp_path):
     """Idempotent-transaction watermarks ride the checkpoint: after the
     pre-checkpoint records are pruned, a replayed epoch still skips and
