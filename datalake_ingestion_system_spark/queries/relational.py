@@ -2428,3 +2428,54 @@ WHERE coalesce(event_type <> 'error', TRUE)
   AND coalesce(value >= 0, TRUE)
 GROUP BY event_type
 """
+
+
+@_q("q_checkpoint_log_read")
+def q_checkpoint_log_read(spark, sf_dir):
+    """Commit-log CHECKPOINTING verified end to end against the
+    declarative oracle (round 8): events land as 12 disjoint append
+    commits, the log auto-checkpoints at version 10 (Delta
+    ``_last_checkpoint`` parity — the resolved state, commit-recorded
+    file lists, and per-file stats fold into one checkpoint record),
+    ``vacuum(log_retain_hours=0)`` prunes every pre-checkpoint commit
+    file, and the read plans from checkpoint + tail — batched into one
+    parquet relation, files from the checkpoint's recorded lists, stats
+    skipping served from the checkpoint's columnar stats.  The DuckDB
+    oracle is the plain filtered aggregation: checkpointing, pruning,
+    and scan batching must all be invisible to results.
+
+    Scale shape: this is the streaming-table metadata path at 100 TB —
+    one commit per epoch forever, yet every read replays O(interval)
+    log files, scans one batched relation, and never lists storage."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="ckpt_q_") + "/t"
+    fmt = TxnLogFormat()  # default interval 10: the 11th commit folds
+    for i in range(12):
+        fmt.append(e.filter(F.pmod(F.col("event_id"), F.lit(12)) == i)
+                   .coalesce(1), path)
+    # prune the folded records: the read below CANNOT replay raw history
+    fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+    return (fmt.read(spark, path,
+                     where="user_id >= 5 AND user_id < 300")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_checkpoint_log_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE user_id >= 5 AND user_id < 300
+GROUP BY event_type
+"""

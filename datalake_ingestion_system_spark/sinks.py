@@ -700,6 +700,8 @@ class TxnLogFormat(TableFormat):
             "version": e["version"],
             "action": e.get("action"),
             "files": e.get("files"),
+            "schema": e.get("schema"),
+            "staged_pcol": e.get("staged_pcol"),
         } for e in live]
         rec = {"action": "checkpoint", "version": v, "ts": run_max,
                "dir": None, "schema": self._resolve_schema(commits),
@@ -841,10 +843,13 @@ class TxnLogFormat(TableFormat):
                 live = [{"dir": e["dir"],
                          "removed": {col: set(vals) for col, vals
                                      in e["removed"].items()},
-                         "pcol": e["pcol"], "parts": set(e["parts"]),
+                         "pcol": e["pcol"],
+                         "staged_pcol": e.get("staged_pcol"),
+                         "parts": set(e["parts"]),
                          "version": e["version"],
                          "action": e.get("action"),
-                         "files": e.get("files")}
+                         "files": e.get("files"),
+                         "schema": e.get("schema")}
                         for e in c["state"]["live"]]
                 continue
             if c["action"] == "dv_update":
@@ -854,7 +859,8 @@ class TxnLogFormat(TableFormat):
                              "pcol": None, "parts": set(),
                              "version": c["version"],
                              "action": c["action"],
-                             "files": c.get("files")})
+                             "files": c.get("files"),
+                             "schema": c.get("schema")})
                 continue
             if c["action"] == "rewrite_files":
                 # targeted DV compaction: the rewritten survivors are an
@@ -864,16 +870,23 @@ class TxnLogFormat(TableFormat):
                              "pcol": None, "parts": set(),
                              "version": c["version"],
                              "action": c["action"],
-                             "files": c.get("files")})
+                             "files": c.get("files"),
+                             "schema": c.get("schema")})
                 continue
             if c["action"] == "restore":
                 live = self._resolve_live(
                     [x for x in commits if x["version"] <= c["to_version"]])
                 continue
             if c["action"] == "replace_all":
+                # pcol stays None (replace_all is not value-subtractable)
+                # but the STAGING layout may be hive-partitioned
+                # (compact(partition_col=...)) — record it so the scan
+                # batcher never mixes partitioned and flat dir layouts
                 live = [{"dir": c["dir"], "removed": {}, "pcol": None,
+                         "staged_pcol": c.get("partition_col"),
                          "parts": set(), "version": c["version"],
-                         "action": c["action"], "files": c.get("files")}]
+                         "action": c["action"], "files": c.get("files"),
+                         "schema": c.get("schema")}]
                 continue
             if c["action"] == "overwrite":
                 for e in live:
@@ -883,7 +896,8 @@ class TxnLogFormat(TableFormat):
                          "pcol": c.get("partition_col"),
                          "parts": set(c.get("partitions") or []),
                          "version": c["version"],
-                         "action": c["action"], "files": c.get("files")})
+                         "action": c["action"], "files": c.get("files"),
+                         "schema": c.get("schema")})
         return live
 
     def _resolve_dvs(self, commits: list[dict]) -> list[str]:
@@ -1232,8 +1246,72 @@ class TxnLogFormat(TableFormat):
         need_pos = bool(dvs) or _with_pos
         removed_dirs = {"/".join(p.split("/", 2)[:2])
                         for p in removed_files}
+
+        def post_scan(df, e):
+            """Everything that happens to a scanned piece after the
+            parquet read: physical row identity, alter column mapping
+            (by the piece's commit version), partition-overwrite value
+            subtraction — ONE code path for solo and batched scans."""
+            if need_pos:
+                # TABLE-RELATIVE file identity (the `_txn_data/...`
+                # suffix, like Delta's relative add/remove paths): an
+                # absolute URI would break every deletion vector the
+                # moment the table directory is copied or mounted
+                # elsewhere
+                df = df.select(
+                    "*",
+                    F.regexp_extract(F.col("_metadata.file_path"),
+                                     "_txn_data/.*$", 0).alias("_dv_file"),
+                    F.col("_metadata.row_index").alias("_dv_pos"))
+            # COLUMN MAPPING first, anti-filters second: alters published
+            # after this dir's commit rewrite its historical column
+            # names/set to the CURRENT schema (Delta column-mapping
+            # semantics, name-based here), and the partition-overwrite
+            # subtraction below is keyed by current names (alter_table
+            # refuses to rename/drop a column with live overwrite
+            # bookkeeping, so overwrite-time names ARE current names) —
+            # filtering before mapping would skip the subtraction on
+            # pre-rename dirs and silently resurrect replaced
+            # partitions.  Within one alter, drops apply BEFORE renames
+            # (matching the schema construction), so renaming onto a
+            # just-dropped name replaces it instead of creating a
+            # duplicate column that drop() would doubly remove.
+            for a in alters:
+                if a["version"] <= e["version"]:
+                    continue
+                drops = [c for c in (a.get("drop") or [])
+                         if c in df.columns]
+                if drops:
+                    df = df.drop(*drops)
+                ren = {o: n for o, n in (a.get("rename") or {}).items()
+                       if o in df.columns}
+                if ren:
+                    df = df.withColumnsRenamed(ren)
+            for col, values in e["removed"].items():
+                if col not in df.columns:
+                    continue
+                cs = F.col(col).cast("string")
+                non_null = sorted(v for v in values if v is not None)
+                keep = ~cs.isin(non_null) | cs.isNull()
+                if None in values:  # the null partition itself was replaced
+                    keep = keep & cs.isNotNull()
+                df = df.filter(keep)
+            return df
+
         parts_list = []
-        for e in live:
+        #: SCAN BATCHING: a streaming table accumulates hundreds of
+        #: uniform append commits; scanning each as its own DataFrame and
+        #: folding an N-way unionByName makes the logical plan O(commits)
+        #: wide (Catalyst analysis cost, plan bloat) for what is ONE
+        #: parquet relation.  Flat-staged pieces that share (recorded
+        #: schema, alter era, overwrite-subtraction signature) are read
+        #: as a single multi-path scan with the schema PINNED from the
+        #: commit record (no footer sampling).  Hive-partitioned staging,
+        #: legacy schema-less records, and drifted schemas keep their
+        #: solo scans — grouping is by exact signature, so batching can
+        #: never change semantics, only plan shape.
+        batch: dict = {}
+        for idx, e in enumerate(live):
             if e["pcol"] and e["parts"] <= e["removed"].get(e["pcol"], set()):
                 continue  # every partition this dir holds was re-overwritten
             full = os.path.join(path, e["dir"])
@@ -1289,51 +1367,35 @@ class TxnLogFormat(TableFormat):
                     if not kept:
                         continue  # every file in this dir was rewritten
                     scan_target = kept
+            if (e["pcol"] is None and e.get("staged_pcol") is None
+                    and e.get("schema")):
+                era = sum(1 for a in alters
+                          if a["version"] <= e["version"])
+                rsig = frozenset(
+                    (col, frozenset(vals))
+                    for col, vals in e["removed"].items())
+                g = batch.setdefault((e["schema"], era, rsig),
+                                     {"targets": [], "entry": e,
+                                      "pos": idx})
+                g["targets"].extend(scan_target)
+                continue
             df = spark.read.option("basePath", full).parquet(*scan_target)
-            if need_pos:
-                # TABLE-RELATIVE file identity (the `_txn_data/...` suffix,
-                # like Delta's relative add/remove paths): an absolute URI
-                # would break every deletion vector the moment the table
-                # directory is copied or mounted elsewhere
-                df = df.select(
-                    "*",
-                    F.regexp_extract(F.col("_metadata.file_path"),
-                                     "_txn_data/.*$", 0).alias("_dv_file"),
-                    F.col("_metadata.row_index").alias("_dv_pos"))
-            # COLUMN MAPPING first, anti-filters second: alters published
-            # after this dir's commit rewrite its historical column
-            # names/set to the CURRENT schema (Delta column-mapping
-            # semantics, name-based here), and the partition-overwrite
-            # subtraction below is keyed by current names (alter_table
-            # refuses to rename/drop a column with live overwrite
-            # bookkeeping, so overwrite-time names ARE current names) —
-            # filtering before mapping would skip the subtraction on
-            # pre-rename dirs and silently resurrect replaced
-            # partitions.  Within one alter, drops apply BEFORE renames
-            # (matching the schema construction), so renaming onto a
-            # just-dropped name replaces it instead of creating a
-            # duplicate column that drop() would doubly remove.
-            for a in alters:
-                if a["version"] <= e["version"]:
-                    continue
-                drops = [c for c in (a.get("drop") or [])
-                         if c in df.columns]
-                if drops:
-                    df = df.drop(*drops)
-                ren = {o: n for o, n in (a.get("rename") or {}).items()
-                       if o in df.columns}
-                if ren:
-                    df = df.withColumnsRenamed(ren)
-            for col, values in e["removed"].items():
-                if col not in df.columns:
-                    continue
-                cs = F.col(col).cast("string")
-                non_null = sorted(v for v in values if v is not None)
-                keep = ~cs.isin(non_null) | cs.isNull()
-                if None in values:  # the null partition itself was replaced
-                    keep = keep & cs.isNotNull()
-                df = df.filter(keep)
-            parts_list.append(df)
+            parts_list.append((idx, post_scan(df, e)))
+        for (sj, _era, _rsig), g in batch.items():
+            from pyspark.sql.types import StructType
+            # ONE relation for the whole signature group, schema pinned
+            # from the commit record — no per-dir footer sampling, and
+            # the union width below is O(distinct signatures), not
+            # O(commits)
+            df = spark.read.schema(StructType.fromJson(json.loads(sj))) \
+                .parquet(*g["targets"])
+            parts_list.append((g["pos"], post_scan(df, g["entry"])))
+        # union in LIVE-ENTRY order (each batch group anchored at its
+        # first member): unionByName takes the FIRST piece's column
+        # order, so a stable piece order is what keeps the output
+        # schema order stable across batching decisions
+        parts_list = [df for _pos, df in sorted(parts_list,
+                                                key=lambda t: t[0])]
         if not parts_list:
             # Every live dir was skipped (e.g. the only commit is an
             # overwrite of an empty DataFrame, whose empty partition set is

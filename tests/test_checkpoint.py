@@ -275,6 +275,33 @@ def test_stream_raises_on_missing_committed_version(spark, tmp_path):
         reader.partitions({"version": -1}, {"version": 2})
 
 
+def test_uniform_appends_read_as_one_scan(spark, tmp_path):
+    """Scan batching: N uniform append commits must read as ONE parquet
+    relation (schema pinned from the commit record), not an N-way
+    union — the logical-plan-width killer for streaming tables with
+    hundreds of epoch commits.  Mixed signatures (hive-partitioned
+    staging, schema drift, alter eras) keep solo/grouped scans and stay
+    byte-identical."""
+    fmt = TxnLogFormat(checkpoint_interval=5)
+    path = str(tmp_path / "t")
+    for i in range(12):
+        fmt.append(_mk(spark, i * 10, i * 10 + 2), path)
+    df = fmt.read(spark, path)
+    assert sorted(r.id for r in df.collect()) \
+        == sorted(j for i in range(12) for j in (i * 10, i * 10 + 1))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+    # drifted schema opens its own group; both still read correctly
+    fmt.append(spark.createDataFrame([(999, "z", 1.5)],
+                                     "id int, tag string, w double")
+               .coalesce(1), path)
+    got = fmt.read(spark, path)
+    assert got.filter("w is not null").count() == 1
+    plan2 = got._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Scan parquet") == 2
+
+
 def test_string_stats_truncation_never_false_prunes(spark, tmp_path):
     """Delta-parity string-stats truncation (VERDICT r7 item 3): 32+
     char min/max are widened to a prefix lower bound and a
