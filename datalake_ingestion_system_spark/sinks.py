@@ -409,12 +409,17 @@ class TxnLogFormat(TableFormat):
         return None
 
     def _collect_file_stats(self, path: str, rel: str) -> dict | None:
-        """Per-file column min/max harvested from the staged parquet
+        """Per-file column stats harvested from the staged parquet
         FOOTERS (metadata read, no data scan) — the Delta per-AddFile
         stats that make ``read(where=...)`` skip files without opening
-        them.  ``{relfile: {col: [min, max] | None}}``; ``None`` marks a
-        column whose stats are absent/undecodable (never pruned on).
-        Returns None (no stats recorded) if pyarrow is unavailable."""
+        them.  ``{relfile: {col: [min, max, nulls, rows] | None}}``:
+        min/max may be ``None`` (absent/undecodable — comparison pruning
+        disabled) while the NULL COUNT still enables ``IS [NOT] NULL``
+        and all-null-file pruning (Delta's nullCount stats); an entry of
+        ``None`` means nothing is known about the column.  Legacy
+        2-element ``[min, max]`` entries from pre-upgrade commits keep
+        working (null pruning simply stays off for them).  Returns None
+        (no stats recorded) if pyarrow is unavailable."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow is baked in here
@@ -427,43 +432,61 @@ class TxnLogFormat(TableFormat):
                 ap = os.path.join(dp, fn)
                 relfile = _relfile(ap)
                 md = pq.ParquetFile(ap).metadata
-                per: dict = {}
+                rows = md.num_rows
+                mnmx: dict = {}
+                nulls: dict = {}
                 for rg in range(md.num_row_groups):
                     for ci in range(md.num_columns):
                         col = md.row_group(rg).column(ci)
                         name = col.path_in_schema
                         if "." in name:  # nested leaf — not prunable here
                             continue
-                        if (name not in per
-                                and len(per) >= self._SKIP_MAX_COLS):
+                        if (name not in mnmx
+                                and len(mnmx) >= self._SKIP_MAX_COLS):
                             continue
                         st = col.statistics
-                        if (st is None or not st.has_min_max
-                                or per.get(name, ()) is None):
-                            per[name] = None
+                        if st is None:
+                            mnmx[name] = None
+                            nulls[name] = None
+                            continue
+                        if name not in nulls:
+                            nulls[name] = st.null_count  # int or None
+                        elif nulls[name] is not None:
+                            nc = st.null_count
+                            nulls[name] = (None if nc is None
+                                           else nulls[name] + nc)
+                        if not st.has_min_max or mnmx.get(name, ()) is None:
+                            mnmx[name] = None
                             continue
                         mn, mx = st.min, st.max
                         if isinstance(mn, bytes):
                             try:
                                 mn, mx = mn.decode(), mx.decode()
                             except UnicodeDecodeError:
-                                per[name] = None
+                                mnmx[name] = None
                                 continue
                         if not isinstance(mn, (int, float, str, bool)):
                             # dates/decimals etc: stringify loses the
                             # comparison semantics — record as unknown
-                            per[name] = None
+                            mnmx[name] = None
                             continue
-                        if name in per:
-                            omn, omx = per[name]
-                            per[name] = [min(omn, mn), max(omx, mx)]
+                        if name in mnmx:
+                            omn, omx = mnmx[name]
+                            mnmx[name] = [min(omn, mn), max(omx, mx)]
                         else:
-                            per[name] = [mn, mx]
-                for name, s in per.items():
+                            mnmx[name] = [mn, mx]
+                per: dict = {}
+                for name, s in mnmx.items():
                     # string truncation AFTER the row-group merge so the
                     # widened bounds cover the final [min, max]
                     if s and isinstance(s[0], str):
-                        per[name] = self._truncate_str_stats(s[0], s[1])
+                        s = self._truncate_str_stats(s[0], s[1])
+                    bounds = s if s is not None else [None, None]
+                    nc = nulls.get(name)
+                    if s is None and nc is None:
+                        per[name] = None  # nothing known at all
+                    else:
+                        per[name] = bounds + [nc, rows]
                 stats[relfile] = per
         return stats
 
@@ -1052,16 +1075,33 @@ class TxnLogFormat(TableFormat):
     @staticmethod
     def _skip_clauses(where: str) -> list:
         """Conservative decomposition of ``where`` into prunable
-        ``(col, op, literal)`` conjuncts.  Only a flat AND of binary
-        comparisons against int/float/string literals qualifies; any OR /
-        NOT / parenthesis disables pruning entirely (the filter itself
-        still applies, so pruning is never load-bearing for correctness)."""
-        if _re_mod.search(r"\bOR\b|\bNOT\b|\(", where,
+        ``(col, op, literal)`` conjuncts — binary comparisons against
+        int/float/string literals, plus ``col IS [NOT] NULL`` (ops
+        ``isnull``/``notnull``, literal None — prunable via the
+        commit-recorded null counts).  Only a flat AND qualifies; any
+        OR / other NOT / parenthesis disables pruning entirely (the
+        filter itself still applies, so pruning is never load-bearing
+        for correctness)."""
+        # IS NOT NULL is the one sanctioned NOT — mask it for the
+        # conservative NOT/OR/paren bail-out ONLY (clauses parse from
+        # the ORIGINAL text, so a quoted literal containing these words
+        # is never rewritten)
+        masked = _re_mod.sub(r"\bIS\s+NOT\s+NULL\b", "IS__NULL",
+                             where, flags=_re_mod.IGNORECASE)
+        if _re_mod.search(r"\bOR\b|\bNOT\b|\(", masked,
                           _re_mod.IGNORECASE):
             return []
         clauses = []
         for part in _re_mod.split(r"\bAND\b", where,
                                   flags=_re_mod.IGNORECASE):
+            mnull = _re_mod.match(
+                r"^\s*([A-Za-z_]\w*)\s+IS\s+(NOT\s+)?NULL\s*$",
+                part, _re_mod.IGNORECASE)
+            if mnull:
+                clauses.append((mnull.group(1),
+                                "notnull" if mnull.group(2) else "isnull",
+                                None))
+                continue
             m = _re_mod.match(r"^\s*([A-Za-z_]\w*)\s*(<=|>=|==|=|<|>)"
                               r"\s*(.+?)\s*$", part)
             if not m:
@@ -1087,14 +1127,32 @@ class TxnLogFormat(TableFormat):
 
     @staticmethod
     def _provably_empty(per: dict | None, clauses: list) -> bool:
-        """True iff some clause proves NO row of a file (with per-column
-        ``[min, max]`` stats) can satisfy it.  Unknown stats or
-        type-family mismatches never prune."""
+        """True iff some clause proves NO row of a file can satisfy it,
+        from per-column ``[min, max, nulls, rows]`` stats (legacy
+        2-element ``[min, max]`` entries: comparison pruning only).
+        Unknown stats or type-family mismatches never prune."""
         for col, op, lit in clauses:
             s = (per or {}).get(col)
             if not s:
                 continue
-            mn, mx = s
+            mn, mx = s[0], s[1]
+            nulls = s[2] if len(s) >= 4 else None
+            rows = s[3] if len(s) >= 4 else None
+            if op == "isnull":
+                # zero recorded nulls -> `col IS NULL` matches no row
+                if nulls == 0:
+                    return True
+                continue
+            if op == "notnull":
+                # every value null -> `col IS NOT NULL` matches no row
+                if nulls is not None and nulls == rows:
+                    return True
+                continue
+            if nulls is not None and nulls == rows and rows > 0:
+                # all-null column: no comparison can ever be true
+                return True
+            if mn is None:
+                continue  # min/max unknown — comparison not prunable
             if isinstance(mn, bool) or isinstance(lit, bool):
                 continue
             if isinstance(lit, str) != isinstance(mn, str):

@@ -318,7 +318,7 @@ def test_string_stats_truncation_never_false_prunes(spark, tmp_path):
     fmt.append(spark.createDataFrame([("zz",)],
                                      "s string").coalesce(1), path)
     rec = fmt._raw_full(path)[0]
-    mn, mx = list(rec["stats"].values())[0]["s"]
+    mn, mx = list(rec["stats"].values())[0]["s"][:2]
     assert mn == "a" * 32 and mx == "b" * 31 + "c"  # widened bounds
     # equality on the real long value: inside the widened range -> the
     # file is scanned and the row found
@@ -341,6 +341,8 @@ def test_untruncatable_max_records_no_stats(spark, tmp_path):
     fmt.append(spark.createDataFrame([(big,)], "s string").coalesce(1),
                path)
     rec = fmt._raw_full(path)[0]
-    assert list(rec["stats"].values())[0]["s"] is None
+    s = list(rec["stats"].values())[0]["s"]
+    assert s[:2] == [None, None]  # no comparison bounds recorded
+    assert s[2:] == [0, 1]        # null count still rides along
     got = fmt.read(spark, path, where=f"s >= '{chr(0x10FFFF)}'")
     assert got.count() == 1

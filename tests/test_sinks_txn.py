@@ -1573,6 +1573,48 @@ def test_data_skipping_still_prunes_after_rename(spark, tmp_path):
     assert fmt.read(spark, path, where="c <= 5").count() == 0
 
 
+def test_null_count_stats_prune_is_null_clauses(spark, tmp_path):
+    """Round-8 nullCount stats (Delta parity): commit records carry
+    per-column null counts, so ``IS NULL`` skips files with zero nulls,
+    ``IS NOT NULL`` skips all-null files, and a comparison skips an
+    all-null file even without min/max — each pinned via inputFiles,
+    with results identical to the unpruned filter."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1, 10), (2, 20)],
+                                     "id int, v int").coalesce(1), path)
+    fmt.append(spark.createDataFrame([(3, None), (4, None)],
+                                     "id int, v int").coalesce(1), path)
+    fmt.append(spark.createDataFrame([(5, 50), (6, None)],
+                                     "id int, v int").coalesce(1), path)
+    got = fmt.read(spark, path, where="v IS NULL")
+    assert sorted(r.id for r in got.collect()) == [3, 4, 6]
+    assert len(got.inputFiles()) == 2  # the no-null file is pruned
+    got2 = fmt.read(spark, path, where="v IS NOT NULL")
+    assert sorted(r.id for r in got2.collect()) == [1, 2, 5]
+    assert len(got2.inputFiles()) == 2  # the all-null file is pruned
+    # comparison on an all-null file: prunable with no min/max at all
+    got3 = fmt.read(spark, path, where="v >= 5")
+    assert sorted(r.id for r in got3.collect()) == [1, 2, 5]
+    assert len(got3.inputFiles()) == 2
+    # conjunction with a comparison composes
+    got4 = fmt.read(spark, path, where="v IS NOT NULL AND id >= 5")
+    assert sorted(r.id for r in got4.collect()) == [5]
+    assert len(got4.inputFiles()) == 1
+
+
+def test_skip_clauses_parse_is_null_forms():
+    """IS [NOT] NULL is the one sanctioned NOT; any other NOT (or a
+    quoted literal containing the words) still disables pruning, and
+    literals never get rewritten by the bail-out masking."""
+    assert TxnLogFormat._skip_clauses("a IS NULL AND b IS NOT NULL") \
+        == [("a", "isnull", None), ("b", "notnull", None)]
+    assert TxnLogFormat._skip_clauses("NOT a IS NULL") == []
+    assert TxnLogFormat._skip_clauses("a IS NOT NULL OR b = 1") == []
+    assert TxnLogFormat._skip_clauses("tag = 'IS NOT NULL'") \
+        == [("tag", "=", "IS NOT NULL")]
+
+
 def test_skip_clauses_never_prune_on_escaped_literals():
     """Review regression: a quoted literal containing quote/backslash
     characters unescapes differently in the SQL engine — the clause must
