@@ -1655,22 +1655,74 @@ def test_skip_pruner_soundness_property():
 
     ops = st.sampled_from(["<", "<=", ">", ">=", "="])
     vals = st.integers(-50, 50)
+    cell = st.one_of(st.none(), vals)  # round 8: NULLs in the data
 
     @settings(max_examples=300, deadline=None)
-    @given(rows=st.lists(st.tuples(vals, vals), min_size=1, max_size=8),
-           clauses=st.lists(st.tuples(st.sampled_from(["a", "b"]), ops,
-                                      vals), min_size=1, max_size=4))
+    @given(rows=st.lists(st.tuples(cell, cell), min_size=1, max_size=8),
+           clauses=st.lists(
+               st.one_of(
+                   st.tuples(st.sampled_from(["a", "b"]), ops, vals),
+                   st.tuples(st.sampled_from(["a", "b"]),
+                             st.sampled_from(["isnull", "notnull"]),
+                             st.none())),
+               min_size=1, max_size=4))
     def check(rows, clauses):
-        per = {"a": [min(r[0] for r in rows), max(r[0] for r in rows)],
-               "b": [min(r[1] for r in rows), max(r[1] for r in rows)]}
+        def stats(i):
+            present = [r[i] for r in rows if r[i] is not None]
+            nulls = sum(1 for r in rows if r[i] is None)
+            bounds = ([min(present), max(present)] if present
+                      else [None, None])
+            return bounds + [nulls, len(rows)]
+        per = {"a": stats(0), "b": stats(1)}
+
         def sat(row, col, op, lit):
             v = row[0] if col == "a" else row[1]
+            if op == "isnull":
+                return v is None
+            if op == "notnull":
+                return v is not None
+            if v is None:
+                return False  # SQL: NULL comparisons are never TRUE
             return {"<": v < lit, "<=": v <= lit, ">": v > lit,
                     ">=": v >= lit, "=": v == lit}[op]
         any_match = any(all(sat(r, *c) for c in clauses) for r in rows)
         pruned = TxnLogFormat._provably_empty(per, clauses)
         assert not (pruned and any_match), \
             f"unsound prune: {per} {clauses} rows={rows}"
+        # legacy 2-element stats must stay sound too (null clauses are
+        # simply never prunable there)
+        legacy = {c: s[:2] if s[0] is not None else None
+                  for c, s in per.items()}
+        pruned2 = TxnLogFormat._provably_empty(legacy, clauses)
+        assert not (pruned2 and any_match), \
+            f"unsound legacy prune: {legacy} {clauses} rows={rows}"
+
+    check()
+
+
+def test_string_truncation_soundness_property():
+    """Hypothesis: the widened 32-char bounds from
+    ``_truncate_str_stats`` always still contain EVERY string of the
+    original [min, max] range — truncation may only widen, never
+    exclude (a bound that excluded a real value would let the pruner
+    skip a file holding a match)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x10FFFF),
+        min_size=0, max_size=64)
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=text, b=text, probe=text)
+    def check(a, b, probe):
+        mn, mx = min(a, b), max(a, b)
+        got = TxnLogFormat._truncate_str_stats(mn, mx)
+        if got is None:
+            return  # no bounds recorded — pruning disabled, sound
+        bmn, bmx = got
+        if mn <= probe <= mx:  # every in-range value stays in range
+            assert bmn <= probe <= bmx, (mn, mx, got, probe)
 
     check()
 
