@@ -46,6 +46,8 @@ DEFAULT_SET = [
     "q_pack_bins_global", "q_training_shards_e2e", "q_merge_upsert",
     "q_dv_compact_read", "q_minhash_incremental", "q_data_skipping_read",
     "q_schema_evolution_read", "q_charngram_lm_score",
+    # round 8: checkpointed commit log read path
+    "q_checkpoint_log_read",
 ]
 
 
