@@ -687,7 +687,16 @@ class TxnLogFormat(TableFormat):
         discipline as commits (two racing checkpointers compute
         identical content from the immutable records; the link loser
         stands down); ``_last_checkpoint`` is a best-effort pointer —
-        readers authoritatively discover checkpoints by listing."""
+        readers authoritatively discover checkpoints by listing.
+
+        Format note: the checkpoint is ONE JSON document, parsed once
+        per process (``_log_names`` caches by file identity).  At very
+        large live-file counts Delta switches to (multi-part) parquet
+        checkpoints so state can be read columnar and distributed; the
+        JSON form keeps this implementation dependency-free and is the
+        right trade at file-metadata scale — swap this method and the
+        checkpoint branch of the resolvers to a parquet sidecar if a
+        deployment's live-file count makes the single parse visible."""
         commits = self._commits(path, upto=v)
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")

@@ -416,6 +416,16 @@ def test_multiprocess_writers_race_one_log(tmp_path):
             if kind == "shared":
                 assert by_commit_v.get(v, -1) >= i, \
                     "a process saw a non-winning version"
+    # round 8: the default interval auto-checkpoints DURING the race
+    # (4 processes, no coordination) — exactly one checkpoint per
+    # multiple-of-10 version, and the folded planning view resolves
+    # the same 40 live pieces as the raw history
+    cps = sorted(n for n in os.listdir(os.path.join(path, "_txn_log"))
+                 if n.endswith(".checkpoint.json"))
+    assert cps == [f"{v:012d}.checkpoint.json" for v in (10, 20, 30)]
+    folded = fmt._commits(path)
+    assert folded[0]["action"] == "checkpoint"
+    assert len(fmt._resolve_live(folded)) == len(commits)
     leftovers = [n for n in os.listdir(os.path.join(path, "_txn_log"))
                  if n.endswith(".tmp")]
     assert leftovers == []
