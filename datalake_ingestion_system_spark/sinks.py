@@ -418,13 +418,16 @@ class TxnLogFormat(TableFormat):
         and all-null-file pruning (Delta's nullCount stats); an entry of
         ``None`` means nothing is known about the column.  Legacy
         2-element ``[min, max]`` entries from pre-upgrade commits keep
-        working (null pruning simply stays off for them).  Returns None
-        (no stats recorded) if pyarrow is unavailable."""
+        working (null pruning simply stays off for them).  Returns
+        ``(stats, {relfile: bytes})`` — the sizes feed size-targeted
+        compaction without ever re-listing storage — or None (nothing
+        recorded) if pyarrow is unavailable."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow is baked in here
             return None
         stats: dict = {}
+        sizes: dict = {}
         for dp, _dns, fns in os.walk(os.path.join(path, rel)):
             for fn in fns:
                 if not fn.endswith(".parquet"):
@@ -432,6 +435,7 @@ class TxnLogFormat(TableFormat):
                 ap = os.path.join(dp, fn)
                 relfile = _relfile(ap)
                 md = pq.ParquetFile(ap).metadata
+                sizes[relfile] = os.path.getsize(ap)
                 rows = md.num_rows
                 mnmx: dict = {}
                 nulls: dict = {}
@@ -488,7 +492,7 @@ class TxnLogFormat(TableFormat):
                     else:
                         per[name] = bounds + [nc, rows]
                 stats[relfile] = per
-        return stats
+        return stats, sizes
 
     def _commit(self, path: str, record: dict,
                 expected_version: int | None = None) -> int:
@@ -498,15 +502,19 @@ class TxnLogFormat(TableFormat):
             # data-skipping stats ride the commit record (Delta's
             # per-AddFile stats): harvested once at publish time so no
             # reader ever fetches footers
-            st = self._collect_file_stats(path, record["dir"])
-            if st is not None:
+            harvested = self._collect_file_stats(path, record["dir"])
+            if harvested is not None:
+                st, sizes = harvested
                 record["stats"] = st
                 # the staged FILE LIST rides the commit too (Delta's
-                # AddFile names): readers and the streaming source plan
-                # scans from it instead of os.walk-ing data dirs — at
-                # scale that walk is an object-store LIST per dir per
-                # plan (VERDICT r7 item 2)
+                # AddFile names + sizes): readers and the streaming
+                # source plan scans from it instead of os.walk-ing data
+                # dirs — at scale that walk is an object-store LIST per
+                # dir per plan (VERDICT r7 item 2) — and size-targeted
+                # compaction selects small files from the recorded
+                # byte counts
                 record["files"] = sorted(st)
+                record["file_bytes"] = sizes
             else:  # pragma: no cover - pyarrow is baked into this env
                 record["files"] = sorted(
                     _relfile(os.path.join(dp, fn))
@@ -723,6 +731,12 @@ class TxnLogFormat(TableFormat):
             if "/".join(rf.split("/", 2)[:2]) in live_dirs \
                     and rf not in removed:
                 stats[rf] = [sv, cols]
+        fbytes: dict[str, int] = {}
+        for c in commits:
+            for rf, b in (c.get("file_bytes") or {}).items():
+                if "/".join(rf.split("/", 2)[:2]) in live_dirs \
+                        and rf not in removed:
+                    fbytes[rf] = b
         ser_live = [{
             "dir": e["dir"],
             "removed": {col: sorted(vals, key=lambda x: (x is None, x))
@@ -741,7 +755,7 @@ class TxnLogFormat(TableFormat):
                          "dvs": self._resolve_dvs(commits),
                          "removed_files": sorted(removed),
                          "alters": self._resolve_alters(commits)},
-               "txn_latest": txn, "stats": stats,
+               "txn_latest": txn, "stats": stats, "file_bytes": fbytes,
                "vacuum_protect": sorted(self._vacuum_protect(commits))}
         log = self._log_dir(path)
         target = os.path.join(log, f"{v:012d}.checkpoint.json")
@@ -1927,11 +1941,17 @@ class TxnLogFormat(TableFormat):
                                    "partition_col": None, "partitions": [],
                                    "schema": schema})
 
+    #: Delta OPTIMIZE's default output size — the size-targeted rewrite
+    #: coalesces small-file survivors into bins of about this many bytes.
+    _TARGET_FILE_BYTES = 128 * 1024 * 1024
+
     def compact(self, spark: SparkSession, path: str,
                 partition_col: str | None = None,
                 rewrite_dv_threshold: float | None = None,
                 cluster_by: list[str] | None = None,
-                zorder: bool = False):
+                zorder: bool = False,
+                small_file_bytes: int | None = None,
+                target_file_bytes: int | None = None):
         """Fold the current state into ONE commit (checkpoint analogue):
         stages a full rewrite, then publishes a ``replace_all`` commit that
         supersedes every earlier one.  Bounds replay cost after many small
@@ -1943,27 +1963,44 @@ class TxnLogFormat(TableFormat):
         covers a tight value range, which is what gives
         ``read(where=...)``'s stats-based skipping its selectivity.
 
-        With ``rewrite_dv_threshold`` set (0..1), runs the TARGETED form
-        instead (Delta's OPTIMIZE-on-tombstone-heavy-files): only files
-        whose deletion-vector fraction (vectored rows / file rows) meets
-        the threshold are materialized — their surviving rows re-staged,
-        the source files retired from the read path entirely (file-level
-        pruning, retired files are never opened again), and the remaining
-        vector entries consolidated into one dir — all as ONE atomic
-        ``rewrite_files`` commit with the usual snapshot conflict guard.
+        With ``rewrite_dv_threshold`` (0..1) and/or ``small_file_bytes``
+        set, runs the TARGETED form instead — ONE atomic
+        ``rewrite_files`` commit with the usual snapshot conflict guard,
+        two Delta-OPTIMIZE selection criteria that compose:
+
+        - ``rewrite_dv_threshold``: files whose deletion-vector fraction
+          (vectored rows / file rows) meets the threshold are
+          materialized — their surviving rows re-staged, the source
+          files retired from every later scan (file-level pruning), the
+          remaining vector entries consolidated into one dir.
+        - ``small_file_bytes`` (round 8 — Delta OPTIMIZE bin-packing):
+          live files SMALLER than this many bytes are merged; their
+          survivors coalesce into ~``target_file_bytes`` bins (default
+          128 MB, Delta's output size) computed from the COMMIT-RECORDED
+          byte counts, never a storage listing.  This is the antidote to
+          streaming's one-small-file-per-epoch accumulation without the
+          O(table) full rewrite.  Files from pre-upgrade commits (no
+          recorded size) are not selected — run the full form once to
+          re-record them.
+
         A rewrite touches O(rows in hot files), not O(table); cold files
         and their sparse vectors are left alone.  Returns
         ``{"rewritten_files": n, "retired_dv_entries": n}`` (the full
         form returns ``None``).
 
-        Scale shape: fractions come from two keyed counts (one over the
-        live rows, one over the vectors — both reduced per FILE, so the
-        shuffle payload is file-cardinality); the hot-file list and the
-        commit record are file-metadata scale on the driver, the same
-        order as Delta's add/remove file actions."""
+        Scale shape: DV fractions come from two keyed counts (one over
+        the live rows, one over the vectors — both reduced per FILE, so
+        the shuffle payload is file-cardinality); size selection is a
+        driver-side pass over recorded sizes; the hot-file list and the
+        commit record are file-metadata scale, the same order as Delta's
+        add/remove file actions."""
         if zorder and not cluster_by:
             raise ValueError("zorder=True requires cluster_by")
-        if rewrite_dv_threshold is None:
+        if rewrite_dv_threshold is None and small_file_bytes is None:
+            if target_file_bytes is not None:
+                raise ValueError(
+                    "target_file_bytes only applies to the "
+                    "small_file_bytes targeted form")
             current = self.read(spark, path)
             if cluster_by:
                 # OPTIMIZE ... ZORDER/CLUSTER BY parity: lay the rewrite
@@ -2003,9 +2040,12 @@ class TxnLogFormat(TableFormat):
         if cluster_by:
             raise ValueError(
                 "cluster_by only applies to the full rewrite (the "
-                "targeted DV form re-stages hot files' survivors as-is)")
-        if not 0.0 < rewrite_dv_threshold <= 1.0:
+                "targeted forms re-stage hot files' survivors as-is)")
+        if rewrite_dv_threshold is not None \
+                and not 0.0 < rewrite_dv_threshold <= 1.0:
             raise ValueError("rewrite_dv_threshold must be in (0, 1]")
+        if small_file_bytes is not None and small_file_bytes <= 0:
+            raise ValueError("small_file_bytes must be positive")
         if partition_col is not None:
             raise ValueError(
                 "partition_col only applies to the full rewrite — the "
@@ -2016,50 +2056,82 @@ class TxnLogFormat(TableFormat):
             raise FileNotFoundError(f"no committed table at {path}")
         head = commits[-1]["version"]
         dvs = self._resolve_dvs(commits)
-        if not dvs:
-            return {"rewritten_files": 0, "retired_dv_entries": 0}
-        dv_all = reduce(
-            DataFrame.unionByName,
-            [spark.read.parquet(os.path.join(path, d)) for d in dvs])
-        cur = self.read(spark, path, _with_pos=True)
-        live_counts = (cur.groupBy("_dv_file")
-                       .agg(F.count("*").alias("_live")))
-        # countDistinct guards against a row vectored twice across
-        # restore-replayed vector sets; entries for files already pruned
-        # by an earlier rewrite are dead — the left-semi against the live
-        # row counts CANNOT drop them here because a FULLY-deleted file
-        # has no live rows yet is exactly the file most worth retiring,
-        # so dead entries are excluded via the resolver's removed set.
         already_removed = sorted(self._resolve_removed_files(commits))
-        dv_counts = (dv_all.filter(~F.col("_dv_file").isin(already_removed))
-                     .groupBy("_dv_file")
-                     .agg(F.count_distinct("_dv_pos").alias("_dead")))
-        frac = F.col("_dead") / (F.col("_dead")
-                                 + F.coalesce(F.col("_live"), F.lit(0)))
-        hot = sorted(r["_dv_file"] for r in
-                     (dv_counts.join(live_counts, "_dv_file", "left")
-                      .filter(frac >= rewrite_dv_threshold)
-                      .select("_dv_file").collect()))
-        if not hot:
+        dv_all = None
+        if dvs:
+            dv_all = reduce(
+                DataFrame.unionByName,
+                [spark.read.parquet(os.path.join(path, d)) for d in dvs])
+        if rewrite_dv_threshold is not None and small_file_bytes is None \
+                and not dvs:
+            return {"rewritten_files": 0, "retired_dv_entries": 0}
+        hot_set: set[str] = set()
+        cur = self.read(spark, path, _with_pos=True)
+        if rewrite_dv_threshold is not None and dv_all is not None:
+            live_counts = (cur.groupBy("_dv_file")
+                           .agg(F.count("*").alias("_live")))
+            # countDistinct guards against a row vectored twice across
+            # restore-replayed vector sets; entries for files already
+            # pruned by an earlier rewrite are dead — the left-semi
+            # against the live row counts CANNOT drop them here because
+            # a FULLY-deleted file has no live rows yet is exactly the
+            # file most worth retiring, so dead entries are excluded
+            # via the resolver's removed set.
+            dv_counts = (dv_all
+                         .filter(~F.col("_dv_file").isin(already_removed))
+                         .groupBy("_dv_file")
+                         .agg(F.count_distinct("_dv_pos").alias("_dead")))
+            frac = F.col("_dead") / (F.col("_dead")
+                                     + F.coalesce(F.col("_live"),
+                                                  F.lit(0)))
+            hot_set.update(
+                r["_dv_file"] for r in
+                (dv_counts.join(live_counts, "_dv_file", "left")
+                 .filter(frac >= rewrite_dv_threshold)
+                 .select("_dv_file").collect()))
+        sizes: dict[str, int] = {}
+        if small_file_bytes is not None:
+            for c in commits:
+                sizes.update(c.get("file_bytes") or {})
+            live_files = {rf for e in self._resolve_live(commits)
+                          for rf in (e.get("files") or [])}
+            small = {rf for rf in live_files
+                     if rf not in already_removed
+                     and rf in sizes and sizes[rf] < small_file_bytes}
+            # merging needs at least two participants — rewriting one
+            # small file alone is pure churn (unless the DV criterion
+            # already selected work to piggyback on)
+            if len(small) >= 2 or hot_set:
+                hot_set.update(small)
+        hot = sorted(hot_set - set(already_removed))
+        if not hot or "_dv_file" not in cur.columns:
             return {"rewritten_files": 0, "retired_dv_entries": 0}
         survivors = (cur.filter(F.col("_dv_file").isin(hot))
                      .drop("_dv_file", "_dv_pos"))
+        if small_file_bytes is not None:
+            target = int(target_file_bytes or self._TARGET_FILE_BYTES)
+            known = sum(sizes.get(rf, target) for rf in hot)
+            survivors = survivors.coalesce(max(1, -(-known // target)))
         # check=False: every survivor is already a committed, validated row
         data_rel = self._stage(survivors, path, None, check=False)
-        remaining = (dv_all.filter(~F.col("_dv_file").isin(hot))
-                     .filter(~F.col("_dv_file").isin(already_removed))
-                     .distinct())
-        n_total = dv_all.count()
-        n_remaining = remaining.count()
         rec = {"action": "rewrite_files", "dir": data_rel,
                "removed_files": hot,
                "partition_col": None, "partitions": [],
                "schema": survivors.schema.json()}
-        if n_remaining:
-            rec["dv_dir"] = self._stage(remaining, path, None, check=False)
+        retired = 0
+        if dv_all is not None:
+            remaining = (dv_all.filter(~F.col("_dv_file").isin(hot))
+                         .filter(~F.col("_dv_file").isin(already_removed))
+                         .distinct())
+            n_total = dv_all.count()
+            n_remaining = remaining.count()
+            retired = int(n_total - n_remaining)
+            if n_remaining:
+                rec["dv_dir"] = self._stage(remaining, path, None,
+                                            check=False)
         self._commit(path, rec, expected_version=head + 1)
         return {"rewritten_files": len(hot),
-                "retired_dv_entries": int(n_total - n_remaining)}
+                "retired_dv_entries": retired}
 
     def vacuum(self, path: str, retain_hours: float = 168.0,
                log_retain_hours: float | None = None) -> list[str]:

@@ -1424,6 +1424,62 @@ def test_compact_dv_retires_fully_deleted_file(spark, tmp_path):
         == [100, 101, 102, 103]
 
 
+def test_compact_small_files_merges_by_recorded_size(spark, tmp_path):
+    """Round-8 size-targeted compaction (Delta OPTIMIZE bin-packing):
+    files below ``small_file_bytes`` — selected from COMMIT-RECORDED
+    byte counts, no storage listing — merge into one rewrite_files
+    commit; the big file is untouched, data identical, the read path
+    opens the merged file instead of every epoch's crumb, and time
+    travel across the rewrite still works."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    for i in range(6):  # six one-epoch crumbs
+        fmt.append(spark.createDataFrame(
+            [(i * 10 + j, "s") for j in range(2)],
+            "id int, tag string").coalesce(1), path)
+    fmt.append(spark.createDataFrame(
+        [(1000 + j, "big") for j in range(5000)],
+        "id int, tag string").coalesce(1), path)
+    before = sorted(r.id for r in fmt.read(spark, path).collect())
+    n_before = len(fmt.read(spark, path).inputFiles())
+    assert n_before == 7
+
+    big_bytes = max(list(fmt._raw_full(path)[-1]["file_bytes"].values()))
+    res = fmt.compact(spark, path, small_file_bytes=big_bytes)
+    assert res == {"rewritten_files": 6, "retired_dv_entries": 0}
+    got = fmt.read(spark, path)
+    assert sorted(r.id for r in got.collect()) == before
+    assert len(got.inputFiles()) == 2  # one merged + the big file
+    # the six originals stay time-travelable until vacuum
+    assert len(fmt.read(spark, path, as_of_version=5).collect()) == 12
+    # idempotent: nothing small remains (the merged file is one file —
+    # a single candidate is pure churn and is not rewritten)
+    assert fmt.compact(spark, path, small_file_bytes=big_bytes) \
+        == {"rewritten_files": 0, "retired_dv_entries": 0}
+
+
+def test_compact_small_files_composes_with_dvs(spark, tmp_path):
+    """Size and DV criteria compose in ONE rewrite_files commit: the
+    small files merge, vectors pointing at rewritten files retire, and
+    survivors exclude the vectored rows."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    for i in range(3):
+        fmt.append(spark.createDataFrame(
+            [(i * 10 + j, "s") for j in range(4)],
+            "id int, tag string").coalesce(1), path)
+    assert fmt.delete_where_dv(spark, path, "id in (0, 11)") == 2
+    before = sorted(r.id for r in fmt.read(spark, path).collect())
+    res = fmt.compact(spark, path, small_file_bytes=10**9,
+                      rewrite_dv_threshold=0.25)
+    assert res["rewritten_files"] == 3
+    assert res["retired_dv_entries"] == 2
+    got = fmt.read(spark, path)
+    assert sorted(r.id for r in got.collect()) == before
+    assert len(got.inputFiles()) == 1  # everything merged
+    assert fmt._resolve_dvs(fmt._commits(path)) == []
+
+
 def test_alter_table_add_rename_drop(spark, tmp_path):
     """Schema evolution as metadata-only commits (Delta column-mapping
     parity): ADD reads as typed NULL for pre-alter rows, RENAME remaps
