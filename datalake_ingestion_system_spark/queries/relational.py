@@ -2430,6 +2430,54 @@ GROUP BY event_type
 """
 
 
+@_q("q_small_file_compact_read")
+def q_small_file_compact_read(spark, sf_dir):
+    """Size-targeted small-file compaction (round 8 — Delta OPTIMIZE
+    bin-packing) verified end to end against the declarative oracle:
+    events land as 8 one-file epoch crumbs plus one DV delete, then
+    ``compact(small_file_bytes=...)`` merges every small file (selected
+    from the commit-recorded byte counts, no storage listing) into one
+    rewrite_files commit — retiring the vectors that pointed at
+    rewritten files — and the read serves the merged layout.  The
+    oracle is the plain filtered aggregation: compaction must be
+    invisible to results.
+
+    Scale shape: the streaming cure — per-epoch crumbs merge in O(rows
+    in small files), cold big files untouched, selection driver-side
+    over recorded sizes."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="sfc_q_") + "/t"
+    fmt = TxnLogFormat()
+    for i in range(8):
+        fmt.append(e.filter(F.pmod(F.col("event_id"), F.lit(8)) == i)
+                   .coalesce(1), path)
+    fmt.delete_where_dv(spark, path, "event_type = 'error'")
+    fmt.compact(spark, path, small_file_bytes=1 << 30)
+    return (fmt.read(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_small_file_compact_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE coalesce(event_type <> 'error', TRUE)
+GROUP BY event_type
+"""
+
+
 @_q("q_checkpoint_log_read")
 def q_checkpoint_log_read(spark, sf_dir):
     """Commit-log CHECKPOINTING verified end to end against the
