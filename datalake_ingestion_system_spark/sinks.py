@@ -1096,26 +1096,61 @@ class TxnLogFormat(TableFormat):
         return removed
 
     @staticmethod
-    def _skip_clauses(where: str) -> list:
+    @staticmethod
+    def _parse_literal(lit: str):
+        """A raw SQL literal token → comparable Python value, or None
+        when its semantics can't be reproduced exactly (then the clause
+        is simply not prunable — conservative)."""
+        if lit[:1] in "'\"" and lit[-1:] == lit[:1] and len(lit) >= 2:
+            val = lit[1:-1]
+            if any(ch in val for ch in ("'", '"', "\\")):
+                # escaped-quote/backslash literals: the SQL engine's
+                # unescaping differs from this raw slice, so the
+                # comparison value would be wrong — never prune on it
+                return None
+            return val
+        try:
+            return int(lit)
+        except ValueError:
+            try:
+                return float(lit)
+            except ValueError:
+                return None
+
+    @classmethod
+    def _skip_clauses(cls, where: str) -> list:
         """Conservative decomposition of ``where`` into prunable
         ``(col, op, literal)`` conjuncts — binary comparisons against
-        int/float/string literals, plus ``col IS [NOT] NULL`` (ops
+        int/float/string literals, ``col IS [NOT] NULL`` (ops
         ``isnull``/``notnull``, literal None — prunable via the
-        commit-recorded null counts).  Only a flat AND qualifies; any
-        OR / other NOT / parenthesis disables pruning entirely (the
-        filter itself still applies, so pruning is never load-bearing
-        for correctness)."""
-        # IS NOT NULL is the one sanctioned NOT — mask it for the
-        # conservative NOT/OR/paren bail-out ONLY (clauses parse from
-        # the ORIGINAL text, so a quoted literal containing these words
-        # is never rewritten)
+        commit-recorded null counts), ``col IN (lit, ...)`` (op
+        ``in``, literal = tuple — prunable when EVERY member is
+        provably outside the file's range), and ``col BETWEEN a AND b``
+        (rewritten to the two comparisons).  Only a flat AND qualifies;
+        any OR / other NOT / other parenthesis disables pruning
+        entirely (the filter itself still applies, so pruning is never
+        load-bearing for correctness)."""
+        # BETWEEN rewrites FIRST (its embedded AND would break the
+        # conjunct split); simple space-free literals only — a quoted
+        # literal containing the words degrades the clause to
+        # unparseable (skipped), never to a wrong value
+        rewritten = _re_mod.sub(
+            r"\b([A-Za-z_]\w*)\s+BETWEEN\s+([^\s()]+)\s+AND\s+([^\s()]+)",
+            r"\1 >= \2 AND \1 <= \3", where, flags=_re_mod.IGNORECASE)
+        # IS NOT NULL and IN-lists are the sanctioned NOT/paren forms —
+        # masked for the conservative bail-out ONLY (clauses parse from
+        # the rewritten-but-unmasked text, so quoted literals containing
+        # these words are never value-rewritten; a corrupted-by-rewrite
+        # literal fails the literal parser and skips its clause)
         masked = _re_mod.sub(r"\bIS\s+NOT\s+NULL\b", "IS__NULL",
-                             where, flags=_re_mod.IGNORECASE)
+                             rewritten, flags=_re_mod.IGNORECASE)
+        masked = _re_mod.sub(r"\bIN\s*\([^()]*\)", "IN__LIST", masked,
+                             flags=_re_mod.IGNORECASE)
         if _re_mod.search(r"\bOR\b|\bNOT\b|\(", masked,
                           _re_mod.IGNORECASE):
             return []
         clauses = []
-        for part in _re_mod.split(r"\bAND\b", where,
+        for part in _re_mod.split(r"\bAND\b", rewritten,
                                   flags=_re_mod.IGNORECASE):
             mnull = _re_mod.match(
                 r"^\s*([A-Za-z_]\w*)\s+IS\s+(NOT\s+)?NULL\s*$",
@@ -1125,26 +1160,26 @@ class TxnLogFormat(TableFormat):
                                 "notnull" if mnull.group(2) else "isnull",
                                 None))
                 continue
+            min_ = _re_mod.match(
+                r"^\s*([A-Za-z_]\w*)\s+IN\s*\(\s*(.*?)\s*\)\s*$",
+                part, _re_mod.IGNORECASE)
+            if min_:
+                items = [cls._parse_literal(tok.strip())
+                         for tok in min_.group(2).split(",")]
+                # a quoted member containing a comma splits wrong — its
+                # fragments fail the literal parser, disabling the
+                # clause (None member => not prunable)
+                if items and all(v is not None for v in items):
+                    clauses.append((min_.group(1), "in", tuple(items)))
+                continue
             m = _re_mod.match(r"^\s*([A-Za-z_]\w*)\s*(<=|>=|==|=|<|>)"
                               r"\s*(.+?)\s*$", part)
             if not m:
                 continue
             col, op, lit = m.groups()
-            if lit[:1] in "'\"" and lit[-1:] == lit[:1] and len(lit) >= 2:
-                val = lit[1:-1]
-                if any(ch in val for ch in ("'", '"', "\\")):
-                    # escaped-quote/backslash literals: the SQL engine's
-                    # unescaping differs from this raw slice, so the
-                    # comparison value would be wrong — never prune on it
-                    continue
-            else:
-                try:
-                    val = int(lit)
-                except ValueError:
-                    try:
-                        val = float(lit)
-                    except ValueError:
-                        continue
+            val = cls._parse_literal(lit)
+            if val is None:
+                continue
             clauses.append((col, "=" if op == "==" else op, val))
         return clauses
 
@@ -1172,11 +1207,28 @@ class TxnLogFormat(TableFormat):
                     return True
                 continue
             if nulls is not None and nulls == rows and rows > 0:
-                # all-null column: no comparison can ever be true
+                # all-null column: neither comparisons nor IN can match
                 return True
             if mn is None:
                 continue  # min/max unknown — comparison not prunable
-            if isinstance(mn, bool) or isinstance(lit, bool):
+            if isinstance(mn, bool):
+                continue
+            if op == "in":
+                # prunable only when EVERY member is provably outside
+                # the range (a single unknown/mismatched member keeps
+                # the file)
+                def outside(v):
+                    if isinstance(v, bool) \
+                            or isinstance(v, str) != isinstance(mn, str):
+                        return False
+                    try:
+                        return v < mn or v > mx
+                    except TypeError:
+                        return False
+                if lit and all(outside(v) for v in lit):
+                    return True
+                continue
+            if isinstance(lit, bool):
                 continue
             if isinstance(lit, str) != isinstance(mn, str):
                 continue

@@ -1669,6 +1669,37 @@ def test_null_count_stats_prune_is_null_clauses(spark, tmp_path):
     assert len(got4.inputFiles()) == 1
 
 
+def test_skip_clauses_parse_in_and_between(spark, tmp_path):
+    """Round 8: ``IN (...)`` and ``BETWEEN a AND b`` join the prunable
+    grammar — IN prunes only when EVERY member is provably outside a
+    file's range; BETWEEN rewrites to the two comparisons before the
+    conjunct split.  Quoted literals containing the keywords degrade to
+    not-prunable, never to wrong values."""
+    assert TxnLogFormat._skip_clauses("a IN (1, 2) AND b BETWEEN 3 AND 7") \
+        == [("a", "in", (1, 2)), ("b", ">=", 3), ("b", "<=", 7)]
+    assert TxnLogFormat._skip_clauses("tag IN ('x', 'y')") \
+        == [("tag", "in", ("x", "y"))]
+    assert TxnLogFormat._skip_clauses("tag IN ('a,b', 'c')") == []
+    assert TxnLogFormat._skip_clauses("a IN (1) OR b = 2") == []
+    assert TxnLogFormat._skip_clauses("(a = 1) AND b IN (2)") == []
+    assert not TxnLogFormat._provably_empty(
+        {"a": [10, 20, 0, 5]}, [("a", "in", (1, 15))])
+    assert TxnLogFormat._provably_empty(
+        {"a": [10, 20, 0, 5]}, [("a", "in", (1, 30))])
+    # end to end: three disjoint-range files, IN hits only the middle
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        fmt.append(spark.createDataFrame(
+            [(lo + j,) for j in range(10)], "v int").coalesce(1), path)
+    got = fmt.read(spark, path, where="v IN (105, 101)")
+    assert sorted(r.v for r in got.collect()) == [101, 105]
+    assert len(got.inputFiles()) == 1
+    got2 = fmt.read(spark, path, where="v BETWEEN 100 AND 109")
+    assert got2.count() == 10
+    assert len(got2.inputFiles()) == 1
+
+
 def test_skip_clauses_parse_is_null_forms():
     """IS [NOT] NULL is the one sanctioned NOT; any other NOT (or a
     quoted literal containing the words) still disables pruning, and
@@ -1730,7 +1761,11 @@ def test_skip_pruner_soundness_property():
                    st.tuples(st.sampled_from(["a", "b"]), ops, vals),
                    st.tuples(st.sampled_from(["a", "b"]),
                              st.sampled_from(["isnull", "notnull"]),
-                             st.none())),
+                             st.none()),
+                   st.tuples(st.sampled_from(["a", "b"]),
+                             st.just("in"),
+                             st.lists(vals, min_size=1,
+                                      max_size=4).map(tuple))),
                min_size=1, max_size=4))
     def check(rows, clauses):
         def stats(i):
@@ -1749,6 +1784,8 @@ def test_skip_pruner_soundness_property():
                 return v is not None
             if v is None:
                 return False  # SQL: NULL comparisons are never TRUE
+            if op == "in":
+                return v in lit
             return {"<": v < lit, "<=": v <= lit, ">": v > lit,
                     ">=": v >= lit, "=": v == lit}[op]
         any_match = any(all(sat(r, *c) for c in clauses) for r in rows)
