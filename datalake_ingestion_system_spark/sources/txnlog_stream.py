@@ -118,16 +118,39 @@ class TxnLogStreamReader(DataSourceStreamReader):
         self.schema = schema
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
+        #: ``option("maxCommitsPerTrigger", N)`` — Delta's
+        #: maxFilesPerTrigger analogue at commit granularity: each
+        #: micro-batch advances at most N commit versions, so a backfill
+        #: over a deep log drains in bounded chunks instead of one
+        #: giant batch.  Caveat (API limitation, documented): the Python
+        #: Data Source API gives a restarted reader no view of the
+        #: checkpointed offset, so the FIRST batch after a restart is
+        #: unbounded; every subsequent batch is capped.  AvailableNow
+        #: falls back to single-batch execution for Python sources
+        #: (Spark's own warning) and ignores the cap entirely.
+        raw = options.get("maxcommitspertrigger")
+        self.max_commits = int(raw) if raw is not None else None
+        if self.max_commits is not None and self.max_commits <= 0:
+            raise ValueError("maxCommitsPerTrigger must be positive")
         self._fmt = TxnLogFormat()
+        self._planned_through: int | None = None
 
     def initialOffset(self) -> dict:
+        self._planned_through = -1  # fresh stream: cap from the start
         return {"version": -1}
 
     def latestOffset(self) -> dict:
         commits = self._fmt._commits(self.path)
-        return {"version": commits[-1]["version"] if commits else -1}
+        head = commits[-1]["version"] if commits else -1
+        if self.max_commits is not None \
+                and self._planned_through is not None:
+            head = min(head, self._planned_through + self.max_commits)
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
+        # rate-limit bookkeeping: whatever range got planned (fresh or
+        # recovery-replay), the next latestOffset caps relative to it
+        self._planned_through = end["version"]
         commits = self._fmt._commits(self.path)
         alters = self._fmt._resolve_alters(commits)
         by_version: dict[int, dict] = {}

@@ -181,3 +181,44 @@ def test_stream_sees_rows_ingested_through_the_format_api(
     got = sorted((r.id, r.s) for r in
                  spark.sql("select * from compose").collect())
     assert got == [(0, "e0"), (1, "e1"), (2, "e2")]
+
+
+def test_max_commits_per_trigger_caps_each_batch(spark, tmp_path):
+    """Rate limiting (Delta maxFilesPerTrigger analogue at commit
+    granularity): with maxCommitsPerTrigger=3, a fresh stream over a
+    9-commit backlog plans batches advancing at most 3 versions each —
+    driven through the reader's own offset protocol (initialOffset →
+    latestOffset → partitions), which is exactly the sequence the
+    micro-batch engine performs.  A reader constructed WITHOUT
+    initialOffset (the restart shape) serves the head unbounded once —
+    the documented Python-Data-Source-API caveat — then caps again."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogStreamReader)
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    for i in range(9):
+        fmt.append(spark.createDataFrame([(i,)], "v int").coalesce(1),
+                   path)
+    schema = fmt.read(spark, path).schema
+    reader = TxnLogStreamReader(schema, {"path": path,
+                                         "maxcommitspertrigger": "3"})
+    cur = reader.initialOffset()
+    ends = []
+    for _ in range(3):
+        nxt = reader.latestOffset()
+        reader.partitions(cur, nxt)
+        ends.append(nxt["version"])
+        cur = nxt
+    assert ends == [2, 5, 8]  # three bounded batches drain the backlog
+    assert reader.latestOffset() == {"version": 8}  # caught up: no-op
+
+    restarted = TxnLogStreamReader(schema, {"path": path,
+                                            "maxcommitspertrigger": "3"})
+    assert restarted.latestOffset() == {"version": 8}  # unbounded once
+    restarted.partitions({"version": 5}, {"version": 8})
+    fmt.append(spark.createDataFrame([(99,)], "v int").coalesce(1), path)
+    assert restarted.latestOffset() == {"version": 9}  # capped again
+
+    with pytest.raises(ValueError, match="positive"):
+        TxnLogStreamReader(schema, {"path": path,
+                                    "maxcommitspertrigger": "0"})
