@@ -1669,6 +1669,40 @@ class TxnLogFormat(TableFormat):
                  "dir": c["dir"]}
                 for c in reversed(commits)]
 
+    def details(self, path: str) -> dict:
+        """DESCRIBE DETAIL analogue, metadata-only: current version,
+        live file count and total bytes (from the COMMIT-RECORDED sizes
+        — no storage listing; files from pre-upgrade commits count as
+        size-unknown), live deletion-vector dirs, retired-file count,
+        alter count, checkpoint version (or None), and the current
+        schema JSON.  Driver-side, O(checkpoint + tail) like every
+        other planning path."""
+        commits = self._commits(path)
+        if not commits:
+            raise FileNotFoundError(f"no committed table at {path}")
+        live = self._resolve_live(commits)
+        removed = self._resolve_removed_files(commits)
+        sizes: dict[str, int] = {}
+        for c in commits:
+            sizes.update(c.get("file_bytes") or {})
+        live_files = {rf for e in live for rf in (e.get("files") or [])
+                      if rf not in removed}
+        unknown = sum(1 for rf in live_files if rf not in sizes)
+        cp = next((c["version"] for c in commits
+                   if c["action"] == "checkpoint"), None)
+        return {
+            "version": commits[-1]["version"],
+            "num_live_files": len(live_files),
+            "size_bytes": sum(sizes.get(rf, 0) for rf in live_files),
+            "size_unknown_files": unknown,
+            "num_live_dirs": len(live),
+            "num_dv_dirs": len(self._resolve_dvs(commits)),
+            "num_removed_files": len(removed),
+            "num_alters": len(self._resolve_alters(commits)),
+            "checkpoint_version": cp,
+            "schema": self._resolve_schema(commits),
+        }
+
     def delete_where(self, spark: SparkSession, path: str,
                      predicate: str) -> int:
         """Row-level DELETE (Delta ``DELETE WHERE`` analogue, the

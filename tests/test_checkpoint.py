@@ -302,6 +302,35 @@ def test_uniform_appends_read_as_one_scan(spark, tmp_path):
     assert plan2.count("Scan parquet") == 2
 
 
+def test_details_is_metadata_only(spark, tmp_path):
+    """DESCRIBE DETAIL analogue: file counts/bytes come from the
+    commit-recorded sizes (no storage walk), reflect retirements and
+    compaction, and survive checkpoint + log pruning."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    for i in range(4):
+        fmt.append(_mk(spark, i * 10, i * 10 + 3), path)
+    d = fmt.details(path)
+    assert d["version"] == 3 and d["num_live_files"] == 4
+    assert d["size_unknown_files"] == 0 and d["size_bytes"] > 0
+    assert d["checkpoint_version"] is None
+    fmt.compact(spark, path, small_file_bytes=1 << 30)
+    fmt.checkpoint(path)
+    fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+    d2 = fmt.details(path)
+    assert d2["num_live_files"] == 1           # merged
+    assert d2["num_removed_files"] == 4        # originals retired
+    assert d2["checkpoint_version"] == 4
+    walked = []
+    real_walk = os.walk
+    try:
+        os.walk = lambda *a, **k: walked.append(a) or real_walk(*a)
+        fmt.details(path)
+    finally:
+        os.walk = real_walk
+    assert walked == []
+
+
 def test_string_stats_truncation_never_false_prunes(spark, tmp_path):
     """Delta-parity string-stats truncation (VERDICT r7 item 3): 32+
     char min/max are widened to a prefix lower bound and a
