@@ -736,7 +736,8 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
     """Model check extended over the round-6 ops: random interleavings of
     append / overwrite_partitions / delete_where / update_where / DV
     delete+update / DV-threshold compaction (round 7) / restore /
-    explicit checkpoint (round 8) must match an
+    explicit checkpoint / size-targeted compaction / log-retention
+    vacuum (round 8) must match an
     in-memory model that snapshots table state per commit VERSION (restore
     = jump to any recorded snapshot; delete = filtered snapshot).  Pins
     that recursive restore resolution and copy-on-write deletes compose
@@ -751,11 +752,15 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
     rng = random.Random(20260814 + 1)
     fmt = TxnLogFormat(checkpoint_interval=2)
     counter = itertools.count()
-    for example in range(3):
+    # 6 examples x 5-8 ops: verified to draw EVERY op at least once
+    # under this seed (3 examples left restore/checkpoint/dv ops unhit
+    # after the round-8 op-list growth reshuffled the sequence)
+    for example in range(6):
         path = str(tmp_path / f"t{example}")
         state: list = []          # current rows [(p, v), ...]
         vcol = "v"                # current name of the value column
         snapshots: dict = {}      # commit version -> (rows, vcol)
+        horizon = 0               # oldest restorable version after prune
 
         def snap():
             snapshots[fmt._commits(path)[-1]["version"]] = (list(state),
@@ -767,10 +772,11 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
             spark.createDataFrame(rows, "p string, v long"), path)
         state = list(rows)
         snap()
-        for _ in range(rng.randint(4, 7)):
+        for _ in range(rng.randint(5, 8)):
             op = rng.choice(["append", "overwrite", "delete", "restore",
                              "update", "dv_delete", "dv_update",
-                             "dv_compact", "alter", "checkpoint"])
+                             "dv_compact", "alter", "checkpoint",
+                             "size_compact", "log_prune"])
             if op == "append":
                 rows = [(rng.choice("abc"), next(counter))]
                 fmt.append(spark.createDataFrame(
@@ -840,8 +846,32 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
                 # invisible to the model entirely
                 fmt.checkpoint(path)
                 continue
+            elif op == "size_compact":
+                # round-8 OPTIMIZE bin-packing: merges small files as a
+                # rewrite_files commit — invisible to the model
+                res = fmt.compact(spark, path, small_file_bytes=1 << 30)
+                if res["rewritten_files"] == 0:
+                    continue  # no commit published -> no snapshot
+            elif op == "log_prune":
+                # round-8 log retention: prunes commit records below the
+                # latest checkpoint; current state must be unaffected,
+                # and any pre-horizon snapshot must now RAISE on restore
+                # (documented horizon error), never mis-answer
+                fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+                _raw_names, cp_names = fmt._list_log(path)
+                if cp_names:
+                    horizon = max(horizon,
+                                  max(int(n.split(".")[0])
+                                      for n in cp_names))
+                dead = [v for v in sorted(snapshots) if v < horizon]
+                if dead:
+                    with pytest.raises(ValueError,
+                                       match="horizon|does not exist"):
+                        fmt.restore(spark, path, dead[0])
+                continue  # no commit -> no snapshot
             else:
-                v = rng.choice(sorted(snapshots))
+                cand = [v for v in sorted(snapshots) if v >= horizon]
+                v = rng.choice(cand)
                 fmt.restore(spark, path, v)
                 state, vcol = list(snapshots[v][0]), snapshots[v][1]
             snap()
