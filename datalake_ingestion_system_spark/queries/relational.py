@@ -2430,6 +2430,62 @@ GROUP BY event_type
 """
 
 
+@_q("q_alter_skipping_read")
+def q_alter_skipping_read(spark, sf_dir):
+    """ADVICE r7 (high) regression under the oracle gate: data skipping
+    must look predicate columns up in pre-alter files under their
+    WRITE-TIME names.  The table commits with a decoy ``user_id``
+    column (real ids + 1,000,000 — its stats provably exclude the
+    predicate range) and the real ids under ``uid``; one alter then
+    DROPS the decoy and RENAMES ``uid`` onto ``user_id``.  A pruner
+    that looks the predicate's current name up directly consults the
+    retired decoy's stats, prunes every file, and returns zero rows —
+    hash-mismatching the oracle, which is the plain filter over the
+    real ids.  The fixed pruner inverts the rename chain per stats
+    recording version (``_source_column``) and both prunes correctly
+    and answers correctly.
+
+    Scale shape: identical to ``q_data_skipping_read`` — driver-side
+    stats comparison at file cardinality; the alter itself is one
+    metadata commit, zero files rewritten."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events")
+    uid_type = dict(e.dtypes)["user_id"]
+    staged = e.select(
+        "event_id", "event_type",
+        F.col("user_id").alias("uid"),
+        (F.col("user_id") + F.lit(1000000)).cast(uid_type)
+        .alias("user_id"),
+        "value")
+    path = tempfile.mkdtemp(prefix="altskip_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(staged.repartitionByRange(8, "uid"), path)
+    fmt.alter_table(path, drop_columns=["user_id"],
+                    rename_columns={"uid": "user_id"})
+    return (fmt.read(spark, path,
+                     where="user_id >= 5 AND user_id < 300")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_alter_skipping_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE user_id >= 5 AND user_id < 300
+GROUP BY event_type
+"""
+
+
 @_q("q_small_file_compact_read")
 def q_small_file_compact_read(spark, sf_dir):
     """Size-targeted small-file compaction (round 8 — Delta OPTIMIZE
