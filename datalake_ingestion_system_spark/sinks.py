@@ -317,14 +317,24 @@ class TxnLogFormat(TableFormat):
             lo = -1 if cp_version is None else cp_version
             if any(v not in rawv for v in range(lo + 1, target + 1)):
                 return None  # gap: pruned below this checkpoint horizon
-            tail = [self._load(path, rawv[v], recs)
-                    for v in range(lo + 1, target + 1)]
+            try:
+                tail = [self._load(path, rawv[v], recs)
+                        for v in range(lo + 1, target + 1)]
+            except FileNotFoundError:
+                # a concurrent vacuum log-prune deleted a listed file
+                # between the listing and the parse — treat exactly like
+                # a pre-existing gap (fall back to a newer checkpoint or
+                # the horizon error, never a raw crash)
+                return None
             if cp_version is not None and any(
                     c["action"] == "restore"
                     and c["to_version"] < cp_version for c in tail):
                 return None  # prefix resolution needs pre-cp records
-            head_part = ([self._load(path, cpv[cp_version], recs)]
-                         if cp_version is not None else [])
+            try:
+                head_part = ([self._load(path, cpv[cp_version], recs)]
+                             if cp_version is not None else [])
+            except FileNotFoundError:
+                return None  # racing prune of a superseded checkpoint
             return head_part + tail
 
         for v in sorted((v for v in cpv if v <= target), reverse=True):
@@ -354,7 +364,10 @@ class TxnLogFormat(TableFormat):
         versions = sorted(int(n.split(".")[0]) for n in raw)
         if versions[0] != 0 or versions[-1] != len(versions) - 1:
             return None
-        return [self._load(path, n, recs) for n in sorted(raw)]
+        try:
+            return [self._load(path, n, recs) for n in sorted(raw)]
+        except FileNotFoundError:
+            return None  # racing vacuum log-prune: history is partial
 
     def _stage(self, df: DataFrame, path: str,
                partition_col: str | None, check: bool = True) -> str:
