@@ -375,3 +375,74 @@ def test_untruncatable_max_records_no_stats(spark, tmp_path):
     assert s[2:] == [0, 1]        # null count still rides along
     got = fmt.read(spark, path, where=f"s >= '{chr(0x10FFFF)}'")
     assert got.count() == 1
+
+
+_RACE_WRITER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+import pyarrow.parquet as pq
+from datalake_ingestion_system_spark.sinks import TxnLogFormat
+
+path = sys.argv[1]
+fmt = TxnLogFormat(checkpoint_interval=None)
+schema_json = ('{{"type":"struct","fields":[{{"name":"id","type":'
+               '"integer","nullable":true,"metadata":{{}}}}]}}')
+for i in range(40):
+    rel = os.path.join("_txn_data", f"d{{i:04d}}")
+    os.makedirs(os.path.join(path, rel))
+    pq.write_table(pa.table({{"id": pa.array([i], pa.int32())}}),
+                   os.path.join(path, rel, "part-0.parquet"))
+    fmt._commit(path, {{"action": "append", "dir": rel,
+                        "schema": schema_json}})
+    if i and i % 7 == 0:
+        fmt.checkpoint(path)
+        fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+print("done")
+"""
+
+
+def test_reader_survives_concurrent_checkpoint_and_prune(tmp_path):
+    """Cross-process race: one process appends, checkpoints, and
+    log-prunes in a loop while this process plans reads with FRESH
+    format instances the whole time.  Planning must never crash (a
+    racing prune between listing and parse falls back like a
+    pre-existing gap), every successful plan must resolve a consistent
+    prefix (live count == head+1 for this append-only table), and
+    visibility must be monotone."""
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    writer = tmp_path / "writer.py"
+    writer.write_text(_RACE_WRITER.format(repo=repo))
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_txn_log"))
+    proc = subprocess.Popen([_sys.executable, str(writer), path],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    seen_head = -1
+    plans = 0
+    try:
+        while proc.poll() is None or plans == 0:
+            fmt = TxnLogFormat()  # cold cache every iteration
+            commits = fmt._commits(path)
+            if not commits:
+                continue
+            head = commits[-1]["version"]
+            assert head >= seen_head, "visibility went backwards"
+            seen_head = head
+            live = fmt._resolve_live(commits)
+            assert len(live) == head + 1, \
+                f"inconsistent prefix: {len(live)} live at head {head}"
+            fmt.details(path)
+            plans += 1
+    finally:
+        out, err = proc.communicate(timeout=120)
+    assert proc.returncode == 0, err
+    assert out.strip() == "done"
+    assert plans > 10  # the loop genuinely overlapped the writer
+    # settled state: checkpoint + tail, all 40 pieces live
+    fmt = TxnLogFormat()
+    commits = fmt._commits(path)
+    assert commits[0]["action"] == "checkpoint"
+    assert len(fmt._resolve_live(commits)) == 40
