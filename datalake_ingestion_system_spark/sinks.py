@@ -695,6 +695,34 @@ class TxnLogFormat(TableFormat):
                     ref.add(c["dv_dir"])
         return ref
 
+    @staticmethod
+    def _checkpoint_span_changed(cp: dict) -> bool:
+        """True iff any DATA-CHANGING commit (anything but append /
+        alter / checkpoint) is folded into checkpoint ``cp`` — the
+        per-version granularity the txnlog streaming source needs to
+        honor its append-only contract over a folded (possibly
+        log-pruned) span.  Checkpoints persist the answer at write time
+        (``state.data_changed``); for pre-upgrade checkpoints it is
+        reconstructed conservatively: any live vector / retired file /
+        non-append live entry / overwrite subtraction means changes,
+        and a VERSION GAP among the folded append + alter entries
+        betrays a change a restore replayed into pure append entries
+        (ADVICE r8 medium — ``_resolve_live`` folds a restore into the
+        target prefix's appends, which the old live-entry heuristic
+        could not see)."""
+        st = cp["state"]
+        flag = st.get("data_changed")
+        if flag is not None:
+            return bool(flag)
+        if st["dvs"] or st["removed_files"]:
+            return True
+        if any(e.get("action") != "append" or e["removed"]
+               for e in st["live"]):
+            return True
+        claimed = {e["version"] for e in st["live"]}
+        claimed |= {a["version"] for a in st["alters"]}
+        return any(v not in claimed for v in range(cp["version"] + 1))
+
     def _write_checkpoint(self, path: str, v: int) -> None:
         """Fold the log through version ``v`` into one
         ``<v>.checkpoint.json`` record (Delta parquet-checkpoint +
@@ -762,12 +790,24 @@ class TxnLogFormat(TableFormat):
             "schema": e.get("schema"),
             "staged_pcol": e.get("staged_pcol"),
         } for e in live]
+        # append-only tracking for the streaming source: does the folded
+        # span contain any data-CHANGING commit?  A prior checkpoint's
+        # answer is carried forward (its own flag, or the conservative
+        # reconstruction for pre-upgrade records) so the property
+        # survives arbitrarily many fold-overs and log prunes.
+        changed = False
+        for c in commits:
+            if c["action"] == "checkpoint":
+                changed = changed or self._checkpoint_span_changed(c)
+            elif c["action"] not in ("append", "alter"):
+                changed = True
         rec = {"action": "checkpoint", "version": v, "ts": run_max,
                "dir": None, "schema": self._resolve_schema(commits),
                "state": {"live": ser_live,
                          "dvs": self._resolve_dvs(commits),
                          "removed_files": sorted(removed),
-                         "alters": self._resolve_alters(commits)},
+                         "alters": self._resolve_alters(commits),
+                         "data_changed": changed},
                "txn_latest": txn, "stats": stats, "file_bytes": fbytes,
                "vacuum_protect": sorted(self._vacuum_protect(commits))}
         log = self._log_dir(path)
@@ -853,7 +893,15 @@ class TxnLogFormat(TableFormat):
         ``{app: [latest_version, commit]}`` map instead of an
         O(epochs) pair list.  Table-recreation safety (a rebuilt table
         at the same path must not inherit the old watermarks) lives in
-        ``_log_names``'s origin-identity cache drop."""
+        ``_log_names``'s origin-identity cache drop.
+
+        Return-value contract (ADVICE r8): the matched version is the
+        commit that recorded the app's LATEST watermark — for a replay
+        of an OLDER epoch it identifies the watermark commit, not the
+        commit that originally applied that exact epoch (the monotone
+        watermark deliberately subsumes per-version identity, exactly
+        Delta's txnVersion semantics).  Callers treat a non-None hit
+        purely as "already applied"."""
         commits = self._commits(path)
         if not commits:
             return -1, None
@@ -1108,7 +1156,6 @@ class TxnLogFormat(TableFormat):
                 removed |= set(c["removed_files"])
         return removed
 
-    @staticmethod
     @staticmethod
     def _parse_literal(lit: str):
         """A raw SQL literal token → comparable Python value, or None
@@ -1683,13 +1730,15 @@ class TxnLogFormat(TableFormat):
                 for c in reversed(commits)]
 
     def details(self, path: str) -> dict:
-        """DESCRIBE DETAIL analogue, metadata-only: current version,
-        live file count and total bytes (from the COMMIT-RECORDED sizes
-        — no storage listing; files from pre-upgrade commits count as
-        size-unknown), live deletion-vector dirs, retired-file count,
-        alter count, checkpoint version (or None), and the current
-        schema JSON.  Driver-side, O(checkpoint + tail) like every
-        other planning path."""
+        """DESCRIBE DETAIL analogue, metadata-only for upgraded tables:
+        current version, live file count (from the commit-recorded file
+        lists; a legacy pre-recording commit pays one dir walk so its
+        files still COUNT — ADVICE r8) and total bytes (from the
+        commit-recorded sizes; legacy files land in
+        ``size_unknown_files``), live deletion-vector dirs, retired-file
+        count, alter count, checkpoint version (or None), and the
+        current schema JSON.  Driver-side, O(checkpoint + tail) like
+        every other planning path."""
         commits = self._commits(path)
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
@@ -1698,8 +1747,19 @@ class TxnLogFormat(TableFormat):
         sizes: dict[str, int] = {}
         for c in commits:
             sizes.update(c.get("file_bytes") or {})
-        live_files = {rf for e in live for rf in (e.get("files") or [])
-                      if rf not in removed}
+        live_files = set()
+        for e in live:
+            files = e.get("files")
+            if files is None:
+                # legacy record written before file recording: the same
+                # one-off walk every other consumer pays for such
+                # commits (a missing dir walks as empty — the read path
+                # is where missing-live-dir corruption raises)
+                files = [_relfile(os.path.join(dp, fn))
+                         for dp, _dns, fns in os.walk(
+                             os.path.join(path, e["dir"]))
+                         for fn in fns if fn.endswith(".parquet")]
+            live_files.update(rf for rf in files if rf not in removed)
         unknown = sum(1 for rf in live_files if rf not in sizes)
         cp = next((c["version"] for c in commits
                    if c["action"] == "checkpoint"), None)

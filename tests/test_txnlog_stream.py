@@ -183,6 +183,89 @@ def test_stream_sees_rows_ingested_through_the_format_api(
     assert got == [(0, "e0"), (1, "e1"), (2, "e2")]
 
 
+def test_stream_fails_loudly_on_mid_stream_schema_evolution(
+        spark, tmp_path):
+    """VERDICT r8 item 3 (Delta schemaTrackingLocation semantics): an
+    ``alter`` that ADDs or RENAMEs columns inside the planned range
+    used to be silently skipped — post-alter data for columns the
+    pinned schema predates was never emitted.  The batch must fail
+    loudly; a restarted reader (re-resolved schema) drains the same
+    range cleanly, widened columns included."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogStreamReader)
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(_mk(spark, (1, "a")), path)                            # v0
+    schema_v0 = fmt.read(spark, path).schema
+    fmt.alter_table(path, add_columns={"score": "double"})            # v1
+    fmt.append(spark.createDataFrame(
+        [(2, "b", 0.5)], "id int, s string, score double"), path)     # v2
+
+    reader = TxnLogStreamReader(schema_v0, {"path": path})
+    with pytest.raises(ValueError, match="ignoreSchemaEvolution"):
+        reader.partitions({"version": -1}, {"version": 2})
+    # a batch that stops BEFORE the alter still plans
+    assert reader.partitions({"version": -1}, {"version": 0})
+
+    # restart: schema re-resolves to the widened form, same range plans
+    restarted = TxnLogStreamReader(fmt.read(spark, path).schema,
+                                   {"path": path})
+    parts = restarted.partitions({"version": -1}, {"version": 2})
+    got = sorted(
+        tuple(b.to_pylist()[i][c] for c in ("id", "s", "score"))
+        for p in parts for b in restarted.read(p)
+        for i in range(b.num_rows))
+    assert got == [(1, "a", None), (2, "b", 0.5)]
+
+    # opt-out keeps the old pin-and-drop behavior
+    pinned = TxnLogStreamReader(schema_v0,
+                                {"path": path,
+                                 "ignoreschemaevolution": "true"})
+    parts = pinned.partitions({"version": -1}, {"version": 2})
+    got = sorted(
+        tuple(b.to_pylist()[i][c] for c in ("id", "s"))
+        for p in parts for b in pinned.read(p)
+        for i in range(b.num_rows))
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_stream_schema_evolution_check_covers_rename_drop_and_folds(
+        spark, tmp_path):
+    """Renames-in and drops of pinned columns fail the same way, and an
+    alter FOLDED into a checkpoint (its per-commit record pruned) is
+    still detected from the checkpoint state's alter list."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogStreamReader)
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(_mk(spark, (1, "a")), path)                            # v0
+    schema_v0 = fmt.read(spark, path).schema
+    fmt.alter_table(path, rename_columns={"s": "label"})              # v1
+    fmt.append(spark.createDataFrame(
+        [(2, "b")], "id int, label string"), path)                    # v2
+    reader = TxnLogStreamReader(schema_v0, {"path": path})
+    with pytest.raises(ValueError, match="renames-in.*label"):
+        reader.partitions({"version": -1}, {"version": 2})
+
+    # fold the alter into a checkpoint and prune its record: the check
+    # must still see it via the checkpoint's alters state
+    fmt.checkpoint(path)
+    fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+    fresh = TxnLogStreamReader(schema_v0, {"path": path})
+    with pytest.raises(ValueError, match="renames-in.*label"):
+        fresh.partitions({"version": -1}, {"version": 2})
+
+    # DROP of a pinned column fails too
+    path2 = str(tmp_path / "t2")
+    fmt.append(_mk(spark, (1, "a")), path2)                           # v0
+    schema2 = fmt.read(spark, path2).schema
+    fmt.alter_table(path2, drop_columns=["s"])                        # v1
+    fmt.append(spark.createDataFrame([(2,)], "id int"), path2)        # v2
+    r2 = TxnLogStreamReader(schema2, {"path": path2})
+    with pytest.raises(ValueError, match="drops: \\['s'\\]"):
+        r2.partitions({"version": -1}, {"version": 2})
+
+
 def test_max_commits_per_trigger_caps_each_batch(spark, tmp_path):
     """Rate limiting (Delta maxFilesPerTrigger analogue at commit
     granularity): with maxCommitsPerTrigger=3, a fresh stream over a
