@@ -48,6 +48,62 @@ HEADLINE = [
 ]
 
 
+def _metadata_plan_bench(spark) -> dict:
+    """Tracked metadata-tier number (VERDICT r8 item 4): cold
+    plan+first-action latency of a filtered read on a DEEP table —
+    600 commits, auto-checkpointed every 10, per-file stats in the
+    parquet SIDECAR (600 > the 512 live-file threshold), pre-checkpoint
+    log files pruned.  This is the checkpoint tier's real regression
+    risk: per-query medians time 3-commit tables; depth only shows up
+    here.  The fixture builds ONCE per machine (pyarrow-staged commits,
+    no Spark in the build) and is reused across rounds; each rep uses a
+    FRESH TxnLogFormat so every run pays the full cold path — log
+    listing, checkpoint JSON parse, lazy sidecar read, stats pruning —
+    plus the one-file scan the predicate leaves alive."""
+    import shutil
+    import statistics
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat
+
+    n_commits = 600
+    path = os.path.join("/tmp/spark_graft_bench_fixtures",
+                        f"commitlog{n_commits}_v1")
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        fmt = TxnLogFormat(checkpoint_interval=10)
+        schema_json = ('{"type":"struct","fields":[{"name":"id","type":'
+                       '"long","nullable":true,"metadata":{}}]}')
+        for i in range(n_commits):
+            rel = os.path.join("_txn_data", f"d{i:04d}")
+            os.makedirs(os.path.join(path, rel))
+            pq.write_table(pa.table({"id": pa.array([i], pa.int64())}),
+                           os.path.join(path, rel, "part-0.parquet"))
+            fmt._commit(path, {"action": "append", "dir": rel,
+                               "schema": schema_json})
+        fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+        with open(marker, "w") as f:
+            f.write("ok")
+    times = []
+    for rep in range(4):  # rep 0 primes OS/JVM caches, 3 timed
+        fmt = TxnLogFormat()
+        t0 = time.perf_counter()
+        n = fmt.read(spark, path,
+                     where=f"id = {n_commits - 7}").count()
+        dt = round(time.perf_counter() - t0, 3)
+        assert n == 1, f"metadata fixture returned {n} rows, expected 1"
+        if rep:
+            times.append(dt)
+    return {"commits": n_commits,
+            "form": "checkpoint+stats-sidecar+pruned-log",
+            "plan_first_action_sec": round(statistics.median(times), 3),
+            "runs": times}
+
+
 def _bench_overrides():
     """Per-name production-mode variants timed INSTEAD of the registered
     query. The registry keeps q_minhash_lsh_pairs in verifiable mode (md5 +
@@ -190,6 +246,12 @@ def main() -> None:
         print(f"# {name}: median {per_query[name]:.3f}s of {times} "
               f"({counts[0]} rows)", file=sys.stderr)
 
+    # metadata-tier depth number, tracked OUTSIDE the headline total so
+    # round-over-round query totals stay comparable (BASELINE.md
+    # documents its r9 reference point)
+    meta_plan = _metadata_plan_bench(spark)
+    print(f"# metadata_plan: {meta_plan}", file=sys.stderr)
+
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -198,6 +260,7 @@ def main() -> None:
         "queries": per_query,
         "runs": raw_runs,
         "protocol": f"median-of-{reps}",
+        "metadata_plan": meta_plan,
         "sf": sf,
     }))
 

@@ -547,3 +547,108 @@ def test_reader_survives_concurrent_checkpoint_and_prune(tmp_path):
     commits = fmt._commits(path)
     assert commits[0]["action"] == "checkpoint"
     assert len(fmt._resolve_live(commits)) == 40
+
+
+def test_checkpoint_sidecar_forms_and_threshold(spark, tmp_path):
+    """VERDICT r8 item 1 (Delta multi-part parquet-checkpoint parity):
+    below ``checkpoint_sidecar_files`` the checkpoint JSON stays
+    self-contained; at/above it the per-file stats/bytes maps publish
+    as a parquet sidecar with a pointer in the JSON.  Reads, data
+    skipping, DESCRIBE DETAIL, and size-targeted compaction behave
+    identically across both forms — and with a sidecar the ONLY
+    possible stats carrier is the sidecar (the lone commit is folded),
+    so the assertions pin the columnar path."""
+    # inline form (default threshold far above 3 files)
+    small = TxnLogFormat(checkpoint_interval=None)
+    p1 = str(tmp_path / "small")
+    for i in range(3):
+        small.append(_mk(spark, i * 10, i * 10 + 2), p1)
+    small.checkpoint(p1)
+    cp = json.load(open(os.path.join(
+        p1, "_txn_log", "000000000002.checkpoint.json")))
+    assert "stats" in cp and "file_bytes" in cp
+    assert "stats_sidecar" not in cp
+    assert not [n for n in os.listdir(os.path.join(p1, "_txn_log"))
+                if n.endswith(".parquet")]
+
+    # sidecar form
+    fmt = TxnLogFormat(checkpoint_interval=None,
+                       checkpoint_sidecar_files=3)
+    p2 = str(tmp_path / "big")
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)],
+                               "id int, v double")
+    fmt.append(df.repartitionByRange(4, "id"), p2)        # v0: 4 files
+    before = sorted(r.id for r in fmt.read(spark, p2).collect())
+    fmt.checkpoint(p2)
+    cp2 = json.load(open(os.path.join(
+        p2, "_txn_log", "000000000000.checkpoint.json")))
+    assert cp2["stats_sidecar"] == "000000000000.checkpoint.stats.parquet"
+    assert "stats" not in cp2 and "file_bytes" not in cp2
+    assert os.path.exists(os.path.join(
+        p2, "_txn_log", cp2["stats_sidecar"]))
+
+    fresh = TxnLogFormat(checkpoint_interval=None)
+    assert sorted(r.id for r in fresh.read(spark, p2).collect()) == before
+    # skipping served from the sidecar: 1 of 4 range files opened
+    got = fresh.read(spark, p2, where="id >= 30")
+    assert sorted(r.id for r in got.collect()) == list(range(30, 40))
+    assert len(got.inputFiles()) == 1
+    # details served from the sidecar
+    d = fresh.details(p2)
+    assert d["num_live_files"] == 4 and d["size_unknown_files"] == 0
+    assert d["size_bytes"] > 0
+    # size-targeted compaction selects from the sidecar byte counts
+    out = fresh.compact(spark, p2, small_file_bytes=1 << 30)
+    assert out["rewritten_files"] == 4
+    assert sorted(r.id for r in fresh.read(spark, p2).collect()) == before
+
+
+def test_checkpoint_sidecar_alter_fold_and_log_pruning(spark, tmp_path):
+    """Sidecar stats keep each file's original recording version, so
+    alter-aware pruning (rename inversion) still works; a SECOND
+    checkpoint folds the first one's sidecar stats forward; vacuum's
+    log cleanup prunes superseded sidecars and keeps the latest."""
+    fmt = TxnLogFormat(checkpoint_interval=None,
+                       checkpoint_sidecar_files=2)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)],
+                               "id int, v double")
+    fmt.append(df.repartitionByRange(4, "id"), path)      # v0
+    fmt.checkpoint(path)                                  # cp@0 + sidecar
+    fmt.alter_table(path, rename_columns={"id": "ident"})  # v1
+    fmt.checkpoint(path)                                  # cp@1 folds cp@0
+    fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+    names = os.listdir(os.path.join(path, "_txn_log"))
+    assert "000000000001.checkpoint.stats.parquet" in names
+    assert "000000000000.checkpoint.stats.parquet" not in names
+    assert "000000000000.checkpoint.json" not in names
+
+    fresh = TxnLogFormat(checkpoint_interval=None)
+    # pre-rename stats (recorded at v0 under 'id') prune the renamed
+    # predicate through the fold — 1 of 4 files opened, rows exact
+    got = fresh.read(spark, path, where="ident >= 30")
+    assert sorted(r.ident for r in got.collect()) == list(range(30, 40))
+    assert len(got.inputFiles()) == 1
+
+
+def test_checkpoint_sidecar_missing_degrades_conservatively(
+        spark, tmp_path):
+    """A deleted/damaged sidecar must never produce a wrong answer:
+    reads lose SKIPPING (all files open) and details lose sizes, but
+    rows and counts stay exact."""
+    fmt = TxnLogFormat(checkpoint_interval=None,
+                       checkpoint_sidecar_files=2)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)],
+                               "id int, v double")
+    fmt.append(df.repartitionByRange(4, "id"), path)
+    fmt.checkpoint(path)
+    os.unlink(os.path.join(
+        path, "_txn_log", "000000000000.checkpoint.stats.parquet"))
+    fresh = TxnLogFormat(checkpoint_interval=None)
+    got = fresh.read(spark, path, where="id >= 30")
+    assert sorted(r.id for r in got.collect()) == list(range(30, 40))
+    assert len(got.inputFiles()) == 4      # no pruning, still correct
+    d = fresh.details(path)
+    assert d["num_live_files"] == 4
+    assert d["size_unknown_files"] == 4    # sizes unknown, not wrong

@@ -2053,3 +2053,163 @@ def test_timestamp_travel_monotonizes_backward_clock_steps(spark,
     got = sorted(r.v for r in
                  fmt.read(spark, path, as_of_timestamp=100.0).collect())
     assert got == [1, 2]  # both versions' effective ts collapse to 100
+
+
+def test_partition_predicate_prunes_whole_dirs(spark, tmp_path,
+                                               monkeypatch):
+    """Log-level partition pruning (VERDICT r8 item 2): a conjunct on a
+    dynamic overwrite's partition column drops whole dirs from the plan
+    via the commit-recorded partition VALUES — the pruned dir is never
+    even stat'ed (pinned by an os.path.isdir probe, which Spark's own
+    scan-level partition pruning cannot fake), and the planned files all
+    come from matching dirs.  Rows stay exact: the predicate re-applies."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    p = lambda rows: spark.createDataFrame(rows, "d string, v int") \
+        .coalesce(1)
+    fmt.overwrite_partitions(p([("2024-01-01", 1), ("2024-01-02", 2)]),
+                             path, "d")                             # v0
+    fmt.overwrite_partitions(p([("2024-01-03", 3)]), path, "d")     # v1
+    dirs = {c["version"]: c["dir"] for c in fmt._raw_full(path)}
+
+    probed = []
+    real_isdir = os.path.isdir
+    monkeypatch.setattr(os.path, "isdir",
+                        lambda q: probed.append(q) or real_isdir(q))
+    got = fmt.read(spark, path, where="d = '2024-01-03'")
+    monkeypatch.undo()
+    assert os.path.join(path, dirs[0]) not in probed   # dir pruned
+    assert os.path.join(path, dirs[1]) in probed
+    # hive partition-type inference reads the date-shaped dir names
+    # back as DATE — stringify for the comparison
+    assert [(str(r.d), r.v) for r in got.collect()] \
+        == [("2024-01-03", 3)]
+    assert all(dirs[1] in f for f in got.inputFiles())
+
+    # range + IN + BETWEEN forms prune too; results stay exact
+    got2 = fmt.read(spark, path, where="d >= '2024-01-03'")
+    assert all(dirs[1] in f for f in got2.inputFiles())
+    assert [(str(r.d), r.v) for r in got2.collect()] \
+        == [("2024-01-03", 3)]
+    got3 = fmt.read(spark, path, where="d IN ('2024-01-01')")
+    assert all(dirs[0] in f for f in got3.inputFiles())
+    assert [(str(r.d), r.v) for r in got3.collect()] \
+        == [("2024-01-01", 1)]
+    got4 = fmt.read(spark, path,
+                    where="d BETWEEN '2024-01-02' AND '2024-01-03'")
+    assert sorted((str(r.d), r.v) for r in got4.collect()) \
+        == [("2024-01-02", 2), ("2024-01-03", 3)]
+
+
+def test_partition_pruning_null_int_and_conservative_types(
+        spark, tmp_path):
+    """The null partition prunes via IS [NOT] NULL; integer partitions
+    compare as integers (dir-name decimal form roundtrips); float
+    partitions are conservatively never dir-pruned — results stay exact
+    in every case."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (None, "b")], "k int, s string")
+    fmt.overwrite_partitions(df.coalesce(1), path, "k")             # v0
+    fmt.overwrite_partitions(
+        spark.createDataFrame([(7, "c")], "k int, s string")
+        .coalesce(1), path, "k")                                    # v1
+    dirs = {c["version"]: c["dir"] for c in fmt._raw_full(path)}
+    got = fmt.read(spark, path, where="k IS NULL")
+    assert all(dirs[0] in f for f in got.inputFiles())  # v1 has no null
+    assert [r.s for r in got.collect()] == ["b"]
+    got2 = fmt.read(spark, path, where="k = 7")
+    assert all(dirs[1] in f for f in got2.inputFiles())
+    assert [r.s for r in got2.collect()] == ["c"]
+    got3 = fmt.read(spark, path, where="k > 5")
+    assert all(dirs[1] in f for f in got3.inputFiles())
+    assert [r.s for r in got3.collect()] == ["c"]
+    # hive type-INFERENCE hazards never prune: numeric-looking strings
+    # are compared in the inferred int domain by Spark ('01' matches
+    # d = '1'), empty string reads back as the null partition, and a
+    # non-canonical date literal coerces in the date domain — all three
+    # must stay conservative, while canonical-ISO and plain strings
+    # keep pruning
+    pe = TxnLogFormat._partition_provably_empty
+    assert pe("d", {"01"}, [("d", "=", "1")], "string") is False
+    assert pe("d", {""}, [("d", "isnull", None)], "string") is False
+    assert pe("d", {"2024-01-03"}, [("d", "=", "2024-1-4")],
+              "string") is False
+    assert pe("d", {"2024-01-03"}, [("d", "=", "2024-01-04")],
+              "string") is True
+    assert pe("d", {"alpha"}, [("d", "=", "beta")], "string") is True
+    # float partition column: never dir-pruned, always correct
+    path2 = str(tmp_path / "t2")
+    fd = spark.createDataFrame([(0.5, "x"), (2.5, "y")],
+                               "f double, s string")
+    fmt.overwrite_partitions(fd.coalesce(1), path2, "f")
+    assert fmt._partition_provably_empty(
+        "f", {"0.5", "2.5"}, [("f", ">", 3.0)], "double") is False
+    got4 = fmt.read(spark, path2, where="f > 1.0")
+    assert [r.s for r in got4.collect()] == ["y"]
+
+
+def test_partition_pruning_composes_with_dv_and_alter(spark, tmp_path):
+    """Partition-dir pruning must compose with deletion vectors (the
+    anti-join still hides vectored rows in surviving dirs) and with
+    alters on OTHER columns (the mapping still applies to surviving
+    dirs)."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-01-01", i, float(i)) for i in range(4)]
+        + [("2024-01-02", i + 10, float(i)) for i in range(4)],
+        "d string, id int, v double")
+    fmt.overwrite_partitions(df.coalesce(1), path, "d")             # v0
+    assert fmt.delete_where_dv(spark, path, "id = 11") == 1         # v1
+    fmt.alter_table(path, rename_columns={"v": "val"},
+                    add_columns={"note": "string"})                 # v2
+    got = fmt.read(spark, path, where="d = '2024-01-02'")
+    assert sorted(r.id for r in got.collect()) == [10, 12, 13]
+    assert got.columns == ["d", "id", "val", "note"]
+    # time travel before the DV sees all four rows, still dir-pruned
+    old = fmt.read(spark, path, as_of_version=0, where="d = '2024-01-02'")
+    assert sorted(r.id for r in old.collect()) == [10, 11, 12, 13]
+
+
+def test_partition_pruning_soundness_property():
+    """Hypothesis soundness: whenever _partition_provably_empty claims a
+    dir can't match, NO recorded value of that dir actually satisfies
+    the clause under Python semantics mirroring Spark's (int compare
+    for int types, codepoint compare for strings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ints = st.integers(min_value=-50, max_value=50)
+    ops = st.sampled_from(["=", "<", "<=", ">", ">=", "in"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(parts=st.sets(ints | st.none(), min_size=1, max_size=6),
+           op=ops,
+           lit=ints | st.tuples(ints, ints))
+    def check(parts, op, lit):
+        if op == "in":
+            lit = lit if isinstance(lit, tuple) else (lit,)
+        elif isinstance(lit, tuple):
+            lit = lit[0]
+        recorded = {None if p is None else str(p) for p in parts}
+        clause = [("k", op, lit)]
+        if TxnLogFormat._partition_provably_empty(
+                "k", recorded, clause, "integer"):
+            for p in parts:
+                if p is None:
+                    continue  # NULL never satisfies a comparison/IN
+                if op == "=":
+                    assert p != lit
+                elif op == "in":
+                    assert p not in lit
+                elif op == "<":
+                    assert not p < lit
+                elif op == "<=":
+                    assert not p <= lit
+                elif op == ">":
+                    assert not p > lit
+                elif op == ">=":
+                    assert not p >= lit
+
+    check()
