@@ -2213,3 +2213,78 @@ def test_partition_pruning_soundness_property():
                     assert not p >= lit
 
     check()
+
+
+_CP_RACE_WRITER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+import pyarrow.parquet as pq
+from datalake_ingestion_system_spark.sinks import TxnLogFormat
+
+path, wid, do_vacuum = sys.argv[1], int(sys.argv[2]), sys.argv[3] == "1"
+fmt = TxnLogFormat(checkpoint_interval=2, checkpoint_sidecar_files=4)
+schema_json = ('{{"type":"struct","fields":[{{"name":"id","type":'
+               '"integer","nullable":true,"metadata":{{}}}}]}}')
+for i in range(20):
+    rel = os.path.join("_txn_data", f"w{{wid}}_{{i:03d}}")
+    os.makedirs(os.path.join(path, rel))
+    pq.write_table(pa.table({{"id": pa.array([wid * 1000 + i],
+                                             pa.int32())}}),
+                   os.path.join(path, rel, "part-0.parquet"))
+    fmt._commit(path, {{"action": "append", "dir": rel,
+                        "schema": schema_json}})
+    if do_vacuum and i % 5 == 4:
+        fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+print("done")
+"""
+
+
+def test_multiprocess_race_auto_checkpoint_and_vacuum(spark, tmp_path):
+    """VERDICT r8 item 5: two OS processes BOTH auto-checkpoint
+    (interval 2, sidecar threshold 4 — every checkpoint publish also
+    races a parquet sidecar link) while one concurrently runs
+    ``vacuum(log_retain_hours=0)`` — the os.link-loser stand-down and
+    racing-prune fallback paths under true process contention, not just
+    threads/model.  Required: gapless resolved versions, all 40 appends
+    live and readable, post-checkpoint time travel works, no horizon
+    errors at/above the latest checkpoint, no stray tmp files."""
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    writer = tmp_path / "writer.py"
+    writer.write_text(_CP_RACE_WRITER.format(repo=repo))
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_txn_log"), exist_ok=True)
+    procs = [subprocess.Popen(
+        [_sys.executable, str(writer), path, str(w), str(w)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for w in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err
+        assert out.strip() == "done"
+
+    fmt = TxnLogFormat()
+    commits = fmt._commits(path)
+    head = commits[-1]["version"]
+    assert head == 39
+    live = fmt._resolve_live(commits)
+    assert len(live) == 40  # gapless: every append resolved exactly once
+    rows = sorted(r.id for r in fmt.read(spark, path).collect())
+    assert rows == sorted(w * 1000 + i for w in range(2)
+                          for i in range(20))
+    log = os.path.join(path, "_txn_log")
+    cps = sorted(int(n.split(".")[0]) for n in os.listdir(log)
+                 if n.endswith(".checkpoint.json"))
+    assert cps, "no checkpoint survived the race"
+    # the race genuinely reached the sidecar form
+    assert any(n.endswith(".checkpoint.stats.parquet")
+               for n in os.listdir(log))
+    # time travel at/above the latest checkpoint never horizon-errors
+    for v in (cps[-1], head):
+        assert fmt.read(spark, path, as_of_version=v).count() == v + 1
+    assert [n for n in os.listdir(log) if n.endswith(".tmp")] == []
+    # details plans from whatever metadata survived pruning
+    d = fmt.details(path)
+    assert d["num_live_files"] == 40
