@@ -37,20 +37,24 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 # round-6 queries have no green row, so the rotation fronts them
 # automatically.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Round 8: all seven round-7 force-front entries hold green rows in
-    # CORRECTNESS_r07 and are RELEASED to the rotation.  Fronted now:
-    # every registry query that rides the TxnLogFormat / txnlog-source
-    # code paths the round-8 commit-log checkpointing rework rewrote
-    # (checkpoint + tail planning, alter-aware stats pruning,
-    # commit-recorded file lists, monotone txn watermarks).  All are
-    # byte-identical by the model check and locally re-verified at 3
-    # SFs, but their load-bearing machinery changed after their last
-    # green driver row — the driver must confirm.  (--changed-since
-    # cannot see transitive sinks edits; this is the manual closure.)
+    # Round 9: all 14 round-8 fronted txn-path entries hold green rows
+    # in CORRECTNESS_r08 and are RELEASED to the rotation.  Fronted
+    # now: the same transitive closure again — round 9 rewrote read()'s
+    # access path (log-level partition-value dir pruning), moved
+    # checkpoint per-file stats to a parquet sidecar (_stats_entries /
+    # _file_bytes_of rework), and changed the stream's planning checks
+    # (data_changed flag, schema-evolution fail-loud).  All locally
+    # re-verified (15/15 oracle-green), but their load-bearing
+    # machinery changed after their last green driver row — the driver
+    # must confirm.  (--changed-since cannot see transitive sinks
+    # edits; this is the manual closure.  q_partition_pruned_read is
+    # new and fronts automatically.)
     "q_data_skipping_read", "q_dv_compact_read", "q_zorder_skipping_read",
     "q_schema_evolution_read", "q_delete_vector_read", "q_merge_upsert",
     "q_txnlog_stream_source", "q_minhash_incremental",
-    "q_cdc_stream_apply", "q_rollup_incremental", "q_stream_kmv_distinct")
+    "q_cdc_stream_apply", "q_rollup_incremental", "q_stream_kmv_distinct",
+    "q_checkpoint_log_read", "q_small_file_compact_read",
+    "q_alter_skipping_read")
 
 
 def _evidence():
