@@ -192,12 +192,15 @@ class TxnLogFormat(TableFormat):
     #: At or above this many stat-carrying live files the checkpoint's
     #: per-file ``stats``/``file_bytes`` maps move OUT of the JSON
     #: document into a parquet SIDECAR next to it (Delta's multi-part
-    #: parquet-checkpoint parity, VERDICT r8 item 1): the resolved
-    #: state stays a small JSON parsed once, while the only term that
-    #: grows with live-file count is read columnar — and LAZILY, only
-    #: by the paths that actually consult per-file metadata (skipping,
-    #: size-targeted compaction, details).  ``None`` disables (always
-    #: inline).
+    #: parquet-checkpoint parity, VERDICT r8 item 1): the DOMINANT
+    #: per-file term (stats are ~10x the bytes of a file name) is read
+    #: columnar — and LAZILY, only by the paths that actually consult
+    #: per-file metadata (skipping, size-targeted compaction, details).
+    #: Residual, documented: the live entries' ``files`` name lists
+    #: still ride the JSON (every read plans from them, so laziness
+    #: buys nothing there); externalizing them too is the next
+    #: constant if a deployment's live-file count makes the remaining
+    #: JSON parse visible.  ``None`` disables (always inline).
     CHECKPOINT_SIDECAR_FILES = 512
 
     def __init__(self, constraints: dict[str, str] | None = None,
@@ -835,15 +838,19 @@ class TxnLogFormat(TableFormat):
         readers authoritatively discover checkpoints by listing.
 
         Format note (VERDICT r8 item 1): the resolved STATE is one
-        small JSON document, parsed once per process (``_log_names``
-        caches by file identity).  The per-file maps — the only term
-        that grows with live-file count — stay inline below
+        JSON document, parsed once per process (``_log_names`` caches
+        by file identity).  The per-file stats/bytes maps — the
+        dominant per-file term — stay inline below
         ``checkpoint_sidecar_files`` and move to a parquet SIDECAR
         (``<v>.checkpoint.stats.parquet``, pointer in the JSON) at or
         above it: Delta's multi-part parquet-checkpoint shape, so a
-        10⁶-live-file table's cold plan parses a small JSON and the
-        stats read columnar — lazily, only by the paths that consult
-        per-file metadata (skipping, size compaction, details)."""
+        deep table's cold plan parses a far smaller JSON and the stats
+        read columnar — lazily, only by the paths that consult
+        per-file metadata (skipping, size compaction, details).  The
+        live entries' ``files`` name lists stay in the JSON by design:
+        every read plans its scan from them, so a lazy sidecar buys
+        nothing there — externalizing them (regrouped per entry) is
+        the documented next step if that residual parse ever shows."""
         commits = self._commits(path, upto=v)
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
