@@ -69,8 +69,10 @@ def _metadata_plan_bench(spark) -> dict:
     from datalake_ingestion_system_spark.sinks import TxnLogFormat
 
     n_commits = 600
+    # _v2: checkpoint format gained schema dictionary + files-in-sidecar
+    # markers — rebuild so the bench measures the current form
     path = os.path.join("/tmp/spark_graft_bench_fixtures",
-                        f"commitlog{n_commits}_v1")
+                        f"commitlog{n_commits}_v2")
     marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)

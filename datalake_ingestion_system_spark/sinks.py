@@ -189,18 +189,16 @@ class TxnLogFormat(TableFormat):
     #: work per read/offset plan.  ``None``/0 disables (tests only).
     CHECKPOINT_INTERVAL = 10
 
-    #: At or above this many stat-carrying live files the checkpoint's
-    #: per-file ``stats``/``file_bytes`` maps move OUT of the JSON
-    #: document into a parquet SIDECAR next to it (Delta's multi-part
-    #: parquet-checkpoint parity, VERDICT r8 item 1): the DOMINANT
-    #: per-file term (stats are ~10x the bytes of a file name) is read
-    #: columnar — and LAZILY, only by the paths that actually consult
-    #: per-file metadata (skipping, size-targeted compaction, details).
-    #: Residual, documented: the live entries' ``files`` name lists
-    #: still ride the JSON (every read plans from them, so laziness
-    #: buys nothing there); externalizing them too is the next
-    #: constant if a deployment's live-file count makes the remaining
-    #: JSON parse visible.  ``None`` disables (always inline).
+    #: At or above this many live files the checkpoint's per-FILE terms
+    #: move OUT of the JSON document into a parquet SIDECAR next to it
+    #: (Delta's multi-part parquet-checkpoint parity, VERDICT r8
+    #: item 1): the ``stats``/``file_bytes`` maps AND the live entries'
+    #: file-name lists (plus the per-entry schema strings, dictionary-
+    #: encoded in the JSON regardless of form) — so the checkpoint JSON
+    #: parse is O(live dirs + alters), never O(files).  Stats decode is
+    #: LAZY (only skipping/size-compaction/details pay it); the
+    #: file-name hydration every read needs is one cheap columnar name
+    #: read per instance.  ``None`` disables (always inline).
     CHECKPOINT_SIDECAR_FILES = 512
 
     def __init__(self, constraints: dict[str, str] | None = None,
@@ -358,6 +356,13 @@ class TxnLogFormat(TableFormat):
         for v in sorted((v for v in cpv if v <= target), reverse=True):
             got = assemble(v)
             if got is not None:
+                if got[0].get("stats_sidecar"):
+                    # sidecar-form checkpoint: live-entry file lists
+                    # live in the sidecar — rehydrate once per
+                    # instance (columnar name read, far cheaper than
+                    # the JSON parse it replaced) so every downstream
+                    # consumer sees ordinary entries
+                    self._hydrate_checkpoint(path, got[0])
                 return got
         got = assemble(None)
         if got is not None:
@@ -686,25 +691,40 @@ class TxnLogFormat(TableFormat):
             return self._sidecar_maps(path, c)[1]
         return c.get("file_bytes") or {}
 
+    def _sidecar_table(self, path: str, rec: dict):
+        """The checkpoint's parquet sidecar as a pyarrow table, read at
+        most once per (instance, checkpoint) — cached ON the parsed
+        record, which lives in the per-instance log cache.  ``None``
+        when the sidecar is unreadable (pruned superseded checkpoint
+        raced by ``_commits``'s fallback assembly, or external damage):
+        every consumer degrades CONSERVATIVELY — no stats means no
+        pruning, no bytes means unknown sizes, no file rows means the
+        legacy dir-walk fallback — never a wrong answer."""
+        if "_sidecar_tbl" in rec:
+            return rec["_sidecar_tbl"]
+        tbl = None
+        try:
+            import pyarrow.parquet as pq
+            tbl = pq.read_table(
+                os.path.join(self._log_dir(path), rec["stats_sidecar"]))
+        except (FileNotFoundError, ImportError):
+            pass
+        rec["_sidecar_tbl"] = tbl
+        return tbl
+
     def _sidecar_maps(self, path: str, rec: dict) -> tuple[dict, dict]:
-        """Lazily load a checkpoint's parquet sidecar into its
-        ``(stats, file_bytes)`` maps, cached ON the parsed record (which
-        lives in the per-instance log cache, so the columnar read
-        happens at most once per process — and only when a planning
-        path actually consults per-file metadata; plain reads never pay
-        it).  A missing sidecar (pruned superseded checkpoint raced by
-        ``_commits``'s fallback assembly, or external damage) degrades
-        CONSERVATIVELY: no stats means no pruning and unknown sizes,
-        never a wrong answer."""
+        """Lazily decode a checkpoint sidecar into its ``(stats,
+        file_bytes)`` maps, cached on the record — only the paths that
+        consult per-file metadata (skipping, size compaction, details)
+        pay the per-file JSON decode; plain reads stop at the cheaper
+        file-list hydration."""
         cached = rec.get("_sidecar_cache")
         if cached is not None:
             return cached
         stats: dict = {}
         fbytes: dict = {}
-        try:
-            import pyarrow.parquet as pq
-            tbl = pq.read_table(
-                os.path.join(self._log_dir(path), rec["stats_sidecar"]))
+        tbl = self._sidecar_table(path, rec)
+        if tbl is not None:
             for rf, sv, cj, b in zip(tbl["relfile"].to_pylist(),
                                      tbl["stat_version"].to_pylist(),
                                      tbl["cols_json"].to_pylist(),
@@ -713,21 +733,52 @@ class TxnLogFormat(TableFormat):
                     stats[rf] = [sv, json.loads(cj)]
                 if b is not None:
                     fbytes[rf] = b
-        except (FileNotFoundError, ImportError):
-            pass
         rec["_sidecar_cache"] = (stats, fbytes)
         return rec["_sidecar_cache"]
 
+    def _hydrate_checkpoint(self, path: str, cp: dict) -> None:
+        """Restore a sidecar-form checkpoint's live-entry ``files``
+        lists from the sidecar's per-file rows (marker ``"sidecar"`` →
+        the entry's sorted file names, regrouped by staged-dir prefix —
+        including files later RETIRED by rewrite_files, which stay in
+        their entry's list and are subtracted at read time exactly like
+        the inline form).  Runs once per (instance, checkpoint), in
+        place on the cached record; an unreadable sidecar degrades the
+        markers to ``None`` — the documented legacy walk fallback, rows
+        always correct."""
+        if cp.get("action") != "checkpoint" or cp.get("_files_hydrated"):
+            return
+        live = cp["state"]["live"]
+        if not any(e.get("files") == "sidecar" for e in live):
+            cp["_files_hydrated"] = True
+            return
+        tbl = self._sidecar_table(path, cp)
+        by_dir: dict[str, list] = {}
+        if tbl is not None:
+            for rf in tbl["relfile"].to_pylist():
+                by_dir.setdefault("/".join(rf.split("/", 2)[:2]),
+                                  []).append(rf)
+        for e in live:
+            if e.get("files") == "sidecar":
+                e["files"] = (sorted(by_dir.get(e["dir"], []))
+                              if tbl is not None else None)
+        cp["_files_hydrated"] = True
+
     def _write_stats_sidecar(self, path: str, name: str,
-                             stats: dict, fbytes: dict) -> None:
-        """Publish the checkpoint's per-file maps as one parquet file —
-        row-per-file, sorted, per-file stats as canonical JSON cells —
-        with the same tmp + fsync + ``os.link`` discipline as every log
-        publish (two racing checkpointers compute identical rows from
-        the immutable records; the link loser stands down)."""
+                             stats: dict, fbytes: dict,
+                             relfiles: list[str] | None = None) -> None:
+        """Publish the checkpoint's per-file data as one parquet file —
+        row-per-file over the FULL file universe (stats/bytes keys plus
+        every live entry's file names, retired files included, so
+        hydration can rebuild each entry's list), sorted, per-file
+        stats as canonical JSON cells — with the same tmp + fsync +
+        ``os.link`` discipline as every log publish (two racing
+        checkpointers compute identical rows from the immutable
+        records; the link loser stands down)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
-        relfiles = sorted(set(stats) | set(fbytes))
+        if relfiles is None:
+            relfiles = sorted(set(stats) | set(fbytes))
         tbl = pa.table({
             "relfile": pa.array(relfiles, pa.string()),
             "stat_version": pa.array(
@@ -839,18 +890,19 @@ class TxnLogFormat(TableFormat):
 
         Format note (VERDICT r8 item 1): the resolved STATE is one
         JSON document, parsed once per process (``_log_names`` caches
-        by file identity).  The per-file stats/bytes maps — the
-        dominant per-file term — stay inline below
-        ``checkpoint_sidecar_files`` and move to a parquet SIDECAR
-        (``<v>.checkpoint.stats.parquet``, pointer in the JSON) at or
-        above it: Delta's multi-part parquet-checkpoint shape, so a
-        deep table's cold plan parses a far smaller JSON and the stats
-        read columnar — lazily, only by the paths that consult
-        per-file metadata (skipping, size compaction, details).  The
-        live entries' ``files`` name lists stay in the JSON by design:
-        every read plans its scan from them, so a lazy sidecar buys
-        nothing there — externalizing them (regrouped per entry) is
-        the documented next step if that residual parse ever shows."""
+        by file identity), with per-entry schemas DICTIONARY-encoded
+        (``state.schemas`` + ``schema_idx`` — a wide-schema streaming
+        table used to repeat a multi-KB schema string per append
+        entry, the single largest term).  Below
+        ``checkpoint_sidecar_files`` the per-file stats/bytes maps and
+        file lists stay inline; at or above it EVERY per-file term
+        moves to a parquet SIDECAR (``<v>.checkpoint.stats.parquet``,
+        pointer + ``"sidecar"`` markers in the JSON): Delta's
+        multi-part parquet-checkpoint shape, so a deep table's cold
+        plan parses an O(live dirs) JSON, rehydrates file names with
+        one columnar read, and decodes stats lazily — only for the
+        paths that consult per-file metadata (skipping, size
+        compaction, details)."""
         commits = self._commits(path, upto=v)
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
@@ -883,6 +935,22 @@ class TxnLogFormat(TableFormat):
                 if "/".join(rf.split("/", 2)[:2]) in live_dirs \
                         and rf not in removed:
                     fbytes[rf] = b
+        # SCHEMA DICTIONARY: the full schema JSON used to repeat PER
+        # LIVE ENTRY — for a wide-schema streaming table (10⁶ uniform
+        # append entries x multi-KB schema string) the single largest
+        # checkpoint term, dwarfing even the stats.  Entries index into
+        # one deduped list instead; resolvers map back on read.
+        schema_list: list[str] = []
+        schema_ix: dict[str, int] = {}
+
+        def sidx(sj):
+            if sj is None:
+                return None
+            if sj not in schema_ix:
+                schema_ix[sj] = len(schema_list)
+                schema_list.append(sj)
+            return schema_ix[sj]
+
         ser_live = [{
             "dir": e["dir"],
             "removed": {col: sorted(vals, key=lambda x: (x is None, x))
@@ -892,7 +960,7 @@ class TxnLogFormat(TableFormat):
             "version": e["version"],
             "action": e.get("action"),
             "files": e.get("files"),
-            "schema": e.get("schema"),
+            "schema_idx": sidx(e.get("schema")),
             "staged_pcol": e.get("staged_pcol"),
         } for e in live]
         # append-only tracking for the streaming source: does the folded
@@ -909,24 +977,35 @@ class TxnLogFormat(TableFormat):
         rec = {"action": "checkpoint", "version": v, "ts": run_max,
                "dir": None, "schema": self._resolve_schema(commits),
                "state": {"live": ser_live,
+                         "schemas": schema_list,
                          "dvs": self._resolve_dvs(commits),
                          "removed_files": sorted(removed),
                          "alters": self._resolve_alters(commits),
                          "data_changed": changed},
                "txn_latest": txn,
                "vacuum_protect": sorted(self._vacuum_protect(commits))}
-        # SIDECAR threshold (VERDICT r8 item 1): past it, the per-file
-        # maps — the only checkpoint term that grows with live-file
-        # count — publish as a parquet file BESIDE the JSON (which keeps
-        # just a pointer), read lazily and columnar by the few paths
-        # that consult per-file metadata.  The sidecar links BEFORE the
-        # JSON so a published pointer always resolves; a crash between
-        # the two leaves an orphan sidecar for vacuum's log cleanup.
-        n_files = len(set(stats) | set(fbytes))
+        # SIDECAR threshold (VERDICT r8 item 1): past it, every
+        # per-FILE term — the stats/bytes maps AND the live entries'
+        # file-name lists — publishes as one parquet file BESIDE the
+        # JSON (which keeps just a pointer and ``"sidecar"`` markers),
+        # so the JSON parse is O(live dirs), never O(files).  Stats
+        # decode stays lazy; the file-name hydration every read needs
+        # is a cheap columnar name read (``_hydrate_checkpoint``).
+        # The sidecar links BEFORE the JSON so a published pointer
+        # always resolves; a crash between the two leaves an orphan
+        # sidecar for vacuum's log cleanup.
+        all_files = set(stats) | set(fbytes)
+        for e in ser_live:
+            if e["files"] is not None:
+                all_files.update(e["files"])
         if self.checkpoint_sidecar_files is not None \
-                and n_files >= self.checkpoint_sidecar_files:
+                and len(all_files) >= self.checkpoint_sidecar_files:
             sidecar = f"{v:012d}.checkpoint.stats.parquet"
-            self._write_stats_sidecar(path, sidecar, stats, fbytes)
+            self._write_stats_sidecar(path, sidecar, stats, fbytes,
+                                      sorted(all_files))
+            for e in ser_live:
+                if e["files"] is not None:
+                    e["files"] = "sidecar"
             rec["stats_sidecar"] = sidecar
         else:
             rec["stats"] = stats
@@ -1067,7 +1146,10 @@ class TxnLogFormat(TableFormat):
             if c["action"] == "checkpoint":
                 # initial state: DEEP-copied per call — resolvers mutate
                 # entries' removed sets, and the checkpoint record is a
-                # shared cached object
+                # shared cached object.  Schemas come back through the
+                # state's dictionary (``schema_idx``); pre-dictionary
+                # checkpoints carry inline ``schema`` strings.
+                schemas = c["state"].get("schemas") or []
                 live = [{"dir": e["dir"],
                          "removed": {col: set(vals) for col, vals
                                      in e["removed"].items()},
@@ -1077,7 +1159,10 @@ class TxnLogFormat(TableFormat):
                          "version": e["version"],
                          "action": e.get("action"),
                          "files": e.get("files"),
-                         "schema": e.get("schema")}
+                         "schema": (e["schema"] if "schema" in e
+                                    else (schemas[e["schema_idx"]]
+                                          if e.get("schema_idx")
+                                          is not None else None))}
                         for e in c["state"]["live"]]
                 continue
             if c["action"] == "dv_update":

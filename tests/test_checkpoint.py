@@ -652,3 +652,103 @@ def test_checkpoint_sidecar_missing_degrades_conservatively(
     d = fresh.details(path)
     assert d["num_live_files"] == 4
     assert d["size_unknown_files"] == 4    # sizes unknown, not wrong
+
+
+def test_checkpoint_schema_dictionary_and_file_markers(spark, tmp_path):
+    """Checkpoint JSON is O(live dirs), never O(files x schema bytes):
+    per-entry schemas dictionary-encode into ``state.schemas`` (one
+    entry per DISTINCT schema), and in sidecar form the entries' file
+    lists collapse to ``"sidecar"`` markers rehydrated from the
+    parquet sidecar.  Reads, the streaming source, and a pre-dictionary
+    (legacy inline-schema) checkpoint all stay byte-identical."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogStreamReader)
+    fmt = TxnLogFormat(checkpoint_interval=None,
+                       checkpoint_sidecar_files=3)
+    path = str(tmp_path / "t")
+    for i in range(5):
+        fmt.append(_mk(spark, i * 10, i * 10 + 2), path)   # one schema
+    fmt.append(spark.createDataFrame([(999, "z", 1.5)],
+                                     "id int, tag string, w double")
+               .coalesce(1), path)                         # second schema
+    before = _rows(fmt.read(spark, path))
+    fmt.checkpoint(path)                                   # cp@5
+    cp = json.load(open(os.path.join(
+        path, "_txn_log", "000000000005.checkpoint.json")))
+    # schemas deduped: 6 entries, 2 distinct schemas, no inline copies
+    assert len(cp["state"]["schemas"]) == 2
+    assert all("schema" not in e for e in cp["state"]["live"])
+    assert sorted({e["schema_idx"] for e in cp["state"]["live"]}) \
+        == [0, 1]
+    # sidecar form: every recorded file list is a marker in the JSON
+    assert cp["stats_sidecar"]
+    assert all(e["files"] == "sidecar" for e in cp["state"]["live"])
+
+    fresh = TxnLogFormat()
+    assert _rows(fresh.read(spark, path)) == before
+    # drifted-schema entry still scans in its own group post-hydration
+    assert fresh.read(spark, path).filter("w is not null").count() == 1
+
+    # stream drains a folded sidecar-form backlog with zero os.walk
+    # (uniform-schema table: drift appends are the stream's documented
+    # refusal, unrelated to the sidecar)
+    p2 = str(tmp_path / "t2")
+    for i in range(5):
+        fmt.append(_mk(spark, i * 10, i * 10 + 2), p2)
+    fmt.checkpoint(p2)
+    cp2 = json.load(open(os.path.join(
+        p2, "_txn_log", "000000000004.checkpoint.json")))
+    assert cp2["stats_sidecar"]
+    fmt.vacuum(p2, retain_hours=1e6, log_retain_hours=0.0)
+    reader = TxnLogStreamReader(fmt.read(spark, p2).schema,
+                                {"path": p2})
+    walked = []
+    real_walk = os.walk
+    os.walk = lambda *a, **k: walked.append(a) or real_walk(*a)
+    try:
+        parts = reader.partitions({"version": -1}, {"version": 4})
+    finally:
+        os.walk = real_walk
+    assert walked == []
+    got = sorted(r for p in parts for b in reader.read(p)
+                 for r in b.column(0).to_pylist())
+    assert got == sorted(i * 10 + j for i in range(5) for j in range(2))
+
+    # pre-dictionary compat: rewrite the checkpoint to the legacy
+    # inline-schema shape; a cold instance must read identically
+    cp_path = os.path.join(path, "_txn_log",
+                           "000000000005.checkpoint.json")
+    legacy = json.load(open(cp_path))
+    schemas = legacy["state"].pop("schemas")
+    for e in legacy["state"]["live"]:
+        idx = e.pop("schema_idx")
+        e["schema"] = None if idx is None else schemas[idx]
+    with open(cp_path, "w") as f:
+        json.dump(legacy, f)
+    assert _rows(TxnLogFormat().read(spark, path)) == before
+
+
+def test_sidecar_hydration_keeps_retired_files_subtracted(
+        spark, tmp_path):
+    """Retired (rewrite_files) names stay in their entry's sidecar rows
+    so hydration rebuilds the SAME lists the inline form records — and
+    read's file pruning still subtracts them (opening a retired file
+    would resurrect pre-compaction rows)."""
+    fmt = TxnLogFormat(checkpoint_interval=None,
+                       checkpoint_sidecar_files=2)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)],
+                               "id int, v double")
+    fmt.append(df.repartitionByRange(4, "id"), path)        # v0: 4 files
+    fmt.compact(spark, path, small_file_bytes=1 << 30,
+                target_file_bytes=1 << 30)                  # v1 retires 4
+    before = sorted(r.id for r in fmt.read(spark, path).collect())
+    fmt.checkpoint(path)                                    # cp@1 sidecar
+    fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+    fresh = TxnLogFormat()
+    got = fresh.read(spark, path)
+    assert sorted(r.id for r in got.collect()) == before == list(range(40))
+    # only the merged survivor file is opened — the four retired
+    # originals are hydrated AND subtracted, not resurrected
+    assert len(got.inputFiles()) == 1
+    assert fresh.details(path)["num_removed_files"] == 4
