@@ -100,10 +100,30 @@ def _metadata_plan_bench(spark) -> dict:
         assert n == 1, f"metadata fixture returned {n} rows, expected 1"
         if rep:
             times.append(dt)
+    # the STREAMING metadata path at the same depth: a fresh reader's
+    # full-backlog offset plan (hydration + 600 per-file partitions),
+    # pure driver work — no Spark job
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogStreamReader)
+    from pyspark.sql.types import LongType, StructField, StructType
+    stream_times = []
+    for rep in range(4):
+        reader = TxnLogStreamReader(
+            StructType([StructField("id", LongType())]), {"path": path})
+        t0 = time.perf_counter()
+        parts = reader.partitions(reader.initialOffset(),
+                                  reader.latestOffset())
+        dt = round(time.perf_counter() - t0, 3)
+        assert len(parts) == n_commits
+        if rep:
+            stream_times.append(dt)
     return {"commits": n_commits,
             "form": "checkpoint+stats-sidecar+pruned-log",
             "plan_first_action_sec": round(statistics.median(times), 3),
-            "runs": times}
+            "runs": times,
+            "stream_backlog_plan_sec": round(
+                statistics.median(stream_times), 3),
+            "stream_runs": stream_times}
 
 
 def _bench_overrides():

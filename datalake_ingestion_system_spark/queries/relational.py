@@ -2639,3 +2639,54 @@ FROM events
 WHERE user_id >= 5 AND user_id < 300
 GROUP BY event_type
 """
+
+
+@_q("q_sidecar_checkpoint_read")
+def q_sidecar_checkpoint_read(spark, sf_dir):
+    """The SIDECAR checkpoint form under the oracle gate (round 9 —
+    Delta multi-part parquet-checkpoint parity): events land as 12
+    range-clustered append commits with ``checkpoint_sidecar_files=4``,
+    so the auto-checkpoint at version 10 externalizes EVERY per-file
+    term — stats/bytes maps plus the live entries' file lists (markers
+    in the JSON, one sidecar row per file) — and dictionary-encodes the
+    per-entry schemas.  ``vacuum(log_retain_hours=0)`` then prunes the
+    folded records, so the filtered read below can only plan by parsing
+    the small checkpoint JSON, REHYDRATING file lists from the sidecar,
+    and pruning files via the lazily-decoded sidecar stats.  The DuckDB
+    oracle is the plain filtered aggregation: the entire columnar
+    metadata path must be invisible to results.
+
+    Scale shape: this is the 10⁶-live-file streaming table's cold
+    plan — an O(live dirs) JSON parse plus one columnar name read,
+    with per-file stats decoded only because the read is filtered."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="sidecar_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_sidecar_files=4)
+    for i in range(12):
+        fmt.append(e.filter(F.pmod(F.col("event_id"), F.lit(12)) == i)
+                   .coalesce(1), path)
+    fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
+    return (fmt.read(spark, path,
+                     where="user_id >= 5 AND user_id < 300")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_sidecar_checkpoint_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE user_id >= 5 AND user_id < 300
+GROUP BY event_type
+"""

@@ -48,6 +48,8 @@ DEFAULT_SET = [
     "q_schema_evolution_read", "q_charngram_lm_score",
     # round 8: checkpointed commit log read path
     "q_checkpoint_log_read",
+    # round 9: log-level partition pruning
+    "q_partition_pruned_read",
 ]
 
 
