@@ -151,7 +151,11 @@ class TxnLogFormat(TableFormat):
       retry: the ``os.link`` loser gets FileExistsError, re-lists the log
       and takes the next number — both commits land, serialized by version
       order.  On an object store, swap the link for a conditional PUT of
-      the staged record (same seam as the ingest lease).
+      the staged record (same seam as the ingest lease).  Read-modify-write
+      commits add LOGICAL conflict checking on top (Delta's
+      WriteSerializable matrix): see ``_APPEND_TOLERANT`` /
+      ``_interleave_is_benign`` — pure same-schema appends interleaving a
+      file-targeted op retarget it instead of aborting it.
     - ``overwrite_partitions`` records the replaced partition VALUES in its
       commit; replay subtracts them from every earlier commit, giving
       dynamic-partition-overwrite semantics without ever deleting data
@@ -201,10 +205,22 @@ class TxnLogFormat(TableFormat):
     #: read per instance.  ``None`` disables (always inline).
     CHECKPOINT_SIDECAR_FILES = 512
 
+    #: Commit actions whose read/write footprint is FILE-TARGETED (named
+    #: data files, or metadata only), so a concurrently landed pure
+    #: APPEND cannot overlap them — the WriteSerializable row of Delta's
+    #: conflict matrix (OPTIMIZE / DELETE-with-DVs / UPDATE-with-DVs /
+    #: schema change vs blind appends commit without recomputation).
+    #: ``replace_all`` ops are absent BY DESIGN: they logically read and
+    #: rewrite the whole table, so any interleaved data commit
+    #: invalidates them — blind re-publish would erase the appended rows.
+    _APPEND_TOLERANT = frozenset(
+        {"add_dv", "dv_update", "rewrite_files", "alter"})
+
     def __init__(self, constraints: dict[str, str] | None = None,
                  checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
                  checkpoint_sidecar_files: int | None =
-                 CHECKPOINT_SIDECAR_FILES) -> None:
+                 CHECKPOINT_SIDECAR_FILES,
+                 isolation: str = "write_serializable") -> None:
         # No data_format knob: the log's staged data dirs are parquet by
         # protocol (read() globs them as such); don't inherit the seam
         # __init__, which would rebind ``name`` per-instance.
@@ -214,6 +230,20 @@ class TxnLogFormat(TableFormat):
         # commit and raises on violation, so a constrained table can never
         # publish a violating version.  SQL-standard CHECK semantics: a
         # row fails only when the expression is FALSE — NULL passes.
+        # ``isolation`` (Delta table-property parity): under the default
+        # ``write_serializable``, a read-modify-write commit whose action
+        # is in ``_APPEND_TOLERANT`` RETARGETS past interleaved pure
+        # same-schema appends instead of raising — the result serializes
+        # as if the op ran first, which is exactly WriteSerializable's
+        # contract, and it keeps maintenance (compaction, DV deletes)
+        # from being starved forever by sustained streaming appends.
+        # ``serializable`` restores the strict any-interleave-aborts
+        # behavior for audit-grade history ordering.
+        if isolation not in ("serializable", "write_serializable"):
+            raise ValueError(
+                "isolation must be 'serializable' or 'write_serializable'"
+                f", got {isolation!r}")
+        self.isolation = isolation
         self.constraints = dict(constraints or {})
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_sidecar_files = checkpoint_sidecar_files
@@ -531,7 +561,8 @@ class TxnLogFormat(TableFormat):
         return stats, sizes
 
     def _commit(self, path: str, record: dict,
-                expected_version: int | None = None) -> int:
+                expected_version: int | None = None,
+                base_schema: str | None = None) -> int:
         if record.get("dir") and record["action"] in (
                 "append", "overwrite", "replace_all", "dv_update",
                 "rewrite_files") and "stats" not in record:
@@ -586,13 +617,33 @@ class TxnLogFormat(TableFormat):
                 v = (max(versions) + 1) if versions else 0
             if expected_version is not None and v != expected_version:
                 # optimistic concurrency for read-modify-write commits
-                # (Delta's conflict detection): the snapshot this record
-                # was computed from is no longer the head — surface it
-                # instead of silently erasing the interleaved commit.
-                raise ConcurrentWriteError(
-                    f"table advanced to version {v - 1} while this "
-                    f"write was computed against version "
-                    f"{expected_version - 1}; re-read and retry")
+                # (Delta's conflict detection).  Before surfacing the
+                # race, apply the LOGICAL conflict check: under
+                # WriteSerializable, a file-targeted op (DV add/update,
+                # targeted rewrite, schema change) whose interleavers are
+                # all pure same-schema appends retargets to the new head
+                # and publishes unchanged — the history serializes as if
+                # this op committed first, and appended files (disjoint
+                # from the op's named-file footprint by construction)
+                # stay fully live.  Anything else — an interleaved
+                # overwrite/replace/restore/DV/alter, a schema-divergent
+                # append (a retargeted schema-bearing commit would roll
+                # the resolved schema back past it), or an unreadable
+                # interleaved record — conservatively aborts: the
+                # snapshot this record was computed from is no longer
+                # the head, and blind re-publish would erase the
+                # interleaved commit's effect.
+                if (self.isolation == "write_serializable"
+                        and v > expected_version
+                        and record["action"] in self._APPEND_TOLERANT
+                        and self._interleave_is_benign(
+                            path, expected_version, v, base_schema)):
+                    expected_version = v
+                else:
+                    raise ConcurrentWriteError(
+                        f"table advanced to version {v - 1} while this "
+                        f"write was computed against version "
+                        f"{expected_version - 1}; re-read and retry")
             target = os.path.join(log, f"{v:012d}.json")
             # Write the FULL record (+fsync) to an invisible temp file, then
             # publish with os.link: the commit name either appears with its
@@ -630,6 +681,36 @@ class TxnLogFormat(TableFormat):
                 continue  # lost the version race — re-list and retry
             finally:
                 os.unlink(tmp)
+
+    def _interleave_is_benign(self, path: str, lo: int, hi: int,
+                              base_schema: str | None) -> bool:
+        """True iff every commit in versions ``[lo, hi)`` is a pure
+        ``append`` whose recorded schema matches ``base_schema`` — the
+        snapshot schema the in-flight read-modify-write op was computed
+        against.  The schema condition is what keeps retargeting sound
+        for schema-bearing records (``rewrite_files``, ``alter``): if a
+        WIDENED append slipped in between, publishing the stale-schema
+        record above it would make the resolved schema (last
+        schema-bearing commit wins) silently drop the new column, so
+        that case conservatively conflicts instead.  Any unreadable or
+        missing interleaved record (e.g. a racing ``vacuum`` log-prune
+        deleted it mid-check) also returns False — the caller raises
+        ``ConcurrentWriteError`` and the op recomputes, never guesses."""
+        raw, _cps, recs = self._log_names(path)
+        byv = {int(n.split(".")[0]): n for n in raw}
+        for u in range(lo, hi):
+            name = byv.get(u)
+            if name is None:
+                return False
+            try:
+                c = self._load(path, name, recs)
+            except (FileNotFoundError, ValueError):
+                return False
+            if c.get("action") != "append":
+                return False
+            if base_schema is not None and c.get("schema") != base_schema:
+                return False
+        return True
 
     # -- checkpointing ----------------------------------------------------
     def _maybe_checkpoint(self, path: str, v: int) -> None:
@@ -1328,7 +1409,8 @@ class TxnLogFormat(TableFormat):
                "rename": dict(rename_columns),
                "drop": drop_columns,
                "schema": new_schema.json()}
-        return self._commit(path, rec, expected_version=head + 1)
+        return self._commit(path, rec, expected_version=head + 1,
+                            base_schema=sj)
 
     def _resolve_schema(self, commits: list[dict]) -> str | None:
         """The current schema JSON under the same restore algebra: the
@@ -2168,8 +2250,12 @@ class TxnLogFormat(TableFormat):
         DV-then-rewrite lifecycle.  CHECK constraints are not re-validated
         (deleting rows cannot introduce a violation).  Same
         ``ConcurrentWriteError`` snapshot guard as every read-modify-write
-        commit.  Returns rows deleted."""
-        head = self._commits(path)[-1]["version"]
+        commit — but append-tolerant under WriteSerializable isolation
+        (the vector names snapshot files only, so interleaved pure
+        same-schema appends retarget the commit instead of aborting it).
+        Returns rows deleted."""
+        commits = self._commits(path)
+        head = commits[-1]["version"]
         self._check_dv_reserved_columns(spark, path)
         # where=predicate lets the stats pruner skip files that provably
         # hold no matching row — a point delete opens O(matching files),
@@ -2185,7 +2271,8 @@ class TxnLogFormat(TableFormat):
         rel = self._stage(hits, path, None, check=False)
         self._commit(path, {"action": "add_dv", "dir": rel,
                             "partition_col": None, "partitions": []},
-                     expected_version=head + 1)
+                     expected_version=head + 1,
+                     base_schema=self._resolve_schema(commits))
         return n_del
 
     def _check_dv_reserved_columns(self, spark: SparkSession,
@@ -2213,7 +2300,8 @@ class TxnLogFormat(TableFormat):
         and commit leaves two invisible orphans for vacuum.  Vectors and
         rewrite dirs retire together at the next ``replace_all``.
         Returns rows updated."""
-        head = self._commits(path)[-1]["version"]
+        commits = self._commits(path)
+        head = commits[-1]["version"]
         self._check_dv_reserved_columns(spark, path)
         # same stats pruning as delete_where_dv: only files that can hold
         # a matching row are opened to compute the rewrite
@@ -2242,7 +2330,8 @@ class TxnLogFormat(TableFormat):
         self._commit(path, {"action": "dv_update", "dir": data_rel,
                             "dv_dir": dv_rel,
                             "partition_col": None, "partitions": []},
-                     expected_version=head + 1)
+                     expected_version=head + 1,
+                     base_schema=self._resolve_schema(commits))
         return n_upd
 
     def update_where(self, spark: SparkSession, path: str, predicate: str,
@@ -2625,7 +2714,8 @@ class TxnLogFormat(TableFormat):
             if n_remaining:
                 rec["dv_dir"] = self._stage(remaining, path, None,
                                             check=False)
-        self._commit(path, rec, expected_version=head + 1)
+        self._commit(path, rec, expected_version=head + 1,
+                     base_schema=self._resolve_schema(commits))
         return {"rewritten_files": len(hot),
                 "retired_dv_entries": retired}
 

@@ -2292,3 +2292,264 @@ def test_multiprocess_race_auto_checkpoint_and_vacuum(spark, tmp_path):
     # details plans from whatever metadata survived pruning
     d = fmt.details(path)
     assert d["num_live_files"] == 40
+
+
+# -- WriteSerializable logical conflict checking --------------------------
+#
+# Delta's conflict matrix: under the default WriteSerializable isolation,
+# a blind APPEND never conflicts with a concurrently committing
+# file-targeted op (OPTIMIZE / DV delete / DV update / metadata change) —
+# the history serializes as if the targeted op ran first.  Without this,
+# sustained streaming appends would starve every maintenance op forever
+# (retry_on_conflict is bounded by design).  Full-table replace_all ops
+# stay strict: they read everything, so any interleave invalidates them.
+
+
+def _interpose_append(fmt, racer, spark, path, rows, schema,
+                      on_call: int = 1):
+    """Patch ``fmt.read`` so the ``on_call``-th read inside the op under
+    test is followed by a racer append — deterministically landing a
+    commit between the op's snapshot resolution and its publish."""
+    orig_read = fmt.read
+    calls = {"n": 0}
+
+    def racing_read(spark_, p, **kw):
+        df_ = orig_read(spark_, p, **kw)
+        calls["n"] += 1
+        if calls["n"] == on_call:
+            racer.append(spark.createDataFrame(rows, schema), path)
+        return df_
+
+    fmt.read = racing_read
+    return orig_read
+
+
+def test_dv_delete_tolerates_interleaved_append(spark, tmp_path):
+    """DV delete vs racing same-schema append: BOTH land without a retry
+    — the delete's vector targets snapshot files only, the appended rows
+    survive untouched (WriteSerializable: delete serializes first, so
+    the racer's predicate-matching row is NOT deleted)."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, -1.0), (2, 2.0)], "id long, v double"),
+        path)
+    racer = TxnLogFormat()
+    # on_call=2: fire AFTER the predicate read (call 1 is the reserved-
+    # column check), so the op's snapshot provably excludes the racer
+    orig = _interpose_append(fmt, racer, spark, path,
+                             [(3, -3.0)], "id long, v double", on_call=2)
+    try:
+        n = fmt.delete_where_dv(spark, path, "v < 0")
+    finally:
+        fmt.read = orig
+    assert n == 1
+    got = sorted((r.id, r.v) for r in fmt.read(spark, path).collect())
+    # id=1 deleted; racer's id=3 (v<0!) survives — serialized after
+    assert got == [(2, 2.0), (3, -3.0)]
+    # the add_dv commit RETARGETED above the interleaved append
+    actions = [c["action"] for c in fmt._commits(path)
+               if c["action"] != "checkpoint"]
+    assert actions == ["replace_all", "append", "add_dv"]
+
+
+def test_dv_update_tolerates_interleaved_append(spark, tmp_path):
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+        path)
+    racer = TxnLogFormat()
+    orig = _interpose_append(fmt, racer, spark, path,
+                             [(3, 30.0)], "id long, v double", on_call=2)
+    try:
+        n = fmt.update_where_dv(spark, path, "id = 1", {"v": "v + 0.5"})
+    finally:
+        fmt.read = orig
+    assert n == 1
+    got = sorted((r.id, r.v) for r in fmt.read(spark, path).collect())
+    assert got == [(1, 10.5), (2, 20.0), (3, 30.0)]
+
+
+def test_targeted_compact_tolerates_interleaved_append(spark, tmp_path):
+    """OPTIMIZE vs append — Delta explicitly allows this pair.  The
+    rewrite removes snapshot files only; the racer's dir stays live."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1, 1.0)], "id long, v double"), path)
+    fmt.append(spark.createDataFrame([(2, 2.0)], "id long, v double"), path)
+    racer = TxnLogFormat()
+    orig = _interpose_append(fmt, racer, spark, path,
+                             [(9, 9.0)], "id long, v double", on_call=1)
+    n_snapshot_files = sum(
+        len(c.get("files") or []) for c in fmt._commits(path)
+        if c["action"] == "append")
+    try:
+        out = fmt.compact(spark, path, small_file_bytes=32 << 20)
+    finally:
+        fmt.read = orig
+    # exactly the SNAPSHOT's files merged — the racer's dir untouched
+    assert out["rewritten_files"] == n_snapshot_files
+    got = sorted((r.id, r.v) for r in fmt.read(spark, path).collect())
+    assert got == [(1, 1.0), (2, 2.0), (9, 9.0)]
+
+
+def test_alter_tolerates_same_schema_append(spark, tmp_path):
+    """Metadata-only alter vs same-schema append: the append lands BELOW
+    the retargeted alter version, so the rename mapping applies to it —
+    exactly as if the append had committed first."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1, 1.0)], "id long, v double"), path)
+    racer = TxnLogFormat()
+    raced = {"done": False}
+    orig_rs = fmt._resolve_schema
+
+    def racing_resolve(commits):
+        sj = orig_rs(commits)
+        if not raced["done"]:
+            raced["done"] = True
+            racer.append(spark.createDataFrame(
+                [(2, 2.0)], "id long, v double"), path)
+        return sj
+
+    fmt._resolve_schema = racing_resolve
+    try:
+        fmt.alter_table(path, rename_columns={"v": "val"})
+    finally:
+        fmt._resolve_schema = orig_rs
+    out = fmt.read(spark, path)
+    assert out.columns == ["id", "val"]
+    assert sorted((r.id, r.val) for r in out.collect()) == \
+        [(1, 1.0), (2, 2.0)]
+
+
+def test_alter_conflicts_on_schema_divergent_append(spark, tmp_path):
+    """A WIDENED interleaved append must conflict: retargeting the
+    stale-schema alter above it would roll the resolved schema back and
+    silently drop the new column."""
+    from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1, 1.0)], "id long, v double"), path)
+    racer = TxnLogFormat()
+    raced = {"done": False}
+    orig_rs = fmt._resolve_schema
+
+    def racing_resolve(commits):
+        sj = orig_rs(commits)
+        if not raced["done"]:
+            raced["done"] = True
+            racer.append(spark.createDataFrame(
+                [(2, 2.0, "x")], "id long, v double, extra string"), path)
+        return sj
+
+    fmt._resolve_schema = racing_resolve
+    try:
+        with pytest.raises(ConcurrentWriteError, match="advanced"):
+            fmt.alter_table(path, rename_columns={"v": "val"})
+    finally:
+        fmt._resolve_schema = orig_rs
+    # nothing lost: the widened append is live, schema keeps the column
+    out = fmt.read(spark, path)
+    assert set(out.columns) == {"id", "v", "extra"}
+
+
+def test_dv_delete_conflicts_on_interleaved_overwrite(spark, tmp_path):
+    """Only pure appends are benign: an interleaved replace_all rewrote
+    the files the vector targets — the op must recompute."""
+    from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, -1.0), (2, 2.0)], "id long, v double"),
+        path)
+    racer = TxnLogFormat()
+    orig_read = fmt.read
+    calls = {"n": 0}
+
+    def racing_read(spark_, p, **kw):
+        df_ = orig_read(spark_, p, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            racer.overwrite_table(spark.createDataFrame(
+                [(7, -7.0)], "id long, v double"), path)
+        return df_
+
+    fmt.read = racing_read
+    try:
+        with pytest.raises(ConcurrentWriteError, match="advanced"):
+            fmt.delete_where_dv(spark, path, "v < 0")
+    finally:
+        fmt.read = orig_read
+    assert [(r.id, r.v) for r in fmt.read(spark, path).collect()] == \
+        [(7, -7.0)]
+
+
+def test_serializable_isolation_keeps_strict_conflicts(spark, tmp_path):
+    """isolation='serializable' opts out of the benign-append relaxation
+    (audit-grade strict ordering); invalid values fail at construction."""
+    from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
+    with pytest.raises(ValueError, match="isolation"):
+        TxnLogFormat(isolation="snapshot")
+    fmt = TxnLogFormat(isolation="serializable")
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, -1.0), (2, 2.0)], "id long, v double"),
+        path)
+    racer = TxnLogFormat()
+    orig = _interpose_append(fmt, racer, spark, path,
+                             [(3, -3.0)], "id long, v double", on_call=2)
+    try:
+        with pytest.raises(ConcurrentWriteError, match="advanced"):
+            fmt.delete_where_dv(spark, path, "v < 0")
+    finally:
+        fmt.read = orig
+
+
+def test_maintenance_never_starved_by_append_storm(spark, tmp_path):
+    """The no-starvation guarantee the relaxation exists for: while a
+    writer thread appends same-schema batches as fast as it can, DV
+    deletes and targeted compactions run WITHOUT any retry wrapper —
+    under WriteSerializable every interleaved append is benign, so no op
+    may ever raise ConcurrentWriteError.  Exact final accounting: the
+    appender's rows (disjoint ids, v > 0) all survive; every v < 0 row
+    is eventually vectored out."""
+    import threading
+
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.overwrite_table(
+        spark.createDataFrame([(i, -1.0) for i in range(10)],
+                              "id long, v double"), path)
+    racer = TxnLogFormat()
+    stop = threading.Event()
+    appended: list[int] = []
+    boom: list[BaseException] = []
+
+    def storm():
+        try:
+            for b in range(6):
+                ids = [1000 + 10 * b + j for j in range(3)]
+                racer.append(spark.createDataFrame(
+                    [(i, 1.0) for i in ids], "id long, v double"), path)
+                appended.extend(ids)
+        except BaseException as e:  # pragma: no cover - fails the test
+            boom.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=storm)
+    t.start()
+    try:
+        while not stop.is_set():
+            fmt.delete_where_dv(spark, path, "v < 0")  # no retry wrapper
+            fmt.compact(spark, path, small_file_bytes=32 << 20)
+    finally:
+        t.join()
+    assert not boom, boom
+    fmt.delete_where_dv(spark, path, "v < 0")  # sweep any late snapshot
+    got = sorted(r.id for r in fmt.read(spark, path).collect())
+    assert got == sorted(appended)
+    actions = {c["action"] for c in fmt._commits(path)}
+    assert "append" in actions  # the storm genuinely interleaved the log
