@@ -755,3 +755,80 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+@_q("q_change_data_feed")
+def q_change_data_feed(spark, sf_dir):
+    """CHANGE DATA FEED over the commit log (Delta ``readChangeFeed``
+    parity, ``sources/txnlog_stream.py``): events land in two appends,
+    a deletion-vector DELETE vectors out the error rows, and a
+    deletion-vector UPDATE flips negative values — then the feed is
+    read back as tagged per-row changes (insert / delete /
+    update_preimage / update_postimage, each with its commit version)
+    and rolled up per tag.  The DuckDB oracle reconstructs every change
+    set declaratively from the raw table: inserts are the two append
+    splits, deletes are the error rows, pre/postimages are the live
+    high-value rows before/after the shift — so tagging, DV row
+    identity, per-commit provenance, and the position-take read path
+    are all checked cross-engine.
+
+    Scale shape: feed planning is O(commits in range) driver-side
+    metadata + O(vectored rows) DV descriptor reads (Delta's CDF plan
+    shape); row emission is executor-side pyarrow position-takes and
+    file scans — no snapshot diffing anywhere.  Reference parity: the
+    reference ships full daily snapshots (D:319-344); the feed is the
+    incremental contract its consumers actually want."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+    from ..sources.txnlog_stream import TxnLogDataSource
+
+    spark.dataSource.register(TxnLogDataSource)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="cdf_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)  # v0
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 1), path)  # v1
+    fmt.delete_where_dv(spark, path, "event_type = 'error'")       # v2
+    fmt.update_where_dv(spark, path, "value > 100",
+                        {"value": "value + 1000"})                 # v3
+    feed = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true").load(path))
+    return (feed.groupBy(
+                F.col("_change_type").alias("change_type"),
+                F.col("_commit_version").alias("commit_version"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("event_id").alias("n_ids"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_change_data_feed"] = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events
+), changes AS (
+  SELECT 'insert' AS change_type, 0 AS commit_version, *
+  FROM base WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT 'insert', 1, * FROM base WHERE event_id % 2 = 1
+  UNION ALL
+  SELECT 'delete', 2, * FROM base WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'update_preimage', 3, *
+  FROM base
+  WHERE coalesce(event_type <> 'error', TRUE) AND value > 100
+  UNION ALL
+  SELECT 'update_postimage', 3, event_id, event_type, value + 1000
+  FROM base
+  WHERE coalesce(event_type <> 'error', TRUE) AND value > 100
+)
+SELECT change_type,
+       CAST(commit_version AS BIGINT) AS commit_version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM changes
+GROUP BY change_type, commit_version
+"""

@@ -26,6 +26,17 @@ restart the stream to re-resolve the evolved schema (Delta
 ``schemaTrackingLocation`` semantics); ``option("ignoreSchemaEvolution",
 "true")`` opts back into pin-and-drop.
 
+CHANGE DATA FEED (Delta ``readChangeFeed`` parity): with
+``option("readChangeFeed", "true")`` the stream (and the batch reader,
+with ``startingVersion``/``endingVersion``) emits per-ROW changes
+instead of append-only rows — ``insert`` for appends, ``delete`` for
+deletion-vector rows, ``update_preimage``/``update_postimage`` for DV
+updates — each with ``_commit_version`` and ``_commit_timestamp``.
+Compactions emit nothing (bytes move, rows don't — dataChange=false);
+full rewrites (``replace_all``/``overwrite``/``restore``) raise, since
+per-row identity across a whole-snapshot rewrite is ``diff_versions``'s
+job, not a streaming source's.
+
 Scale shape: offset planning replays the commit records via the SAME
 ``TxnLogFormat._commits`` every reader uses — checkpoint + tail, so a
 long-lived stream pays O(interval) driver work per offset plan, not
@@ -56,11 +67,19 @@ from ..sinks import TxnLogFormat, _relfile
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, mapping: list):
+    def __init__(self, abs_path: str, mapping: list,
+                 positions: list | None = None,
+                 cdf: tuple | None = None):
         self.abs_path = abs_path
         #: [(src_name | None, tgt_name, arrow_type)] aligned to the
         #: stream's schema; src None = column added after this file
         self.mapping = mapping
+        #: change-data-feed extras: ``positions`` restricts the file to
+        #: the given parquet row indices (a deletion vector's rows);
+        #: ``cdf`` = (change_type, commit_version, commit_ts | None)
+        #: appends the three CDF metadata columns executor-side
+        self.positions = positions
+        self.cdf = cdf
 
 
 def _data_files(path: str, rel: str,
@@ -93,10 +112,16 @@ def _mapping_for(version: int, alters: list[dict],
             for f in schema.fields]
 
 
-def _read_arrow_batches(abs_path: str, mapping: list):
+def _read_arrow_batches(abs_path: str, mapping: list,
+                        positions: list | None = None,
+                        cdf: tuple | None = None):
     """Executor-side file read: Arrow batches aligned to the stream's
     schema via the per-file column mapping (historical names inverted,
-    later-added columns null-filled)."""
+    later-added columns null-filled).  ``positions`` restricts to the
+    given parquet row indices (``take`` preserves their order — file
+    row order, the same identity ``_metadata.row_index`` gives the DV
+    writer); ``cdf`` appends the constant change-feed metadata columns
+    (_change_type, _commit_version, _commit_timestamp)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     tbl = pq.read_table(abs_path)
@@ -107,6 +132,8 @@ def _read_arrow_batches(abs_path: str, mapping: list):
             f"staged file {abs_path} lacks columns {missing} of the "
             "table schema (schema-drift append — read the table with "
             "TxnLogFormat.read, which unions by name)")
+    if positions is not None:
+        tbl = tbl.take(pa.array(positions, type=pa.int64()))
     cols, names = [], []
     for src, tgt, patype in mapping:
         if src is not None:
@@ -114,7 +141,180 @@ def _read_arrow_batches(abs_path: str, mapping: list):
         else:
             cols.append(pa.nulls(tbl.num_rows, type=patype))
         names.append(tgt)
+    if cdf is not None:
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import LongType, StringType, TimestampType
+        ctype, cver, cts = cdf
+        n = tbl.num_rows
+        ts_t = to_arrow_type(TimestampType())
+        cols.extend([
+            pa.array([ctype] * n, type=to_arrow_type(StringType())),
+            pa.array([cver] * n, type=to_arrow_type(LongType())),
+            (pa.nulls(n, type=ts_t) if cts is None else
+             pa.array([int(cts * 1_000_000)] * n, type=ts_t))])
+        names.extend(["_change_type", "_commit_version",
+                      "_commit_timestamp"])
     yield from pa.table(dict(zip(names, cols))).to_batches()
+
+
+#: names of the change-feed metadata columns (Delta CDF parity)
+_CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
+
+
+def _cdf_schema(data_schema: StructType) -> StructType:
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   TimestampType)
+    return StructType(list(data_schema.fields) + [
+        StructField("_change_type", StringType()),
+        StructField("_commit_version", LongType()),
+        StructField("_commit_timestamp", TimestampType())])
+
+
+def _dv_pairs(path: str, dv_rel: str) -> dict[str, list[int]]:
+    """{relfile: sorted parquet row positions} of one commit's deletion
+    vector, read DRIVER-side with pyarrow at plan time — O(vectored
+    rows), the analogue of Delta reading DV descriptors from the log to
+    plan CDF batches.  Point deletes/updates keep vectors small by
+    construction; a vector from a mass delete is the pathological case
+    and is still bounded by the change volume the feed must emit."""
+    import pyarrow.parquet as pq
+    out: dict[str, list[int]] = {}
+    for ap in _data_files(path, dv_rel):
+        t = pq.read_table(ap, columns=["_dv_file", "_dv_pos"])
+        for f, p in zip(t["_dv_file"].to_pylist(),
+                        t["_dv_pos"].to_pylist()):
+            out.setdefault(f, []).append(p)
+    return {f: sorted(ps) for f, ps in out.items()}
+
+
+def _writer_versions(commits: list[dict]) -> dict[str, int]:
+    """{relfile: version of the commit that WROTE it} — a deletion
+    vector names files from EARLIER commits, and their columns must be
+    mapped through the alters published after their own write version,
+    not the vector's."""
+    m: dict[str, int] = {}
+    for c in commits:
+        if c["action"] == "checkpoint":
+            for e in c["state"]["live"]:
+                for rf in (e.get("files") or []):
+                    m[rf] = e["version"]
+        elif c.get("files"):
+            for rf in c["files"]:
+                m[rf] = c["version"]
+    return m
+
+
+def _cdf_partitions(fmt: TxnLogFormat, path: str,
+                    data_schema: StructType, start_v: int, end_v: int,
+                    ignore_changes: bool) -> list[_FilePartition]:
+    """Plan the CHANGE DATA FEED for commits in ``(start_v, end_v]`` —
+    Delta ``readChangeFeed`` parity over the merge-on-read op surface:
+
+    - ``append``            → rows tagged ``insert``
+    - ``add_dv``            → the vectored rows tagged ``delete``
+    - ``dv_update``         → vectored rows tagged ``update_preimage``,
+                              the rewrite dir tagged ``update_postimage``
+    - ``rewrite_files``     → nothing (compaction moves bytes, not rows —
+                              Delta's dataChange=false)
+    - ``alter``/checkpoint  → nothing (metadata)
+    - ``replace_all``/``overwrite``/``restore`` → raise: a full rewrite
+      has no per-row change identity without diffing whole snapshots —
+      that is the batch ``diff_versions`` API's job.  Under
+      ``ignoreChanges`` they are skipped (Delta's caveat verbatim).
+
+    Preimage rows are fetched by parquet row position from the files the
+    vector names (the executor ``take``s those positions), mapped
+    through the alters published after the file's own WRITE version, so
+    a delete emitted after a rename carries the stream's column names."""
+    commits = fmt._commits(path)
+    alters = fmt._resolve_alters(commits)
+    writers = _writer_versions(commits)
+    by_version: dict[int, dict] = {}
+    cp = None
+    for c in commits:
+        if c["action"] == "checkpoint":
+            cp = c
+        else:
+            by_version[c["version"]] = c
+
+    def file_mapping(rf: str, at_version: int):
+        # unknown writer (legacy pre-file-recording commit): safe to
+        # fall back to the vector's own version only when no alter
+        # could change the answer
+        wv = writers.get(rf)
+        if wv is None:
+            if alters:
+                raise ValueError(
+                    f"cannot map columns of {rf}: its writing commit "
+                    "recorded no file list (pre-upgrade log) and the "
+                    "table has alters — rewrite (compact) the table "
+                    "before streaming its change feed")
+            wv = at_version
+        return _mapping_for(wv, alters, data_schema)
+
+    parts: list[_FilePartition] = []
+    if cp is not None and start_v < cp["version"]:
+        changed = TxnLogFormat._checkpoint_span_changed(cp)
+        if changed and not ignore_changes:
+            raise ValueError(
+                f"commits at or below checkpoint {cp['version']} "
+                "include data changes whose per-commit records were "
+                "folded away — the change feed cannot reconstruct "
+                "them; start from a later version, or set "
+                "option('ignoreChanges', 'true') to emit only the "
+                "folded appends")
+        span_end = min(end_v, cp["version"])
+        for e in cp["state"]["live"]:
+            if e.get("action") == "append" \
+                    and start_v < e["version"] <= span_end:
+                mapping = _mapping_for(e["version"], alters, data_schema)
+                # per-commit ts folds away in the checkpoint: version
+                # stays authoritative, _commit_timestamp is null here
+                cdf = ("insert", e["version"], None)
+                parts.extend(
+                    _FilePartition(ap, mapping, cdf=cdf)
+                    for ap in _data_files(path, e["dir"], e.get("files")))
+    tail_from = max(start_v + 1, (cp["version"] + 1) if cp else 0)
+    for v in range(tail_from, end_v + 1):
+        c = by_version.get(v)
+        if c is None:
+            raise ValueError(
+                f"commit {v} is missing from the log at {path} "
+                "(corrupted or manually deleted) — the change feed "
+                "cannot guarantee exactly-once delivery over a gapped "
+                "log")
+        ts = c.get("ts")
+        if c["action"] == "append":
+            mapping = _mapping_for(v, alters, data_schema)
+            parts.extend(
+                _FilePartition(ap, mapping, cdf=("insert", v, ts))
+                for ap in _data_files(path, c["dir"], c.get("files")))
+        elif c["action"] == "add_dv":
+            for rf, poss in sorted(_dv_pairs(path, c["dir"]).items()):
+                parts.append(_FilePartition(
+                    os.path.join(path, rf), file_mapping(rf, v),
+                    positions=poss, cdf=("delete", v, ts)))
+        elif c["action"] == "dv_update":
+            for rf, poss in sorted(_dv_pairs(path, c["dv_dir"]).items()):
+                parts.append(_FilePartition(
+                    os.path.join(path, rf), file_mapping(rf, v),
+                    positions=poss, cdf=("update_preimage", v, ts)))
+            mapping = _mapping_for(v, alters, data_schema)
+            parts.extend(
+                _FilePartition(ap, mapping,
+                               cdf=("update_postimage", v, ts))
+                for ap in _data_files(path, c["dir"], c.get("files")))
+        elif c["action"] in ("rewrite_files", "alter"):
+            continue  # bytes moved or metadata changed; no row changed
+        elif not ignore_changes:
+            raise ValueError(
+                f"commit {v} is a full rewrite ({c['action']}); the "
+                "change feed emits per-row changes only for append / "
+                "deletion-vector commits — use diff_versions for "
+                "snapshot diffs, or set option('ignoreChanges', "
+                "'true') to skip rewrites (their changes will not be "
+                "emitted)")
+    return parts
 
 
 class TxnLogStreamReader(DataSourceStreamReader):
@@ -149,8 +349,23 @@ class TxnLogStreamReader(DataSourceStreamReader):
         #: the old pin-and-drop behavior.
         self.ignore_schema_evolution = str(
             options.get("ignoreschemaevolution", "false")).lower() == "true"
+        #: ``option("readChangeFeed", "true")`` — Delta CDF parity: each
+        #: micro-batch emits per-row changes (insert / delete /
+        #: update_preimage / update_postimage) with _commit_version and
+        #: _commit_timestamp, instead of append-only rows.  The pinned
+        #: ``schema`` then already carries the three CDF columns (the
+        #: DataSource appended them); planning works on the data
+        #: columns only.
+        self.read_change_feed = str(
+            options.get("readchangefeed", "false")).lower() == "true"
         self._fmt = TxnLogFormat()
         self._planned_through: int | None = None
+
+    def _data_schema(self) -> StructType:
+        if not self.read_change_feed:
+            return self.schema
+        return StructType(
+            [f for f in self.schema.fields if f.name not in _CDF_COLS])
 
     def initialOffset(self) -> dict:
         self._planned_through = -1  # fresh stream: cap from the start
@@ -173,7 +388,7 @@ class TxnLogStreamReader(DataSourceStreamReader):
         if not self.ignore_schema_evolution:
             # covers folded-span alters too: the checkpoint state keeps
             # each alter record with its original version
-            known = {f.name for f in self.schema.fields}
+            known = {f.name for f in self._data_schema().fields}
             for a in alters:
                 if not start["version"] < a["version"] <= end["version"]:
                     continue
@@ -191,6 +406,10 @@ class TxnLogStreamReader(DataSourceStreamReader):
                         "the evolved schema, or set option("
                         "'ignoreSchemaEvolution', 'true') to keep the "
                         "pinned schema (new columns are never emitted)")
+        if self.read_change_feed:
+            return _cdf_partitions(
+                self._fmt, self.path, self._data_schema(),
+                start["version"], end["version"], self.ignore_changes)
         by_version: dict[int, dict] = {}
         cp = None
         for c in commits:
@@ -269,7 +488,8 @@ class TxnLogStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FilePartition):
         yield from _read_arrow_batches(partition.abs_path,
-                                       partition.mapping)
+                                       partition.mapping,
+                                       partition.positions, partition.cdf)
 
     def commit(self, end: dict) -> None:
         pass  # the table's own log is the source of truth; nothing to ack
@@ -286,12 +506,37 @@ class TxnLogBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.path = options["path"]
         self.schema = schema
+        #: batch change feed (Delta's ``spark.read.option("readChangeFeed",
+        #: "true").option("startingVersion", N)`` shape): emit the
+        #: per-row changes of commits [startingVersion, endingVersion]
+        #: instead of the live snapshot.
+        self.read_change_feed = str(
+            options.get("readchangefeed", "false")).lower() == "true"
+        self.starting_version = int(options.get("startingversion", 0))
+        raw_end = options.get("endingversion")
+        self.ending_version = int(raw_end) if raw_end is not None else None
+        self.ignore_changes = str(
+            options.get("ignorechanges", "false")).lower() == "true"
 
     def partitions(self):
         fmt = TxnLogFormat()
         commits = fmt._commits(self.path)
         if not commits:
             raise FileNotFoundError(f"no committed table at {self.path}")
+        if self.read_change_feed:
+            head = commits[-1]["version"]
+            end = self.ending_version if self.ending_version is not None \
+                else head
+            if not 0 <= self.starting_version <= end <= head:
+                raise ValueError(
+                    f"change-feed range [{self.starting_version}, {end}]"
+                    f" is outside the log [0, {head}] at {self.path}")
+            data_schema = StructType(
+                [f for f in self.schema.fields
+                 if f.name not in _CDF_COLS])
+            return _cdf_partitions(fmt, self.path, data_schema,
+                                   self.starting_version - 1, end,
+                                   self.ignore_changes)
         if fmt._resolve_dvs(commits):
             raise ValueError(
                 "table has live deletion vectors — use TxnLogFormat."
@@ -314,7 +559,8 @@ class TxnLogBatchReader(DataSourceReader):
 
     def read(self, partition: _FilePartition):
         yield from _read_arrow_batches(partition.abs_path,
-                                       partition.mapping)
+                                       partition.mapping,
+                                       partition.positions, partition.cdf)
 
 
 class TxnLogDataSource(DataSource):
@@ -333,7 +579,11 @@ class TxnLogDataSource(DataSource):
         # newest-schema-bearing-commit walk would diverge after RESTORE
         sj = fmt._resolve_schema(fmt._commits(path))
         if sj:
-            return StructType.fromJson(json.loads(sj))
+            schema = StructType.fromJson(json.loads(sj))
+            if str(self.options.get("readchangefeed",
+                                    "false")).lower() == "true":
+                return _cdf_schema(schema)
+            return schema
         raise ValueError(
             f"no schema-bearing commit at {path} (empty or pre-schema "
             "log) — pass an explicit .schema(...)")

@@ -305,3 +305,162 @@ def test_max_commits_per_trigger_caps_each_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="positive"):
         TxnLogStreamReader(schema, {"path": path,
                                     "maxcommitspertrigger": "0"})
+
+
+# -- change data feed (Delta readChangeFeed parity) ------------------------
+
+
+def _cdf_rows(df):
+    return sorted((r.id, r.s, r._change_type, r._commit_version)
+                  for r in df.collect())
+
+
+def test_batch_change_feed_emits_tagged_changes(registered, tmp_path):
+    """Full-range batch CDF: appends as insert, DV delete as delete, DV
+    update as pre+postimage — and a compaction emits NOTHING (bytes
+    move, rows don't; Delta dataChange=false)."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a"), (2, "b")), path)         # v0
+    fmt.append(_mk(spark, (3, "c")), path)                   # v1
+    fmt.delete_where_dv(spark, path, "id = 1")               # v2
+    fmt.update_where_dv(spark, path, "id = 2", {"s": "'B'"})  # v3
+    fmt.compact(spark, path, small_file_bytes=32 << 20)      # v4
+    df = (spark.read.format("txnlog")
+          .option("readChangeFeed", "true").load(path))
+    assert [f.name for f in df.schema.fields] == \
+        ["id", "s", "_change_type", "_commit_version", "_commit_timestamp"]
+    assert _cdf_rows(df) == [
+        (1, "a", "delete", 2),
+        (1, "a", "insert", 0),
+        (2, "B", "update_postimage", 3),
+        (2, "b", "insert", 0),
+        (2, "b", "update_preimage", 3),
+        (3, "c", "insert", 1)]
+    # tail commits carry their wall-clock publish time
+    assert all(r._commit_timestamp is not None for r in df.collect())
+    # version range selection (Delta startingVersion/endingVersion)
+    part = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 2)
+            .option("endingVersion", 3).load(path))
+    assert _cdf_rows(part) == [
+        (1, "a", "delete", 2),
+        (2, "B", "update_postimage", 3),
+        (2, "b", "update_preimage", 3)]
+    with pytest.raises(Exception, match="outside the log"):
+        (spark.read.format("txnlog")
+         .option("readChangeFeed", "true")
+         .option("startingVersion", 2)
+         .option("endingVersion", 99).load(path).collect())
+
+
+def test_batch_change_feed_refuses_full_rewrites(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a"), (2, "b")), path)  # v0
+    fmt.delete_where(spark, path, "id = 1")           # v1: replace_all
+    fmt.append(_mk(spark, (3, "c")), path)            # v2
+    with pytest.raises(Exception, match="full rewrite"):
+        (spark.read.format("txnlog")
+         .option("readChangeFeed", "true").load(path).collect())
+    # ignoreChanges: the rewrite is skipped, appends still flow
+    df = (spark.read.format("txnlog")
+          .option("readChangeFeed", "true")
+          .option("ignoreChanges", "true").load(path))
+    assert _cdf_rows(df) == [
+        (1, "a", "insert", 0), (2, "b", "insert", 0),
+        (3, "c", "insert", 2)]
+
+
+def test_stream_change_feed_emits_and_resumes(registered, tmp_path):
+    """Streaming CDF: each commit becomes a tagged micro-batch; restart
+    from the sink checkpoint resumes exactly after the last change."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a"), (2, "b")), path)  # v0
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        return (spark.readStream.format("txnlog")
+                .option("readChangeFeed", "true").load(path)
+                .selectExpr("id", "s", "_change_type", "_commit_version")
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt).start())
+
+    q = run()
+    q.processAllAvailable()
+    fmt.delete_where_dv(spark, path, "id = 1")  # v1: mid-stream change
+    q.processAllAvailable()
+    q.stop()
+    # ops while the stream is DOWN resume from the checkpoint
+    fmt.update_where_dv(spark, path, "id = 2", {"s": "upper(s)"})  # v2
+    q2 = run()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted((r.id, r.s, r._change_type, r._commit_version)
+                 for r in spark.read.parquet(out).collect())
+    assert got == [
+        (1, "a", "delete", 1),
+        (1, "a", "insert", 0),
+        (2, "B", "update_postimage", 2),
+        (2, "b", "insert", 0),
+        (2, "b", "update_preimage", 2)]
+
+
+def test_change_feed_maps_preimages_through_alters(registered, tmp_path):
+    """A delete emitted AFTER a rename carries the stream's column
+    names: the preimage file was written under the old name and maps
+    through the alters published after its write version."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a"), (2, "b")), path)   # v0
+    fmt.alter_table(path, rename_columns={"s": "txt"},
+                    add_columns={"w": "double"})       # v1
+    fmt.delete_where_dv(spark, path, "id = 1")         # v2
+    df = (spark.read.format("txnlog")
+          .option("readChangeFeed", "true").load(path))
+    got = sorted((r.id, r.txt, r.w, r._change_type, r._commit_version)
+                 for r in df.collect())
+    assert got == [
+        (1, "a", None, "delete", 2),
+        (1, "a", None, "insert", 0),
+        (2, "b", None, "insert", 0)]
+
+
+def test_change_feed_over_folded_checkpoint_span(registered, tmp_path):
+    """Below a checkpoint the per-commit records are folded: pure-append
+    spans still emit inserts (original versions, null timestamp); a
+    folded data change kills the feed unless ignoreChanges."""
+    spark = registered
+    fmt = TxnLogFormat(checkpoint_interval=2)
+    path = str(tmp_path / "t")
+    fmt.append(_mk(spark, (1, "a")), path)   # v0
+    fmt.append(_mk(spark, (2, "b")), path)   # v1
+    fmt.append(_mk(spark, (3, "c")), path)   # v2  (checkpoint at 2)
+    fmt.vacuum(path, log_retain_hours=0.0)   # prune below the checkpoint
+    df = (spark.read.format("txnlog")
+          .option("readChangeFeed", "true").load(path))
+    assert _cdf_rows(df) == [
+        (1, "a", "insert", 0), (2, "b", "insert", 1),
+        (3, "c", "insert", 2)]
+
+    path2 = str(tmp_path / "t2")
+    fmt.append(_mk(spark, (1, "a")), path2)            # v0
+    fmt.delete_where_dv(spark, path2, "id = 1")        # v1
+    fmt.append(_mk(spark, (2, "b")), path2)            # v2 (cp at 2)
+    fmt.vacuum(path2, log_retain_hours=0.0)
+    with pytest.raises(Exception, match="folded"):
+        (spark.read.format("txnlog")
+         .option("readChangeFeed", "true").load(path2).collect())
+    df2 = (spark.read.format("txnlog")
+           .option("readChangeFeed", "true")
+           .option("ignoreChanges", "true").load(path2))
+    # only the folded appends; the folded delete's change is gone
+    assert _cdf_rows(df2) == [
+        (1, "a", "insert", 0), (2, "b", "insert", 2)]
