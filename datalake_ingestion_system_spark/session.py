@@ -24,6 +24,10 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # parquet scans: pushdown + vectorized reader are default-on; keep explicit
     "spark.sql.parquet.filterPushdown": "true",
+    # let Python data sources receive pushed filters (the txnlog batch
+    # source's option("pushdown","true") reader prunes files from
+    # commit-recorded stats; off by default in Spark 4.1)
+    "spark.sql.python.filterPushdown.enabled": "true",
     # a 10 MB broadcast threshold is too small for modern executors; dims like
     # nation/region/part must broadcast rather than shuffle
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

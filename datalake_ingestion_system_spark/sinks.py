@@ -1531,6 +1531,39 @@ class TxnLogFormat(TableFormat):
             clauses.append((col, "=" if op == "==" else op, val))
         return clauses
 
+    def _clause_excluded_files(self, path: str, commits: list[dict],
+                               alters: list[dict],
+                               clauses: list) -> set[str]:
+        """Table-relative files PROVABLY excluded by the prunable
+        conjuncts, from commit-recorded per-file stats — the data-
+        skipping core shared by ``read(where=...)`` and the txnlog
+        batch source's filter pushdown.
+
+        ALTER-AWARE lookup (ADVICE r7 high): a file written before a
+        rename carries stats under its HISTORICAL column names —
+        looking the predicate's current name up directly would, after
+        a rename-onto-a-dropped-name, prune against the WRONG column's
+        stats (rows silently vanish, and the DV delete/update paths
+        riding this read no-op).  Map each clause column back through
+        the inverse rename chain of alters newer than the stats'
+        recording version (the same inversion the txnlog streaming
+        source applies to data); a column first ADDED after that
+        version drops its clause (the file has no such column — never
+        prunable on it).  Bonus: pre-rename stats keep pruning after
+        the rename instead of going dead."""
+        skip: set[str] = set()
+        vmap: dict[int, list] = {}
+        for sv, relfile, per in self._stats_entries(path, commits):
+            mapped = vmap.get(sv)
+            if mapped is None:
+                mapped = vmap[sv] = [
+                    (src, op, lit) for col, op, lit in clauses
+                    for src in (self._source_column(col, alters, sv),)
+                    if src is not None]
+            if self._provably_empty(per, mapped):
+                skip.add(relfile)
+        return skip
+
     @staticmethod
     def _provably_empty(per: dict | None, clauses: list) -> bool:
         """True iff some clause proves NO row of a file can satisfy it,
@@ -1819,34 +1852,9 @@ class TxnLogFormat(TableFormat):
                     f["name"]: f["type"]
                     for f in json.loads(sj)["fields"]
                     if isinstance(f["type"], str)}
-        if where is not None:
-            if clauses:
-                # ALTER-AWARE lookup (ADVICE r7 high): a file written
-                # before a rename carries stats under its HISTORICAL
-                # column names — looking the predicate's current name up
-                # directly would, after a rename-onto-a-dropped-name,
-                # prune against the WRONG column's stats (rows silently
-                # vanish, and the DV delete/update paths riding this
-                # read no-op).  Map each clause column back through the
-                # inverse rename chain of alters newer than the stats'
-                # recording version (the same inversion the txnlog
-                # streaming source applies to data); a column first
-                # ADDED after that version drops its clause (the file
-                # has no such column — never prunable on it).  Bonus:
-                # pre-rename stats now keep pruning after the rename
-                # instead of going dead.
-                vmap: dict[int, list] = {}
-                for sv, relfile, per in self._stats_entries(path,
-                                                            commits):
-                    mapped = vmap.get(sv)
-                    if mapped is None:
-                        mapped = vmap[sv] = [
-                            (src, op, lit) for col, op, lit in clauses
-                            for src in (self._source_column(
-                                col, alters, sv),)
-                            if src is not None]
-                    if self._provably_empty(per, mapped):
-                        skip_files.add(relfile)
+        if clauses:
+            skip_files |= self._clause_excluded_files(
+                path, commits, alters, clauses)
         removed_files = removed_files | skip_files
         # merge-on-read deletes need each row's physical identity; expose
         # it via the scan-time _metadata columns (file path + parquet row

@@ -495,13 +495,61 @@ class TxnLogStreamReader(DataSourceStreamReader):
         pass  # the table's own log is the source of truth; nothing to ack
 
 
+def _filters_to_clauses(filters) -> list:
+    """Typed DSv2 pushdown filters → the ``(col, op, lit)`` conjuncts
+    the format's stats pruner consumes (same shape as
+    ``TxnLogFormat._skip_clauses``).  Untranslatable filters (nested
+    column paths, non-scalar literals, Not/String* forms) contribute no
+    conjunct — harmless, since every filter is returned to Spark for
+    re-evaluation regardless (stats pruning is may-contain)."""
+    from pyspark.sql import datasource as dsrc
+    ops = {dsrc.EqualTo: "=", dsrc.LessThan: "<", dsrc.GreaterThan: ">",
+           dsrc.LessThanOrEqual: "<=", dsrc.GreaterThanOrEqual: ">="}
+
+    def scalar(v):
+        return isinstance(v, (int, float, str)) \
+            and not isinstance(v, bool)
+
+    out = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not (isinstance(attr, tuple) and len(attr) == 1):
+            continue
+        col = attr[0]
+        op = ops.get(type(f))
+        if op is not None and scalar(f.value):
+            out.append((col, op, f.value))
+        elif isinstance(f, dsrc.In) \
+                and all(scalar(v) for v in f.value):
+            out.append((col, "in", tuple(f.value)))
+        elif isinstance(f, dsrc.IsNull):
+            out.append((col, "isnull", None))
+        elif isinstance(f, dsrc.IsNotNull):
+            out.append((col, "notnull", None))
+    return out
+
+
 class TxnLogBatchReader(DataSourceReader):
     """Batch counterpart: the current LIVE file set as one parallel scan,
     with the same per-file column mapping for alters.  Refuses tables
     with live deletion vectors or partition-overwrite subtractions —
     those need the anti-join/value-filter replay only
     ``TxnLogFormat.read`` performs (a bare file scan would resurrect
-    deleted rows)."""
+    deleted rows).
+
+    Hive-partitioned (``overwrite_partitions``) dirs are refused too —
+    their partition column lives in directory names, not the staged
+    files, so a bare file scan could not supply it.
+
+    FILTER PUSHDOWN (``option("pushdown", "true")``, Spark 4.1 DSv2
+    ``pushFilters``): equality / range / IN / IS [NOT] NULL conjuncts
+    prune files via the commit-recorded per-file stats — the same
+    data-skipping tier ``TxnLogFormat.read(where=...)`` applies
+    (``_clause_excluded_files``), now reached from plain
+    ``spark.read.format("txnlog").option("pushdown", "true")
+    .load(path).filter(...)``.  Every filter is returned to Spark for
+    re-evaluation (stats pruning is may-contain, never load-bearing
+    for correctness)."""
 
     def __init__(self, schema: StructType, options: dict):
         self.path = options["path"]
@@ -517,6 +565,7 @@ class TxnLogBatchReader(DataSourceReader):
         self.ending_version = int(raw_end) if raw_end is not None else None
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
+        self._clauses: list = []
 
     def partitions(self):
         fmt = TxnLogFormat()
@@ -546,21 +595,52 @@ class TxnLogBatchReader(DataSourceReader):
             raise ValueError(
                 "table has partition-overwrite subtractions — use "
                 "TxnLogFormat.read")
+        if any(e["pcol"] for e in live):
+            raise ValueError(
+                "table has hive-partitioned (overwrite_partitions) dirs "
+                "— their partition column lives in directory names, not "
+                "the staged files; use TxnLogFormat.read")
         removed = fmt._resolve_removed_files(commits)
         alters = fmt._resolve_alters(commits)
+        skip: set[str] = set()
+        if self._clauses:
+            skip = fmt._clause_excluded_files(
+                self.path, commits, alters, self._clauses)
         parts = []
         for e in live:
             mapping = _mapping_for(e["version"], alters, self.schema)
             for ap in _data_files(self.path, e["dir"], e.get("files")):
-                if _relfile(ap) in removed:
+                if _relfile(ap) in removed or _relfile(ap) in skip:
                     continue
                 parts.append(_FilePartition(ap, mapping))
         return parts
 
     def read(self, partition: _FilePartition):
+        if partition is None:
+            return  # Spark models an empty partitions() as one None
         yield from _read_arrow_batches(partition.abs_path,
                                        partition.mapping,
                                        partition.positions, partition.cdf)
+
+
+class TxnLogPushdownBatchReader(TxnLogBatchReader):
+    """The batch reader WITH DSv2 filter pushdown, selected by
+    ``option("pushdown", "true")``.  A separate class because Spark
+    hard-fails ANY read whose reader merely DEFINES ``pushFilters``
+    while ``spark.sql.python.filterPushdown.enabled`` is false — so the
+    default reader must not carry the method, or every vanilla-session
+    consumer of ``format("txnlog")`` would crash.  Opting in therefore
+    takes both the session conf and this option (``session.tune`` sets
+    the conf)."""
+
+    def pushFilters(self, filters):
+        # change-feed rows are historical changes, not the live
+        # snapshot — pruning inserts by a data predicate would be
+        # sound, but preimages ride position-takes, so CDF keeps the
+        # full plan; the snapshot path prunes in partitions()
+        if not self.read_change_feed:
+            self._clauses = _filters_to_clauses(filters)
+        return filters  # Spark re-applies everything (may-contain)
 
 
 class TxnLogDataSource(DataSource):
@@ -592,4 +672,6 @@ class TxnLogDataSource(DataSource):
         return TxnLogStreamReader(schema, self.options)
 
     def reader(self, schema: StructType) -> TxnLogBatchReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return TxnLogPushdownBatchReader(schema, self.options)
         return TxnLogBatchReader(schema, self.options)

@@ -464,3 +464,69 @@ def test_change_feed_over_folded_checkpoint_span(registered, tmp_path):
     # only the folded appends; the folded delete's change is gone
     assert _cdf_rows(df2) == [
         (1, "a", "insert", 0), (2, "b", "insert", 2)]
+
+
+# -- batch filter pushdown (Spark 4.1 DSv2 pushFilters) --------------------
+
+
+def test_batch_pushdown_prunes_from_commit_stats(registered, tmp_path):
+    """option('pushdown','true'): pushed conjuncts prune files via the
+    commit-recorded stats (the read(where=...) data-skipping tier);
+    every filter is still returned to Spark, so results are identical
+    to an unpruned filtered scan."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogPushdownBatchReader)
+    from pyspark.sql.datasource import EqualTo, IsNull
+    spark = registered
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    for lo in (0, 100, 200):  # three files with disjoint k ranges
+        fmt.append(spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(5)], "k long, v double")
+            .coalesce(1), path)
+    schema = spark.read.format("txnlog").load(path).schema
+    r = TxnLogPushdownBatchReader(schema, {"path": path})
+    returned = list(r.pushFilters([EqualTo(("k",), 102)]))
+    assert len(returned) == 1          # Spark re-evaluates everything
+    assert len(r.partitions()) == 1    # only the file that can hold 102
+    got = (spark.read.format("txnlog").option("pushdown", "true")
+           .load(path).filter("k = 102").collect())
+    assert [(x.k, x.v) for x in got] == [(102, 2.0)]
+    # null-count stats: a no-nulls table prunes an IS NULL probe to zero
+    r2 = TxnLogPushdownBatchReader(schema, {"path": path})
+    list(r2.pushFilters([IsNull(("k",))]))
+    assert r2.partitions() == []
+    assert (spark.read.format("txnlog").option("pushdown", "true")
+            .load(path).filter("k IS NULL").collect()) == []
+
+
+def test_batch_pushdown_maps_stats_through_renames(registered, tmp_path):
+    """Pruning after an ALTER rename goes through the same inverse
+    rename chain as read(where=...): files written pre-rename prune by
+    their historical stats, and results stay exact."""
+    spark = registered
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    for lo in (0, 100):
+        fmt.append(spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(5)], "k long, v double")
+            .coalesce(1), path)
+    fmt.alter_table(path, rename_columns={"k": "kk"})
+    df = (spark.read.format("txnlog").option("pushdown", "true")
+          .load(path).filter("kk >= 100"))
+    assert sorted(x.kk for x in df.collect()) == [100, 101, 102, 103, 104]
+
+
+def test_batch_source_refuses_partitioned_tables(registered, tmp_path):
+    """A hive-partitioned dir's partition column lives in directory
+    names, not the staged files — the bare file scan cannot supply it
+    and must refuse instead of silently dropping the column."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "p string, v int"), path, "p")
+    with pytest.raises(Exception, match="hive-partitioned"):
+        spark.read.format("txnlog").load(path).collect()
