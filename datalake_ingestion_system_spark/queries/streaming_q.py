@@ -832,3 +832,59 @@ SELECT change_type,
 FROM changes
 GROUP BY change_type, commit_version
 """
+
+
+@_q("q_cdf_replica_mirror")
+def q_cdf_replica_mirror(spark, sf_dir):
+    """Downstream REPLICA maintained from the change data feed
+    (``streaming/cdf_mirror.py`` — the Delta CDF+MERGE sync pattern):
+    events land upstream in two appends, a DV delete removes the error
+    rows and a DV update shifts the high-value rows; the mirror stream
+    drains the feed (availableNow) applying latest-change-per-key
+    batches through idempotent commits, and the REPLICA's per-type
+    rollup is returned.  The DuckDB oracle recomputes the upstream live
+    state declaratively — replica == source is checked cross-engine
+    through the whole feed→apply→commit-log pipeline.
+
+    Scale shape: sync cost follows CHANGE volume (feed planning is
+    O(commits) metadata + O(vectored rows); the apply touches changed
+    keys), not source size — the incremental contract the reference's
+    full daily snapshot ship (D:319-344) lacked."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+    from ..sources.txnlog_stream import TxnLogDataSource
+    from ..streaming.cdf_mirror import start_cdf_mirror
+
+    spark.dataSource.register(TxnLogDataSource)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    work = tempfile.mkdtemp(prefix="cdfmir_q_")
+    src, dst = f"{work}/src", f"{work}/dst"
+    fmt = TxnLogFormat()
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), src)   # v0
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 1), src)   # v1
+    fmt.delete_where_dv(spark, src, "event_type = 'error'")        # v2
+    fmt.update_where_dv(spark, src, "value > 100",
+                        {"value": "value + 1000"})                 # v3
+    q = start_cdf_mirror(spark, src, dst, "event_id", f"{work}/ckpt")
+    q.awaitTermination()
+    return (fmt.read(spark, dst)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_cdf_replica_mirror"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(
+           (CASE WHEN value > 100 THEN value + 1000 ELSE value END)
+           * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE coalesce(event_type <> 'error', TRUE)
+GROUP BY event_type
+"""

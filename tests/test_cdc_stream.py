@@ -139,3 +139,79 @@ def test_null_delete_predicate_is_not_a_tombstone(spark, tmp_path):
         delete_expr=F.col("event_type") == "error")
     q.awaitTermination()
     assert _state(spark, str(tmp_path / "t2")) == {3: (None, 30.0)}
+
+
+# -- CDF replica mirror (streaming/cdf_mirror.py) --------------------------
+
+
+def _mirror_rows(spark, fmt, path):
+    return sorted(tuple(r) for r in fmt.read(spark, path).collect())
+
+
+def test_cdf_mirror_tracks_source_exactly(spark, tmp_path):
+    """The replica follows the upstream table through appends, DV
+    deletes, and DV updates — after each availableNow drain the replica
+    state equals the upstream live state, schema included (no CDF
+    metadata columns leak into the replica)."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogDataSource)
+    from datalake_ingestion_system_spark.streaming.cdf_mirror import (
+        start_cdf_mirror)
+    spark.dataSource.register(TxnLogDataSource)
+    fmt = TxnLogFormat()
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    fmt.append(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, s string, v double"),
+        src)
+    fmt.append(spark.createDataFrame(
+        [(3, "c", 3.0)], "id long, s string, v double"), src)
+
+    def drain():
+        q = start_cdf_mirror(spark, src, dst, "id", ckpt)
+        q.awaitTermination()
+
+    drain()
+    assert fmt.read(spark, dst).columns == ["id", "s", "v"]
+    assert _mirror_rows(spark, fmt, dst) == _mirror_rows(spark, fmt, src)
+
+    # upstream keeps moving while the mirror is down; restart catches up
+    fmt.delete_where_dv(spark, src, "id = 1")
+    fmt.update_where_dv(spark, src, "id = 2", {"v": "v * 10"})
+    fmt.append(spark.createDataFrame(
+        [(4, "d", 4.0)], "id long, s string, v double"), src)
+    drain()
+    assert _mirror_rows(spark, fmt, dst) == _mirror_rows(spark, fmt, src)
+    assert _mirror_rows(spark, fmt, dst) == [
+        (2, "b", 20.0), (3, "c", 3.0), (4, "d", 4.0)]
+
+    # a drained feed replays nothing: re-running leaves the replica's
+    # commit log untouched (idempotent epochs, not converged-through)
+    head = fmt._commits(dst)[-1]["version"]
+    drain()
+    assert fmt._commits(dst)[-1]["version"] == head
+
+
+def test_cdf_mirror_delete_then_reinsert_same_batch(spark, tmp_path):
+    """Within one drained batch the LATEST change per key wins: delete
+    at v2 then re-insert at v3 leaves the key present with the new
+    row."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogDataSource)
+    from datalake_ingestion_system_spark.streaming.cdf_mirror import (
+        start_cdf_mirror)
+    spark.dataSource.register(TxnLogDataSource)
+    fmt = TxnLogFormat()
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    fmt.append(spark.createDataFrame(
+        [(1, 1.0)], "id long, v double"), src)          # v0
+    fmt.append(spark.createDataFrame(
+        [(2, 2.0)], "id long, v double"), src)          # v1
+    fmt.delete_where_dv(spark, src, "id = 1")           # v2
+    fmt.append(spark.createDataFrame(
+        [(1, 9.0)], "id long, v double"), src)          # v3
+    q = start_cdf_mirror(spark, src, dst, "id", str(tmp_path / "ck"))
+    q.awaitTermination()
+    assert _mirror_rows(spark, fmt, dst) == [(1, 9.0), (2, 2.0)]
