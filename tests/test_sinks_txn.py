@@ -2551,5 +2551,8 @@ def test_maintenance_never_starved_by_append_storm(spark, tmp_path):
     fmt.delete_where_dv(spark, path, "v < 0")  # sweep any late snapshot
     got = sorted(r.id for r in fmt.read(spark, path).collect())
     assert got == sorted(appended)
-    actions = {c["action"] for c in fmt._commits(path)}
+    # raw log, not _commits: the checkpoint-aware view folds the tail
+    # away when the run happens to end on a checkpoint boundary
+    raw, _cps, recs = fmt._log_names(path)
+    actions = {fmt._load(path, n, recs)["action"] for n in raw}
     assert "append" in actions  # the storm genuinely interleaved the log
