@@ -888,3 +888,58 @@ FROM events
 WHERE coalesce(event_type <> 'error', TRUE)
 GROUP BY event_type
 """
+
+
+@_q("q_txnlog_stream_sink")
+def q_txnlog_stream_sink(spark, sf_dir):
+    """The commit log as an exactly-once streaming SINK
+    (``df.writeStream.format("txnlog")``) composed with the streaming
+    SOURCE — a table-to-table incremental pipeline with no foreachBatch
+    glue: events land upstream in three appends, a txnlog stream
+    projects/filters them, the txnlog sink publishes each micro-batch
+    as one atomic epoch-watermarked commit, and the DOWNSTREAM table's
+    per-type rollup is checked against the declarative recomputation.
+    Exactly-once on both ends: source offsets are commit versions, sink
+    epochs are txn watermarks (Delta sink txnAppId/txnVersion parity).
+
+    Scale shape: sink tasks stream Arrow chunks to per-task staged
+    files (no task buffering); the epoch commit is O(files) driver
+    metadata — the same job-commit cost every table format pays."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+    from ..sources.txnlog_stream import TxnLogDataSource
+
+    spark.dataSource.register(TxnLogDataSource)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    work = tempfile.mkdtemp(prefix="txnsink_q_")
+    src, dst = f"{work}/src", f"{work}/dst"
+    fmt = TxnLogFormat()
+    for part in range(3):
+        fmt.append(e.filter(F.pmod("event_id", F.lit(3)) == part), src)
+    q = (spark.readStream.format("txnlog").load(src)
+         .filter("value >= 0")
+         .selectExpr("event_type", "user_id",
+                     "CAST(floor(value * 100 + 0.5) AS LONG) AS cents")
+         .writeStream.format("txnlog").option("path", dst)
+         .option("checkpointLocation", f"{work}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (fmt.read(spark, dst)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum("cents").alias("value_cents")))
+
+
+ORACLE_SQL["q_txnlog_stream_sink"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE value >= 0
+GROUP BY event_type
+"""

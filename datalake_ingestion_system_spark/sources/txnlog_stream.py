@@ -59,8 +59,13 @@ from __future__ import annotations
 import json
 import os
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, InputPartition)
+                                    DataSourceStreamReader,
+                                    DataSourceStreamWriter,
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 from ..sinks import TxnLogFormat, _relfile
@@ -643,6 +648,168 @@ class TxnLogPushdownBatchReader(TxnLogBatchReader):
         return filters  # Spark re-applies everything (may-contain)
 
 
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    relfiles: list = field(default_factory=list)
+
+
+class TxnLogWriter(DataSourceWriter):
+    """``df.write.format("txnlog").mode("append"|"overwrite").save(path)``
+    — the write half of the data source: each task streams its rows to
+    ONE parquet file under a fresh invisible ``_txn_data/<uuid>`` stage
+    dir (Arrow-chunked, no full-task buffering), and the driver
+    publishes a single atomic ``append``/``replace_all`` commit from the
+    collected file names — the exact two-phase staged-then-linked
+    protocol ``TxnLogFormat`` writes use, so readers never see partial
+    jobs and an aborted job leaves only an unreferenced dir for
+    ``vacuum``.  Stats/file lists are harvested at commit time like any
+    other commit (footer reads, no data scan).
+
+    CHECK constraints live on the ``TxnLogFormat`` API surface, not this
+    bare sink — a constrained table should be written through
+    ``fmt.append``/``overwrite_table`` (which validate staged data
+    pre-commit)."""
+
+    def __init__(self, schema: StructType, options: dict,
+                 overwrite: bool):
+        self.path = options["path"]
+        self.schema = schema
+        self.overwrite = overwrite
+        import uuid as _uuid
+        self.stage_rel = os.path.join("_txn_data", _uuid.uuid4().hex)
+
+    # executor-side ------------------------------------------------------
+    _CHUNK = 32768
+
+    def write(self, iterator) -> _WriteMessage:
+        return self._write_to(self.stage_rel, iterator)
+
+    def _write_to(self, stage_rel: str, iterator) -> _WriteMessage:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+        arrow_schema = pa.schema([
+            (f.name, to_arrow_type(f.dataType))
+            for f in self.schema.fields])
+        fname = f"part-{_uuid.uuid4().hex}.parquet"
+        stage = os.path.join(self.path, stage_rel)
+        writer = None
+        try:
+            while True:
+                chunk = []
+                for row in iterator:
+                    chunk.append(tuple(row))
+                    if len(chunk) >= self._CHUNK:
+                        break
+                if not chunk:
+                    break
+                cols = list(zip(*chunk))
+                tbl = pa.table(
+                    {f.name: pa.array(list(cols[i]), type=arrow_schema[i].type)
+                     for i, f in enumerate(arrow_schema)})
+                if writer is None:
+                    os.makedirs(stage, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(stage, fname), arrow_schema)
+                writer.write_table(tbl)
+        finally:
+            if writer is not None:
+                writer.close()
+        # empty task -> no file: the commit's file list stays exact
+        rels = ([os.path.join(stage_rel, fname)]
+                if writer is not None else [])
+        return _WriteMessage(relfiles=rels)
+
+    # driver-side --------------------------------------------------------
+    def _record(self) -> dict:
+        return {"action": "replace_all" if self.overwrite else "append",
+                "dir": self.stage_rel,
+                "partition_col": None, "partitions": [],
+                "schema": self.schema.json()}
+
+    def commit(self, messages) -> None:
+        # all-empty jobs still commit (schema-bearing, like append() of
+        # an empty DataFrame); the stage dir must exist for the
+        # stats harvest walk
+        os.makedirs(os.path.join(self.path, self.stage_rel),
+                    exist_ok=True)
+        TxnLogFormat()._commit(self.path, self._record())
+
+    def abort(self, messages) -> None:
+        # staged data is unreferenced, hence invisible; vacuum sweeps
+        # it — active cleanup here is best-effort tidiness only
+        import shutil
+        shutil.rmtree(os.path.join(self.path, self.stage_rel),
+                      ignore_errors=True)
+
+
+class TxnLogStreamWriter(TxnLogWriter, DataSourceStreamWriter):
+    """``df.writeStream.format("txnlog")`` — an EXACTLY-ONCE streaming
+    sink: each micro-batch publishes one atomic commit carrying the
+    epoch as an idempotent-transaction watermark (``txn_app`` +
+    ``txn_version=batchId``, Delta sink txnAppId/txnVersion parity), so
+    an epoch redelivery after a crash is SKIPPED by the log instead of
+    appended twice (its re-staged files stay unreferenced for vacuum).
+
+    Staging shape differs from the batch writer because the SAME writer
+    instance serves every micro-batch (a driver-side field mutation
+    between epochs would not reach the executors' pickled copy): each
+    TASK stages into its own invisible ``_txn_data/<uuid>`` dir, and
+    the epoch's driver commit MOVES the task files into one fresh
+    commit dir before publishing — same-filesystem renames, O(files)
+    metadata work, exactly the job-commit cost every table format pays.
+    On an object store swap the renames for the store's multipart
+    commit/copy primitive (same seam as the rest of the protocol).
+
+    ``option("txnApp", ...)`` scopes the watermark; the default is
+    derived from the target path, which is correct for one writing
+    query per table — run distinct queries into one table with distinct
+    txnApp values (and note Delta's wiped-checkpoint rule: resetting
+    the sink checkpoint restarts batchIds at 0, so pass a fresh txnApp
+    to actually reprocess).  ``outputMode("complete")`` maps to a
+    ``replace_all`` commit per epoch; the default append mode appends."""
+
+    def __init__(self, schema: StructType, options: dict,
+                 overwrite: bool):
+        super().__init__(schema, options, overwrite)
+        self.txn_app = options.get("txnapp") or f"txnlog_sink:{self.path}"
+
+    def write(self, iterator) -> _WriteMessage:
+        import uuid as _uuid
+        return self._write_to(
+            os.path.join("_txn_data", _uuid.uuid4().hex), iterator)
+
+    def _gather(self, messages, dest_rel: str) -> None:
+        dest = os.path.join(self.path, dest_rel)
+        os.makedirs(dest, exist_ok=True)
+        for m in messages:
+            for rf in (m.relfiles if m else []):
+                src = os.path.join(self.path, rf)
+                os.rename(src, os.path.join(dest,
+                                            os.path.basename(rf)))
+                try:  # tidy the now-empty task dir
+                    os.rmdir(os.path.dirname(src))
+                except OSError:  # pragma: no cover - defensive
+                    pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import uuid as _uuid
+        dest_rel = os.path.join("_txn_data", _uuid.uuid4().hex)
+        self._gather(messages, dest_rel)
+        rec = {**self._record(), "dir": dest_rel,
+               "txn_app": self.txn_app, "txn_version": batchId}
+        TxnLogFormat()._commit(self.path, rec)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+        for m in messages:
+            for rf in (m.relfiles if m else []):
+                shutil.rmtree(os.path.dirname(
+                    os.path.join(self.path, rf)), ignore_errors=True)
+
+
 class TxnLogDataSource(DataSource):
     """``spark.dataSource.register(TxnLogDataSource)`` then
     ``spark.readStream.format("txnlog").load(path)`` (streaming) or
@@ -675,3 +842,10 @@ class TxnLogDataSource(DataSource):
         if str(self.options.get("pushdown", "false")).lower() == "true":
             return TxnLogPushdownBatchReader(schema, self.options)
         return TxnLogBatchReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> TxnLogWriter:
+        return TxnLogWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> TxnLogStreamWriter:
+        return TxnLogStreamWriter(schema, self.options, overwrite)

@@ -530,3 +530,92 @@ def test_batch_source_refuses_partitioned_tables(registered, tmp_path):
         [("a", 1), ("b", 2)], "p string, v int"), path, "p")
     with pytest.raises(Exception, match="hive-partitioned"):
         spark.read.format("txnlog").load(path).collect()
+
+
+# -- write path: batch writer + exactly-once streaming sink ----------------
+
+
+def test_batch_writer_append_overwrite_and_stats(registered, tmp_path):
+    """df.write.format('txnlog'): appends accumulate, overwrite
+    replaces, and the published commits carry file lists + harvested
+    stats exactly like TxnLogFormat's own writes (data skipping works
+    on sink-written tables)."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    spark.createDataFrame([(i, float(i)) for i in range(5)],
+                          "k long, v double") \
+        .write.format("txnlog").mode("append").save(path)
+    spark.createDataFrame([(100 + i, float(i)) for i in range(5)],
+                          "k long, v double") \
+        .write.format("txnlog").mode("append").save(path)
+    got = sorted(r.k for r in fmt.read(spark, path).collect())
+    assert got == list(range(5)) + list(range(100, 105))
+    last = fmt._commits(path)[-1]
+    assert last["action"] == "append" and last["files"] and last["stats"]
+    # commit-recorded stats prune a range probe down to one dir's files
+    files = fmt.read(spark, path, where="k >= 100").inputFiles()
+    assert files and all("_txn_data" in f for f in files)
+    assert set(files) < set(fmt.read(spark, path).inputFiles())
+    spark.createDataFrame([(9, 9.0)], "k long, v double") \
+        .write.format("txnlog").mode("overwrite").save(path)
+    assert [(r.k, r.v) for r in fmt.read(spark, path).collect()] \
+        == [(9, 9.0)]
+    # pre-overwrite state stays time-travelable
+    assert len(fmt.read(spark, path, as_of_version=1).collect()) == 10
+
+
+def test_stream_sink_exactly_once_across_restart(registered, tmp_path):
+    """writeStream.format('txnlog'): each epoch publishes one atomic
+    commit with the epoch as a txn watermark — a restart over the same
+    checkpoint re-emits nothing, and new data lands exactly once."""
+    spark = registered
+    fmt = TxnLogFormat()
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string") \
+        .coalesce(1).write.parquet(f"{src}/b1")
+
+    def drain():
+        q = (spark.readStream.schema("id long, s string")
+             .parquet(src + "/*")
+             .writeStream.format("txnlog").option("path", path)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2]
+    drain()  # no new data: nothing re-emitted
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2]
+    spark.createDataFrame([(3, "c")], "id long, s string") \
+        .coalesce(1).write.parquet(f"{src}/b2")
+    drain()
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) \
+        == [1, 2, 3]
+    # the sink's commits carry the epoch watermarks
+    apps = {c.get("txn_app") for c in fmt._commits(path)
+            if c.get("txn_app")}
+    assert apps == {f"txnlog_sink:{path}"}
+
+
+def test_stream_sink_source_roundtrip(registered, tmp_path):
+    """Full symmetry: txnlog SOURCE → transform → txnlog SINK — a
+    table-to-table incremental pipeline with exactly-once on both ends,
+    no foreachBatch glue."""
+    spark = registered
+    fmt = TxnLogFormat()
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    fmt.append(_mk(spark, (1, "a"), (2, "b")), src)
+    fmt.append(_mk(spark, (3, "c")), src)
+    q = (spark.readStream.format("txnlog").load(src)
+         .selectExpr("id * 10 as id", "upper(s) as s")
+         .writeStream.format("txnlog").option("path", dst)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.id, r.s) for r in fmt.read(spark, dst).collect())
+    assert got == [(10, "A"), (20, "B"), (30, "C")]

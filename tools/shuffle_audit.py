@@ -48,8 +48,8 @@ DEFAULT_SET = [
     "q_schema_evolution_read", "q_charngram_lm_score",
     # round 8: checkpointed commit log read path
     "q_checkpoint_log_read",
-    # round 9: log-level partition pruning
-    "q_partition_pruned_read",
+    # round 9: log-level partition pruning + the change data feed
+    "q_partition_pruned_read", "q_change_data_feed", "q_cdf_replica_mirror",
 ]
 
 
