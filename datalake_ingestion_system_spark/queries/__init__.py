@@ -43,12 +43,19 @@ _FORCE_FRONT: tuple[str, ...] = (
     # access path (log-level partition-value dir pruning), moved
     # checkpoint per-file stats to a parquet sidecar (_stats_entries /
     # _file_bytes_of rework), and changed the stream's planning checks
-    # (data_changed flag, schema-evolution fail-loud).  All locally
-    # re-verified (15/15 oracle-green), but their load-bearing
-    # machinery changed after their last green driver row — the driver
-    # must confirm.  (--changed-since cannot see transitive sinks
-    # edits; this is the manual closure.  q_partition_pruned_read is
-    # new and fronts automatically.)
+    # (data_changed flag, schema-evolution fail-loud).  The round-9b
+    # session then added WriteSerializable conflict retargeting to
+    # _commit (every txn fixture build rides it), factored read()'s
+    # stats pruning into _clause_excluded_files, and reworked the
+    # stream module (CDF planner, pushdown reader, write path) — same
+    # closure, re-verified locally again (16/16 oracle-green after the
+    # conflict change, 7/7 skipping queries after the pruning
+    # refactor).  All load-bearing machinery changed after these
+    # queries' last green driver row — the driver must confirm.
+    # (--changed-since cannot see transitive sinks edits; this is the
+    # manual closure.  q_partition_pruned_read, q_change_data_feed,
+    # q_cdf_replica_mirror, and q_txnlog_stream_sink are new and front
+    # automatically.)
     "q_data_skipping_read", "q_dv_compact_read", "q_zorder_skipping_read",
     "q_schema_evolution_read", "q_delete_vector_read", "q_merge_upsert",
     "q_txnlog_stream_source", "q_minhash_incremental",
