@@ -655,15 +655,19 @@ class _WriteMessage(WriterCommitMessage):
 
 class TxnLogWriter(DataSourceWriter):
     """``df.write.format("txnlog").mode("append"|"overwrite").save(path)``
-    — the write half of the data source: each task streams its rows to
-    ONE parquet file under a fresh invisible ``_txn_data/<uuid>`` stage
-    dir (Arrow-chunked, no full-task buffering), and the driver
-    publishes a single atomic ``append``/``replace_all`` commit from the
-    collected file names — the exact two-phase staged-then-linked
-    protocol ``TxnLogFormat`` writes use, so readers never see partial
-    jobs and an aborted job leaves only an unreferenced dir for
-    ``vacuum``.  Stats/file lists are harvested at commit time like any
-    other commit (footer reads, no data scan).
+    — the write half of the data source: each TASK streams its rows to
+    ONE parquet file under its own fresh invisible ``_txn_data/<uuid>``
+    dir (Arrow-chunked, no full-task buffering), and the driver's job
+    commit MOVES the files its commit MESSAGES name into one fresh
+    commit dir before publishing a single atomic
+    ``append``/``replace_all`` record — the exact two-phase
+    staged-then-linked protocol ``TxnLogFormat`` writes use.  Gathering
+    from messages (not a dir walk) is what makes task RETRIES and
+    speculative attempts safe: a failed attempt's partial or duplicate
+    file stays in its own unreferenced task dir for ``vacuum``, never
+    entering the commit — the correctness Delta gets from task commit
+    messages.  Stats/file lists are harvested at commit time like any
+    other commit (footer reads over exactly the gathered files).
 
     CHECK constraints live on the ``TxnLogFormat`` API surface, not this
     bare sink — a constrained table should be written through
@@ -675,14 +679,14 @@ class TxnLogWriter(DataSourceWriter):
         self.path = options["path"]
         self.schema = schema
         self.overwrite = overwrite
-        import uuid as _uuid
-        self.stage_rel = os.path.join("_txn_data", _uuid.uuid4().hex)
 
     # executor-side ------------------------------------------------------
     _CHUNK = 32768
 
     def write(self, iterator) -> _WriteMessage:
-        return self._write_to(self.stage_rel, iterator)
+        import uuid as _uuid
+        return self._write_to(
+            os.path.join("_txn_data", _uuid.uuid4().hex), iterator)
 
     def _write_to(self, stage_rel: str, iterator) -> _WriteMessage:
         import uuid as _uuid
@@ -723,26 +727,46 @@ class TxnLogWriter(DataSourceWriter):
         return _WriteMessage(relfiles=rels)
 
     # driver-side --------------------------------------------------------
-    def _record(self) -> dict:
+    def _record(self, dest_rel: str) -> dict:
         return {"action": "replace_all" if self.overwrite else "append",
-                "dir": self.stage_rel,
+                "dir": dest_rel,
                 "partition_col": None, "partitions": [],
                 "schema": self.schema.json()}
 
-    def commit(self, messages) -> None:
+    def _gather(self, messages, dest_rel: str) -> None:
+        """Move exactly the files the task commit MESSAGES name into the
+        commit dir — same-filesystem renames, O(files) driver metadata
+        (the job-commit cost every table format pays).  On an object
+        store, swap the renames for the store's copy/multipart-commit
+        primitive (same seam as the rest of the protocol)."""
+        dest = os.path.join(self.path, dest_rel)
         # all-empty jobs still commit (schema-bearing, like append() of
-        # an empty DataFrame); the stage dir must exist for the
-        # stats harvest walk
-        os.makedirs(os.path.join(self.path, self.stage_rel),
-                    exist_ok=True)
-        TxnLogFormat()._commit(self.path, self._record())
+        # an empty DataFrame); the dir must exist for the harvest walk
+        os.makedirs(dest, exist_ok=True)
+        for m in messages:
+            for rf in (m.relfiles if m else []):
+                src = os.path.join(self.path, rf)
+                os.rename(src, os.path.join(dest,
+                                            os.path.basename(rf)))
+                try:  # tidy the now-empty task dir
+                    os.rmdir(os.path.dirname(src))
+                except OSError:  # pragma: no cover - defensive
+                    pass
+
+    def commit(self, messages) -> None:
+        import uuid as _uuid
+        dest_rel = os.path.join("_txn_data", _uuid.uuid4().hex)
+        self._gather(messages, dest_rel)
+        TxnLogFormat()._commit(self.path, self._record(dest_rel))
 
     def abort(self, messages) -> None:
-        # staged data is unreferenced, hence invisible; vacuum sweeps
-        # it — active cleanup here is best-effort tidiness only
+        # staged task dirs are unreferenced, hence invisible; vacuum
+        # sweeps them — active cleanup is best-effort tidiness only
         import shutil
-        shutil.rmtree(os.path.join(self.path, self.stage_rel),
-                      ignore_errors=True)
+        for m in (messages or []):
+            for rf in (m.relfiles if m else []):
+                shutil.rmtree(os.path.dirname(
+                    os.path.join(self.path, rf)), ignore_errors=True)
 
 
 class TxnLogStreamWriter(TxnLogWriter, DataSourceStreamWriter):
@@ -753,15 +777,10 @@ class TxnLogStreamWriter(TxnLogWriter, DataSourceStreamWriter):
     an epoch redelivery after a crash is SKIPPED by the log instead of
     appended twice (its re-staged files stay unreferenced for vacuum).
 
-    Staging shape differs from the batch writer because the SAME writer
-    instance serves every micro-batch (a driver-side field mutation
-    between epochs would not reach the executors' pickled copy): each
-    TASK stages into its own invisible ``_txn_data/<uuid>`` dir, and
-    the epoch's driver commit MOVES the task files into one fresh
-    commit dir before publishing — same-filesystem renames, O(files)
-    metadata work, exactly the job-commit cost every table format pays.
-    On an object store swap the renames for the store's multipart
-    commit/copy primitive (same seam as the rest of the protocol).
+    Same per-task staging + message-gather as the batch writer — which
+    is also what makes ONE writer instance correctly serving every
+    micro-batch possible (no per-epoch driver state has to reach the
+    executors' pickled copy).
 
     ``option("txnApp", ...)`` scopes the watermark; the default is
     derived from the target path, which is correct for one writing
@@ -776,38 +795,16 @@ class TxnLogStreamWriter(TxnLogWriter, DataSourceStreamWriter):
         super().__init__(schema, options, overwrite)
         self.txn_app = options.get("txnapp") or f"txnlog_sink:{self.path}"
 
-    def write(self, iterator) -> _WriteMessage:
-        import uuid as _uuid
-        return self._write_to(
-            os.path.join("_txn_data", _uuid.uuid4().hex), iterator)
-
-    def _gather(self, messages, dest_rel: str) -> None:
-        dest = os.path.join(self.path, dest_rel)
-        os.makedirs(dest, exist_ok=True)
-        for m in messages:
-            for rf in (m.relfiles if m else []):
-                src = os.path.join(self.path, rf)
-                os.rename(src, os.path.join(dest,
-                                            os.path.basename(rf)))
-                try:  # tidy the now-empty task dir
-                    os.rmdir(os.path.dirname(src))
-                except OSError:  # pragma: no cover - defensive
-                    pass
-
     def commit(self, messages, batchId: int) -> None:
         import uuid as _uuid
         dest_rel = os.path.join("_txn_data", _uuid.uuid4().hex)
         self._gather(messages, dest_rel)
-        rec = {**self._record(), "dir": dest_rel,
+        rec = {**self._record(dest_rel),
                "txn_app": self.txn_app, "txn_version": batchId}
         TxnLogFormat()._commit(self.path, rec)
 
     def abort(self, messages, batchId: int) -> None:
-        import shutil
-        for m in messages:
-            for rf in (m.relfiles if m else []):
-                shutil.rmtree(os.path.dirname(
-                    os.path.join(self.path, rf)), ignore_errors=True)
+        TxnLogWriter.abort(self, messages)
 
 
 class TxnLogDataSource(DataSource):

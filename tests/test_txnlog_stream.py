@@ -619,3 +619,34 @@ def test_stream_sink_source_roundtrip(registered, tmp_path):
     q.awaitTermination()
     got = sorted((r.id, r.s) for r in fmt.read(spark, dst).collect())
     assert got == [(10, "A"), (20, "B"), (30, "C")]
+
+
+def test_writer_commit_gathers_only_message_files(registered, tmp_path):
+    """Task-retry safety: when a task runs TWICE (failure retry or
+    speculative execution), only the attempt whose commit message Spark
+    keeps may reach the published commit — the dead attempt's file
+    stays an unreferenced orphan.  Drives the writer API directly: two
+    write() attempts over the same rows, one message passed to
+    commit()."""
+    from pyspark.sql import Row
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogWriter)
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(spark.createDataFrame([(1, 1.0)], "k long, v double"), path)
+    schema = fmt.read(spark, path).schema
+    w = TxnLogWriter(schema, {"path": path}, overwrite=False)
+    rows = [Row(k=2, v=2.0)]
+    dead = w.write(iter(rows))    # attempt 1: fails after writing
+    kept = w.write(iter(rows))    # attempt 2: the one Spark commits
+    assert dead.relfiles != kept.relfiles  # distinct task dirs
+    w.commit([kept])
+    got = sorted(r.k for r in fmt.read(spark, path).collect())
+    assert got == [1, 2]  # exactly once — the dead attempt is invisible
+    last = fmt._commits(path)[-1]
+    assert [os.path.basename(f) for f in last["files"]] == \
+        [os.path.basename(kept.relfiles[0])]
+    # the dead attempt's file is still on disk, unreferenced (vacuum's
+    # job), proving exclusion came from messages, not a lucky dir walk
+    assert os.path.exists(os.path.join(path, dead.relfiles[0]))
