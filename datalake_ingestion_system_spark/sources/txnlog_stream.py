@@ -524,8 +524,10 @@ def _filters_to_clauses(filters) -> list:
         op = ops.get(type(f))
         if op is not None and scalar(f.value):
             out.append((col, op, f.value))
-        elif isinstance(f, dsrc.In) \
+        elif isinstance(f, dsrc.In) and f.value \
                 and all(scalar(v) for v in f.value):
+            # non-empty only: the pruner's IN rule ("every member
+            # provably outside") is vacuously true on an empty list
             out.append((col, "in", tuple(f.value)))
         elif isinstance(f, dsrc.IsNull):
             out.append((col, "isnull", None))

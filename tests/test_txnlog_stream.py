@@ -650,3 +650,69 @@ def test_writer_commit_gathers_only_message_files(registered, tmp_path):
     # the dead attempt's file is still on disk, unreferenced (vacuum's
     # job), proving exclusion came from messages, not a lucky dir walk
     assert os.path.exists(os.path.join(path, dead.relfiles[0]))
+
+
+def test_change_feed_reconstructs_state_under_random_ops(
+        registered, tmp_path):
+    """Model check: over random sequences of the CDF-compatible op
+    algebra (append / DV delete / DV update / size compaction / rename
+    alter), replaying the full-range batch change feed — insert sets,
+    delete removes, postimage replaces, preimages ignored — must
+    rebuild EXACTLY the table's live state, with the stream's current
+    column names throughout (pre-rename commits map).  Checkpointing
+    is off: a checkpoint folds per-commit records away and full-range
+    CDF over folded changes raises by design (covered elsewhere)."""
+    import itertools
+    import random
+
+    spark = registered
+    rng = random.Random(20260815)
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    counter = itertools.count()
+    for example in range(4):
+        path = str(tmp_path / f"t{example}")
+        vcol = "v"
+        state: dict = {}  # k -> value
+        rows = [(next(counter), 0), (next(counter), 1)]
+        fmt.append(spark.createDataFrame(rows, "k long, v long"), path)
+        state.update(rows)
+        for _ in range(rng.randint(6, 9)):
+            op = rng.choice(["append", "dv_delete", "dv_update",
+                             "compact", "alter"])
+            if op == "append":
+                rows = [(next(counter), rng.randint(0, 99))]
+                fmt.append(spark.createDataFrame(
+                    rows, f"k long, {vcol} long"), path)
+                state.update(rows)
+            elif op == "dv_delete" and state:
+                k = rng.choice(sorted(state))
+                assert fmt.delete_where_dv(spark, path, f"k = {k}") == 1
+                del state[k]
+            elif op == "dv_update" and state:
+                k = rng.choice(sorted(state))
+                n = fmt.update_where_dv(
+                    spark, path, f"k = {k}", {vcol: f"{vcol} + 1000"})
+                assert n == 1
+                state[k] += 1000
+            elif op == "compact":
+                fmt.compact(spark, path, small_file_bytes=32 << 20)
+            elif op == "alter":
+                new = f"{vcol}x"
+                fmt.alter_table(path, rename_columns={vcol: new})
+                vcol = new
+        feed = (spark.read.format("txnlog")
+                .option("readChangeFeed", "true").load(path))
+        assert feed.columns[:2] == ["k", vcol], f"example {example}"
+        rebuilt: dict = {}
+        for r in sorted(feed.collect(),
+                        key=lambda r: r["_commit_version"]):
+            if r["_change_type"] == "insert":
+                rebuilt[r["k"]] = r[vcol]
+            elif r["_change_type"] == "delete":
+                del rebuilt[r["k"]]
+            elif r["_change_type"] == "update_postimage":
+                rebuilt[r["k"]] = r[vcol]
+        assert rebuilt == state, f"example {example}"
+        live = {r["k"]: r[vcol]
+                for r in fmt.read(spark, path).collect()}
+        assert live == state, f"example {example}"
