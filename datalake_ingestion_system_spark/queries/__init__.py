@@ -50,12 +50,18 @@ _FORCE_FRONT: tuple[str, ...] = (
     # stream module (CDF planner, pushdown reader, write path) — same
     # closure, re-verified locally again (16/16 oracle-green after the
     # conflict change, 7/7 skipping queries after the pruning
-    # refactor).  All load-bearing machinery changed after these
-    # queries' last green driver row — the driver must confirm.
-    # (--changed-since cannot see transitive sinks edits; this is the
-    # manual closure.  q_partition_pruned_read, q_change_data_feed,
-    # q_cdf_replica_mirror, and q_txnlog_stream_sink are new and front
-    # automatically.)
+    # refactor).  The round-9c session then made DELETE/UPDATE
+    # file-targeted (rewrite_files + data_change flag), moved every
+    # commit-recorded scan to EXPLICIT file lists (read()'s scan_target
+    # shape), added the file-level vacuum sweep, and taught both stream
+    # planners the compaction-vs-data-change split — the full closure
+    # re-verified locally a third time (19/19 oracle-green across the
+    # read-path + stream sets).  All load-bearing machinery changed
+    # after these queries' last green driver row — the driver must
+    # confirm.  (--changed-since cannot see transitive sinks edits;
+    # this is the manual closure.  q_partition_pruned_read,
+    # q_change_data_feed, q_cdf_replica_mirror, q_txnlog_stream_sink,
+    # and q_targeted_cow_read are new and front automatically.)
     "q_data_skipping_read", "q_dv_compact_read", "q_zorder_skipping_read",
     "q_schema_evolution_read", "q_delete_vector_read", "q_merge_upsert",
     "q_txnlog_stream_source", "q_minhash_incremental",

@@ -2690,3 +2690,53 @@ FROM events
 WHERE user_id >= 5 AND user_id < 300
 GROUP BY event_type
 """
+
+
+@_q("q_targeted_cow_read")
+def q_targeted_cow_read(spark, sf_dir):
+    """FILE-TARGETED copy-on-write DELETE + UPDATE oracle-verified end
+    to end (Delta DELETE/UPDATE parity, round 9b): events are committed
+    as three separate appends, ``delete_where`` rewrites only the files
+    holding error rows, ``update_where`` then rewrites only the files
+    holding high-value rows (both as ``rewrite_files`` commits — every
+    untouched file keeps its physical identity), and the surviving
+    rows' per-type rollup is returned.  The DuckDB oracle is the plain
+    declarative recomputation, so targeting, survivor restaging,
+    retired-file pruning, and the rewrite/append interplay are all
+    checked cross-engine.
+
+    Scale shape: each op's predicate read stats-prunes to candidate
+    files and the rewrite touches O(matching files), not O(table) —
+    the copy-on-write twin of the deletion-vector path's O(rows)."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="cow_q_") + "/t"
+    fmt = TxnLogFormat()
+    for part in range(3):
+        fmt.append(e.filter(F.pmod("event_id", F.lit(3)) == part), path)
+    fmt.delete_where(spark, path, "event_type = 'error'")
+    fmt.update_where(spark, path, "value > 100",
+                     {"value": "value + 1000"})
+    return (fmt.read(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_targeted_cow_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(
+           (CASE WHEN value > 100 THEN value + 1000 ELSE value END)
+           * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE coalesce(event_type <> 'error', TRUE)
+GROUP BY event_type
+"""

@@ -1775,7 +1775,8 @@ class TxnLogFormat(TableFormat):
              as_of_version: int | None = None,
              as_of_timestamp: float | str | None = None,
              where: str | None = None,
-             _with_pos: bool = False) -> DataFrame:
+             _with_pos: bool = False,
+             _only_files: set | None = None) -> DataFrame:
         """Current state, or — with ``as_of_version`` — TIME TRAVEL: the
         state after commit ``as_of_version`` landed, by replaying exactly
         that log prefix (versions are the log's serialization order, so
@@ -1855,6 +1856,23 @@ class TxnLogFormat(TableFormat):
         if clauses:
             skip_files |= self._clause_excluded_files(
                 path, commits, alters, clauses)
+        if _only_files is not None:
+            # EXACT scan restriction (rewrite planning: the targeted
+            # delete/update's second read must scan precisely the hot
+            # files, or untouched rows would restage as duplicates):
+            # every live file not named is treated like a retired file;
+            # legacy entries without a recorded list pay one walk for
+            # the same exact answer
+            for e in live:
+                files_l = e.get("files")
+                if files_l is None:
+                    full = os.path.join(path, e["dir"])
+                    files_l = [
+                        _relfile(os.path.join(dp, fn))
+                        for dp, _d, fns in os.walk(full)
+                        for fn in fns if fn.endswith(".parquet")]
+                skip_files.update(rf for rf in files_l
+                                  if rf not in _only_files)
         removed_files = removed_files | skip_files
         # merge-on-read deletes need each row's physical identity; expose
         # it via the scan-time _metadata columns (file path + parquet row
@@ -1954,25 +1972,27 @@ class TxnLogFormat(TableFormat):
                 # lists answer this without touching storage; the walk
                 # is the pre-upgrade-records fallback.
                 continue
-            scan_target: list[str] = [full]
-            # only dirs a rewrite actually touched pay the file listing:
-            # removed identities are '_txn_data/<stage>/...', so the
-            # stage-dir membership check is a string split, no listing
-            if e["dir"] in removed_dirs:
-                # FILE PRUNING, not row filtering: a rewrite_files commit
-                # retired specific physical files — hand the reader only
-                # the survivors so retired files are never opened (the
-                # read-path win DV compaction exists for).  File identity
-                # is derived exactly like the _dv_file column: the
-                # `_txn_data/...` suffix of the absolute path.  The
-                # survivor list comes from the commit-recorded file
-                # names (no storage listing); legacy records without
-                # ``files`` pay one walk.
-                if files is not None:
-                    kept = [os.path.join(path, rf) for rf in files
-                            if rf not in removed_files]
-                    pruned = len(files) - len(kept)
-                else:
+            # Scan EXPLICIT commit-recorded file names, not the dir:
+            # (a) the parquet reader skips its per-dir storage listing
+            # (at scale an object-store LIST per dir per scan), and
+            # (b) a file the FILE-level vacuum swept out of a
+            # still-referenced dir fails a historical read LOUDLY at
+            # scan instead of silently vanishing from a dir listing —
+            # the never-a-wrong-answer discipline.  File identity is
+            # derived exactly like the _dv_file column: the
+            # `_txn_data/...` suffix.  Retired/stats-pruned files are
+            # dropped here (the read-path win DV compaction exists
+            # for); legacy records without ``files`` keep the dir scan,
+            # paying one walk only when a rewrite touched their dir.
+            if files is not None:
+                kept = [os.path.join(path, rf) for rf in files
+                        if rf not in removed_files]
+                if not kept:
+                    continue  # every file pruned or rewritten
+                scan_target = kept
+            else:
+                scan_target = [full]
+                if e["dir"] in removed_dirs:
                     kept, pruned = [], 0
                     for dp, _dns, fns in os.walk(full):
                         for fn in fns:
@@ -1983,10 +2003,10 @@ class TxnLogFormat(TableFormat):
                                 pruned += 1
                             else:
                                 kept.append(ap)
-                if pruned:
-                    if not kept:
-                        continue  # every file in this dir was rewritten
-                    scan_target = kept
+                    if pruned:
+                        if not kept:
+                            continue  # every file here was rewritten
+                        scan_target = kept
             if (e["pcol"] is None and e.get("staged_pcol") is None
                     and e.get("schema")):
                 era = sum(1 for a in alters
@@ -2203,39 +2223,93 @@ class TxnLogFormat(TableFormat):
             "schema": self._resolve_schema(commits),
         }
 
+    def _surviving_dv_rel(self, spark: SparkSession, path: str,
+                          commits: list[dict],
+                          hot: list[str]) -> str | None:
+        """Consolidated deletion-vector dir for a targeted
+        ``rewrite_files`` commit: entries referencing the rewritten (or
+        already-retired) files are MATERIALIZED by the rewrite and
+        retire with it; the rest stay live, consolidated into one
+        staged dir (``rewrite_files`` resolution replaces the whole DV
+        set).  None when nothing survives."""
+        dvs = self._resolve_dvs(commits)
+        if not dvs:
+            return None
+        dv_all = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(os.path.join(path, d)) for d in dvs])
+        already = sorted(self._resolve_removed_files(commits))
+        remaining = (dv_all.filter(~F.col("_dv_file").isin(sorted(hot)))
+                     .filter(~F.col("_dv_file").isin(already))
+                     .distinct())
+        if not remaining.head(1):
+            return None
+        return self._stage(remaining, path, None, check=False)
+
+    def _hot_files(self, matching: DataFrame) -> tuple[list[str], int]:
+        """(files holding matching live rows, matching-row count) in ONE
+        Spark job — the targeting step of file-targeted DELETE/UPDATE."""
+        per_file = matching.groupBy("_dv_file") \
+            .agg(F.count("*").alias("_n")).collect()
+        return (sorted(r["_dv_file"] for r in per_file),
+                int(sum(r["_n"] for r in per_file)))
+
     def delete_where(self, spark: SparkSession, path: str,
                      predicate: str) -> int:
         """Row-level DELETE (Delta ``DELETE WHERE`` analogue, the
-        right-to-be-forgotten operator): copy-on-write — stage the rows
-        that SURVIVE the predicate and publish one ``replace_all`` commit.
-        Returns the number of rows deleted.  The deleted rows remain
-        reachable via time travel until ``vacuum`` (exactly Delta's
-        semantics — a GDPR purge is delete + vacuum past the retention
-        window).
+        right-to-be-forgotten operator): FILE-TARGETED copy-on-write.
+        The predicate read stats-prunes to candidate files; only the
+        files actually HOLDING matching live rows are rewritten (their
+        surviving rows restage, deletion vectors applied — so vectors
+        referencing rewritten files materialize and retire, vectors on
+        untouched files consolidate and stay live), published as ONE
+        atomic ``rewrite_files`` commit.  Every untouched file keeps
+        its physical identity — a point delete touches O(matching
+        files), not O(table), Delta's DELETE shape.  NULL-predicate
+        rows survive (SQL DELETE semantics).  Deleted rows remain
+        reachable via time travel until ``vacuum`` (a GDPR purge is
+        delete + vacuum past the retention window).
 
-        Scale note: this rewrites the whole table; at 100 TB pair it with
-        partition pruning (delete keys routed per partition — run one
-        ``overwrite_partitions`` per affected partition instead) or a
-        deletion-vector design.  Constraints, if configured, re-validate
-        the surviving rows like any other write.
-
-        Concurrency: delete is a read-modify-write, so the commit carries
-        the snapshot's expected version — a commit that landed between
-        the read and the publish raises ``ConcurrentWriteError`` instead
-        of being silently erased by the replace_all (the blind-write ops
-        append/overwrite keep their lock-free retry semantics)."""
-        head = self._commits(path)[-1]["version"]
-        current = self.read(spark, path)
+        Concurrency: read-modify-write with the snapshot's expected
+        version — and APPEND-TOLERANT under WriteSerializable (the
+        file-targeted footprint cannot overlap a pure same-schema
+        append), so streaming ingest never starves deletes.  Any other
+        interleave raises ``ConcurrentWriteError``.  Constraints are
+        not re-validated (deleting rows cannot introduce a violation).
+        Returns rows deleted."""
+        commits = self._commits(path)
+        if not commits:
+            raise FileNotFoundError(f"no committed table at {path}")
+        head = commits[-1]["version"]
+        self._check_dv_reserved_columns(spark, path)
         pred = F.expr(predicate)
-        n_del = current.filter(pred).count()
+        # stats-pruned candidate scan: only files that can hold a match
+        matching = self.read(spark, path, where=predicate,
+                             _with_pos=True)
+        if "_dv_file" not in matching.columns:
+            return 0  # zero-live-row table: nothing to delete
+        hot, n_del = self._hot_files(matching.filter(pred))
         if n_del == 0:
             return 0
-        survivors = current.filter(~pred | pred.isNull())
-        rel = self._stage(survivors, path, None)
-        self._commit(path, {"action": "replace_all", "dir": rel,
-                            "partition_col": None, "partitions": [],
-                            "schema": survivors.schema.json()},
-                     expected_version=head + 1)
+        # exact-scan the hot files; their SURVIVORS restage
+        cur_hot = self.read(spark, path, _with_pos=True,
+                            _only_files=set(hot))
+        survivors = (cur_hot.filter(~pred | pred.isNull())
+                     .drop("_dv_file", "_dv_pos"))
+        rec = {"action": "rewrite_files",
+               "dir": self._stage(survivors, path, None, check=False),
+               "removed_files": hot,
+               # Delta's dataChange flag: unlike compaction (bytes move,
+               # rows identical), this rewrite CHANGES rows — streams and
+               # the change feed must not skip it silently
+               "data_change": True,
+               "partition_col": None, "partitions": [],
+               "schema": survivors.schema.json()}
+        dv_rel = self._surviving_dv_rel(spark, path, commits, hot)
+        if dv_rel is not None:
+            rec["dv_dir"] = dv_rel
+        self._commit(path, rec, expected_version=head + 1,
+                     base_schema=self._resolve_schema(commits))
         return n_del
 
     def delete_where_dv(self, spark: SparkSession, path: str,
@@ -2348,39 +2422,61 @@ class TxnLogFormat(TableFormat):
         matching ``predicate`` get each ``assignments[col]`` SQL expression
         evaluated against the CURRENT row and cast back to the column's
         existing type (schema is stable across updates by construction);
-        all other rows pass through byte-identical.  Copy-on-write: one
-        staged full rewrite published as a ``replace_all`` commit, so the
-        pre-update state stays time-travelable until ``vacuum``.
+        all other rows pass through byte-identical.  FILE-TARGETED
+        copy-on-write like ``delete_where``: only the files holding
+        matching live rows are rewritten (all their rows restage, the
+        matched ones transformed), published as ONE ``rewrite_files``
+        commit — an update touches O(matching files), not O(table),
+        Delta's UPDATE shape — and the pre-update state stays
+        time-travelable until ``vacuum``.  Vectors on rewritten files
+        materialize and retire; vectors on untouched files stay live.
 
-        Same concurrency contract as ``delete_where``: the commit carries
-        the snapshot's expected version and raises ``ConcurrentWriteError``
-        if another commit landed between read and publish.  Same scale
-        note too — at 100 TB route updates per partition or use a
-        deletion-vector/merge-on-read design; the seam here is the commit
-        protocol, not the rewrite granularity.  Returns rows updated."""
-        head = self._commits(path)[-1]["version"]
-        current = self.read(spark, path)
-        unknown = [c for c in assignments if c not in current.columns]
+        Same concurrency contract as ``delete_where``: snapshot
+        expected version, APPEND-TOLERANT under WriteSerializable, any
+        other interleave raises ``ConcurrentWriteError``.  Constraints,
+        if configured, re-validate the restaged rows (the only new
+        data).  Returns rows updated."""
+        commits = self._commits(path)
+        if not commits:
+            raise FileNotFoundError(f"no committed table at {path}")
+        head = commits[-1]["version"]
+        self._check_dv_reserved_columns(spark, path)
+        pred = F.expr(predicate)
+        matching = self.read(spark, path, where=predicate,
+                             _with_pos=True)
+        if "_dv_file" not in matching.columns:
+            return 0  # zero-live-row table: nothing to update
+        unknown = [c for c in assignments
+                   if c not in matching.columns or c.startswith("_dv_")]
         if unknown:
             raise ValueError(
                 f"UPDATE SET references columns not in the table: {unknown}")
-        pred = F.expr(predicate)
-        n_upd = current.filter(pred).count()
+        hot, n_upd = self._hot_files(matching.filter(pred))
         if n_upd == 0:
             return 0
+        cur_hot = self.read(spark, path, _with_pos=True,
+                            _only_files=set(hot))
         # SQL UPDATE semantics: a NULL predicate leaves the row unchanged
         hit = F.coalesce(pred, F.lit(False))
-        types = dict(current.dtypes)
-        updated = current.select(*[
+        tcols = [c for c in cur_hot.columns
+                 if c not in ("_dv_file", "_dv_pos")]
+        types = dict(cur_hot.dtypes)
+        updated = cur_hot.select(*[
             (F.when(hit, F.expr(assignments[c]).cast(types[c]))
               .otherwise(F.col(c)).alias(c)) if c in assignments
             else F.col(c)
-            for c in current.columns])
-        rel = self._stage(updated, path, None)
-        self._commit(path, {"action": "replace_all", "dir": rel,
-                            "partition_col": None, "partitions": [],
-                            "schema": updated.schema.json()},
-                     expected_version=head + 1)
+            for c in tcols])
+        rec = {"action": "rewrite_files",
+               "dir": self._stage(updated, path, None),  # constraints run
+               "removed_files": hot,
+               "data_change": True,  # rows changed, not just bytes moved
+               "partition_col": None, "partitions": [],
+               "schema": updated.schema.json()}
+        dv_rel = self._surviving_dv_rel(spark, path, commits, hot)
+        if dv_rel is not None:
+            rec["dv_dir"] = dv_rel
+        self._commit(path, rec, expected_version=head + 1,
+                     base_schema=self._resolve_schema(commits))
         return n_upd
 
     def merge(self, spark: SparkSession, path: str, source: DataFrame,
@@ -2734,8 +2830,13 @@ class TxnLogFormat(TableFormat):
         from writers that died before committing.  ``retain_hours`` (same
         7-day default as Delta) keeps young directories so an in-flight
         writer's staged-but-uncommitted data is never swept; referenced
-        directories are never deleted regardless of age.  Time travel to
-        vacuumed versions stops working — the usual trade.
+        directories are never deleted regardless of age.  Also sweeps
+        individual FILES retired by ``rewrite_files`` commits (targeted
+        delete/update, compaction) once their retirement — the rewrite
+        commit's timestamp, not the file's write time — ages past the
+        window: they live inside still-referenced dirs the dir sweep
+        can't touch.  Time travel to vacuumed versions stops working —
+        the usual trade.
 
         ``log_retain_hours`` (None = never, Delta's separate
         ``logRetentionDuration`` knob) additionally prunes LOG files the
@@ -2771,6 +2872,36 @@ class TxnLogFormat(TableFormat):
                 continue
             shutil.rmtree(full, ignore_errors=True)
             deleted.append(rel)
+        # FILE-level sweep: files retired by rewrite_files commits
+        # (targeted delete/update, DV/size compaction) live inside
+        # still-REFERENCED dirs, so the dir sweep above can never free
+        # them.  A retired file is deletable once its RETIREMENT commit
+        # — not its write mtime; the file may be ancient — is older
+        # than the retention window; time travel to a pre-rewrite
+        # version then raises on the missing file, the standard vacuum
+        # trade (restores within retention stay safe by the age guard).
+        # Folded retirements (listed only by a checkpoint) age from the
+        # checkpoint's own ts — at or after the true retirement, so the
+        # sweep is never early.
+        retire_ts: dict[str, float] = {}
+        for c in commits:
+            if c["action"] == "checkpoint":
+                for rf in c["state"].get("removed_files", []):
+                    retire_ts.setdefault(rf, c.get("ts", _time_mod.time()))
+            elif c["action"] == "rewrite_files":
+                for rf in c.get("removed_files", []):
+                    retire_ts[rf] = c.get("ts", _time_mod.time())
+        # membership via the resolver: a RESTORE past a rewrite makes
+        # its files live again — they must never sweep
+        for rf in sorted(self._resolve_removed_files(commits)):
+            ts = retire_ts.get(rf)
+            if ts is None or ts > cutoff:
+                continue
+            try:
+                os.unlink(os.path.join(path, rf))
+                deleted.append(rf)
+            except FileNotFoundError:
+                pass  # already swept by an earlier vacuum
         # Also sweep `.tmp` commit-staging orphans from writers that died
         # between staging and os.link publish (same age guard).
         log = self._log_dir(path)

@@ -11,11 +11,14 @@ Structured Streaming's exactly-once contract needs from a source.
 
 Scope (same as Delta's default streaming source): APPEND-ONLY. A commit
 that rewrites or removes data (``replace_all``/``overwrite``/
-``dv_update``/``add_dv``/``rewrite_files``/``restore``) is a data CHANGE;
-the stream fails on it unless ``option("ignoreChanges", "true")`` is set,
-in which case such commits are skipped (their data is NOT re-emitted —
-Delta's ignoreChanges caveat applies verbatim: downstream must tolerate
-not seeing updates).  ``alter`` commits are METADATA: files written under
+``dv_update``/``add_dv``/``restore``, and ``rewrite_files`` carrying
+``data_change`` — targeted DELETE/UPDATE) is a data CHANGE; the stream
+fails on it unless ``option("ignoreChanges", "true")`` is set, in which
+case such commits are skipped (their data is NOT re-emitted — Delta's
+ignoreChanges caveat applies verbatim: downstream must tolerate not
+seeing updates).  A ``rewrite_files`` WITHOUT ``data_change`` is
+compaction — bytes move, rows are identical (Delta ``dataChange=false``)
+— and is skipped silently, so OPTIMIZE never breaks a stream.  ``alter`` commits are METADATA: files written under
 a historical schema are column-mapped to the stream's schema at read
 time (renames inverted, later-added columns null-filled — the same
 name-based mapping ``TxnLogFormat.read`` applies), so a stream started
@@ -33,9 +36,11 @@ instead of append-only rows — ``insert`` for appends, ``delete`` for
 deletion-vector rows, ``update_preimage``/``update_postimage`` for DV
 updates — each with ``_commit_version`` and ``_commit_timestamp``.
 Compactions emit nothing (bytes move, rows don't — dataChange=false);
-full rewrites (``replace_all``/``overwrite``/``restore``) raise, since
-per-row identity across a whole-snapshot rewrite is ``diff_versions``'s
-job, not a streaming source's.
+full rewrites (``replace_all``/``overwrite``/``restore``) AND
+data-changing targeted rewrites (``rewrite_files`` with ``data_change``
+— copy-on-write DELETE/UPDATE, whose per-row deltas are not recorded in
+the log) raise, since per-row identity across a rewrite is
+``diff_versions``'s job, not a streaming source's.
 
 Scale shape: offset planning replays the commit records via the SAME
 ``TxnLogFormat._commits`` every reader uses — checkpoint + tail, so a
@@ -219,12 +224,13 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
     - ``add_dv``            → the vectored rows tagged ``delete``
     - ``dv_update``         → vectored rows tagged ``update_preimage``,
                               the rewrite dir tagged ``update_postimage``
-    - ``rewrite_files``     → nothing (compaction moves bytes, not rows —
-                              Delta's dataChange=false)
+    - ``rewrite_files`` without ``data_change`` → nothing (compaction
+      moves bytes, not rows — Delta's dataChange=false)
     - ``alter``/checkpoint  → nothing (metadata)
-    - ``replace_all``/``overwrite``/``restore`` → raise: a full rewrite
-      has no per-row change identity without diffing whole snapshots —
-      that is the batch ``diff_versions`` API's job.  Under
+    - ``replace_all``/``overwrite``/``restore``, and ``rewrite_files``
+      WITH ``data_change`` (targeted copy-on-write DELETE/UPDATE) →
+      raise: the rewrite has no per-row change identity in the log —
+      diffing snapshots is the batch ``diff_versions`` API's job.  Under
       ``ignoreChanges`` they are skipped (Delta's caveat verbatim).
 
     Preimage rows are fetched by parquet row position from the files the
@@ -309,7 +315,9 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                 _FilePartition(ap, mapping,
                                cdf=("update_postimage", v, ts))
                 for ap in _data_files(path, c["dir"], c.get("files")))
-        elif c["action"] in ("rewrite_files", "alter"):
+        elif c["action"] == "alter" or (
+                c["action"] == "rewrite_files"
+                and not c.get("data_change")):
             continue  # bytes moved or metadata changed; no row changed
         elif not ignore_changes:
             raise ValueError(
@@ -482,6 +490,14 @@ class TxnLogStreamReader(DataSourceStreamReader):
                 # the schema past this stream's pin already failed the
                 # batch above (unless ignoreSchemaEvolution, where
                 # unknown columns are deliberately never selected).
+                continue
+            elif c["action"] == "rewrite_files" \
+                    and not c.get("data_change"):
+                # compaction (Delta dataChange=false): bytes moved, rows
+                # identical — OPTIMIZE must never break a stream.  The
+                # rows were (or will be) emitted from their original
+                # append commits, whose recorded files stay on disk
+                # until vacuum's retention window passes.
                 continue
             elif not self.ignore_changes:
                 raise ValueError(

@@ -886,9 +886,12 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
 
 
 def test_delete_where_detects_concurrent_commit(spark, tmp_path):
-    """Review regression: delete_where is a read-modify-write, so a commit
-    landing between its snapshot read and its publish must raise
-    ConcurrentWriteError — not be silently erased by the replace_all."""
+    """Concurrency contract of the (now file-targeted) delete: an
+    interleaved pure APPEND is benign under WriteSerializable — both
+    land, nothing is lost, no retry needed (the delete's rewrite_files
+    footprint cannot overlap appended files).  A genuinely conflicting
+    interleave (a full overwrite) still raises ConcurrentWriteError
+    instead of being silently erased."""
     from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
 
     fmt = TxnLogFormat()
@@ -899,22 +902,47 @@ def test_delete_where_detects_concurrent_commit(spark, tmp_path):
 
     racer = TxnLogFormat()
     orig_read = fmt.read
+    raced = {"done": False}
 
-    def racing_read(spark_, p, **kw):  # a writer sneaks in mid-delete
+    def racing_append(spark_, p, **kw):  # a writer sneaks in mid-delete
         df = orig_read(spark_, p, **kw)
-        racer.append(spark.createDataFrame([(3, 3.0)],
-                                           "id long, v double"), path)
-        fmt.read = orig_read  # only race once
+        if not raced["done"]:
+            raced["done"] = True
+            racer.append(spark.createDataFrame([(3, 3.0)],
+                                               "id long, v double"), path)
         return df
 
-    fmt.read = racing_read
-    with pytest.raises(ConcurrentWriteError, match="advanced"):
-        fmt.delete_where(spark, path, "v < 0")
-    # nothing was lost: the interleaved append survives, no delete applied
-    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 2, 3]
-    # and the retry (now against the new head) succeeds
-    assert fmt.delete_where(spark, path, "v < 0") == 1
+    fmt.read = racing_append
+    try:
+        assert fmt.delete_where(spark, path, "v < 0") == 1
+    finally:
+        fmt.read = orig_read
+    # BOTH landed: id=1 deleted, the interleaved append survives
     assert sorted(r.id for r in fmt.read(spark, path).collect()) == [2, 3]
+
+    # a conflicting interleave (full overwrite) still aborts the delete
+    raced2 = {"done": False}
+
+    def racing_overwrite(spark_, p, **kw):
+        df = orig_read(spark_, p, **kw)
+        if not raced2["done"]:
+            raced2["done"] = True
+            racer.overwrite_table(spark.createDataFrame(
+                [(7, -7.0)], "id long, v double"), path)
+        return df
+
+    fmt.read = racing_overwrite
+    try:
+        with pytest.raises(ConcurrentWriteError, match="advanced"):
+            fmt.delete_where(spark, path, "v < 0")
+    finally:
+        fmt.read = orig_read
+    # nothing lost: the overwrite's state is intact, no delete applied
+    assert [(r.id, r.v) for r in fmt.read(spark, path).collect()] == \
+        [(7, -7.0)]
+    # and the retry (fresh snapshot) succeeds
+    assert fmt.delete_where(spark, path, "v < 0") == 1
+    assert fmt.read(spark, path).collect() == []
 
 
 def test_retry_on_conflict_recomputes_against_new_head(spark, tmp_path):
@@ -2556,3 +2584,74 @@ def test_maintenance_never_starved_by_append_storm(spark, tmp_path):
     raw, _cps, recs = fmt._log_names(path)
     actions = {fmt._load(path, n, recs)["action"] for n in raw}
     assert "append" in actions  # the storm genuinely interleaved the log
+
+
+def test_targeted_delete_update_preserve_untouched_files(spark, tmp_path):
+    """File-targeted DELETE/UPDATE (Delta parity): only files holding
+    matching rows are rewritten — every other file keeps its physical
+    identity (inputFiles-pinned), the commit is rewrite_files, vectors
+    on untouched files stay live, and time travel serves the pre-op
+    state."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        fmt.append(spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(5)], "k long, v double")
+            .coalesce(1), path)
+    before = set(fmt.read(spark, path).inputFiles())
+    assert len(before) == 3
+    assert fmt.delete_where(spark, path, "k = 102") == 1
+    after = set(fmt.read(spark, path).inputFiles())
+    assert len(before & after) == 2          # two files untouched
+    assert fmt._commits(path)[-1]["action"] == "rewrite_files"
+    assert sorted(r.k for r in fmt.read(spark, path).collect()) == \
+        [0, 1, 2, 3, 4, 100, 101, 103, 104, 200, 201, 202, 203, 204]
+
+    # a DV on an untouched file survives a targeted update elsewhere
+    fmt.delete_where_dv(spark, path, "k = 0")
+    assert fmt.update_where(spark, path, "k >= 200",
+                            {"v": "v + 0.5"}) == 5
+    got = {r.k: r.v for r in fmt.read(spark, path).collect()}
+    assert 0 not in got and got[200] == 0.5 and got[100] == 0.0
+    # pre-delete state is still time-travelable (version 2 = 3 appends)
+    assert len(fmt.read(spark, path, as_of_version=2).collect()) == 15
+
+    # a DV ON a rewritten file materializes and retires with it
+    fmt.delete_where_dv(spark, path, "k = 101")
+    assert fmt.delete_where(spark, path, "k = 103") == 1
+    got = sorted(r.k for r in fmt.read(spark, path).collect())
+    assert 101 not in got and 103 not in got and 104 in got
+
+
+def test_vacuum_sweeps_retired_files_in_live_dirs(spark, tmp_path):
+    """Files retired by a targeted rewrite live inside still-referenced
+    dirs — the dir sweep can't free them.  The file-level sweep deletes
+    them once the RETIREMENT (rewrite commit ts, not file mtime) ages
+    past retention; younger retirements are kept, so time travel within
+    the window stays safe."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        fmt.append(spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(5)], "k long, v double")
+            .coalesce(1), path)
+    before = set(fmt.read(spark, path).inputFiles())
+    assert fmt.delete_where(spark, path, "k = 102") == 1
+    after = set(fmt.read(spark, path).inputFiles())
+    (retired_abs,) = before - after
+    retired_abs = retired_abs.removeprefix("file://")
+    # retention keeps a freshly retired file (mtime is irrelevant:
+    # the FILE is as old as the table, the RETIREMENT is seconds old)
+    fmt.vacuum(path, retain_hours=1.0)
+    assert os.path.exists(retired_abs)
+    assert len(fmt.read(spark, path, as_of_version=2).collect()) == 15
+    # past retention it sweeps, and only once
+    deleted = fmt.vacuum(path, retain_hours=0.0)
+    assert any(f in retired_abs for f in deleted)
+    assert not os.path.exists(retired_abs)
+    assert fmt.vacuum(path, retain_hours=0.0) == []
+    # live reads are untouched; pre-rewrite time travel now raises
+    assert sorted(r.k for r in fmt.read(spark, path).collect()) == \
+        [0, 1, 2, 3, 4, 100, 101, 103, 104, 200, 201, 202, 203, 204]
+    with pytest.raises(Exception):
+        fmt.read(spark, path, as_of_version=2).collect()

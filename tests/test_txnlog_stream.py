@@ -357,11 +357,16 @@ def test_batch_change_feed_emits_tagged_changes(registered, tmp_path):
 
 
 def test_batch_change_feed_refuses_full_rewrites(registered, tmp_path):
+    """Data-changing rewrites — both the full kind (overwrite) and the
+    file-targeted kind (copy-on-write delete, a ``rewrite_files`` commit
+    CARRYING ``data_change``) — have no per-row change identity in the
+    log, so the change feed must raise, never silently skip them as it
+    does compaction."""
     spark = registered
     path = str(tmp_path / "t")
     fmt = TxnLogFormat()
     fmt.append(_mk(spark, (1, "a"), (2, "b")), path)  # v0
-    fmt.delete_where(spark, path, "id = 1")           # v1: replace_all
+    fmt.delete_where(spark, path, "id = 1")           # v1: targeted COW
     fmt.append(_mk(spark, (3, "c")), path)            # v2
     with pytest.raises(Exception, match="full rewrite"):
         (spark.read.format("txnlog")
@@ -373,6 +378,53 @@ def test_batch_change_feed_refuses_full_rewrites(registered, tmp_path):
     assert _cdf_rows(df) == [
         (1, "a", "insert", 0), (2, "b", "insert", 0),
         (3, "c", "insert", 2)]
+    # a full overwrite raises identically
+    fmt.overwrite_table(_mk(spark, (9, "z")), path)   # v3
+    with pytest.raises(Exception, match="full rewrite"):
+        (spark.read.format("txnlog")
+         .option("readChangeFeed", "true").load(path).collect())
+
+
+def test_streams_skip_compaction_but_refuse_targeted_rewrites(
+        registered, tmp_path):
+    """Delta OPTIMIZE parity: a ``rewrite_files`` commit WITHOUT
+    ``data_change`` (compaction — bytes move, rows identical) is skipped
+    silently by both the append-only stream and the change feed, with no
+    re-emission; one WITH ``data_change`` (targeted DELETE) still fails
+    the append-only stream unless ignoreChanges."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a")), path)            # v0
+    fmt.append(_mk(spark, (2, "b")), path)            # v1
+    stats = fmt.compact(spark, path, small_file_bytes=1 << 30)  # v2
+    assert stats["rewritten_files"] >= 2
+    assert fmt._commits(path)[-1]["action"] == "rewrite_files"
+    assert not fmt._commits(path)[-1].get("data_change")
+
+    # append-only stream: compaction mid-range is a silent no-op
+    q = (spark.readStream.format("txnlog").load(path)
+         .writeStream.format("memory").queryName("opt_ok")
+         .option("checkpointLocation", str(tmp_path / "ck1")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.id, r.s) for r in
+                 spark.sql("select * from opt_ok").collect())
+    assert got == [(1, "a"), (2, "b")]  # once each, no raise
+
+    # change feed: compaction emits nothing, without ignoreChanges
+    df = (spark.read.format("txnlog")
+          .option("readChangeFeed", "true").load(path))
+    assert _cdf_rows(df) == [(1, "a", "insert", 0), (2, "b", "insert", 1)]
+
+    # a targeted delete after the compaction DOES fail the stream
+    fmt.delete_where(spark, path, "id = 1")           # v3: data_change
+    q2 = (spark.readStream.format("txnlog").load(path)
+          .writeStream.format("memory").queryName("opt_fail")
+          .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    with pytest.raises(Exception, match="ignoreChanges"):
+        q2.processAllAvailable()
+    q2.stop()
 
 
 def test_stream_change_feed_emits_and_resumes(registered, tmp_path):
