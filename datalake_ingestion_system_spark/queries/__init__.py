@@ -58,10 +58,14 @@ _FORCE_FRONT: tuple[str, ...] = (
     # re-verified locally a third time (19/19 oracle-green across the
     # read-path + stream sets).  All load-bearing machinery changed
     # after these queries' last green driver row — the driver must
-    # confirm.  (--changed-since cannot see transitive sinks edits;
-    # this is the manual closure.  q_partition_pruned_read,
-    # q_change_data_feed, q_cdf_replica_mirror, q_txnlog_stream_sink,
-    # and q_targeted_cow_read are new and front automatically.)
+    # confirm.  The same session added the change_data_feed sidecar
+    # (merge/delete/update record exact per-row changes; the CDF
+    # planner emits them) — merge's commit record was refactored in
+    # the process, so the merge-riding queries stay fronted.
+    # (--changed-since cannot see transitive sinks edits; this is the
+    # manual closure.  q_partition_pruned_read, q_change_data_feed,
+    # q_cdf_replica_mirror, q_txnlog_stream_sink, q_targeted_cow_read,
+    # and q_cdf_sidecar_changes are new and front automatically.)
     "q_data_skipping_read", "q_dv_compact_read", "q_zorder_skipping_read",
     "q_schema_evolution_read", "q_delete_vector_read", "q_merge_upsert",
     "q_txnlog_stream_source", "q_minhash_incremental",

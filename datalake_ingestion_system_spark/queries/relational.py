@@ -2740,3 +2740,64 @@ FROM events
 WHERE coalesce(event_type <> 'error', TRUE)
 GROUP BY event_type
 """
+
+
+@_q("q_cdf_sidecar_changes")
+def q_cdf_sidecar_changes(spark, sf_dir):
+    """CHANGE DATA FEED of targeted DELETE + UPDATE, reconstructed from
+    the commit SIDECARS (round 9c — Delta ``enableChangeDataFeed`` /
+    ``_change_data`` parity): with ``change_data_feed=True`` each op
+    records its exact per-row changes in the commit, and
+    ``readChangeFeed`` emits insert / delete / update_preimage /
+    update_postimage rows across ops that are otherwise opaque
+    rewrites.  The DuckDB oracle recomputes each change class
+    declaratively from the base table, so the sidecar contents — not
+    just their counts — are verified cross-engine.
+
+    Scale shape: the sidecar is O(changed rows) written once at commit;
+    the feed plans directly from commit-recorded sidecar file names
+    (no listing, no snapshot diffing)."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+    from ..sources.txnlog_stream import TxnLogDataSource
+
+    spark.dataSource.register(TxnLogDataSource)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="cdfq_") + "/t"
+    fmt = TxnLogFormat(change_data_feed=True)
+    fmt.append(e, path)
+    fmt.delete_where(spark, path, "event_type = 'error'")
+    fmt.update_where(spark, path, "value > 100",
+                     {"value": "value + 1000"})
+    return (spark.read.format("txnlog")
+            .option("readChangeFeed", "true").load(path)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_cdf_sidecar_changes"] = """
+WITH changes AS (
+    SELECT 'insert' AS change_type, user_id, value FROM events
+    UNION ALL
+    SELECT 'delete', user_id, value FROM events
+    WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'update_preimage', user_id, value FROM events
+    WHERE coalesce(event_type <> 'error', TRUE) AND value > 100
+    UNION ALL
+    SELECT 'update_postimage', user_id, value + 1000 FROM events
+    WHERE coalesce(event_type <> 'error', TRUE) AND value > 100
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM changes
+GROUP BY change_type
+"""

@@ -220,7 +220,8 @@ class TxnLogFormat(TableFormat):
                  checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
                  checkpoint_sidecar_files: int | None =
                  CHECKPOINT_SIDECAR_FILES,
-                 isolation: str = "write_serializable") -> None:
+                 isolation: str = "write_serializable",
+                 change_data_feed: bool = False) -> None:
         # No data_format knob: the log's staged data dirs are parquet by
         # protocol (read() globs them as such); don't inherit the seam
         # __init__, which would rebind ``name`` per-instance.
@@ -239,11 +240,23 @@ class TxnLogFormat(TableFormat):
         # from being starved forever by sustained streaming appends.
         # ``serializable`` restores the strict any-interleave-aborts
         # behavior for audit-grade history ordering.
+        # ``change_data_feed`` (Delta ``delta.enableChangeDataFeed``
+        # analogue, carried by the writer instance like ``constraints``):
+        # when True, every data-CHANGING write whose per-row deltas are
+        # not reconstructible from the log alone — targeted DELETE /
+        # UPDATE, MERGE — additionally stages the exact changed rows
+        # (tagged with ``_change_type``) as a CDF SIDECAR dir recorded in
+        # the commit (``cdf_dir``, Delta's ``_change_data`` folder), so
+        # ``readChangeFeed`` consumers get per-row change history across
+        # those ops instead of a loud error.  Appends and deletion-vector
+        # commits never need a sidecar (the log reconstructs them); the
+        # sidecar costs one extra O(changed rows) write per op.
         if isolation not in ("serializable", "write_serializable"):
             raise ValueError(
                 "isolation must be 'serializable' or 'write_serializable'"
                 f", got {isolation!r}")
         self.isolation = isolation
+        self.change_data_feed = bool(change_data_feed)
         self.constraints = dict(constraints or {})
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_sidecar_files = checkpoint_sidecar_files
@@ -924,6 +937,10 @@ class TxnLogFormat(TableFormat):
                     ref.add(c["dir"])
                 if c.get("dv_dir"):
                     ref.add(c["dv_dir"])
+            # change-feed sidecars are referenced data for CDF readers —
+            # protected like vector dirs (every action can carry one)
+            if c.get("cdf_dir"):
+                ref.add(c["cdf_dir"])
         return ref
 
     @staticmethod
@@ -2246,6 +2263,23 @@ class TxnLogFormat(TableFormat):
             return None
         return self._stage(remaining, path, None, check=False)
 
+    def _stage_cdf(self, path: str, changed: DataFrame,
+                   rec: dict) -> None:
+        """Stage the CHANGE DATA FEED sidecar (Delta ``_change_data``
+        parity): ``changed`` is the op's exact per-row change set, data
+        columns plus ``_change_type`` — written once, recorded in the
+        commit as ``cdf_dir`` + ``cdf_files`` so the change-feed planner
+        emits it without a storage listing.  The sidecar is NOT table
+        data: it never becomes a live entry, contributes no skipping
+        stats, and is vacuum-protected exactly like a vector dir.
+        Callers must have passed ``_check_cdf_reserved_columns``."""
+        rel = self._stage(changed, path, None, check=False)
+        rec["cdf_dir"] = rel
+        rec["cdf_files"] = sorted(
+            _relfile(os.path.join(dp, fn))
+            for dp, _d, fns in os.walk(os.path.join(path, rel))
+            for fn in fns if fn.endswith(".parquet"))
+
     def _hot_files(self, matching: DataFrame) -> tuple[list[str], int]:
         """(files holding matching live rows, matching-row count) in ONE
         Spark job — the targeting step of file-targeted DELETE/UPDATE."""
@@ -2305,6 +2339,12 @@ class TxnLogFormat(TableFormat):
                "data_change": True,
                "partition_col": None, "partitions": [],
                "schema": survivors.schema.json()}
+        if self.change_data_feed:
+            self._check_cdf_reserved_columns(survivors.columns)
+            self._stage_cdf(path, cur_hot.filter(
+                F.coalesce(pred, F.lit(False)))
+                .drop("_dv_file", "_dv_pos")
+                .withColumn("_change_type", F.lit("delete")), rec)
         dv_rel = self._surviving_dv_rel(spark, path, commits, hot)
         if dv_rel is not None:
             rec["dv_dir"] = dv_rel
@@ -2367,6 +2407,21 @@ class TxnLogFormat(TableFormat):
             raise ValueError(
                 f"table columns {sorted(bad)} are reserved for deletion "
                 "vectors; rename them before using merge-on-read ops")
+
+    def _check_cdf_reserved_columns(self, cols) -> None:
+        """With the change data feed on, the CDF metadata names must not
+        collide with data columns — the sidecar tags rows with
+        ``_change_type`` and the reader appends the version/timestamp
+        columns (Delta reserves the same three names)."""
+        if not self.change_data_feed:
+            return
+        bad = {"_change_type", "_commit_version",
+               "_commit_timestamp"} & set(cols)
+        if bad:
+            raise ValueError(
+                f"table columns {sorted(bad)} are reserved for the "
+                "change data feed; rename them or disable "
+                "change_data_feed")
 
     def update_where_dv(self, spark: SparkSession, path: str,
                         predicate: str,
@@ -2472,6 +2527,15 @@ class TxnLogFormat(TableFormat):
                "data_change": True,  # rows changed, not just bytes moved
                "partition_col": None, "partitions": [],
                "schema": updated.schema.json()}
+        if self.change_data_feed:
+            self._check_cdf_reserved_columns(tcols)
+            pre = (cur_hot.filter(hit).select(*tcols)
+                   .withColumn("_change_type", F.lit("update_preimage")))
+            post = cur_hot.filter(hit).select(*[
+                (F.expr(assignments[c]).cast(types[c]).alias(c))
+                if c in assignments else F.col(c) for c in tcols]) \
+                .withColumn("_change_type", F.lit("update_postimage"))
+            self._stage_cdf(path, pre.unionByName(post), rec)
         dv_rel = self._surviving_dv_rel(spark, path, commits, hot)
         if dv_rel is not None:
             rec["dv_dir"] = dv_rel
@@ -2583,10 +2647,28 @@ class TxnLogFormat(TableFormat):
         new_state = kept.select(*tcols).unionByName(upserts) \
                         .unionByName(inserts)
         rel = self._stage(new_state, path, None)
-        self._commit(path, {"action": "replace_all", "dir": rel,
-                            "partition_col": None, "partitions": [],
-                            "schema": new_state.schema.json()},
-                     expected_version=head + 1)
+        rec = {"action": "replace_all", "dir": rel,
+               "partition_col": None, "partitions": [],
+               "schema": new_state.schema.json()}
+        if self.change_data_feed:
+            self._check_cdf_reserved_columns(tcols)
+            # exact per-row changes, each side keyed off the already-
+            # pinned source (localCheckpoint above), so the sidecar and
+            # the committed state cannot diverge
+            t_pre = target.select(*tcols)
+            deleted = (t_pre.join(src.filter(F.col(c_del)).select(*keys),
+                                  keys, "left_semi")
+                       .withColumn("_change_type", F.lit("delete")))
+            upd_pre = (t_pre.join(
+                src.filter(~F.col(c_del)).select(*keys), keys,
+                "left_semi")
+                .withColumn("_change_type", F.lit("update_preimage")))
+            upd_post = upserts.withColumn(
+                "_change_type", F.lit("update_postimage"))
+            ins = inserts.withColumn("_change_type", F.lit("insert"))
+            self._stage_cdf(path, deleted.unionByName(upd_pre)
+                            .unionByName(upd_post).unionByName(ins), rec)
+        self._commit(path, rec, expected_version=head + 1)
         return {"updated": int(row["updated"] or 0),
                 "deleted": int(row["deleted"] or 0),
                 "inserted": int(row["inserted"] or 0)}

@@ -35,11 +35,12 @@ with ``startingVersion``/``endingVersion``) emits per-ROW changes
 instead of append-only rows — ``insert`` for appends, ``delete`` for
 deletion-vector rows, ``update_preimage``/``update_postimage`` for DV
 updates — each with ``_commit_version`` and ``_commit_timestamp``.
-Compactions emit nothing (bytes move, rows don't — dataChange=false);
-full rewrites (``replace_all``/``overwrite``/``restore``) AND
-data-changing targeted rewrites (``rewrite_files`` with ``data_change``
-— copy-on-write DELETE/UPDATE, whose per-row deltas are not recorded in
-the log) raise, since per-row identity across a rewrite is
+Compactions emit nothing (bytes move, rows don't — dataChange=false).
+With ``TxnLogFormat(change_data_feed=True)`` the targeted DELETE /
+UPDATE / MERGE ops record their exact per-row changes as a sidecar dir
+in the commit (Delta's ``_change_data``) and the feed emits them
+verbatim; without the sidecar, full rewrites and data-changing targeted
+rewrites raise, since per-row identity across a rewrite is
 ``diff_versions``'s job, not a streaming source's.
 
 Scale shape: offset planning replays the commit records via the SAME
@@ -156,9 +157,16 @@ def _read_arrow_batches(abs_path: str, mapping: list,
         from pyspark.sql.types import LongType, StringType, TimestampType
         ctype, cver, cts = cdf
         n = tbl.num_rows
+        str_t = to_arrow_type(StringType())
         ts_t = to_arrow_type(TimestampType())
+        if ctype is None:
+            # sidecar file (change_data_feed write): each row carries
+            # its OWN change type as a data column — pass it through
+            ct_col = tbl["_change_type"].cast(str_t)
+        else:
+            ct_col = pa.array([ctype] * n, type=str_t)
         cols.extend([
-            pa.array([ctype] * n, type=to_arrow_type(StringType())),
+            ct_col,
             pa.array([cver] * n, type=to_arrow_type(LongType())),
             (pa.nulls(n, type=ts_t) if cts is None else
              pa.array([int(cts * 1_000_000)] * n, type=ts_t))])
@@ -227,11 +235,16 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
     - ``rewrite_files`` without ``data_change`` → nothing (compaction
       moves bytes, not rows — Delta's dataChange=false)
     - ``alter``/checkpoint  → nothing (metadata)
+    - any commit carrying a ``cdf_dir`` SIDECAR (written by a
+      ``change_data_feed=True`` format — Delta's ``_change_data``) →
+      the recorded change rows verbatim, each row's own
+      ``_change_type`` passed through
     - ``replace_all``/``overwrite``/``restore``, and ``rewrite_files``
-      WITH ``data_change`` (targeted copy-on-write DELETE/UPDATE) →
-      raise: the rewrite has no per-row change identity in the log —
-      diffing snapshots is the batch ``diff_versions`` API's job.  Under
-      ``ignoreChanges`` they are skipped (Delta's caveat verbatim).
+      WITH ``data_change`` (targeted copy-on-write DELETE/UPDATE),
+      without a sidecar → raise: the rewrite has no per-row change
+      identity in the log — diffing snapshots is the batch
+      ``diff_versions`` API's job.  Under ``ignoreChanges`` they are
+      skipped (Delta's caveat verbatim).
 
     Preimage rows are fetched by parquet row position from the files the
     vector names (the executor ``take``s those positions), mapped
@@ -319,6 +332,16 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                 c["action"] == "rewrite_files"
                 and not c.get("data_change")):
             continue  # bytes moved or metadata changed; no row changed
+        elif c.get("cdf_dir"):
+            # the write recorded its exact per-row changes as a sidecar
+            # (change_data_feed=True — Delta's _change_data folder):
+            # emit them verbatim; the row's own _change_type column
+            # rides the file (tag None), version/timestamp are appended
+            mapping = _mapping_for(v, alters, data_schema)
+            parts.extend(
+                _FilePartition(ap, mapping, cdf=(None, v, ts))
+                for ap in _data_files(path, c["cdf_dir"],
+                                      c.get("cdf_files")))
         elif not ignore_changes:
             raise ValueError(
                 f"commit {v} is a full rewrite ({c['action']}); the "

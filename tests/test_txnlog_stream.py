@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from datalake_ingestion_system_spark.sinks import TxnLogFormat
 from datalake_ingestion_system_spark.sources.txnlog_stream import (
@@ -425,6 +426,73 @@ def test_streams_skip_compaction_but_refuse_targeted_rewrites(
     with pytest.raises(Exception, match="ignoreChanges"):
         q2.processAllAvailable()
     q2.stop()
+
+
+def test_change_feed_sidecar_covers_delete_update_merge(
+        registered, tmp_path):
+    """With change_data_feed=True (Delta enableChangeDataFeed parity),
+    targeted DELETE/UPDATE and MERGE record their exact per-row changes
+    as a commit sidecar; the feed emits them verbatim instead of
+    raising, batch and stream alike, and vacuum never sweeps a
+    referenced sidecar."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat(change_data_feed=True)
+    fmt.append(_mk(spark, (1, "a"), (2, "b"), (3, "c")), path)   # v0
+    assert fmt.delete_where(spark, path, "id = 1") == 1          # v1
+    assert fmt.update_where(spark, path, "id = 2",
+                            {"s": "upper(s)"}) == 1              # v2
+    res = fmt.merge(spark, path,
+                    _mk(spark, (3, "C"), (4, "d"), (9, "x"))
+                    .withColumn("op", F.expr(
+                        "case when id = 9 then 'D' else 'U' end")),
+                    "id", matched_delete_condition="op = 'D'",
+                    insert_condition="op <> 'D'")                # v3
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    df = (spark.read.format("txnlog")
+          .option("readChangeFeed", "true").load(path))
+    assert _cdf_rows(df) == [
+        (1, "a", "delete", 1),
+        (1, "a", "insert", 0),
+        (2, "B", "update_postimage", 2),
+        (2, "b", "insert", 0),
+        (2, "b", "update_preimage", 2),
+        (3, "C", "update_postimage", 3),
+        (3, "c", "insert", 0),
+        (3, "c", "update_preimage", 3),
+        (4, "d", "insert", 3)]
+    # merge WHEN MATCHED DELETE rows ride the sidecar too
+    fmt.merge(spark, path, _mk(spark, (4, "dead")).withColumn(
+        "op", F.lit("D")), "id", matched_delete_condition="op = 'D'")
+    part = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 4).load(path))
+    assert _cdf_rows(part) == [(4, "d", "delete", 4)]
+    # final state is consistent with the emitted changes
+    assert sorted((r.id, r.s) for r in fmt.read(spark, path).collect()) \
+        == [(2, "B"), (3, "C")]
+
+    # streaming: the same sidecar commits flow as tagged micro-batches
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("txnlog")
+         .option("readChangeFeed", "true").load(path)
+         .selectExpr("id", "s", "_change_type", "_commit_version")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.id, r.s, r._change_type, r._commit_version)
+                 for r in spark.read.parquet(out).collect())
+    assert (1, "a", "delete", 1) in got
+    assert (4, "d", "delete", 4) in got
+    assert len(got) == 10
+
+    # sidecars of still-logged commits survive an aggressive vacuum
+    fmt.vacuum(path, retain_hours=0.0)
+    assert _cdf_rows(spark.read.format("txnlog")
+                     .option("readChangeFeed", "true")
+                     .option("startingVersion", 4).load(path)) \
+        == [(4, "d", "delete", 4)]
 
 
 def test_stream_change_feed_emits_and_resumes(registered, tmp_path):
