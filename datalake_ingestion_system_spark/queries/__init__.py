@@ -61,7 +61,10 @@ _FORCE_FRONT: tuple[str, ...] = (
     # confirm.  The same session added the change_data_feed sidecar
     # (merge/delete/update record exact per-row changes; the CDF
     # planner emits them) — merge's commit record was refactored in
-    # the process, so the merge-riding queries stay fronted.
+    # the process, so the merge-riding queries stay fronted — plus
+    # bloom-filter skipping (a new branch in _provably_empty, the
+    # shared pruning core: the 7 skipping queries re-verified green
+    # after it) and the extended history() columns.
     # (--changed-since cannot see transitive sinks edits; this is the
     # manual closure.  q_partition_pruned_read, q_change_data_feed,
     # q_cdf_replica_mirror, q_txnlog_stream_sink, q_targeted_cow_read,

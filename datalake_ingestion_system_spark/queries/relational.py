@@ -2780,6 +2780,53 @@ def q_cdf_sidecar_changes(spark, sf_dir):
                   .alias("value_cents")))
 
 
+@_q("q_bloom_skipping_read")
+def q_bloom_skipping_read(spark, sf_dir):
+    """Bloom-filter data skipping (round 9c — Delta bloom-filter-index
+    parity): documents are committed in three doc_id-striped appends
+    with per-file BLOOM FILTERS on ``doc_id`` riding the commit stats
+    (portable md5 double-hash, 5th stats element), then point lookups
+    — an IN over present ids and one provably-absent id — run through
+    ``read(where=...)``.  Equality/IN literals a file's filter proves
+    absent prune it BEFORE any scan, the point-lookup complement of
+    min/max range skipping (striped commits share overlapping doc_id
+    ranges, so range stats alone cannot separate them).  The DuckDB
+    oracle recomputes the lookup declaratively, verifying the pruning
+    never drops a matching row.
+
+    Scale shape: filters are built in one distributed pass per commit
+    and probed driver-side at file-metadata scale — no false negatives
+    by construction, a saturated filter just stops pruning."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="bloomq_") + "/t"
+    fmt = TxnLogFormat(bloom_filter_columns={"doc_id": 65536})
+    for stripe in range(3):
+        fmt.append(d.filter(F.pmod("doc_id", F.lit(3)) == stripe), path)
+    hits = fmt.read(
+        spark, path,
+        where="doc_id IN (1, 2, 17, 40, 58, 999999999)")
+    return (hits.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("min_doc")))
+
+
+ORACLE_SQL["q_bloom_skipping_read"] = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM documents
+WHERE doc_id IN (1, 2, 17, 40, 58, 999999999)
+GROUP BY lang
+"""
+
+
 ORACLE_SQL["q_cdf_sidecar_changes"] = """
 WITH changes AS (
     SELECT 'insert' AS change_type, user_id, value FROM events

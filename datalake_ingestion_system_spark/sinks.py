@@ -221,7 +221,9 @@ class TxnLogFormat(TableFormat):
                  checkpoint_sidecar_files: int | None =
                  CHECKPOINT_SIDECAR_FILES,
                  isolation: str = "write_serializable",
-                 change_data_feed: bool = False) -> None:
+                 change_data_feed: bool = False,
+                 bloom_filter_columns: dict[str, int] | list[str]
+                 | None = None) -> None:
         # No data_format knob: the log's staged data dirs are parquet by
         # protocol (read() globs them as such); don't inherit the seam
         # __init__, which would rebind ``name`` per-instance.
@@ -257,6 +259,35 @@ class TxnLogFormat(TableFormat):
                 f", got {isolation!r}")
         self.isolation = isolation
         self.change_data_feed = bool(change_data_feed)
+        # ``bloom_filter_columns`` (Delta bloom-filter-index parity):
+        # per-file BLOOM FILTERS for the named columns ride each
+        # commit's stats as a 5th per-column element, giving
+        # ``read(where=...)`` / the batch source's pushdown EQUALITY and
+        # IN pruning on high-cardinality columns min/max can't separate
+        # (point lookups — the complement of range skipping).  Values:
+        # filter size in BITS per file (list form → 8192 = 1 KiB each;
+        # Delta sizes via numItems×fpp — pick ~10 bits per expected
+        # distinct value per file).  Build is one distributed pass over
+        # the staged files (portable md5 double-hash, k=5); pruning is
+        # driver-side bit math, no false negatives by construction —
+        # a saturated filter stops pruning, never drops a row.  Only
+        # string and integral columns are indexed (their cast-to-string
+        # form is canonical across build and probe); others are
+        # silently skipped.
+        blooms = bloom_filter_columns
+        if isinstance(blooms, (list, tuple, set)):
+            blooms = {c: self._BLOOM_DEFAULT_BITS for c in blooms}
+        for c, m in (blooms or {}).items():
+            if m < 64 or m % 64:
+                raise ValueError(
+                    f"bloom_filter_columns[{c!r}] must be a multiple "
+                    f"of 64 bits, got {m}")
+        self.bloom_filter_columns = dict(blooms or {})
+        #: staged-dir rel -> {relfile: {col: bloom}} awaiting its commit
+        #: (same call always stages then commits on this instance; an
+        #: aborted write leaves at most one orphan entry, popped if the
+        #: same rel ever re-stages — bounded like the log cache)
+        self._pending_blooms: dict[str, dict] = {}
         self.constraints = dict(constraints or {})
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_sidecar_files = checkpoint_sidecar_files
@@ -435,14 +466,33 @@ class TxnLogFormat(TableFormat):
         except FileNotFoundError:
             return None  # racing vacuum log-prune: history is partial
 
+    #: bloom double-hashing probe count (Kirsch–Mitzenmacher: k probes
+    #: from two independent 60-bit md5 halves) — persisted per filter
+    #: as a ``k:`` prefix so the constant can evolve without
+    #: misreading old filters
+    _BLOOM_K = 5
+    #: default bits per file per indexed column (1 KiB) — ~850 distinct
+    #: values at 1% false-positive; size up via the dict form
+    _BLOOM_DEFAULT_BITS = 8192
+    #: dtypes whose cast-to-string is canonical across the Spark build
+    #: and the Python probe (str(int) == CAST(bigint AS STRING));
+    #: floats/dates/timestamps are never indexed — their string forms
+    #: differ between engines in corner cases
+    _BLOOM_DTYPES = ("string", "tinyint", "smallint", "int", "bigint")
+
     def _stage(self, df: DataFrame, path: str,
-               partition_col: str | None, check: bool = True) -> str:
+               partition_col: str | None, check: bool = True,
+               index: bool = True) -> str:
         rel = os.path.join("_txn_data", uuid.uuid4().hex)
         writer = df.write.mode("errorifexists")
         if partition_col is not None:
             writer = df.repartition(partition_col).write.mode(
                 "errorifexists").partitionBy(partition_col)
         writer.parquet(os.path.join(path, rel))
+        if index and self.bloom_filter_columns:
+            built = self._build_blooms(df, path, rel)
+            if built:
+                self._pending_blooms[rel] = built
         if self.constraints and check:
             # Validate the STAGED files (one cheap columnar re-read, data
             # computed once) — a violation aborts before any commit record
@@ -455,6 +505,100 @@ class TxnLogFormat(TableFormat):
                 df.sparkSession.read.schema(df.schema)
                 .parquet(os.path.join(path, rel)))
         return rel
+
+    def _build_blooms(self, df: DataFrame, path: str,
+                      rel: str) -> dict[str, dict[str, str]]:
+        """ONE distributed pass over the just-staged files building the
+        per-file bloom bitsets for every configured indexable column:
+        each row contributes k probe bits (portable md5 double-hash of
+        ``CAST(col AS STRING)`` — ``hashlib.md5`` reproduces it exactly
+        at prune time, the same cross-engine trick the verifiable
+        MinHash modes use), OR-folded per (file, column, word) by a
+        keyed ``bit_or`` aggregate, collected at file-metadata scale
+        (≤ files × cols × bits/64 rows).  NULLs contribute no bits —
+        equality never matches NULL, and an all-null file's empty
+        filter correctly proves every literal absent.  Returns
+        ``{relfile: {col: "k:paddedhex"}}``."""
+        dtypes = dict(df.dtypes)
+        cols = {c: m for c, m in self.bloom_filter_columns.items()
+                if dtypes.get(c) in self._BLOOM_DTYPES}
+        if not cols:
+            return {}
+        spark = df.sparkSession
+        staged = spark.read.schema(df.schema).parquet(
+            os.path.join(path, rel))
+        k = self._BLOOM_K
+        frames = []
+        for c, m in sorted(cols.items()):
+            s = f"cast(`{c}` as string)"
+            base = staged.select(
+                F.col("_metadata.file_path").alias("_bf_file"),
+                F.expr(f"cast(conv(substring(md5({s}),1,15),16,10) "
+                       "as bigint)").alias("_h1"),
+                F.expr(f"cast(conv(substring(md5({s}),17,15),16,10) "
+                       "as bigint) | cast(1 as bigint)").alias("_h2"),
+            ).where(F.col("_h1").isNotNull())
+            probes = base.select("_bf_file", F.explode(F.array(*[
+                F.struct(
+                    F.expr(f"cast(pmod(_h1 + {j} * _h2, {m}) div 64 "
+                           "as int)").alias("w"),
+                    F.expr("shiftleft(cast(1 as bigint), "
+                           f"cast(pmod(_h1 + {j} * _h2, {m}) % 64 "
+                           "as int))").alias("b"))
+                for j in range(k)])).alias("p")) \
+                .select("_bf_file", F.lit(c).alias("c"), "p.w", "p.b")
+            frames.append(probes)
+        rows = (reduce(DataFrame.unionByName, frames)
+                .groupBy("_bf_file", "c", "w")
+                .agg(F.expr("bit_or(b)").alias("bits")).collect())
+        words: dict[tuple, dict[int, int]] = {}
+        for r in rows:
+            words.setdefault((_relfile(r["_bf_file"]), r["c"]), {})[
+                r["w"]] = r["bits"] & 0xFFFFFFFFFFFFFFFF
+        out: dict[str, dict[str, str]] = {}
+        for (rf, c), wmap in words.items():
+            m = cols[c]
+            bits = 0
+            for w, b in wmap.items():
+                bits |= b << (64 * w)
+            out.setdefault(rf, {})[c] = f"{k}:{bits:0{m // 4}x}"
+        # files whose every value is NULL produced no rows — they still
+        # need an (empty) filter so absence is provable there too
+        for rf in self._pending_files(path, rel):
+            for c, m in cols.items():
+                out.setdefault(rf, {}).setdefault(
+                    c, f"{k}:{0:0{m // 4}x}")
+        return out
+
+    def _pending_files(self, path: str, rel: str) -> list[str]:
+        """Relfile names of a just-staged dir (one walk at write time —
+        the same files the stats harvest visits)."""
+        return sorted(
+            _relfile(os.path.join(dp, fn))
+            for dp, _d, fns in os.walk(os.path.join(path, rel))
+            for fn in fns if fn.endswith(".parquet"))
+
+    @staticmethod
+    def _bloom_maybe_contains(bloom: str, lit) -> bool:
+        """Driver-side probe with EXACTLY the build's hash: md5 of the
+        literal's canonical string, two 60-bit halves, k probes.  True
+        = may contain (never prunes); False = provably absent.  Any
+        parse doubt returns True — conservative by construction."""
+        import hashlib
+        try:
+            k_s, hexs = bloom.split(":", 1)
+            k = int(k_s)
+            m = len(hexs) * 4
+            bits = int(hexs, 16)
+        except (ValueError, AttributeError):
+            return True
+        d = hashlib.md5(str(lit).encode("utf-8")).hexdigest()
+        h1 = int(d[0:15], 16)
+        h2 = int(d[16:31], 16) | 1
+        for j in range(k):
+            if not (bits >> ((h1 + j * h2) % m)) & 1:
+                return False
+        return True
 
     #: Delta's dataSkippingNumIndexedCols default — stats beyond the
     #: first 32 leaf columns are cost without much pruning power.
@@ -585,6 +729,20 @@ class TxnLogFormat(TableFormat):
             harvested = self._collect_file_stats(path, record["dir"])
             if harvested is not None:
                 st, sizes = harvested
+                # per-file bloom filters (built once at stage time) ride
+                # the stats as an optional 5th per-column element — the
+                # whole existing carrier pipeline (inline record,
+                # checkpoint fold, parquet sidecar, alter-aware lookup)
+                # moves them for free
+                for rf, colmap in (self._pending_blooms.pop(
+                        record["dir"], None) or {}).items():
+                    per = st.get(rf)
+                    if per is None:
+                        continue
+                    for c, bloom in colmap.items():
+                        s = per.get(c)
+                        if s is not None and len(s) == 4:
+                            per[c] = s + [bloom]
                 record["stats"] = st
                 # the staged FILE LIST rides the commit too (Delta's
                 # AddFile names + sizes): readers and the streaming
@@ -1584,9 +1742,11 @@ class TxnLogFormat(TableFormat):
     @staticmethod
     def _provably_empty(per: dict | None, clauses: list) -> bool:
         """True iff some clause proves NO row of a file can satisfy it,
-        from per-column ``[min, max, nulls, rows]`` stats (legacy
-        2-element ``[min, max]`` entries: comparison pruning only).
-        Unknown stats or type-family mismatches never prune."""
+        from per-column ``[min, max, nulls, rows[, bloom]]`` stats
+        (legacy 2-element ``[min, max]`` entries: comparison pruning
+        only; the optional 5th element is a per-file bloom filter for
+        equality/IN pruning).  Unknown stats or type-family mismatches
+        never prune."""
         for col, op, lit in clauses:
             s = (per or {}).get(col)
             if not s:
@@ -1611,10 +1771,27 @@ class TxnLogFormat(TableFormat):
                 continue  # min/max unknown — comparison not prunable
             if isinstance(mn, bool):
                 continue
+            # bloom probe (optional 5th stats element): equality / IN
+            # literals provably absent from the file's filter prune it
+            # even when the min/max range covers them — the point-lookup
+            # complement of range skipping.  Guarded to the canonical
+            # families the filter was built over (exact str, exact int —
+            # bools and floats never probe; the build side indexes only
+            # string/integral columns, this is the matching probe-side
+            # belt)
+            bloom = s[4] if len(s) >= 5 else None
+
+            def absent(v):
+                return (bloom is not None
+                        and (type(v) is int and type(mn) is int
+                             or isinstance(v, str) and isinstance(mn, str))
+                        and not TxnLogFormat._bloom_maybe_contains(
+                            bloom, v))
+
             if op == "in":
                 # prunable only when EVERY member is provably outside
-                # the range (a single unknown/mismatched member keeps
-                # the file)
+                # the range or provably absent per the bloom filter (a
+                # single unknown/mismatched member keeps the file)
                 def outside(v):
                     if isinstance(v, bool) \
                             or isinstance(v, str) != isinstance(mn, str):
@@ -1623,11 +1800,13 @@ class TxnLogFormat(TableFormat):
                         return v < mn or v > mx
                     except TypeError:
                         return False
-                if lit and all(outside(v) for v in lit):
+                if lit and all(outside(v) or absent(v) for v in lit):
                     return True
                 continue
             if isinstance(lit, bool):
                 continue
+            if op == "=" and absent(lit):
+                return True
             if isinstance(lit, str) != isinstance(mn, str):
                 continue
             try:
@@ -2176,22 +2355,50 @@ class TxnLogFormat(TableFormat):
                 .select("_change_type", picked.alias("_row"))
                 .select("_change_type", "_row.*"))
 
-    def history(self, path: str) -> list[dict]:
+    def history(self, path: str, limit: int | None = None) -> list[dict]:
         """Commit history, newest first (DESCRIBE HISTORY analogue):
-        version, action, partition column/values, staged dir.  Prefers
-        the raw per-commit records while they exist (full history even
-        past a checkpoint); once vacuum log cleanup prunes the
-        pre-checkpoint files, the pruned span collapses into its one
-        ``checkpoint`` row — history is whatever the log still holds,
-        exactly Delta's DESCRIBE HISTORY after log retention."""
+        version, action, partition column/values, staged dir, plus the
+        Delta-HISTORY-style operation columns — whether the commit
+        changed ROWS (``data_change``: False for compaction/alter/
+        checkpoint — bytes or metadata moved, rows identical), file and
+        byte deltas from the commit-recorded lists, the idempotent-txn
+        pair when one rode the commit, and whether a change-feed
+        sidecar was recorded.  ``limit`` caps rows from the newest end.
+        Prefers the raw per-commit records while they exist (full
+        history even past a checkpoint); once vacuum log cleanup prunes
+        the pre-checkpoint files, the pruned span collapses into its
+        one ``checkpoint`` row — history is whatever the log still
+        holds, exactly Delta's DESCRIBE HISTORY after log retention."""
         commits = self._raw_full(path) or self._commits(path)
-        return [{"version": c["version"], "action": c["action"],
-                 "partition_col": c.get("partition_col"),
-                 "partitions": c.get("partitions"),
-                 "to_version": c.get("to_version"),
-                 "ts": c.get("ts"),
-                 "dir": c["dir"]}
-                for c in reversed(commits)]
+        no_change = {"alter", "checkpoint"}
+        rows = []
+        for c in reversed(commits):
+            act = c["action"]
+            row = {"version": c["version"], "action": act,
+                   "partition_col": c.get("partition_col"),
+                   "partitions": c.get("partitions"),
+                   "to_version": c.get("to_version"),
+                   "ts": c.get("ts"),
+                   "dir": c["dir"],
+                   "data_change": not (
+                       act in no_change
+                       or (act == "rewrite_files"
+                           and not c.get("data_change"))),
+                   "num_added_files": (len(c["files"])
+                                       if c.get("files") is not None
+                                       else None),
+                   "added_bytes": (sum(c["file_bytes"].values())
+                                   if c.get("file_bytes") else None),
+                   "num_removed_files": len(c.get("removed_files") or [])}
+            if c.get("txn_app") is not None:
+                row["txn_app"] = c["txn_app"]
+                row["txn_version"] = c.get("txn_version")
+            if c.get("cdf_dir"):
+                row["change_data_recorded"] = True
+            rows.append(row)
+            if limit is not None and len(rows) >= limit:
+                break
+        return rows
 
     def details(self, path: str) -> dict:
         """DESCRIBE DETAIL analogue, metadata-only for upgraded tables:
@@ -2261,7 +2468,8 @@ class TxnLogFormat(TableFormat):
                      .distinct())
         if not remaining.head(1):
             return None
-        return self._stage(remaining, path, None, check=False)
+        return self._stage(remaining, path, None, check=False,
+                           index=False)
 
     def _stage_cdf(self, path: str, changed: DataFrame,
                    rec: dict) -> None:
@@ -2273,7 +2481,7 @@ class TxnLogFormat(TableFormat):
         data: it never becomes a live entry, contributes no skipping
         stats, and is vacuum-protected exactly like a vector dir.
         Callers must have passed ``_check_cdf_reserved_columns``."""
-        rel = self._stage(changed, path, None, check=False)
+        rel = self._stage(changed, path, None, check=False, index=False)
         rec["cdf_dir"] = rel
         rec["cdf_files"] = sorted(
             _relfile(os.path.join(dp, fn))

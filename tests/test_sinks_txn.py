@@ -652,7 +652,9 @@ def test_restore_is_metadata_only_and_vacuum_safe(spark, tmp_path):
     assert head.pop("ts") is not None  # publish time recorded per commit
     assert head == {
         "version": 2, "action": "restore", "partition_col": None,
-        "partitions": [], "to_version": 0, "dir": None}
+        "partitions": [], "to_version": 0, "dir": None,
+        "data_change": True, "num_added_files": None,
+        "added_bytes": None, "num_removed_files": 0}
     # post-restore writes compose on the restored state
     fmt.append(spark.createDataFrame([(3, "c")], "k long, v string"), path)
     assert sorted(r.k for r in fmt.read(spark, path).collect()) == [1, 3]
@@ -2655,3 +2657,46 @@ def test_vacuum_sweeps_retired_files_in_live_dirs(spark, tmp_path):
         [0, 1, 2, 3, 4, 100, 101, 103, 104, 200, 201, 202, 203, 204]
     with pytest.raises(Exception):
         fmt.read(spark, path, as_of_version=2).collect()
+
+
+def test_history_reports_every_retained_commit(spark, tmp_path):
+    """DESCRIBE HISTORY analogue: newest-first rows with operation,
+    data_change (False for compaction), file/byte deltas, and
+    op-specific params — metadata-only, from the log records alone."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k long, v double")
+        .coalesce(1), path)                                       # v0
+    fmt.append(spark.createDataFrame([(9, 9.0)], "k long, v double")
+               .coalesce(1), path, txn_app="job", txn_version=1)  # v1
+    fmt.compact(spark, path, small_file_bytes=1 << 30)            # v2
+    fmt.delete_where(spark, path, "k = 1")                        # v3
+    fmt.restore(spark, path, 1)                                   # v4
+
+    h = fmt.history(path)
+    assert [r["version"] for r in h] == [4, 3, 2, 1, 0]
+    assert [r["action"] for r in h] == [
+        "restore", "rewrite_files", "rewrite_files", "append", "append"]
+    assert [r["data_change"] for r in h] == [
+        True, True, False, True, True]  # compaction moved bytes only
+    assert h[0]["to_version"] == 1
+    assert h[3]["txn_app"] == "job" and h[3]["txn_version"] == 1
+    assert h[4]["num_added_files"] == 1 and h[4]["added_bytes"] > 0
+    assert h[1]["num_removed_files"] >= 1
+    assert all(r["ts"] is not None for r in h)
+    # limit caps from the newest end
+    assert [r["version"] for r in fmt.history(path, limit=2)] == [4, 3]
+
+    # a checkpoint surfaces as its own row; pruning the log below it
+    # removes the folded versions from history (logRetention trade)
+    fmt2 = TxnLogFormat(checkpoint_interval=None)
+    fmt2.append(spark.createDataFrame([(1, 1.0)], "k long, v double"),
+                path)                                             # v5
+    fmt2.checkpoint(path)
+    fmt2.vacuum(path, retain_hours=0.0, log_retain_hours=0.0)
+    h2 = fmt2.history(path)
+    ops = {r["action"] for r in h2}
+    assert "checkpoint" in ops
+    cp_v = max(r["version"] for r in h2 if r["action"] == "checkpoint")
+    assert all(r["version"] >= cp_v for r in h2)
