@@ -64,7 +64,9 @@ _FORCE_FRONT: tuple[str, ...] = (
     # the process, so the merge-riding queries stay fronted — plus
     # bloom-filter skipping (a new branch in _provably_empty, the
     # shared pruning core: the 7 skipping queries re-verified green
-    # after it) and the extended history() columns.
+    # after it), the extended history() columns, and persisted table
+    # properties (_stage now resolves effective config per table —
+    # every write path re-verified by the same suites + closure).
     # (--changed-since cannot see transitive sinks edits; this is the
     # manual closure.  q_partition_pruned_read, q_change_data_feed,
     # q_cdf_replica_mirror, q_txnlog_stream_sink, q_targeted_cow_read,

@@ -301,15 +301,19 @@ class TxnLogFormat(TableFormat):
         #: drops the cache (ext4 reuses inodes, hence name+ino+mtime).
         self._log_cache: dict[str, dict] = {}
 
-    def _check_constraints(self, staged: DataFrame) -> None:
-        if not self.constraints:
+    def _check_constraints(self, staged: DataFrame,
+                           constraints: dict[str, str] | None = None
+                           ) -> None:
+        constraints = (self.constraints if constraints is None
+                       else constraints)
+        if not constraints:
             return
         flags = [
             F.sum(F.expr(f"coalesce(NOT ({expr}), false)").cast("long"))
             .alias(name)
-            for name, expr in self.constraints.items()]
+            for name, expr in constraints.items()]
         row = staged.agg(*flags).head()
-        bad = {n: row[n] for n in self.constraints if row[n]}
+        bad = {n: row[n] for n in constraints if row[n]}
         if bad:
             raise ValueError(
                 "CHECK constraint violation, commit aborted (staged data "
@@ -489,11 +493,17 @@ class TxnLogFormat(TableFormat):
             writer = df.repartition(partition_col).write.mode(
                 "errorifexists").partitionBy(partition_col)
         writer.parquet(os.path.join(path, rel))
-        if index and self.bloom_filter_columns:
-            built = self._build_blooms(df, path, rel)
+        # table-level properties bind EVERY writer (instance settings
+        # union on top) — resolved here so an instance constructed with
+        # no config still builds the table's bloom filters and enforces
+        # its constraints
+        constraints, blooms, _ = self._effective_config(
+            self._commits(path))
+        if index and blooms:
+            built = self._build_blooms(df, path, rel, blooms)
             if built:
                 self._pending_blooms[rel] = built
-        if self.constraints and check:
+        if constraints and check:
             # Validate the STAGED files (one cheap columnar re-read, data
             # computed once) — a violation aborts before any commit record
             # exists, so readers never see it; the orphaned stage dir is
@@ -503,11 +513,12 @@ class TxnLogFormat(TableFormat):
             # on perfectly valid data.
             self._check_constraints(
                 df.sparkSession.read.schema(df.schema)
-                .parquet(os.path.join(path, rel)))
+                .parquet(os.path.join(path, rel)), constraints)
         return rel
 
-    def _build_blooms(self, df: DataFrame, path: str,
-                      rel: str) -> dict[str, dict[str, str]]:
+    def _build_blooms(self, df: DataFrame, path: str, rel: str,
+                      bloom_cols: dict[str, int]
+                      ) -> dict[str, dict[str, str]]:
         """ONE distributed pass over the just-staged files building the
         per-file bloom bitsets for every configured indexable column:
         each row contributes k probe bits (portable md5 double-hash of
@@ -520,7 +531,7 @@ class TxnLogFormat(TableFormat):
         filter correctly proves every literal absent.  Returns
         ``{relfile: {col: "k:paddedhex"}}``."""
         dtypes = dict(df.dtypes)
-        cols = {c: m for c, m in self.bloom_filter_columns.items()
+        cols = {c: m for c, m in bloom_cols.items()
                 if dtypes.get(c) in self._BLOOM_DTYPES}
         if not cols:
             return {}
@@ -1228,7 +1239,8 @@ class TxnLogFormat(TableFormat):
         for c in commits:
             if c["action"] == "checkpoint":
                 changed = changed or self._checkpoint_span_changed(c)
-            elif c["action"] not in ("append", "alter"):
+            elif c["action"] not in ("append", "alter",
+                                     "set_properties"):
                 changed = True
         rec = {"action": "checkpoint", "version": v, "ts": run_max,
                "dir": None, "schema": self._resolve_schema(commits),
@@ -1237,6 +1249,7 @@ class TxnLogFormat(TableFormat):
                          "dvs": self._resolve_dvs(commits),
                          "removed_files": sorted(removed),
                          "alters": self._resolve_alters(commits),
+                         "properties": self._resolve_properties(commits),
                          "data_changed": changed},
                "txn_latest": txn,
                "vacuum_protect": sorted(self._vacuum_protect(commits))}
@@ -1397,8 +1410,8 @@ class TxnLogFormat(TableFormat):
         only — the restored dirs are the ORIGINAL ones, re-referenced)."""
         live: list[dict] = []
         for c in commits:
-            if c["action"] in ("add_dv", "alter"):
-                continue  # vectors and schema changes are not data dirs
+            if c["action"] in ("add_dv", "alter", "set_properties"):
+                continue  # vectors / metadata commits are not data dirs
             if c["action"] == "checkpoint":
                 # initial state: DEEP-copied per call — resolvers mutate
                 # entries' removed sets, and the checkpoint record is a
@@ -1510,6 +1523,120 @@ class TxnLogFormat(TableFormat):
             elif c["action"] == "alter":
                 alters.append(c)
         return alters
+
+    @staticmethod
+    def _resolve_properties(commits: list[dict]) -> dict:
+        """Replay the commit list into the table's live PROPERTIES
+        (Delta table-property parity): checkpoint state seeds, each
+        ``set_properties`` commit merges (a None value unsets), and a
+        restore swaps in the target prefix's properties like every
+        other resolver."""
+        props: dict = {}
+        for c in commits:
+            if c["action"] == "checkpoint":
+                props = dict(c["state"].get("properties") or {})
+            elif c["action"] == "restore":
+                props = TxnLogFormat._resolve_properties(
+                    [x for x in commits
+                     if x["version"] <= c["to_version"]])
+            elif c["action"] == "set_properties":
+                for k, v in c["props"].items():
+                    if v is None:
+                        props.pop(k, None)
+                    else:
+                        props[k] = v
+        return props
+
+    #: property keys writers adopt from the table (everything else —
+    #: isolation, checkpoint cadence — is a per-writer choice)
+    _TABLE_PROPS = ("constraints", "bloom_filter_columns",
+                    "change_data_feed")
+
+    def set_properties(self, spark: SparkSession | None, path: str,
+                       constraints: dict[str, str] | None = ...,
+                       bloom_filter_columns=...,
+                       change_data_feed: bool | None = ...,
+                       validate_constraints: bool = True) -> int:
+        """Persist table-level PROPERTIES in the log (Delta
+        ``ALTER TABLE ... SET TBLPROPERTIES`` parity) as one
+        metadata-only ``set_properties`` commit: CHECK ``constraints``,
+        ``bloom_filter_columns``, and ``change_data_feed`` set here are
+        enforced/honored by EVERY writer from then on — including
+        writers constructed with none of them — closing the
+        ignorant-second-writer hole instance-level settings leave open
+        (instance settings still apply, unioned on top).  Pass a value
+        to set, ``None`` to unset, omit to leave unchanged.
+
+        Like Delta's ADD CONSTRAINT, newly set constraints validate the
+        EXISTING rows first (one aggregation scan; disable with
+        ``validate_constraints=False`` — then only future writes are
+        checked, Delta's NOCHECK analogue); ``spark`` may be None when
+        nothing needs validating.  Newly set bloom columns index FUTURE
+        commits — run ``compact`` to index existing files.  Returns the
+        commit version."""
+        props: dict = {}
+        if constraints is not ...:
+            if constraints is not None and not isinstance(
+                    constraints, dict):
+                raise ValueError("constraints must be {name: sql_bool}")
+            props["constraints"] = constraints
+        if bloom_filter_columns is not ...:
+            blooms = bloom_filter_columns
+            if isinstance(blooms, (list, tuple, set)):
+                blooms = {c: self._BLOOM_DEFAULT_BITS for c in blooms}
+            for c, m in (blooms or {}).items():
+                if m < 64 or m % 64:
+                    raise ValueError(
+                        f"bloom_filter_columns[{c!r}] must be a "
+                        f"multiple of 64 bits, got {m}")
+            props["bloom_filter_columns"] = blooms
+        if change_data_feed is not ...:
+            props["change_data_feed"] = (
+                None if change_data_feed is None
+                else bool(change_data_feed))
+        if not props:
+            raise ValueError("no properties given")
+        commits = self._commits(path)
+        if not commits:
+            raise FileNotFoundError(f"no committed table at {path}")
+        new_cons = props.get("constraints")
+        if new_cons and validate_constraints:
+            if spark is None:
+                raise ValueError(
+                    "setting constraints validates existing rows — "
+                    "pass a SparkSession (or "
+                    "validate_constraints=False)")
+            flags = [
+                F.sum(F.expr(f"coalesce(NOT ({expr}), false)")
+                      .cast("long")).alias(name)
+                for name, expr in new_cons.items()]
+            row = self.read(spark, path).agg(*flags).head()
+            bad = {n: row[n] for n in new_cons if row and row[n]}
+            if bad:
+                raise ValueError(
+                    "existing rows violate the new constraints "
+                    f"(per-constraint counts: {bad}); fix the data or "
+                    "set validate_constraints=False")
+        return self._commit(path, {
+            "action": "set_properties", "props": props, "dir": None,
+            "partition_col": None, "partitions": []})
+
+    def properties(self, path: str) -> dict:
+        """The table's live properties (see ``set_properties``)."""
+        return self._resolve_properties(self._commits(path))
+
+    def _effective_config(self, commits: list[dict]) -> tuple[
+            dict, dict, bool]:
+        """(constraints, bloom columns, change_data_feed) a write to
+        this table must honor: table properties as the base, this
+        writer's instance settings UNIONED on top — so a table property
+        binds every writer, and an instance can only add."""
+        props = self._resolve_properties(commits)
+        return ({**(props.get("constraints") or {}), **self.constraints},
+                {**(props.get("bloom_filter_columns") or {}),
+                 **self.bloom_filter_columns},
+                bool(props.get("change_data_feed"))
+                or self.change_data_feed)
 
     def alter_table(self, path: str,
                     add_columns: dict[str, str] | None = None,
@@ -2370,7 +2497,7 @@ class TxnLogFormat(TableFormat):
         one ``checkpoint`` row — history is whatever the log still
         holds, exactly Delta's DESCRIBE HISTORY after log retention."""
         commits = self._raw_full(path) or self._commits(path)
-        no_change = {"alter", "checkpoint"}
+        no_change = {"alter", "checkpoint", "set_properties"}
         rows = []
         for c in reversed(commits):
             act = c["action"]
@@ -2547,7 +2674,7 @@ class TxnLogFormat(TableFormat):
                "data_change": True,
                "partition_col": None, "partitions": [],
                "schema": survivors.schema.json()}
-        if self.change_data_feed:
+        if self._effective_config(commits)[2]:
             self._check_cdf_reserved_columns(survivors.columns)
             self._stage_cdf(path, cur_hot.filter(
                 F.coalesce(pred, F.lit(False)))
@@ -2620,9 +2747,8 @@ class TxnLogFormat(TableFormat):
         """With the change data feed on, the CDF metadata names must not
         collide with data columns — the sidecar tags rows with
         ``_change_type`` and the reader appends the version/timestamp
-        columns (Delta reserves the same three names)."""
-        if not self.change_data_feed:
-            return
+        columns (Delta reserves the same three names).  Callers gate on
+        the EFFECTIVE flag (table property or instance setting)."""
         bad = {"_change_type", "_commit_version",
                "_commit_timestamp"} & set(cols)
         if bad:
@@ -2735,7 +2861,7 @@ class TxnLogFormat(TableFormat):
                "data_change": True,  # rows changed, not just bytes moved
                "partition_col": None, "partitions": [],
                "schema": updated.schema.json()}
-        if self.change_data_feed:
+        if self._effective_config(commits)[2]:
             self._check_cdf_reserved_columns(tcols)
             pre = (cur_hot.filter(hit).select(*tcols)
                    .withColumn("_change_type", F.lit("update_preimage")))
@@ -2794,7 +2920,10 @@ class TxnLogFormat(TableFormat):
         drop-recreate); this keeps that rewrite cost model but adds
         atomicity, conflict detection, and time travel."""
         keys = [key] if isinstance(key, str) else list(key)
-        head = self._commits(path)[-1]["version"]
+        commits = self._commits(path)
+        if not commits:
+            raise FileNotFoundError(f"no committed table at {path}")
+        head = commits[-1]["version"]
         target = self.read(spark, path)
         # The source is evaluated by TWO jobs (the guard/stats aggregation,
         # then the staged write).  A non-deterministic source — sampling,
@@ -2858,7 +2987,7 @@ class TxnLogFormat(TableFormat):
         rec = {"action": "replace_all", "dir": rel,
                "partition_col": None, "partitions": [],
                "schema": new_state.schema.json()}
-        if self.change_data_feed:
+        if self._effective_config(commits)[2]:
             self._check_cdf_reserved_columns(tcols)
             # exact per-row changes, each side keyed off the already-
             # pinned source (localCheckpoint above), so the sidecar and

@@ -328,7 +328,7 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                 _FilePartition(ap, mapping,
                                cdf=("update_postimage", v, ts))
                 for ap in _data_files(path, c["dir"], c.get("files")))
-        elif c["action"] == "alter" or (
+        elif c["action"] in ("alter", "set_properties") or (
                 c["action"] == "rewrite_files"
                 and not c.get("data_change")):
             continue  # bytes moved or metadata changed; no row changed
@@ -507,12 +507,13 @@ class TxnLogStreamReader(DataSourceStreamReader):
                 parts.extend(_FilePartition(ap, mapping) for ap
                              in _data_files(self.path, c["dir"],
                                             c.get("files")))
-            elif c["action"] == "alter":
-                # metadata-only: no data to emit; files AFTER it are
-                # mapped per their own version.  An alter that evolves
-                # the schema past this stream's pin already failed the
-                # batch above (unless ignoreSchemaEvolution, where
-                # unknown columns are deliberately never selected).
+            elif c["action"] in ("alter", "set_properties"):
+                # metadata-only: no data to emit; files AFTER an alter
+                # are mapped per their own version.  An alter that
+                # evolves the schema past this stream's pin already
+                # failed the batch above (unless ignoreSchemaEvolution,
+                # where unknown columns are deliberately never
+                # selected).
                 continue
             elif c["action"] == "rewrite_files" \
                     and not c.get("data_change"):

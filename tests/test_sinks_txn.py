@@ -2700,3 +2700,122 @@ def test_history_reports_every_retained_commit(spark, tmp_path):
     assert "checkpoint" in ops
     cp_v = max(r["version"] for r in h2 if r["action"] == "checkpoint")
     assert all(r["version"] >= cp_v for r in h2)
+
+
+def test_table_properties_bind_every_writer(spark, tmp_path):
+    """Delta TBLPROPERTIES parity: constraints / bloom columns /
+    change_data_feed persisted by set_properties are enforced and
+    honored by writers constructed with NO config — the
+    ignorant-second-writer hole instance settings leave open."""
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat as T
+
+    owner = T()
+    path = str(tmp_path / "t")
+    owner.append(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "name string, v long").coalesce(1), path)
+    v = owner.set_properties(
+        spark, path, constraints={"v_pos": "v > 0"},
+        bloom_filter_columns={"name": 1024}, change_data_feed=True)
+    assert owner.properties(path) == {
+        "constraints": {"v_pos": "v > 0"},
+        "bloom_filter_columns": {"name": 1024},
+        "change_data_feed": True}
+    assert owner._commits(path)[-1]["version"] == v
+
+    ignorant = T()  # no constraints, no blooms, no CDF
+    # constraint enforced on the ignorant writer's append
+    with pytest.raises(ValueError, match="v_pos"):
+        ignorant.append(spark.createDataFrame(
+            [("x", -1)], "name string, v long"), path)
+    # its clean append gets bloom filters
+    ignorant.append(spark.createDataFrame(
+        [("zeta", 3)], "name string, v long").coalesce(1), path)
+    (per,) = ignorant._commits(path)[-1]["stats"].values()
+    assert len(per["name"]) == 5  # bloom rode the stats
+    # and its targeted delete records a CDF sidecar
+    assert ignorant.delete_where(spark, path, "name = 'a'") == 1
+    assert ignorant._commits(path)[-1].get("cdf_dir")
+
+    # history shows the property commit as a non-data-change
+    hrow = next(r for r in ignorant.history(path)
+                if r["action"] == "set_properties")
+    assert hrow["data_change"] is False
+
+    # instance settings UNION on top of table properties
+    strict = T(constraints={"name_nonempty": "length(name) > 0"})
+    with pytest.raises(ValueError, match="name_nonempty"):
+        strict.append(spark.createDataFrame(
+            [("", 5)], "name string, v long"), path)
+    with pytest.raises(ValueError, match="v_pos"):
+        strict.append(spark.createDataFrame(
+            [("ok", 0)], "name string, v long"), path)
+
+    # unset: None removes a property; the rest stay
+    owner.set_properties(None, path, change_data_feed=None)
+    assert "change_data_feed" not in owner.properties(path)
+    assert "constraints" in owner.properties(path)
+
+
+def test_set_properties_validates_existing_rows(spark, tmp_path):
+    """Like Delta ADD CONSTRAINT: setting a constraint scans the
+    current rows first and refuses if any violate; NOCHECK opts out."""
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat as T
+
+    fmt = T()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(-5,)], "v long"), path)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        fmt.set_properties(spark, path, constraints={"v_pos": "v > 0"})
+    assert "constraints" not in fmt.properties(path)  # nothing landed
+    fmt.set_properties(spark, path, constraints={"v_pos": "v > 0"},
+                       validate_constraints=False)
+    with pytest.raises(ValueError, match="v_pos"):
+        fmt.append(spark.createDataFrame([(-1,)], "v long"), path)
+
+
+def test_table_properties_survive_checkpoint_and_streams(
+        spark, tmp_path):
+    """Properties fold into the checkpoint (log-prune-proof) and their
+    metadata commits never disturb stream planning or restore."""
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat as T
+
+    fmt = T(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame(
+        [("a", 1)], "name string, v long").coalesce(1), path)    # v0
+    fmt.set_properties(spark, path,
+                       bloom_filter_columns={"name": 1024})      # v1
+    fmt.append(spark.createDataFrame(
+        [("b", 2)], "name string, v long").coalesce(1), path)    # v2
+    fmt.checkpoint(path)
+    fmt.vacuum(path, retain_hours=0.0, log_retain_hours=0.0)
+    fresh = T()
+    assert fresh.properties(path) == {
+        "bloom_filter_columns": {"name": 1024}}
+    fresh.append(spark.createDataFrame(
+        [("c", 3)], "name string, v long").coalesce(1), path)
+    (per,) = fresh._commits(path)[-1]["stats"].values()
+    assert len(per["name"]) == 5
+
+    # a set_properties commit mid-stream is a silent metadata no-op
+    path2 = str(tmp_path / "s")
+    fmt.append(spark.createDataFrame(
+        [("a", 1)], "name string, v long"), path2)
+    fmt.set_properties(spark, path2, change_data_feed=True)
+    fmt.append(spark.createDataFrame(
+        [("b", 2)], "name string, v long"), path2)
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogDataSource)
+    spark.dataSource.register(TxnLogDataSource)
+    q = (spark.readStream.format("txnlog").load(path2)
+         .writeStream.format("memory").queryName("props_ok")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.name for r in
+                  spark.sql("select * from props_ok").collect()) == \
+        ["a", "b"]
+
+    # restore swaps properties with the state
+    fmt.restore(spark, path2, 0)
+    assert fmt.properties(path2) == {}
