@@ -751,12 +751,23 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
     ``checkpoint_sidecar_files=1`` forces EVERY fold through the
     sidecar form (schema dictionary, file-list markers + rehydration,
     lazy stats) so the new checkpoint format is model-checked across
-    the full op algebra, not just example-checked."""
+    the full op algebra, not just example-checked.  Round 9c: the
+    delete/update ops now exercise the FILE-TARGETED rewrite path;
+    ``change_data_feed=True`` makes every delete/update stage a CDF
+    sidecar and ``bloom_filter_columns`` indexes every staged dir, so
+    both new carriers ride the whole algebra; every example also
+    re-reads with a PREDICATE (stats + bloom pruning against the
+    model) and a ``file_vacuum`` op asserts aggressive vacuum never
+    touches the live state — after it, restore to a swept snapshot may
+    raise the documented vacuumed error (then that snapshot is dead),
+    but must never mis-answer."""
     import itertools
     import random
 
     rng = random.Random(20260814 + 1)
-    fmt = TxnLogFormat(checkpoint_interval=2, checkpoint_sidecar_files=1)
+    fmt = TxnLogFormat(checkpoint_interval=2, checkpoint_sidecar_files=1,
+                       change_data_feed=True,
+                       bloom_filter_columns={"p": 256})
     counter = itertools.count()
     # 6 examples x 5-8 ops: verified to draw EVERY op at least once
     # under this seed (3 examples left restore/checkpoint/dv ops unhit
@@ -767,6 +778,7 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
         vcol = "v"                # current name of the value column
         snapshots: dict = {}      # commit version -> (rows, vcol)
         horizon = 0               # oldest restorable version after prune
+        vacuumed0 = False         # an aggressive vacuum ran (9c)
 
         def snap():
             snapshots[fmt._commits(path)[-1]["version"]] = (list(state),
@@ -782,7 +794,7 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
             op = rng.choice(["append", "overwrite", "delete", "restore",
                              "update", "dv_delete", "dv_update",
                              "dv_compact", "alter", "checkpoint",
-                             "size_compact", "log_prune"])
+                             "size_compact", "log_prune", "file_vacuum"])
             if op == "append":
                 rows = [(rng.choice("abc"), next(counter))]
                 fmt.append(spark.createDataFrame(
@@ -875,16 +887,38 @@ def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
                                        match="horizon|does not exist"):
                         fmt.restore(spark, path, dead[0])
                 continue  # no commit -> no snapshot
+            elif op == "file_vacuum":
+                # round 9c: aggressive vacuum (dir sweep + retired-file
+                # sweep, zero retention) must NEVER touch live state;
+                # snapshots whose data it reclaimed become dead — a
+                # restore to them must RAISE, never mis-answer (checked
+                # by the restore arm's except path below)
+                fmt.vacuum(path, retain_hours=0.0)
+                vacuumed0 = True
+                continue  # no commit -> no snapshot
             else:
                 cand = [v for v in sorted(snapshots) if v >= horizon]
                 v = rng.choice(cand)
-                fmt.restore(spark, path, v)
+                try:
+                    fmt.restore(spark, path, v)
+                except (FileNotFoundError, ValueError):
+                    # legal only after an aggressive vacuum reclaimed
+                    # this snapshot's files/dirs — the documented trade
+                    assert vacuumed0, \
+                        f"restore({v}) failed with no prior vacuum"
+                    del snapshots[v]
+                    continue  # nothing landed -> no snapshot
                 state, vcol = list(snapshots[v][0]), snapshots[v][1]
             snap()
         out = fmt.read(spark, path)
         assert out.columns == ["p", vcol], f"example {example}"
         got = sorted((r["p"], r[vcol]) for r in out.collect())
         assert got == sorted(state), f"example {example}"
+        # predicate read: stats + BLOOM pruning against the model (9c)
+        want = sorted((p, v) for p, v in state if p == "a")
+        got_p = sorted((r["p"], r[vcol]) for r in fmt.read(
+            spark, path, where="p = 'a'").collect())
+        assert got_p == want, f"example {example} (pruned read)"
 
 
 def test_delete_where_detects_concurrent_commit(spark, tmp_path):
