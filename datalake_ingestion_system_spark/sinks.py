@@ -2610,10 +2610,7 @@ class TxnLogFormat(TableFormat):
         Callers must have passed ``_check_cdf_reserved_columns``."""
         rel = self._stage(changed, path, None, check=False, index=False)
         rec["cdf_dir"] = rel
-        rec["cdf_files"] = sorted(
-            _relfile(os.path.join(dp, fn))
-            for dp, _d, fns in os.walk(os.path.join(path, rel))
-            for fn in fns if fn.endswith(".parquet"))
+        rec["cdf_files"] = self._pending_files(path, rel)
 
     def _hot_files(self, matching: DataFrame) -> tuple[list[str], int]:
         """(files holding matching live rows, matching-row count) in ONE

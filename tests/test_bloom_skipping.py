@@ -197,3 +197,25 @@ def test_bloom_all_null_file_proves_absence(spark, tmp_path):
     got = fmt.read(spark, path, where="name = 'ash'")
     assert [r.k for r in got.collect()] == [3]
     assert len(_files(got)) == 1  # the all-null file is pruned
+
+
+def test_bloom_composes_with_batch_source_pushdown(spark, tmp_path):
+    """The DSv2 batch source's pushFilters prunes through the SAME
+    _clause_excluded_files tier as read(where=...) — bloom filters must
+    prune equality pushdowns there too."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogDataSource)
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TxnLogDataSource)
+    fmt = TxnLogFormat(bloom_filter_columns=["name"])
+    path = str(tmp_path / "t")
+    for names in (["apple", "avocado"], ["almond", "aster"]):
+        fmt.append(spark.createDataFrame(
+            [(n,) for n in names], "name string").coalesce(1), path)
+    df = (spark.read.format("txnlog").option("pushdown", "true")
+          .load(path))
+    # absent-but-in-range value: bloom pruning leaves zero files
+    assert df.filter(df.name == "apex").collect() == []
+    got = df.filter(df.name == "aster").collect()
+    assert [r.name for r in got] == ["aster"]

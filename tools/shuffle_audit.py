@@ -50,6 +50,8 @@ DEFAULT_SET = [
     "q_checkpoint_log_read",
     # round 9: log-level partition pruning + the change data feed
     "q_partition_pruned_read", "q_change_data_feed", "q_cdf_replica_mirror",
+    # round 9c: file-targeted COW, CDF sidecars, bloom skipping
+    "q_targeted_cow_read", "q_cdf_sidecar_changes", "q_bloom_skipping_read",
 ]
 
 
