@@ -3056,7 +3056,8 @@ class TxnLogFormat(TableFormat):
                 cluster_by: list[str] | None = None,
                 zorder: bool = False,
                 small_file_bytes: int | None = None,
-                target_file_bytes: int | None = None):
+                target_file_bytes: int | None = None,
+                where: str | None = None):
         """Fold the current state into ONE commit (checkpoint analogue):
         stages a full rewrite, then publishes a ``replace_all`` commit that
         supersedes every earlier one.  Bounds replay cost after many small
@@ -3078,6 +3079,14 @@ class TxnLogFormat(TableFormat):
           materialized — their surviving rows re-staged, the source
           files retired from every later scan (file-level pruning), the
           remaining vector entries consolidated into one dir.
+        - ``where`` (round 9c — OPTIMIZE ... WHERE parity): scopes
+          either targeted criterion to the files that MAY hold rows
+          matching the predicate, selected through the same
+          stats/bloom/partition pruning tier ``read(where=...)`` uses —
+          compact only today's partition under a streaming-ingest
+          table without rewriting cold history.  Sound at any
+          predicate granularity (whole files rewrite; scoping changes
+          which files are optimized, never any row).
         - ``small_file_bytes`` (round 8 — Delta OPTIMIZE bin-packing):
           live files SMALLER than this many bytes are merged; their
           survivors coalesce into ~``target_file_bytes`` bins (default
@@ -3106,6 +3115,11 @@ class TxnLogFormat(TableFormat):
                 raise ValueError(
                     "target_file_bytes only applies to the "
                     "small_file_bytes targeted form")
+            if where is not None:
+                raise ValueError(
+                    "where only scopes the targeted forms "
+                    "(rewrite_dv_threshold / small_file_bytes) — the "
+                    "full rewrite reads the whole table by definition")
             current = self.read(spark, path)
             if cluster_by:
                 # OPTIMIZE ... ZORDER/CLUSTER BY parity: lay the rewrite
@@ -3208,6 +3222,19 @@ class TxnLogFormat(TableFormat):
             # already selected work to piggyback on)
             if len(small) >= 2 or hot_set:
                 hot_set.update(small)
+        if where is not None:
+            # OPTIMIZE ... WHERE parity: scope the rewrite to files that
+            # MAY hold matching rows — selection via the same
+            # stats/bloom pruning tier read(where=...) uses, so a file
+            # PROVABLY empty for the predicate is left untouched.
+            # Sound regardless of predicate granularity: compaction
+            # rewrites whole files, so scoping only changes WHICH files
+            # are optimized, never any row.  (may-contain selection: a
+            # file without stats stays in scope, conservative.)
+            scoped_out = self._clause_excluded_files(
+                path, commits, self._resolve_alters(commits),
+                self._skip_clauses(where))
+            hot_set -= scoped_out
         hot = sorted(hot_set - set(already_removed))
         if not hot or "_dv_file" not in cur.columns:
             return {"rewritten_files": 0, "retired_dv_entries": 0}
@@ -3240,7 +3267,8 @@ class TxnLogFormat(TableFormat):
                 "retired_dv_entries": retired}
 
     def vacuum(self, path: str, retain_hours: float = 168.0,
-               log_retain_hours: float | None = None) -> list[str]:
+               log_retain_hours: float | None = None,
+               dry_run: bool = False) -> list[str]:
         """Delete ``_txn_data`` directories no LIVE commit references (Delta
         VACUUM analogue): superseded pre-``replace_all`` data, and orphans
         from writers that died before committing.  ``retain_hours`` (same
@@ -3262,7 +3290,13 @@ class TxnLogFormat(TableFormat):
         never touched, so the checkpoint + tail always reconstructs the
         current state; time travel below the pruned horizon raises the
         documented horizon error instead of a wrong answer.  Returns the
-        deleted relative paths."""
+        deleted relative paths.
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN`` parity) returns
+        the same list WITHOUT deleting anything (and without the
+        restore-fold checkpoint the log prune may otherwise publish —
+        a dry run never writes), so retention settings can be rehearsed
+        against a production table."""
         import shutil
         commits = self._commits(path)
         # dirs referenced by any commit at or after the last replace_all
@@ -3286,7 +3320,8 @@ class TxnLogFormat(TableFormat):
             full = os.path.join(data_root, n)
             if rel in referenced or os.path.getmtime(full) > cutoff:
                 continue
-            shutil.rmtree(full, ignore_errors=True)
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
             deleted.append(rel)
         # FILE-level sweep: files retired by rewrite_files commits
         # (targeted delete/update, DV/size compaction) live inside
@@ -3314,7 +3349,11 @@ class TxnLogFormat(TableFormat):
             if ts is None or ts > cutoff:
                 continue
             try:
-                os.unlink(os.path.join(path, rf))
+                if dry_run:
+                    if not os.path.exists(os.path.join(path, rf)):
+                        continue  # already swept by an earlier vacuum
+                else:
+                    os.unlink(os.path.join(path, rf))
                 deleted.append(rf)
             except FileNotFoundError:
                 pass  # already swept by an earlier vacuum
@@ -3332,7 +3371,8 @@ class TxnLogFormat(TableFormat):
             # skip one file, not abort the remaining sweep
             try:
                 if os.path.getmtime(full) <= cutoff:
-                    os.unlink(full)
+                    if not dry_run:
+                        os.unlink(full)
                     deleted.append(os.path.join("_txn_log", n))
             except FileNotFoundError:
                 continue
@@ -3352,7 +3392,7 @@ class TxnLogFormat(TableFormat):
                 if any(c["action"] == "restore"
                        and c["to_version"] < cp_v
                        for c in self._commits(path)
-                       if c["action"] != "checkpoint"):
+                       if c["action"] != "checkpoint") and not dry_run:
                     self._write_checkpoint(path, head)
                     raw, cps = self._list_log(path)
                 cp_v = max(int(n.split(".")[0]) for n in cps)
@@ -3374,7 +3414,8 @@ class TxnLogFormat(TableFormat):
                     full = os.path.join(log, n)
                     try:
                         if os.path.getmtime(full) <= log_cutoff:
-                            os.unlink(full)
+                            if not dry_run:
+                                os.unlink(full)
                             deleted.append(os.path.join("_txn_log", n))
                     except FileNotFoundError:
                         continue

@@ -2853,3 +2853,78 @@ def test_table_properties_survive_checkpoint_and_streams(
     # restore swaps properties with the state
     fmt.restore(spark, path2, 0)
     assert fmt.properties(path2) == {}
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """VACUUM ... DRY RUN parity: same list, nothing deleted, no
+    checkpoint published, and a later real run deletes exactly it."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    for lo in (0, 100):
+        fmt.append(spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(4)], "k long, v double")
+            .coalesce(1), path)
+    fmt.delete_where(spark, path, "k = 102")     # retires one file
+    fmt.overwrite_table(spark.createDataFrame(
+        [(9, 9.0)], "k long, v double"), path)   # supersedes the dirs
+    before_rows = sorted(r.k for r in fmt.read(spark, path).collect())
+    would = fmt.vacuum(path, retain_hours=0.0, dry_run=True)
+    assert would  # superseded dirs + the retired file
+    # nothing was touched: every reported path still exists
+    for rel in would:
+        assert os.path.exists(os.path.join(path, rel)), rel
+    # reads and time travel unaffected
+    assert sorted(r.k for r in fmt.read(spark, path).collect()) \
+        == before_rows
+    assert len(fmt.read(spark, path, as_of_version=1).collect()) == 8
+    # the real run deletes exactly what the rehearsal promised
+    real = fmt.vacuum(path, retain_hours=0.0)
+    assert sorted(real) == sorted(would)
+    for rel in would:
+        assert not os.path.exists(os.path.join(path, rel)), rel
+
+    # dry-run with log pruning never folds a checkpoint
+    fmt2 = TxnLogFormat(checkpoint_interval=None)
+    fmt2.append(spark.createDataFrame([(1, 1.0)], "k long, v double"),
+                path)
+    _raw, cps_before = fmt2._list_log(path)
+    fmt2.vacuum(path, retain_hours=0.0, log_retain_hours=0.0,
+                dry_run=True)
+    _raw, cps_after = fmt2._list_log(path)
+    assert cps_after == cps_before  # no checkpoint published
+
+
+def test_compact_where_scopes_the_rewrite(spark, tmp_path):
+    """OPTIMIZE ... WHERE parity: the size-targeted rewrite touches only
+    files that MAY hold matching rows; provably-empty files keep their
+    physical identity, and rows are never affected."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    for lo in (0, 1000, 2000):  # disjoint k ranges, one file each
+        for piece in range(2):
+            fmt.append(spark.createDataFrame(
+                [(lo + piece * 10 + i, float(i)) for i in range(3)],
+                "k long, v double").coalesce(1), path)
+    before = _input_relfiles(fmt.read(spark, path))
+    assert len(before) == 6
+    res = fmt.compact(spark, path, small_file_bytes=1 << 30,
+                      where="k >= 2000")
+    assert res["rewritten_files"] == 2  # only the k>=2000 stripe
+    after = _input_relfiles(fmt.read(spark, path))
+    assert len(before & after) == 4     # cold stripes untouched
+    assert sorted(r.k for r in fmt.read(spark, path).collect()) == \
+        sorted([lo + p * 10 + i for lo in (0, 1000, 2000)
+                for p in range(2) for i in range(3)])
+    # scoping to a value no file can hold is a no-op
+    res2 = fmt.compact(spark, path, small_file_bytes=1 << 30,
+                       where="k >= 99999")
+    assert res2["rewritten_files"] == 0
+    # the full rewrite refuses a where (it reads the whole table)
+    with pytest.raises(ValueError, match="targeted"):
+        fmt.compact(spark, path, where="k >= 0")
+
+
+def _input_relfiles(df):
+    import re
+    return {re.search(r"_txn_data/.*$", f).group(0)
+            for f in df.inputFiles()}
