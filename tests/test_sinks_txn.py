@@ -2928,3 +2928,81 @@ def _input_relfiles(df):
     import re
     return {re.search(r"_txn_data/.*$", f).group(0)
             for f in df.inputFiles()}
+
+
+_APPEND_STORM_WRITER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+import pyarrow.parquet as pq
+from datalake_ingestion_system_spark.sinks import TxnLogFormat
+
+path = sys.argv[1]
+fmt = TxnLogFormat(checkpoint_interval=4)
+schema_json = ('{{"type":"struct","fields":[{{"name":"id","type":'
+               '"long","nullable":true,"metadata":{{}}}}]}}')
+for i in range(20):
+    rel = os.path.join("_txn_data", f"storm_{{i:03d}}")
+    os.makedirs(os.path.join(path, rel))
+    pq.write_table(pa.table({{"id": pa.array([i], pa.int64())}}),
+                   os.path.join(path, rel, "part-0.parquet"))
+    fmt._commit(path, {{"action": "append", "dir": rel,
+                        "schema": schema_json}})
+    time.sleep(0.15)
+print("done")
+"""
+
+
+def test_multiprocess_targeted_delete_vs_append_storm(spark, tmp_path):
+    """File-targeted DELETE racing a real OS-process append storm:
+    under WriteSerializable the delete's rewrite_files commit retargets
+    past interleaved pure appends — no ConcurrentWriteError, no lost
+    append, no lost delete, gapless versions, every delete flagged
+    data_change.  This is the thread-level storm test's contract under
+    true process contention (separate log caches, separate os.link
+    racers), with the round-9c targeted rewrite as the maintenance op."""
+    import subprocess
+    import sys as _sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    writer = tmp_path / "storm.py"
+    writer.write_text(_APPEND_STORM_WRITER.format(repo=repo))
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_txn_log"), exist_ok=True)
+    proc = subprocess.Popen(
+        [_sys.executable, str(writer), path],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    try:
+        fmt = TxnLogFormat(checkpoint_interval=4)
+        targets = [3, 7, 11, 15]
+        deleted = []
+        deadline = time.time() + 150
+        for t in targets:
+            while time.time() < deadline:
+                try:
+                    if fmt.delete_where(spark, path, f"id = {t}") == 1:
+                        deleted.append(t)
+                        break
+                except FileNotFoundError:
+                    pass  # table not created yet — appender still warming
+                time.sleep(0.1)  # target row not appended yet
+        assert deleted == targets
+    finally:
+        out, err = proc.communicate(timeout=120)
+    assert proc.returncode == 0, err
+    assert out.strip() == "done"
+
+    check = TxnLogFormat()
+    commits = check._commits(check_path := path)
+    # gapless: 20 appends + 4 rewrites = 24 commits, versions 0..23
+    assert commits[-1]["version"] == 23
+    rows = sorted(r.id for r in check.read(spark, check_path).collect())
+    assert rows == sorted(set(range(20)) - set(targets))
+    rewrites = [c for c in check._raw_full(path) or commits
+                if c["action"] == "rewrite_files"]
+    assert len(rewrites) == 4
+    assert all(c.get("data_change") for c in rewrites)
+    # time travel to the final version of the interleaved history works
+    assert check.read(spark, check_path,
+                      as_of_version=23).count() == 16
