@@ -31,7 +31,8 @@ restart the stream to re-resolve the evolved schema (Delta
 
 CHANGE DATA FEED (Delta ``readChangeFeed`` parity): with
 ``option("readChangeFeed", "true")`` the stream (and the batch reader,
-with ``startingVersion``/``endingVersion``) emits per-ROW changes
+with ``startingVersion``/``endingVersion`` or
+``startingTimestamp``/``endingTimestamp``) emits per-ROW changes
 instead of append-only rows — ``insert`` for appends, ``delete`` for
 deletion-vector rows, ``update_preimage``/``update_postimage`` for DV
 updates — each with ``_commit_version`` and ``_commit_timestamp``.
@@ -576,6 +577,66 @@ def _filters_to_clauses(filters) -> list:
     return out
 
 
+def _parse_cdf_ts(val) -> float | None:
+    """A CDF timestamp option → epoch seconds: a number string, or an
+    ISO string with NAIVE forms pinned to UTC (commit ts are epoch
+    seconds — a local-TZ reading would resolve the same string to
+    different versions on differently-configured hosts; offset-aware
+    strings are honored as written — the as_of_timestamp rules)."""
+    if val is None:
+        return None
+    try:
+        return float(val)
+    except ValueError:
+        pass
+    import datetime as _dt
+    cutoff = _dt.datetime.fromisoformat(val)
+    if cutoff.tzinfo is None:
+        cutoff = cutoff.replace(tzinfo=_dt.timezone.utc)
+    return cutoff.timestamp()
+
+
+def _first_version_at_or_after(fmt: TxnLogFormat, path: str,
+                               commits: list[dict],
+                               cutoff: float) -> int:
+    """The EARLIEST version whose monotonized publish instant is at or
+    after ``cutoff`` — the Delta ``startingTimestamp`` boundary (that
+    commit's changes are included).  A cutoff landing inside a folded
+    checkpoint span re-resolves against the raw records while they
+    exist; once pruned, per-commit instants below the fold are gone, so
+    the documented use-versions error surfaces instead of a guess."""
+    def resolve(cs: list[dict]):
+        run_max = None
+        for c in cs:
+            ts = c.get("ts")
+            if ts is not None:
+                run_max = ts if run_max is None else max(run_max, ts)
+            if run_max is not None and run_max >= cutoff:
+                return c["version"]
+        return None
+
+    got = resolve(commits)
+    cp = commits[0] if commits \
+        and commits[0]["action"] == "checkpoint" else None
+    if cp is not None and (got is None or got == cp["version"]):
+        # the boundary may fall INSIDE the folded span — the fold's
+        # run-max ts can only overshoot, never undershoot
+        raw = fmt._raw_full(path)
+        if raw is not None:
+            got = resolve(raw)
+        elif got is not None:
+            raise ValueError(
+                f"startingTimestamp {cutoff} falls at or below "
+                f"checkpoint {cp['version']} at {path} and the "
+                "pre-checkpoint commit files were pruned — their "
+                "publish instants are gone; use startingVersion")
+    if got is None:
+        raise ValueError(
+            f"startingTimestamp {cutoff} is after the latest commit "
+            f"at {path} — nothing to read")
+    return got
+
+
 class TxnLogBatchReader(DataSourceReader):
     """Batch counterpart: the current LIVE file set as one parallel scan,
     with the same per-file column mapping for alters.  Refuses tables
@@ -610,6 +671,22 @@ class TxnLogBatchReader(DataSourceReader):
         self.starting_version = int(options.get("startingversion", 0))
         raw_end = options.get("endingversion")
         self.ending_version = int(raw_end) if raw_end is not None else None
+        # timestamp bounds (Delta startingTimestamp/endingTimestamp
+        # parity): resolved to versions at plan time against the
+        # commit-recorded publish instants (monotonized, naive ISO
+        # strings pinned to UTC — the same rules as as_of_timestamp)
+        self.starting_timestamp = _parse_cdf_ts(
+            options.get("startingtimestamp"))
+        self.ending_timestamp = _parse_cdf_ts(
+            options.get("endingtimestamp"))
+        if self.starting_timestamp is not None \
+                and "startingversion" in options:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both")
+        if self.ending_timestamp is not None \
+                and self.ending_version is not None:
+            raise ValueError(
+                "pass endingVersion OR endingTimestamp, not both")
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
         self._clauses: list = []
@@ -621,17 +698,27 @@ class TxnLogBatchReader(DataSourceReader):
             raise FileNotFoundError(f"no committed table at {self.path}")
         if self.read_change_feed:
             head = commits[-1]["version"]
-            end = self.ending_version if self.ending_version is not None \
-                else head
-            if not 0 <= self.starting_version <= end <= head:
+            start = self.starting_version
+            if self.starting_timestamp is not None:
+                start = _first_version_at_or_after(
+                    fmt, self.path, commits, self.starting_timestamp)
+            end = self.ending_version
+            if self.ending_timestamp is not None:
+                # latest version published at or before the cutoff —
+                # exactly time travel's monotonized resolution
+                end = fmt._version_at_timestamp(
+                    self.path, commits, self.ending_timestamp)
+            if end is None:
+                end = head
+            if not 0 <= start <= end <= head:
                 raise ValueError(
-                    f"change-feed range [{self.starting_version}, {end}]"
+                    f"change-feed range [{start}, {end}]"
                     f" is outside the log [0, {head}] at {self.path}")
             data_schema = StructType(
                 [f for f in self.schema.fields
                  if f.name not in _CDF_COLS])
             return _cdf_partitions(fmt, self.path, data_schema,
-                                   self.starting_version - 1, end,
+                                   start - 1, end,
                                    self.ignore_changes)
         if fmt._resolve_dvs(commits):
             raise ValueError(

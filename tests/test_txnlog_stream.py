@@ -836,3 +836,48 @@ def test_change_feed_reconstructs_state_under_random_ops(
         live = {r["k"]: r[vcol]
                 for r in fmt.read(spark, path).collect()}
         assert live == state, f"example {example}"
+
+
+def test_batch_change_feed_timestamp_bounds(registered, tmp_path):
+    """Delta startingTimestamp/endingTimestamp parity on the batch
+    feed: bounds resolve against the monotonized commit instants — an
+    exact-instant start INCLUDES that commit, an end selects the latest
+    commit at or before it, ISO naive strings pin to UTC, and a start
+    past the head raises."""
+    import datetime as dt
+
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(_mk(spark, (1, "a")), path)  # v0
+    fmt.append(_mk(spark, (2, "b")), path)  # v1
+    fmt.append(_mk(spark, (3, "c")), path)  # v2
+    ts = [r["ts"] for r in reversed(fmt.history(path))]  # v0, v1, v2
+
+    def feed(**opts):
+        r = (spark.read.format("txnlog")
+             .option("readChangeFeed", "true"))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return _cdf_rows(r.load(path))
+
+    # exact-instant start includes that commit (epoch-seconds form)
+    assert feed(startingTimestamp=str(ts[1])) == [
+        (2, "b", "insert", 1), (3, "c", "insert", 2)]
+    # just after v1 starts at v2
+    assert feed(startingTimestamp=str(ts[1] + 1e-4)) == [
+        (3, "c", "insert", 2)]
+    # end at v1's instant includes v0+v1 only
+    assert feed(endingTimestamp=str(ts[1])) == [
+        (1, "a", "insert", 0), (2, "b", "insert", 1)]
+    # both bounds compose; ISO naive strings are UTC
+    iso = dt.datetime.fromtimestamp(
+        ts[1] + 1e-4, dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+    assert feed(startingTimestamp=iso, endingTimestamp=str(ts[2])) == [
+        (3, "c", "insert", 2)]
+    # a start past the head raises (Delta's error shape)
+    with pytest.raises(Exception, match="after the latest commit"):
+        feed(startingTimestamp=str(ts[2] + 10.0))
+    # version+timestamp for the same bound is rejected
+    with pytest.raises(Exception, match="not both"):
+        feed(startingVersion="0", startingTimestamp=str(ts[0]))
