@@ -395,6 +395,21 @@ class TxnLogStreamReader(DataSourceStreamReader):
         #: columns only.
         self.read_change_feed = str(
             options.get("readchangefeed", "false")).lower() == "true"
+        #: ``option("startingVersion", N | "latest")`` — Delta streaming
+        #: startingVersion parity: a FRESH stream begins at commit N
+        #: (inclusive) instead of draining the full backlog; "latest"
+        #: emits only commits published after the stream starts.
+        #: ``startingTimestamp`` resolves to the earliest commit at or
+        #: after the instant (same rules as the batch feed).  Both only
+        #: shape initialOffset — a restart from a checkpoint resumes
+        #: from the checkpointed offset, exactly like Delta.
+        self.starting_version = options.get("startingversion")
+        self.starting_timestamp = _parse_cdf_ts(
+            options.get("startingtimestamp"))
+        if self.starting_version is not None \
+                and self.starting_timestamp is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both")
         self._fmt = TxnLogFormat()
         self._planned_through: int | None = None
 
@@ -405,8 +420,24 @@ class TxnLogStreamReader(DataSourceStreamReader):
             [f for f in self.schema.fields if f.name not in _CDF_COLS])
 
     def initialOffset(self) -> dict:
-        self._planned_through = -1  # fresh stream: cap from the start
-        return {"version": -1}
+        start = -1  # default: the full backlog
+        if self.starting_version is not None:
+            if str(self.starting_version).lower() == "latest":
+                commits = self._fmt._commits(self.path)
+                start = commits[-1]["version"] if commits else -1
+            else:
+                v = int(self.starting_version)
+                if v < 0:
+                    raise ValueError(
+                        "startingVersion must be >= 0 or 'latest'")
+                start = v - 1  # offsets are exclusive lower bounds
+        elif self.starting_timestamp is not None:
+            commits = self._fmt._commits(self.path)
+            start = _first_version_at_or_after(
+                self._fmt, self.path, commits,
+                self.starting_timestamp) - 1
+        self._planned_through = start  # fresh stream: cap from here
+        return {"version": start}
 
     def latestOffset(self) -> dict:
         commits = self._fmt._commits(self.path)

@@ -881,3 +881,61 @@ def test_batch_change_feed_timestamp_bounds(registered, tmp_path):
     # version+timestamp for the same bound is rejected
     with pytest.raises(Exception, match="not both"):
         feed(startingVersion="0", startingTimestamp=str(ts[0]))
+
+
+def test_stream_starting_version_and_timestamp(registered, tmp_path):
+    """Delta streaming startingVersion parity: a FRESH stream begins at
+    the given commit ('latest' = only new commits); restarts still
+    resume from the sink checkpoint; startingTimestamp resolves like
+    the batch feed."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    for i, s in enumerate("abc"):
+        fmt.append(_mk(spark, (i, s)), path)  # v0..v2
+    ts_v2 = fmt.history(path)[0]["ts"]
+
+    def drain(qname, ck, **opts):
+        r = spark.readStream.format("txnlog")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (r.load(path).writeStream.format("memory")
+             .queryName(qname)
+             .option("checkpointLocation", str(tmp_path / ck)).start())
+        q.processAllAvailable()
+        q.stop()
+        return sorted((r.id, r.s) for r in
+                      spark.sql(f"select * from {qname}").collect())
+
+    # begin at v1 (inclusive): v0 is never emitted
+    assert drain("sv1", "ck1", startingVersion="1") == \
+        [(1, "b"), (2, "c")]
+    # timestamp form: exactly v2's instant starts at v2
+    assert drain("svts", "ckts", startingTimestamp=str(ts_v2)) == \
+        [(2, "c")]
+    # 'latest': nothing until a post-start commit arrives (parquet
+    # sink: the restart below needs a recoverable checkpoint)
+    out = str(tmp_path / "out")
+
+    def run_latest():
+        return (spark.readStream.format("txnlog")
+                .option("startingVersion", "latest").load(path)
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", str(tmp_path / "ckl"))
+                .start())
+
+    q = run_latest()
+    q.processAllAvailable()
+    fmt.append(_mk(spark, (9, "z")), path)  # v3, after stream start
+    q.processAllAvailable()
+    q.stop()
+    assert [(r.id, r.s) for r in spark.read.parquet(out).collect()] \
+        == [(9, "z")]
+    # restart from the SAME checkpoint resumes at the offset, not the
+    # starting option: only newer commits are emitted
+    fmt.append(_mk(spark, (10, "y")), path)  # v4
+    q2 = run_latest()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted((r.id, r.s) for r in spark.read.parquet(out).collect())
+    assert got == [(9, "z"), (10, "y")]
