@@ -70,7 +70,8 @@ _FORCE_FRONT: tuple[str, ...] = (
     # (--changed-since cannot see transitive sinks edits; this is the
     # manual closure.  q_partition_pruned_read, q_change_data_feed,
     # q_cdf_replica_mirror, q_txnlog_stream_sink, q_targeted_cow_read,
-    # and q_cdf_sidecar_changes are new and front automatically.)
+    # q_cdf_sidecar_changes, q_bloom_skipping_read, and
+    # q_compact_where_read are new and front automatically.)
     "q_data_skipping_read", "q_dv_compact_read", "q_zorder_skipping_read",
     "q_schema_evolution_read", "q_delete_vector_read", "q_merge_upsert",
     "q_txnlog_stream_source", "q_minhash_incremental",

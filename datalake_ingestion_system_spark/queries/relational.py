@@ -2816,6 +2816,54 @@ def q_bloom_skipping_read(spark, sf_dir):
                  F.min("doc_id").alias("min_doc")))
 
 
+@_q("q_compact_where_read")
+def q_compact_where_read(spark, sf_dir):
+    """Predicate-scoped OPTIMIZE (round 9c — Delta ``OPTIMIZE ...
+    WHERE`` parity): events land as six small per-stripe appends, a
+    size-targeted ``compact(where="user_id >= 5")`` bin-packs ONLY
+    the files that may hold matching rows (selection through the same
+    stats pruning tier reads use — cold stripes keep their physical
+    identity), and the full table is then read back and rolled up.
+    The DuckDB oracle recomputes the rollup declaratively: compaction
+    must be invisible to every row, scoped or not, so any survivor
+    lost or duplicated by the scoped rewrite hash-mismatches.
+
+    Scale shape: the rewrite touches O(may-match small files) — the
+    hot partition of a streaming-ingest table compacts without
+    rewriting cold history."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="cwq_") + "/t"
+    fmt = TxnLogFormat()
+    for stripe in range(6):
+        fmt.append(e.filter(F.pmod("event_id", F.lit(6)) == stripe),
+                   path)
+    fmt.compact(spark, path, small_file_bytes=1 << 30,
+                where="user_id >= 5")  # non-vacuous at every SF
+                                       # (sf0.001 user_id tops at 14)
+    return (fmt.read(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_compact_where_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 ORACLE_SQL["q_bloom_skipping_read"] = """
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
