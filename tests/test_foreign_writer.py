@@ -220,3 +220,48 @@ def test_missing_optional_fields_are_tolerated(spark, tmp_path):
     # a delete interleaving with such a minimal append still retargets
     # (schema matches structurally; absence of optionals is benign)
     assert fmt.delete_where(spark, path, "id = 0") == 1
+
+
+def test_builtin_retries_on_row_level_ops(spark, tmp_path):
+    """``retries=N`` (Delta retries conflicting commits internally): a
+    non-benign interleave — an overwrite racing a merge — makes the
+    first attempt lose; with ``retries=1`` the op re-runs against the
+    fresh head and succeeds, with the default it still fails fast."""
+    from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.overwrite_table(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"),
+        path)
+    racer = TxnLogFormat()
+
+    def make_racing(fmt_):
+        orig = fmt_._stage
+        state = {"raced": False}
+
+        def stage_then_overwrite(df, p, pcol, **kw):
+            rel = orig(df, p, pcol, **kw)
+            if not state["raced"]:
+                state["raced"] = True
+                # replace_all interleave: NEVER benign for any op
+                racer.overwrite_table(spark.createDataFrame(
+                    [(1, 11.0), (2, 21.0), (3, 31.0)],
+                    "k long, v double"), path)
+            return rel
+        return stage_then_overwrite
+
+    src = spark.createDataFrame([(2, 99.0), (4, 44.0)], "k long, v double")
+    fmt._stage = make_racing(fmt)
+    with pytest.raises(ConcurrentWriteError):
+        fmt.merge(spark, path, src, "k")        # default: fail fast
+    fmt._stage = make_racing(fmt)               # fresh one-shot racer
+    res = fmt.merge(spark, path, src, "k", retries=1)
+    assert res == {"inserted": 1, "updated": 1, "deleted": 0}
+    got = {(r.k, r.v) for r in fmt.read(spark, path).collect()}
+    # second attempt merged onto the racer's overwrite — nothing lost
+    assert got == {(1, 11.0), (2, 99.0), (3, 31.0), (4, 44.0)}
+    with pytest.raises(ValueError, match="retries"):
+        fmt.delete_where(spark, path, "k = 1", retries=-1)
+    # retries on a conflict-free call is a no-op passthrough
+    assert fmt.delete_where(spark, path, "k = 1", retries=2) == 1
