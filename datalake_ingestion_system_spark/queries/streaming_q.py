@@ -943,3 +943,56 @@ FROM events
 WHERE value >= 0
 GROUP BY event_type
 """
+
+
+@_q("q_txnlog_stream_pushdown")
+def q_txnlog_stream_pushdown(spark, sf_dir):
+    """STREAMING-read filter pushdown (``option("where", ...)`` on the
+    txnlog source — Delta prunes streaming scans too): events are
+    committed as one append PER event_type (five commits, five files
+    with tight per-type string stats), then a filtered stream drains
+    the backlog with the predicate pushed to the PLANNER — four of the
+    five files are provably empty for ``event_type = 'purchase'`` and
+    never enter any micro-batch — and the paired ``.where`` keeps
+    may-contain semantics exact.  The per-user-bucket rollup of what
+    the pruned stream delivered must equal the declarative answer over
+    the raw table, cross-engine.
+
+    Scale shape: pruning reads only commit-recorded stats already
+    replayed for offset planning (zero extra storage reads); at 100 TB
+    a filtered stream over a type-partitioned firehose plans O(matching
+    files), not O(commits x files) — this was the last unpruned read
+    path (VERDICT r9 item 3)."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+    from ..sources.txnlog_stream import TxnLogDataSource
+
+    spark.dataSource.register(TxnLogDataSource)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="txnpush_q_") + "/t"
+    fmt = TxnLogFormat()
+    for et in ("click", "error", "purchase", "signup", "view"):
+        fmt.append(e.filter(F.col("event_type") == et).coalesce(1), path)
+    stream = (spark.readStream.format("txnlog")
+              .option("where", "event_type = 'purchase'").load(path)
+              .where("event_type = 'purchase'")
+              .groupBy(F.pmod("user_id", F.lit(4)).alias("user_bucket"))
+              .agg(F.count("*").alias("n_rows"),
+                   F.size(F.collect_set("user_id")).alias("n_users"),
+                   F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                    .alias("value_cents")))
+    return _run_stream_to_memory(stream, spark)
+
+
+ORACLE_SQL["q_txnlog_stream_pushdown"] = """
+SELECT user_id % 4 AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id % 4
+"""

