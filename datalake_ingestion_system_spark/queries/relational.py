@@ -2896,3 +2896,61 @@ SELECT change_type,
 FROM changes
 GROUP BY change_type
 """
+
+
+@_q("q_column_default_read")
+def q_column_default_read(spark, sf_dir):
+    """ADD COLUMN ... DEFAULT round-trip, oracle-verified (Spark
+    EXISTS_DEFAULT semantics; VERDICT r9 item 7): half the events are
+    committed BEFORE the alter, which adds a ``channel`` column with
+    default 'legacy' and a ``weight`` column with default 1 (one
+    metadata-only commit — zero files rewritten); the other half lands
+    after it with explicit values.  Pre-alter rows must materialize the
+    frozen constants — not NULL — and post-alter rows read what they
+    stored; the defaults also feed predicates and aggregates.  The
+    DuckDB oracle reconstructs both populations declaratively from the
+    raw table, so the version-comparison fill rule is checked
+    cross-engine.
+
+    Scale shape: the default is a constant in the alter record; reads
+    add one plan-level literal projection per PRE-alter dir (no data
+    movement, no rewrite — exactly why Delta/Spark define EXISTS_DEFAULT
+    this way)."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="dflt_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
+    fmt.alter_table(path,
+                    add_columns={"channel": "string", "weight": "int"},
+                    column_defaults={"channel": "legacy", "weight": 1})
+    fmt.append(
+        e.filter(F.pmod("event_id", F.lit(2)) == 1)
+        .select("event_id", "event_type", "value",
+                F.lit("live").alias("channel"),
+                F.lit(2).alias("weight")), path)
+    return (fmt.read(spark, path)
+            .groupBy("event_type", "channel")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("weight").alias("total_weight"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_column_default_read"] = """
+SELECT event_type,
+       CASE WHEN event_id % 2 = 0 THEN 'legacy' ELSE 'live' END
+         AS channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT)
+         AS total_weight,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type,
+         CASE WHEN event_id % 2 = 0 THEN 'legacy' ELSE 'live' END
+"""

@@ -1155,6 +1155,27 @@ class TxnLogFormat(TableFormat):
         return name
 
     @staticmethod
+    def _added_default(name: str, alters: list[dict], version: int):
+        """The ``(constant, declared-type DDL)`` a file written at
+        ``version`` should materialize for CURRENT column ``name``, or
+        ``None`` when the column has no default or physically exists in
+        the file.  The SAME newest-first rename inversion walk as
+        ``_source_column`` (the two must agree on which alter ADDED the
+        column), stopping at the adding alter to read its frozen
+        ``defaults`` entry — shared by read()'s piece conformance and
+        the txnlog source's per-file column mapping."""
+        for a in reversed([a for a in alters if a["version"] > version]):
+            ren_inv = {n: o for o, n in (a.get("rename") or {}).items()}
+            if name in ren_inv:
+                name = ren_inv[name]
+            elif name in (a.get("add") or {}):
+                d = a.get("defaults") or {}
+                if name in d:
+                    return d[name], (a.get("add") or {}).get(name)
+                return None
+        return None
+
+    @staticmethod
     def _vacuum_protect(commits: list[dict]) -> set[str]:
         """Dirs (data + vector) referenced by any commit at or after the
         last ``replace_all`` — vacuum's time-travel retention set, ONE
@@ -1707,13 +1728,28 @@ class TxnLogFormat(TableFormat):
     def alter_table(self, path: str,
                     add_columns: dict[str, str] | None = None,
                     rename_columns: dict[str, str] | None = None,
-                    drop_columns: list[str] | None = None) -> int:
+                    drop_columns: list[str] | None = None,
+                    column_defaults: dict | None = None) -> int:
         """Metadata-only schema evolution (Delta column-mapping parity):
         ADD COLUMN (typed, reads as NULL for pre-alter rows), RENAME
         COLUMN, and DROP COLUMN as ONE ``alter`` commit — no data file is
         touched; ``read`` replays the mapping onto every dir written
         before the alter.  Time travel to a pre-alter version serves the
         old schema, and RESTORE swaps the mapping set with the data.
+
+        ``column_defaults`` (Spark ``ADD COLUMN ... DEFAULT`` /
+        EXISTS_DEFAULT semantics, VERDICT r9 item 7): a constant per
+        added column — a plain Python literal (int / float / str /
+        bool), cast to the column's declared type at read time — that
+        rows PREDATING the column materialize instead of NULL.  Frozen
+        in the alter record (so later default changes never rewrite
+        history), applied by commit-version comparison: a file written
+        before the alter reads the default, a file written after reads
+        whatever it physically stored (including NULL — the writer had
+        the column and said nothing, exactly Spark's rule).  Constants
+        only, by design: an expression over other columns is a
+        GENERATED column with write-time semantics, not a read-time
+        fill.
 
         Refuses to rename or drop a column that a live dynamic-partition
         overwrite anti-filters on (its removal bookkeeping is keyed by
@@ -1737,6 +1773,23 @@ class TxnLogFormat(TableFormat):
         add_columns = add_columns or {}
         rename_columns = rename_columns or {}
         drop_columns = list(drop_columns or [])
+        column_defaults = dict(column_defaults or {})
+        bad_dcols = sorted(set(column_defaults) - set(add_columns))
+        if bad_dcols:
+            raise ValueError(
+                f"column_defaults for columns not being added: "
+                f"{bad_dcols} — defaults attach to ADD COLUMN only "
+                "(changing an existing column's stored values is a "
+                "data rewrite, not metadata)")
+        bad_dvals = sorted(
+            c for c, v in column_defaults.items()
+            if v is None or not isinstance(v, (bool, int, float, str)))
+        if bad_dvals:
+            raise ValueError(
+                f"column_defaults must be plain constants (int / float "
+                f"/ str / bool, cast to the column type at read time); "
+                f"got non-constant or null values for {bad_dvals} — a "
+                "null default is just the absent-default behavior")
         names = [f.name for f in schema.fields]
         missing = [c for c in list(rename_columns) + drop_columns
                    if c not in names]
@@ -1777,6 +1830,8 @@ class TxnLogFormat(TableFormat):
                "rename": dict(rename_columns),
                "drop": drop_columns,
                "schema": new_schema.json()}
+        if column_defaults:
+            rec["defaults"] = column_defaults
         return self._commit(path, rec, expected_version=head + 1,
                             base_schema=sj)
 
@@ -2310,6 +2365,18 @@ class TxnLogFormat(TableFormat):
                        if o in df.columns}
                 if ren:
                     df = df.withColumnsRenamed(ren)
+                # COLUMN DEFAULTS (EXISTS_DEFAULT): this piece predates
+                # the alter (guard above), so its rows materialize the
+                # frozen constant, cast to the declared type — NOT the
+                # NULL the unionByName fill would produce.  Pieces AT
+                # or AFTER the alter never enter this loop and read
+                # their stored values.
+                for dcol, dval in (a.get("defaults") or {}).items():
+                    if dcol not in df.columns:
+                        ddl = (a.get("add") or {}).get(dcol)
+                        df = df.withColumn(
+                            dcol, F.lit(dval).cast(ddl) if ddl
+                            else F.lit(dval))
             for col, values in e["removed"].items():
                 if col not in df.columns:
                     continue
@@ -2639,7 +2706,27 @@ class TxnLogFormat(TableFormat):
             "num_alters": len(self._resolve_alters(commits)),
             "checkpoint_version": cp,
             "schema": self._resolve_schema(commits),
+            # live column defaults keyed by CURRENT column name (an
+            # added-with-default column renamed later reports under its
+            # new name; a dropped one disappears)
+            "column_defaults": self._current_defaults(commits),
         }
+
+    def _current_defaults(self, commits: list[dict]) -> dict:
+        """``{current column name: frozen constant}`` for every live
+        column carrying an ADD COLUMN default — the adding alter's
+        ``defaults`` entry replayed through subsequent renames/drops
+        (the forward twin of ``_added_default``'s backward walk)."""
+        alters = self._resolve_alters(commits)
+        out: dict = {}
+        for a in alters:
+            for dropped in (a.get("drop") or []):
+                out.pop(dropped, None)
+            for old, new in (a.get("rename") or {}).items():
+                if old in out:
+                    out[new] = out.pop(old)
+            out.update(a.get("defaults") or {})
+        return out
 
     def _surviving_dv_rel(self, spark: SparkSession, path: str,
                           commits: list[dict],

@@ -120,15 +120,24 @@ def _mapping_for(version: int, alters: list[dict],
                  schema: StructType) -> list:
     """Per-target-column source name in a file written at ``version``:
     invert every rename published after it (newest first); a column
-    first ADDED after it has no source and null-fills.  Drops need no
-    handling — dropped columns are absent from the target schema.  The
-    inversion itself is ``TxnLogFormat._source_column`` — the SAME rule
-    read()'s alter-aware data skipping applies, so the two consumers of
-    historical column names can never diverge."""
+    first ADDED after it has no source and null-fills — or, when the
+    adding alter recorded a COLUMN DEFAULT, constant-fills with it
+    (EXISTS_DEFAULT: pre-alter rows materialize the frozen constant,
+    same rule as ``TxnLogFormat.read``).  Drops need no handling —
+    dropped columns are absent from the target schema.  The inversion
+    itself is ``TxnLogFormat._source_column`` / ``_added_default`` —
+    the SAME rules read()'s alter-aware data skipping and piece
+    conformance apply, so the consumers of historical column names can
+    never diverge."""
     from pyspark.sql.pandas.types import to_arrow_type
-    return [(TxnLogFormat._source_column(f.name, alters, version),
-             f.name, to_arrow_type(f.dataType))
-            for f in schema.fields]
+    out = []
+    for f in schema.fields:
+        src = TxnLogFormat._source_column(f.name, alters, version)
+        dflt = (TxnLogFormat._added_default(f.name, alters, version)
+                if src is None else None)
+        out.append((src, f.name, to_arrow_type(f.dataType),
+                    dflt[0] if dflt else None))
+    return out
 
 
 def _read_arrow_batches(abs_path: str, mapping: list,
@@ -144,8 +153,8 @@ def _read_arrow_batches(abs_path: str, mapping: list,
     import pyarrow as pa
     import pyarrow.parquet as pq
     tbl = pq.read_table(abs_path)
-    missing = [src for src, _tgt, _t in mapping
-               if src is not None and src not in tbl.column_names]
+    missing = [m[0] for m in mapping
+               if m[0] is not None and m[0] not in tbl.column_names]
     if missing:
         raise ValueError(
             f"staged file {abs_path} lacks columns {missing} of the "
@@ -154,9 +163,15 @@ def _read_arrow_batches(abs_path: str, mapping: list,
     if positions is not None:
         tbl = tbl.take(pa.array(positions, type=pa.int64()))
     cols, names = [], []
-    for src, tgt, patype in mapping:
+    for src, tgt, patype, *rest in mapping:
+        dflt = rest[0] if rest else None  # pre-defaults 3-tuple compat
         if src is not None:
             cols.append(tbl[src])
+        elif dflt is not None:
+            # column default (EXISTS_DEFAULT): arrow-cast the frozen
+            # constant to the stream's declared type — the executor
+            # twin of read()'s F.lit(v).cast(ddl)
+            cols.append(pa.array([dflt] * tbl.num_rows).cast(patype))
         else:
             cols.append(pa.nulls(tbl.num_rows, type=patype))
         names.append(tgt)

@@ -3006,3 +3006,89 @@ def test_multiprocess_targeted_delete_vs_append_storm(spark, tmp_path):
     # time travel to the final version of the interleaved history works
     assert check.read(spark, check_path,
                       as_of_version=23).count() == 16
+
+
+def test_alter_add_column_with_default(spark, tmp_path):
+    """ADD COLUMN ... DEFAULT (Spark EXISTS_DEFAULT semantics): rows
+    predating the column read the frozen constant; rows written after
+    read what they stored — including genuine NULLs; the default
+    survives renames, freezes across checkpoint folds, and time travel
+    to a pre-alter version serves the old schema untouched."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1,), (2,)], "id long"), path)
+    v_alter = fmt.alter_table(
+        path, add_columns={"tier": "string", "score": "int"},
+        column_defaults={"tier": "bronze", "score": 0})
+    # post-alter writers store real values AND real nulls
+    fmt.append(spark.createDataFrame(
+        [(3, "gold", None), (4, None, 7)],
+        "id long, tier string, score int"), path)
+    got = {(r.id, r.tier, r.score)
+           for r in fmt.read(spark, path).collect()}
+    assert got == {(1, "bronze", 0), (2, "bronze", 0),
+                   (3, "gold", None), (4, None, 7)}
+    # predicate reads apply the default BEFORE the filter
+    assert sorted(r.id for r in fmt.read(
+        spark, path, where="tier = 'bronze'").collect()) == [1, 2]
+    # time travel: pre-alter version has neither column nor default
+    assert fmt.read(spark, path,
+                    as_of_version=v_alter - 1).columns == ["id"]
+    # rename carries the default with the column
+    fmt.alter_table(path, rename_columns={"tier": "grade"})
+    got = {(r.id, r.grade) for r in
+           fmt.read(spark, path).select("id", "grade").collect()}
+    assert got == {(1, "bronze"), (2, "bronze"),
+                   (3, "gold"), (4, None)}
+    assert fmt.details(path)["column_defaults"] == {
+        "grade": "bronze", "score": 0}
+    # checkpoint fold preserves the frozen constants for fresh readers
+    fmt.checkpoint(path)
+    fresh = TxnLogFormat()
+    got = {(r.id, r.grade, r.score)
+           for r in fresh.read(spark, path).collect()}
+    assert got == {(1, "bronze", 0), (2, "bronze", 0),
+                   (3, "gold", None), (4, None, 7)}
+    # dropping the column drops its default
+    fmt.alter_table(path, drop_columns=["score"])
+    assert fmt.details(path)["column_defaults"] == {"grade": "bronze"}
+
+    # validation: defaults only on added columns, constants only
+    with pytest.raises(ValueError, match="ADD COLUMN only"):
+        fmt.alter_table(path, column_defaults={"id": 9})
+    with pytest.raises(ValueError, match="plain constants"):
+        fmt.alter_table(path, add_columns={"x": "int"},
+                        column_defaults={"x": [1, 2]})
+    with pytest.raises(ValueError, match="plain constants"):
+        fmt.alter_table(path, add_columns={"x": "int"},
+                        column_defaults={"x": None})
+
+
+def test_stream_and_batch_source_apply_column_defaults(spark, tmp_path):
+    """The txnlog source's per-file mapping constant-fills defaulted
+    columns for pre-alter files (executor-side arrow cast), matching
+    TxnLogFormat.read exactly — and a stream restarted after the alter
+    drains the pre-alter backlog with defaults applied."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogDataSource, TxnLogStreamReader)
+    spark.dataSource.register(TxnLogDataSource)
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1,), (2,)], "id long"), path)
+    fmt.alter_table(path, add_columns={"score": "int"},
+                    column_defaults={"score": 5})
+    fmt.append(spark.createDataFrame([(3, 30)], "id long, score int"),
+               path)
+    # batch source
+    got = {(r.id, r.score) for r in
+           spark.read.format("txnlog").load(path).collect()}
+    assert got == {(1, 5), (2, 5), (3, 30)}
+    # streaming source, driven through the offset protocol
+    schema = fmt.read(spark, path).schema
+    reader = TxnLogStreamReader(schema, {"path": path})
+    cur = reader.initialOffset()
+    parts = reader.partitions(cur, reader.latestOffset())
+    rows = {(b.to_pydict()["id"][i], b.to_pydict()["score"][i])
+            for p in parts for b in reader.read(p)
+            for i in range(b.num_rows)}
+    assert rows == {(1, 5), (2, 5), (3, 30)}
