@@ -48,18 +48,27 @@ HEADLINE = [
 ]
 
 
-def _metadata_plan_bench(spark) -> dict:
+def _metadata_plan_bench(spark, n_commits: int = 600,
+                         files_per_commit: int = 1,
+                         fixture_tag: str = "v3") -> dict:
     """Tracked metadata-tier number (VERDICT r8 item 4): cold
     plan+first-action latency of a filtered read on a DEEP table —
-    600 commits, auto-checkpointed every 10, per-file stats in the
-    parquet SIDECAR (600 > the 512 live-file threshold), pre-checkpoint
-    log files pruned.  This is the checkpoint tier's real regression
-    risk: per-query medians time 3-commit tables; depth only shows up
-    here.  The fixture builds ONCE per machine (pyarrow-staged commits,
-    no Spark in the build) and is reused across rounds; each rep uses a
-    FRESH TxnLogFormat so every run pays the full cold path — log
-    listing, checkpoint JSON parse, lazy sidecar read, stats pruning —
-    plus the one-file scan the predicate leaves alive."""
+    auto-checkpointed every 10 commits, per-file stats in the parquet
+    SIDECAR, pre-checkpoint log files pruned.  This is the checkpoint
+    tier's real regression risk: per-query medians time 3-commit
+    tables; depth only shows up here.  The fixture builds ONCE per
+    machine (pyarrow-staged commits, no Spark in the build) and is
+    reused across rounds; each rep uses a FRESH TxnLogFormat so every
+    run pays the full cold path — log listing, checkpoint JSON parse,
+    lazy sidecar read, stats pruning — plus the one-file scan the
+    predicate leaves alive.
+
+    Two instances ride the report (VERDICT r9 item 4): the r8-baseline
+    600-commit / 600-file form, and a 10x DEPTH-SCALED
+    6,000-commit / 48,000-live-file form proving the O(checkpoint
+    interval) plan claim holds another order of magnitude — the only
+    term growing with live-file count (columnar sidecar stats) is the
+    one this isolates."""
     import shutil
     import statistics
 
@@ -68,11 +77,9 @@ def _metadata_plan_bench(spark) -> dict:
 
     from datalake_ingestion_system_spark.sinks import TxnLogFormat
 
-    n_commits = 600
-    # _v2: checkpoint format gained schema dictionary + files-in-sidecar
-    # markers — rebuild so the bench measures the current form
+    n_files = n_commits * files_per_commit
     path = os.path.join("/tmp/spark_graft_bench_fixtures",
-                        f"commitlog{n_commits}_v2")
+                        f"commitlog{n_commits}_{fixture_tag}")
     marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -83,8 +90,12 @@ def _metadata_plan_bench(spark) -> dict:
         for i in range(n_commits):
             rel = os.path.join("_txn_data", f"d{i:04d}")
             os.makedirs(os.path.join(path, rel))
-            pq.write_table(pa.table({"id": pa.array([i], pa.int64())}),
-                           os.path.join(path, rel, "part-0.parquet"))
+            for j in range(files_per_commit):
+                # one distinct id per FILE so stats prune to exactly one
+                pq.write_table(
+                    pa.table({"id": pa.array([i * files_per_commit + j],
+                                             pa.int64())}),
+                    os.path.join(path, rel, f"part-{j:02d}.parquet"))
             fmt._commit(path, {"action": "append", "dir": rel,
                                "schema": schema_json})
         fmt.vacuum(path, retain_hours=1e6, log_retain_hours=0.0)
@@ -95,14 +106,14 @@ def _metadata_plan_bench(spark) -> dict:
         fmt = TxnLogFormat()
         t0 = time.perf_counter()
         n = fmt.read(spark, path,
-                     where=f"id = {n_commits - 7}").count()
+                     where=f"id = {n_files - 7}").count()
         dt = round(time.perf_counter() - t0, 3)
         assert n == 1, f"metadata fixture returned {n} rows, expected 1"
         if rep:
             times.append(dt)
     # the STREAMING metadata path at the same depth: a fresh reader's
-    # full-backlog offset plan (hydration + 600 per-file partitions),
-    # pure driver work — no Spark job
+    # full-backlog offset plan (hydration + per-file partitions), pure
+    # driver work — no Spark job
     from datalake_ingestion_system_spark.sources.txnlog_stream import (
         TxnLogStreamReader)
     from pyspark.sql.types import LongType, StructField, StructType
@@ -114,10 +125,10 @@ def _metadata_plan_bench(spark) -> dict:
         parts = reader.partitions(reader.initialOffset(),
                                   reader.latestOffset())
         dt = round(time.perf_counter() - t0, 3)
-        assert len(parts) == n_commits
+        assert len(parts) == n_files
         if rep:
             stream_times.append(dt)
-    return {"commits": n_commits,
+    return {"commits": n_commits, "live_files": n_files,
             "form": "checkpoint+stats-sidecar+pruned-log",
             "plan_first_action_sec": round(statistics.median(times), 3),
             "runs": times,
@@ -153,6 +164,17 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+
+    # JVM PINNING (VERDICT r9 item 8 — variance mitigation): fix the
+    # driver heap (Xms == Xmx so the heap never resizes mid-run) and the
+    # collector, so same-code reruns measure the queries, not heap
+    # growth and GC-ergonomics drift.  Must be set BEFORE the first
+    # pyspark import spawns the JVM; an externally-set
+    # PYSPARK_SUBMIT_ARGS wins (the driver may pin its own).
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS",
+        "--driver-memory 12g --driver-java-options "
+        "\"-Xms12g -XX:+UseG1GC\" pyspark-shell")
 
     from datalake_ingestion_system_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -273,6 +295,12 @@ def main() -> None:
     # documents its r9 reference point)
     meta_plan = _metadata_plan_bench(spark)
     print(f"# metadata_plan: {meta_plan}", file=sys.stderr)
+    # 10x depth-scaled variant (VERDICT r9 item 4): 6,000 commits x 8
+    # files = 48,000 live files behind one checkpoint + sidecar
+    meta_deep = _metadata_plan_bench(spark, n_commits=6000,
+                                     files_per_commit=8,
+                                     fixture_tag="deep_v2")
+    print(f"# metadata_plan_deep: {meta_deep}", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
@@ -283,6 +311,7 @@ def main() -> None:
         "runs": raw_runs,
         "protocol": f"median-of-{reps}",
         "metadata_plan": meta_plan,
+        "metadata_plan_deep": meta_deep,
         "sf": sf,
     }))
 

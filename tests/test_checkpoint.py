@@ -752,3 +752,67 @@ def test_sidecar_hydration_keeps_retired_files_subtracted(
     # originals are hydrated AND subtracted, not resurrected
     assert len(got.inputFiles()) == 1
     assert fresh.details(path)["num_removed_files"] == 4
+
+
+def test_vectorized_sidecar_skipping_matches_rowwise(spark, tmp_path):
+    """The typed-column vectorized skipping path must prune EXACTLY the
+    files the row-wise JSON path prunes — across int/string/null-count
+    stats, legacy stat-less files, alters (rename + add), blooms, and
+    every clause op — randomized fixture, both paths diffed directly."""
+    import random
+
+    rnd = random.Random(77)
+    fmt = TxnLogFormat(checkpoint_interval=None,
+                       checkpoint_sidecar_files=1,
+                       bloom_filter_columns={"s": 512})
+    path = str(tmp_path / "t")
+    # 12 commits of varied shape: disjoint/overlapping int ranges,
+    # strings, null-heavy and all-null columns
+    for i in range(12):
+        lo = rnd.randrange(0, 500, 25)
+        rows = [(lo + j,
+                 rnd.choice(["ash", "birch", "cedar", None]),
+                 None if rnd.random() < 0.3 else float(j))
+                for j in range(6)]
+        fmt.append(spark.createDataFrame(
+            rows, "k long, s string, v double").coalesce(1), path)
+    fmt.alter_table(path, rename_columns={"k": "kk"},
+                    add_columns={"extra": "int"})
+    fmt.append(spark.createDataFrame(
+        [(7, "dogwood", 1.0, 5)], "kk long, s string, v double, extra int")
+        .coalesce(1), path)
+    fmt.checkpoint(path)
+
+    commits = fmt._commits(path)
+    assert commits[0]["action"] == "checkpoint" \
+        and commits[0].get("stats_sidecar")
+    alters = fmt._resolve_alters(commits)
+    wheres = [
+        "kk = 75", "kk >= 400", "kk < 50", "kk <= 0", "kk > 475",
+        "kk BETWEEN 100 AND 200", "kk IN (75, 300)", "kk IN (9999)",
+        "s = 'cedar'", "s = 'zzz'", "s IN ('ash', 'zzz')", "s > 'x'",
+        "s IS NULL", "s IS NOT NULL", "v IS NULL", "v IS NOT NULL",
+        "extra = 5", "extra IS NULL", "kk = 75 AND s = 'ash'",
+        "kk = 7 AND extra = 5",
+    ]
+    for where in wheres:
+        clauses = fmt._skip_clauses(where)
+        assert clauses, where
+        vec = fmt._clause_excluded_files(path, commits, alters, clauses)
+        # force the row-wise JSON path
+        orig = TxnLogFormat._sidecar_excluded
+        TxnLogFormat._sidecar_excluded = \
+            lambda self, p, r, m: None
+        try:
+            fresh = TxnLogFormat()
+            row = fresh._clause_excluded_files(path, commits, alters,
+                                               clauses)
+        finally:
+            TxnLogFormat._sidecar_excluded = orig
+        assert vec == row, (where, vec ^ row)
+        # and the pruned read stays correct vs an unpruned filter
+        got = sorted(map(tuple, fmt.read(spark, path, where=where)
+                         .collect()), key=repr)
+        want = sorted(map(tuple, fmt.read(spark, path)
+                          .filter(where).collect()), key=repr)
+        assert got == want, where
