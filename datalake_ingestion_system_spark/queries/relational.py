@@ -2954,3 +2954,61 @@ FROM events
 GROUP BY event_type,
          CASE WHEN event_id % 2 = 0 THEN 'legacy' ELSE 'live' END
 """
+
+
+@_q("q_generated_column_read")
+def q_generated_column_read(spark, sf_dir):
+    """GENERATED ALWAYS AS round-trip, oracle-verified (Delta
+    generated-columns parity, write-time semantics): the table binds
+    ``value_cents = CAST(floor(value * 100 + 0.5) AS BIGINT)`` as a
+    table property; one append OMITS the column (the engine computes
+    it), another SUPPLIES it (validated at staging against the
+    expression) — and the read aggregates the materialized values,
+    which the DuckDB oracle recomputes declaratively from the raw
+    table.  A filter on the generated column rides its real per-file
+    stats.
+
+    Scale shape: generation is one plan-level projection at write; the
+    value materializes physically, so stats/bloom skipping and
+    partition layout on generated columns work exactly as for stored
+    columns — the query-optimization generated columns exist for."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="genc_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0).limit(0), path)
+    fmt.set_properties(
+        spark, path,
+        generated_columns={
+            "value_cents": "CAST(floor(value * 100 + 0.5) AS BIGINT)"})
+    # writer 1 omits the column -> computed by the engine
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
+    # writer 2 supplies it -> validated against the expression
+    fmt.append(
+        e.filter(F.pmod("event_id", F.lit(2)) == 1)
+        .withColumn("value_cents",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long")),
+        path)
+    return (fmt.read(spark, path)
+            .filter("value_cents >= 0")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("value_cents").alias("total_cents"),
+                 F.max("value_cents").alias("max_cents")))
+
+
+ORACLE_SQL["q_generated_column_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM events
+WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 0
+GROUP BY event_type
+"""

@@ -557,8 +557,23 @@ class TxnLogFormat(TableFormat):
         # union on top) — resolved here so an instance constructed with
         # no config still builds the table's bloom filters and enforces
         # its constraints
-        constraints, blooms, _ = self._effective_config(
-            self._commits(path))
+        commits = self._commits(path)
+        constraints, blooms, _ = self._effective_config(commits)
+        # GENERATED columns validate like implicit CHECK constraints at
+        # the same chokepoint (Delta rejects writes that contradict a
+        # GENERATED ALWAYS AS expression): any write path that carries
+        # the column — including merge outputs and targeted-update
+        # restages — must satisfy col <=> (expr).  Computation for
+        # writers that OMIT the column happens in the public entry
+        # points (append / overwrite*), where the recorded schema is
+        # derived from the final DataFrame.
+        gen = self._resolve_properties(commits).get(
+            "generated_columns") or {}
+        if gen:
+            constraints = {**constraints,
+                           **{f"generated:{c}": f"{c} <=> ({x})"
+                              for c, x in gen.items()
+                              if c in df.columns}}
         if index and blooms:
             built = self._build_blooms(df, path, rel, blooms)
             if built:
@@ -1450,6 +1465,7 @@ class TxnLogFormat(TableFormat):
         # partition is recorded as JSON null so replay can anti-filter it
         # null-safely (cast-to-string of null is null, which a bare isin
         # would silently mishandle).
+        df = self._with_generated(df, path)
         rows = df.select(
             F.col(partition_col).cast("string")).distinct().collect()
         parts = sorted((r[0] for r in rows),
@@ -1471,6 +1487,7 @@ class TxnLogFormat(TableFormat):
         epoch id and stop relying on convergence arguments."""
         if self._txn_already_applied(path, txn_app, txn_version):
             return  # fast path: skip the staging write entirely
+        df = self._with_generated(df, path)
         rel = self._stage(df, path, None)
         rec = {"action": "replace_all", "dir": rel,
                "partition_col": None, "partitions": [],
@@ -1479,14 +1496,30 @@ class TxnLogFormat(TableFormat):
             rec.update(txn_app=txn_app, txn_version=txn_version)
         self._commit(path, rec)
 
+    def _with_generated(self, df: DataFrame, path: str) -> DataFrame:
+        """Compute the table's GENERATED columns the writer omitted
+        (write-time semantics: the value materializes physically, so
+        its stats/bloom skipping works like any stored column).
+        Supplied columns pass through — the staging chokepoint
+        validates them against the expression instead."""
+        gen = self._resolve_properties(self._commits(path)).get(
+            "generated_columns") or {}
+        for col, expr in gen.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+        return df
+
     def append(self, df: DataFrame, path: str,
                txn_app: str | None = None,
                txn_version: int | None = None) -> None:
         """Append rows.  Same idempotent-transaction contract as
         ``overwrite_table`` — a replayed (app, version) append is a no-op,
-        the exactly-once upgrade over replay-safe-by-dedup-on-read."""
+        the exactly-once upgrade over replay-safe-by-dedup-on-read.
+        GENERATED columns the frame omits are computed here (Delta
+        generated-columns write semantics)."""
         if self._txn_already_applied(path, txn_app, txn_version):
             return
+        df = self._with_generated(df, path)
         rel = self._stage(df, path, None)
         rec = {"action": "append", "dir": rel, "schema": df.schema.json()}
         if txn_app is not None:
@@ -1694,12 +1727,13 @@ class TxnLogFormat(TableFormat):
     #: property keys writers adopt from the table (everything else —
     #: isolation, checkpoint cadence — is a per-writer choice)
     _TABLE_PROPS = ("constraints", "bloom_filter_columns",
-                    "change_data_feed")
+                    "change_data_feed", "generated_columns")
 
     def set_properties(self, spark: SparkSession | None, path: str,
                        constraints: dict[str, str] | None = ...,
                        bloom_filter_columns=...,
                        change_data_feed: bool | None = ...,
+                       generated_columns: dict[str, str] | None = ...,
                        validate_constraints: bool = True) -> int:
         """Persist table-level PROPERTIES in the log (Delta
         ``ALTER TABLE ... SET TBLPROPERTIES`` parity) as one
@@ -1738,11 +1772,53 @@ class TxnLogFormat(TableFormat):
             props["change_data_feed"] = (
                 None if change_data_feed is None
                 else bool(change_data_feed))
+        if generated_columns is not ...:
+            #: GENERATED ALWAYS AS (Delta generated-columns parity,
+            #: write-time semantics): a writer omitting the column gets
+            #: it COMPUTED from the expression (append / overwrite*);
+            #: one supplying it must satisfy ``col <=> (expr)`` —
+            #: enforced at the staging chokepoint like a CHECK
+            #: constraint, so merge outputs and targeted updates cannot
+            #: drift the column (an update changing a source column
+            #: without recomputing fails loudly instead of going
+            #: silently stale).  Because the value is MATERIALIZED, its
+            #: per-file stats exist and partition/stats skipping on the
+            #: generated column works — the query-optimization Delta
+            #: builds generated columns for.
+            if generated_columns is not None and (
+                    not isinstance(generated_columns, dict)
+                    or not all(isinstance(v, str)
+                               for v in generated_columns.values())):
+                raise ValueError(
+                    "generated_columns must be {column: sql_expression}")
+            props["generated_columns"] = generated_columns
         if not props:
             raise ValueError("no properties given")
         commits = self._commits(path)
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
+        new_gen = props.get("generated_columns")
+        if new_gen and validate_constraints:
+            if spark is None:
+                raise ValueError(
+                    "setting generated_columns validates existing rows "
+                    "— pass a SparkSession (or "
+                    "validate_constraints=False)")
+            cur = self.read(spark, path)
+            present = {c: x for c, x in new_gen.items()
+                       if c in cur.columns}
+            if present:
+                flags = [
+                    F.sum(F.expr(f"coalesce(NOT ({c} <=> ({x})), false)")
+                          .cast("long")).alias(c)
+                    for c, x in present.items()]
+                row = cur.agg(*flags).head()
+                bad = {c: row[c] for c in present if row and row[c]}
+                if bad:
+                    raise ValueError(
+                        "existing rows contradict the generated-column "
+                        f"expressions (per-column counts: {bad}); fix "
+                        "the data or set validate_constraints=False")
         new_cons = props.get("constraints")
         if new_cons and validate_constraints:
             if spark is None:

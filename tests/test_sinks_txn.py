@@ -3092,3 +3092,57 @@ def test_stream_and_batch_source_apply_column_defaults(spark, tmp_path):
             for p in parts for b in reader.read(p)
             for i in range(b.num_rows)}
     assert rows == {(1, 5), (2, 5), (3, 30)}
+
+
+def test_generated_columns_compute_validate_and_skip(spark, tmp_path):
+    """GENERATED ALWAYS AS (write-time semantics): writers omitting the
+    column get it computed; writers supplying a contradicting value are
+    rejected at staging (implicit CHECK); the materialized value has
+    real per-file stats so skipping works on it; every writer is bound
+    via table properties, including ignorant fresh instances."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame(
+        [(1, "2024-03-05"), (2, "2024-07-09")], "id long, d string"),
+        path)
+    with pytest.raises(ValueError, match="sql_expression"):
+        fmt.set_properties(spark, path, generated_columns={"m": 7})
+    # setting the property validates nothing (column absent) and binds
+    fmt.set_properties(spark, path,
+                       generated_columns={"m": "substring(d, 1, 7)"})
+    # an IGNORANT writer (fresh instance, no config) computes it
+    other = TxnLogFormat()
+    other.append(spark.createDataFrame(
+        [(3, "2024-07-21")], "id long, d string"), path)
+    got = {(r.id, r.m) for r in
+           fmt.read(spark, path).select("id", "m").collect()}
+    # pre-property rows read NULL for the (alter-free) missing column
+    assert got == {(1, None), (2, None), (3, "2024-07")}
+    # a writer SUPPLYING the column must match the expression
+    ok = spark.createDataFrame([(4, "2024-08-01", "2024-08")],
+                               "id long, d string, m string")
+    other.append(ok, path)
+    bad = spark.createDataFrame([(5, "2024-08-01", "2024-09")],
+                                "id long, d string, m string")
+    with pytest.raises(ValueError, match="generated:m"):
+        other.append(bad, path)
+    # merge outputs are validated too (stale generated value rejected)
+    src = spark.createDataFrame([(3, "2024-07-21", "1999-01")],
+                                "id long, d string, m string")
+    with pytest.raises(ValueError, match="generated:m"):
+        fmt.merge(spark, path, src, "id")
+    # stats skipping works on the materialized column
+    pruned = fmt.read(spark, path, where="m = '2024-08'")
+    assert sorted(r.id for r in pruned.collect()) == [4]
+    assert len(pruned.inputFiles()) < len(
+        fmt.read(spark, path).inputFiles())
+    # enabling the property on contradicting existing data fails loudly
+    p2 = str(tmp_path / "t2")
+    fmt.append(spark.createDataFrame(
+        [(1, "2024-03-05", "wrong")], "id long, d string, m string"), p2)
+    with pytest.raises(ValueError, match="contradict"):
+        fmt.set_properties(spark, p2,
+                           generated_columns={"m": "substring(d, 1, 7)"})
+    fmt.set_properties(spark, p2,
+                       generated_columns={"m": "substring(d, 1, 7)"},
+                       validate_constraints=False)  # NOCHECK analogue
