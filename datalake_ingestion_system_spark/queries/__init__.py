@@ -37,47 +37,36 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 # round-6 queries have no green row, so the rotation fronts them
 # automatically.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Round 9: all 14 round-8 fronted txn-path entries hold green rows
-    # in CORRECTNESS_r08 and are RELEASED to the rotation.  Fronted
-    # now: the same transitive closure again — round 9 rewrote read()'s
-    # access path (log-level partition-value dir pruning), moved
-    # checkpoint per-file stats to a parquet sidecar (_stats_entries /
-    # _file_bytes_of rework), and changed the stream's planning checks
-    # (data_changed flag, schema-evolution fail-loud).  The round-9b
-    # session then added WriteSerializable conflict retargeting to
-    # _commit (every txn fixture build rides it), factored read()'s
-    # stats pruning into _clause_excluded_files, and reworked the
-    # stream module (CDF planner, pushdown reader, write path) — same
-    # closure, re-verified locally again (16/16 oracle-green after the
-    # conflict change, 7/7 skipping queries after the pruning
-    # refactor).  The round-9c session then made DELETE/UPDATE
-    # file-targeted (rewrite_files + data_change flag), moved every
-    # commit-recorded scan to EXPLICIT file lists (read()'s scan_target
-    # shape), added the file-level vacuum sweep, and taught both stream
-    # planners the compaction-vs-data-change split — the full closure
-    # re-verified locally a third time (19/19 oracle-green across the
-    # read-path + stream sets).  All load-bearing machinery changed
-    # after these queries' last green driver row — the driver must
-    # confirm.  The same session added the change_data_feed sidecar
-    # (merge/delete/update record exact per-row changes; the CDF
-    # planner emits them) — merge's commit record was refactored in
-    # the process, so the merge-riding queries stay fronted — plus
-    # bloom-filter skipping (a new branch in _provably_empty, the
-    # shared pruning core: the 7 skipping queries re-verified green
-    # after it), the extended history() columns, and persisted table
-    # properties (_stage now resolves effective config per table —
-    # every write path re-verified by the same suites + closure).
-    # (--changed-since cannot see transitive sinks edits; this is the
-    # manual closure.  q_partition_pruned_read, q_change_data_feed,
-    # q_cdf_replica_mirror, q_txnlog_stream_sink, q_targeted_cow_read,
-    # q_cdf_sidecar_changes, q_bloom_skipping_read, and
-    # q_compact_where_read are new and front automatically.)
-    "q_data_skipping_read", "q_dv_compact_read", "q_zorder_skipping_read",
-    "q_schema_evolution_read", "q_delete_vector_read", "q_merge_upsert",
-    "q_txnlog_stream_source", "q_minhash_incremental",
-    "q_cdc_stream_apply", "q_rollup_incremental", "q_stream_kmv_distinct",
-    "q_checkpoint_log_read", "q_small_file_compact_read",
-    "q_alter_skipping_read")
+    # Round 10: all 50 round-9 fronted/new entries hold green rows in
+    # CORRECTNESS_r09 (the first all-green 50) and are RELEASED to the
+    # rotation.  Fronted now: the transitive closure of this round's
+    # txn-tier changes — (a) structural schema comparison in the
+    # benign-append retarget plus CANONICAL schema keying in read()'s
+    # scan batching (every txn read rides the batching signature);
+    # (b) typed per-column stats in the checkpoint sidecar and the
+    # VECTORIZED _clause_excluded_files/_sidecar_excluded skipping path
+    # (every skipping/checkpoint query); (c) the stream planners gained
+    # where-option pruning and the per-file mapping gained a defaults
+    # slot (every stream/CDF query); (d) read()'s post_scan applies
+    # column defaults per alter (alter-riding queries); (e) _stage now
+    # resolves generated-column validation per table (every write
+    # path); (f) row-level ops gained the retries wrapper (merge /
+    # compact / targeted-rewrite queries).  All re-verified locally
+    # this session (oracle mirror green at sf0.01; new queries at all
+    # three SFs) — the driver must confirm.  (--changed-since cannot
+    # see transitive sinks edits; this is the manual closure.
+    # q_txnlog_stream_pushdown, q_column_default_read, and
+    # q_generated_column_read are new and front automatically.)
+    "q_data_skipping_read", "q_bloom_skipping_read",
+    "q_zorder_skipping_read", "q_alter_skipping_read",
+    "q_schema_evolution_read", "q_delete_vector_read",
+    "q_dv_compact_read", "q_merge_upsert", "q_targeted_cow_read",
+    "q_compact_where_read", "q_small_file_compact_read",
+    "q_partition_pruned_read", "q_checkpoint_log_read",
+    "q_sidecar_checkpoint_read", "q_txnlog_stream_source",
+    "q_txnlog_stream_sink", "q_change_data_feed", "q_cdf_replica_mirror",
+    "q_cdf_sidecar_changes", "q_cdc_stream_apply", "q_rollup_incremental",
+    "q_stream_kmv_distinct", "q_minhash_incremental")
 
 
 def _evidence():
