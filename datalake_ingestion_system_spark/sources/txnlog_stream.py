@@ -793,7 +793,14 @@ class TxnLogBatchReader(DataSourceReader):
                 "pass endingVersion OR endingTimestamp, not both")
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
-        self._clauses: list = []
+        #: ``option("where", ...)`` works on the BATCH reader too (the
+        #: streaming source's explicit-option pruning, same clause
+        #: grammar) — useful where typed DSv2 pushFilters is off (the
+        #: session conf) or for the change feed; pushFilters conjuncts
+        #: extend these.
+        raw_where = options.get("where")
+        self._clauses: list = (TxnLogFormat._skip_clauses(raw_where)
+                               if raw_where else [])
 
     def partitions(self):
         fmt = TxnLogFormat()
@@ -823,7 +830,8 @@ class TxnLogBatchReader(DataSourceReader):
                  if f.name not in _CDF_COLS])
             return _cdf_partitions(fmt, self.path, data_schema,
                                    start - 1, end,
-                                   self.ignore_changes)
+                                   self.ignore_changes,
+                                   clauses=self._clauses)
         if fmt._resolve_dvs(commits):
             raise ValueError(
                 "table has live deletion vectors — use TxnLogFormat."
@@ -872,12 +880,14 @@ class TxnLogPushdownBatchReader(TxnLogBatchReader):
     the conf)."""
 
     def pushFilters(self, filters):
-        # change-feed rows are historical changes, not the live
-        # snapshot — pruning inserts by a data predicate would be
-        # sound, but preimages ride position-takes, so CDF keeps the
-        # full plan; the snapshot path prunes in partitions()
-        if not self.read_change_feed:
-            self._clauses = _filters_to_clauses(filters)
+        # pruning is sound for the CHANGE FEED too: per-file stats
+        # bound the values of the file a change partition READS —
+        # an insert/postimage file provably empty for the predicate
+        # emits no matching change rows, and a position-take
+        # (delete/preimage) over a provably-empty source file cannot
+        # yield a matching pre-state row; Spark re-applies the filter
+        # on the emitted change rows either way
+        self._clauses = self._clauses + _filters_to_clauses(filters)
         return filters  # Spark re-applies everything (may-contain)
 
 

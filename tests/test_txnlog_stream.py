@@ -1036,3 +1036,52 @@ def test_stream_cdf_where_pushdown_prunes_change_partitions(
     assert len(parts) == 2             # the k>=100 insert + its take
     tags = sorted(p.cdf[0] for p in parts)
     assert tags == ["delete", "insert"]
+
+
+def test_batch_where_option_and_cdf_pushdown_pruning(registered, tmp_path):
+    """The BATCH reader takes the same option('where', ...) as the
+    stream (no session conf needed), and pushed/where conjuncts prune
+    the batch CHANGE FEED's partitions — results identical to the
+    unpruned filtered feed."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogBatchReader)
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    for lo in (0, 100, 200):
+        fmt.append(spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(5)], "k long, v double")
+            .coalesce(1), path)
+    # snapshot read with the where option: 1 of 3 files planned
+    schema = spark.read.format("txnlog").load(path).schema
+    r = TxnLogBatchReader(schema, {"path": path, "where": "k >= 200"})
+    assert len(r.partitions()) == 1
+    got = (spark.read.format("txnlog").option("where", "k >= 200")
+           .load(path).where("k >= 200").collect())
+    assert sorted(x.k for x in got) == list(range(200, 205))
+
+    # change feed: DV-delete a row in each of two files, then prune
+    fmt.delete_where_dv(spark, path, "k = 3 or k = 103")
+    feed_schema = (spark.read.format("txnlog")
+                   .option("readChangeFeed", "true")
+                   .option("startingVersion", "0").load(path).schema)
+    full = TxnLogBatchReader(feed_schema, {
+        "path": path, "readchangefeed": "true", "startingversion": "0"})
+    pruned = TxnLogBatchReader(feed_schema, {
+        "path": path, "readchangefeed": "true", "startingversion": "0",
+        "where": "k >= 200"})
+    assert len(full.partitions()) == 5   # 3 inserts + 2 delete takes
+    assert len(pruned.partitions()) == 1  # only the k>=200 insert
+    want = sorted(
+        (r.k, r._change_type) for r in
+        spark.read.format("txnlog").option("readChangeFeed", "true")
+        .option("startingVersion", "0").load(path)
+        .where("k >= 200").collect())
+    have = sorted(
+        (r.k, r._change_type) for r in
+        spark.read.format("txnlog").option("readChangeFeed", "true")
+        .option("where", "k >= 200")
+        .option("startingVersion", "0").load(path)
+        .where("k >= 200").collect())
+    assert have == want
+    assert [k for k, _t in have] == list(range(200, 205))
