@@ -1,0 +1,132 @@
+"""Data selection for LLM training corpora: DSIR importance weights.
+
+DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+2023, "Data Selection for Language Models via Importance Resampling")
+— selects raw-corpus documents that look like a small TARGET domain by
+importance weight under two hashed n-gram bag models:
+
+    log w(doc) = sum over feature occurrences f in doc of
+                 log p_target(bucket(f)) - log p_raw(bucket(f))
+
+with unigram+bigram features hashed into ``n_buckets`` and
+Laplace-smoothed bucket distributions.  The published method then
+samples without replacement with Gumbel noise; the deterministic
+top-k-by-weight variant implemented here is the paper's "top-k"
+baseline, reproducible cross-engine (no RNG in the data path).
+
+Spark-first shape (the reason this scales to 100 TB):
+
+- features are built as ARRAY columns (cheap per-element concat in a
+  ``transform`` lambda), then ``posexplode``d so the EXPENSIVE
+  per-feature work — md5/xxhash64 bucketing — runs as a row projection
+  under whole-stage codegen, never inside an interpreted lambda
+  (measured 139s vs 4s on this repo's token pipelines);
+- both bucket distributions are ONE partial-aggregated groupBy each
+  over the exploded rows — word-count shape, map-side combined;
+- the log-ratio table is ``n_buckets`` rows (256 by default): a
+  BROADCAST join onto per-(doc, bucket) counts, so no shuffle is ever
+  keyed by anything wider than (doc_id, bucket);
+- the only full-corpus shuffle is the (doc_id, bucket) partial
+  aggregate; top-k lands as TakeOrderedAndProject.
+
+``verifiable=True`` switches the bucket hash to the portable md5 form
+(``conv(substring(md5(g),1,15),16,10) % B``) that DuckDB reproduces
+bit-for-bit — the repo's established cross-engine hash trick — so the
+oracle gate can check bucketing, smoothing, weighting, and ranking
+end-to-end.  Production default is xxhash64 (~1.7x cheaper per token,
+same plan shape).  Weights are emitted as round-half-up MICRO units
+(``floor(w * 1e6 + 0.5)`` as BIGINT — the shared-IEEE-path rounding
+this repo uses everywhere floats cross engines), and the top-k order
+ties break on doc_id, so the selection is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_col(g, n_buckets: int, verifiable: bool):
+    if verifiable:
+        h = F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(g)
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def dsir_weights(docs: DataFrame, id_col: str, text_col: str,
+                 is_target, n_buckets: int = 256,
+                 verifiable: bool = False) -> DataFrame:
+    """Per-candidate DSIR log importance weight in micro units.
+
+    ``is_target`` is a boolean Column: True rows define the target
+    distribution, False rows are the candidate pool being scored (the
+    paper's raw corpus; scoring the target against itself would be
+    circular, so target rows get no weight row).  Returns
+    ``(id_col, w_micro)`` — BIGINT micro-log-weight, higher = more
+    target-like.  Smoothing is Laplace (+1 per bucket), so buckets
+    unseen in either corpus contribute a finite, symmetric prior.
+    """
+    base = docs.select(
+        F.col(id_col), is_target.alias("_is_target"),
+        F.regexp_extract_all(F.lower(F.col(text_col)),
+                             F.lit(r"\w+"), 0).alias("ws"))
+    # unigrams ++ bigrams as one array; the lambda does only cheap
+    # concat — hashing happens post-explode under codegen
+    feats = base.select(
+        id_col, "_is_target",
+        F.concat(
+            F.col("ws"),
+            F.expr("transform(sequence(1, size(ws) - 1),"
+                   " i -> concat(element_at(ws, i), ' ',"
+                   " element_at(ws, i + 1)))")
+        ).alias("fs")).filter(F.size("fs") > 0)
+    rows = feats.select(
+        id_col, "_is_target",
+        F.posexplode("fs").alias("_pos", "g"))
+    rows = rows.select(
+        id_col, "_is_target",
+        _bucket_col(F.col("g"), n_buckets, verifiable).alias("b"))
+
+    spine = (docs.sparkSession.range(n_buckets)
+             .select(F.col("id").alias("b")))
+    t_counts = (rows.filter("_is_target").groupBy("b")
+                .agg(F.count("*").alias("ct")))
+    r_counts = (rows.filter("NOT _is_target").groupBy("b")
+                .agg(F.count("*").alias("cr")))
+    # totals are 1-row aggregates; the ratio table is n_buckets rows —
+    # broadcast-sized by construction
+    ratio = (spine
+             .join(t_counts, "b", "left")
+             .join(r_counts, "b", "left")
+             .crossJoin(F.broadcast(
+                 rows.agg(
+                     F.sum(F.col("_is_target").cast("long"))
+                     .alias("tt"),
+                     F.sum((~F.col("_is_target")).cast("long"))
+                     .alias("tr"))))
+             .select(
+                 "b",
+                 (F.log((F.coalesce("ct", F.lit(0)) + 1.0)
+                        / (F.col("tt") + float(n_buckets)))
+                  - F.log((F.coalesce("cr", F.lit(0)) + 1.0)
+                          / (F.col("tr") + float(n_buckets))))
+                 .alias("r")))
+    doc_buckets = (rows.filter("NOT _is_target")
+                   .groupBy(id_col, "b")
+                   .agg(F.count("*").alias("c")))
+    return (doc_buckets.join(F.broadcast(ratio), "b")
+            .groupBy(id_col)
+            .agg(F.floor(F.sum(F.col("c") * F.col("r")) * 1e6 + 0.5)
+                 .cast("long").alias("w_micro")))
+
+
+def dsir_topk(docs: DataFrame, id_col: str, text_col: str,
+              is_target, k: int = 200, n_buckets: int = 256,
+              verifiable: bool = False) -> DataFrame:
+    """The deterministic top-k DSIR selection: the ``k`` most
+    target-like candidates by micro-weight, doc-id tie-broken —
+    plans as TakeOrderedAndProject (no global sort materialization)."""
+    w = dsir_weights(docs, id_col, text_col, is_target,
+                     n_buckets=n_buckets, verifiable=verifiable)
+    return (w.orderBy(F.desc("w_micro"), F.col(id_col)).limit(k))

@@ -3983,3 +3983,74 @@ SELECT p AS pair,
 FROM per_wp GROUP BY p
 ORDER BY tokens_saved DESC, pair LIMIT 10
 """
+
+
+@_q("q_dsir_selection")
+def q_dsir_selection(spark, sf_dir):
+    """DSIR data selection (Xie et al., NeurIPS 2023 — importance
+    resampling over hashed-n-gram bag models; `operators/selection.py`):
+    documents from source `src0` define the TARGET domain; every other
+    document is scored by summed log-ratio of Laplace-smoothed
+    target-vs-raw bucket probabilities over its unigram+bigram
+    occurrences (256 md5 buckets, the verifiable hash family), and the
+    deterministic top-k most target-like candidates are selected.  The
+    DuckDB oracle rebuilds the full pipeline — tokenization, hashed
+    bucketing, both smoothed distributions, per-doc weighting,
+    micro-unit rounding, tie-broken top-k — so the selection is checked
+    end-to-end cross-engine.
+
+    Scale shape: two word-count-shaped partial-aggregated groupBys for
+    the distributions, one (doc_id, bucket) partial aggregate, a
+    256-row broadcast ratio join, TakeOrderedAndProject for the top-k —
+    no shuffle wider than (doc_id, bucket), no driver-side data, no
+    all-pairs anything.  This is the selection tier a 100 TB pretraining
+    pipeline runs between dedup and packing."""
+    from ..operators.selection import dsir_topk
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_topk(d, "doc_id", "text",
+                     F.col("source") == "src0",
+                     k=100, n_buckets=256, verifiable=True)
+
+
+ORACLE_SQL["q_dsir_selection"] = """
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents
+), feats AS (
+  SELECT doc_id, source,
+         unnest(list_concat(
+           ws,
+           [ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]
+            for i in range(1, len(ws))])) AS g
+  FROM toks WHERE len(ws) > 0
+), hashed AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b
+  FROM feats
+), tc AS (
+  SELECT b, count(*) AS ct FROM hashed WHERE source = 'src0' GROUP BY b
+), rc AS (
+  SELECT b, count(*) AS cr FROM hashed WHERE source <> 'src0' GROUP BY b
+), tot AS (
+  SELECT (SELECT count(*) FROM hashed WHERE source = 'src0') AS tt,
+         (SELECT count(*) FROM hashed WHERE source <> 'src0') AS tr
+), ratio AS (
+  SELECT s.range AS b,
+         ln((coalesce(tc.ct, 0) + 1.0) / (tt + 256.0))
+         - ln((coalesce(rc.cr, 0) + 1.0) / (tr + 256.0)) AS r
+  FROM range(0, 256) s
+  LEFT JOIN tc ON s.range = tc.b
+  LEFT JOIN rc ON s.range = rc.b
+  CROSS JOIN tot
+), docb AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM hashed WHERE source <> 'src0' GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(floor(sum(c * r) * 1000000 + 0.5) AS BIGINT) AS w_micro
+FROM docb JOIN ratio USING (b)
+GROUP BY doc_id
+ORDER BY w_micro DESC, doc_id LIMIT 100
+"""

@@ -110,3 +110,41 @@ def test_weighted_sample_deterministic_and_biased(spark):
     assert a == b and len(a) > 0
     rows = q(spark, "/root/testdata/sf0.001").collect()
     assert all(r.u < r.quality / 200.0 for r in rows)
+
+
+def test_dsir_weights_invariants(spark):
+    """DSIR selection invariants: weights are partitioning-invariant,
+    target rows are never scored, a candidate sharing the target's
+    vocabulary outranks a disjoint one, and both hash families agree
+    on the RANKING (bucket values differ)."""
+    from datalake_ingestion_system_spark.operators.selection import (
+        dsir_topk, dsir_weights)
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "alpha beta gamma alpha beta", "target"),
+        (1, "alpha beta gamma beta alpha gamma", "target"),
+        (2, "alpha beta gamma alpha", "pool"),       # target-like
+        (3, "delta epsilon zeta delta epsilon", "pool"),  # disjoint
+        (4, "alpha delta beta epsilon", "pool"),     # mixed
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    for verifiable in (True, False):
+        w = dsir_weights(d, "doc_id", "text", F.col("src") == "target",
+                         n_buckets=64, verifiable=verifiable)
+        got = {r.doc_id: r.w_micro for r in w.collect()}
+        assert set(got) == {2, 3, 4}           # target rows unscored
+        assert got[2] > got[4] > got[3]        # vocabulary ordering
+        # partitioning invariance: exact same micro-weights
+        got_rep = {r.doc_id: r.w_micro for r in dsir_weights(
+            d.repartition(7), "doc_id", "text",
+            F.col("src") == "target", n_buckets=64,
+            verifiable=verifiable).collect()}
+        assert got_rep == got
+        top = dsir_topk(d, "doc_id", "text", F.col("src") == "target",
+                        k=2, n_buckets=64, verifiable=verifiable)
+        assert [r.doc_id for r in top.collect()] == [2, 4]
+    # top-k plans as TakeOrderedAndProject, ratio side broadcast
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
