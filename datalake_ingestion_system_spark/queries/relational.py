@@ -3012,3 +3012,67 @@ FROM events
 WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 0
 GROUP BY event_type
 """
+
+
+@_q("q_identity_column_read")
+def q_identity_column_read(spark, sf_dir):
+    """GENERATED ALWAYS AS IDENTITY round-trip, oracle-verified (Delta
+    identity-columns parity): the table binds ``row_id`` (start 1000,
+    step 2) as a table property; two appends land WITHOUT the column —
+    each staged as ONE sorted partition so the allocation order is
+    event-id order and the DuckDB oracle can reconstruct the exact
+    values with row_number() — and the read aggregates the allocated
+    ids per event_type.  Dense in-write allocation, the cross-commit
+    watermark hand-off, and ALWAYS (writer-never-supplies) semantics
+    are all on the verified path.
+
+    Scale shape: allocation is one partition-count collect (partition-
+    count scale) + a codegen projection — no window, no shuffle; the
+    identity watermark is one small map riding the commit record, the
+    same carrier as the idempotent-txn watermarks."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    path = tempfile.mkdtemp(prefix="idc_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(e.limit(0), path)
+    fmt.set_properties(spark, path,
+                       identity_columns={"row_id": {"start": 1000,
+                                                    "step": 2}})
+    for half in (0, 1):  # two commits: watermark continues across them
+        fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == half)
+                   .repartition(1).sortWithinPartitions("event_id"),
+                   path)
+    return (fmt.read(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("row_id").alias("sum_id"),
+                 F.min("row_id").alias("min_id"),
+                 F.max("row_id").alias("max_id")))
+
+
+ORACLE_SQL["q_identity_column_read"] = """
+WITH halves AS (
+  SELECT event_id, event_type, event_id % 2 AS half FROM events
+), sized AS (
+  SELECT count(*) FILTER (WHERE half = 0) AS n0 FROM halves
+), ids AS (
+  SELECT event_type,
+         CASE WHEN half = 0
+              THEN 1000 + 2 * (row_number() OVER (
+                   PARTITION BY half ORDER BY event_id) - 1)
+              ELSE 1000 + 2 * ((SELECT n0 FROM sized)
+                   + row_number() OVER (
+                     PARTITION BY half ORDER BY event_id) - 1)
+         END AS row_id
+  FROM halves
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(row_id) AS BIGINT) AS sum_id,
+       CAST(min(row_id) AS BIGINT) AS min_id,
+       CAST(max(row_id) AS BIGINT) AS max_id
+FROM ids GROUP BY event_type
+"""

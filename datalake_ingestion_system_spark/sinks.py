@@ -273,8 +273,13 @@ class TxnLogFormat(TableFormat):
     #: ``replace_all`` ops are absent BY DESIGN: they logically read and
     #: rewrite the whole table, so any interleaved data commit
     #: invalidates them — blind re-publish would erase the appended rows.
+    #: ``append`` is here for the IDENTITY-allocating form only (plain
+    #: appends never pass an expected_version, so they never reach the
+    #: conflict path at all): it retargets past non-allocating
+    #: same-schema appends and conflicts with concurrent allocators
+    #: via the identity rule in ``_interleave_is_benign``.
     _APPEND_TOLERANT = frozenset(
-        {"add_dv", "dv_update", "rewrite_files", "alter"})
+        {"add_dv", "dv_update", "rewrite_files", "alter", "append"})
 
     def __init__(self, constraints: dict[str, str] | None = None,
                  checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
@@ -805,7 +810,8 @@ class TxnLogFormat(TableFormat):
 
     def _commit(self, path: str, record: dict,
                 expected_version: int | None = None,
-                base_schema: str | None = None) -> int:
+                base_schema: str | None = None,
+                identity_cols: frozenset | None = None) -> int:
         if record.get("dir") and record["action"] in (
                 "append", "overwrite", "replace_all", "dv_update",
                 "rewrite_files") and "stats" not in record:
@@ -894,7 +900,8 @@ class TxnLogFormat(TableFormat):
                         and v > expected_version
                         and record["action"] in self._APPEND_TOLERANT
                         and self._interleave_is_benign(
-                            path, expected_version, v, base_schema)):
+                            path, expected_version, v, base_schema,
+                            identity_cols)):
                     expected_version = v
                 else:
                     raise ConcurrentWriteError(
@@ -940,7 +947,9 @@ class TxnLogFormat(TableFormat):
                 os.unlink(tmp)
 
     def _interleave_is_benign(self, path: str, lo: int, hi: int,
-                              base_schema: str | None) -> bool:
+                              base_schema: str | None,
+                              identity_cols: frozenset | None = None
+                              ) -> bool:
         """True iff every commit in versions ``[lo, hi)`` is a pure
         ``append`` whose recorded schema matches ``base_schema`` — the
         snapshot schema the in-flight read-modify-write op was computed
@@ -972,6 +981,15 @@ class TxnLogFormat(TableFormat):
                 return False
             if base_schema is not None and not _schema_json_eq(
                     c.get("schema"), base_schema):
+                return False
+            if identity_cols and (
+                    set(c.get("identity_high") or {}) & identity_cols):
+                # an interleaved commit ALLOCATED from the same
+                # identity watermark this write allocated from — both
+                # hold the same value range; retargeting would publish
+                # duplicate identity values, so this conflicts and the
+                # caller re-allocates against the new head (Delta
+                # serializes identity-metadata updates identically)
                 return False
         return True
 
@@ -1248,6 +1266,22 @@ class TxnLogFormat(TableFormat):
         return None
 
     @staticmethod
+    def _resolve_identity_high(commits: list[dict]) -> dict:
+        """Per-column IDENTITY high watermark: the max over every
+        commit's recorded ``identity_high`` (checkpoint records fold
+        one in).  Deliberately NOT restore-aware — the watermark never
+        decreases, exactly Delta's identity semantics: re-ISSUING a
+        value that ever existed (even on a restored-away branch) is
+        worse than a gap, because time travel can still see the old
+        rows."""
+        high: dict = {}
+        for c in commits:
+            for col, h in (c.get("identity_high") or {}).items():
+                if col not in high or h > high[col]:
+                    high[col] = h
+        return high
+
+    @staticmethod
     def _vacuum_protect(commits: list[dict]) -> set[str]:
         """Dirs (data + vector) referenced by any commit at or after the
         last ``replace_all`` — vacuum's time-travel retention set, ONE
@@ -1411,6 +1445,7 @@ class TxnLogFormat(TableFormat):
                          "properties": self._resolve_properties(commits),
                          "data_changed": changed},
                "txn_latest": txn,
+               "identity_high": self._resolve_identity_high(commits),
                "vacuum_protect": sorted(self._vacuum_protect(commits))}
         # SIDECAR threshold (VERDICT r8 item 1): past it, every
         # per-FILE term — the stats/bytes maps AND the live entries'
@@ -1466,6 +1501,15 @@ class TxnLogFormat(TableFormat):
         # null-safely (cast-to-string of null is null, which a bare isin
         # would silently mishandle).
         df = self._with_generated(df, path)
+        if self._resolve_properties(self._commits(path)).get(
+                "identity_columns"):
+            # two concurrent partition overwrites allocate from the
+            # same watermark and BOTH survive in disjoint partitions —
+            # duplicate values; partitioned ingest should carry its
+            # own keys (Delta likewise restricts identity writes)
+            raise ValueError(
+                "overwrite_partitions is not supported on tables with "
+                "identity columns — use append / overwrite_table")
         rows = df.select(
             F.col(partition_col).cast("string")).distinct().collect()
         parts = sorted((r[0] for r in rows),
@@ -1488,13 +1532,77 @@ class TxnLogFormat(TableFormat):
         if self._txn_already_applied(path, txn_app, txn_version):
             return  # fast path: skip the staging write entirely
         df = self._with_generated(df, path)
+        # replace_all needs no identity conflict check: a racing
+        # allocation's rows are replaced wholesale, and the watermark
+        # resolver maxes over EVERY commit, so no value ever re-issues
+        df, new_high = self._with_identity(df, self._commits(path))
         rel = self._stage(df, path, None)
         rec = {"action": "replace_all", "dir": rel,
                "partition_col": None, "partitions": [],
                "schema": df.schema.json()}
+        if new_high:
+            rec["identity_high"] = new_high
         if txn_app is not None:
             rec.update(txn_app=txn_app, txn_version=txn_version)
         self._commit(path, rec)
+
+    def _with_identity(self, df: DataFrame, commits: list[dict]):
+        """Allocate IDENTITY values for every configured column
+        (``(df_with_ids, new_watermarks)``; ``(df, None)`` when the
+        table has no identity columns).
+
+        Allocation is DENSE per write without any shuffle or window:
+        the frame is ``localCheckpoint``-pinned (so the counting job
+        and the staging write see the SAME partitions — the hazard
+        ``merge`` pins sources for), per-partition row counts collect
+        at partition-count scale, and each row's value is
+        ``watermark + step * (1 + partition_offset + local_index)``
+        where the local index is recovered from
+        ``monotonically_increasing_id``'s documented layout
+        (pid * 2^33 + dense in-partition counter).  Values therefore
+        depend on the frame's partitioning — like Delta, identity
+        promises uniqueness and monotone watermarks, not an
+        order-determined sequence."""
+        ident = self._resolve_properties(commits).get(
+            "identity_columns") or {}
+        if not ident:
+            return df, None
+        supplied = sorted(set(ident) & set(df.columns))
+        if supplied:
+            raise ValueError(
+                f"columns {supplied} are GENERATED ALWAYS AS IDENTITY "
+                "— writers never supply them (drop the columns; the "
+                "engine allocates values)")
+        df = df.localCheckpoint()
+        high = self._resolve_identity_high(commits)
+        pid = F.spark_partition_id()
+        sizes = {r["p"]: r["n"] for r in
+                 df.groupBy(pid.alias("p"))
+                 .agg(F.count("*").alias("n")).collect()}
+        offs, acc = {}, 0
+        for p in sorted(sizes):
+            offs[p] = acc
+            acc += sizes[p]
+        new_high: dict = {}
+        for col in sorted(ident):
+            spec = ident[col]
+            base = high.get(col, spec["start"] - spec["step"])
+            if not sizes:  # empty frame: typed column, no allocation
+                df = df.withColumn(col, F.lit(None).cast("long"))
+                continue
+            off = F.element_at(
+                F.create_map(*[x for p, o in offs.items()
+                               for x in (F.lit(p), F.lit(o))]),
+                pid.cast("int"))
+            local = (F.monotonically_increasing_id()
+                     - F.shiftleft(pid.cast("long"), 33))
+            df = df.withColumn(
+                col,
+                (F.lit(base)
+                 + F.lit(spec["step"]) * (1 + off + local))
+                .cast("long"))
+            new_high[col] = base + spec["step"] * acc
+        return df, (new_high or None)
 
     def _with_generated(self, df: DataFrame, path: str) -> DataFrame:
         """Compute the table's GENERATED columns the writer omitted
@@ -1516,15 +1624,34 @@ class TxnLogFormat(TableFormat):
         ``overwrite_table`` — a replayed (app, version) append is a no-op,
         the exactly-once upgrade over replay-safe-by-dedup-on-read.
         GENERATED columns the frame omits are computed here (Delta
-        generated-columns write semantics)."""
+        generated-columns write semantics).  IDENTITY columns allocate
+        from the commit-recorded watermark; an identity-allocating
+        append is a read-modify-write commit — racing a CONCURRENT
+        allocator re-allocates against the new head (bounded internal
+        retry, Delta's identity serialization), while non-allocating
+        interleaves retarget benignly."""
         if self._txn_already_applied(path, txn_app, txn_version):
             return
         df = self._with_generated(df, path)
-        rel = self._stage(df, path, None)
-        rec = {"action": "append", "dir": rel, "schema": df.schema.json()}
-        if txn_app is not None:
-            rec.update(txn_app=txn_app, txn_version=txn_version)
-        self._commit(path, rec)
+
+        def attempt() -> None:
+            commits = self._commits(path)
+            df2, new_high = self._with_identity(df, commits)
+            rel = self._stage(df2, path, None)
+            rec = {"action": "append", "dir": rel,
+                   "schema": df2.schema.json()}
+            if txn_app is not None:
+                rec.update(txn_app=txn_app, txn_version=txn_version)
+            if new_high:
+                rec["identity_high"] = new_high
+                head = commits[-1]["version"] if commits else -1
+                self._commit(path, rec, expected_version=head + 1,
+                             base_schema=rec["schema"],
+                             identity_cols=frozenset(new_high))
+            else:
+                self._commit(path, rec)
+
+        retry_on_conflict(attempt, attempts=3)
 
     def _txn_scan(self, path: str, app: str,
                   version: int) -> tuple[int, int | None]:
@@ -1727,13 +1854,15 @@ class TxnLogFormat(TableFormat):
     #: property keys writers adopt from the table (everything else —
     #: isolation, checkpoint cadence — is a per-writer choice)
     _TABLE_PROPS = ("constraints", "bloom_filter_columns",
-                    "change_data_feed", "generated_columns")
+                    "change_data_feed", "generated_columns",
+                    "identity_columns")
 
     def set_properties(self, spark: SparkSession | None, path: str,
                        constraints: dict[str, str] | None = ...,
                        bloom_filter_columns=...,
                        change_data_feed: bool | None = ...,
                        generated_columns: dict[str, str] | None = ...,
+                       identity_columns: dict | None = ...,
                        validate_constraints: bool = True) -> int:
         """Persist table-level PROPERTIES in the log (Delta
         ``ALTER TABLE ... SET TBLPROPERTIES`` parity) as one
@@ -1792,11 +1921,64 @@ class TxnLogFormat(TableFormat):
                 raise ValueError(
                     "generated_columns must be {column: sql_expression}")
             props["generated_columns"] = generated_columns
+        if identity_columns is not ...:
+            #: GENERATED ALWAYS AS IDENTITY (Delta identity-columns
+            #: parity): writers NEVER supply the column — append /
+            #: overwrite_table allocate dense values from a per-column
+            #: HIGH WATERMARK that rides commit records (checkpoint-
+            #: folded, never decreasing, gaps allowed — a lost
+            #: allocation is a gap, never a reuse).  Concurrent
+            #: identity-allocating appends CONFLICT (one reallocates
+            #: from the new head — Delta serializes identity updates
+            #: the same way); non-allocating interleaves stay benign.
+            if identity_columns is not None:
+                if not isinstance(identity_columns, dict):
+                    raise ValueError(
+                        "identity_columns must be "
+                        "{column: {'start': int, 'step': int >= 1}}")
+                for c, spec in identity_columns.items():
+                    if (not isinstance(spec, dict)
+                            or not isinstance(spec.get("start"), int)
+                            or isinstance(spec.get("start"), bool)
+                            or not isinstance(spec.get("step"), int)
+                            or isinstance(spec.get("step"), bool)
+                            or spec["step"] < 1
+                            or set(spec) != {"start", "step"}):
+                        raise ValueError(
+                            f"identity_columns[{c!r}] must be "
+                            "{'start': int, 'step': int >= 1}")
+            props["identity_columns"] = identity_columns
         if not props:
             raise ValueError("no properties given")
         commits = self._commits(path)
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
+        ident_seed: dict = {}
+        new_ident = props.get("identity_columns")
+        if new_ident:
+            # seed the watermark ABOVE any existing stored values, so
+            # enabling identity on a populated table never re-issues a
+            # value already present (Delta's SYNC IDENTITY)
+            sj = self._resolve_schema(commits)
+            existing = ({f["name"] for f in json.loads(sj)["fields"]}
+                        if sj else set())
+            seeded = [c for c in new_ident if c in existing]
+            if seeded:
+                if spark is None:
+                    raise ValueError(
+                        "enabling identity on existing columns seeds "
+                        "the watermark from their max — pass a "
+                        "SparkSession")
+                row = self.read(spark, path).agg(
+                    *[F.max(c).alias(c) for c in seeded]).head()
+                for c in seeded:
+                    if row and row[c] is not None:
+                        if not isinstance(row[c], int):
+                            raise ValueError(
+                                f"identity column {c!r} must be an "
+                                "integral column; existing max is "
+                                f"{row[c]!r}")
+                        ident_seed[c] = row[c]
         new_gen = props.get("generated_columns")
         if new_gen and validate_constraints:
             if spark is None:
@@ -1837,9 +2019,11 @@ class TxnLogFormat(TableFormat):
                     "existing rows violate the new constraints "
                     f"(per-constraint counts: {bad}); fix the data or "
                     "set validate_constraints=False")
-        return self._commit(path, {
-            "action": "set_properties", "props": props, "dir": None,
-            "partition_col": None, "partitions": []})
+        rec = {"action": "set_properties", "props": props, "dir": None,
+               "partition_col": None, "partitions": []}
+        if ident_seed:
+            rec["identity_high"] = ident_seed
+        return self._commit(path, rec)
 
     def properties(self, path: str) -> dict:
         """The table's live properties (see ``set_properties``)."""
@@ -2977,6 +3161,8 @@ class TxnLogFormat(TableFormat):
             # added-with-default column renamed later reports under its
             # new name; a dropped one disappears)
             "column_defaults": self._current_defaults(commits),
+            # per-column identity watermarks (highest allocated value)
+            "identity_high": self._resolve_identity_high(commits),
         }
 
     def _current_defaults(self, commits: list[dict]) -> dict:
@@ -3205,6 +3391,12 @@ class TxnLogFormat(TableFormat):
         if unknown:
             raise ValueError(
                 f"UPDATE SET references columns not in the table: {unknown}")
+        ident_set = sorted(set(self._resolve_properties(commits).get(
+            "identity_columns") or {}) & set(assignments))
+        if ident_set:
+            raise ValueError(
+                f"columns {ident_set} are GENERATED ALWAYS AS IDENTITY "
+                "— UPDATE cannot assign them")
         matching = current.filter(F.expr(predicate))
         n_upd = matching.count()
         if n_upd == 0:
@@ -3262,6 +3454,12 @@ class TxnLogFormat(TableFormat):
         if unknown:
             raise ValueError(
                 f"UPDATE SET references columns not in the table: {unknown}")
+        ident_set = sorted(set(self._resolve_properties(commits).get(
+            "identity_columns") or {}) & set(assignments))
+        if ident_set:
+            raise ValueError(
+                f"columns {ident_set} are GENERATED ALWAYS AS IDENTITY "
+                "— UPDATE cannot assign them")
         hot, n_upd = self._hot_files(matching.filter(pred))
         if n_upd == 0:
             return 0
@@ -3347,6 +3545,14 @@ class TxnLogFormat(TableFormat):
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
         head = commits[-1]["version"]
+        if self._resolve_properties(commits).get("identity_columns"):
+            # a MERGE insert would need fresh identity allocation mid-
+            # rewrite, and an update could silently rewrite allocated
+            # values — Delta likewise rejected MERGE on identity tables
+            # for years; append() is the identity-allocating ingest path
+            raise ValueError(
+                "merge into a table with identity columns is not "
+                "supported — route inserts through append()")
         target = self.read(spark, path)
         # The source is evaluated by TWO jobs (the guard/stats aggregation,
         # then the staged write).  A non-deterministic source — sampling,

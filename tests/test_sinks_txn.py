@@ -3146,3 +3146,96 @@ def test_generated_columns_compute_validate_and_skip(spark, tmp_path):
     fmt.set_properties(spark, p2,
                        generated_columns={"m": "substring(d, 1, 7)"},
                        validate_constraints=False)  # NOCHECK analogue
+
+
+def test_identity_columns_allocate_and_conflict(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: appends allocate dense unique
+    values from a never-decreasing commit-recorded watermark; writers
+    supplying the column are rejected; a concurrent allocator makes the
+    commit conflict (and the internal retry re-allocates against the
+    new head); non-allocating interleaves stay benign; the watermark
+    survives checkpoint folds and never re-issues after restore."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([("a",), ("b",)], "v string"), path)
+    with pytest.raises(ValueError, match="start"):
+        fmt.set_properties(spark, path, identity_columns={"rid": {}})
+    fmt.set_properties(spark, path,
+                       identity_columns={"rid": {"start": 10,
+                                                 "step": 5}})
+    fmt.append(spark.createDataFrame([("c",), ("d",), ("e",)],
+                                     "v string"), path)
+    got = {(r.v, r.rid) for r in fmt.read(spark, path).collect()}
+    # pre-identity rows read NULL; the new batch got 10, 15, 20
+    assert {x for x in got if x[0] in "ab"} == {("a", None), ("b", None)}
+    assert sorted(r for v, r in got if v in "cde") == [10, 15, 20]
+    assert fmt.details(path)["identity_high"] == {"rid": 20}
+    # ALWAYS semantics: supplying the column is rejected
+    with pytest.raises(ValueError, match="ALWAYS AS IDENTITY"):
+        fmt.append(spark.createDataFrame([("x", 999)],
+                                         "v string, rid long"), path)
+    # UPDATE may not assign it; MERGE is rejected outright
+    with pytest.raises(ValueError, match="IDENTITY"):
+        fmt.update_where(spark, path, "v = 'c'", {"rid": "0"})
+    with pytest.raises(ValueError, match="identity"):
+        fmt.merge(spark, path,
+                  spark.createDataFrame([("c", 1)], "v string, rid long"),
+                  "v")
+    # allocation is unique and dense across multi-partition appends
+    fmt.append(spark.createDataFrame(
+        [(f"p{i}",) for i in range(20)], "v string").repartition(6), path)
+    rids = sorted(r.rid for r in fmt.read(spark, path)
+                  .filter("rid IS NOT NULL").collect())
+    assert rids == list(range(10, 10 + 5 * 23, 5))
+    assert fmt.details(path)["identity_high"] == {"rid": 10 + 5 * 22}
+
+    # concurrent allocator: injected between snapshot and publish —
+    # the internal retry must re-allocate, never duplicate
+    racer = TxnLogFormat()
+    orig_stage = fmt._stage
+    raced = {}
+
+    def stage_then_race(df, p, pcol, **kw):
+        rel = orig_stage(df, p, pcol, **kw)
+        if "done" not in raced:
+            raced["done"] = True
+            racer.append(spark.createDataFrame([("r1",), ("r2",)],
+                                               "v string"), path)
+        return rel
+
+    fmt._stage = stage_then_race
+    try:
+        fmt.append(spark.createDataFrame([("z1",), ("z2",)],
+                                         "v string"), path)
+    finally:
+        fmt._stage = orig_stage
+    rows = fmt.read(spark, path).filter("rid IS NOT NULL").collect()
+    rids = sorted(r.rid for r in rows)
+    assert len(rids) == len(set(rids)) == 27  # 3 + 20 + 2 + 2, no dups
+    assert {r.v for r in rows if r.rid in rids[-2:]} == {"z1", "z2"}
+
+    # checkpoint fold carries the watermark; a fresh writer continues
+    fmt.checkpoint(path)
+    fresh = TxnLogFormat(checkpoint_interval=None)
+    fresh.append(spark.createDataFrame([("f1",)], "v string"), path)
+    all_rids = sorted(r.rid for r in fresh.read(spark, path)
+                      .filter("rid IS NOT NULL").collect())
+    assert len(all_rids) == len(set(all_rids)) == 28
+
+    # restore never rolls the watermark back (no value re-issue)
+    high = fresh.details(path)["identity_high"]["rid"]
+    fresh.restore(spark, path, 2)  # back to the first allocation
+    fresh.append(spark.createDataFrame([("g1",)], "v string"), path)
+    post = fresh.read(spark, path).filter("v = 'g1'").head()
+    assert post.rid > high
+
+    # enabling identity on an EXISTING integral column seeds past max
+    p2 = str(tmp_path / "t2")
+    fmt2 = TxnLogFormat()
+    fmt2.append(spark.createDataFrame([(100, "a")], "k long, v string"),
+                p2)
+    fmt2.set_properties(spark, p2,
+                        identity_columns={"k": {"start": 1, "step": 1}})
+    fmt2.append(spark.createDataFrame([("b",), ("c",)], "v string"), p2)
+    assert sorted(r.k for r in fmt2.read(spark, p2).collect()) == \
+        [100, 101, 102]
