@@ -3239,3 +3239,97 @@ def test_identity_columns_allocate_and_conflict(spark, tmp_path):
     fmt2.append(spark.createDataFrame([("b",), ("c",)], "v string"), p2)
     assert sorted(r.k for r in fmt2.read(spark, p2).collect()) == \
         [100, 101, 102]
+
+
+_IDENTITY_STORM_WRITER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+import pyarrow.parquet as pq
+from datalake_ingestion_system_spark.sinks import (
+    ConcurrentWriteError, TxnLogFormat)
+
+path, tag = sys.argv[1], sys.argv[2]
+fmt = TxnLogFormat(checkpoint_interval=4)
+# a foreign ALLOCATOR that honors the identity protocol with no Spark:
+# read watermark -> stage -> commit RMW with the identity claim,
+# retrying on conflict like any correct writer
+for i in range(8):
+    for attempt in range(60):
+        commits = fmt._commits(path)
+        ident = fmt._resolve_properties(commits).get("identity_columns")
+        spec = ident["rid"]
+        high = fmt._resolve_identity_high(commits).get(
+            "rid", spec["start"] - spec["step"])
+        rel = os.path.join("_txn_data", f"{{tag}}_{{i:02d}}_{{attempt}}")
+        os.makedirs(os.path.join(path, rel))
+        pq.write_table(
+            pa.table({{"v": pa.array([f"{{tag}}{{i}}"]),
+                       "rid": pa.array([high + spec["step"]],
+                                       pa.int64())}}),
+            os.path.join(path, rel, "part-0.parquet"))
+        rec = {{"action": "append", "dir": rel,
+                "schema": ('{{"fields":[{{"metadata":{{}},"name":"v",'
+                           '"nullable":true,"type":"string"}},'
+                           '{{"metadata":{{}},"name":"rid",'
+                           '"nullable":true,"type":"long"}}],'
+                           '"type":"struct"}}'),
+                "identity_high": {{"rid": high + spec["step"]}}}}
+        head = commits[-1]["version"] if commits else -1
+        try:
+            fmt._commit(path, rec, expected_version=head + 1,
+                        base_schema=rec["schema"],
+                        identity_cols=frozenset(["rid"]))
+            break
+        except ConcurrentWriteError:
+            time.sleep(0.02)
+    else:
+        sys.exit(f"{{tag}} starved")
+print("done")
+"""
+
+
+def test_multiprocess_identity_allocators_never_collide(spark, tmp_path):
+    """TWO OS processes allocate identity values through the RMW
+    protocol while the parent's Spark appends allocate too: every
+    issued value is unique, the watermark equals the max, and the
+    conflict rule (same-watermark allocators collide, everything else
+    retargets) holds under real contention."""
+    import subprocess
+    import sys as _sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat(checkpoint_interval=4)
+    fmt.append(spark.createDataFrame([("seed",)], "v string"), path)
+    fmt.set_properties(spark, path,
+                       identity_columns={"rid": {"start": 1,
+                                                 "step": 1}})
+    writer = tmp_path / "alloc.py"
+    writer.write_text(_IDENTITY_STORM_WRITER.format(repo=repo))
+    procs = [subprocess.Popen(
+        [_sys.executable, str(writer), path, f"w{k}"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for k in range(2)]
+    try:
+        done = 0
+        deadline = time.time() + 120
+        while done < 4 and time.time() < deadline:
+            try:
+                fmt.append(spark.createDataFrame(
+                    [(f"s{done}",)], "v string"), path)
+                done += 1
+            except Exception:
+                time.sleep(0.05)
+        assert done == 4
+    finally:
+        outs = [p.communicate(timeout=120) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err
+        assert out.strip() == "done"
+    rows = fmt.read(spark, path).filter("rid IS NOT NULL").collect()
+    rids = sorted(r.rid for r in rows)
+    assert len(rids) == 20                      # 2*8 foreign + 4 spark
+    assert len(set(rids)) == 20                 # NO duplicate issue
+    assert fmt.details(path)["identity_high"]["rid"] == max(rids)
