@@ -3753,6 +3753,16 @@ class TxnLogFormat(TableFormat):
                     "where only scopes the targeted forms "
                     "(rewrite_dv_threshold / small_file_bytes) — the "
                     "full rewrite reads the whole table by definition")
+            # SNAPSHOT version for the conflict guard: the rewrite reads
+            # the WHOLE table, so ANY interleaved commit invalidates it —
+            # a blind replace_all here would silently ERASE an append
+            # that landed between this read and the publish (lost
+            # update; found round 10 via an interleaved set_protocol).
+            # The targeted forms below always had this guard; the full
+            # form must too.  Strict by design — replace_all is not
+            # append-tolerant (the appended rows are not in the rewrite).
+            snap = self._commits(path)
+            head = snap[-1]["version"] if snap else -1
             current = self.read(spark, path)
             if cluster_by:
                 # OPTIMIZE ... ZORDER/CLUSTER BY parity: lay the rewrite
@@ -3787,7 +3797,8 @@ class TxnLogFormat(TableFormat):
             self._commit(path, {"action": "replace_all", "dir": rel,
                                 "partition_col": partition_col,
                                 "partitions": [],
-                                "schema": current.schema.json()})
+                                "schema": current.schema.json()},
+                         expected_version=head + 1)
             return None
         if cluster_by:
             raise ValueError(

@@ -3333,3 +3333,56 @@ def test_multiprocess_identity_allocators_never_collide(spark, tmp_path):
     assert len(rids) == 20                      # 2*8 foreign + 4 spark
     assert len(set(rids)) == 20                 # NO duplicate issue
     assert fmt.details(path)["identity_high"]["rid"] == max(rids)
+
+
+def test_full_compact_never_erases_a_racing_append(spark, tmp_path):
+    """Round-10 regression (lost update): the FULL-rewrite compact used
+    to publish its ``replace_all`` blindly — no ``expected_version`` —
+    so an append landing between compact's snapshot read and its
+    publish was silently ERASED at replay (replace_all resets live
+    state).  The targeted forms always carried the guard; the full form
+    must too: abort by default, and ``retries=N`` recomputes against
+    the new head so BOTH the appended rows and the compaction land."""
+    from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
+
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1,), (2,)], "id long"), path)
+    fmt.append(spark.createDataFrame([(3,), (4,)], "id long"), path)
+
+    racer = TxnLogFormat()
+    orig_stage = fmt._stage
+    raced = {"done": False}
+
+    def racing_stage(df, p, *a, **kw):
+        # interleave AFTER compact's snapshot read, INSIDE the publish
+        # window — exactly where the blind commit lost the append
+        rel = orig_stage(df, p, *a, **kw)
+        if not raced["done"]:
+            raced["done"] = True
+            racer.append(spark.createDataFrame([(9,)], "id long"), path)
+        return rel
+
+    fmt._stage = racing_stage
+    try:
+        with pytest.raises(ConcurrentWriteError, match="advanced"):
+            fmt.compact(spark, path)
+    finally:
+        fmt._stage = orig_stage
+    # nothing lost: the racer's row is still there, no compaction applied
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == \
+        [1, 2, 3, 4, 9]
+
+    # retries=N re-runs the whole op against the new head: both land
+    raced["done"] = False
+    fmt._stage = racing_stage
+    try:
+        fmt.compact(spark, path, retries=2)
+    finally:
+        fmt._stage = orig_stage
+    assert sorted(r.id for r in fmt.read(spark, path).collect()) == \
+        [1, 2, 3, 4, 9, 9]
+    # the retry's fresh snapshot folded EVERYTHING — including the
+    # second interleaved append — into the one rewritten commit
+    live = fmt._resolve_live(fmt._commits(path))
+    assert [e["action"] for e in live] == ["replace_all"]
