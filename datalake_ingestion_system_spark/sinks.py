@@ -100,6 +100,18 @@ class ConcurrentWriteError(RuntimeError):
     ConcurrentAppendException class of conflict).  Re-read and retry."""
 
 
+class ProtocolError(RuntimeError):
+    """The table's log requires a capability this engine does not have
+    (Delta's InvalidProtocolVersionException class): either a
+    ``set_protocol`` commit names a reader/writer FEATURE outside
+    ``TxnLogFormat.ENGINE_FEATURES``, or a commit record carries an
+    ACTION outside ``TxnLogFormat.KNOWN_ACTIONS``.  Both mean a newer
+    (or foreign) writer evolved the table past what this code can
+    interpret — the only safe response is a loud refusal, never a
+    best-effort read: an unknown action could remove rows in a way the
+    replay would silently miss, turning tolerance into wrong answers."""
+
+
 def _schema_json_eq(a: str | None, b: str | None) -> bool:
     """STRUCTURAL equality of two serialized schema JSON strings.
 
@@ -281,6 +293,32 @@ class TxnLogFormat(TableFormat):
     _APPEND_TOLERANT = frozenset(
         {"add_dv", "dv_update", "rewrite_files", "alter", "append"})
 
+    #: Every commit ACTION this engine's replay understands.  A record
+    #: with any other action fails reads AND writes loudly
+    #: (``ProtocolError``) — the complement of the tolerant-reader rule
+    #: for unknown KEYS: extra fields on a known action cannot change
+    #: what the action means, but an unknown action could subtract rows
+    #: in a way ``_resolve_live``'s append-shaped fallback would
+    #: silently miss.  Strict on verbs, tolerant on adjectives.
+    KNOWN_ACTIONS = frozenset(
+        {"append", "overwrite", "replace_all", "restore", "add_dv",
+         "dv_update", "rewrite_files", "alter", "set_properties",
+         "set_protocol", "checkpoint"})
+
+    #: Table FEATURES this engine implements, for protocol gating
+    #: (Delta's readerFeatures/writerFeatures table-features model —
+    #: the sets a ``set_protocol`` commit is checked against).  A
+    #: feature name here is a CONTRACT: naming it in a table's
+    #: reader_features means "readers must understand this tier or
+    #: refuse"; future engines add names, older engines then refuse
+    #: those tables loudly instead of misreading them.
+    ENGINE_FEATURES = frozenset({
+        "partition_overwrite", "time_travel", "restore", "checkpoints",
+        "stats_sidecar", "deletion_vectors", "column_mapping",
+        "column_defaults", "change_data_feed", "cdf_sidecars",
+        "bloom_filters", "check_constraints", "generated_columns",
+        "identity_columns", "table_properties", "clone"})
+
     def __init__(self, constraints: dict[str, str] | None = None,
                  checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
                  checkpoint_sidecar_files: int | None =
@@ -447,7 +485,8 @@ class TxnLogFormat(TableFormat):
                 recs[name] = json.load(f)
         return recs[name]
 
-    def _commits(self, path: str, upto: int | None = None) -> list[dict]:
+    def _commits(self, path: str, upto: int | None = None,
+                 _gate: bool = True) -> list[dict]:
         """The commit records a reader must replay for the state at
         version ``upto`` (default: head) — CHECKPOINT-AWARE: when a
         checkpoint at or below the target exists, the returned list is
@@ -506,10 +545,24 @@ class TxnLogFormat(TableFormat):
                     # the JSON parse it replaced) so every downstream
                     # consumer sees ordinary entries
                     self._hydrate_checkpoint(path, got[0])
-                return got
+                # PROTOCOL GATE on every assembled plan (reads, streams,
+                # and write snapshots all come through here): unknown
+                # actions or unimplemented required reader features
+                # refuse loudly instead of half-replaying the log.
+                # ``_gate=False`` is for resolving a HEAD listing whose
+                # final target is a different (possibly pre-upgrade)
+                # version — the caller gates the real prefix instead
+                # (time travel checks the protocol of the snapshot it
+                # reads, Delta parity, not of commits above it).
+                return self._check_protocol(path, got) if _gate else got
         got = assemble(None)
         if got is not None:
-            return got
+            if got and got[0].get("stats_sidecar"):
+                # a raw head that IS a checkpoint-form record (a clone
+                # seed at version 0 read before/without its checkpoint
+                # twin): hydrate its sidecar markers like any checkpoint
+                self._hydrate_checkpoint(path, got[0])
+            return self._check_protocol(path, got) if _gate else got
         if cpv:
             raise ValueError(
                 f"version {target} predates the checkpoint horizon at "
@@ -812,6 +865,13 @@ class TxnLogFormat(TableFormat):
                 expected_version: int | None = None,
                 base_schema: str | None = None,
                 identity_cols: frozenset | None = None) -> int:
+        # WRITER protocol gate (Delta checks minWriterVersion before
+        # every commit): a table requiring writer features this engine
+        # lacks must not be appended to — a stale engine's commit could
+        # violate an invariant the feature maintains.  Best-effort
+        # against stale-engine writes (an upgrade racing this exact
+        # commit is the same exposure Delta has), cached-record cheap.
+        self._check_protocol(path, self._commits(path), write=True)
         if record.get("dir") and record["action"] in (
                 "append", "overwrite", "replace_all", "dv_update",
                 "rewrite_files") and "stats" not in record:
@@ -1363,6 +1423,17 @@ class TxnLogFormat(TableFormat):
         one columnar read, and decodes stats lazily — only for the
         paths that consult per-file metadata (skipping, size
         compaction, details)."""
+        rec, stats, fbytes, all_files = self._fold_record(path, v)
+        self._emit_checkpoint(path, rec, stats, fbytes, all_files)
+
+    def _fold_record(self, path: str, v: int) -> tuple[dict, dict,
+                                                        dict, set]:
+        """The pure fold: resolve the log through ``v`` into the
+        checkpoint-form state record plus the per-file stats/bytes
+        maps and the live-file universe — shared by
+        ``_write_checkpoint`` (emit back into the same log) and
+        ``clone`` (emit into a NEW log; every path in the record is
+        table-relative, which is what makes the record portable)."""
         commits = self._commits(path, upto=v)
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
@@ -1428,12 +1499,13 @@ class TxnLogFormat(TableFormat):
         # answer is carried forward (its own flag, or the conservative
         # reconstruction for pre-upgrade records) so the property
         # survives arbitrarily many fold-overs and log prunes.
+        proto = self._resolve_protocol(commits)
         changed = False
         for c in commits:
             if c["action"] == "checkpoint":
                 changed = changed or self._checkpoint_span_changed(c)
             elif c["action"] not in ("append", "alter",
-                                     "set_properties"):
+                                     "set_properties", "set_protocol"):
                 changed = True
         rec = {"action": "checkpoint", "version": v, "ts": run_max,
                "dir": None, "schema": self._resolve_schema(commits),
@@ -1443,6 +1515,9 @@ class TxnLogFormat(TableFormat):
                          "removed_files": sorted(removed),
                          "alters": self._resolve_alters(commits),
                          "properties": self._resolve_properties(commits),
+                         "protocol": {
+                             "reader": sorted(proto["reader"]),
+                             "writer": sorted(proto["writer"])},
                          "data_changed": changed},
                "txn_latest": txn,
                "identity_high": self._resolve_identity_high(commits),
@@ -1461,6 +1536,23 @@ class TxnLogFormat(TableFormat):
         for e in ser_live:
             if e["files"] is not None:
                 all_files.update(e["files"])
+        return rec, stats, fbytes, all_files
+
+    def _emit_checkpoint(self, path: str, rec: dict, stats: dict,
+                         fbytes: dict, all_files: set,
+                         raw_too: bool = False) -> None:
+        """Publish a folded state record into ``path``'s log: sidecar
+        decision, sidecar-before-JSON link order, best-effort
+        ``_last_checkpoint`` pointer.  ``raw_too`` (clone) ALSO links
+        the record as the raw ``<v>.json`` — a fresh log seeded from a
+        checkpoint needs a raw head too, because ``_commit`` assigns
+        the next version from raw commit names only (log pruning keeps
+        raw files at/after the checkpoint, so that invariant must hold
+        for a seeded log as well); the raw copy links FIRST so a crash
+        mid-clone can never leave a checkpoint-only log whose next
+        append would claim version 0."""
+        v = rec["version"]
+        ser_live = rec["state"]["live"]
         if self.checkpoint_sidecar_files is not None \
                 and len(all_files) >= self.checkpoint_sidecar_files:
             sidecar = f"{v:012d}.checkpoint.stats.parquet"
@@ -1474,6 +1566,17 @@ class TxnLogFormat(TableFormat):
             rec["stats"] = stats
             rec["file_bytes"] = fbytes
         log = self._log_dir(path)
+        if raw_too:
+            raw_target = os.path.join(log, f"{v:012d}.json")
+            tmp = os.path.join(log, f".{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, raw_target)
+            finally:
+                os.unlink(tmp)
         target = os.path.join(log, f"{v:012d}.checkpoint.json")
         tmp = os.path.join(log, f".{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
@@ -1714,7 +1817,8 @@ class TxnLogFormat(TableFormat):
         only — the restored dirs are the ORIGINAL ones, re-referenced)."""
         live: list[dict] = []
         for c in commits:
-            if c["action"] in ("add_dv", "alter", "set_properties"):
+            if c["action"] in ("add_dv", "alter", "set_properties",
+                               "set_protocol"):
                 continue  # vectors / metadata commits are not data dirs
             if c["action"] == "checkpoint":
                 # initial state: DEEP-copied per call — resolvers mutate
@@ -1856,6 +1960,111 @@ class TxnLogFormat(TableFormat):
     _TABLE_PROPS = ("constraints", "bloom_filter_columns",
                     "change_data_feed", "generated_columns",
                     "identity_columns")
+
+    @staticmethod
+    def _resolve_protocol(commits: list[dict]) -> dict:
+        """The table's protocol — ``{"reader": set, "writer": set}`` of
+        required feature names — resolved MONOTONE over the whole list:
+        every ``set_protocol`` commit and every checkpoint-folded
+        protocol unions in; nothing ever unsets (Delta parity: a
+        protocol upgrade is permanent — RESTORE rolls data back, never
+        the protocol, because post-upgrade commits may already depend
+        on the feature)."""
+        reader: set = set()
+        writer: set = set()
+        for c in commits:
+            if c["action"] == "set_protocol":
+                reader.update(c.get("reader_features") or [])
+                writer.update(c.get("writer_features") or [])
+            elif c["action"] == "checkpoint":
+                p = c["state"].get("protocol") or {}
+                reader.update(p.get("reader") or [])
+                writer.update(p.get("writer") or [])
+        return {"reader": reader, "writer": writer}
+
+    def _check_protocol(self, path: str, commits: list[dict],
+                        write: bool = False) -> list[dict]:
+        """The protocol GATE (Delta protocol-version checking): raise
+        ``ProtocolError`` when any commit's action is outside
+        ``KNOWN_ACTIONS`` or the resolved protocol names reader (and,
+        for writes, writer) features outside ``ENGINE_FEATURES``.
+        Called on every assembled ``_commits`` result — the single
+        chokepoint every read, stream, and write-snapshot path shares —
+        so no planner can ever act on a log it only half-understands.
+        O(tail) set lookups on cached records; returns the list so the
+        call can wrap a return."""
+        for c in commits:
+            if c["action"] not in self.KNOWN_ACTIONS:
+                raise ProtocolError(
+                    f"commit version {c.get('version')} at {path} has "
+                    f"action {c['action']!r}, which this engine does "
+                    "not implement — the table was written by a newer "
+                    "or foreign writer; upgrade the engine to read it")
+        proto = self._resolve_protocol(commits)
+        missing = proto["reader"] - self.ENGINE_FEATURES
+        if missing:
+            raise ProtocolError(
+                f"table at {path} requires reader features "
+                f"{sorted(missing)} this engine does not implement — "
+                "upgrade the engine to read it")
+        if write:
+            missing = proto["writer"] - self.ENGINE_FEATURES
+            if missing:
+                raise ProtocolError(
+                    f"table at {path} requires writer features "
+                    f"{sorted(missing)} this engine does not implement "
+                    "— upgrade the engine to write it (reads may still "
+                    "work)")
+        return commits
+
+    def set_protocol(self, path: str, reader_features=(),
+                     writer_features=(),
+                     allow_unknown: bool = False) -> int:
+        """Upgrade the table's PROTOCOL (Delta ``ALTER TABLE ... SET
+        TBLPROPERTIES (delta.minReaderVersion...)`` / table-features
+        parity) as one metadata-only ``set_protocol`` commit: from then
+        on every reader must implement ``reader_features`` and every
+        writer additionally ``writer_features``, or refuse loudly
+        (``ProtocolError``).  Upgrades are MONOTONE — the commit
+        records the UNION with the current protocol, and restore never
+        downgrades.  Feature names outside this engine's own
+        ``ENGINE_FEATURES`` are rejected unless ``allow_unknown=True``
+        (authoring a table for a newer engine deliberately bricks it
+        for this one — that is the point of the gate).  Returns the
+        commit version (the current head when the upgrade is a
+        no-op)."""
+        commits = self._commits(path)
+        if not commits:
+            raise FileNotFoundError(f"no committed table at {path}")
+        for fs in (reader_features, writer_features):
+            for f in fs:
+                if not isinstance(f, str) or not f:
+                    raise ValueError(
+                        "feature names must be non-empty strings, got "
+                        f"{f!r}")
+                if not allow_unknown and f not in self.ENGINE_FEATURES:
+                    raise ValueError(
+                        f"unknown feature {f!r} (pass "
+                        "allow_unknown=True to author a table for a "
+                        "newer engine — this engine will then refuse "
+                        "it)")
+        cur = self._resolve_protocol(commits)
+        new_r = cur["reader"] | set(reader_features)
+        new_w = cur["writer"] | set(writer_features)
+        if new_r == cur["reader"] and new_w == cur["writer"]:
+            return commits[-1]["version"]  # idempotent upgrade: no-op
+        rec = {"action": "set_protocol",
+               "reader_features": sorted(new_r),
+               "writer_features": sorted(new_w),
+               "dir": None, "partition_col": None, "partitions": []}
+        return self._commit(path, rec)
+
+    def protocol(self, path: str) -> dict:
+        """The table's live protocol requirement:
+        ``{"reader_features": [...], "writer_features": [...]}``."""
+        p = self._resolve_protocol(self._commits(path))
+        return {"reader_features": sorted(p["reader"]),
+                "writer_features": sorted(p["writer"])}
 
     def set_properties(self, spark: SparkSession | None, path: str,
                        constraints: dict[str, str] | None = ...,
@@ -2689,7 +2898,11 @@ class TxnLogFormat(TableFormat):
         stats (Delta data skipping) — at 100 TB the difference between
         opening every file of every live dir and opening the few the
         predicate touches."""
-        commits = self._commits(path)
+        # the head resolution stays UNGATED when a time-travel target is
+        # given: the gate applies to the prefix actually read (below),
+        # so a protocol upgrade never locks out pre-upgrade snapshots
+        commits = self._commits(
+            path, _gate=(as_of_version is None and as_of_timestamp is None))
         if as_of_timestamp is not None:
             if as_of_version is not None:
                 raise ValueError(
@@ -3082,7 +3295,8 @@ class TxnLogFormat(TableFormat):
         one ``checkpoint`` row — history is whatever the log still
         holds, exactly Delta's DESCRIBE HISTORY after log retention."""
         commits = self._raw_full(path) or self._commits(path)
-        no_change = {"alter", "checkpoint", "set_properties"}
+        no_change = {"alter", "checkpoint", "set_properties",
+                     "set_protocol"}
         rows = []
         for c in reversed(commits):
             act = c["action"]
@@ -3163,6 +3377,12 @@ class TxnLogFormat(TableFormat):
             "column_defaults": self._current_defaults(commits),
             # per-column identity watermarks (highest allocated value)
             "identity_high": self._resolve_identity_high(commits),
+            # required reader/writer feature sets (see set_protocol)
+            "protocol": {
+                "reader_features":
+                    sorted(self._resolve_protocol(commits)["reader"]),
+                "writer_features":
+                    sorted(self._resolve_protocol(commits)["writer"])},
         }
 
     def _current_defaults(self, commits: list[dict]) -> dict:
@@ -3677,6 +3897,97 @@ class TxnLogFormat(TableFormat):
                                    "to_version": version, "dir": None,
                                    "partition_col": None, "partitions": [],
                                    "schema": schema})
+
+    def clone(self, src: str, dst: str,
+              version: int | None = None) -> int:
+        """CLONE TABLE (Delta ``CREATE TABLE ... CLONE`` parity): a new
+        INDEPENDENT table at ``dst`` holding exactly ``src``'s state at
+        ``version`` (default: head) — zero data rewritten.  The source's
+        resolved state (live entries, vectors, alters, schema,
+        properties, protocol, identity watermarks, per-file stats and
+        blooms) folds into ``dst``'s seed record via the SAME
+        ``_fold_record`` the checkpointer uses — every path in a record
+        is table-relative by protocol, which is precisely what makes the
+        record portable — and each live data/vector file HARDLINKS
+        under its identical relative path (cross-device falls back to a
+        copy).  Writes to either table never affect the other.
+
+        Against Delta's two clone modes this is strictly between them,
+        with shallow cost and deep safety: metadata-only per byte like
+        a shallow clone (O(live files) link calls, no data movement),
+        yet immune to ``src`` being vacuumed or deleted — a hardlink
+        keeps the shared inode alive, where Delta's shallow clone
+        breaks the moment the source vacuums a referenced file.  On an
+        object store the link seam becomes a server-side COPY per file
+        (S3 CopyObject / GCS rewrite): still no bytes through compute,
+        parallelizable, the exact shape of Delta's DEEP clone.
+
+        ``dst``'s history starts at the seed: time travel below
+        ``version`` raises the same horizon error as a log-pruned
+        table, and the change feed refuses the folded span — clone
+        copies STATE, not history (Delta parity: a clone's history
+        begins at the clone).  Identity columns continue from the
+        source watermark; constraints, generated columns, blooms, CDF,
+        and protocol gates all bind ``dst`` writers because they ride
+        the folded properties.  Returns the seed version."""
+        commits = self._commits(src, upto=version)
+        if not commits:
+            if version is not None:
+                raise ValueError(
+                    f"version {version} does not exist at {src}")
+            raise FileNotFoundError(f"no committed table at {src}")
+        v = commits[-1]["version"]
+        dlog = self._log_dir(dst)
+        if os.path.isdir(dlog) and any(
+                n.endswith(".json") for n in os.listdir(dlog)):
+            raise FileExistsError(
+                f"destination {dst} already holds a table")
+        rec, stats, fbytes, all_files = self._fold_record(src, v)
+        live = self._resolve_live(commits)
+        removed = self._resolve_removed_files(commits)
+
+        def link(rf: str) -> None:
+            s, d = os.path.join(src, rf), os.path.join(dst, rf)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            try:
+                os.link(s, d)  # a missing source file raises LOUDLY —
+                # a live entry naming a vacuumed file is corruption,
+                # and a clone must never silently drop rows
+            except OSError as err:
+                import errno
+                if err.errno == errno.EXDEV:  # cross-device: real copy
+                    import shutil
+                    shutil.copy2(s, d)
+                else:
+                    raise
+
+        for e in live:
+            # every live dir must exist at dst even when empty — read()
+            # treats a missing live dir as vacuum corruption
+            os.makedirs(os.path.join(dst, e["dir"]), exist_ok=True)
+            files = e.get("files")
+            if files is None:  # legacy pre-recording entry: one walk
+                full = os.path.join(src, e["dir"])
+                files = [_relfile(os.path.join(dp, fn))
+                         for dp, _dns, fns in os.walk(full)
+                         for fn in fns if fn.endswith(".parquet")]
+            for rf in files:
+                if rf not in removed:  # retired files are never read
+                    link(rf)
+        for dvd in rec["state"]["dvs"]:
+            os.makedirs(os.path.join(dst, dvd), exist_ok=True)
+            for dp, _dns, fns in os.walk(os.path.join(src, dvd)):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        link(_relfile(os.path.join(dp, fn)))
+        os.makedirs(dlog, exist_ok=True)
+        # seed record publishes as BOTH the raw head and the checkpoint
+        # (raw first): _commit assigns versions from raw names, and
+        # readers plan from the checkpoint — the standard shape of a
+        # log whose pre-checkpoint records were pruned
+        self._emit_checkpoint(dst, rec, stats, fbytes, all_files,
+                              raw_too=True)
+        return v
 
     #: Delta OPTIMIZE's default output size — the size-targeted rewrite
     #: coalesces small-file survivors into bins of about this many bytes.

@@ -372,7 +372,8 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                                cdf=("update_postimage", v, ts))
                 for ap in _data_files(path, c["dir"], c.get("files"))
                 if _relfile(ap) not in skip)
-        elif c["action"] in ("alter", "set_properties") or (
+        elif c["action"] in ("alter", "set_properties",
+                             "set_protocol") or (
                 c["action"] == "rewrite_files"
                 and not c.get("data_change")):
             continue  # bytes moved or metadata changed; no row changed
@@ -610,7 +611,8 @@ class TxnLogStreamReader(DataSourceStreamReader):
                              in _data_files(self.path, c["dir"],
                                             c.get("files"))
                              if _relfile(ap) not in skip)
-            elif c["action"] in ("alter", "set_properties"):
+            elif c["action"] in ("alter", "set_properties",
+                                 "set_protocol"):
                 # metadata-only: no data to emit; files AFTER an alter
                 # are mapped per their own version.  An alter that
                 # evolves the schema past this stream's pin already
