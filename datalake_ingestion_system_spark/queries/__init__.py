@@ -57,6 +57,14 @@ _FORCE_FRONT: tuple[str, ...] = (
     # see transitive sinks edits; this is the manual closure.
     # q_txnlog_stream_pushdown, q_column_default_read, and
     # q_generated_column_read are new and front automatically.)
+    # Round-10 continuation: the protocol GATE now runs on every
+    # assembled _commits plan, clone refactored _write_checkpoint into
+    # _fold_record/_emit_checkpoint, and the full-compact lost-update
+    # fix added a conflict guard — all transitive over the same txn
+    # closure already fronted below; re-verified by a FULL local
+    # registry sweep (203 hash-PASS + 2 rows-only, 0 fail) after the
+    # gate landed.  q_protocol_gated_read, q_clone_read, and
+    # q_substring_dedup are new and front automatically.
     "q_data_skipping_read", "q_bloom_skipping_read",
     "q_zorder_skipping_read", "q_alter_skipping_read",
     "q_schema_evolution_read", "q_delete_vector_read",

@@ -3014,6 +3014,128 @@ GROUP BY event_type
 """
 
 
+@_q("q_protocol_gated_read")
+def q_protocol_gated_read(spark, sf_dir):
+    """Protocol versioning round-trip, oracle-verified (Delta
+    readerFeatures/writerFeatures table-features parity, round 10): the
+    table is upgraded MID-HISTORY with two ``set_protocol`` commits
+    (reader features after the first append, a writer feature after the
+    second), a deletion-vector delete exercises one declared feature
+    for real, and the checkpoint cadence folds the upgrade commits —
+    so the resolved protocol the result CARRIES (the ``features``
+    column, part of the value hash) proves the requirement survives
+    folding, not just the raw records.  The gate's negative half is
+    asserted inline: a sibling table requiring a feature this engine
+    lacks must refuse both read and write with ``ProtocolError``.
+
+    Scale shape: the protocol is O(features) metadata resolved from the
+    same cached checkpoint+tail every plan already parses; the gate
+    adds set lookups per plan, no data-path cost at any table size."""
+    import tempfile
+
+    from ..sinks import ProtocolError, TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="proto_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=2)
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
+    fmt.set_protocol(path,
+                     reader_features=["deletion_vectors",
+                                      "column_mapping"])
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 1), path)
+    fmt.set_protocol(path, writer_features=["identity_columns"])
+    # exercise a declared reader feature for real, and land enough
+    # commits that the auto-checkpoint folds both upgrade records
+    fmt.delete_where_dv(spark, path, "event_type = 'error'")
+    assert fmt.details(path)["checkpoint_version"] is not None
+
+    # negative half: a future-feature table refuses loudly
+    sibling = tempfile.mkdtemp(prefix="proto_sib_") + "/t"
+    fmt.append(e.limit(10), sibling)
+    fmt.set_protocol(sibling, reader_features=["row_tracking_v9"],
+                     allow_unknown=True)
+    try:
+        fmt.read(spark, sibling).count()
+        raise AssertionError("future-feature read was not gated")
+    except ProtocolError:
+        pass
+
+    proto = fmt.protocol(path)
+    features = ",".join(proto["reader_features"]
+                        + ["w:" + f for f in proto["writer_features"]])
+    return (fmt.read(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents"))
+            .withColumn("features", F.lit(features)))
+
+
+ORACLE_SQL["q_protocol_gated_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       'column_mapping,deletion_vectors,w:identity_columns' AS features
+FROM events
+WHERE coalesce(event_type <> 'error', TRUE)
+GROUP BY event_type
+"""
+
+
+@_q("q_clone_read")
+def q_clone_read(spark, sf_dir):
+    """Zero-copy CLONE round-trip, oracle-verified (Delta CLONE parity,
+    round 10): the source table (even-id events, minus a deletion-vector
+    delete of the error rows) clones into an independent table via
+    hardlinked data files + a checkpoint-form seed record; the clone
+    then takes its own append (the odd-id events) while the SOURCE is
+    mutated post-clone with a targeted delete the clone must NOT see.
+    The aggregate hashes the clone's final state, so the oracle check
+    fails if the seed lost state (DVs, stats, schema) OR if the clone
+    leaked a post-clone source write — the two ways a clone can be
+    wrong.
+
+    Scale shape: clone cost is O(live files) hardlink/server-side-copy
+    metadata calls and ONE folded seed record (sidecar form past the
+    threshold) — no data bytes move through compute at any table size,
+    and unlike Delta's shallow clone the result survives source vacuum
+    (links pin the shared inodes)."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="clone_q_")
+    src, dst = base + "/src", base + "/dst"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), src)
+    fmt.delete_where_dv(spark, src, "event_type = 'error'")
+    fmt.clone(src, dst)
+    # post-clone source mutation: must be invisible to the clone
+    fmt.delete_where(spark, src, "value > 50")
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 1), dst)
+    return (fmt.read(spark, dst)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_clone_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE NOT (event_id % 2 = 0
+           AND coalesce(event_type = 'error', FALSE))
+GROUP BY event_type
+"""
+
+
 @_q("q_identity_column_read")
 def q_identity_column_read(spark, sf_dir):
     """GENERATED ALWAYS AS IDENTITY round-trip, oracle-verified (Delta

@@ -1,0 +1,163 @@
+"""CLONE (Delta ``CREATE TABLE ... CLONE`` parity): a zero-copy
+independent table seeded from the source's resolved state.
+
+The seed is the SAME checkpoint-form record `_write_checkpoint`
+produces (records are table-relative by protocol, hence portable),
+published as both the raw head and the checkpoint — the standard shape
+of a log-pruned table — with every live data/vector file HARDLINKED
+under its identical relative path.  Unlike Delta's shallow clone, the
+links keep shared inodes alive, so vacuuming or deleting the SOURCE can
+never break the clone."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_ingestion_system_spark.sinks import TxnLogFormat
+
+
+def _df(spark, lo=0, hi=20):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+
+class TestCloneState:
+    def test_clone_equals_source_and_evolves_independently(
+            self, spark, tmp_path):
+        fmt = TxnLogFormat(checkpoint_interval=None)
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        fmt.append(_df(spark), src)
+        fmt.append(_df(spark, 20, 30), src)
+        fmt.delete_where_dv(spark, src, "k < 5")        # live DV
+        fmt.alter_table(src, add_columns={"tag": "string"},
+                        column_defaults={"tag": "old"})  # alter+default
+        v = fmt.clone(src, dst)
+        key = lambda df: sorted((r.k, r.v, r.tag) for r in df.collect())
+        assert key(fmt.read(spark, dst)) == key(fmt.read(spark, src))
+        # writes to one never touch the other
+        fmt.append(spark.createDataFrame([(100, 1, "new")],
+                                         "k long, v long, tag string"),
+                   dst)
+        fmt.delete_where(spark, src, "k >= 25")
+        assert fmt.read(spark, dst).count() == 26
+        assert fmt.read(spark, src).count() == 20
+        # history starts at the seed (one checkpoint row)
+        assert [r["action"] for r in fmt.history(dst)][-1] == "checkpoint"
+        with pytest.raises(ValueError, match="horizon"):
+            fmt.read(spark, dst, as_of_version=v - 1)
+
+    def test_clone_at_historical_version(self, spark, tmp_path):
+        fmt = TxnLogFormat(checkpoint_interval=None)
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        fmt.append(_df(spark), src)                      # v0
+        fmt.delete_where(spark, src, "k >= 10")          # v1
+        assert fmt.clone(src, dst, version=0) == 0
+        assert fmt.read(spark, dst).count() == 20        # pre-delete
+        assert fmt.read(spark, src).count() == 10
+
+    def test_clone_refuses_existing_destination(self, spark, tmp_path):
+        fmt = TxnLogFormat()
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        fmt.append(_df(spark), src)
+        fmt.append(_df(spark), dst)
+        with pytest.raises(FileExistsError):
+            fmt.clone(src, dst)
+        with pytest.raises(ValueError, match="does not exist"):
+            fmt.clone(src, str(tmp_path / "dst2"), version=99)
+
+    def test_clone_survives_source_vacuum_and_deletion(self, spark,
+                                                       tmp_path):
+        """The anti-Delta-shallow-clone guarantee: hardlinks keep the
+        shared inodes alive, so the source can be compacted, vacuumed,
+        or deleted outright and the clone still reads."""
+        import shutil
+        fmt = TxnLogFormat(checkpoint_interval=None)
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        fmt.append(_df(spark), src)
+        fmt.clone(src, dst)
+        fmt.compact(spark, src)
+        fmt.vacuum(src, retain_hours=0.0)
+        assert fmt.read(spark, dst).count() == 20
+        shutil.rmtree(src)
+        assert fmt.read(spark, dst).count() == 20
+
+    def test_clone_carries_stats_properties_identity_protocol(
+            self, spark, tmp_path):
+        fmt = TxnLogFormat(checkpoint_interval=None)
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        fmt.append(_df(spark), src)
+        fmt.append(_df(spark, 1000, 1020), src)
+        fmt.set_properties(spark, src, constraints={"pos": "v >= 0"},
+                           identity_columns={
+                               "rid": {"start": 1, "step": 1}})
+        fmt.set_protocol(src, reader_features=["deletion_vectors"])
+        fmt.append(_df(spark, 50, 60), src)              # allocates rids
+        v = fmt.clone(src, dst)
+        # properties bind dst writers
+        with pytest.raises(ValueError, match="pos"):
+            fmt.append(spark.createDataFrame([(1, -1)], "k long, v long"),
+                       dst)
+        # identity continues from the source watermark — never reissues
+        high = fmt.details(dst)["identity_high"]["rid"]
+        fmt.append(_df(spark, 70, 75), dst)
+        rids = [r.rid for r in fmt.read(spark, dst)
+                .filter("k >= 70 AND k < 80").collect()]
+        assert min(rids) == high + 1
+        # protocol carried
+        assert fmt.protocol(dst)["reader_features"] == [
+            "deletion_vectors"]
+        # per-file stats carried: a skipping read on dst prunes files
+        skipped = fmt.read(spark, dst, where="k >= 1000")
+        files = {os.path.basename(p) for p in skipped.inputFiles()}
+        full = {os.path.basename(p)
+                for p in fmt.read(spark, dst).inputFiles()}
+        assert files < full, "stats skipping should prune cloned files"
+        assert skipped.count() == 20
+
+    def test_clone_sidecar_form_and_empty_entries(self, spark, tmp_path):
+        """A source above the sidecar threshold clones into a
+        sidecar-form seed; an empty live dir (overwrite of an empty
+        frame) must exist at dst so read() does not flag corruption."""
+        fmt = TxnLogFormat(checkpoint_interval=None,
+                           checkpoint_sidecar_files=4)
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        for i in range(3):
+            fmt.append(_df(spark, i * 10, i * 10 + 10)
+                       .repartition(2), src)
+        v = fmt.clone(src, dst)
+        cp = os.path.join(dst, "_txn_log",
+                          f"{v:012d}.checkpoint.stats.parquet")
+        assert os.path.exists(cp), "expected a sidecar-form seed"
+        assert fmt.read(spark, dst).count() == 30
+        # skipping still works through the cloned sidecar
+        assert fmt.read(spark, dst, where="k >= 20").count() == 10
+
+    def test_clone_seed_is_both_raw_head_and_checkpoint(self, spark,
+                                                        tmp_path):
+        """_commit assigns versions from RAW names: without the raw
+        twin, the first append to a clone would claim version 0 and
+        vanish below the seed checkpoint."""
+        fmt = TxnLogFormat(checkpoint_interval=None)
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        fmt.append(_df(spark), src)
+        fmt.append(_df(spark, 20, 30), src)
+        v = fmt.clone(src, dst)
+        log = os.path.join(dst, "_txn_log")
+        assert f"{v:012d}.json" in os.listdir(log)
+        assert f"{v:012d}.checkpoint.json" in os.listdir(log)
+        fmt.append(_df(spark, 100, 105), dst)
+        assert fmt.details(dst)["version"] == v + 1
+        assert fmt.read(spark, dst).count() == 35
+
+    def test_clone_then_clone_chains(self, spark, tmp_path):
+        fmt = TxnLogFormat(checkpoint_interval=None)
+        a, b, c = (str(tmp_path / n) for n in ("a", "b", "c"))
+        fmt.append(_df(spark), a)
+        fmt.clone(a, b)
+        fmt.append(_df(spark, 100, 110), b)
+        v = fmt.clone(b, c)
+        assert fmt.read(spark, c).count() == 30
+        fmt.delete_where(spark, c, "k >= 100")
+        assert fmt.read(spark, c).count() == 20
+        assert fmt.read(spark, b).count() == 30
