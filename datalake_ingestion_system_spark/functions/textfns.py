@@ -85,6 +85,11 @@ def bpe_ish_tokens(text: Column | str) -> Column:
 
 #: Rabin-Karp rolling-hash parameters (shared with the DuckDB oracle).
 RK_BASE = 257
+#: Second independent base — pairing two rolling hashes (same positions,
+#: different base) drops the per-pair collision odds from ~n²/2³¹ (real
+#: at corpus scale) to ~n²/2⁶², so exact-substring dedup can group on
+#: the hash PAIR without verifying bytes.
+RK_BASE2 = 263
 RK_MOD = 2147483647  # 2^31 - 1
 
 
@@ -96,7 +101,8 @@ def char_codes(text: Column | str) -> Column:
                        lambda ch: F.ascii(ch).cast("long"))
 
 
-def rolling_hashes_of(codes: Column | str, n: int = 8) -> Column:
+def rolling_hashes_of(codes: Column | str, n: int = 8,
+                      base: int = RK_BASE) -> Column:
     """Rabin-Karp rolling hashes of every char n-gram:
     ``h_i = sum_k codes[i+k] * BASE^k mod MOD`` over an ALREADY-MATERIALIZED
     char-code array attribute (see ``char_codes``).
@@ -109,7 +115,7 @@ def rolling_hashes_of(codes: Column | str, n: int = 8) -> Column:
     ``sequence`` would silently emit reversed positions).
     """
     codes = _c(codes)
-    pows = [pow(RK_BASE, k, RK_MOD) for k in range(n)]
+    pows = [pow(base, k, RK_MOD) for k in range(n)]
 
     def h(i):
         s = F.element_at(codes, i) * F.lit(pows[0])

@@ -718,3 +718,109 @@ def segment_dedup(df: DataFrame, id_col: str, text_col: str,
                  F.sum(F.when(~is_boiler, F.col("chunk_len"))
                         .otherwise(0)).alias("chars_kept"),
                  F.max("n_docs").alias("max_seg_docs")))
+
+
+def dedup_substrings(df: DataFrame, id_col: str, text_col: str,
+                     min_len: int = 40) -> DataFrame:
+    """EXACT SUBSTRING deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    suffix-array ExactSubstr method, re-expressed as three keyed
+    shuffles instead of a monolithic suffix array): every verbatim
+    character span of at least ``min_len`` that occurs more than once
+    ANYWHERE in the corpus is cut from every occurrence except the
+    globally first, and the surviving text is reconstructed.
+
+    Distributed shape (the suffix array is a single-machine construct;
+    this is the 100 TB re-expression):
+
+    1. Per-position Rabin-Karp hashes of every ``min_len``-gram — two
+       independent bases over ONE staged char-code array, pure codegen
+       (``functions.textfns.rolling_hashes_of``), so grouping on the
+       (h1, h2) pair needs no byte verification (collision odds
+       ~n²/2⁶²).  A span repeated for ANY length ≥ min_len duplicates
+       all its covering min_len-grams, so cutting the union of
+       duplicated grams removes exactly the maximal repeated spans.
+    2. One shuffle on the hash pair: occurrences ranked by
+       (doc, position); rank 1 — the globally first — is KEPT (at least
+       one copy of every span survives, the Lee et al. rule), the rest
+       become removal intervals ``[pos, pos+min_len)``.
+    3. One shuffle on the doc: overlapping/adjacent intervals merge via
+       the classic gaps-and-islands window (running max of prior ends),
+       and the cleaned text is rebuilt by concatenating the kept
+       segments between merged intervals — per-INTERVAL work, not
+       per-char (intervals per doc ≪ chars per doc).
+
+    Returns one row per input doc: ``clean_text`` (normalized text with
+    duplicated spans cut), ``n_dup_spans`` (merged intervals removed),
+    ``chars_removed`` (length actually lost — derived from the
+    RECONSTRUCTED string, so a rebuild bug cannot hide), plus the
+    normalized original length ``n_chars``.  Docs shorter than
+    ``min_len`` pass through untouched.  Fully deterministic — every
+    stage is hash/rank math — and hash-reproducible in DuckDB (the
+    oracle rebuilds the pipeline with the same bases)."""
+    from ..functions.textfns import RK_BASE, RK_BASE2, rolling_hashes_of
+
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be at least 2")
+    staged = (
+        df.select(F.col(id_col), normalize_text(text_col).alias("_t"))
+        .withColumn("_cc", F.transform(F.split("_t", ""),
+                                       lambda ch: F.ascii(ch)
+                                       .cast("long")))
+        .withColumn("_h1", rolling_hashes_of("_cc", L, base=RK_BASE))
+        .withColumn("_h2", rolling_hashes_of("_cc", L, base=RK_BASE2))
+        .drop("_cc"))
+    occ = (
+        staged.select(id_col, F.posexplode(F.arrays_zip("_h1", "_h2")))
+        .select(id_col, (F.col("pos") + 1).alias("s"),
+                F.col("col._h1").alias("h1"), F.col("col._h2").alias("h2")))
+    grp = Window.partitionBy("h1", "h2")
+    cut = (
+        occ.withColumn("_rn", F.row_number().over(
+                grp.orderBy(id_col, "s")))
+        .withColumn("_n", F.count("*").over(grp))
+        .filter("_n >= 2 AND _rn >= 2")
+        .select(id_col, "s", (F.col("s") + L).alias("e")))
+    by_doc = Window.partitionBy(id_col).orderBy("s")
+    prior_end = F.max("e").over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        cut.withColumn("_new", F.when(
+                F.col("s") <= F.coalesce(prior_end, F.lit(-1)),
+                F.lit(0)).otherwise(F.lit(1)))
+        .withColumn("_gid", F.sum("_new").over(by_doc))
+        .groupBy(id_col, "_gid")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
+              .alias("_iv")))
+    out = staged.drop("_h1", "_h2").join(merged, id_col, "left")
+    # rebuild: fold the merged intervals, concatenating each kept
+    # segment between them, then the tail — O(intervals) per doc
+    rebuilt = F.aggregate(
+        "_iv",
+        F.struct(F.lit(1).cast("long").alias("p"),
+                 F.lit("").alias("acc")),
+        lambda a, iv: F.struct(
+            iv["e"].cast("long").alias("p"),
+            F.concat(a["acc"],
+                     F.col("_t").substr(a["p"],
+                                        iv["s"].cast("long") - a["p"]))
+            .alias("acc")),
+        lambda a: F.concat(
+            a["acc"], F.col("_t").substr(
+                a["p"], F.length("_t") - a["p"] + 1)))
+    return (
+        out.withColumn("clean_text",
+                       F.when(F.col("_iv").isNull(), F.col("_t"))
+                        .otherwise(rebuilt))
+        .select(F.col(id_col),
+                "clean_text",
+                # size(NULL) is -1 under the legacy default, not NULL —
+                # guard on the array itself, never coalesce the size
+                F.when(F.col("_iv").isNull(), F.lit(0))
+                 .otherwise(F.size("_iv")).alias("n_dup_spans"),
+                (F.length("_t") - F.length("clean_text"))
+                .alias("chars_removed"),
+                F.length("_t").alias("n_chars")))

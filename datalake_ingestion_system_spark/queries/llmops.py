@@ -957,6 +957,98 @@ FROM h
 ORACLE_SQL["q_rolling_fingerprint"] = _rolling_oracle()
 
 
+@_q("q_substring_dedup")
+def q_substring_dedup(spark, sf_dir):
+    """EXACT SUBSTRING dedup over the documents table (Lee et al., ACL
+    2022 ExactSubstr, round 10): every verbatim 40-char span occurring
+    more than once in the corpus is cut from all but its globally first
+    occurrence and the text rebuilt
+    (``operators.dedup.dedup_substrings``).  The per-source aggregate
+    hashes BOTH halves of the operator: span accounting (merged-interval
+    counts) and reconstruction (``chars_removed`` is the length the
+    REBUILT string actually lost, so a rebuild bug cannot hide behind
+    correct interval math).  The DuckDB oracle replays the whole
+    pipeline — same two Rabin-Karp bases, same keep-first rule, same
+    gaps-and-islands merge — computing the removed length from the
+    interval union.
+
+    Scale shape: three keyed shuffles (hash-pair rank, per-doc island
+    merge, per-source rollup) over per-position hashes built in ONE
+    codegen pass — the distributed re-expression of the paper's
+    suffix array, linear in corpus chars, never all-pairs."""
+    from ..operators.dedup import dedup_substrings
+
+    d = spread(load(spark, sf_dir, "documents")
+               .select("doc_id", "source", "text"))
+    out = dedup_substrings(d, "doc_id", "text", min_len=40)
+    return (out.join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("n_dup_spans") > 0).cast("long"))
+                  .alias("docs_touched"),
+                 F.sum("n_dup_spans").alias("spans_removed"),
+                 F.sum("chars_removed").alias("chars_removed"),
+                 F.sum(F.length("clean_text")).alias("clean_chars")))
+
+
+def _substring_dedup_oracle(n: int = 40, mod: int = 2147483647) -> str:
+    def terms(base: int) -> str:
+        pows = [pow(base, k, mod) for k in range(n)]
+        return " + ".join(
+            f"ord(substr(t, CAST(i + {k} AS INTEGER), 1)) * {p}::BIGINT"
+            for k, p in enumerate(pows))
+
+    return f"""
+WITH norm AS (
+  SELECT doc_id, source, {_NORM_SQL} AS t FROM documents
+), g AS (
+  SELECT doc_id, u.i AS s,
+         ({terms(257)}) % {mod} AS h1,
+         ({terms(263)}) % {mod} AS h2
+  FROM norm, unnest(range(1, length(t) - {n - 2})) AS u(i)
+  WHERE length(t) >= {n}
+), ranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY h1, h2 ORDER BY doc_id, s)
+           AS rn,
+         count(*) OVER (PARTITION BY h1, h2) AS c
+  FROM g
+), cut AS (
+  SELECT doc_id, s, s + {n} AS e FROM ranked WHERE c >= 2 AND rn >= 2
+), isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s <= coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 0 ELSE 1 END AS nw
+  FROM cut
+), gid AS (
+  SELECT doc_id, s, e,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+  FROM isl
+), merged AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e
+  FROM gid GROUP BY doc_id, grp
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS removed
+  FROM merged GROUP BY doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(n_spans, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_touched,
+       CAST(sum(coalesce(n_spans, 0)) AS BIGINT) AS spans_removed,
+       CAST(sum(coalesce(removed, 0)) AS BIGINT) AS chars_removed,
+       CAST(sum(length(t) - coalesce(removed, 0)) AS BIGINT)
+         AS clean_chars
+FROM norm LEFT JOIN per_doc USING (doc_id)
+GROUP BY source
+"""
+
+
+ORACLE_SQL["q_substring_dedup"] = _substring_dedup_oracle()
+
+
 @_q("q_profile_documents")
 def q_profile_documents(spark, sf_dir):
     """Column-level data profile of the documents table (rows / nulls /

@@ -399,3 +399,81 @@ def test_segment_dedup_fires_on_corpus(spark):
                     "doc_id")
            .filter(F.col("chars_kept") > F.col("L")).count())
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. ExactSubstr, round 10)
+
+def _sub(spark, rows, min_len=20):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in dedup.dedup_substrings(
+        df, "doc_id", "text", min_len=min_len).collect()}
+
+
+SPAN = "the quick brown fox jumps over the lazy dog and runs far away"
+
+
+def test_substring_dedup_keeps_globally_first_occurrence(spark):
+    got = _sub(spark, [(1, SPAN), (2, f"PREFIX {SPAN} SUFFIX"),
+                       (3, "entirely unrelated content right here ok")])
+    assert got[1].chars_removed == 0          # first occurrence survives
+    assert got[1].clean_text == SPAN
+    assert got[2].n_dup_spans == 1
+    assert got[2].clean_text == "prefix  suffix"
+    assert got[3].chars_removed == 0
+
+
+def test_substring_dedup_cuts_within_doc_repeats(spark):
+    got = _sub(spark, [(1, f"{SPAN} MIDDLE {SPAN}")])
+    # the second copy inside the SAME doc is a duplicate of the first
+    assert got[1].n_dup_spans == 1
+    assert got[1].clean_text.startswith(SPAN)
+    assert SPAN not in got[1].clean_text[len(SPAN):]
+
+
+def test_substring_dedup_merges_overlapping_spans(spark):
+    # two docs sharing one long region: every covering 20-gram is
+    # duplicated, but the merged removal must be ONE interval
+    long = SPAN + " plus additional shared trailing text here"
+    got = _sub(spark, [(1, long), (2, f"x {long} y")])
+    assert got[2].n_dup_spans == 1
+    assert got[2].chars_removed == len(long)
+    assert got[2].clean_text == "x  y"
+
+
+def test_substring_dedup_short_docs_pass_through(spark):
+    got = _sub(spark, [(1, "tiny"), (2, "tiny")])  # < min_len: untouched
+    assert got[1].chars_removed == 0 and got[2].chars_removed == 0
+    assert got[1].clean_text == "tiny" and got[2].clean_text == "tiny"
+
+
+def test_substring_dedup_removed_equals_interval_union(spark):
+    """chars_removed derives from the RECONSTRUCTED string; cross-check
+    it against n_chars for exact conservation on every doc."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id",
+                                                           "text")
+    out = dedup.dedup_substrings(docs, "doc_id", "text", min_len=40)
+    rows = out.collect()
+    assert any(r.n_dup_spans > 0 for r in rows), "corpus must fire"
+    for r in rows:
+        assert len(r.clean_text) == r.n_chars - r.chars_removed
+        assert r.chars_removed >= 0
+        if r.n_dup_spans:
+            # every merged span removes at least min_len chars
+            assert r.chars_removed >= 40
+
+
+def test_substring_dedup_is_idempotent_on_its_output(spark):
+    """Running the op on already-deduped text finds nothing new for
+    cross-doc spans (the kept copy is unique corpus-wide now) — the
+    fixed-point property batch pipelines re-run under."""
+    docs = spark.createDataFrame(
+        [(1, SPAN), (2, f"PREFIX {SPAN} SUFFIX"),
+         (3, f"{SPAN} trailer text goes on")],
+        "doc_id long, text string")
+    once = dedup.dedup_substrings(docs, "doc_id", "text", min_len=20)
+    again = dedup.dedup_substrings(
+        once.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id", "text", min_len=20)
+    assert again.agg(F.sum("chars_removed")).head()[0] == 0
