@@ -2188,6 +2188,115 @@ FROM s WHERE op <> 'D'
 """
 
 
+@_q("q_merge_schema_evolution")
+def q_merge_schema_evolution(spark, sf_dir):
+    """MERGE with SCHEMA EVOLUTION, oracle-verified (Delta schema
+    autoMerge, round 10): the target holds the even-id events; the
+    source carries a NEW ``channel`` column — high-value even rows
+    (updates, value bumped by 1000) plus the odd-id rows (inserts) —
+    and ``schema_evolution=True`` widens the table inside the merge's
+    one atomic rewrite.  Untouched rows must read a typed NULL channel,
+    touched rows their source values; the DuckDB oracle reconstructs
+    all three populations declaratively, so the widening, the NULL
+    fill, and the clause routing are checked cross-engine in one hash.
+
+    Scale shape: identical to q_merge_upsert (one combined guard+stats
+    aggregation, keyed joins, one staged rewrite) — evolution adds one
+    plan-level NULL projection on the target side, no extra pass."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    evens = e.filter(F.pmod("event_id", F.lit(2)) == 0)
+    path = tempfile.mkdtemp(prefix="mergevo_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(evens, path)
+    updates = (evens.filter(F.coalesce(F.col("value") > 100, F.lit(False)))
+               .withColumn("value", F.col("value") + 1000)
+               .withColumn("channel", F.lit("upd")))
+    inserts = (e.filter(F.pmod("event_id", F.lit(2)) == 1)
+               .withColumn("channel", F.lit("ins")))
+    fmt.merge(spark, path, updates.unionByName(inserts), "event_id",
+              schema_evolution=True)
+    return (fmt.read(spark, path)
+            .groupBy("event_type", "channel")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_merge_schema_evolution"] = """
+WITH merged AS (
+  SELECT event_type,
+         CASE WHEN event_id % 2 = 1 THEN 'ins'
+              WHEN coalesce(value > 100, FALSE) THEN 'upd' END AS channel,
+         CASE WHEN event_id % 2 = 0 AND coalesce(value > 100, FALSE)
+              THEN value + 1000 ELSE value END AS value
+  FROM events
+)
+SELECT event_type, channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM merged
+GROUP BY event_type, channel
+"""
+
+
+@_q("q_auto_compact_read")
+def q_auto_compact_read(spark, sf_dir):
+    """AUTO-COMPACTION round-trip, oracle-verified (Delta
+    autoOptimize.autoCompact as a table property, round 10): the events
+    table lands as five small appends on a table whose property demands
+    compaction at ≥3 small files — so the write path itself triggers
+    the size-targeted rewrite mid-ingest — and the final read's rollup
+    must be byte-identical to the declarative aggregate, proving
+    auto-compaction moved bytes without touching a row.  The trigger
+    actually firing is asserted inline (a ``rewrite_files`` commit in
+    history), so the query can never pass vacuously with the
+    maintenance path dormant.
+
+    Scale shape: the trigger check is one driver pass over
+    commit-recorded file sizes (metadata scale, free at 100 TB); the
+    compaction it launches is the same bounded small-file rewrite the
+    manual path uses — O(small files), never O(table)."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="autoc_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(e.filter(F.pmod("event_id", F.lit(5)) == 0), path)
+    fmt.set_properties(None, path, auto_compact={
+        "small_file_bytes": 64 << 20, "min_files": 3})
+    for r in range(1, 5):
+        fmt.append(e.filter(F.pmod("event_id", F.lit(5)) == r)
+                   .coalesce(1), path)
+    assert any(h["action"] == "rewrite_files"
+               for h in fmt.history(path)), "auto-compact never fired"
+    return (fmt.read(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("event_id").alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_auto_compact_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 @_q("q_delete_vector_read")
 def q_delete_vector_read(spark, sf_dir):
     """Merge-on-read DELETE oracle-verified end to end: the events table

@@ -1622,6 +1622,7 @@ class TxnLogFormat(TableFormat):
                             "partition_col": partition_col,
                             "partitions": parts,
                             "schema": df.schema.json()})
+        self._maybe_auto_compact(df.sparkSession, path)
 
     def overwrite_table(self, df: DataFrame, path: str,
                         txn_app: str | None = None,
@@ -1648,6 +1649,38 @@ class TxnLogFormat(TableFormat):
         if txn_app is not None:
             rec.update(txn_app=txn_app, txn_version=txn_version)
         self._commit(path, rec)
+        self._maybe_auto_compact(df.sparkSession, path)
+
+    def _maybe_auto_compact(self, spark: SparkSession, path: str) -> None:
+        """Post-write auto-compaction trigger (Delta
+        autoOptimize.autoCompact): when the table property is set and at
+        least ``min_files`` live files fall below ``small_file_bytes``,
+        run the targeted size compaction.  BEST-EFFORT by design — a
+        conflict with a concurrent writer is swallowed (their next write
+        re-triggers), and files from pre-size-recording commits are
+        simply not counted (the same rule the compaction itself uses).
+        The check is one pass over commit-recorded sizes: driver-side
+        metadata scale, free at any table size."""
+        commits = self._commits(path)
+        ac = self._resolve_properties(commits).get("auto_compact")
+        if not ac:
+            return
+        live = self._resolve_live(commits)
+        removed = self._resolve_removed_files(commits)
+        live_dirs = {e["dir"] for e in live}
+        small = 0
+        for c in commits:
+            for rf, b in self._file_bytes_of(path, c).items():
+                if (b < ac["small_file_bytes"] and rf not in removed
+                        and "/".join(rf.split("/", 2)[:2]) in live_dirs):
+                    small += 1
+        if small < ac["min_files"]:
+            return
+        try:
+            self.compact(spark, path,
+                         small_file_bytes=ac["small_file_bytes"])
+        except ConcurrentWriteError:
+            pass  # raced another writer; their next write re-triggers
 
     def _with_identity(self, df: DataFrame, commits: list[dict]):
         """Allocate IDENTITY values for every configured column
@@ -1755,6 +1788,7 @@ class TxnLogFormat(TableFormat):
                 self._commit(path, rec)
 
         retry_on_conflict(attempt, attempts=3)
+        self._maybe_auto_compact(df.sparkSession, path)
 
     def _txn_scan(self, path: str, app: str,
                   version: int) -> tuple[int, int | None]:
@@ -1930,6 +1964,19 @@ class TxnLogFormat(TableFormat):
                     [x for x in commits if x["version"] <= c["to_version"]])
             elif c["action"] == "alter":
                 alters.append(c)
+            elif c.get("evolved_add"):
+                # a schema-evolving MERGE widened the table inside its
+                # replace_all commit (Delta autoMerge): synthesize the
+                # equivalent alter record so every schema-era consumer —
+                # the change feed's per-file mapping, time-travel
+                # conformance, rename inversion — sees the columns
+                # appear at this version through the ONE alter path
+                # instead of growing a parallel rule
+                alters.append({"action": "alter",
+                               "version": c["version"],
+                               "add": dict(c["evolved_add"]),
+                               "rename": {}, "drop": [],
+                               "schema": c.get("schema")})
         return alters
 
     @staticmethod
@@ -2072,6 +2119,7 @@ class TxnLogFormat(TableFormat):
                        change_data_feed: bool | None = ...,
                        generated_columns: dict[str, str] | None = ...,
                        identity_columns: dict | None = ...,
+                       auto_compact: dict | None = ...,
                        validate_constraints: bool = True) -> int:
         """Persist table-level PROPERTIES in the log (Delta
         ``ALTER TABLE ... SET TBLPROPERTIES`` parity) as one
@@ -2157,6 +2205,33 @@ class TxnLogFormat(TableFormat):
                             f"identity_columns[{c!r}] must be "
                             "{'start': int, 'step': int >= 1}")
             props["identity_columns"] = identity_columns
+        if auto_compact is not ...:
+            #: post-write AUTO-COMPACTION (Delta autoOptimize.autoCompact
+            #: parity, as a table property binding every writer): after a
+            #: batch append/overwrite publishes, the writer counts live
+            #: files whose commit-recorded size is below
+            #: ``small_file_bytes``; at or above ``min_files`` it runs the
+            #: targeted size compaction BEST-EFFORT — a lost conflict race
+            #: is skipped silently, the next write re-triggers.  The count
+            #: is driver-side over commit-recorded sizes (metadata scale),
+            #: so the check costs nothing at any table size.
+            if auto_compact is not None:
+                ok = (isinstance(auto_compact, dict)
+                      and set(auto_compact) == {"small_file_bytes",
+                                                "min_files"}
+                      and isinstance(auto_compact.get("small_file_bytes"),
+                                     int)
+                      and not isinstance(auto_compact["small_file_bytes"],
+                                         bool)
+                      and auto_compact["small_file_bytes"] > 0
+                      and isinstance(auto_compact.get("min_files"), int)
+                      and not isinstance(auto_compact["min_files"], bool)
+                      and auto_compact["min_files"] >= 2)
+                if not ok:
+                    raise ValueError(
+                        "auto_compact must be {'small_file_bytes': "
+                        "int > 0, 'min_files': int >= 2}")
+            props["auto_compact"] = auto_compact
         if not props:
             raise ValueError("no properties given")
         commits = self._commits(path)
@@ -3721,7 +3796,8 @@ class TxnLogFormat(TableFormat):
     def merge(self, spark: SparkSession, path: str, source: DataFrame,
               key: str | list[str],
               matched_delete_condition: str | None = None,
-              insert_condition: str | None = None) -> dict:
+              insert_condition: str | None = None,
+              schema_evolution: bool = False) -> dict:
         """MERGE INTO (Delta upsert analogue), the CDC apply primitive:
 
         - WHEN MATCHED AND ``matched_delete_condition`` THEN DELETE
@@ -3737,7 +3813,10 @@ class TxnLogFormat(TableFormat):
         the conditions and then projected away — but it must supply every
         target column, and at most one row per merge key (multiple matches
         make UPDATE SET * ambiguous; raises ``ValueError``, matching
-        Delta's multiple-source-rows-matched error).
+        Delta's multiple-source-rows-matched error).  With
+        ``schema_evolution=True`` (Delta schema autoMerge) the extra
+        source columns instead WIDEN the target: new columns publish
+        with the rewrite's schema, untouched rows read typed NULLs.
 
         Copy-on-write ``replace_all`` publish with the same
         ``ConcurrentWriteError`` snapshot guard as ``delete_where``; CHECK
@@ -3786,6 +3865,24 @@ class TxnLogFormat(TableFormat):
         if missing:
             raise ValueError(
                 f"merge source is missing target columns: {missing}")
+        if schema_evolution:
+            # Delta schema autoMerge (UPDATE SET * / INSERT * with
+            # spark.databricks.delta.schema.autoMerge.enabled): every
+            # source column ABSENT from the target becomes a new target
+            # column — matched/inserted rows take the source values,
+            # untouched target rows materialize typed NULLs in the
+            # rewrite, and the widened schema publishes with the
+            # replace_all commit like any schema change.  Exactly
+            # Delta's rule, including its sharp edge: helper columns
+            # (CDC op flags) get ADDED too — project them off the
+            # source first.  Default stays False: extra source columns
+            # are consulted by the conditions, then projected away.
+            stypes = dict(source.dtypes)
+            extra = [c for c in source.columns if c not in tcols]
+            if extra:
+                target = target.withColumns(
+                    {c: F.lit(None).cast(stypes[c]) for c in extra})
+                tcols = tcols + extra
         del_cond = (F.coalesce(F.expr(matched_delete_condition), F.lit(False))
                     if matched_delete_condition is not None else F.lit(False))
         ins_cond = (F.coalesce(F.expr(insert_condition), F.lit(False))
@@ -3836,6 +3933,13 @@ class TxnLogFormat(TableFormat):
         rec = {"action": "replace_all", "dir": rel,
                "partition_col": None, "partitions": [],
                "schema": new_state.schema.json()}
+        if schema_evolution and extra:
+            # record WHICH columns this merge added (source-typed DDL):
+            # _resolve_alters synthesizes the matching alter entry, so
+            # pre-merge files (change feed, time travel) map the new
+            # columns to typed NULLs instead of failing the strict
+            # missing-column check
+            rec["evolved_add"] = {c: stypes[c] for c in extra}
         if self._effective_config(commits)[2]:
             self._check_cdf_reserved_columns(tcols)
             # exact per-row changes, each side keyed off the already-

@@ -3386,3 +3386,118 @@ def test_full_compact_never_erases_a_racing_append(spark, tmp_path):
     # second interleaved append — into the one rewritten commit
     live = fmt._resolve_live(fmt._commits(path))
     assert [e["action"] for e in live] == ["replace_all"]
+
+
+def test_merge_schema_evolution_widens_target(spark, tmp_path):
+    """Delta schema autoMerge: schema_evolution=True turns extra source
+    columns into NEW target columns — matched/inserted rows take the
+    source values, untouched rows read typed NULLs, and the widened
+    schema is the table's schema from the rewrite on.  Default stays
+    project-away (pinned here too)."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"), path)
+
+    # default: extra columns consulted, then projected away
+    fmt.merge(spark, path, spark.createDataFrame(
+        [(2, "B", 9)], "id long, s string, extra long"), "id")
+    assert fmt.read(spark, path).columns == ["id", "s"]
+
+    got = fmt.merge(spark, path, spark.createDataFrame(
+        [(3, "C", 0.5), (5, "E", 0.9)],
+        "id long, s string, score double"), "id",
+        schema_evolution=True)
+    assert got == {"updated": 1, "deleted": 0, "inserted": 1}
+    out = {r.id: (r.s, r.score) for r in fmt.read(spark, path).collect()}
+    assert out == {1: ("a", None), 2: ("B", None), 3: ("C", 0.5),
+                   5: ("E", 0.9)}
+    # the new column is a real stored column: stats skipping works
+    assert fmt.read(spark, path, where="score >= 0.9").count() == 1
+    # and the resolved schema carries the declared type
+    import json as _json
+    sj = _json.loads(fmt.details(path)["schema"])
+    assert {"name": "score", "type": "double"}.items() <= \
+        next(f for f in sj["fields"] if f["name"] == "score").items()
+
+
+def test_merge_schema_evolution_with_cdf_sidecar(spark, tmp_path):
+    """Evolution composes with the change-data-feed sidecar: preimages
+    of pre-evolution rows carry typed NULLs for the new column."""
+    fmt = TxnLogFormat(change_data_feed=True)
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1, "a")], "id long, s string"),
+               path)
+    fmt.merge(spark, path, spark.createDataFrame(
+        [(1, "A", 7)], "id long, s string, w long"), "id",
+        schema_evolution=True)
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogDataSource)
+    spark.dataSource.register(TxnLogDataSource)
+    ch = {r["_change_type"]: r for r in
+          (spark.read.format("txnlog")
+           .option("readChangeFeed", "true").load(path).collect())}
+    assert ch["update_preimage"].w is None
+    assert ch["update_postimage"].w == 7
+
+
+def test_auto_compact_property(spark, tmp_path):
+    """Delta autoOptimize.autoCompact as a table property: once at least
+    min_files live files fall below small_file_bytes, the NEXT write
+    triggers the targeted size compaction — including from a FRESH
+    writer constructed with no settings (the property binds everyone).
+    Below threshold nothing fires; a conflict race is swallowed
+    (best-effort)."""
+    from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
+
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    one = lambda lo: spark.range(lo, lo + 5).select(
+        F.col("id").alias("k")).coalesce(1)
+    fmt.append(one(0), path)
+    with pytest.raises(ValueError, match="auto_compact"):
+        fmt.set_properties(None, path, auto_compact={"min_files": 2})
+    fmt.set_properties(None, path, auto_compact={
+        "small_file_bytes": 1 << 20, "min_files": 4})
+
+    fmt.append(one(10), path)          # 2 small files: below threshold
+    assert not any(r["action"] == "rewrite_files"
+                   for r in fmt.history(path))
+    fmt.append(one(20), path)
+    fmt.append(one(30), path)          # 4th small file: fires
+    assert any(r["action"] == "rewrite_files" for r in fmt.history(path))
+    assert fmt.read(spark, path).count() == 20
+    assert fmt.details(path)["num_live_files"] == 1
+
+    # an ignorant fresh writer honors the property too
+    fresh = TxnLogFormat(checkpoint_interval=None)
+    for i in range(4):
+        fresh.append(one(100 + i * 10), path)
+    assert fresh.details(path)["num_live_files"] <= 2
+    assert fresh.read(spark, path).count() == 40
+
+    # best-effort: a conflict inside the auto-compaction must not fail
+    # the append that triggered it
+    orig = fmt.compact
+
+    def conflicted(*a, **kw):
+        raise ConcurrentWriteError("simulated race")
+
+    fmt.compact = conflicted
+    try:
+        fmt.append(one(200), path)
+        fmt.append(one(210), path)
+        fmt.append(one(220), path)
+        fmt.append(one(230), path)     # would fire; conflict swallowed
+    finally:
+        fmt.compact = orig
+    assert fmt.read(spark, path).count() == 60
+
+    # None unsets: no compaction regardless of small-file count
+    fmt.set_properties(None, path, auto_compact=None)
+    before = len(fmt.history(path))
+    for i in range(5):
+        fmt.append(one(300 + i * 10), path)
+    acts = [r["action"] for r in fmt.history(path)][: len(
+        fmt.history(path)) - before]
+    assert "rewrite_files" not in acts
