@@ -301,6 +301,27 @@ def main() -> None:
                                      files_per_commit=8,
                                      fixture_tag="deep_v2")
     print(f"# metadata_plan_deep: {meta_deep}", file=sys.stderr)
+    # zero-copy CLONE depth number (round 10): clone the 48k-live-file
+    # fixture — the O(live files) claim measured, not asserted.  Pure
+    # driver metadata work (state fold + sidecar write + one hardlink
+    # per live file); no data bytes move, no Spark job runs.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat
+    deep_path = os.path.join("/tmp/spark_graft_bench_fixtures",
+                             "commitlog6000_deep_v2")
+    clone_runs = []
+    for _rep in range(3):
+        broot = _tempfile.mkdtemp(prefix="clone_bench_")
+        t0 = time.perf_counter()
+        TxnLogFormat().clone(deep_path, os.path.join(broot, "t"))
+        clone_runs.append(round(time.perf_counter() - t0, 3))
+        _shutil.rmtree(broot)
+    clone_deep = {"live_files": 48000,
+                  "clone_sec": sorted(clone_runs)[1],
+                  "runs": clone_runs}
+    print(f"# clone_deep: {clone_deep}", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
@@ -312,6 +333,7 @@ def main() -> None:
         "protocol": f"median-of-{reps}",
         "metadata_plan": meta_plan,
         "metadata_plan_deep": meta_deep,
+        "clone_deep": clone_deep,
         "sf": sf,
     }))
 

@@ -86,6 +86,22 @@ class TableFormat:
 
 
 
+def _epoch_of(ts: float | str) -> float:
+    """Timestamp argument → epoch seconds — ONE conversion shared by
+    every ``*_timestamp`` surface (read / restore / clone).  NAIVE ISO
+    strings pin to UTC: commit ``ts`` values are epoch seconds, so a
+    local-TZ interpretation would resolve the same string to different
+    versions on hosts with different TZ settings (offset-aware strings
+    are honored as written)."""
+    if isinstance(ts, str):
+        import datetime as _dt
+        cutoff = _dt.datetime.fromisoformat(ts)
+        if cutoff.tzinfo is None:
+            cutoff = cutoff.replace(tzinfo=_dt.timezone.utc)
+        return cutoff.timestamp()
+    return float(ts)
+
+
 def _relfile(abs_path: str) -> str:
     """Table-relative file identity: the `_txn_data/...` suffix of an
     absolute path — ONE derivation shared by deletion vectors, stats
@@ -2982,19 +2998,8 @@ class TxnLogFormat(TableFormat):
             if as_of_version is not None:
                 raise ValueError(
                     "pass as_of_version OR as_of_timestamp, not both")
-            if isinstance(as_of_timestamp, str):
-                import datetime as _dt
-                cutoff = _dt.datetime.fromisoformat(as_of_timestamp)
-                if cutoff.tzinfo is None:
-                    # NAIVE strings are pinned to UTC: commit ts values
-                    # are epoch seconds, so a local-TZ interpretation
-                    # would resolve the same string to different versions
-                    # on hosts with different TZ settings (offset-aware
-                    # strings are honored as written)
-                    cutoff = cutoff.replace(tzinfo=_dt.timezone.utc)
-                as_of_timestamp = cutoff.timestamp()
             as_of_version = self._version_at_timestamp(
-                path, commits, as_of_timestamp)
+                path, commits, _epoch_of(as_of_timestamp))
         if as_of_version is not None:
             if not commits or commits[-1]["version"] < as_of_version:
                 raise ValueError(
@@ -3963,16 +3968,30 @@ class TxnLogFormat(TableFormat):
                 "deleted": int(row["deleted"] or 0),
                 "inserted": int(row["inserted"] or 0)}
 
-    def restore(self, spark: SparkSession, path: str, version: int) -> int:
-        """RESTORE TABLE ... TO VERSION AS OF — as a METADATA-ONLY commit
-        (Delta's RESTORE shape): no data is rewritten; a ``restore`` record
-        re-references the target version's directories, and replay resolves
-        it recursively.  History is preserved — the bad versions stay
-        readable via time travel, and the restore itself is one more
-        commit (restorable in turn).  Raises if the target version does
-        not exist or its data dirs were vacuumed.  Returns the new commit's
-        version."""
+    def restore(self, spark: SparkSession, path: str,
+                version: int | None = None,
+                timestamp: float | str | None = None) -> int:
+        """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF — as a
+        METADATA-ONLY commit (Delta's RESTORE shape): no data is
+        rewritten; a ``restore`` record re-references the target
+        version's directories, and replay resolves it recursively.
+        ``timestamp`` (epoch seconds or ISO string, UTC-pinned when
+        naive) resolves to the latest version published at or before
+        the cutoff — Delta's RESTORE ... TIMESTAMP AS OF.  History is
+        preserved — the bad versions stay readable via time travel, and
+        the restore itself is one more commit (restorable in turn).
+        Raises if the target version does not exist or its data dirs
+        were vacuumed.  Returns the new commit's version."""
+        # always gated: restore WRITES at the head regardless of where
+        # the target resolves, so the head must be fully interpretable
         commits = self._commits(path)
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self._version_at_timestamp(
+                path, commits, _epoch_of(timestamp))
+        if version is None:
+            raise ValueError("pass version or timestamp")
         if not commits or commits[-1]["version"] < version or version < 0:
             raise ValueError(f"version {version} does not exist at {path}")
         # checkpoint-aware prefix (versions at or below a checkpoint are
@@ -4003,7 +4022,8 @@ class TxnLogFormat(TableFormat):
                                    "schema": schema})
 
     def clone(self, src: str, dst: str,
-              version: int | None = None) -> int:
+              version: int | None = None,
+              timestamp: float | str | None = None) -> int:
         """CLONE TABLE (Delta ``CREATE TABLE ... CLONE`` parity): a new
         INDEPENDENT table at ``dst`` holding exactly ``src``'s state at
         ``version`` (default: head) — zero data rewritten.  The source's
@@ -4033,7 +4053,18 @@ class TxnLogFormat(TableFormat):
         begins at the clone).  Identity columns continue from the
         source watermark; constraints, generated columns, blooms, CDF,
         and protocol gates all bind ``dst`` writers because they ride
-        the folded properties.  Returns the seed version."""
+        the folded properties.  ``timestamp`` (epoch seconds or ISO
+        string, UTC-pinned when naive) clones the latest version
+        published at or before the cutoff — Delta's CLONE ... TIMESTAMP
+        AS OF.  Returns the seed version."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            head = self._commits(src, _gate=False)
+            if not head:
+                raise FileNotFoundError(f"no committed table at {src}")
+            version = self._version_at_timestamp(
+                src, head, _epoch_of(timestamp))
         commits = self._commits(src, upto=version)
         if not commits:
             if version is not None:

@@ -161,3 +161,35 @@ class TestCloneState:
         fmt.delete_where(spark, c, "k >= 100")
         assert fmt.read(spark, c).count() == 20
         assert fmt.read(spark, b).count() == 30
+
+
+class TestTimestampTargets:
+    def test_clone_and_restore_at_timestamp(self, spark, tmp_path):
+        """CLONE/RESTORE ... TIMESTAMP AS OF resolve through the same
+        UTC-pinned cutoff rule as read(as_of_timestamp=...)."""
+        import json as _json
+        import os as _os
+
+        fmt = TxnLogFormat(checkpoint_interval=None)
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        fmt.append(_df(spark, 0, 10), src)                  # v0
+        fmt.append(_df(spark, 10, 30), src)                 # v1
+        # pin a cutoff strictly between the two commit timestamps
+        log = _os.path.join(src, "_txn_log")
+        ts = []
+        for n in sorted(_os.listdir(log)):
+            if n.endswith(".json"):
+                with open(_os.path.join(log, n)) as f:
+                    ts.append(_json.load(f)["ts"])
+        cutoff = (ts[0] + ts[1]) / 2
+        assert fmt.clone(src, dst, timestamp=cutoff) == 0
+        assert fmt.read(spark, dst).count() == 10
+        with pytest.raises(ValueError, match="not both"):
+            fmt.clone(src, str(tmp_path / "d2"), version=0,
+                      timestamp=cutoff)
+        v = fmt.restore(spark, src, timestamp=cutoff)
+        assert fmt.read(spark, src).count() == 10
+        # the restore itself is one more commit
+        assert fmt.details(src)["version"] == v == 2
+        with pytest.raises(ValueError, match="version or timestamp"):
+            fmt.restore(spark, src)
