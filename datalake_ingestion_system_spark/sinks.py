@@ -2230,7 +2230,11 @@ class TxnLogFormat(TableFormat):
             #: targeted size compaction BEST-EFFORT — a lost conflict race
             #: is skipped silently, the next write re-triggers.  The count
             #: is driver-side over commit-recorded sizes (metadata scale),
-            #: so the check costs nothing at any table size.
+            #: so the check costs nothing at any table size.  Boundary:
+            #: the raw DSv2 STREAMING sink cannot trigger it (its commit
+            #: runs in a sessionless Python worker — no SparkSession to
+            #: launch the rewrite); foreachBatch-driven streaming and
+            #: every batch writer do.
             if auto_compact is not None:
                 ok = (isinstance(auto_compact, dict)
                       and set(auto_compact) == {"small_file_bytes",

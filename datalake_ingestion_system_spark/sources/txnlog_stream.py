@@ -1046,6 +1046,13 @@ class TxnLogStreamWriter(TxnLogWriter, DataSourceStreamWriter):
         self._gather(messages, dest_rel)
         rec = {**self._record(dest_rel),
                "txn_app": self.txn_app, "txn_version": batchId}
+        # NOTE: no auto-compaction here BY NECESSITY — this commit()
+        # runs in a sessionless Python-data-source worker process (no
+        # SparkSession exists to launch the rewrite job; Delta's sink
+        # can because it is JVM-side).  The auto_compact table property
+        # fires from every batch writer and from foreachBatch-driven
+        # streaming (this repo's streaming helpers append/merge on the
+        # driver); raw-sink tables schedule compact() like any OPTIMIZE.
         TxnLogFormat()._commit(self.path, rec)
 
     def abort(self, messages, batchId: int) -> None:
