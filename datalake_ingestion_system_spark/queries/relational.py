@@ -2245,6 +2245,58 @@ GROUP BY event_type, channel
 """
 
 
+@_q("q_convert_read")
+def q_convert_read(spark, sf_dir):
+    """CONVERT-in-place round-trip, oracle-verified (Delta CONVERT TO
+    DELTA parity, round 10): a plain parquet dump of the events table
+    is adopted as a txnlog table with zero bytes rewritten (hardlinks +
+    one footer-harvest commit), then immediately exercised like a
+    native table — a deletion-vector delete of the error rows — and
+    the survivors' rollup must match the declarative oracle.  Converted
+    files carry real per-file stats, asserted inline with a pinned
+    skipping read, so conversion cannot silently degrade to a
+    stats-less table.
+
+    Scale shape: one hardlink + one footer metadata read per file —
+    O(files) driver calls, no Spark job, no data movement (the
+    object-store seam is the same server-side COPY as clone); the
+    commit is the ordinary stats-bearing append every reader already
+    plans from."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="convert_q_") + "/t"
+    # range-lay the dump so the skipping assertion below is
+    # deterministic (disjoint per-file event_id ranges)
+    e.repartitionByRange(4, "event_id").write.parquet(path)
+    fmt = TxnLogFormat()
+    fmt.convert(spark, path)
+    fmt.delete_where_dv(spark, path, "event_type = 'error'")
+    full = fmt.read(spark, path)
+    pruned = fmt.read(spark, path,
+                      where=f"event_id <= 10")
+    assert len(pruned.inputFiles()) < len(full.inputFiles()) or \
+        len(full.inputFiles()) == 1, "converted stats must prune"
+    return (full.groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_convert_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE coalesce(event_type <> 'error', TRUE)
+GROUP BY event_type
+"""
+
+
 @_q("q_auto_compact_read")
 def q_auto_compact_read(spark, sf_dir):
     """AUTO-COMPACTION round-trip, oracle-verified (Delta

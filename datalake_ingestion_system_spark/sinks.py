@@ -4128,6 +4128,91 @@ class TxnLogFormat(TableFormat):
                               raw_too=True)
         return v
 
+    def convert(self, spark: SparkSession, path: str) -> int:
+        """CONVERT an existing plain-parquet directory into a txnlog
+        table IN PLACE (Delta ``CONVERT TO DELTA`` parity) — zero data
+        rewritten: every ``*.parquet`` under ``path`` hardlinks into one
+        fresh ``_txn_data`` staging dir (originals stay untouched, so
+        the conversion is non-destructive and repeatable elsewhere), and
+        ONE commit publishes them with footer-harvested per-file stats —
+        the converted table starts life with data skipping, and every
+        later write/delete/stream works like on a native table.
+
+        A one-level hive layout (``col=value`` subdirectories — Delta's
+        ``PARTITIONED BY`` conversion) is detected and recorded as a
+        dynamic-overwrite commit carrying the partition column and
+        VALUES, so the converted table keeps log-level partition
+        pruning.  Deeper nesting or mixed layouts raise (convert what
+        you can prove; Delta likewise requires the partition schema).
+
+        Scale shape: one link + one footer read per file — O(files)
+        metadata calls, no Spark job, no byte movement; on an object
+        store the link seam is the same server-side COPY as ``clone``.
+        Returns the commit version (always 0)."""
+        if os.path.isdir(self._log_dir(path)) and any(
+                n.endswith(".json")
+                for n in os.listdir(self._log_dir(path))):
+            raise FileExistsError(
+                f"{path} already holds a txnlog table")
+        flat: list[str] = []
+        parts: dict[str, set] = {}
+        for name in sorted(os.listdir(path)):
+            full = os.path.join(path, name)
+            if name.endswith(".parquet") and os.path.isfile(full):
+                flat.append(name)
+            elif os.path.isdir(full) and "=" in name \
+                    and not name.startswith("_txn"):
+                col, _, val = name.partition("=")
+                inner = sorted(os.listdir(full))
+                if any(os.path.isdir(os.path.join(full, n))
+                       for n in inner):
+                    raise ValueError(
+                        "convert supports at most ONE hive partition "
+                        f"level; {name} contains subdirectories")
+                parts.setdefault(col, set()).add(
+                    (name, val if val != "__HIVE_DEFAULT_PARTITION__"
+                     else None))
+        if flat and parts:
+            raise ValueError(
+                f"mixed layout at {path}: both bare parquet files and "
+                "hive partition dirs — convert one consistent layout")
+        if len(parts) > 1:
+            raise ValueError(
+                f"multiple partition columns at {path}: "
+                f"{sorted(parts)} — one-level hive layouts only")
+        if not flat and not parts:
+            raise FileNotFoundError(
+                f"no parquet files or hive partition dirs at {path}")
+        rel = os.path.join("_txn_data", f"converted-{uuid.uuid4().hex}")
+
+        def link(src_rel: str, dst_rel: str) -> None:
+            d = os.path.join(path, rel, dst_rel)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            os.link(os.path.join(path, src_rel), d)
+
+        if flat:
+            for name in flat:
+                link(name, name)
+            rec = {"action": "append", "dir": rel,
+                   "schema": spark.read.parquet(
+                       os.path.join(path, rel)).schema.json()}
+        else:
+            (pcol, entries), = parts.items()
+            values = []
+            for dirname, val in sorted(entries,
+                                       key=lambda t: (t[1] is None, t[1])):
+                values.append(val)
+                for fn in os.listdir(os.path.join(path, dirname)):
+                    if fn.endswith(".parquet"):
+                        link(os.path.join(dirname, fn),
+                             os.path.join(dirname, fn))
+            rec = {"action": "overwrite", "dir": rel,
+                   "partition_col": pcol, "partitions": values,
+                   "schema": spark.read.option(
+                       "basePath", os.path.join(path, rel)).parquet(
+                       os.path.join(path, rel)).schema.json()}
+        return self._commit(path, rec)
+
     #: Delta OPTIMIZE's default output size — the size-targeted rewrite
     #: coalesces small-file survivors into bins of about this many bytes.
     _TARGET_FILE_BYTES = 128 * 1024 * 1024

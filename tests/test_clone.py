@@ -242,3 +242,69 @@ class TestCloneHardening:
         assert fmt.read(spark, src).count() == 30
         assert sorted(r.k for r in fmt.read(spark, src).collect()) == \
             sorted(r.k for r in fmt.read(spark, dst).collect())
+
+
+class TestConvert:
+    def test_convert_flat_parquet_dir(self, spark, tmp_path):
+        """CONVERT TO DELTA parity: a plain parquet directory becomes a
+        txnlog table in place — zero bytes rewritten (hardlinks), stats
+        harvested so skipping works from commit 0, and every later
+        write primitive behaves as on a native table."""
+        d = str(tmp_path / "flat")
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")) \
+            .coalesce(3).write.parquet(d)
+        fmt = TxnLogFormat(checkpoint_interval=None)
+        assert fmt.convert(spark, d) == 0
+        assert fmt.read(spark, d).count() == 100
+        # footer-harvested stats prune files immediately
+        sk = fmt.read(spark, d, where="k >= 90")
+        assert len(sk.inputFiles()) < len(fmt.read(spark, d).inputFiles())
+        assert sk.count() == 10
+        # native write surface works on the converted table
+        assert fmt.delete_where_dv(spark, d, "k < 10") == 10
+        fmt.append(spark.range(200, 205).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")), d)
+        assert fmt.read(spark, d).count() == 95
+        # originals untouched (non-destructive): plain reader still works
+        assert spark.read.parquet(
+            *[os.path.join(d, n) for n in os.listdir(d)
+              if n.endswith(".parquet")]).count() == 100
+        with pytest.raises(FileExistsError):
+            fmt.convert(spark, d)
+
+    def test_convert_partitioned_dir(self, spark, tmp_path):
+        d = str(tmp_path / "part")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a"), (4, "c")],
+            "k long, p string").write.partitionBy("p").parquet(d)
+        fmt = TxnLogFormat(checkpoint_interval=None)
+        fmt.convert(spark, d)
+        got = sorted((r.k, r.p) for r in fmt.read(spark, d).collect())
+        assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "c")]
+        assert fmt.read(spark, d, where="p = 'b'").count() == 1
+        # the commit recorded the partition column and values, so a
+        # LATER dynamic overwrite subtracts correctly
+        fmt.overwrite_partitions(spark.createDataFrame(
+            [(20, "b")], "k long, p string"), d, "p")
+        got = sorted((r.k, str(r.p))
+                     for r in fmt.read(spark, d).collect())
+        assert got == [(1, "a"), (3, "a"), (4, "c"), (20, "b")]
+
+    def test_convert_rejects_ambiguous_layouts(self, spark, tmp_path):
+        fmt = TxnLogFormat()
+        d = str(tmp_path / "mixed")
+        os.makedirs(os.path.join(d, "p=a"))
+        spark.range(3).coalesce(1).write.mode("append").parquet(d)
+        # the flat write put parquet at top level; add a file under p=a
+        spark.range(2).coalesce(1).write.parquet(os.path.join(d, "tmp"))
+        import shutil
+        for n in os.listdir(os.path.join(d, "tmp")):
+            if n.endswith(".parquet"):
+                shutil.move(os.path.join(d, "tmp", n),
+                            os.path.join(d, "p=a", n))
+        shutil.rmtree(os.path.join(d, "tmp"))
+        with pytest.raises(ValueError, match="mixed layout"):
+            fmt.convert(spark, d)
+        with pytest.raises(FileNotFoundError):
+            fmt.convert(spark, str(tmp_path / "empty_dir_missing"))
