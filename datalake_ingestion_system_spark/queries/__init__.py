@@ -63,8 +63,9 @@ _FORCE_FRONT: tuple[str, ...] = (
     # fix added a conflict guard — all transitive over the same txn
     # closure already fronted below; re-verified by a FULL local
     # registry sweep (203 hash-PASS + 2 rows-only, 0 fail) after the
-    # gate landed.  q_protocol_gated_read, q_clone_read, and
-    # q_substring_dedup are new and front automatically.
+    # gate landed.  q_protocol_gated_read, q_clone_read,
+    # q_substring_dedup, q_merge_schema_evolution, q_auto_compact_read,
+    # and q_convert_read are new and front automatically.
     "q_data_skipping_read", "q_bloom_skipping_read",
     "q_zorder_skipping_read", "q_alter_skipping_read",
     "q_schema_evolution_read", "q_delete_vector_read",
