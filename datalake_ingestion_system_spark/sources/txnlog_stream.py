@@ -418,6 +418,18 @@ class TxnLogStreamReader(DataSourceStreamReader):
         self.max_commits = int(raw) if raw is not None else None
         if self.max_commits is not None and self.max_commits <= 0:
             raise ValueError("maxCommitsPerTrigger must be positive")
+        #: ``option("maxFilesPerTrigger", N)`` — Delta's native rate
+        #: limit, FILE-granular: each micro-batch advances through
+        #: commits until adding the next one would exceed N planned
+        #: files (commit-recorded counts, no storage listing).  A batch
+        #: always advances at least one commit (progress guarantee —
+        #: Delta likewise admits whole AddFile sets), so one commit
+        #: larger than N plans alone.  Composes with
+        #: maxCommitsPerTrigger (both caps apply); same restart caveat.
+        raw = options.get("maxfilespertrigger")
+        self.max_files = int(raw) if raw is not None else None
+        if self.max_files is not None and self.max_files <= 0:
+            raise ValueError("maxFilesPerTrigger must be positive")
         #: Schema-evolution tracking (VERDICT r8 item 3 — Delta
         #: ``schemaTrackingLocation`` semantics): an ``alter`` commit in
         #: the planned range that ADDs or RENAMEs columns this stream's
@@ -507,6 +519,31 @@ class TxnLogStreamReader(DataSourceStreamReader):
         if self.max_commits is not None \
                 and self._planned_through is not None:
             head = min(head, self._planned_through + self.max_commits)
+        if self.max_files is not None \
+                and self._planned_through is not None:
+            # FILE-granular cap: walk the in-range commits accumulating
+            # their recorded file counts; stop BEFORE the commit that
+            # would blow the budget, but always take the first (progress
+            # guarantee).  A checkpoint record in range counts its live
+            # files (the folded backlog IS that big); metadata commits
+            # count zero and advance free.
+            taken = 0
+            capped = self._planned_through
+            for c in commits:
+                v = c["version"]
+                if v <= self._planned_through or v > head:
+                    continue
+                if c["action"] == "checkpoint":
+                    nf = sum(len(e.get("files") or [])
+                             for e in c["state"]["live"])
+                else:
+                    nf = len(c.get("files") or [])
+                if capped > self._planned_through \
+                        and taken + nf > self.max_files:
+                    break
+                taken += nf
+                capped = v
+            head = capped
         return {"version": head}
 
     def partitions(self, start: dict, end: dict):

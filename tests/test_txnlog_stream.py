@@ -1085,3 +1085,42 @@ def test_batch_where_option_and_cdf_pushdown_pruning(registered, tmp_path):
         .where("k >= 200").collect())
     assert have == want
     assert [k for k, _t in have] == list(range(200, 205))
+
+
+def test_max_files_per_trigger_caps_each_batch(spark, tmp_path):
+    """Delta's native FILE-granular rate limit: with
+    maxFilesPerTrigger=3, batches advance through commits until the
+    next commit's recorded file count would blow the budget — but
+    always at least one commit (a 4-file commit plans alone rather than
+    stalling).  Metadata commits advance free."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogStreamReader)
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    mk = lambda n, lo: spark.createDataFrame(
+        [(lo + i,) for i in range(n)], "v int").repartition(n)
+    fmt.append(mk(2, 0), path)           # v0: 2 files
+    fmt.append(mk(2, 10), path)          # v1: 2 files
+    fmt.append(mk(4, 20), path)          # v2: 4 files (> budget, alone)
+    fmt.set_properties(None, path, constraints={"c": "v >= 0"},
+                       validate_constraints=False)          # v3: 0 files
+    fmt.append(mk(1, 30), path)          # v4: 1 file
+    schema = fmt.read(spark, path).schema
+    reader = TxnLogStreamReader(schema, {"path": path,
+                                         "maxfilespertrigger": "3"})
+    cur = reader.initialOffset()
+    ends = []
+    for _ in range(3):
+        nxt = reader.latestOffset()
+        reader.partitions(cur, nxt)
+        ends.append(nxt["version"])
+        cur = nxt
+    # batch 1: v0 (2 files; v1 would make 4 > 3) — batch 2: v1 alone
+    # (v2 would blow it) — batch 3: v2 alone (oversized, progress
+    # guarantee), then v3+v4 (0+1 files) ride the next batch
+    assert ends == [0, 1, 2]
+    assert reader.latestOffset() == {"version": 4}
+
+    with pytest.raises(ValueError, match="positive"):
+        TxnLogStreamReader(schema, {"path": path,
+                                    "maxfilespertrigger": "0"})
