@@ -430,6 +430,24 @@ class TxnLogStreamReader(DataSourceStreamReader):
         self.max_files = int(raw) if raw is not None else None
         if self.max_files is not None and self.max_files <= 0:
             raise ValueError("maxFilesPerTrigger must be positive")
+        #: ``option("maxBytesPerTrigger", N)`` — Delta's soft byte
+        #: cap: same walk as maxFilesPerTrigger over the commit-recorded
+        #: byte counts (a checkpoint record decodes its lazily-stored
+        #: sizes once).  Soft exactly like Delta: a batch always takes
+        #: at least one commit, and commits predating size recording
+        #: count zero (size unknown — advance rather than stall).
+        raw = options.get("maxbytespertrigger")
+        self.max_bytes = int(raw) if raw is not None else None
+        if self.max_bytes is not None and self.max_bytes <= 0:
+            raise ValueError("maxBytesPerTrigger must be positive")
+        #: ``option("ignoreDeletes", "true")`` — Delta parity, the
+        #: narrow sibling of ignoreChanges: a commit that only REMOVES
+        #: rows (a deletion vector, or a targeted rewrite that staged
+        #: NO survivors) skips silently; anything that adds or rewrites
+        #: rows still fails without ignoreChanges, because its rows
+        #: would otherwise silently never reach the stream.
+        self.ignore_deletes = str(
+            options.get("ignoredeletes", "false")).lower() == "true"
         #: Schema-evolution tracking (VERDICT r8 item 3 — Delta
         #: ``schemaTrackingLocation`` semantics): an ``alter`` commit in
         #: the planned range that ADDs or RENAMEs columns this stream's
@@ -519,15 +537,17 @@ class TxnLogStreamReader(DataSourceStreamReader):
         if self.max_commits is not None \
                 and self._planned_through is not None:
             head = min(head, self._planned_through + self.max_commits)
-        if self.max_files is not None \
+        if (self.max_files is not None or self.max_bytes is not None) \
                 and self._planned_through is not None:
-            # FILE-granular cap: walk the in-range commits accumulating
-            # their recorded file counts; stop BEFORE the commit that
-            # would blow the budget, but always take the first (progress
-            # guarantee).  A checkpoint record in range counts its live
-            # files (the folded backlog IS that big); metadata commits
-            # count zero and advance free.
-            taken = 0
+            # FILE/BYTE-granular caps: walk the in-range commits
+            # accumulating their recorded file counts and byte sizes;
+            # stop BEFORE the commit that would blow either budget, but
+            # always take the first (progress guarantee — an oversized
+            # commit plans alone rather than stalling).  A checkpoint
+            # record in range counts its folded live files/bytes (the
+            # backlog IS that big); metadata commits count zero and
+            # advance free; pre-size-recording commits count zero bytes.
+            t_files = t_bytes = 0
             capped = self._planned_through
             for c in commits:
                 v = c["version"]
@@ -536,12 +556,20 @@ class TxnLogStreamReader(DataSourceStreamReader):
                 if c["action"] == "checkpoint":
                     nf = sum(len(e.get("files") or [])
                              for e in c["state"]["live"])
+                    nb = (sum(self._fmt._file_bytes_of(
+                        self.path, c).values())
+                        if self.max_bytes is not None else 0)
                 else:
                     nf = len(c.get("files") or [])
-                if capped > self._planned_through \
-                        and taken + nf > self.max_files:
+                    nb = sum((c.get("file_bytes") or {}).values())
+                over = (self.max_files is not None
+                        and t_files + nf > self.max_files) or \
+                       (self.max_bytes is not None
+                        and t_bytes + nb > self.max_bytes)
+                if capped > self._planned_through and over:
                     break
-                taken += nf
+                t_files += nf
+                t_bytes += nb
                 capped = v
             head = capped
         return {"version": head}
@@ -665,12 +693,25 @@ class TxnLogStreamReader(DataSourceStreamReader):
                 # append commits, whose recorded files stay on disk
                 # until vacuum's retention window passes.
                 continue
+            elif self.ignore_deletes and (
+                    c["action"] == "add_dv"
+                    or (c["action"] == "rewrite_files"
+                        and not c.get("files"))):
+                # Delta ignoreDeletes: this commit only REMOVES rows —
+                # a deletion vector, or a targeted rewrite that staged
+                # no survivors.  Deleted rows were already emitted from
+                # their original appends; nothing is lost by skipping.
+                continue
             elif not self.ignore_changes:
+                hint = "option('ignoreChanges', 'true')" \
+                    if not self.ignore_deletes else \
+                    "option('ignoreChanges', 'true') (this commit " \
+                    "adds or rewrites rows — ignoreDeletes covers " \
+                    "delete-only commits)"
                 raise ValueError(
                     f"commit {v} is a data change ({c['action']}); the "
-                    "txnlog stream is append-only — set "
-                    "option('ignoreChanges', 'true') to skip changes "
-                    "(their data will not be re-emitted)")
+                    f"txnlog stream is append-only — set {hint} "
+                    "to skip changes (their data will not be re-emitted)")
         return parts
 
     def read(self, partition: _FilePartition):

@@ -1124,3 +1124,62 @@ def test_max_files_per_trigger_caps_each_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="positive"):
         TxnLogStreamReader(schema, {"path": path,
                                     "maxfilespertrigger": "0"})
+
+
+def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
+    """Delta's byte-granular soft cap: batches advance until the next
+    commit's recorded byte total would blow the budget; an oversized
+    commit still plans alone."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogStreamReader)
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    for i in range(4):
+        fmt.append(spark.createDataFrame([(i,)], "v int").coalesce(1),
+                   path)
+    commits = fmt._commits(path)
+    per_commit = sum((commits[0].get("file_bytes") or {}).values())
+    assert per_commit > 0
+    schema = fmt.read(spark, path).schema
+    reader = TxnLogStreamReader(
+        schema, {"path": path,
+                 "maxbytespertrigger": str(int(per_commit * 2.5))})
+    cur = reader.initialOffset()
+    ends = []
+    for _ in range(2):
+        nxt = reader.latestOffset()
+        reader.partitions(cur, nxt)
+        ends.append(nxt["version"])
+        cur = nxt
+    assert ends == [1, 3]  # ~2 commits per batch under a 2.5x budget
+    with pytest.raises(ValueError, match="positive"):
+        TxnLogStreamReader(schema, {"path": path,
+                                    "maxbytespertrigger": "-1"})
+
+
+def test_ignore_deletes_skips_delete_only_commits(registered, tmp_path):
+    """Delta ignoreDeletes parity: deletion-vector commits (and
+    survivor-less targeted rewrites) skip silently; a commit that ADDS
+    rows via rewrite still demands ignoreChanges."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(_mk(spark, (1, "a"), (2, "b")), path)      # v0
+    fmt.delete_where_dv(spark, path, "id = 1")            # v1: add_dv
+    fmt.append(_mk(spark, (3, "c")), path)                # v2
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("txnlog")
+         .option("ignoreDeletes", "true").load(path)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    # append-only semantics: deletes are NOT retracted downstream
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == \
+        [1, 2, 3]
+    # an update (dv_update) is NOT a delete: the stream must fail
+    fmt.update_where_dv(spark, path, "id = 2", {"s": "'B'"})  # v3
+    fmt.append(_mk(spark, (4, "d")), path)                    # v4
+    import pyspark.errors
+    with pytest.raises(Exception, match="ignoreChanges"):
+        q.processAllAvailable()
+    q.stop()
