@@ -1591,6 +1591,14 @@ class TxnLogFormat(TableFormat):
                 os.fsync(f.fileno())
             try:
                 os.link(tmp, raw_target)
+            except FileExistsError:
+                # a racing twin cloner published first: identical fold
+                # of the same immutable source → stand down like a
+                # racing checkpointer; anything ELSE at this name means
+                # the destination is a different table — fail loudly
+                with open(raw_target) as f, open(tmp) as g:
+                    if f.read() != g.read():
+                        raise
             finally:
                 os.unlink(tmp)
         target = os.path.join(log, f"{v:012d}.checkpoint.json")
@@ -4092,6 +4100,13 @@ class TxnLogFormat(TableFormat):
                 os.link(s, d)  # a missing source file raises LOUDLY —
                 # a live entry naming a vacuumed file is corruption,
                 # and a clone must never silently drop rows
+            except FileExistsError:
+                # a RACING cloner of the same source (or a retried
+                # clone) already linked this name; same inode means
+                # same bytes — converge instead of failing, the seed
+                # record's link below still picks the single winner
+                if not os.path.samefile(s, d):
+                    raise
             except OSError as err:
                 import errno
                 if err.errno == errno.EXDEV:  # cross-device: real copy

@@ -308,3 +308,35 @@ class TestConvert:
             fmt.convert(spark, d)
         with pytest.raises(FileNotFoundError):
             fmt.convert(spark, str(tmp_path / "empty_dir_missing"))
+
+
+class TestCloneRace:
+    def test_concurrent_twin_clones_converge(self, spark, tmp_path):
+        """Racing cloners of the SAME source converge instead of
+        corrupting: data links are idempotent (same inode), the seed
+        record's os.link picks a winner and identical-content losers
+        stand down — every racer returns success and the destination is
+        a single healthy table."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        fmt = TxnLogFormat(checkpoint_interval=None)
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        fmt.append(_df(spark).repartition(4), src)
+        fmt.append(_df(spark, 20, 30).repartition(3), src)
+
+        def one(_):
+            return TxnLogFormat().clone(src, dst)
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            got = list(ex.map(one, range(4)))
+        assert got == [1, 1, 1, 1]
+        log = os.path.join(dst, "_txn_log")
+        names = sorted(n for n in os.listdir(log) if n.endswith(".json"))
+        assert names == ["000000000001.checkpoint.json",
+                         "000000000001.json"]
+        assert fmt.read(spark, dst).count() == 30
+        # a clone racing a DIFFERENT table at dst still fails loudly
+        other = str(tmp_path / "other")
+        fmt.append(_df(spark, 99, 100), other)
+        with pytest.raises(FileExistsError):
+            fmt.clone(other, dst)
