@@ -740,10 +740,22 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str,
        ~n²/2⁶²).  A span repeated for ANY length ≥ min_len duplicates
        all its covering min_len-grams, so cutting the union of
        duplicated grams removes exactly the maximal repeated spans.
-    2. One shuffle on the hash pair: occurrences ranked by
-       (doc, position); rank 1 — the globally first — is KEPT (at least
-       one copy of every span survives, the Lee et al. rule), the rest
-       become removal intervals ``[pos, pos+min_len)``.
+    2. One partial-aggregation-safe groupBy on the hash pair computes
+       each gram's globally-first occurrence (``min(struct(doc, pos))``
+       — a true aggregate, so map-side combine collapses a hot gram to
+       ONE row per input partition before the shuffle) plus its count;
+       grams seen ≥2× join back against the occurrences and every
+       occurrence EXCEPT the keeper becomes a removal interval
+       ``[pos, pos+min_len)``.  At least one copy of every span
+       survives — the Lee et al. keep-first rule.  This deliberately is
+       NOT a ``row_number`` window over ``partitionBy(h1, h2)``: a hot
+       boilerplate gram (license header, template row — the common case
+       in web corpora) occurs 10⁷–10⁸ times at 100 TB, and window
+       operators get neither partial aggregation nor AQE skew-join
+       splitting, so the window form concentrates every occurrence in
+       one task's buffer.  The groupBy form bounds per-task state at
+       (distinct grams per partition) regardless of skew, and the
+       join-back is an equi-join AQE can skew-split.
     3. One shuffle on the doc: overlapping/adjacent intervals merge via
        the classic gaps-and-islands window (running max of prior ends),
        and the cleaned text is rebuilt by concatenating the kept
@@ -775,12 +787,22 @@ def dedup_substrings(df: DataFrame, id_col: str, text_col: str,
         staged.select(id_col, F.posexplode(F.arrays_zip("_h1", "_h2")))
         .select(id_col, (F.col("pos") + 1).alias("s"),
                 F.col("col._h1").alias("h1"), F.col("col._h2").alias("h2")))
-    grp = Window.partitionBy("h1", "h2")
+    # Keeper per gram = min by (doc, pos) — struct ordering is
+    # field-by-field, identical to the orderBy(id, s) rank-1 row of the
+    # window formulation this replaces (see step 2 of the docstring for
+    # why a window on a skewable gram key is forbidden here).
+    keep = (
+        occ.groupBy("h1", "h2")
+        .agg(F.min(F.struct(F.col(id_col).alias("_kid"),
+                            F.col("s").alias("_ks"))).alias("_keep"),
+             F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("h1", "h2", F.col("_keep._kid").alias("_kid"),
+                F.col("_keep._ks").alias("_ks")))
     cut = (
-        occ.withColumn("_rn", F.row_number().over(
-                grp.orderBy(id_col, "s")))
-        .withColumn("_n", F.count("*").over(grp))
-        .filter("_n >= 2 AND _rn >= 2")
+        occ.join(keep, ["h1", "h2"])
+        .filter((F.col(id_col) != F.col("_kid"))
+                | (F.col("s") != F.col("_ks")))
         .select(id_col, "s", (F.col("s") + L).alias("e")))
     by_doc = Window.partitionBy(id_col).orderBy("s")
     prior_end = F.max("e").over(
