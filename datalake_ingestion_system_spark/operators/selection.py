@@ -77,9 +77,14 @@ def dsir_weights(docs: DataFrame, id_col: str, text_col: str,
         id_col, "_is_target",
         F.concat(
             F.col("ws"),
-            F.expr("transform(sequence(1, size(ws) - 1),"
+            # sequence(1, n) DESCENDS when n < 1 (sequence(1,0) is
+            # [1, 0]), so a sub-2-token doc must short-circuit to an
+            # empty bigram list or element_at walks off the array
+            F.expr("CASE WHEN size(ws) >= 2 THEN"
+                   " transform(sequence(1, size(ws) - 1),"
                    " i -> concat(element_at(ws, i), ' ',"
-                   " element_at(ws, i + 1)))")
+                   " element_at(ws, i + 1)))"
+                   " ELSE array() END")
         ).alias("fs")).filter(F.size("fs") > 0)
     rows = feats.select(
         id_col, "_is_target",
@@ -119,6 +124,102 @@ def dsir_weights(docs: DataFrame, id_col: str, text_col: str,
             .groupBy(id_col)
             .agg(F.floor(F.sum(F.col("c") * F.col("r")) * 1e6 + 0.5)
                  .cast("long").alias("w_micro")))
+
+
+def _hashed_features(docs: DataFrame, id_col: str, text_col: str,
+                     n_buckets: int, verifiable: bool,
+                     extra_cols: tuple = ()) -> DataFrame:
+    """Per-(doc, bucket) occurrence counts of the hashed
+    unigram+bigram featurization — the same feature definition
+    ``dsir_weights`` builds inline, factored for the classifier tier so
+    trained weights and scoring agree on what a feature is.  Cheap
+    concat inside the ``transform`` lambda; the md5/xxhash64 bucketing
+    runs post-explode as a codegen row projection (the 139s-vs-4s
+    lesson)."""
+    base = docs.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.regexp_extract_all(F.lower(F.col(text_col)),
+                             F.lit(r"\w+"), 0).alias("ws"))
+    feats = base.select(
+        id_col, *extra_cols,
+        F.concat(
+            F.col("ws"),
+            # sequence(1, n) DESCENDS when n < 1 (sequence(1,0) is
+            # [1, 0]), so a sub-2-token doc must short-circuit to an
+            # empty bigram list or element_at walks off the array
+            F.expr("CASE WHEN size(ws) >= 2 THEN"
+                   " transform(sequence(1, size(ws) - 1),"
+                   " i -> concat(element_at(ws, i), ' ',"
+                   " element_at(ws, i + 1)))"
+                   " ELSE array() END")
+        ).alias("fs")).filter(F.size("fs") > 0)
+    rows = feats.select(
+        id_col, *extra_cols, F.posexplode("fs").alias("_pos", "g"))
+    rows = rows.select(
+        id_col, *extra_cols,
+        _bucket_col(F.col("g"), n_buckets, verifiable).alias("b"))
+    return (rows.groupBy(id_col, *extra_cols, "b")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def classifier_score(docs: DataFrame, id_col: str, text_col: str,
+                     weights: DataFrame, bias_micro: int = 0,
+                     n_buckets: int = 1024,
+                     verifiable: bool = False) -> DataFrame:
+    """Quality-classifier INFERENCE at scan speed (round 11 — the
+    curation stage fasttext/logistic quality filters fill in published
+    pipelines, e.g. the GPT-3/LLaMA CommonCrawl quality classifiers):
+    a hashed-feature LINEAR model scored entirely in fixed-point
+    integer arithmetic, so the verdict is bit-reproducible cross-engine
+    (the same verifiable-mode discipline as DSIR — md5 buckets, micro
+    units, no float accumulation order dependence).
+
+        logit_micro(doc) = bias_micro
+                         + sum_buckets count(doc, b) * w_micro(b)
+
+    ``weights`` is the model: a ``(b, w_micro)`` DataFrame (BIGINT
+    micro units, one row per non-zero bucket) — n_buckets rows at most,
+    broadcast by construction; train it anywhere (a DSIR ratio table,
+    an externally fit logistic regression quantized to micro units, a
+    seed-word heuristic).  Returns ``(id_col, logit_micro)`` with one
+    row per input doc — docs with NO features (empty text) score
+    exactly ``bias_micro``, never drop.
+
+    Scale shape: featurization is the DSIR explode (codegen row
+    projection), the per-(doc,bucket) count is one partial-aggregated
+    word-count-shaped shuffle, the model join is a BROADCAST hash join,
+    and the final per-doc sum re-uses the (doc) key — nothing in the
+    plan is keyed wider than (doc_id, bucket).  A 100 TB corpus scores
+    in one pass with map-side combine absorbing hot buckets."""
+    counts = _hashed_features(docs, id_col, text_col, n_buckets,
+                              verifiable)
+    scored = (counts.join(F.broadcast(weights), "b")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("c") * F.col("w_micro"))
+                   .alias("_dot")))
+    return (docs.select(id_col).distinct()
+            .join(scored, id_col, "left")
+            .select(F.col(id_col),
+                    (F.coalesce(F.col("_dot"), F.lit(0))
+                     + F.lit(int(bias_micro)).cast("long"))
+                    .cast("long").alias("logit_micro")))
+
+
+def seed_word_weights(spark, good_words, bad_words,
+                      w_micro: int = 1_000_000, n_buckets: int = 1024,
+                      verifiable: bool = False) -> DataFrame:
+    """A deterministic seed-wordlist model for ``classifier_score``:
+    +w for buckets of ``good_words``, -w for ``bad_words`` (collisions
+    resolve by summing, exactly how the score would see them).  The
+    zero-training baseline quality classifiers bootstrap from — and a
+    fixture the oracle gate can rebuild verbatim in SQL."""
+    rows = ([(w, int(w_micro)) for w in good_words]
+            + [(w, -int(w_micro)) for w in bad_words])
+    vocab = spark.createDataFrame(rows, "g string, w long")
+    return (vocab.select(
+        _bucket_col(F.col("g"), n_buckets, verifiable).alias("b"),
+        F.col("w"))
+        .groupBy("b").agg(F.sum("w").alias("w_micro")))
 
 
 def dsir_topk(docs: DataFrame, id_col: str, text_col: str,

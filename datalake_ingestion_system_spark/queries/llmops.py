@@ -4146,3 +4146,75 @@ FROM docb JOIN ratio USING (b)
 GROUP BY doc_id
 ORDER BY w_micro DESC, doc_id LIMIT 100
 """
+
+
+@_q("q_quality_classifier")
+def q_quality_classifier(spark, sf_dir):
+    """Verifiable quality-classifier INFERENCE (round 11 — the curation
+    stage published pipelines fill with a fasttext/logistic quality
+    filter over CommonCrawl, e.g. GPT-3's and LLaMA's quality
+    classifiers; `operators/selection.py:classifier_score`): a
+    hashed-feature LINEAR model — here the deterministic seed-wordlist
+    baseline such classifiers bootstrap from — scores every document in
+    fixed-point integer micro-logits over md5-bucketed unigram+bigram
+    features, and the 100 highest-quality docs are selected with
+    doc-id tie-breaks.  The DuckDB oracle rebuilds the whole pipeline —
+    tokenization, bucketing, the bucket-summed weight table (hash
+    collisions and all), the integer dot product, the bias — so
+    featurization, model assembly, and scoring are checked end-to-end
+    cross-engine; no float ever crosses engines.
+
+    Scale shape: the featurization is a codegen row projection
+    (posexplode, never an interpreted lambda), the per-(doc, bucket)
+    count is one partial-aggregated word-count-shaped shuffle, the
+    model is a broadcast join (<= n_buckets rows by construction), and
+    the top-k is TakeOrderedAndProject — a 100 TB corpus scores in one
+    pass, hot buckets absorbed map-side."""
+    from ..operators.selection import classifier_score, seed_word_weights
+
+    good = ["spark", "query", "merge", "window", "vector"]
+    bad = ["slow", "small", "batch"]
+    w = seed_word_weights(spark, good, bad, w_micro=1_000_000,
+                          n_buckets=1024, verifiable=True)
+    d = load(spark, sf_dir, "documents")
+    scored = classifier_score(d, "doc_id", "text", w,
+                              bias_micro=250_000, n_buckets=1024,
+                              verifiable=True)
+    return scored.orderBy(F.desc("logit_micro"), "doc_id").limit(100)
+
+
+ORACLE_SQL["q_quality_classifier"] = """
+WITH vocab(g, w) AS (
+  VALUES ('spark', 1000000), ('query', 1000000), ('merge', 1000000),
+         ('window', 1000000), ('vector', 1000000),
+         ('slow', -1000000), ('small', -1000000), ('batch', -1000000)
+), model AS (
+  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b,
+         CAST(sum(w) AS BIGINT) AS w_micro
+  FROM vocab GROUP BY b
+), toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           ws,
+           [ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1]
+            for i in range(1, len(ws))])) AS g
+  FROM toks WHERE len(ws) > 0
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+  FROM feats
+), counts AS (
+  SELECT doc_id, b, count(*) AS c FROM hashed GROUP BY doc_id, b
+), dot AS (
+  SELECT doc_id, CAST(sum(c * w_micro) AS BIGINT) AS d
+  FROM counts JOIN model USING (b) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(coalesce(dot.d, 0) + 250000 AS BIGINT) AS logit_micro
+FROM (SELECT DISTINCT doc_id FROM documents)
+LEFT JOIN dot USING (doc_id)
+ORDER BY logit_micro DESC, doc_id LIMIT 100
+"""

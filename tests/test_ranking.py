@@ -148,3 +148,55 @@ def test_dsir_weights_invariants(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_score_invariants(spark):
+    """Quality-classifier inference invariants (round 11): fixed-point
+    integer scoring is partitioning-invariant, empty/featureless docs
+    score exactly the bias (and never drop), the seed-word model
+    orders documents by vocabulary, the model join is a broadcast, and
+    both hash families produce the same ordering."""
+    from pyspark.sql import functions as F
+
+    from datalake_ingestion_system_spark.operators.selection import (
+        classifier_score, seed_word_weights)
+
+    rows = [
+        (0, "spark spark query merge good stuff"),   # strongly good
+        (1, "spark slow"),                           # mixed
+        (2, "slow slow batch batch"),                # strongly bad
+        (3, ""),                                     # featureless
+        (4, "neutral words only here"),              # no model hits
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for verifiable in (True, False):
+        w = seed_word_weights(spark, ["spark", "query", "merge"],
+                              ["slow", "batch"], n_buckets=512,
+                              verifiable=verifiable)
+        got = {r.doc_id: r.logit_micro for r in classifier_score(
+            d, "doc_id", "text", w, bias_micro=100,
+            n_buckets=512, verifiable=verifiable).collect()}
+        assert set(got) == {0, 1, 2, 3, 4}      # every doc scored
+        assert got[3] == 100                    # empty text = bias
+        assert got[0] > got[1] > got[2]
+        assert got[2] < 0 < got[0]
+        # partitioning invariance: EXACT integer equality
+        got_rep = {r.doc_id: r.logit_micro for r in classifier_score(
+            d.repartition(7), "doc_id", "text", w, bias_micro=100,
+            n_buckets=512, verifiable=verifiable).collect()}
+        assert got_rep == got
+    scored = classifier_score(d, "doc_id", "text", w,
+                              n_buckets=512)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # bigrams participate: a doc repeating a good bigram outranks the
+    # same unigram bag shuffled (feature = unigrams ++ bigrams)
+    d2 = spark.createDataFrame(
+        [(10, "spark query spark query"), (11, "query spark query spark")],
+        "doc_id long, text string")
+    w2 = seed_word_weights(spark, ["spark query"], [], n_buckets=512,
+                           verifiable=True)
+    got2 = {r.doc_id: r.logit_micro for r in classifier_score(
+        d2, "doc_id", "text", w2, n_buckets=512,
+        verifiable=True).collect()}
+    assert got2[10] > got2[11] > 0
