@@ -37,35 +37,30 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 # round-6 queries have no green row, so the rotation fronts them
 # automatically.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Round 10: all 50 round-9 fronted/new entries hold green rows in
-    # CORRECTNESS_r09 (the first all-green 50) and are RELEASED to the
-    # rotation.  Fronted now: the transitive closure of this round's
-    # txn-tier changes — (a) structural schema comparison in the
-    # benign-append retarget plus CANONICAL schema keying in read()'s
-    # scan batching (every txn read rides the batching signature);
-    # (b) typed per-column stats in the checkpoint sidecar and the
-    # VECTORIZED _clause_excluded_files/_sidecar_excluded skipping path
-    # (every skipping/checkpoint query); (c) the stream planners gained
-    # where-option pruning and the per-file mapping gained a defaults
-    # slot (every stream/CDF query); (d) read()'s post_scan applies
-    # column defaults per alter (alter-riding queries); (e) _stage now
-    # resolves generated-column validation per table (every write
-    # path); (f) row-level ops gained the retries wrapper (merge /
-    # compact / targeted-rewrite queries).  All re-verified locally
-    # this session (oracle mirror green at sf0.01; new queries at all
-    # three SFs) — the driver must confirm.  (--changed-since cannot
-    # see transitive sinks edits; this is the manual closure.
-    # q_txnlog_stream_pushdown, q_column_default_read, and
-    # q_generated_column_read are new and front automatically.)
-    # Round-10 continuation: the protocol GATE now runs on every
-    # assembled _commits plan, clone refactored _write_checkpoint into
-    # _fold_record/_emit_checkpoint, and the full-compact lost-update
-    # fix added a conflict guard — all transitive over the same txn
-    # closure already fronted below; re-verified by a FULL local
-    # registry sweep (203 hash-PASS + 2 rows-only, 0 fail) after the
-    # gate landed.  q_protocol_gated_read, q_clone_read,
-    # q_substring_dedup, q_merge_schema_evolution, q_auto_compact_read,
-    # and q_convert_read are new and front automatically.
+    # Round 11: all 50 round-10 fronted/new entries hold green rows in
+    # CORRECTNESS_r10 (50/50 hash-PASS) and are RELEASED.  Fronted now:
+    # the transitive closure of this round's sinks.py rework — (a) ROW
+    # TRACKING threads through read() (with_row_ids plumbing around the
+    # union/DV/alter tail), _commit (in-loop base allocation),
+    # _resolve_live + the checkpoint fold (row_base carry), and EVERY
+    # row-level op (delete/update/dv-update/merge/compact restage
+    # logic, CDF frame selection); (b) hidden PARTITION TRANSFORMS add
+    # dir- and file-level pruning branches to read()'s live loop and a
+    # staging fork to append/overwrite; (c) the compact_due marker adds
+    # a pre-plan hook to read() and _op_depth to the retry wrapper;
+    # (d) the metadata-plan work rewrote _hydrate_checkpoint (arrow
+    # group_by), _sidecar_excluded (distinct-version grouping), and the
+    # live loop's isdir ordering; (e) _log_schema_json wraps every
+    # commit record's schema serialization (catalog breadcrumb strip).
+    # Every txn-riding query is therefore in the closure — the 32
+    # previously-green ones below — plus q_substring_dedup (skew-safe
+    # groupBy keeper replaced the window) and q_dsir_selection (the
+    # featurizer's short-doc bigram guard).  All re-verified locally
+    # this session by a FULL registry sweep at sf0.01 plus the new/
+    # changed queries at all three SFs — the driver must confirm.
+    # q_catalog_table_read, q_partition_transform_read,
+    # q_row_tracking_read, and q_quality_classifier are new and front
+    # automatically.
     "q_data_skipping_read", "q_bloom_skipping_read",
     "q_zorder_skipping_read", "q_alter_skipping_read",
     "q_schema_evolution_read", "q_delete_vector_read",
@@ -73,9 +68,14 @@ _FORCE_FRONT: tuple[str, ...] = (
     "q_compact_where_read", "q_small_file_compact_read",
     "q_partition_pruned_read", "q_checkpoint_log_read",
     "q_sidecar_checkpoint_read", "q_txnlog_stream_source",
-    "q_txnlog_stream_sink", "q_change_data_feed", "q_cdf_replica_mirror",
+    "q_txnlog_stream_sink", "q_txnlog_stream_pushdown",
+    "q_change_data_feed", "q_cdf_replica_mirror",
     "q_cdf_sidecar_changes", "q_cdc_stream_apply", "q_rollup_incremental",
-    "q_stream_kmv_distinct", "q_minhash_incremental")
+    "q_stream_kmv_distinct", "q_minhash_incremental",
+    "q_merge_schema_evolution", "q_convert_read", "q_auto_compact_read",
+    "q_column_default_read", "q_generated_column_read",
+    "q_protocol_gated_read", "q_clone_read", "q_identity_column_read",
+    "q_substring_dedup", "q_dsir_selection")
 
 
 def _evidence():

@@ -3359,3 +3359,195 @@ SELECT event_type,
        CAST(max(row_id) AS BIGINT) AS max_id
 FROM ids GROUP BY event_type
 """
+
+
+@_q("q_catalog_table_read")
+def q_catalog_table_read(spark, sf_dir):
+    """Session-catalog entry point round-trip (round 11): the txnlog
+    table registers in the session catalog by NAME and is then reached
+    ONLY name-first — ``CREATE TABLE ... USING txnlog`` via
+    ``tables.create_table``, a name-first WRITE
+    (``tables.insert_into``, the JVM write path), a catalog SQL WRITE
+    (``INSERT INTO name VALUES ...``, the Python-DS writer), and a
+    catalog SCAN through ``spark.table(name)`` (the arrow batch
+    reader).  The even-id half arrives through the format API, the odd
+    half through the catalog inserts, so the oracle (all events, plus
+    the one literal row subtracted in SQL) fails if any entry point
+    loses or duplicates rows.  This is the reference's actual access
+    pattern — every Glue job reads by catalog name, never by path
+    (RUN_CRAWLER_JOB.PY:35-45, OUTPUT_METADATA_TO_USERZONE_JOB.PY:87).
+
+    Scale shape: registration is metadata-only (a catalog entry
+    pointing at the log — no data moves); the scan plans one
+    InputPartition per commit-recorded file (no storage listing) and
+    reads arrow record batches executor-side."""
+    import tempfile
+
+    from .. import tables
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="cat_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
+    tables.create_table(spark, "txn_catalog_events", path, replace=True)
+    tables.insert_into(spark, "txn_catalog_events",
+                       e.filter(F.pmod("event_id", F.lit(2)) == 1))
+    # one literal row through the SQL surface (the Python-DS writer) —
+    # its own group in the result, so a lost or duplicated SQL insert
+    # breaks the oracle compare
+    spark.sql("INSERT INTO txn_catalog_events "
+              "VALUES (-1, 'sql_insert_probe', 1.0)")
+    return (spark.table("txn_catalog_events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_catalog_table_read"] = """
+WITH full_table AS (
+  SELECT event_type, value FROM events
+  UNION ALL
+  SELECT 'sql_insert_probe' AS event_type, 1.0 AS value
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM full_table
+GROUP BY event_type
+"""
+
+
+@_q("q_partition_transform_read")
+def q_partition_transform_read(spark, sf_dir):
+    """Hidden partitioning — Iceberg partition-transform parity
+    (round 11; BASELINE.json names Iceberg alongside Delta as the
+    write-format approach): the table property ``partition_transform=
+    bucket(16, event_id)`` makes every append stage hive-partitioned by
+    the DERIVED bucket (portable md5 hash — the same verifiable-hash
+    discipline as the bloom probes), recorded per commit; the read maps
+    ``event_id IN (...)`` THROUGH the transform and prunes whole dirs
+    and individual staged files (the derived value rides each
+    commit-recorded file path) before stats or listing — pinned by
+    tests/test_partition_transform.py via an os.path.isdir probe and
+    scan-file counts.  Users query the SOURCE column only; the derived
+    value never surfaces (Iceberg's pitch vs Hive partition columns).
+    The DuckDB oracle is the plain declarative filter: the transform
+    must be invisible to results.
+
+    Scale shape: pruning is a driver-side map over commit metadata and
+    recorded file names; the scan plan width follows bucket
+    selectivity (|IN| buckets of n), not table size."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="ptr_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.limit(0), path)  # schema-bearing seed, zero rows
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "event_id",
+                                            "kind": "bucket",
+                                            "param": 16})
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 1), path)
+    return (fmt.read(spark, path,
+                     where="event_id IN (11, 12, 13, 14, 15, 16, 17, "
+                           "18, 19, 20)")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("event_id").alias("sum_id"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_partition_transform_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE event_id IN (11, 12, 13, 14, 15, 16, 17, 18, 19, 20)
+GROUP BY event_type
+"""
+
+
+@_q("q_row_tracking_read")
+def q_row_tracking_read(spark, sf_dir):
+    """ROW TRACKING end to end, oracle-verified (round 11 — Delta
+    row-ID parity): under the ``row_tracking`` table property, two
+    single-sorted-partition appends reserve dense per-file id ranges
+    (so the DuckDB oracle reconstructs every id with row_number()),
+    then the table is FULLY COMPACTED (ids must survive the physical
+    rewrite via the materialized column) and a TARGETED UPDATE rewrites
+    the error rows (an update changes values, never identity).  The
+    aggregate sums the ids per event type over the post-rewrite state —
+    any id lost, changed, or duplicated by the rewrites breaks the hash
+    against the pre-rewrite arithmetic the oracle computes.
+
+    Scale shape: allocation is one metadata watermark read inside the
+    publish loop (racing writers reserve disjoint ranges via the same
+    single-link-wins serialization as the commit itself); reads derive
+    fresh ids from ``base + parquet row index`` — zero storage
+    overhead — and only rewritten rows carry a materialized id column."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="rtr_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.limit(0), path)
+    fmt.set_properties(spark, path, row_tracking=True)
+    for half in (0, 1):  # two commits: the watermark hands off
+        fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == half)
+                   .repartition(1).sortWithinPartitions("event_id"),
+                   path)
+    fmt.compact(spark, path)                      # ids must survive
+    fmt.update_where(spark, path, "event_type = 'error'",
+                     {"value": "0.0"})            # ids must survive
+    return (fmt.read(spark, path, with_row_ids=True)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("_row_id").alias("sum_rid"),
+                 F.min("_row_id").alias("min_rid"),
+                 F.max("_row_id").alias("max_rid"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_row_tracking_read"] = """
+WITH halves AS (
+  SELECT event_id, event_type, value, event_id % 2 AS half FROM events
+), sized AS (
+  SELECT count(*) FILTER (WHERE half = 0) AS n0 FROM halves
+), ids AS (
+  SELECT event_type, value,
+         CASE WHEN half = 0
+              THEN row_number() OVER (
+                   PARTITION BY half ORDER BY event_id) - 1
+              ELSE (SELECT n0 FROM sized)
+                   + row_number() OVER (
+                     PARTITION BY half ORDER BY event_id) - 1
+         END AS rid
+  FROM halves
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rid) AS BIGINT) AS sum_rid,
+       CAST(min(rid) AS BIGINT) AS min_rid,
+       CAST(max(rid) AS BIGINT) AS max_rid,
+       CAST(sum(CAST(floor(
+           CASE WHEN event_type = 'error' THEN 0.0 ELSE value END
+           * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM ids
+GROUP BY event_type
+"""

@@ -167,6 +167,33 @@ def _schema_canonical(sj: str) -> str:
         return sj
 
 
+#: StructField-metadata key that carries a CATALOG table's location
+#: into Python-DS scans (see ``sources.txnlog_stream``: Spark 4.1's
+#: Python-DS catalog bridge drops stored table options before the scan,
+#: so the stored schema is the only channel).  Registration state, not
+#: table state — every commit record strips it via ``_log_schema_json``
+#: so a DataFrame read through the catalog can be written anywhere
+#: without its origin leaking into the destination's log.
+PATH_METADATA_KEY = "txnlog.path"
+
+
+def _log_schema_json(schema) -> str:
+    """Commit-record schema serialization: ``schema.json()`` with any
+    catalog location breadcrumb stripped.  Byte-identical to plain
+    ``.json()`` for breadcrumb-free schemas (the overwhelmingly common
+    case), so existing logs and their structural comparisons are
+    untouched."""
+    if not any(PATH_METADATA_KEY in (f.metadata or {})
+               for f in schema.fields):
+        return schema.json()
+    from pyspark.sql.types import StructField, StructType
+    return StructType([
+        StructField(f.name, f.dataType, f.nullable,
+                    {k: v for k, v in (f.metadata or {}).items()
+                     if k != PATH_METADATA_KEY})
+        for f in schema.fields]).json()
+
+
 def retry_on_conflict(op, attempts: int = 3):
     """Run a read-modify-write table operation, retrying on
     ``ConcurrentWriteError`` — each attempt calls ``op()`` afresh, which
@@ -208,8 +235,15 @@ def _conflict_retryable(fn):
     def wrapper(self, *args, retries: int = 0, **kwargs):
         if retries < 0:
             raise ValueError("retries must be >= 0")
-        return retry_on_conflict(lambda: fn(self, *args, **kwargs),
-                                 attempts=retries + 1)
+        # suspend marker-fired auto-compaction for the op's internal
+        # reads: a rewrite landing mid-merge/-delete would turn every
+        # such op into a guaranteed conflict against itself
+        self._op_depth += 1
+        try:
+            return retry_on_conflict(lambda: fn(self, *args, **kwargs),
+                                     attempts=retries + 1)
+        finally:
+            self._op_depth -= 1
     return wrapper
 
 
@@ -378,6 +412,14 @@ class TxnLogFormat(TableFormat):
                 f", got {isolation!r}")
         self.isolation = isolation
         self.change_data_feed = bool(change_data_feed)
+        #: reentrancy/suspension state for marker-fired auto-compaction
+        #: (``compact_due``): >0 while inside a read-modify-write table
+        #: op (their internal reads must never fire a state-changing
+        #: rewrite mid-operation), and a per-instance set of paths whose
+        #: pending marker turned out already satisfied (a raced/no-op
+        #: fire is not retried on every subsequent read)
+        self._op_depth = 0
+        self._compact_due_done: set[str] = set()
         # ``bloom_filter_columns`` (Delta bloom-filter-index parity):
         # per-file BLOOM FILTERS for the named columns ride each
         # commit's stats as a 5th per-column element, giving
@@ -927,9 +969,41 @@ class TxnLogFormat(TableFormat):
                     for dp, _d, fns in os.walk(
                         os.path.join(path, record["dir"]))
                     for fn in fns if fn.endswith(".parquet"))
+        # ROW TRACKING allocation (round 11, Delta row-id parity):
+        # callers on row-tracked tables mark the record; per-file row
+        # counts come from the stats just collected (the rows element),
+        # falling back to one footer read.  The BASE assignment happens
+        # INSIDE the publish loop, recomputed whenever the claimed
+        # version changes — allocation rides the same
+        # single-link-wins serialization as the commit itself, so two
+        # racing writers can never reserve overlapping id ranges.
+        row_rows = None
+        if record.pop("_row_track", False) and record.get("dir") \
+                is not None:
+            row_rows = {}
+            for rf in sorted(record.get("files") or []):
+                per = (record.get("stats") or {}).get(rf) or {}
+                rows = None
+                for s in per.values():
+                    if s is not None and len(s) >= 4:
+                        rows = s[3]
+                        break
+                if rows is None:  # statless file (zero-column frame)
+                    import pyarrow.parquet as _pq
+                    rows = _pq.ParquetFile(
+                        os.path.join(path, rf)).metadata.num_rows
+                row_rows[rf] = rows
         log = self._log_dir(path)
         os.makedirs(log, exist_ok=True)
         while True:
+            if row_rows is not None:
+                base = self._resolve_row_high(self._commits(path))
+                rb = {}
+                for rf in sorted(row_rows):
+                    rb[rf] = base
+                    base += row_rows[rf]
+                record["row_base"] = rb
+                record["row_id_high"] = base
             if record.get("txn_app") is not None:
                 # Idempotent-transaction dedup, rechecked on EVERY retry —
                 # and, crucially, the dedup answer and the version claim
@@ -1202,16 +1276,30 @@ class TxnLogFormat(TableFormat):
         tbl = self._sidecar_table(path, cp)
         by_dir: dict[str, list] = {}
         if tbl is not None:
-            for rf in tbl["relfile"].to_pylist():
-                # staged-dir prefix = the first two path components
-                # ("_txn_data/<uuid>"); find() beats split+join on the
-                # 48k-file deep fixture's hydration pass
-                cut = rf.find("/", len("_txn_data/"))
-                by_dir.setdefault(rf if cut < 0 else rf[:cut],
-                                  []).append(rf)
+            # staged-dir prefix = the first two path components
+            # ("_txn_data/<uuid>").  Grouping runs ARROW-SIDE (slice off
+            # the fixed root, split once, hash_list-aggregate): the
+            # per-row python loop this replaces was the single biggest
+            # term of the 48k-file deep fixture's hydration pass.
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            root = "_txn_data/"
+            rels = tbl["relfile"].combine_chunks()
+            tails = pc.utf8_slice_codeunits(rels, len(root), 2 ** 30)
+            dirs = pc.binary_join_element_wise(
+                root,
+                pc.list_element(
+                    pc.split_pattern(tails, "/", max_splits=1), 0),
+                "")
+            g = (pa.table({"d": dirs, "rf": rels})
+                 .group_by("d").aggregate([("rf", "list")]))
+            by_dir = dict(zip(g["d"].to_pylist(),
+                              g["rf_list"].to_pylist()))
         for e in live:
             if e.get("files") == "sidecar":
-                e["files"] = (sorted(by_dir.get(e["dir"], []))
+                # sidecar rows are written sorted, and hash_list keeps
+                # encounter order — each per-dir list is already sorted
+                e["files"] = (by_dir.get(e["dir"], [])
                               if tbl is not None else None)
         cp["_files_hydrated"] = True
 
@@ -1355,6 +1443,20 @@ class TxnLogFormat(TableFormat):
             for col, h in (c.get("identity_high") or {}).items():
                 if col not in high or h > high[col]:
                     high[col] = h
+        return high
+
+    @staticmethod
+    def _resolve_row_high(commits: list[dict]) -> int:
+        """Row-tracking allocation watermark: the max over every
+        commit's recorded ``row_id_high`` (checkpoints fold one in).
+        Like the identity watermark, deliberately NOT restore-aware —
+        an id range reserved on a restored-away branch is never
+        re-issued, because time travel can still see its rows."""
+        high = 0
+        for c in commits:
+            h = c.get("row_id_high")
+            if h is not None and h > high:
+                high = h
         return high
 
     @staticmethod
@@ -1509,6 +1611,8 @@ class TxnLogFormat(TableFormat):
             "files": e.get("files"),
             "schema_idx": sidx(e.get("schema")),
             "staged_pcol": e.get("staged_pcol"),
+            "transform": e.get("transform"),
+            "row_base": e.get("row_base"),
         } for e in live]
         # append-only tracking for the streaming source: does the folded
         # span contain any data-CHANGING commit?  A prior checkpoint's
@@ -1534,9 +1638,11 @@ class TxnLogFormat(TableFormat):
                          "protocol": {
                              "reader": sorted(proto["reader"]),
                              "writer": sorted(proto["writer"])},
-                         "data_changed": changed},
+                         "data_changed": changed,
+                         "compact_due": self._compact_due(commits)},
                "txn_latest": txn,
                "identity_high": self._resolve_identity_high(commits),
+               "row_id_high": self._resolve_row_high(commits) or None,
                "vacuum_protect": sorted(self._vacuum_protect(commits))}
         # SIDECAR threshold (VERDICT r8 item 1): past it, every
         # per-FILE term — the stats/bytes maps AND the live entries'
@@ -1645,7 +1751,9 @@ class TxnLogFormat(TableFormat):
         self._commit(path, {"action": "overwrite", "dir": rel,
                             "partition_col": partition_col,
                             "partitions": parts,
-                            "schema": df.schema.json()})
+                            "_row_track": bool(self._resolve_properties(
+                                self._commits(path)).get("row_tracking")),
+                            "schema": _log_schema_json(df.schema)})
         self._maybe_auto_compact(df.sparkSession, path)
 
     def overwrite_table(self, df: DataFrame, path: str,
@@ -1663,17 +1771,72 @@ class TxnLogFormat(TableFormat):
         # replace_all needs no identity conflict check: a racing
         # allocation's rows are replaced wholesale, and the watermark
         # resolver maxes over EVERY commit, so no value ever re-issues
-        df, new_high = self._with_identity(df, self._commits(path))
-        rel = self._stage(df, path, None)
+        commits0 = self._commits(path)
+        props0 = self._resolve_properties(commits0)
+        if props0.get("row_tracking") and (
+                self._ROW_ID_COL in df.columns
+                or "_row_id" in df.columns):
+            raise ValueError(
+                "_row_id/__row_id are engine-assigned under row "
+                "tracking — writers never supply them")
+        df, new_high = self._with_identity(df, commits0)
+        tr = props0.get("partition_transform")
+        if tr:
+            rel, tparts = self._stage_transformed(df, path, tr)
+        else:
+            rel = self._stage(df, path, None)
         rec = {"action": "replace_all", "dir": rel,
+               "_row_track": bool(props0.get("row_tracking")),
                "partition_col": None, "partitions": [],
-               "schema": df.schema.json()}
+               "schema": _log_schema_json(df.schema)}
+        if tr:
+            rec.update(transform=tr, partitions=tparts)
         if new_high:
             rec["identity_high"] = new_high
         if txn_app is not None:
             rec.update(txn_app=txn_app, txn_version=txn_version)
         self._commit(path, rec)
         self._maybe_auto_compact(df.sparkSession, path)
+
+    def _auto_compact_needed(self, path: str,
+                             commits: list[dict]) -> dict | None:
+        """The ``auto_compact`` spec when the table property is set AND
+        at least ``min_files`` live files fall below
+        ``small_file_bytes`` — one pass over commit-recorded sizes
+        (driver-side metadata scale); files from pre-size-recording
+        commits are simply not counted (the same rule the compaction
+        itself uses).  Shared by the post-write trigger and the DSv2
+        streaming sink's ``compact_due`` marker evaluation."""
+        ac = self._resolve_properties(commits).get("auto_compact")
+        if not ac:
+            return None
+        live_dirs = {e["dir"] for e in self._resolve_live(commits)}
+        removed = self._resolve_removed_files(commits)
+        small = 0
+        for c in commits:
+            for rf, b in self._file_bytes_of(path, c).items():
+                if (b < ac["small_file_bytes"] and rf not in removed
+                        and "/".join(rf.split("/", 2)[:2]) in live_dirs):
+                    small += 1
+                    if small >= ac["min_files"]:
+                        return ac
+        return None
+
+    @staticmethod
+    def _compact_due(commits: list[dict]) -> bool:
+        """Is a DSv2-streaming-sink ``compact_due`` marker PENDING?
+        Pending = some commit carries the marker with no later rewrite
+        (``rewrite_files``/``replace_all``) having consumed it; a
+        checkpoint carries the folded span's answer forward."""
+        pending = False
+        for c in commits:
+            if c["action"] == "checkpoint":
+                pending = bool(c["state"].get("compact_due"))
+            elif c["action"] in ("rewrite_files", "replace_all"):
+                pending = False
+            elif c.get("compact_due"):
+                pending = True
+        return pending
 
     def _maybe_auto_compact(self, spark: SparkSession, path: str) -> None:
         """Post-write auto-compaction trigger (Delta
@@ -1686,25 +1849,46 @@ class TxnLogFormat(TableFormat):
         The check is one pass over commit-recorded sizes: driver-side
         metadata scale, free at any table size."""
         commits = self._commits(path)
-        ac = self._resolve_properties(commits).get("auto_compact")
+        ac = self._auto_compact_needed(path, commits)
         if not ac:
-            return
-        live = self._resolve_live(commits)
-        removed = self._resolve_removed_files(commits)
-        live_dirs = {e["dir"] for e in live}
-        small = 0
-        for c in commits:
-            for rf, b in self._file_bytes_of(path, c).items():
-                if (b < ac["small_file_bytes"] and rf not in removed
-                        and "/".join(rf.split("/", 2)[:2]) in live_dirs):
-                    small += 1
-        if small < ac["min_files"]:
             return
         try:
             self.compact(spark, path,
                          small_file_bytes=ac["small_file_bytes"])
         except ConcurrentWriteError:
             pass  # raced another writer; their next write re-triggers
+
+    def _maybe_fire_compact_due(self, spark: SparkSession, path: str,
+                                commits: list[dict]) -> bool:
+        """Fire a PENDING DSv2-streaming-sink ``compact_due`` marker
+        (round 11 — the documented auto-compact boundary closed): the
+        sink's commit() runs in a sessionless Python worker that cannot
+        launch the rewrite, so it records the marker instead and the
+        NEXT driver-side touch through this class runs the best-effort
+        compaction.  Returns True when a rewrite landed (callers replan
+        on the new state).  Never fires from inside another table op
+        (``_op_depth``), and a marker that turns out already satisfied
+        (raced by a manual OPTIMIZE whose rewrite didn't consume it) is
+        remembered per instance instead of re-probed on every read."""
+        if self._op_depth or path in self._compact_due_done:
+            return False
+        if not self._compact_due(commits):
+            return False
+        ac = self._resolve_properties(commits).get("auto_compact")
+        if not ac:
+            # property unset after the marker landed: nothing to run,
+            # and nothing will ever consume it — remember and move on
+            self._compact_due_done.add(path)
+            return False
+        try:
+            got = self.compact(spark, path,
+                               small_file_bytes=ac["small_file_bytes"])
+        except ConcurrentWriteError:
+            return False  # raced; the winner's next touch re-fires
+        if not (got or {}).get("rewritten_files"):
+            self._compact_due_done.add(path)
+            return False
+        return True
 
     def _with_identity(self, df: DataFrame, commits: list[dict]):
         """Allocate IDENTITY values for every configured column
@@ -1777,6 +1961,91 @@ class TxnLogFormat(TableFormat):
                 df = df.withColumn(col, F.expr(expr))
         return df
 
+    #: literal widths of the time-based partition transforms' derived
+    #: values ("2024-01-02" / "2024-01" / "2024-01-02 03")
+    _TRANSFORM_WIDTH = {"days": 10, "months": 7, "hours": 13}
+    _TRANSFORM_FMT = {"days": "yyyy-MM-dd", "months": "yyyy-MM",
+                      "hours": "yyyy-MM-dd HH"}
+    _INTEGRAL_TYPES = ("byte", "short", "integer", "long")
+    #: staged-layout partition column for hidden partitioning — never a
+    #: data column (hive staging keeps it in dir names only)
+    _TP_COL = "__tp"
+    #: MATERIALIZED row-id column (row_tracking): physical in rewrite
+    #: outputs, stripped from every recorded schema and every read that
+    #: didn't ask for ids
+    _ROW_ID_COL = "__row_id"
+
+    def _logical_schema_json(self, schema) -> str:
+        """Commit-record schema for frames that may carry the
+        MATERIALIZED row-id column: the id is physical bookkeeping
+        (like hidden-partition dir values), never part of the logical
+        schema."""
+        if self._ROW_ID_COL in schema.names:
+            from pyspark.sql.types import StructType
+            schema = StructType([f for f in schema.fields
+                                 if f.name != self._ROW_ID_COL])
+        return _log_schema_json(schema)
+
+    def _transform_expr(self, tr: dict, dtype: str):
+        """The derived partition value (STRING column) of a hidden
+        partition transform, validated against the source column's
+        resolved type.  bucket uses the portable md5 hash (same
+        ``conv(substring(md5(x),1,15),16,10)`` discipline as the bloom
+        filters and verifiable MinHash modes, so the DuckDB oracle and
+        the Python-side pruning probe reproduce it exactly)."""
+        kind, src = tr["kind"], tr["source"]
+        c = F.col(src)
+        if kind == "bucket":
+            if dtype not in ("string",) + self._INTEGRAL_TYPES:
+                raise ValueError(
+                    f"bucket transform needs a string/integral source, "
+                    f"got {src}: {dtype}")
+            return F.pmod(
+                F.conv(F.substring(F.md5(c.cast("string")), 1, 15),
+                       16, 10).cast("long"),
+                F.lit(tr["param"])).cast("string")
+        if kind == "truncate":
+            if dtype == "string":
+                return F.substring(c, 1, tr["param"])
+            if dtype in self._INTEGRAL_TYPES:
+                return (c - F.pmod(c, F.lit(tr["param"]))).cast("string")
+            raise ValueError(
+                f"truncate transform needs a string/integral source, "
+                f"got {src}: {dtype}")
+        if dtype not in ("date", "timestamp", "timestamp_ntz"):
+            raise ValueError(
+                f"{kind} transform needs a date/timestamp source, "
+                f"got {src}: {dtype}")
+        return F.date_format(c, self._TRANSFORM_FMT[kind])
+
+    def _stage_transformed(self, df: DataFrame, path: str,
+                           tr: dict) -> tuple[str, list]:
+        """Stage ``df`` hive-partitioned by the DERIVED transform value
+        and return ``(rel, derived partition values)``.  The derived
+        column lives in dir names only: the recorded schema is the
+        original frame's, and reads scan the commit-recorded file list
+        with that schema pinned, so it never surfaces as a data column.
+        The distinct-values job is one partial-aggregated groupBy at
+        partition-value cardinality — the same cost
+        ``overwrite_partitions`` already pays."""
+        src = tr["source"]
+        if src not in df.columns:
+            raise ValueError(
+                f"partition_transform source column {src!r} is missing "
+                "from the written frame")
+        if self._TP_COL in df.columns:
+            raise ValueError(
+                f"{self._TP_COL!r} is reserved for hidden partitioning")
+        dtype = df.schema[src].dataType.typeName()
+        staged = df.withColumn(self._TP_COL,
+                               self._transform_expr(tr, dtype))
+        parts = sorted(
+            (r[0] for r in staged.select(self._TP_COL).distinct()
+             .collect()),
+            key=lambda v: (v is None, v))
+        rel = self._stage(staged, path, self._TP_COL)
+        return rel, parts
+
     def append(self, df: DataFrame, path: str,
                txn_app: str | None = None,
                txn_version: int | None = None) -> None:
@@ -1796,10 +2065,24 @@ class TxnLogFormat(TableFormat):
 
         def attempt() -> None:
             commits = self._commits(path)
+            props = self._resolve_properties(commits)
+            if props.get("row_tracking") and (
+                    self._ROW_ID_COL in df.columns
+                    or "_row_id" in df.columns):
+                raise ValueError(
+                    "_row_id/__row_id are engine-assigned under row "
+                    "tracking — writers never supply them")
             df2, new_high = self._with_identity(df, commits)
-            rel = self._stage(df2, path, None)
+            tr = props.get("partition_transform")
+            if tr:
+                rel, tparts = self._stage_transformed(df2, path, tr)
+            else:
+                rel = self._stage(df2, path, None)
             rec = {"action": "append", "dir": rel,
-                   "schema": df2.schema.json()}
+                   "_row_track": bool(props.get("row_tracking")),
+                   "schema": _log_schema_json(df2.schema)}
+            if tr:
+                rec.update(transform=tr, partitions=tparts)
             if txn_app is not None:
                 rec.update(txn_app=txn_app, txn_version=txn_version)
             if new_high:
@@ -1890,6 +2173,8 @@ class TxnLogFormat(TableFormat):
                                      in e["removed"].items()},
                          "pcol": e["pcol"],
                          "staged_pcol": e.get("staged_pcol"),
+                         "transform": e.get("transform"),
+                         "row_base": e.get("row_base"),
                          "parts": set(e["parts"]),
                          "version": e["version"],
                          "action": e.get("action"),
@@ -1908,6 +2193,7 @@ class TxnLogFormat(TableFormat):
                              "version": c["version"],
                              "action": c["action"],
                              "files": c.get("files"),
+                             "row_base": c.get("row_base"),
                              "schema": c.get("schema")})
                 continue
             if c["action"] == "rewrite_files":
@@ -1919,6 +2205,7 @@ class TxnLogFormat(TableFormat):
                              "version": c["version"],
                              "action": c["action"],
                              "files": c.get("files"),
+                             "row_base": c.get("row_base"),
                              "schema": c.get("schema")})
                 continue
             if c["action"] == "restore":
@@ -1932,7 +2219,10 @@ class TxnLogFormat(TableFormat):
                 # batcher never mixes partitioned and flat dir layouts
                 live = [{"dir": c["dir"], "removed": {}, "pcol": None,
                          "staged_pcol": c.get("partition_col"),
-                         "parts": set(), "version": c["version"],
+                         "transform": c.get("transform"),
+                         "row_base": c.get("row_base"),
+                         "parts": set(c.get("partitions") or []),
+                         "version": c["version"],
                          "action": c["action"], "files": c.get("files"),
                          "schema": c.get("schema")}]
                 continue
@@ -1942,6 +2232,8 @@ class TxnLogFormat(TableFormat):
                         c["partition_col"], set()).update(c["partitions"])
             live.append({"dir": c["dir"], "removed": {},
                          "pcol": c.get("partition_col"),
+                         "transform": c.get("transform"),
+                         "row_base": c.get("row_base"),
                          "parts": set(c.get("partitions") or []),
                          "version": c["version"],
                          "action": c["action"], "files": c.get("files"),
@@ -2144,6 +2436,8 @@ class TxnLogFormat(TableFormat):
                        generated_columns: dict[str, str] | None = ...,
                        identity_columns: dict | None = ...,
                        auto_compact: dict | None = ...,
+                       partition_transform: dict | None = ...,
+                       row_tracking: bool | None = ...,
                        validate_constraints: bool = True) -> int:
         """Persist table-level PROPERTIES in the log (Delta
         ``ALTER TABLE ... SET TBLPROPERTIES`` parity) as one
@@ -2260,6 +2554,60 @@ class TxnLogFormat(TableFormat):
                         "auto_compact must be {'small_file_bytes': "
                         "int > 0, 'min_files': int >= 2}")
             props["auto_compact"] = auto_compact
+        if partition_transform is not ...:
+            #: HIDDEN PARTITIONING (Iceberg partition-transform parity,
+            #: BASELINE.json names Iceberg alongside Delta): writers
+            #: partition the STAGED layout by a value DERIVED from a
+            #: source column — ``bucket(n)`` (portable md5 hash, the
+            #: bloom/MinHash verifiable-hash discipline), ``truncate(w)``
+            #: (string prefix / integer floor-to-multiple), or
+            #: ``days``/``months``/``hours`` of a date or timestamp —
+            #: and record the derived values on the commit, so
+            #: ``read(where=<source-column predicate>)`` prunes whole
+            #: dirs by mapping the predicate THROUGH the transform
+            #: (exact for equality/IN on every kind; range pruning on
+            #: the monotone kinds, never on bucket).  Users query the
+            #: SOURCE column only — the derived value exists in dir
+            #: names, never as a data column (Iceberg's core pitch vs
+            #: Hive partitioning).
+            if partition_transform is not None:
+                pt = partition_transform
+                kinds = {"bucket", "truncate", "days", "months", "hours"}
+                ok = (isinstance(pt, dict)
+                      and isinstance(pt.get("source"), str)
+                      and pt.get("kind") in kinds
+                      and set(pt) <= {"source", "kind", "param"})
+                if ok and pt["kind"] in ("bucket", "truncate"):
+                    ok = (isinstance(pt.get("param"), int)
+                          and not isinstance(pt.get("param"), bool)
+                          and pt["param"] >= 1)
+                elif ok:
+                    ok = "param" not in pt
+                if not ok:
+                    raise ValueError(
+                        "partition_transform must be {'source': col, "
+                        "'kind': 'bucket'|'truncate'|'days'|'months'|"
+                        "'hours'[, 'param': int >= 1 for bucket/"
+                        "truncate]}")
+            props["partition_transform"] = partition_transform
+        if row_tracking is not ...:
+            #: ROW TRACKING (Delta row-ID parity): every data commit
+            #: reserves a disjoint, never-reused [base, base + rows)
+            #: id range per staged file (allocation rides the publish
+            #: loop, so racing writers can never overlap); a row's
+            #: STABLE id is ``base + parquet row index`` for fresh
+            #: rows and the MATERIALIZED ``__row_id`` column for rows
+            #: restaged by compaction / targeted UPDATE / merge — the
+            #: primitive CDF-precise lineage and incremental-MV
+            #: maintenance need across rewrites.  Read back with
+            #: ``read(..., with_row_ids=True)``.  Enabling only
+            #: affects FUTURE commits: pre-enable files have no
+            #: reserved range and read ``_row_id`` NULL (compact once
+            #: to assign).
+            if row_tracking is not None and not isinstance(
+                    row_tracking, bool):
+                raise ValueError("row_tracking must be True/False/None")
+            props["row_tracking"] = row_tracking
         if not props:
             raise ValueError("no properties given")
         commits = self._commits(path)
@@ -2435,6 +2783,14 @@ class TxnLogFormat(TableFormat):
                 f"columns {sorted(bad)} key live partition-overwrite "
                 "bookkeeping; compact() the table before renaming or "
                 "dropping them")
+        tr = self._resolve_properties(commits).get("partition_transform")
+        if tr and tr["source"] in (set(rename_columns)
+                                   | set(drop_columns)):
+            raise ValueError(
+                f"column {tr['source']!r} is the partition_transform "
+                "source; unset the property (set_properties(..., "
+                "partition_transform=None)) before renaming or "
+                "dropping it")
         from collections import Counter
         final_names = [rename_columns.get(n, n) for n in names
                        if n not in drop_columns] + list(add_columns)
@@ -2458,7 +2814,7 @@ class TxnLogFormat(TableFormat):
                "add": dict(add_columns),
                "rename": dict(rename_columns),
                "drop": drop_columns,
-               "schema": new_schema.json()}
+               "schema": _log_schema_json(new_schema)}
         if column_defaults:
             rec["defaults"] = column_defaults
         return self._commit(path, rec, expected_version=head + 1,
@@ -2655,15 +3011,23 @@ class TxnLogFormat(TableFormat):
         import pyarrow as pa
         import pyarrow.compute as pc
         names = set(tbl.column_names)
-        svs = tbl["stat_version"].to_pylist()
+        sv_col = tbl["stat_version"].combine_chunks()
+        # group rows by their version-mapped clause list over the
+        # DISTINCT recording versions (O(commits)), not per row
+        # (O(files)) — with no alters in play every version maps to the
+        # same key, so the deep-table common case is ONE group covering
+        # the whole sidecar and the take/filter below is skipped
         groups: dict[tuple, list[int]] = {}
-        for i, sv in enumerate(svs):
-            if sv is not None:  # null = no stats recorded: never prunes
-                groups.setdefault(tuple(mapped_for(sv)), []).append(i)
+        distinct_svs = [v for v in pc.unique(sv_col).to_pylist()
+                        if v is not None]  # null = no stats: never prunes
+        for sv in distinct_svs:
+            groups.setdefault(tuple(mapped_for(sv)), []).append(sv)
         needed = {src for key in groups for src, _op, _lit in key}
         if any(f"{p}:{src}" not in names for src in needed
                for p in ("smin", "smax", "snul", "srow", "sblm")):
             return None
+        one_group = (len(groups) == 1
+                     and not pc.any(pc.is_null(sv_col)).as_py())
 
         def fam(t):
             return ("str" if pa.types.is_string(t) or
@@ -2672,17 +3036,24 @@ class TxnLogFormat(TableFormat):
                     pa.types.is_floating(t) else None)
 
         skip: set[str] = set()
-        for key, idxs in groups.items():
+        for key, key_svs in groups.items():
             if not key:
                 continue
-            take = pa.array(idxs, pa.int64())
+            if one_group:
+                sub = tbl
+            else:
+                mask = pc.and_kleene(
+                    pc.is_valid(sv_col),
+                    pc.is_in(sv_col, value_set=pa.array(key_svs,
+                                                        pa.int64())))
+                sub = tbl.filter(pc.fill_null(mask, False))
             pruned = None      # OR of per-clause provably-empty masks
             probe_flags = None  # rows worth a bloom probe if unpruned
             for src, op, lit in key:
-                mn = pc.take(tbl[f"smin:{src}"], take)
-                mx = pc.take(tbl[f"smax:{src}"], take)
-                nul = pc.take(tbl[f"snul:{src}"], take)
-                row = pc.take(tbl[f"srow:{src}"], take)
+                mn = sub[f"smin:{src}"]
+                mx = sub[f"smax:{src}"]
+                nul = sub[f"snul:{src}"]
+                row = sub[f"srow:{src}"]
                 if op == "isnull":
                     m = pc.equal(nul, 0)
                 elif op == "notnull":
@@ -2709,7 +3080,7 @@ class TxnLogFormat(TableFormat):
                                 out_all = (o if out_all is None else
                                            pc.and_kleene(out_all, o))
                             m = pc.or_kleene(m, out_all)
-                        bp = pc.take(tbl[f"sblm:{src}"], take)
+                        bp = sub[f"sblm:{src}"]
                         probe_flags = (bp if probe_flags is None
                                        else pc.or_kleene(probe_flags, bp))
                     elif litfam is not None and litfam == fam(mn.type):
@@ -2724,7 +3095,7 @@ class TxnLogFormat(TableFormat):
                         if op in cmps:
                             m = pc.or_kleene(m, cmps[op]())
                         if op == "=":
-                            bp = pc.take(tbl[f"sblm:{src}"], take)
+                            bp = sub[f"sblm:{src}"]
                             probe_flags = (
                                 bp if probe_flags is None
                                 else pc.or_kleene(probe_flags, bp))
@@ -2732,7 +3103,7 @@ class TxnLogFormat(TableFormat):
             if pruned is None:
                 continue
             pruned = pc.fill_null(pruned, False)
-            rels = pc.take(tbl["relfile"], take)
+            rels = sub["relfile"]
             skip.update(pc.filter(rels, pruned).to_pylist())
             if probe_flags is not None:
                 # bloom refinement: exact row-wise probe over ONLY the
@@ -2742,7 +3113,7 @@ class TxnLogFormat(TableFormat):
                 cand = pc.fill_null(
                     pc.and_kleene(probe_flags,
                                   pc.invert(pruned)), False)
-                cj = pc.filter(pc.take(tbl["cols_json"], take), cand)
+                cj = pc.filter(sub["cols_json"], cand)
                 cr = pc.filter(rels, cand)
                 for rf, cjs in zip(cr.to_pylist(), cj.to_pylist()):
                     if cjs is not None and self._provably_empty(
@@ -2938,6 +3309,156 @@ class TxnLogFormat(TableFormat):
                 return True
         return False
 
+    #: prefix check for the time-transform literals ("2024-01-02...",
+    #: at least a full date — shorter literals stay conservative)
+    _ISO_PREFIX = _re_mod.compile(r"^\d{4}-\d{2}-\d{2}")
+
+    def _derived_of(self, tr: dict, lit, coltype: str | None):
+        """The derived partition value (string) a clause LITERAL maps to
+        under a hidden partition transform, or None when the (literal,
+        column-type) pairing can't be derived exactly — the same
+        only-when-types-match-exactly discipline as the bloom probe.
+        Mirrors ``_transform_expr`` bit for bit: bucket uses
+        ``hashlib.md5(str(lit))`` over the first 15 hex digits, exactly
+        the Spark-side ``conv(substring(md5(cast(x as string)),1,15),
+        16,10)``."""
+        kind = tr["kind"]
+        if isinstance(lit, bool):
+            return None
+        if kind == "bucket":
+            if coltype == "string" and isinstance(lit, str):
+                key = lit
+            elif coltype in self._INTEGRAL_TYPES \
+                    and isinstance(lit, int):
+                key = str(lit)
+            else:
+                return None
+            import hashlib
+            return str(int(hashlib.md5(key.encode()).hexdigest()[:15],
+                           16) % tr["param"])
+        if kind == "truncate":
+            if coltype == "string" and isinstance(lit, str):
+                return lit[:tr["param"]]
+            if coltype in self._INTEGRAL_TYPES and isinstance(lit, int):
+                return str(lit - lit % tr["param"])
+            return None
+        width = self._TRANSFORM_WIDTH[kind]
+        if coltype in ("date", "timestamp", "timestamp_ntz") \
+                and isinstance(lit, str) and len(lit) >= width \
+                and self._ISO_PREFIX.match(lit):
+            return lit[:width]
+        return None
+
+    def _transform_provably_empty(self, tr: dict, parts, clauses: list,
+                                  coltype: str | None) -> bool:
+        """True iff a clause on the TRANSFORM SOURCE column proves no
+        recorded derived partition value of this dir can match —
+        log-level dir pruning THROUGH the transform (Iceberg hidden
+        partitioning's read side).  Equality/IN prune on every kind;
+        range conjuncts prune only through the monotone kinds
+        (truncate, days/months/hours) — a hash bucket destroys order by
+        construction.  Conservative like every skipping tier: any
+        pairing this can't map exactly keeps the dir, and the predicate
+        always re-applies at scan."""
+        kind, src = tr["kind"], tr["source"]
+        for col, op, lit in clauses:
+            if col != src:
+                continue
+            if op == "isnull":
+                if None not in parts:
+                    return True
+                continue
+            if op == "notnull":
+                if all(p is None for p in parts):
+                    return True
+                continue
+            vals = [p for p in parts if p is not None]
+            if not vals:
+                # only the null partition: no comparison/IN matches NULL
+                return True
+            members = list(lit) if op == "in" else [lit]
+            if op in ("=", "in"):
+                derived = [self._derived_of(tr, m, coltype)
+                           for m in members]
+                if any(d is None for d in derived):
+                    continue
+                if not any(d in vals for d in derived):
+                    return True
+                continue
+            if op not in ("<", "<=", ">", ">="):
+                continue
+            if kind == "bucket":
+                continue
+            d = self._derived_of(tr, lit, coltype)
+            if d is None:
+                continue
+            if kind == "truncate" and coltype in self._INTEGRAL_TYPES:
+                # partition value b covers the interval [b, b + w)
+                try:
+                    pv = [int(v) for v in vals]
+                except ValueError:
+                    continue
+                w, li = tr["param"], lit
+                if op == ">" and all(b + w - 1 <= li for b in pv):
+                    return True
+                if op == ">=" and all(b + w - 1 < li for b in pv):
+                    return True
+                if op == "<" and all(b >= li for b in pv):
+                    return True
+                if op == "<=" and all(b > li for b in pv):
+                    return True
+                continue
+            # string-ordered kinds (prefix truncate, ISO time buckets):
+            # a partition strictly below the literal's derived value
+            # holds only smaller source values, and vice versa; the
+            # boundary partition (== d) always stays
+            if op in (">", ">=") and all(p < d for p in vals):
+                return True
+            if op in ("<", "<=") and all(p > d for p in vals):
+                return True
+        return False
+
+    @classmethod
+    def _tp_value_of(cls, rf: str):
+        """The derived partition value encoded in a commit-recorded file
+        path (``_txn_data/<uuid>/__tp=<v>/part-...``), hive-unescaped;
+        ``(False, None)`` when the file has no transform component,
+        ``(True, value-or-None)`` otherwise (None = the null
+        partition)."""
+        marker = f"/{cls._TP_COL}="
+        i = rf.find(marker)
+        if i < 0:
+            return False, None
+        v = rf[i + len(marker):].split("/", 1)[0]
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            return True, None
+        from urllib.parse import unquote
+        return True, unquote(v)
+
+    def _transform_excluded_files(self, e: dict, files: list[str],
+                                  clauses: list,
+                                  coltype: str | None) -> list[str]:
+        """FILE-granular hidden-partitioning pruning: each staged file
+        carries its derived value in its own path, so within one commit
+        dir only the matching hive sub-dirs survive — Iceberg's
+        per-manifest-entry granularity, recovered from the file list
+        the commit already records (no extra metadata).  Values repeat
+        per file; decisions cache per distinct value."""
+        tr = e["transform"]
+        cache: dict = {}
+        kept = []
+        for rf in files:
+            has, v = self._tp_value_of(rf)
+            if not has:
+                kept.append(rf)
+                continue
+            if v not in cache:
+                cache[v] = not self._transform_provably_empty(
+                    tr, {v}, clauses, coltype)
+            if cache[v]:
+                kept.append(rf)
+        return kept
+
     def _version_at_timestamp(self, path: str, commits: list[dict],
                               cutoff: float) -> int:
         """Resolve an epoch-seconds cutoff to the LATEST version
@@ -2982,6 +3503,7 @@ class TxnLogFormat(TableFormat):
              as_of_version: int | None = None,
              as_of_timestamp: float | str | None = None,
              where: str | None = None,
+             with_row_ids: bool = False,
              _with_pos: bool = False,
              _only_files: set | None = None) -> DataFrame:
         """Current state, or — with ``as_of_version`` — TIME TRAVEL: the
@@ -3000,12 +3522,29 @@ class TxnLogFormat(TableFormat):
         then individual files via the commit-recorded per-file min/max
         stats (Delta data skipping) — at 100 TB the difference between
         opening every file of every live dir and opening the few the
-        predicate touches."""
+        predicate touches.
+
+        ``with_row_ids`` (round 11 — Delta row-tracking parity) adds a
+        ``_row_id`` BIGINT column: the row's STABLE identity under the
+        ``row_tracking`` table property — fresh rows read ``file base +
+        parquet row index`` from the commit's reserved id range; rows
+        restaged by compaction / targeted UPDATE / merge read the
+        MATERIALIZED ``__row_id`` their rewrite carried over, so the id
+        survives physical movement (the primitive incremental-MV
+        maintenance and CDF-precise lineage need).  Rows written before
+        the property was enabled read NULL (compact once to assign)."""
         # the head resolution stays UNGATED when a time-travel target is
         # given: the gate applies to the prefix actually read (below),
         # so a protocol upgrade never locks out pre-upgrade snapshots
         commits = self._commits(
             path, _gate=(as_of_version is None and as_of_timestamp is None))
+        if (as_of_version is None and as_of_timestamp is None
+                and _only_files is None and not _with_pos and commits
+                and self._maybe_fire_compact_due(spark, path, commits)):
+            # a pending streaming-sink compact_due marker fired: replan
+            # on the compacted state (time-travel and internal
+            # rewrite-planning reads never enter here)
+            commits = self._commits(path)
         if as_of_timestamp is not None:
             if as_of_version is not None:
                 raise ValueError(
@@ -3077,9 +3616,19 @@ class TxnLogFormat(TableFormat):
         # merge-on-read deletes need each row's physical identity; expose
         # it via the scan-time _metadata columns (file path + parquet row
         # index) only when something will consume it
-        need_pos = bool(dvs) or _with_pos
-        removed_dirs = {"/".join(p.split("/", 2)[:2])
-                        for p in removed_files}
+        need_pos = bool(dvs) or _with_pos or with_row_ids
+        # dir prefixes of removed files — consumed only by the legacy
+        # no-recorded-files walk below, and O(removed ∪ skipped) to
+        # build, so LAZY: a deep all-recorded table (48k skip-pruned
+        # files on the metadata_plan_deep fixture) never pays it
+        _removed_dirs_cache: list = []
+
+        def removed_dirs() -> set:
+            if not _removed_dirs_cache:
+                _removed_dirs_cache.append(
+                    {"/".join(p.split("/", 2)[:2])
+                     for p in removed_files})
+            return _removed_dirs_cache[0]
 
         def post_scan(df, e):
             """Everything that happens to a scanned piece after the
@@ -3164,15 +3713,30 @@ class TxnLogFormat(TableFormat):
                     e["pcol"], e["parts"], clauses,
                     pcol_types.get(e["pcol"])):
                 continue  # no recorded partition value can match `where`
+            if clauses and e.get("transform") and e["parts"] \
+                    and self._transform_provably_empty(
+                        e["transform"], e["parts"], clauses,
+                        pcol_types.get(e["transform"]["source"])):
+                continue  # hidden-partitioning dir pruning THROUGH the
+                # transform: no recorded derived value can match
             full = os.path.join(path, e["dir"])
-            if not os.path.isdir(full):
+
+            def require_dir():
                 # a LIVE commit whose staged dir is gone: vacuumed time
                 # travel or external corruption — raise, never silently
-                # return partial/empty historical state
-                raise FileNotFoundError(
-                    f"data dir {e['dir']} for a live commit is missing at "
-                    f"{path} (vacuumed version or corrupted table)")
+                # return partial/empty historical state.  Probed only
+                # for entries the plan will actually SCAN: a deep
+                # predicate read that stats-prunes 6,000 commit dirs
+                # must not pay 6,000 stat calls for them
+                if not os.path.isdir(full):
+                    raise FileNotFoundError(
+                        f"data dir {e['dir']} for a live commit is "
+                        f"missing at {path} (vacuumed version or "
+                        "corrupted table)")
+
             files = e.get("files")
+            if files is None:
+                require_dir()
             if (not files) if files is not None \
                     else (not self._has_data_files(full)):
                 # a staged dir with no part files (an empty DataFrame
@@ -3197,14 +3761,18 @@ class TxnLogFormat(TableFormat):
             # for); legacy records without ``files`` keep the dir scan,
             # paying one walk only when a rewrite touched their dir.
             if files is not None:
-                kept = [os.path.join(path, rf) for rf in files
-                        if rf not in removed_files]
-                if not kept:
+                flist = [rf for rf in files if rf not in removed_files]
+                if clauses and e.get("transform"):
+                    flist = self._transform_excluded_files(
+                        e, flist, clauses,
+                        pcol_types.get(e["transform"]["source"]))
+                if not flist:
                     continue  # every file pruned or rewritten
-                scan_target = kept
+                require_dir()
+                scan_target = [os.path.join(path, rf) for rf in flist]
             else:
                 scan_target = [full]
-                if e["dir"] in removed_dirs:
+                if e["dir"] in removed_dirs():
                     kept, pruned = [], 0
                     for dp, _dns, fns in os.walk(full):
                         for fn in fns:
@@ -3235,13 +3803,22 @@ class TxnLogFormat(TableFormat):
             df = spark.read.option("basePath", full).parquet(*scan_target)
             parts_list.append((idx, post_scan(df, e)))
         for (sj, _era, _rsig), g in batch.items():
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import (LongType, StructField,
+                                           StructType)
             # ONE relation for the whole signature group, schema pinned
             # from the commit record — no per-dir footer sampling, and
             # the union width below is O(distinct signatures), not
             # O(commits)
-            df = spark.read.schema(StructType.fromJson(json.loads(sj))) \
-                .parquet(*g["targets"])
+            pinned = StructType.fromJson(json.loads(sj))
+            if with_row_ids and self._ROW_ID_COL not in pinned.names:
+                # the MATERIALIZED id column is physical-only (commit
+                # records carry the logical schema): pin it explicitly
+                # so rewrite outputs read theirs and plain files read
+                # NULL — exactly what the coalesce below needs
+                pinned = StructType(
+                    pinned.fields
+                    + [StructField(self._ROW_ID_COL, LongType())])
+            df = spark.read.schema(pinned).parquet(*g["targets"])
             parts_list.append((g["pos"], post_scan(df, g["entry"])))
         # union in LIVE-ENTRY order (each batch group anchored at its
         # first member): unionByName takes the FIRST piece's column
@@ -3282,6 +3859,8 @@ class TxnLogFormat(TableFormat):
             if need_pos:
                 keep_cols += [c for c in ("_dv_file", "_dv_pos")
                               if c in out.columns]
+            if with_row_ids and self._ROW_ID_COL in out.columns:
+                keep_cols.append(self._ROW_ID_COL)
             out = out.select(*keep_cols)
         if where is not None:
             # the predicate always applies in full — file skipping above
@@ -3314,6 +3893,30 @@ class TxnLogFormat(TableFormat):
             # beats rewrite for point deletes); anti-join on physical row
             # identity — AQE broadcasts it when it fits
             out = out.join(dv_df, ["_dv_file", "_dv_pos"], "left_anti")
+        if with_row_ids:
+            if self._ROW_ID_COL not in out.columns:
+                out = out.withColumn(self._ROW_ID_COL,
+                                     F.lit(None).cast("long"))
+            # the file-base table is FILE-COUNT rows of driver metadata
+            # (the same order as Delta's add-file state) — broadcast
+            # onto the scan's physical file identity
+            rb_rows = [(rf, base) for e in live
+                       for rf, base in (e.get("row_base") or {}).items()]
+            if rb_rows:
+                rb_df = spark.createDataFrame(
+                    rb_rows, "_dv_file string, _rb long")
+                out = out.join(F.broadcast(rb_df), "_dv_file", "left")
+            else:
+                out = out.withColumn("_rb", F.lit(None).cast("long"))
+            out = (out.withColumn(
+                "_row_id",
+                F.coalesce(F.col(self._ROW_ID_COL),
+                           F.col("_rb") + F.col("_dv_pos")))
+                .drop(self._ROW_ID_COL, "_rb"))
+        elif self._ROW_ID_COL in out.columns:
+            # materialized ids are physical bookkeeping, never a data
+            # column (a hive-staged rewrite's solo scan can surface it)
+            out = out.drop(self._ROW_ID_COL)
         if need_pos and not _with_pos:
             out = out.drop("_dv_file", "_dv_pos")
         return out
@@ -3577,11 +4180,18 @@ class TxnLogFormat(TableFormat):
         hot, n_del = self._hot_files(matching.filter(pred))
         if n_del == 0:
             return 0
-        # exact-scan the hot files; their SURVIVORS restage
+        # exact-scan the hot files; their SURVIVORS restage — carrying
+        # their stable row ids as the materialized column when the
+        # table tracks rows (physical movement must not change identity)
+        track = bool(self._resolve_properties(commits).get(
+            "row_tracking"))
         cur_hot = self.read(spark, path, _with_pos=True,
-                            _only_files=set(hot))
+                            _only_files=set(hot), with_row_ids=track)
         survivors = (cur_hot.filter(~pred | pred.isNull())
                      .drop("_dv_file", "_dv_pos"))
+        if track:
+            survivors = survivors.withColumnRenamed(
+                "_row_id", self._ROW_ID_COL)
         rec = {"action": "rewrite_files",
                "dir": self._stage(survivors, path, None, check=False),
                "removed_files": hot,
@@ -3589,14 +4199,16 @@ class TxnLogFormat(TableFormat):
                # rows identical), this rewrite CHANGES rows — streams and
                # the change feed must not skip it silently
                "data_change": True,
+               "_row_track": track,
                "partition_col": None, "partitions": [],
-               "schema": survivors.schema.json()}
+               "schema": self._logical_schema_json(survivors.schema)}
         if self._effective_config(commits)[2]:
-            self._check_cdf_reserved_columns(survivors.columns)
-            self._stage_cdf(path, cur_hot.filter(
-                F.coalesce(pred, F.lit(False)))
-                .drop("_dv_file", "_dv_pos")
-                .withColumn("_change_type", F.lit("delete")), rec)
+            cdf_rows = (cur_hot.filter(F.coalesce(pred, F.lit(False)))
+                        .drop("_dv_file", "_dv_pos", "_row_id"))
+            self._check_cdf_reserved_columns(cdf_rows.columns)
+            self._stage_cdf(path, cdf_rows
+                            .withColumn("_change_type", F.lit("delete")),
+                            rec)
         dv_rel = self._surviving_dv_rel(spark, path, commits, hot)
         if dv_rel is not None:
             rec["dv_dir"] = dv_rel
@@ -3695,7 +4307,10 @@ class TxnLogFormat(TableFormat):
         self._check_dv_reserved_columns(spark, path)
         # same stats pruning as delete_where_dv: only files that can hold
         # a matching row are opened to compute the rewrite
-        current = self.read(spark, path, where=predicate, _with_pos=True)
+        track = bool(self._resolve_properties(commits).get(
+            "row_tracking"))
+        current = self.read(spark, path, where=predicate, _with_pos=True,
+                            with_row_ids=track)
         if "_dv_file" not in current.columns:
             return 0  # zero-live-row table: nothing to update
         unknown = [c for c in assignments
@@ -3714,17 +4329,21 @@ class TxnLogFormat(TableFormat):
         if n_upd == 0:
             return 0
         tcols = [c for c in current.columns
-                 if c not in ("_dv_file", "_dv_pos")]
+                 if c not in ("_dv_file", "_dv_pos", "_row_id")]
         types = dict(current.dtypes)
-        rewritten = matching.select(*[
-            (F.expr(assignments[c]).cast(types[c]).alias(c))
-            if c in assignments else F.col(c)
-            for c in tcols])
+        rewritten = matching.select(*(
+            [(F.expr(assignments[c]).cast(types[c]).alias(c))
+             if c in assignments else F.col(c)
+             for c in tcols]
+            # the rewritten version IS the same logical row: it keeps
+            # its id (the vectored-out original is masked, not replaced)
+            + ([F.col("_row_id").alias(self._ROW_ID_COL)]
+               if track else [])))
         data_rel = self._stage(rewritten, path, None)  # constraints run
         dv_rel = self._stage(
             matching.select("_dv_file", "_dv_pos"), path, None, check=False)
         self._commit(path, {"action": "dv_update", "dir": data_rel,
-                            "dv_dir": dv_rel,
+                            "dv_dir": dv_rel, "_row_track": track,
                             "partition_col": None, "partitions": []},
                      expected_version=head + 1,
                      base_schema=self._resolve_schema(commits))
@@ -3775,24 +4394,31 @@ class TxnLogFormat(TableFormat):
         hot, n_upd = self._hot_files(matching.filter(pred))
         if n_upd == 0:
             return 0
+        track = bool(self._resolve_properties(commits).get(
+            "row_tracking"))
         cur_hot = self.read(spark, path, _with_pos=True,
-                            _only_files=set(hot))
+                            _only_files=set(hot), with_row_ids=track)
         # SQL UPDATE semantics: a NULL predicate leaves the row unchanged
         hit = F.coalesce(pred, F.lit(False))
         tcols = [c for c in cur_hot.columns
-                 if c not in ("_dv_file", "_dv_pos")]
+                 if c not in ("_dv_file", "_dv_pos", "_row_id")]
         types = dict(cur_hot.dtypes)
-        updated = cur_hot.select(*[
-            (F.when(hit, F.expr(assignments[c]).cast(types[c]))
+        updated = cur_hot.select(*(
+            [(F.when(hit, F.expr(assignments[c]).cast(types[c]))
               .otherwise(F.col(c)).alias(c)) if c in assignments
-            else F.col(c)
-            for c in tcols])
+             else F.col(c)
+             for c in tcols]
+            # an UPDATE changes values, never identity: the rewritten
+            # row keeps its id (Delta row-tracking UPDATE semantics)
+            + ([F.col("_row_id").alias(self._ROW_ID_COL)]
+               if track else [])))
         rec = {"action": "rewrite_files",
                "dir": self._stage(updated, path, None),  # constraints run
                "removed_files": hot,
                "data_change": True,  # rows changed, not just bytes moved
+               "_row_track": track,
                "partition_col": None, "partitions": [],
-               "schema": updated.schema.json()}
+               "schema": self._logical_schema_json(updated.schema)}
         if self._effective_config(commits)[2]:
             self._check_cdf_reserved_columns(tcols)
             pre = (cur_hot.filter(hit).select(*tcols)
@@ -3869,7 +4495,12 @@ class TxnLogFormat(TableFormat):
             raise ValueError(
                 "merge into a table with identity columns is not "
                 "supported — route inserts through append()")
-        target = self.read(spark, path)
+        track = bool(self._resolve_properties(commits).get(
+            "row_tracking"))
+        target = self.read(spark, path, with_row_ids=track)
+        if track:
+            target = target.withColumnRenamed("_row_id",
+                                              self._ROW_ID_COL)
         # The source is evaluated by TWO jobs (the guard/stats aggregation,
         # then the staged write).  A non-deterministic source — sampling,
         # now(), shuffle-order-dependent first() — could pass the
@@ -3877,7 +4508,7 @@ class TxnLogFormat(TableFormat):
         # committed state, so pin it once; localCheckpoint costs one
         # materialization of the CDC batch (small by contract).
         source = source.localCheckpoint(eager=True)
-        tcols = target.columns
+        tcols = [c for c in target.columns if c != self._ROW_ID_COL]
         missing = [c for c in tcols if c not in source.columns]
         if missing:
             raise ValueError(
@@ -3944,12 +4575,23 @@ class TxnLogFormat(TableFormat):
         upserts = matched.filter(~F.col(c_del)).select(*as_target)
         inserts = unmatched.filter(F.col(c_ins)).select(*as_target)
         kept = target.join(source.select(*keys), keys, "left_anti")
-        new_state = kept.select(*tcols).unionByName(upserts) \
+        keep_cols = tcols + ([self._ROW_ID_COL] if track else [])
+        if track:
+            # an UPDATE keeps the matched target row's identity: graft
+            # the id back onto the upsert by merge key (sound — the
+            # one-row-per-matched-key guards above just passed); brand
+            # new rows get NULL and read fresh ids from this commit's
+            # reserved range
+            upserts = upserts.join(
+                target.select(*keys, self._ROW_ID_COL), keys, "left")
+            inserts = inserts.withColumn(self._ROW_ID_COL,
+                                         F.lit(None).cast("long"))
+        new_state = kept.select(*keep_cols).unionByName(upserts) \
                         .unionByName(inserts)
         rel = self._stage(new_state, path, None)
-        rec = {"action": "replace_all", "dir": rel,
+        rec = {"action": "replace_all", "dir": rel, "_row_track": track,
                "partition_col": None, "partitions": [],
-               "schema": new_state.schema.json()}
+               "schema": self._logical_schema_json(new_state.schema)}
         if schema_evolution and extra:
             # record WHICH columns this merge added (source-typed DDL):
             # _resolve_alters synthesizes the matching alter entry, so
@@ -3970,9 +4612,10 @@ class TxnLogFormat(TableFormat):
                 src.filter(~F.col(c_del)).select(*keys), keys,
                 "left_semi")
                 .withColumn("_change_type", F.lit("update_preimage")))
-            upd_post = upserts.withColumn(
+            upd_post = upserts.select(*tcols).withColumn(
                 "_change_type", F.lit("update_postimage"))
-            ins = inserts.withColumn("_change_type", F.lit("insert"))
+            ins = inserts.select(*tcols).withColumn(
+                "_change_type", F.lit("insert"))
             self._stage_cdf(path, deleted.unionByName(upd_pre)
                             .unionByName(upd_post).unionByName(ins), rec)
         self._commit(path, rec, expected_version=head + 1)
@@ -4209,8 +4852,8 @@ class TxnLogFormat(TableFormat):
             for name in flat:
                 link(name, name)
             rec = {"action": "append", "dir": rel,
-                   "schema": spark.read.parquet(
-                       os.path.join(path, rel)).schema.json()}
+                   "schema": _log_schema_json(spark.read.parquet(
+                       os.path.join(path, rel)).schema)}
         else:
             (pcol, entries), = parts.items()
             values = []
@@ -4223,9 +4866,9 @@ class TxnLogFormat(TableFormat):
                              os.path.join(dirname, fn))
             rec = {"action": "overwrite", "dir": rel,
                    "partition_col": pcol, "partitions": values,
-                   "schema": spark.read.option(
+                   "schema": _log_schema_json(spark.read.option(
                        "basePath", os.path.join(path, rel)).parquet(
-                       os.path.join(path, rel)).schema.json()}
+                       os.path.join(path, rel)).schema)}
         return self._commit(path, rec)
 
     #: Delta OPTIMIZE's default output size — the size-targeted rewrite
@@ -4313,7 +4956,16 @@ class TxnLogFormat(TableFormat):
             # append-tolerant (the appended rows are not in the rewrite).
             snap = self._commits(path)
             head = snap[-1]["version"] if snap else -1
-            current = self.read(spark, path)
+            track = bool(self._resolve_properties(snap).get(
+                "row_tracking"))
+            current = self.read(spark, path, with_row_ids=track)
+            if track:
+                # ids survive the rewrite MATERIALIZED; rows that
+                # predate the property (NULL id) read fresh ids from
+                # this commit's reserved range — "compact once to
+                # assign", the documented enable-on-populated-table path
+                current = current.withColumnRenamed(
+                    "_row_id", self._ROW_ID_COL)
             if cluster_by:
                 # OPTIMIZE ... ZORDER/CLUSTER BY parity: lay the rewrite
                 # out so each file covers a tight value range — this is
@@ -4346,8 +4998,9 @@ class TxnLogFormat(TableFormat):
             rel = self._stage(current, path, partition_col)
             self._commit(path, {"action": "replace_all", "dir": rel,
                                 "partition_col": partition_col,
-                                "partitions": [],
-                                "schema": current.schema.json()},
+                                "partitions": [], "_row_track": track,
+                                "schema": self._logical_schema_json(
+                                    current.schema)},
                          expected_version=head + 1)
             return None
         if cluster_by:
@@ -4379,7 +5032,9 @@ class TxnLogFormat(TableFormat):
                 and not dvs:
             return {"rewritten_files": 0, "retired_dv_entries": 0}
         hot_set: set[str] = set()
-        cur = self.read(spark, path, _with_pos=True)
+        track = bool(self._resolve_properties(commits).get(
+            "row_tracking"))
+        cur = self.read(spark, path, _with_pos=True, with_row_ids=track)
         if rewrite_dv_threshold is not None and dv_all is not None:
             live_counts = (cur.groupBy("_dv_file")
                            .agg(F.count("*").alias("_live")))
@@ -4434,6 +5089,9 @@ class TxnLogFormat(TableFormat):
             return {"rewritten_files": 0, "retired_dv_entries": 0}
         survivors = (cur.filter(F.col("_dv_file").isin(hot))
                      .drop("_dv_file", "_dv_pos"))
+        if track:
+            survivors = survivors.withColumnRenamed(
+                "_row_id", self._ROW_ID_COL)
         if small_file_bytes is not None:
             target = int(target_file_bytes or self._TARGET_FILE_BYTES)
             known = sum(sizes.get(rf, target) for rf in hot)
@@ -4441,9 +5099,9 @@ class TxnLogFormat(TableFormat):
         # check=False: every survivor is already a committed, validated row
         data_rel = self._stage(survivors, path, None, check=False)
         rec = {"action": "rewrite_files", "dir": data_rel,
-               "removed_files": hot,
+               "removed_files": hot, "_row_track": track,
                "partition_col": None, "partitions": [],
-               "schema": survivors.schema.json()}
+               "schema": self._logical_schema_json(survivors.schema)}
         retired = 0
         if dv_all is not None:
             remaining = (dv_all.filter(~F.col("_dv_file").isin(hot))

@@ -72,6 +72,7 @@ from __future__ import annotations
 
 import json
 import os
+from urllib.parse import unquote
 
 from dataclasses import dataclass, field
 
@@ -82,7 +83,69 @@ from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     WriterCommitMessage)
 from pyspark.sql.types import StructType
 
-from ..sinks import TxnLogFormat, _relfile
+from ..sinks import (PATH_METADATA_KEY as _sinks_path_meta_key,
+                     TxnLogFormat, _log_schema_json, _relfile)
+
+
+def _plain_path(p: str) -> str:
+    """Normalize the ``path`` option to a bare filesystem path.  Direct
+    ``.load(path)`` callers pass plain paths, but the SQL catalog
+    qualifies a table location into a URI (``file:/x``, ``file:///x``,
+    percent-encoded) before it reaches the data source — and the txn
+    log walks its commit files with ``os`` calls, which need the bare
+    form.  Non-``file`` schemes pass through untouched (an object-store
+    deployment lists through its own filesystem client)."""
+    if p.startswith("file:"):
+        rest = p[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return unquote(rest)
+    return p
+
+
+#: StructField-metadata key carrying a CATALOG table's location to scan
+#: and write time.  Spark's Python-DS catalog bridge drops the stored
+#: table OPTIONS before they reach the scan: ``PythonDataSourceV2
+#: .getTable`` discards its properties argument outright and
+#: ``PythonTable`` carries only (ds, shortName, schema) — verified
+#: against spark-sql_2.13-4.1.2 bytecode, and reproduced empirically
+#: (reader() sees an EMPTY options map on ``spark.table(...)`` scans of
+#: a table created with ``OPTIONS (path ...)``).  The stored table
+#: SCHEMA is the one piece of creation-time state that round-trips
+#: through the catalog into ``reader(schema)`` / ``writer(schema)``
+#: with field metadata intact, so ``schema()`` stamps the resolved
+#: location into every field's metadata — making plain SQL
+#: ``CREATE TABLE t USING txnlog OPTIONS (path ...)`` fully functional
+#: (scan, INSERT, stream) with no side registry — and path resolution
+#: falls back to it when the options map is empty.  The breadcrumb is
+#: registration state, not table state: every commit record strips it
+#: (``sinks._log_schema_json``), so it never leaks into table logs.
+PATH_METADATA_KEY = _sinks_path_meta_key
+
+
+def _stamp_path(schema: StructType, path: str) -> StructType:
+    from pyspark.sql.types import StructField
+    return StructType([
+        StructField(f.name, f.dataType, f.nullable,
+                    {**(f.metadata or {}), PATH_METADATA_KEY: path})
+        for f in schema.fields])
+
+
+def _strip_path_meta(schema: StructType) -> StructType:
+    from pyspark.sql.types import StructField
+    return StructType([
+        StructField(f.name, f.dataType, f.nullable,
+                    {k: v for k, v in (f.metadata or {}).items()
+                     if k != PATH_METADATA_KEY})
+        for f in schema.fields])
+
+
+def _meta_path(schema: StructType | None) -> str | None:
+    for f in (schema.fields if schema is not None else ()):
+        p = (f.metadata or {}).get(PATH_METADATA_KEY)
+        if p:
+            return p
+    return None
 
 
 class _FilePartition(InputPartition):
@@ -400,7 +463,7 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
 
 class TxnLogStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
-        self.path = options["path"]
+        self.path = _plain_path(options["path"])
         self.schema = schema
         self.ignore_changes = str(
             options.get("ignorechanges", "false")).lower() == "true"
@@ -844,7 +907,7 @@ class TxnLogBatchReader(DataSourceReader):
     for correctness)."""
 
     def __init__(self, schema: StructType, options: dict):
-        self.path = options["path"]
+        self.path = _plain_path(options["path"])
         self.schema = schema
         #: batch change feed (Delta's ``spark.read.option("readChangeFeed",
         #: "true").option("startingVersion", N)`` shape): emit the
@@ -999,7 +1062,7 @@ class TxnLogWriter(DataSourceWriter):
 
     def __init__(self, schema: StructType, options: dict,
                  overwrite: bool):
-        self.path = options["path"]
+        self.path = _plain_path(options["path"])
         self.schema = schema
         self.overwrite = overwrite
 
@@ -1054,7 +1117,7 @@ class TxnLogWriter(DataSourceWriter):
         return {"action": "replace_all" if self.overwrite else "append",
                 "dir": dest_rel,
                 "partition_col": None, "partitions": [],
-                "schema": self.schema.json()}
+                "schema": _log_schema_json(self.schema)}
 
     def _gather(self, messages, dest_rel: str) -> None:
         """Move exactly the files the task commit MESSAGES name into the
@@ -1080,7 +1143,12 @@ class TxnLogWriter(DataSourceWriter):
         import uuid as _uuid
         dest_rel = os.path.join("_txn_data", _uuid.uuid4().hex)
         self._gather(messages, dest_rel)
-        TxnLogFormat()._commit(self.path, self._record(dest_rel))
+        fmt = TxnLogFormat()
+        rec = self._record(dest_rel)
+        if fmt._resolve_properties(fmt._commits(self.path)).get(
+                "row_tracking"):
+            rec["_row_track"] = True
+        fmt._commit(self.path, rec)
 
     def abort(self, messages) -> None:
         # staged task dirs are unreferenced, hence invisible; vacuum
@@ -1124,14 +1192,27 @@ class TxnLogStreamWriter(TxnLogWriter, DataSourceStreamWriter):
         self._gather(messages, dest_rel)
         rec = {**self._record(dest_rel),
                "txn_app": self.txn_app, "txn_version": batchId}
-        # NOTE: no auto-compaction here BY NECESSITY — this commit()
-        # runs in a sessionless Python-data-source worker process (no
-        # SparkSession exists to launch the rewrite job; Delta's sink
-        # can because it is JVM-side).  The auto_compact table property
-        # fires from every batch writer and from foreachBatch-driven
-        # streaming (this repo's streaming helpers append/merge on the
-        # driver); raw-sink tables schedule compact() like any OPTIMIZE.
-        TxnLogFormat()._commit(self.path, rec)
+        # AUTO-COMPACT BOUNDARY (round 11): this commit() runs in a
+        # sessionless Python-data-source worker — no SparkSession
+        # exists to launch the rewrite job itself (Delta's sink can,
+        # being JVM-side).  When the auto_compact table property's
+        # small-file condition holds, the epoch commit records a
+        # ``compact_due`` MARKER instead; the next driver-side touch
+        # through TxnLogFormat (any write's post-commit trigger, or a
+        # plain read) runs the best-effort compaction and its
+        # rewrite_files commit consumes the marker.  The condition
+        # check is a metadata pass over commit-recorded sizes — the
+        # same one every batch writer already pays post-commit.
+        fmt = TxnLogFormat()
+        try:
+            commits = fmt._commits(self.path)
+            if fmt._auto_compact_needed(self.path, commits):
+                rec["compact_due"] = True
+            if fmt._resolve_properties(commits).get("row_tracking"):
+                rec["_row_track"] = True
+        except Exception:  # pragma: no cover - marker is best-effort
+            pass
+        fmt._commit(self.path, rec)
 
     def abort(self, messages, batchId: int) -> None:
         TxnLogWriter.abort(self, messages)
@@ -1140,14 +1221,69 @@ class TxnLogStreamWriter(TxnLogWriter, DataSourceStreamWriter):
 class TxnLogDataSource(DataSource):
     """``spark.dataSource.register(TxnLogDataSource)`` then
     ``spark.readStream.format("txnlog").load(path)`` (streaming) or
-    ``spark.read.format("txnlog").load(path)`` (batch, DV-free tables)."""
+    ``spark.read.format("txnlog").load(path)`` (batch, DV-free tables).
+
+    CATALOG tables (``tables.create_table`` → ``spark.table(name)`` /
+    ``INSERT INTO name``) reach this class with an EMPTY options map —
+    the Spark 4.1 Python-DS bridge drops stored table options before
+    the scan (see ``PATH_METADATA_KEY``) — so path resolution falls
+    back to the location breadcrumb ``tables.create_table`` stamped
+    into the stored schema's field metadata.  Catalog scans also verify
+    the stored schema still matches the table log (an out-of-band
+    ``alter_table`` would otherwise be silently column-mapped against a
+    stale target schema) and direct the user to ``tables.refresh_table``
+    on drift."""
 
     @classmethod
     def name(cls) -> str:
         return "txnlog"
 
+    def _opts_with_path(self, schema: StructType | None) -> dict:
+        """Options with a guaranteed plain ``path``: explicit option
+        first (direct ``.load(path)`` / ``.save(path)``), else the
+        catalog breadcrumb in the schema's field metadata."""
+        opts = dict(self.options)
+        if "path" in opts:
+            opts["path"] = _plain_path(opts["path"])
+            return opts
+        bp = _meta_path(schema)
+        if bp:
+            opts["path"] = bp
+            return opts
+        raise ValueError(
+            "txnlog: no 'path' option and no catalog location breadcrumb "
+            "in the schema.  Reads: load with .load(path) or register "
+            "the table (tables.create_table) so scans can recover the "
+            "location.  Writes: INSERT INTO ... SELECT whose query "
+            "schema matches the table exactly skips the output "
+            "projection that carries the breadcrumb (Spark drops stored "
+            "table options before Python-DS writes) — use "
+            "tables.insert_into(spark, name, df) or "
+            "df.write.format('txnlog').mode('append').save(path)")
+
+    def _check_catalog_schema(self, schema: StructType, path: str) -> None:
+        """A catalog scan's target schema is the schema STORED AT CREATE
+        TIME; refuse if the log has evolved past it (the per-file column
+        mapping would conform files to a stale target)."""
+        fmt = TxnLogFormat()
+        sj = fmt._resolve_schema(fmt._commits(path))
+        stored = _strip_path_meta(schema)
+        if str(self.options.get("readchangefeed", "false")).lower() \
+                == "true":
+            stored = StructType(
+                [f for f in stored.fields if f.name not in _CDF_COLS])
+        if sj is not None:
+            live = StructType.fromJson(json.loads(sj))
+            if [(f.name, f.dataType) for f in live.fields] != \
+                    [(f.name, f.dataType) for f in stored.fields]:
+                raise ValueError(
+                    f"catalog schema for the table at {path} is stale "
+                    "(the table log evolved after CREATE TABLE) — run "
+                    "tables.refresh_table(spark, name) to re-sync the "
+                    "catalog entry")
+
     def schema(self):
-        path = self.options["path"]
+        path = _plain_path(self.options["path"])
         fmt = TxnLogFormat()
         # the SAME restore-aware resolution every table reader uses — a
         # newest-schema-bearing-commit walk would diverge after RESTORE
@@ -1156,23 +1292,38 @@ class TxnLogDataSource(DataSource):
             schema = StructType.fromJson(json.loads(sj))
             if str(self.options.get("readchangefeed",
                                     "false")).lower() == "true":
-                return _cdf_schema(schema)
-            return schema
+                schema = _cdf_schema(schema)
+            # the location breadcrumb: inert on direct .load(path)
+            # reads (explicit options win), load-bearing when this
+            # inferred schema is STORED by CREATE TABLE and handed back
+            # to a catalog scan whose options Spark dropped
+            return _stamp_path(schema, path)
         raise ValueError(
             f"no schema-bearing commit at {path} (empty or pre-schema "
             "log) — pass an explicit .schema(...)")
 
     def streamReader(self, schema: StructType) -> TxnLogStreamReader:
-        return TxnLogStreamReader(schema, self.options)
+        opts = self._opts_with_path(schema)
+        if "path" not in self.options:
+            self._check_catalog_schema(schema, opts["path"])
+        return TxnLogStreamReader(_strip_path_meta(schema), opts)
 
     def reader(self, schema: StructType) -> TxnLogBatchReader:
-        if str(self.options.get("pushdown", "false")).lower() == "true":
-            return TxnLogPushdownBatchReader(schema, self.options)
-        return TxnLogBatchReader(schema, self.options)
+        opts = self._opts_with_path(schema)
+        if "path" not in self.options:
+            self._check_catalog_schema(schema, opts["path"])
+        cls = (TxnLogPushdownBatchReader
+               if str(opts.get("pushdown", "false")).lower() == "true"
+               else TxnLogBatchReader)
+        return cls(_strip_path_meta(schema), opts)
 
     def writer(self, schema: StructType, overwrite: bool) -> TxnLogWriter:
-        return TxnLogWriter(schema, self.options, overwrite)
+        # stripping here keeps the breadcrumb out of the COMMIT RECORD's
+        # schema (TxnLogWriter._record serializes self.schema)
+        return TxnLogWriter(_strip_path_meta(schema),
+                            self._opts_with_path(schema), overwrite)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> TxnLogStreamWriter:
-        return TxnLogStreamWriter(schema, self.options, overwrite)
+        return TxnLogStreamWriter(_strip_path_meta(schema),
+                                  self._opts_with_path(schema), overwrite)

@@ -1,0 +1,295 @@
+"""Hidden partitioning — Iceberg partition-transform parity (round 11).
+
+``set_properties(partition_transform=...)`` makes every writer stage
+hive-partitioned by a value DERIVED from a source column (bucket(n) /
+truncate(w) / days / months / hours); reads prune dirs AND individual
+files by mapping source-column predicates through the transform.  The
+derived value lives in dir names only — never a data column (the
+Iceberg pitch vs Hive partitioning: users query ``ts``, not an
+error-prone ``ts_day`` copy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_ingestion_system_spark.sinks import TxnLogFormat
+
+
+def _fmt():
+    return TxnLogFormat(checkpoint_interval=None)
+
+
+def _days_table(spark, tmp_path, n=50):
+    """One flat seed row + 49 rows staged under days(ts) hive dirs."""
+    path = str(tmp_path / "days_t")
+    df = spark.range(n).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).cast("timestamp").alias("ts"))
+    fmt = _fmt()
+    fmt.append(df.limit(1), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "ts",
+                                            "kind": "days"})
+    fmt.append(df.filter("id >= 1"), path)
+    return fmt, path, df
+
+
+def _nfiles(df):
+    return df.select(F.input_file_name()).distinct().count()
+
+
+def test_derived_column_never_surfaces_and_results_match(spark, tmp_path):
+    fmt, path, df = _days_table(spark, tmp_path)
+    got = fmt.read(spark, path)
+    assert got.columns == ["id", "ts"]
+    assert "__tp" not in got.columns
+    assert got.count() == 50
+    assert (got.exceptAll(df).count() == 0
+            and df.exceptAll(got).count() == 0)
+
+
+def test_staged_layout_is_hive_partitioned_by_day(spark, tmp_path):
+    fmt, path, _ = _days_table(spark, tmp_path)
+    import glob
+    days = {p.split("/")[-2] for p in
+            glob.glob(path + "/_txn_data/*/__tp=*/*.parquet")}
+    assert "__tp=2024-01-02" in days and "__tp=2024-02-19" in days
+    assert len(days) == 49
+
+
+def test_days_pruning_is_file_granular(spark, tmp_path):
+    """Within ONE commit dir, only the matching day sub-files scan —
+    the commit-recorded file paths carry the derived value, so the
+    granularity is per file, not per commit."""
+    fmt, path, _ = _days_table(spark, tmp_path)
+    eq = fmt.read(spark, path, where="ts = '2024-02-10 00:00:00'")
+    assert eq.count() == 1
+    assert _nfiles(fmt.read(spark, path,
+                            where="ts = '2024-02-10 00:00:00'")) == 1
+    rng = fmt.read(spark, path, where="ts >= '2024-02-15 00:00:00'")
+    assert rng.count() == 5
+    assert _nfiles(fmt.read(spark, path,
+                            where="ts >= '2024-02-15 00:00:00'")) == 5
+
+
+def test_dir_level_pruning_skips_non_matching_commits(spark, tmp_path,
+                                                      monkeypatch):
+    """A whole commit none of whose recorded derived values match is
+    never even stat'ed (the isdir probe — same pinning as the r8
+    partition-pruning test)."""
+    path = str(tmp_path / "m")
+    df = spark.range(40).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 20).cast("int"))
+        .cast("timestamp").alias("ts"))
+    fmt = _fmt()
+    fmt.append(df.limit(1), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "ts",
+                                            "kind": "days"})
+    fmt.append(df.filter("id >= 1 AND id < 20"), path)       # jan 2-20
+    fmt.append(df.filter("id >= 20").withColumn(
+        "ts", F.date_add(F.lit("2024-03-01").cast("date"),
+                         (F.col("id") % 20).cast("int"))
+        .cast("timestamp")), path)                            # march
+    live = fmt._resolve_live(fmt._commits(path))
+    march_dir = live[-1]["dir"]
+    jan_dir = live[-2]["dir"]
+    probed = []
+    real_isdir = os.path.isdir
+    monkeypatch.setattr(os.path, "isdir",
+                        lambda q: probed.append(q) or real_isdir(q))
+    got = fmt.read(spark, path, where="ts >= '2024-03-01 00:00:00'")
+    n = got.count()
+    monkeypatch.undo()
+    assert n == 20
+    assert not any(jan_dir in p for p in probed), \
+        "jan commit dir must be pruned before any isdir probe"
+    assert any(march_dir in p for p in probed)
+
+
+def test_bucket_transform_prunes_equality_and_keeps_ranges(spark,
+                                                           tmp_path):
+    path = str(tmp_path / "b")
+    df = spark.range(64).select(F.col("id"),
+                                (F.col("id") * 3).alias("v"))
+    fmt = _fmt()
+    fmt.append(df.limit(1), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "id",
+                                            "kind": "bucket",
+                                            "param": 8})
+    fmt.append(df.filter("id >= 1"), path)
+    got = fmt.read(spark, path, where="id = 42")
+    assert got.count() == 1 and got.head().v == 126
+    # scan opened exactly the matching bucket's file(s) + the flat seed
+    # is stats-pruned; bucket cardinality 8 of 63 rows → 1 file
+    assert _nfiles(fmt.read(spark, path, where="id = 42")) == 1
+    # spark-side and python-side bucket hashes agree (the portable md5)
+    expect = int(hashlib.md5(b"42").hexdigest()[:15], 16) % 8
+    row = (spark.range(1).select(
+        F.pmod(F.conv(F.substring(F.md5(F.lit("42")), 1, 15), 16, 10)
+               .cast("long"), F.lit(8)).alias("b")).head())
+    assert row.b == expect
+    # a RANGE on a hash bucket must not prune (order destroyed):
+    # conservative keep, full correct answer
+    assert fmt.read(spark, path, where="id >= 32").count() == 32
+    # IN prunes across members
+    assert fmt.read(spark, path, where="id IN (5, 9)").count() == 2
+
+
+def test_truncate_string_and_int_pruning(spark, tmp_path):
+    path = str(tmp_path / "tr")
+    df = spark.range(40).select(
+        F.col("id"),
+        F.concat(F.lit("user_"),
+                 F.lpad((F.col("id") % 10).cast("string"), 2, "0"))
+        .alias("u"))
+    fmt = _fmt()
+    fmt.append(df.limit(1), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "u",
+                                            "kind": "truncate",
+                                            "param": 7})
+    fmt.append(df.filter("id >= 1"), path)
+    assert fmt.read(spark, path, where="u = 'user_07'").count() == 4
+    assert _nfiles(fmt.read(spark, path, where="u = 'user_07'")) == 1
+    # string-range through the prefix: u >= 'user_08' keeps only the
+    # 08/09 prefixes (boundary partition included)
+    assert fmt.read(spark, path, where="u >= 'user_08'").count() == 8
+    assert _nfiles(fmt.read(spark, path, where="u >= 'user_08'")) == 2
+    # integer truncate: floor-to-multiple intervals prune ranges
+    path2 = str(tmp_path / "ti")
+    d2 = spark.range(100).select(F.col("id"))
+    fmt.append(d2.limit(1), path2)
+    fmt.set_properties(spark, path2,
+                       partition_transform={"source": "id",
+                                            "kind": "truncate",
+                                            "param": 25})
+    fmt.append(d2.filter("id >= 1"), path2)
+    assert fmt.read(spark, path2, where="id = 60").count() == 1
+    assert _nfiles(fmt.read(spark, path2, where="id = 60")) == 1
+    assert fmt.read(spark, path2, where="id >= 75").count() == 25
+    assert _nfiles(fmt.read(spark, path2, where="id >= 75")) == 1
+    assert fmt.read(spark, path2, where="id < 25").count() == 25
+
+
+def test_null_source_rows_land_in_null_partition(spark, tmp_path):
+    path = str(tmp_path / "n")
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "beta"), (4, None)],
+        "id long, s string")
+    fmt = _fmt()
+    fmt.append(df.limit(1), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "s",
+                                            "kind": "truncate",
+                                            "param": 2})
+    fmt.append(df.filter("id >= 2"), path)
+    assert fmt.read(spark, path).count() == 4
+    assert fmt.read(spark, path,
+                    where="s IS NULL").count() == 2
+    assert fmt.read(spark, path,
+                    where="s IS NOT NULL").count() == 2
+    assert fmt.read(spark, path, where="s = 'beta'").count() == 1
+    # null partition never matches an equality — pruned, and the one
+    # matching prefix file is the only scan beside it
+    assert _nfiles(fmt.read(spark, path, where="s = 'beta'")) == 1
+
+
+def test_transform_survives_checkpoint_fold(spark, tmp_path):
+    path = str(tmp_path / "cp")
+    df = spark.range(30).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-05-01").cast("date"),
+                   F.col("id").cast("int")).cast("timestamp").alias("ts"))
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(df.limit(1), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "ts",
+                                            "kind": "days"})
+    fmt.append(df.filter("id >= 1 AND id < 15"), path)
+    fmt.append(df.filter("id >= 15"), path)
+    fmt.checkpoint(path)
+    fmt.append(df.limit(0), path)  # force post-checkpoint tail
+    assert fmt.read(spark, path).count() == 30
+    got = fmt.read(spark, path, where="ts = '2024-05-20 00:00:00'")
+    assert got.count() == 1
+    assert _nfiles(fmt.read(
+        spark, path, where="ts = '2024-05-20 00:00:00'")) == 1
+
+
+def test_overwrite_table_restages_under_the_transform(spark, tmp_path):
+    path = str(tmp_path / "ow")
+    df = spark.range(20).select(F.col("id"))
+    fmt = _fmt()
+    fmt.append(df.limit(1), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "id",
+                                            "kind": "bucket",
+                                            "param": 4})
+    fmt.overwrite_table(df, path)
+    assert fmt.read(spark, path).count() == 20
+    assert fmt.read(spark, path, where="id = 7").count() == 1
+    assert _nfiles(fmt.read(spark, path, where="id = 7")) == 1
+
+
+def test_property_validation_and_guards(spark, tmp_path):
+    path = str(tmp_path / "g")
+    fmt = _fmt()
+    fmt.append(spark.range(3).select(
+        F.col("id"), F.lit("x").alias("s")), path)
+    with pytest.raises(ValueError, match="partition_transform"):
+        fmt.set_properties(spark, path,
+                           partition_transform={"source": "id",
+                                                "kind": "bucket"})
+    with pytest.raises(ValueError, match="partition_transform"):
+        fmt.set_properties(spark, path,
+                           partition_transform={"source": "id",
+                                                "kind": "days",
+                                                "param": 3})
+    with pytest.raises(ValueError, match="partition_transform"):
+        fmt.set_properties(spark, path,
+                           partition_transform={"source": "id",
+                                                "kind": "nope"})
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "s",
+                                            "kind": "truncate",
+                                            "param": 1})
+    # a write missing the source column fails loudly
+    with pytest.raises(ValueError, match="missing"):
+        fmt.append(spark.range(1).select(F.col("id")), path)
+    # wrong source type for a time transform fails loudly
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "id",
+                                            "kind": "days"})
+    with pytest.raises(ValueError, match="date/timestamp"):
+        fmt.append(spark.range(1).select(
+            F.col("id"), F.lit("y").alias("s")), path)
+    # the reserved staging column is refused
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "s",
+                                            "kind": "truncate",
+                                            "param": 1})
+    with pytest.raises(ValueError, match="reserved"):
+        fmt.append(spark.range(1).select(
+            F.col("id"), F.lit("y").alias("s"),
+            F.lit("z").alias("__tp")), path)
+    # alter refuses to rename/drop the transform source
+    with pytest.raises(ValueError, match="partition_transform"):
+        fmt.alter_table(path, rename_columns={"s": "s2"})
+    with pytest.raises(ValueError, match="partition_transform"):
+        fmt.alter_table(path, drop_columns=["s"])
+    # unsetting the property releases writes and the alter
+    fmt.set_properties(spark, path, partition_transform=None)
+    fmt.alter_table(path, rename_columns={"s": "s2"})
+    fmt.append(spark.range(1).select(
+        F.col("id"), F.lit("y").alias("s2")), path)
+    assert fmt.read(spark, path).count() == 4
