@@ -2941,7 +2941,8 @@ class TxnLogFormat(TableFormat):
 
     def _clause_excluded_files(self, path: str, commits: list[dict],
                                alters: list[dict],
-                               clauses: list) -> set[str]:
+                               clauses: list,
+                               _live: list | None = None) -> set[str]:
         """Table-relative files PROVABLY excluded by the prunable
         conjuncts, from commit-recorded per-file stats — the data-
         skipping core shared by ``read(where=...)`` and the txnlog
@@ -2990,6 +2991,41 @@ class TxnLogFormat(TableFormat):
         for sv, relfile, per in self._stats_entries(path, rest):
             if self._provably_empty(per, mapped_for(sv)):
                 skip.add(relfile)
+        # HIDDEN-PARTITIONING pruning (round 11): a transform-bearing
+        # entry's commit-recorded file paths carry their derived
+        # partition value, so source-column clauses exclude files the
+        # stats tier can't (a hash bucket's min/max is WIDE by
+        # construction — only the transform can prune `id = 42` there).
+        # Living here, every consumer gains it: read(), the stream
+        # planner's where-option, DSv2 pushFilters, and OPTIMIZE ...
+        # WHERE scoping.  Transform-free tables pay only a key probe
+        # per commit — never a live-state replay (the deep-metadata
+        # plan's budget); read() passes its own replay via ``_live``.
+        # Unhydrated sidecar markers skip conservatively.
+        def _any_transform() -> bool:
+            for c in commits:
+                if c.get("transform"):
+                    return True
+                if c["action"] == "checkpoint" and any(
+                        e.get("transform") for e in c["state"]["live"]):
+                    return True
+            return False
+
+        if _live is not None or _any_transform():
+            live = (_live if _live is not None
+                    else self._resolve_live(commits))
+            if any(e.get("transform") for e in live):
+                sj = self._resolve_schema(commits)
+                types = ({f["name"]: f["type"]
+                          for f in json.loads(sj)["fields"]
+                          if isinstance(f["type"], str)} if sj else {})
+                for e in live:
+                    tr, files = e.get("transform"), e.get("files")
+                    if not tr or not isinstance(files, list):
+                        continue
+                    kept = set(self._transform_excluded_files(
+                        e, files, clauses, types.get(tr["source"])))
+                    skip.update(rf for rf in files if rf not in kept)
         return skip
 
     def _sidecar_excluded(self, path: str, rec: dict,
@@ -3594,7 +3630,7 @@ class TxnLogFormat(TableFormat):
                     if isinstance(f["type"], str)}
         if clauses:
             skip_files |= self._clause_excluded_files(
-                path, commits, alters, clauses)
+                path, commits, alters, clauses, _live=live)
         if _only_files is not None:
             # EXACT scan restriction (rewrite planning: the targeted
             # delete/update's second read must scan precisely the hot
@@ -3734,6 +3770,10 @@ class TxnLogFormat(TableFormat):
                         f"missing at {path} (vacuumed version or "
                         "corrupted table)")
 
+            # (transform FILE-level pruning happens centrally in
+            # _clause_excluded_files — its exclusions are already in
+            # removed_files; the dir-level check above stays as the
+            # cheap whole-commit fast path)
             files = e.get("files")
             if files is None:
                 require_dir()
@@ -3762,10 +3802,6 @@ class TxnLogFormat(TableFormat):
             # paying one walk only when a rewrite touched their dir.
             if files is not None:
                 flist = [rf for rf in files if rf not in removed_files]
-                if clauses and e.get("transform"):
-                    flist = self._transform_excluded_files(
-                        e, flist, clauses,
-                        pcol_types.get(e["transform"]["source"]))
                 if not flist:
                     continue  # every file pruned or rewritten
                 require_dir()

@@ -151,7 +151,8 @@ def _meta_path(schema: StructType | None) -> str | None:
 class _FilePartition(InputPartition):
     def __init__(self, abs_path: str, mapping: list,
                  positions: list | None = None,
-                 cdf: tuple | None = None):
+                 cdf: tuple | None = None,
+                 row_ids: tuple | None = None):
         self.abs_path = abs_path
         #: [(src_name | None, tgt_name, arrow_type)] aligned to the
         #: stream's schema; src None = column added after this file
@@ -162,6 +163,23 @@ class _FilePartition(InputPartition):
         #: appends the three CDF metadata columns executor-side
         self.positions = positions
         self.cdf = cdf
+        #: row-tracking identity: ``(base | None,)`` appends a
+        #: ``_row_id`` column (see ``_read_arrow_batches``)
+        self.row_ids = row_ids
+
+
+def _row_base_map(commits: list[dict]) -> dict[str, int]:
+    """{relfile: reserved row-id base} across the whole log — raw
+    commits carry their own ``row_base``; a checkpoint carries each
+    folded live entry's (same carry as the files list)."""
+    m: dict[str, int] = {}
+    for c in commits:
+        if c["action"] == "checkpoint":
+            for e in c["state"]["live"]:
+                m.update(e.get("row_base") or {})
+        else:
+            m.update(c.get("row_base") or {})
+    return m
 
 
 def _data_files(path: str, rel: str,
@@ -205,14 +223,23 @@ def _mapping_for(version: int, alters: list[dict],
 
 def _read_arrow_batches(abs_path: str, mapping: list,
                         positions: list | None = None,
-                        cdf: tuple | None = None):
+                        cdf: tuple | None = None,
+                        row_ids: tuple | None = None):
     """Executor-side file read: Arrow batches aligned to the stream's
     schema via the per-file column mapping (historical names inverted,
     later-added columns null-filled).  ``positions`` restricts to the
     given parquet row indices (``take`` preserves their order — file
     row order, the same identity ``_metadata.row_index`` gives the DV
     writer); ``cdf`` appends the constant change-feed metadata columns
-    (_change_type, _commit_version, _commit_timestamp)."""
+    (_change_type, _commit_version, _commit_timestamp).
+
+    ``row_ids`` = (base | None,) appends the ROW-TRACKING identity as a
+    ``_row_id`` column: ``coalesce(materialized __row_id column,
+    base + parquet row position)`` — exactly ``read(with_row_ids)``'s
+    rule, computed here from the same two ingredients (the base from
+    the commit's reserved range, the position from this read's own
+    indices).  A file with neither (pre-enable data, sidecar change
+    rows) emits NULL ids."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     tbl = pq.read_table(abs_path)
@@ -223,6 +250,22 @@ def _read_arrow_batches(abs_path: str, mapping: list,
             f"staged file {abs_path} lacks columns {missing} of the "
             "table schema (schema-drift append — read the table with "
             "TxnLogFormat.read, which unions by name)")
+    id_col = None
+    if row_ids is not None:
+        import pyarrow.compute as pc
+        (base,) = row_ids
+        n_all = tbl.num_rows
+        pos = (pa.array(positions, type=pa.int64()) if positions
+               is not None else pa.array(range(n_all), pa.int64()))
+        fresh = (pc.add(pos, base) if base is not None
+                 else pa.nulls(len(pos), pa.int64()))
+        if "__row_id" in tbl.column_names:
+            mat = (tbl["__row_id"].take(pos) if positions is not None
+                   else tbl["__row_id"]).combine_chunks()
+            id_col = pc.coalesce(
+                mat.cast(pa.int64()), fresh)
+        else:
+            id_col = fresh
     if positions is not None:
         tbl = tbl.take(pa.array(positions, type=pa.int64()))
     cols, names = [], []
@@ -258,6 +301,9 @@ def _read_arrow_batches(abs_path: str, mapping: list,
              pa.array([int(cts * 1_000_000)] * n, type=ts_t))])
         names.extend(["_change_type", "_commit_version",
                       "_commit_timestamp"])
+    if id_col is not None:
+        cols.append(id_col)
+        names.append("_row_id")
     yield from pa.table(dict(zip(names, cols))).to_batches()
 
 
@@ -265,13 +311,15 @@ def _read_arrow_batches(abs_path: str, mapping: list,
 _CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
 
 
-def _cdf_schema(data_schema: StructType) -> StructType:
+def _cdf_schema(data_schema: StructType,
+                row_ids: bool = False) -> StructType:
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    TimestampType)
     return StructType(list(data_schema.fields) + [
         StructField("_change_type", StringType()),
         StructField("_commit_version", LongType()),
-        StructField("_commit_timestamp", TimestampType())])
+        StructField("_commit_timestamp", TimestampType())]
+        + ([StructField("_row_id", LongType())] if row_ids else []))
 
 
 def _dv_pairs(path: str, dv_rel: str) -> dict[str, list[int]]:
@@ -311,7 +359,8 @@ def _writer_versions(commits: list[dict]) -> dict[str, int]:
 def _cdf_partitions(fmt: TxnLogFormat, path: str,
                     data_schema: StructType, start_v: int, end_v: int,
                     ignore_changes: bool,
-                    clauses: list | None = None) -> list[_FilePartition]:
+                    clauses: list | None = None,
+                    row_ids: bool = False) -> list[_FilePartition]:
     """Plan the CHANGE DATA FEED for commits in ``(start_v, end_v]`` —
     Delta ``readChangeFeed`` parity over the merge-on-read op surface:
 
@@ -352,6 +401,15 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
     skip: set[str] = (fmt._clause_excluded_files(path, commits, alters,
                                                  clauses)
                       if clauses else set())
+    #: row-tracking identity per file (option("rowIds", "true")): the
+    #: feed's rows carry _row_id = coalesce(materialized, base + pos) —
+    #: the lineage key that lets a consumer join pre/post images and
+    #: maintain incremental MVs without trusting business keys.
+    #: Sidecar change rows have no physical identity (NULL ids).
+    bases = _row_base_map(commits) if row_ids else None
+
+    def rid(rf: str):
+        return (bases.get(rf),) if bases is not None else None
     writers = _writer_versions(commits)
     by_version: dict[int, dict] = {}
     cp = None
@@ -396,7 +454,8 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                 # stays authoritative, _commit_timestamp is null here
                 cdf = ("insert", e["version"], None)
                 parts.extend(
-                    _FilePartition(ap, mapping, cdf=cdf)
+                    _FilePartition(ap, mapping, cdf=cdf,
+                                   row_ids=rid(_relfile(ap)))
                     for ap in _data_files(path, e["dir"], e.get("files"))
                     if _relfile(ap) not in skip)
     tail_from = max(start_v + 1, (cp["version"] + 1) if cp else 0)
@@ -412,7 +471,8 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
         if c["action"] == "append":
             mapping = _mapping_for(v, alters, data_schema)
             parts.extend(
-                _FilePartition(ap, mapping, cdf=("insert", v, ts))
+                _FilePartition(ap, mapping, cdf=("insert", v, ts),
+                               row_ids=rid(_relfile(ap)))
                 for ap in _data_files(path, c["dir"], c.get("files"))
                 if _relfile(ap) not in skip)
         elif c["action"] == "add_dv":
@@ -421,18 +481,21 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                     continue
                 parts.append(_FilePartition(
                     os.path.join(path, rf), file_mapping(rf, v),
-                    positions=poss, cdf=("delete", v, ts)))
+                    positions=poss, cdf=("delete", v, ts),
+                    row_ids=rid(rf)))
         elif c["action"] == "dv_update":
             for rf, poss in sorted(_dv_pairs(path, c["dv_dir"]).items()):
                 if rf in skip:
                     continue
                 parts.append(_FilePartition(
                     os.path.join(path, rf), file_mapping(rf, v),
-                    positions=poss, cdf=("update_preimage", v, ts)))
+                    positions=poss, cdf=("update_preimage", v, ts),
+                    row_ids=rid(rf)))
             mapping = _mapping_for(v, alters, data_schema)
             parts.extend(
                 _FilePartition(ap, mapping,
-                               cdf=("update_postimage", v, ts))
+                               cdf=("update_postimage", v, ts),
+                               row_ids=rid(_relfile(ap)))
                 for ap in _data_files(path, c["dir"], c.get("files"))
                 if _relfile(ap) not in skip)
         elif c["action"] in ("alter", "set_properties",
@@ -447,7 +510,8 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
             # rides the file (tag None), version/timestamp are appended
             mapping = _mapping_for(v, alters, data_schema)
             parts.extend(
-                _FilePartition(ap, mapping, cdf=(None, v, ts))
+                _FilePartition(ap, mapping, cdf=(None, v, ts),
+                               row_ids=((None,) if row_ids else None))
                 for ap in _data_files(path, c["cdf_dir"],
                                       c.get("cdf_files")))
         elif not ignore_changes:
@@ -532,6 +596,18 @@ class TxnLogStreamReader(DataSourceStreamReader):
         #: columns only.
         self.read_change_feed = str(
             options.get("readchangefeed", "false")).lower() == "true"
+        #: ``option("rowIds", "true")`` (round 11, CDF only): every
+        #: change row carries its row-tracking ``_row_id`` — the
+        #: lineage key joining pre/post images without trusting
+        #: business keys (sidecar change rows have no physical
+        #: identity and read NULL)
+        self.row_ids = str(
+            options.get("rowids", "false")).lower() == "true"
+        if self.row_ids and not self.read_change_feed:
+            raise ValueError(
+                "option('rowIds') requires option('readChangeFeed', "
+                "'true') — append-only streams read ids via "
+                "TxnLogFormat.read(with_row_ids=True)")
         #: ``option("startingVersion", N | "latest")`` — Delta streaming
         #: startingVersion parity: a FRESH stream begins at commit N
         #: (inclusive) instead of draining the full backlog; "latest"
@@ -571,8 +647,9 @@ class TxnLogStreamReader(DataSourceStreamReader):
     def _data_schema(self) -> StructType:
         if not self.read_change_feed:
             return self.schema
+        drop = set(_CDF_COLS) | ({"_row_id"} if self.row_ids else set())
         return StructType(
-            [f for f in self.schema.fields if f.name not in _CDF_COLS])
+            [f for f in self.schema.fields if f.name not in drop])
 
     def initialOffset(self) -> dict:
         start = -1  # default: the full backlog
@@ -668,7 +745,7 @@ class TxnLogStreamReader(DataSourceStreamReader):
             return _cdf_partitions(
                 self._fmt, self.path, self._data_schema(),
                 start["version"], end["version"], self.ignore_changes,
-                clauses=self.skip_clauses)
+                clauses=self.skip_clauses, row_ids=self.row_ids)
         # streaming filter pushdown: files provably empty for the
         # ``where`` option never enter the batch plan (stats live in
         # the commit records / checkpoint sidecar already replayed
@@ -782,7 +859,9 @@ class TxnLogStreamReader(DataSourceStreamReader):
             return  # fully-pruned/metadata-only batch plans no files
         yield from _read_arrow_batches(partition.abs_path,
                                        partition.mapping,
-                                       partition.positions, partition.cdf)
+                                       partition.positions, partition.cdf,
+                                       row_ids=getattr(partition,
+                                                       "row_ids", None))
 
     def commit(self, end: dict) -> None:
         pass  # the table's own log is the source of truth; nothing to ack
@@ -915,6 +994,13 @@ class TxnLogBatchReader(DataSourceReader):
         #: instead of the live snapshot.
         self.read_change_feed = str(
             options.get("readchangefeed", "false")).lower() == "true"
+        self.row_ids = str(
+            options.get("rowids", "false")).lower() == "true"
+        if self.row_ids and not self.read_change_feed:
+            raise ValueError(
+                "option('rowIds') requires option('readChangeFeed', "
+                "'true') — batch snapshots read ids via "
+                "TxnLogFormat.read(with_row_ids=True)")
         self.starting_version = int(options.get("startingversion", 0))
         raw_end = options.get("endingversion")
         self.ending_version = int(raw_end) if raw_end is not None else None
@@ -968,13 +1054,15 @@ class TxnLogBatchReader(DataSourceReader):
                 raise ValueError(
                     f"change-feed range [{start}, {end}]"
                     f" is outside the log [0, {head}] at {self.path}")
+            drop = set(_CDF_COLS) | ({"_row_id"} if self.row_ids
+                                     else set())
             data_schema = StructType(
-                [f for f in self.schema.fields
-                 if f.name not in _CDF_COLS])
+                [f for f in self.schema.fields if f.name not in drop])
             return _cdf_partitions(fmt, self.path, data_schema,
                                    start - 1, end,
                                    self.ignore_changes,
-                                   clauses=self._clauses)
+                                   clauses=self._clauses,
+                                   row_ids=self.row_ids)
         if fmt._resolve_dvs(commits):
             raise ValueError(
                 "table has live deletion vectors — use TxnLogFormat."
@@ -1009,7 +1097,9 @@ class TxnLogBatchReader(DataSourceReader):
             return  # Spark models an empty partitions() as one None
         yield from _read_arrow_batches(partition.abs_path,
                                        partition.mapping,
-                                       partition.positions, partition.cdf)
+                                       partition.positions, partition.cdf,
+                                       row_ids=getattr(partition,
+                                                       "row_ids", None))
 
 
 class TxnLogPushdownBatchReader(TxnLogBatchReader):
@@ -1271,7 +1361,8 @@ class TxnLogDataSource(DataSource):
         if str(self.options.get("readchangefeed", "false")).lower() \
                 == "true":
             stored = StructType(
-                [f for f in stored.fields if f.name not in _CDF_COLS])
+                [f for f in stored.fields
+                 if f.name not in _CDF_COLS + ("_row_id",)])
         if sj is not None:
             live = StructType.fromJson(json.loads(sj))
             if [(f.name, f.dataType) for f in live.fields] != \
@@ -1292,7 +1383,9 @@ class TxnLogDataSource(DataSource):
             schema = StructType.fromJson(json.loads(sj))
             if str(self.options.get("readchangefeed",
                                     "false")).lower() == "true":
-                schema = _cdf_schema(schema)
+                schema = _cdf_schema(schema, row_ids=str(
+                    self.options.get("rowids", "false")).lower()
+                    == "true")
             # the location breadcrumb: inert on direct .load(path)
             # reads (explicit options win), load-bearing when this
             # inferred schema is STORED by CREATE TABLE and handed back

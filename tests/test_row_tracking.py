@@ -266,3 +266,66 @@ def test_model_random_op_sequences_keep_ids_stable_and_unique(
                 else:
                     assert got[k] == known, \
                         f"id of row {k} changed (example {example})"
+
+
+def test_change_feed_carries_row_ids(spark, tracked):
+    """CDF + rowIds (the lineage pay-off): inserts carry the ids the
+    snapshot serves, a delete names the deleted row's identity, and an
+    update's pre/post images share the SAME id — joinable without
+    trusting business keys."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogDataSource)
+    fmt, path = tracked
+    spark.dataSource.register(TxnLogDataSource)
+    snap = _ids(fmt, spark, path)
+    fmt.delete_where_dv(spark, path, "k = 2")
+    fmt.update_where_dv(spark, path, "k = 4", {"v": "444"})
+    cdf = (spark.read.format("txnlog")
+           .option("readChangeFeed", "true").option("rowIds", "true")
+           .option("startingVersion", 0).load(path))
+    rows = [(r._change_type, r.k, r._row_id) for r in cdf.collect()]
+    ins = {k: rid for t, k, rid in rows if t == "insert"}
+    assert ins == snap
+    assert [(k, rid) for t, k, rid in rows if t == "delete"] \
+        == [(2, snap[2])]
+    assert [(k, rid) for t, k, rid in rows
+            if t == "update_preimage"] == [(4, snap[4])]
+    assert [(k, rid) for t, k, rid in rows
+            if t == "update_postimage"] == [(4, snap[4])]
+    # without the option the column never appears
+    plain = (spark.read.format("txnlog")
+             .option("readChangeFeed", "true")
+             .option("startingVersion", 0).load(path))
+    assert "_row_id" not in plain.columns
+    # and it is CDF-only by contract
+    with pytest.raises(Exception, match="readChangeFeed"):
+        (spark.read.format("txnlog").option("rowIds", "true")
+         .option("pushdown", "false").load(path).collect())
+
+
+def test_streaming_change_feed_row_ids_and_sidecar_nulls(spark,
+                                                         tracked,
+                                                         tmp_path):
+    """The STREAM feed carries the same ids; sidecar change rows (a
+    change_data_feed=True targeted delete) have no physical identity
+    and read NULL — documented, never wrong."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogDataSource)
+    fmt, path = tracked
+    spark.dataSource.register(TxnLogDataSource)
+    snap = _ids(fmt, spark, path)
+    fmt.set_properties(spark, path, change_data_feed=True)
+    fmt.delete_where(spark, path, "k = 9")      # sidecar-recorded
+    q = (spark.readStream.format("txnlog")
+         .option("readChangeFeed", "true").option("rowIds", "true")
+         .load(path)
+         .writeStream.format("memory").queryName("rid_feed")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = [(r._change_type, r.k, r._row_id)
+            for r in spark.sql("SELECT * FROM rid_feed").collect()]
+    ins = {k: rid for t, k, rid in rows if t == "insert"}
+    assert ins == snap
+    side = [(k, rid) for t, k, rid in rows if t == "delete"]
+    assert side == [(9, None)], "sidecar rows carry NULL ids"
