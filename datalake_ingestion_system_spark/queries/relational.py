@@ -3551,3 +3551,82 @@ SELECT event_type,
 FROM ids
 GROUP BY event_type
 """
+
+
+@_q("q_cdf_row_ids")
+def q_cdf_row_ids(spark, sf_dir):
+    """CHANGE FEED with ROW IDS, oracle-verified (round 11 — the
+    lineage pay-off of row tracking): a row-tracked table built from
+    single-sorted-partition appends (so DuckDB reconstructs every id
+    with row_number arithmetic) takes a deletion-vector DELETE of its
+    error rows and a DV UPDATE zeroing its purchase values; the feed is
+    then read with ``option("rowIds")`` and aggregated per change type
+    — insert rows carry the snapshot's ids, the delete carries the
+    DELETED rows' identities, and the update's pre/post images share
+    the SAME ids (the join-without-business-keys property).  Any id the
+    rewrites lose, change, or duplicate breaks the hash.
+
+    Scale shape: the feed derives ids executor-side from commit-
+    reserved bases + parquet positions (the DV positions it already
+    plans from) — no extra reads, no join."""
+    import tempfile
+
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="cri_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.limit(0), path)
+    fmt.set_properties(spark, path, row_tracking=True)
+    for half in (0, 1):
+        fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == half)
+                   .repartition(1).sortWithinPartitions("event_id"),
+                   path)
+    fmt.delete_where_dv(spark, path, "event_type = 'error'")
+    fmt.update_where_dv(spark, path, "event_type = 'purchase'",
+                        {"value": "0.0"})
+    tables.ensure_registered(spark)
+    feed = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true").option("rowIds", "true")
+            .option("startingVersion", 0).load(path))
+    return (feed.groupBy("_change_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("_row_id").alias("sum_rid"),
+                 F.min("_row_id").alias("min_rid"),
+                 F.max("_row_id").alias("max_rid")))
+
+
+ORACLE_SQL["q_cdf_row_ids"] = """
+WITH halves AS (
+  SELECT event_id, event_type, event_id % 2 AS half FROM events
+), sized AS (
+  SELECT count(*) FILTER (WHERE half = 0) AS n0 FROM halves
+), ids AS (
+  SELECT event_type,
+         CASE WHEN half = 0
+              THEN row_number() OVER (
+                   PARTITION BY half ORDER BY event_id) - 1
+              ELSE (SELECT n0 FROM sized)
+                   + row_number() OVER (
+                     PARTITION BY half ORDER BY event_id) - 1
+         END AS rid
+  FROM halves
+), feed AS (
+  SELECT 'insert' AS _change_type, rid FROM ids
+  UNION ALL
+  SELECT 'delete', rid FROM ids WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'update_preimage', rid FROM ids WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'update_postimage', rid FROM ids WHERE event_type = 'purchase'
+)
+SELECT _change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rid) AS BIGINT) AS sum_rid,
+       CAST(min(rid) AS BIGINT) AS min_rid,
+       CAST(max(rid) AS BIGINT) AS max_rid
+FROM feed
+GROUP BY _change_type
+"""

@@ -162,6 +162,32 @@ def insert_into(spark: SparkSession, name: str, df: DataFrame,
         fmt.append(df, path)
 
 
+def optimize(spark: SparkSession, name: str, **compact_kwargs):
+    """OPTIMIZE-by-name (the `OPTIMIZE t` SQL shape by function call):
+    resolves the catalog name and runs ``TxnLogFormat.compact`` —
+    ``small_file_bytes=``/``rewrite_dv_threshold=``/``where=``/
+    ``cluster_by=``/``zorder=`` pass through."""
+    return TxnLogFormat().compact(spark, table_path(spark, name),
+                                  **compact_kwargs)
+
+
+def vacuum(spark: SparkSession, name: str, **vacuum_kwargs):
+    """VACUUM-by-name; kwargs pass to ``TxnLogFormat.vacuum``."""
+    return TxnLogFormat().vacuum(table_path(spark, name),
+                                 **vacuum_kwargs)
+
+
+def history(spark: SparkSession, name: str,
+            limit: int | None = None) -> list[dict]:
+    """DESCRIBE HISTORY-by-name."""
+    return TxnLogFormat().history(table_path(spark, name), limit=limit)
+
+
+def details(spark: SparkSession, name: str) -> dict:
+    """DESCRIBE DETAIL-by-name."""
+    return TxnLogFormat().details(table_path(spark, name))
+
+
 def refresh_table(spark: SparkSession, name: str) -> None:
     """Re-sync the catalog entry after out-of-band schema evolution
     (``alter_table`` / merge ``schema_evolution=True`` on the path):

@@ -329,3 +329,26 @@ def test_streaming_change_feed_row_ids_and_sidecar_nulls(spark,
     assert ins == snap
     side = [(k, rid) for t, k, rid in rows if t == "delete"]
     assert side == [(9, None)], "sidecar rows carry NULL ids"
+
+
+def test_row_ids_compose_with_hidden_partitioning(spark, tmp_path):
+    """Both round-11 write-path features together: a bucket-transformed
+    row-tracked table assigns per-hive-file bases, survives compaction,
+    and serves transform-pruned reads with ids intact."""
+    path = str(tmp_path / "both")
+    fmt = _fmt()
+    df = spark.range(20).select(F.col("id").alias("k"),
+                                (F.col("id") * 3).alias("v"))
+    fmt.append(df.limit(0), path)
+    fmt.set_properties(spark, path, row_tracking=True,
+                       partition_transform={"source": "k",
+                                            "kind": "bucket",
+                                            "param": 4})
+    fmt.append(df, path)
+    ids = _ids(fmt, spark, path)
+    assert sorted(ids.values()) == list(range(20))
+    pruned = fmt.read(spark, path, where="k = 7", with_row_ids=True)
+    got = pruned.collect()
+    assert len(got) == 1 and got[0]._row_id == ids[7]
+    fmt.compact(spark, path)
+    assert _ids(fmt, spark, path) == ids

@@ -194,3 +194,20 @@ def test_streaming_read_by_catalog_breadcrumb(spark, cat, tmp_path):
     q.awaitTermination(120)
     row = spark.table("cat_stream").head()
     assert row.n == 10 and row.s == 45
+
+
+def test_maintenance_by_name(spark, cat):
+    """OPTIMIZE / VACUUM / DESCRIBE HISTORY / DESCRIBE DETAIL reached
+    name-first — the reference's catalog-centric ops surface."""
+    for i in range(3):
+        tables.insert_into(spark, cat["name"], spark.range(1).select(
+            (F.col("id") + 200 + i).alias("a"), F.col("id").alias("b")))
+    tables.optimize(spark, cat["name"])
+    assert spark.table(cat["name"]).count() == 13
+    hist = tables.history(spark, cat["name"], limit=2)
+    assert hist[0]["action"] == "replace_all"
+    det = tables.details(spark, cat["name"])
+    assert det["num_live_dirs"] == 1
+    swept = tables.vacuum(spark, cat["name"], retain_hours=0.0)
+    assert swept, "superseded pre-compact dirs must sweep"
+    assert spark.table(cat["name"]).count() == 13
