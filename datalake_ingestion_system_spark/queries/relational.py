@@ -3630,3 +3630,59 @@ SELECT _change_type,
 FROM feed
 GROUP BY _change_type
 """
+
+
+@_q("q_type_widening_read")
+def q_type_widening_read(spark, sf_dir):
+    """TYPE WIDENING round-trip, oracle-verified (round 11 — Delta
+    typeWidening parity): the table lands with ``user_id`` stored as
+    INT, one metadata-only alter widens it to LONG (no file rewritten),
+    and a second append stores values far beyond the int range
+    (``user_id + 40e9``).  The read conforms pre-alter files through
+    the lossless cast and serves ONE bigint column; the aggregate sums
+    both eras per event type — a dropped cast (overflow wrap), a
+    missed era, or a wrong resolved schema all break the hash.  The
+    DuckDB oracle computes the same two-era union arithmetically.
+
+    Scale shape: the alter is one metadata commit; per-piece
+    conformance is a projection-time cast under whole-stage codegen —
+    no data moves at any table size (the reason typeWidening exists:
+    an int column that outgrew its type on a 100 TB table must not
+    cost a 100 TB rewrite)."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    path = tempfile.mkdtemp(prefix="wid_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0)
+               .withColumn("user_id", F.col("user_id").cast("int")),
+               path)
+    fmt.alter_table(path, widen_columns={"user_id": "long"})
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 1)
+               .withColumn("user_id",
+                           F.col("user_id") + F.lit(40_000_000_000)),
+               path)
+    return (fmt.read(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("user_id").alias("sum_uid"),
+                 F.max("user_id").alias("max_uid")))
+
+
+ORACLE_SQL["q_type_widening_read"] = """
+WITH both_eras AS (
+  SELECT event_type,
+         CASE WHEN event_id % 2 = 0 THEN user_id
+              ELSE user_id + 40000000000 END AS user_id
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+       CAST(max(user_id) AS BIGINT) AS max_uid
+FROM both_eras
+GROUP BY event_type
+"""

@@ -2702,11 +2702,21 @@ class TxnLogFormat(TableFormat):
                 bool(props.get("change_data_feed"))
                 or self.change_data_feed)
 
+    #: lossless TYPE WIDENING promotions (Delta typeWidening parity):
+    #: every value of the narrow type is exactly representable in the
+    #: wide one, so a metadata-only cast at read time can never lose or
+    #: change data
+    _WIDENINGS = {"byte": ("short", "integer", "long"),
+                  "short": ("integer", "long"),
+                  "integer": ("long",),
+                  "float": ("double",)}
+
     def alter_table(self, path: str,
                     add_columns: dict[str, str] | None = None,
                     rename_columns: dict[str, str] | None = None,
                     drop_columns: list[str] | None = None,
-                    column_defaults: dict | None = None) -> int:
+                    column_defaults: dict | None = None,
+                    widen_columns: dict[str, str] | None = None) -> int:
         """Metadata-only schema evolution (Delta column-mapping parity):
         ADD COLUMN (typed, reads as NULL for pre-alter rows), RENAME
         COLUMN, and DROP COLUMN as ONE ``alter`` commit — no data file is
@@ -2751,6 +2761,36 @@ class TxnLogFormat(TableFormat):
         rename_columns = rename_columns or {}
         drop_columns = list(drop_columns or [])
         column_defaults = dict(column_defaults or {})
+        widen_columns = dict(widen_columns or {})
+        if widen_columns:
+            # TYPE WIDENING (Delta typeWidening): promote a column to a
+            # strictly wider type — metadata only; pre-alter files read
+            # through a lossless cast, post-alter writers store wide.
+            # Narrowing and cross-family changes are data rewrites, not
+            # alters, and are refused.
+            from pyspark.sql import types as _T
+            by_name = {f.name: f for f in schema.fields}
+            overlap = set(widen_columns) & (set(rename_columns)
+                                            | set(drop_columns)
+                                            | set(add_columns))
+            if overlap:
+                raise ValueError(
+                    f"widen_columns {sorted(overlap)} collide with the "
+                    "same alter's rename/drop/add — issue separate "
+                    "alters")
+            for c, ddl in widen_columns.items():
+                f = by_name.get(c)
+                if f is None:
+                    raise ValueError(f"widen references unknown column "
+                                     f"{c!r}")
+                cur_t = f.dataType.typeName()
+                new_t = _T._parse_datatype_string(ddl).typeName()
+                if new_t not in self._WIDENINGS.get(cur_t, ()):
+                    raise ValueError(
+                        f"cannot widen {c!r} from {cur_t} to {new_t} — "
+                        "lossless promotions only "
+                        f"({dict(self._WIDENINGS)}); anything else is a "
+                        "data rewrite")
         bad_dcols = sorted(set(column_defaults) - set(add_columns))
         if bad_dcols:
             raise ValueError(
@@ -2801,9 +2841,12 @@ class TxnLogFormat(TableFormat):
         for f in schema.fields:
             if f.name in drop_columns:
                 continue
-            nf = (T.StructField(rename_columns[f.name], f.dataType,
-                                f.nullable, f.metadata)
-                  if f.name in rename_columns else f)
+            ftype = (T._parse_datatype_string(widen_columns[f.name])
+                     if f.name in widen_columns else f.dataType)
+            fname = rename_columns.get(f.name, f.name)
+            nf = (f if fname == f.name and ftype is f.dataType
+                  else T.StructField(fname, ftype, f.nullable,
+                                     f.metadata))
             fields.append(nf)
         for name, ddl in add_columns.items():
             fields.append(T.StructField(
@@ -2817,6 +2860,8 @@ class TxnLogFormat(TableFormat):
                "schema": _log_schema_json(new_schema)}
         if column_defaults:
             rec["defaults"] = column_defaults
+        if widen_columns:
+            rec["widen"] = widen_columns
         return self._commit(path, rec, expected_version=head + 1,
                             base_schema=sj)
 
@@ -3718,6 +3763,11 @@ class TxnLogFormat(TableFormat):
                         df = df.withColumn(
                             dcol, F.lit(dval).cast(ddl) if ddl
                             else F.lit(dval))
+                # TYPE WIDENING: this piece predates the alter, so its
+                # stored narrow values read through the lossless cast
+                for wcol, wddl in (a.get("widen") or {}).items():
+                    if wcol in df.columns:
+                        df = df.withColumn(wcol, F.col(wcol).cast(wddl))
             for col, values in e["removed"].items():
                 if col not in df.columns:
                     continue

@@ -272,7 +272,24 @@ def _read_arrow_batches(abs_path: str, mapping: list,
     for src, tgt, patype, *rest in mapping:
         dflt = rest[0] if rest else None  # pre-defaults 3-tuple compat
         if src is not None:
-            cols.append(tbl[src])
+            col = tbl[src]
+            if col.type != patype:
+                # TYPE WIDENING: a pre-widen file stores the narrow
+                # type; cast to the stream's declared (wide) type —
+                # ONLY along the whitelisted lossless promotions
+                # (integer up-width, float32→float64).  Any other
+                # mismatch keeps the pre-existing pass-through
+                # behavior (e.g. timestamp tz-annotation variants
+                # Spark already reconciles) rather than risking a
+                # value-changing arrow cast.
+                import pyarrow as _pa
+                if (_pa.types.is_integer(col.type)
+                        and _pa.types.is_integer(patype)
+                        and patype.bit_width > col.type.bit_width) or (
+                        _pa.types.is_float32(col.type)
+                        and _pa.types.is_float64(patype)):
+                    col = col.cast(patype)
+            cols.append(col)
         elif dflt is not None:
             # column default (EXISTS_DEFAULT): arrow-cast the frozen
             # constant to the stream's declared type — the executor
@@ -731,11 +748,36 @@ class TxnLogStreamReader(DataSourceStreamReader):
                     (set(a.get("add") or {})
                      | set((a.get("rename") or {}).values())) - known)
                 dropped = sorted(set(a.get("drop") or []) & known)
-                if widened or dropped:
+                # TYPE WIDENING on a pinned column is schema evolution
+                # too: post-alter files store the WIDE type — reading
+                # them against a NARROWER pin would need a lossy
+                # downcast (arrow refuses overflows loudly, but the
+                # right answer is a restart, same as add/rename).  A
+                # pin that already carries the wide type — any stream
+                # started after the alter — passes: the backlog's
+                # narrow files cast up losslessly.
+                # context-free DDL normalization (this planner runs in
+                # a sessionless worker — _parse_datatype_string needs a
+                # SparkContext); widen targets are whitelisted simple
+                # types, so a lookup table is exact
+                norm = {"byte": "tinyint", "tinyint": "tinyint",
+                        "short": "smallint", "smallint": "smallint",
+                        "int": "int", "integer": "int",
+                        "long": "bigint", "bigint": "bigint",
+                        "float": "float", "double": "double"}
+                pin_types = {f.name: f.dataType.simpleString()
+                             for f in self._data_schema().fields}
+                promoted = sorted(
+                    c for c, ddl in (a.get("widen") or {}).items()
+                    if c in known
+                    and norm.get(str(ddl).lower(), str(ddl).lower())
+                    != pin_types.get(c))
+                if widened or dropped or promoted:
                     raise ValueError(
                         f"alter commit {a['version']} at {self.path} "
                         f"changes the schema this stream is pinned to "
-                        f"(adds/renames-in: {widened}, drops: {dropped})"
+                        f"(adds/renames-in: {widened}, drops: {dropped}"
+                        f", widens: {promoted})"
                         " — post-alter data would be silently truncated"
                         " or unreadable; restart the stream to pick up "
                         "the evolved schema, or set option("
