@@ -222,6 +222,135 @@ def seed_word_weights(spark, good_words, bad_words,
         .groupBy("b").agg(F.sum("w").alias("w_micro")))
 
 
+def mixture_quotas(counts: dict, total: int,
+                   temperature: float = 0.5) -> dict:
+    """Per-source document quotas for a TEMPERATURE-WEIGHTED mixture
+    (the GPT-3/LLaMA source-mixing rule: sample source s proportional
+    to ``n_s^T`` — T < 1 up-weights small high-quality sources against
+    bulk web crawl), computed entirely in INTEGER arithmetic so any
+    engine reproduces them bit-for-bit:
+
+    - weights: ``w_s = floor(n_s^T * 1e6 + 0.5)`` micro units (T = 1
+      and T = 0.5 use exact/correctly-rounded paths — identity and
+      IEEE sqrt — so Python and SQL agree; other exponents go through
+      pow, fine for production, not for an oracle);
+    - quotas: integer largest-remainder apportionment of ``total``
+      (base = total*w // W, +1 by remainder desc then source asc);
+    - a source whose quota exceeds its size is CLAMPED and the freed
+      slots re-apportion among sources with headroom (deterministic
+      loop, terminates — each pass fixes at least one source).
+    """
+    import math
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    if temperature == 1.0:
+        w = {s: int(n) * 1_000_000 for s, n in counts.items()}
+    elif temperature == 0.5:
+        w = {s: int(math.floor(math.sqrt(n) * 1e6 + 0.5))
+             for s, n in counts.items()}
+    else:
+        w = {s: int(math.floor(n ** float(temperature) * 1e6 + 0.5))
+             for s, n in counts.items()}
+    w = {s: v for s, v in w.items() if v > 0}
+    quota = {s: 0 for s in counts}
+    need, open_s = total, sorted(w)
+    while need > 0 and open_s:
+        ww = sum(w[s] for s in open_s)
+        base = {s: need * w[s] // ww for s in open_s}
+        rem = {s: need * w[s] % ww for s in open_s}
+        extra = need - sum(base.values())
+        for s in sorted(open_s, key=lambda x: (-rem[x], x))[:extra]:
+            base[s] += 1
+        clamped = False
+        for s in open_s:
+            give = min(base[s], counts[s] - quota[s])
+            quota[s] += give
+            if give < base[s]:
+                clamped = True
+        need = total - sum(quota.values())
+        open_s = [s for s in open_s if quota[s] < counts[s]]
+        if not clamped and need > 0:  # pragma: no cover - safety
+            break
+    return quota
+
+
+def mixture_sample(docs: DataFrame, id_col: str, source_col: str,
+                   total: int, temperature: float = 0.5,
+                   n_split: int = 1024,
+                   verifiable: bool = False) -> DataFrame:
+    """Deterministic temperature-weighted MIXTURE SAMPLING across
+    sources — the data-mixing stage between curation and packing (the
+    published pipelines' per-source sampling weights, made exact and
+    reproducible): each source contributes its ``mixture_quotas`` share,
+    and WITHIN a source the selected rows are the quota-smallest by a
+    uniform hash of the id (``verifiable=True`` = the portable md5
+    form an oracle replays; production xxhash64) — no RNG, same
+    selection on every run and every engine.
+
+    SKEW-SAFE EXACT SELECTION (the scale shape): the naive top-quota
+    per source is a ``row_number`` window over ``partitionBy(source)``
+    — a bulk-crawl source holding half the corpus lands on ONE task
+    (the same hot-key hazard the substring-dedup keeper had).  Instead
+    each row gets a hash-derived SPLIT BUCKET (``pmod(h, n_split)``,
+    part of the selection order (bucket, h, id)); per-(source, bucket)
+    counts collect at source-cardinality x n_split driver rows, the
+    driver finds each source's boundary bucket, rows in buckets BELOW
+    it are selected by a plain filter (no window), and only the ONE
+    boundary bucket per source — about ``n_s / n_split`` rows — pays a
+    window.  Exact at any skew.
+
+    Returns ``(id_col, source_col)`` of the selected docs."""
+    if verifiable:
+        hx = F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                1, 15), 16, 10).cast("long")
+    else:
+        hx = F.xxhash64(F.col(id_col).cast("string"))
+    base = docs.select(F.col(id_col), F.col(source_col),
+                       hx.alias("_h"),
+                       F.pmod(hx, F.lit(n_split)).alias("_b"))
+    counts = {r[0]: r[1] for r in
+              docs.groupBy(source_col)
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    quota = mixture_quotas(counts, total, temperature)
+    # per-(source, bucket) histogram: source-cardinality x n_split
+    # driver rows — mixture sources are dozens, never data-scale
+    hist = {(r[0], r[1]): r[2] for r in
+            base.groupBy(source_col, "_b")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    below: dict = {}      # source -> boundary bucket
+    need_at: dict = {}    # source -> rows still needed IN the boundary
+    for s, q in quota.items():
+        run = 0
+        boundary = n_split  # quota == n_s: every bucket selects whole
+        for b in range(n_split):
+            n_b = hist.get((s, b), 0)
+            if run + n_b >= q:
+                boundary = b
+                need_at[s] = q - run
+                break
+            run += n_b
+        below[s] = boundary
+    spark = docs.sparkSession
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+    bounds = spark.createDataFrame(
+        [(s, below[s], need_at.get(s, 0)) for s in quota],
+        StructType([docs.schema[source_col],
+                    StructField("_bb", IntegerType()),
+                    StructField("_need", LongType())]))
+    tagged = base.join(F.broadcast(bounds), source_col)
+    whole = tagged.filter(F.col("_b") < F.col("_bb"))
+    from pyspark.sql import Window
+    boundary_rows = (
+        tagged.filter((F.col("_b") == F.col("_bb"))
+                      & (F.col("_need") > 0))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy(source_col).orderBy("_h", id_col)))
+        .filter(F.col("_rn") <= F.col("_need")))
+    return (whole.select(id_col, source_col)
+            .unionByName(boundary_rows.select(id_col, source_col)))
+
+
 def dsir_topk(docs: DataFrame, id_col: str, text_col: str,
               is_target, k: int = 200, n_buckets: int = 256,
               verifiable: bool = False) -> DataFrame:

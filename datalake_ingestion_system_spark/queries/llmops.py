@@ -4218,3 +4218,78 @@ FROM (SELECT DISTINCT doc_id FROM documents)
 LEFT JOIN dot USING (doc_id)
 ORDER BY logit_micro DESC, doc_id LIMIT 100
 """
+
+
+@_q("q_mixture_sample")
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-weighted MIXTURE SAMPLING (round 11 — the
+    source-mixing stage between curation and packing; the GPT-3/LLaMA
+    per-source sampling-weights rule ``n_s^T`` with T = 0.5 boosting
+    small sources against the bulk one; `operators/selection.py:
+    mixture_sample`): 60 documents are apportioned across the LANGUAGE
+    groups (en dominates the corpus, so T < 1 visibly reweights) by
+    integer largest-remainder quotas over micro-unit ``sqrt(n)``
+    weights — arithmetic DuckDB reproduces bit-for-bit — and each
+    group's selection is its quota-smallest documents by the portable
+    md5 hash of the id.  No RNG anywhere: the same 60 documents on
+    every run and every engine, which is what makes a training-data
+    mixture auditable.
+
+    Scale shape: quotas are a source-cardinality collect; selection is
+    a plain filter below each source's boundary SPLIT BUCKET plus a
+    window over only that one bucket (~n_s/1024 rows) — never a window
+    over a whole source, so the half-the-corpus bulk source cannot
+    concentrate on one task (the substring-dedup lesson applied at
+    design time)."""
+    from ..operators.selection import mixture_sample
+
+    d = load(spark, sf_dir, "documents")
+    sel = mixture_sample(d, "doc_id", "lang", total=60,
+                         temperature=0.5, verifiable=True)
+    return (sel.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sel"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.min("doc_id").alias("min_id")))
+
+
+ORACLE_SQL["q_mixture_sample"] = """
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(n) * 1000000 + 0.5) AS BIGINT) AS wi
+  FROM counts
+), tot AS (
+  SELECT CAST(sum(wi) AS BIGINT) AS ww FROM w
+), shares AS (
+  SELECT lang, (60 * wi) // ww AS base, (60 * wi) % ww AS rem
+  FROM w CROSS JOIN tot
+), give AS (
+  SELECT lang, base,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM shares
+), quota AS (
+  SELECT lang,
+         base + CASE WHEN rk <= 60 - (SELECT sum(base) FROM shares)
+                     THEN 1 ELSE 0 END AS q
+  FROM give
+), hashed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY h % 1024, h, doc_id) AS rk
+  FROM hashed
+), sel AS (
+  SELECT r.lang, r.doc_id
+  FROM ranked r JOIN quota USING (lang)
+  WHERE r.rk <= q
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sel,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(min(doc_id) AS BIGINT) AS min_id
+FROM sel GROUP BY lang
+"""

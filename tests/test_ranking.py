@@ -200,3 +200,69 @@ def test_classifier_score_invariants(spark):
         d2, "doc_id", "text", w2, n_buckets=512,
         verifiable=True).collect()}
     assert got2[10] > got2[11] > 0
+
+
+def test_mixture_quotas_arithmetic(spark):
+    """Integer largest-remainder temperature quotas: exact totals,
+    T < 1 boosts small sources, T = 1 is proportional, clamping
+    re-apportions deterministically."""
+    from datalake_ingestion_system_spark.operators.selection import (
+        mixture_quotas)
+
+    counts = {"web": 9000, "books": 900, "code": 100}
+    q1 = mixture_quotas(counts, 100, temperature=1.0)
+    assert sum(q1.values()) == 100
+    assert q1 == {"web": 90, "books": 9, "code": 1}
+    q5 = mixture_quotas(counts, 100, temperature=0.5)
+    assert sum(q5.values()) == 100
+    # sqrt weights: 94.87 : 30 : 10 → small sources up-weighted
+    assert q5["code"] > q1["code"] and q5["books"] > q1["books"]
+    assert q5["web"] < q1["web"]
+    # clamping: a source smaller than its share caps at its size and
+    # the freed slots flow to sources with headroom
+    qc = mixture_quotas({"big": 1000, "tiny": 3}, 500, temperature=0.5)
+    assert qc["tiny"] == 3 and qc["big"] == 497
+    # degenerate totals
+    assert sum(mixture_quotas(counts, 0).values()) == 0
+    qall = mixture_quotas({"a": 2, "b": 1}, 3)
+    assert qall == {"a": 2, "b": 1}
+
+
+def test_mixture_sample_exact_deterministic_and_skew_safe(spark):
+    """Selection sizes equal the quotas, the same ids come back under
+    any partitioning, and the boundary-bucket window sees ~n/n_split
+    rows — never a whole source."""
+    from pyspark.sql import functions as F
+
+    from datalake_ingestion_system_spark.operators.selection import (
+        mixture_quotas, mixture_sample)
+
+    docs = (spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3600, "bulk").otherwise("rare")
+        .alias("src")))
+    counts = {"bulk": 3600, "rare": 400}
+    quota = mixture_quotas(counts, 100, temperature=0.5)
+    sel = mixture_sample(docs, "doc_id", "src", total=100,
+                         temperature=0.5, verifiable=True)
+    got = {r[0]: r[1] for r in
+           sel.groupBy("src").agg(F.count(F.lit(1))).collect()}
+    assert got == quota and sum(got.values()) == 100
+    sel2 = mixture_sample(docs.repartition(17), "doc_id", "src",
+                          total=100, temperature=0.5, verifiable=True)
+    assert sorted(r[0] for r in sel.collect()) \
+        == sorted(r[0] for r in sel2.collect())
+    # hash families agree on SIZES (ids differ — different hash)
+    got_x = {r[0]: r[1] for r in
+             mixture_sample(docs, "doc_id", "src", total=100,
+                            temperature=0.5, verifiable=False)
+             .groupBy("src").agg(F.count(F.lit(1))).collect()}
+    assert got_x == quota
+    # skew-safety: the window input is one bucket per source —
+    # orders of magnitude below the source size
+    hx = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                            1, 15), 16, 10).cast("long")
+    per_bucket = (docs.select("src", F.pmod(hx, F.lit(1024)).alias("b"))
+                  .groupBy("src", "b").count()
+                  .agg(F.max("count")).head()[0])
+    assert per_bucket <= 16, "bucket split must bound window input"
