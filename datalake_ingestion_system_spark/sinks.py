@@ -194,6 +194,19 @@ def _log_schema_json(schema) -> str:
         for f in schema.fields]).json()
 
 
+#: PROCESS-WIDE parsed-log cache (see ``TxnLogFormat._log_names``):
+#: path -> {"origin": (earliest name, ino, mtime_ns), "recs":
+#: {filename: parsed record}}.  Sound because log files are IMMUTABLE
+#: once published (tmp + fsync + os.link — never rewritten in place;
+#: vacuum only deletes, and deletions evict via the per-call listing) —
+#: the same immutability argument behind Delta's snapshot cache.
+#: LRU-bounded by path count.
+from collections import OrderedDict as _OrderedDict
+
+_LOG_CACHE: "_OrderedDict[str, dict]" = _OrderedDict()
+_LOG_CACHE_MAX_PATHS = 64
+
+
 def retry_on_conflict(op, attempts: int = 3):
     """Run a read-modify-write table operation, retrying on
     ``ConcurrentWriteError`` — each attempt calls ``op()`` afresh, which
@@ -452,15 +465,17 @@ class TxnLogFormat(TableFormat):
         self.constraints = dict(constraints or {})
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_sidecar_files = checkpoint_sidecar_files
-        #: per-table parsed-log cache: path -> {"origin": identity of the
-        #: EARLIEST log file (name, inode, mtime_ns), "recs": {filename:
-        #: parsed record}}.  Commit and checkpoint files are immutable
-        #: once linked, so each file is parsed at most once per instance;
-        #: every lookup re-lists the directory (new commits are seen
-        #: immediately) and a changed origin identity — the table was
-        #: deleted and rebuilt at this path, or the log head was pruned —
-        #: drops the cache (ext4 reuses inodes, hence name+ino+mtime).
-        self._log_cache: dict[str, dict] = {}
+        #: parsed-log cache handle — PROCESS-WIDE (round 11, the Delta
+        #: snapshot-cache analogue): log files are immutable once
+        #: linked, so their parsed records — including a checkpoint's
+        #: hydrated file lists and lazily-read sidecar table — are
+        #: shared by every TxnLogFormat instance in the process.  A
+        #: fresh reader over a 48k-file checkpointed table pays the
+        #: JSON parse + sidecar hydration ONCE per process instead of
+        #: per instance; every lookup still re-lists the directory (new
+        #: commits are seen immediately) and the origin identity check
+        #: below drops a rebuilt table's stale entries.
+        self._log_cache = _LOG_CACHE
 
     def _check_constraints(self, staged: DataFrame,
                            constraints: dict[str, str] | None = None
@@ -508,14 +523,16 @@ class TxnLogFormat(TableFormat):
         return raw, cps
 
     def _log_names(self, path: str) -> tuple[list[str], list[str], dict]:
-        """One listing: (commit names, checkpoint names, per-instance
+        """One listing: (commit names, checkpoint names, process-wide
         parse cache).  The cache maps filename -> parsed record; files
         are immutable once linked, so each is parsed AT MOST once per
-        instance — and only when a planning path actually needs it
+        PROCESS — and only when a planning path actually needs it
         (``_load``), which is what makes a checkpointed read O(tail)
         parses, not O(history).  A changed identity of the EARLIEST log
         file (table recreated at this path, or the log head pruned)
-        drops the cache — ext4 reuses inodes, hence name+ino+mtime."""
+        drops the cache — ext4 reuses inodes, hence name+ino+mtime.
+        Paths are LRU-bounded so a long-lived session touching many
+        tables cannot grow without bound."""
         raw, cps = self._list_log(path)
         if not raw and not cps:
             self._log_cache.pop(path, None)
@@ -530,6 +547,9 @@ class TxnLogFormat(TableFormat):
         cache = self._log_cache.get(path)
         if cache is None or cache["origin"] != origin:
             cache = self._log_cache[path] = {"origin": origin, "recs": {}}
+        self._log_cache.move_to_end(path)
+        while len(self._log_cache) > _LOG_CACHE_MAX_PATHS:
+            self._log_cache.popitem(last=False)
         recs = cache["recs"]
         listed = set(raw) | set(cps)
         for n in list(recs):

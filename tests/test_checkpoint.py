@@ -115,6 +115,11 @@ def test_checkpointed_read_plans_from_o_tail_files(tmp_path):
                        os.path.join(path, rel, "part-0.parquet"))
         fmt._commit(path, {"action": "append", "dir": rel,
                            "schema": schema_json})
+    # the parse cache is PROCESS-wide since round 11 (the writer above
+    # already parsed its own records while checkpointing) — clear it so
+    # this still measures what a genuinely fresh reader parses
+    import datalake_ingestion_system_spark.sinks as _sk
+    _sk._LOG_CACHE.clear()
     fresh = TxnLogFormat()
     commits = fresh._commits(path)
     # cp@120 + nothing? no: head is 119... cp at 110 + tail 111..119
@@ -816,3 +821,41 @@ def test_vectorized_sidecar_skipping_matches_rowwise(spark, tmp_path):
         want = sorted(map(tuple, fmt.read(spark, path)
                           .filter(where).collect()), key=repr)
         assert got == want, where
+
+
+def test_process_wide_log_cache_semantics(spark, tmp_path):
+    """Round-11 snapshot cache: parsed records (and a checkpoint's
+    hydration) are shared across instances — sound because log files
+    are immutable once linked.  New commits are still seen immediately
+    (the listing is per call), a table REBUILT at the same path drops
+    the stale entries via the origin identity, and the path count is
+    LRU-bounded."""
+    import shutil
+
+    import datalake_ingestion_system_spark.sinks as sk
+
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(_mk(spark, 0, 3), path)
+    a = TxnLogFormat()
+    assert a.read(spark, path).count() == 3
+    # a second instance reuses the SAME parsed record objects
+    b = TxnLogFormat()
+    assert b._commits(path)[0] is a._commits(path)[0]
+    # new commits are visible immediately across instances
+    fmt.append(_mk(spark, 10, 12), path)
+    assert b.read(spark, path).count() == 5
+    # rebuild the table at the same path: origin changes, cache drops
+    shutil.rmtree(path)
+    fmt2 = TxnLogFormat(checkpoint_interval=None)
+    fmt2.append(_mk(spark, 100, 101), path)
+    assert a.read(spark, path).count() == 1
+    assert a.read(spark, path).head().id == 100
+    # LRU bound: flooding with distinct paths evicts, never grows
+    for i in range(sk._LOG_CACHE_MAX_PATHS + 8):
+        p = str(tmp_path / f"flood{i}")
+        fmt.append(_mk(spark, i, i + 1), p)
+        fmt._commits(p)
+    assert len(sk._LOG_CACHE) <= sk._LOG_CACHE_MAX_PATHS
+    # evicted paths still read correctly (cache re-fills on demand)
+    assert a.read(spark, path).count() == 1
