@@ -3686,3 +3686,64 @@ SELECT event_type,
 FROM both_eras
 GROUP BY event_type
 """
+
+
+@_q("q_file_manifest")
+def q_file_manifest(spark, sf_dir):
+    """FILE MANIFEST metadata table, oracle-verified (round 11 —
+    Iceberg ``table$files`` / Delta add-file-state parity): the events
+    halves land as two single-file commits plus a third commit whose
+    error rows are then DELETED copy-on-write (its file is REWRITTEN —
+    the manifest must show the rewrite's survivor file, never the
+    retired original), and the manifest aggregates per commit action:
+    file counts and RECORDED row counts, matching the arithmetic
+    DuckDB derives from the raw data.  A manifest that lists retired
+    files, misses the rewrite, or records wrong per-file row counts
+    breaks the hash.
+
+    Scale shape: pure commit metadata — no storage listing, no footer
+    read; the row is file-metadata scale like every planning path."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="fm_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    for half in (0, 1):
+        fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == half)
+                   .coalesce(1), path)
+    fmt.append(e.filter("event_type = 'error'")
+               .withColumn("event_id", F.col("event_id")
+                           + F.lit(10_000_000)).coalesce(1), path)
+    fmt.delete_where(spark, path, "event_id >= 10000000 "
+                                  "AND value < 50")
+    man = fmt.file_manifest(spark, path)
+    return (man.groupBy("action")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("num_records").alias("sum_rows"),
+                 F.min("commit_version").alias("min_v"),
+                 F.max("commit_version").alias("max_v")))
+
+
+ORACLE_SQL["q_file_manifest"] = """
+WITH base AS (
+  SELECT count(*) FILTER (WHERE event_id % 2 = 0) AS n0,
+         count(*) FILTER (WHERE event_id % 2 = 1) AS n1,
+         count(*) FILTER (WHERE event_type = 'error'
+                          AND NOT coalesce(value < 50, FALSE))
+           AS err_kept
+  FROM events
+)
+SELECT 'append' AS action,
+       CAST(2 AS BIGINT) AS n_files,
+       CAST(n0 + n1 AS BIGINT) AS sum_rows,
+       CAST(0 AS BIGINT) AS min_v,
+       CAST(1 AS BIGINT) AS max_v
+FROM base
+UNION ALL
+SELECT 'rewrite_files', CAST(1 AS BIGINT),
+       CAST(err_kept AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT)
+FROM base
+"""

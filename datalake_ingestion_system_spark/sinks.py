@@ -4186,6 +4186,62 @@ class TxnLogFormat(TableFormat):
                     sorted(self._resolve_protocol(commits)["writer"])},
         }
 
+    def file_manifest(self, spark: SparkSession, path: str,
+                      as_of_version: int | None = None) -> DataFrame:
+        """The LIVE FILE inventory as a DataFrame — Iceberg's
+        ``table$files`` metadata table (and Delta's add-file state),
+        from commit metadata alone: no storage listing, no footer
+        reads.  One row per live data file: table-relative path, the
+        commit version that wrote it, that commit's action, recorded
+        byte size and row count (NULL for files from pre-recording
+        commits), and the hidden-partitioning derived value when the
+        file was staged under a transform.  ``as_of_version`` inventories
+        a historical snapshot.
+
+        The ops surface this powers: small-file ratio monitoring
+        (compaction planning), per-partition file counts, audit joins
+        against storage inventories.  Driver-side at file-metadata
+        scale — the same order as every planning path."""
+        commits = self._commits(path, upto=as_of_version)
+        if not commits:
+            raise FileNotFoundError(f"no committed table at {path}")
+        live = self._resolve_live(commits)
+        removed = self._resolve_removed_files(commits)
+        sizes: dict[str, int] = {}
+        nrows: dict[str, int] = {}
+        for c in commits:
+            sizes.update(self._file_bytes_of(path, c))
+        for _sv, rf, per in self._stats_entries(path, commits):
+            for s in (per or {}).values():
+                if s is not None and len(s) >= 4:
+                    nrows[rf] = s[3]
+                    break
+        out = []
+        for e in live:
+            files = e.get("files")
+            if files is None:
+                files = [_relfile(os.path.join(dp, fn))
+                         for dp, _d, fns in os.walk(
+                             os.path.join(path, e["dir"]))
+                         for fn in fns if fn.endswith(".parquet")]
+            for rf in files:
+                if rf in removed:
+                    continue
+                has_tp, tp = self._tp_value_of(rf)
+                out.append((rf, e["version"],
+                            e.get("action") or "append",
+                            sizes.get(rf), nrows.get(rf),
+                            tp if has_tp else None))
+        from pyspark.sql.types import (LongType, StringType,
+                                       StructField, StructType)
+        return spark.createDataFrame(out, StructType([
+            StructField("file", StringType(), False),
+            StructField("commit_version", LongType(), False),
+            StructField("action", StringType(), False),
+            StructField("size_bytes", LongType(), True),
+            StructField("num_records", LongType(), True),
+            StructField("partition_value", StringType(), True)]))
+
     def _current_defaults(self, commits: list[dict]) -> dict:
         """``{current column name: frozen constant}`` for every live
         column carrying an ADD COLUMN default — the adding alter's

@@ -188,6 +188,13 @@ def details(spark: SparkSession, name: str) -> dict:
     return TxnLogFormat().details(table_path(spark, name))
 
 
+def file_manifest(spark: SparkSession, name: str,
+                  **kwargs) -> DataFrame:
+    """The live file inventory by name (Iceberg ``table$files``)."""
+    return TxnLogFormat().file_manifest(
+        spark, table_path(spark, name), **kwargs)
+
+
 def refresh_table(spark: SparkSession, name: str) -> None:
     """Re-sync the catalog entry after out-of-band schema evolution
     (``alter_table`` / merge ``schema_evolution=True`` on the path):

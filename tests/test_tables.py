@@ -211,3 +211,41 @@ def test_maintenance_by_name(spark, cat):
     swept = tables.vacuum(spark, cat["name"], retain_hours=0.0)
     assert swept, "superseded pre-compact dirs must sweep"
     assert spark.table(cat["name"]).count() == 13
+
+
+def test_file_manifest_by_name_and_transform_values(spark, tmp_path):
+    """Iceberg table$files parity: live files only (retired rewrites
+    excluded), recorded sizes/rows, hidden-partitioning derived values
+    surfaced, historical snapshots via as_of_version."""
+    name = f"fm_{uuid.uuid4().hex[:10]}"
+    path = str(tmp_path / "fm")
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(spark.range(8).select(
+        F.col("id").alias("a"), (F.col("id") % 4).alias("b")), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "b",
+                                            "kind": "bucket",
+                                            "param": 4})
+    fmt.append(spark.range(8, 16).select(
+        F.col("id").alias("a"), (F.col("id") % 4).alias("b")), path)
+    tables.create_table(spark, name, path)
+    try:
+        man = tables.file_manifest(spark, name)
+        rows = man.collect()
+        assert sum(r.num_records for r in rows) == 16
+        assert all(r.size_bytes and r.size_bytes > 0 for r in rows)
+        tp = [r for r in rows if r.partition_value is not None]
+        assert tp and all(r.commit_version == 2 for r in tp)
+        # a rewrite retires its sources from the inventory (the
+        # survivor here is a ZERO-ROW file — the deleted row was alone
+        # in its source file — and a 0-row file records no stats, so
+        # its num_records is legitimately NULL)
+        fmt.delete_where(spark, path, "a = 0")
+        man2 = TxnLogFormat().file_manifest(spark, path)
+        assert sum(r.num_records or 0 for r in man2.collect()) == 15
+        assert man2.filter("action = 'rewrite_files'").count() >= 1
+        # historical snapshot: the pre-delete inventory
+        old = TxnLogFormat().file_manifest(spark, path, as_of_version=2)
+        assert sum(r.num_records for r in old.collect()) == 16
+    finally:
+        tables.drop_table(spark, name)
