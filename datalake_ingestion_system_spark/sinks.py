@@ -202,9 +202,18 @@ def _log_schema_json(schema) -> str:
 #: the same immutability argument behind Delta's snapshot cache.
 #: LRU-bounded by path count.
 from collections import OrderedDict as _OrderedDict
+import threading as _threading_mod
 
 _LOG_CACHE: "_OrderedDict[str, dict]" = _OrderedDict()
 _LOG_CACHE_MAX_PATHS = 64
+#: guards _LOG_CACHE lookup/insert/LRU-evict and in-place checkpoint
+#: hydration: concurrent driver threads (multiple streams/tables in one
+#: process) may interleave get → popitem → move_to_end, which raises
+#: KeyError on an OrderedDict mutated mid-step.  Delta's snapshot cache
+#: is synchronized for the same reason.  Never held across file I/O
+#: except first-touch checkpoint hydration (once per checkpoint per
+#: process, bounded).
+_LOG_CACHE_LOCK = _threading_mod.Lock()
 
 
 def retry_on_conflict(op, attempts: int = 3):
@@ -535,7 +544,8 @@ class TxnLogFormat(TableFormat):
         tables cannot grow without bound."""
         raw, cps = self._list_log(path)
         if not raw and not cps:
-            self._log_cache.pop(path, None)
+            with _LOG_CACHE_LOCK:
+                self._log_cache.pop(path, None)
             return [], [], {}
         log = self._log_dir(path)
         first = min(raw + cps)
@@ -544,17 +554,19 @@ class TxnLogFormat(TableFormat):
             origin = (first, st.st_ino, st.st_mtime_ns)
         except FileNotFoundError:
             origin = None  # racing vacuum: conservative cache drop below
-        cache = self._log_cache.get(path)
-        if cache is None or cache["origin"] != origin:
-            cache = self._log_cache[path] = {"origin": origin, "recs": {}}
-        self._log_cache.move_to_end(path)
-        while len(self._log_cache) > _LOG_CACHE_MAX_PATHS:
-            self._log_cache.popitem(last=False)
-        recs = cache["recs"]
-        listed = set(raw) | set(cps)
-        for n in list(recs):
-            if n not in listed:  # pruned by vacuum — evict, bound memory
-                del recs[n]
+        with _LOG_CACHE_LOCK:
+            cache = self._log_cache.get(path)
+            if cache is None or cache["origin"] != origin:
+                cache = self._log_cache[path] = {"origin": origin,
+                                                 "recs": {}}
+            self._log_cache.move_to_end(path)
+            while len(self._log_cache) > _LOG_CACHE_MAX_PATHS:
+                self._log_cache.popitem(last=False)
+            recs = cache["recs"]
+            listed = set(raw) | set(cps)
+            for n in list(recs):
+                if n not in listed:  # pruned by vacuum — evict
+                    del recs[n]
         return raw, cps, recs
 
     def _load(self, path: str, name: str, recs: dict) -> dict:
@@ -1016,14 +1028,6 @@ class TxnLogFormat(TableFormat):
         log = self._log_dir(path)
         os.makedirs(log, exist_ok=True)
         while True:
-            if row_rows is not None:
-                base = self._resolve_row_high(self._commits(path))
-                rb = {}
-                for rf in sorted(row_rows):
-                    rb[rf] = base
-                    base += row_rows[rf]
-                record["row_base"] = rb
-                record["row_id_high"] = base
             if record.get("txn_app") is not None:
                 # Idempotent-transaction dedup, rechecked on EVERY retry —
                 # and, crucially, the dedup answer and the version claim
@@ -1078,6 +1082,27 @@ class TxnLogFormat(TableFormat):
                         f"table advanced to version {v - 1} while this "
                         f"write was computed against version "
                         f"{expected_version - 1}; re-read and retry")
+            if row_rows is not None:
+                # The allocation BASE and the version CLAIM must derive
+                # from the same commit set: a row-tracked commit landing
+                # between two separate listings would be counted in ``v``
+                # (so the os.link below succeeds) yet missing from the
+                # base — two writers reserving overlapping id ranges.
+                # Re-list AFTER claiming ``v`` and verify the head is
+                # exactly ``v - 1``; any mismatch re-enters the loop with
+                # a fresh claim.  A commit landing after this check takes
+                # ``v`` itself, our link fails, and we retry — the
+                # single-link-wins serialization covers the final gap.
+                cs = self._commits(path)
+                if (cs[-1]["version"] if cs else -1) != v - 1:
+                    continue
+                base = self._resolve_row_high(cs)
+                rb = {}
+                for rf in sorted(row_rows):
+                    rb[rf] = base
+                    base += row_rows[rf]
+                record["row_base"] = rb
+                record["row_id_high"] = base
             target = os.path.join(log, f"{v:012d}.json")
             # Write the FULL record (+fsync) to an invisible temp file, then
             # publish with os.link: the commit name either appears with its
@@ -1289,8 +1314,18 @@ class TxnLogFormat(TableFormat):
         always correct."""
         if cp.get("action") != "checkpoint" or cp.get("_files_hydrated"):
             return
+        with _LOG_CACHE_LOCK:
+            self._hydrate_checkpoint_locked(path, cp)
+
+    def _hydrate_checkpoint_locked(self, path: str, cp: dict) -> None:
+        # cached records are shared process-wide; hydration mutates in
+        # place, so it runs under the cache lock (re-checked inside:
+        # the loser of the lock race sees the winner's flag and returns)
+        if cp.get("_files_hydrated"):
+            return
         live = cp["state"]["live"]
-        if not any(e.get("files") == "sidecar" for e in live):
+        if not any(e.get("files") == "sidecar"
+                   or e.get("row_base") == "sidecar" for e in live):
             cp["_files_hydrated"] = True
             return
         tbl = self._sidecar_table(path, cp)
@@ -1315,17 +1350,38 @@ class TxnLogFormat(TableFormat):
                  .group_by("d").aggregate([("rf", "list")]))
             by_dir = dict(zip(g["d"].to_pylist(),
                               g["rf_list"].to_pylist()))
+        base_map: dict[str, int] = {}
+        if tbl is not None and "row_base" in tbl.column_names:
+            base_map = {
+                rf: b for rf, b in zip(tbl["relfile"].to_pylist(),
+                                       tbl["row_base"].to_pylist())
+                if b is not None}
         for e in live:
             if e.get("files") == "sidecar":
                 # sidecar rows are written sorted, and hash_list keeps
                 # encounter order — each per-dir list is already sorted
                 e["files"] = (by_dir.get(e["dir"], [])
                               if tbl is not None else None)
+            if e.get("row_base") == "sidecar":
+                if not base_map:
+                    # stats degrade to no-pruning and file lists to a
+                    # walk (rows still correct), but a lost row-id base
+                    # would make stable ids silently read NULL — the
+                    # one per-file term where degrading IS a wrong
+                    # answer, so refuse loudly instead
+                    raise FileNotFoundError(
+                        f"checkpoint sidecar for {path} is unreadable "
+                        "and the table tracks row ids — row_base maps "
+                        "cannot be reconstructed")
+                e["row_base"] = {rf: base_map[rf]
+                                 for rf in (e["files"] or [])
+                                 if rf in base_map}
         cp["_files_hydrated"] = True
 
     def _write_stats_sidecar(self, path: str, name: str,
                              stats: dict, fbytes: dict,
-                             relfiles: list[str] | None = None) -> None:
+                             relfiles: list[str] | None = None,
+                             row_base: dict | None = None) -> None:
         """Publish the checkpoint's per-file data as one parquet file —
         row-per-file over the FULL file universe (stats/bytes keys plus
         every live entry's file names, retired files included, so
@@ -1350,6 +1406,13 @@ class TxnLogFormat(TableFormat):
             "bytes": pa.array([fbytes.get(rf) for rf in relfiles],
                               pa.int64()),
         }
+        if row_base:
+            # per-file ROW-ID BASES offloaded with the other per-file
+            # terms: a deep row-tracked table must not regain O(files)
+            # checkpoint-JSON records through row_base maps riding the
+            # live entries inline (the exact cost the sidecar removes)
+            cols["row_base"] = pa.array(
+                [row_base.get(rf) for rf in relfiles], pa.int64())
         # TYPED per-column stats (Delta checkpoint ``stats_parsed``
         # parity): five extra columns per stats column — min / max /
         # null count / row count / has-bloom — so data skipping over a
@@ -1698,11 +1761,18 @@ class TxnLogFormat(TableFormat):
         if self.checkpoint_sidecar_files is not None \
                 and len(all_files) >= self.checkpoint_sidecar_files:
             sidecar = f"{v:012d}.checkpoint.stats.parquet"
+            bases: dict[str, int] = {}
+            for e in ser_live:
+                if isinstance(e.get("row_base"), dict):
+                    bases.update(e["row_base"])
             self._write_stats_sidecar(path, sidecar, stats, fbytes,
-                                      sorted(all_files))
+                                      sorted(all_files | set(bases)),
+                                      row_base=bases)
             for e in ser_live:
                 if e["files"] is not None:
                     e["files"] = "sidecar"
+                if isinstance(e.get("row_base"), dict):
+                    e["row_base"] = "sidecar"
             rec["stats_sidecar"] = sidecar
         else:
             rec["stats"] = stats
@@ -1905,6 +1975,14 @@ class TxnLogFormat(TableFormat):
                                small_file_bytes=ac["small_file_bytes"])
         except ConcurrentWriteError:
             return False  # raced; the winner's next touch re-fires
+        except Exception:
+            # BEST-EFFORT by contract: the marker-fired compact rides a
+            # plain read(), and a read must never fail because the
+            # maintenance it opportunistically triggered couldn't run
+            # (read-only consumer without write permission, staging
+            # error, full disk).  Fall through to planning on the
+            # uncompacted state; a writer's next touch retries.
+            return False
         if not (got or {}).get("rewritten_files"):
             self._compact_due_done.add(path)
             return False
@@ -2263,9 +2341,10 @@ class TxnLogFormat(TableFormat):
     def _resolve_dvs(self, commits: list[dict]) -> list[str]:
         """Replay the commit list into the list of LIVE deletion-vector
         dirs — same restore/replace_all algebra as ``_resolve_live``:
-        ``replace_all`` (compact, copy-on-write delete/update/merge)
-        materializes a DV-free state so earlier vectors retire; ``restore``
-        swaps in the target prefix's vectors."""
+        ``replace_all`` (compact) materializes a DV-free state so
+        earlier vectors retire; targeted ``rewrite_files`` (delete/
+        update/merge) CONSOLIDATES survivors into its ``dv_dir`` (or
+        none); ``restore`` swaps in the target prefix's vectors."""
         dvs: list[str] = []
         for c in commits:
             if c["action"] == "checkpoint":
@@ -2302,7 +2381,7 @@ class TxnLogFormat(TableFormat):
                 alters.append(c)
             elif c.get("evolved_add"):
                 # a schema-evolving MERGE widened the table inside its
-                # replace_all commit (Delta autoMerge): synthesize the
+                # widening commit (Delta autoMerge): synthesize the
                 # equivalent alter record so every schema-era consumer —
                 # the change feed's per-file mapping, time-travel
                 # conformance, rename inversion — sees the columns
@@ -4127,6 +4206,40 @@ class TxnLogFormat(TableFormat):
                 break
         return rows
 
+    def history_df(self, spark: SparkSession, path: str,
+                   limit: int | None = None) -> DataFrame:
+        """``history()`` as a queryable DataFrame (round 12 — Delta's
+        ``DESCRIBE HISTORY`` returns one; Iceberg exposes
+        ``table$history``/``$snapshots``): one typed row per commit the
+        log still holds, newest first, JOIN-able in SQL against
+        ``file_manifest`` (e.g. bytes/rows added per commit) and
+        registered like any DataFrame.  Driver-side at commit-metadata
+        scale — the same order as every planning path."""
+        from pyspark.sql.types import (ArrayType, BooleanType,
+                                       DoubleType, LongType, StringType,
+                                       StructField, StructType)
+        schema = StructType([
+            StructField("version", LongType(), False),
+            StructField("action", StringType(), False),
+            StructField("ts", DoubleType(), True),
+            StructField("data_change", BooleanType(), False),
+            StructField("partition_col", StringType(), True),
+            StructField("partitions", ArrayType(StringType()), True),
+            StructField("dir", StringType(), True),
+            StructField("to_version", LongType(), True),
+            StructField("num_added_files", LongType(), True),
+            StructField("added_bytes", LongType(), True),
+            StructField("num_removed_files", LongType(), True),
+            StructField("txn_app", StringType(), True),
+            StructField("txn_version", LongType(), True),
+            StructField("change_data_recorded", BooleanType(), True)])
+        rows = [tuple(
+            ([str(v) for v in r["partitions"]]
+             if f.name == "partitions" and r.get("partitions") is not None
+             else r.get(f.name)) for f in schema.fields)
+            for r in self.history(path, limit=limit)]
+        return spark.createDataFrame(rows, schema)
+
     def details(self, path: str) -> dict:
         """DESCRIBE DETAIL analogue, metadata-only for upgraded tables:
         current version, live file count (from the commit-recorded file
@@ -4392,9 +4505,11 @@ class TxnLogFormat(TableFormat):
 
         Semantics match ``delete_where`` exactly (predicate-TRUE rows go,
         NULL survives, zero matches publish nothing, deleted rows stay
-        time-travelable); vectors accumulate until any ``replace_all``
-        (compact / copy-on-write delete / update / merge) materializes a
-        clean state and retires them — run ``compact`` when accumulated
+        time-travelable); vectors accumulate until a ``replace_all``
+        (compact) materializes a clean state — or a targeted rewrite
+        (copy-on-write delete / update / merge) materializes and
+        retires the vectors on ITS files while consolidating the rest
+        — run ``compact`` when accumulated
         vectors make the read-side anti-join noticeable, exactly Delta's
         DV-then-rewrite lifecycle.  CHECK constraints are not re-validated
         (deleting rows cannot introduce a violation).  Same
@@ -4597,6 +4712,65 @@ class TxnLogFormat(TableFormat):
                      base_schema=self._resolve_schema(commits))
         return n_upd
 
+    #: max distinct source merge-key tuples collected for exact IN-list
+    #: file pruning; larger CDC batches degrade to per-key min/max
+    #: ranges (one tiny agg job) — the candidate set only widens
+    _MERGE_PRUNE_KEYS_CAP = 1024
+
+    @staticmethod
+    def _prune_literal(v) -> str | None:
+        """Render a merge-key value as a SQL literal that Spark's
+        parser and ``_parse_literal``/the stats tier reproduce EXACTLY,
+        or ``None`` when no such rendering exists — the caller then
+        drops that clause, so pruning (and the superset row filter it
+        doubles as) only ever WIDENS the candidate set.  Only integers
+        and quote/backslash/comma/paren-free strings qualify: floats'
+        text forms need not round-trip bit-exactly, bools never prune,
+        and date/timestamp stats are recorded as unknown anyway."""
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, str) and not _re_mod.search(
+                r"['\"\\,()\x00-\x1f]", v):
+            return f"'{v}'"
+        return None
+
+    def _merge_key_prune_where(self, source: DataFrame,
+                               keys: list[str]) -> str | None:
+        """A ``where`` string IMPLIED BY ``key ∈ source keys`` — the
+        file-targeting step of MERGE (Delta finds touched files the
+        same way: source keys joined against per-AddFile stats).  Exact
+        per-key IN-lists when the source's distinct key set is small
+        (the CDC-batch contract), per-key min/max ranges past the cap;
+        each conjunct independently implied, so dropping unrenderable
+        literals/keys only widens the scan.  ``None`` = no usable
+        conjunct (full candidate scan — pruning is never load-bearing).
+        The string rides ``read(where=...)``: the stats/bloom tiers
+        prune files driver-side, and the row filter it also applies is
+        a superset of the exact key semi-join that follows."""
+        rows = (source.select(*keys).distinct()
+                .limit(self._MERGE_PRUNE_KEYS_CAP + 1).collect())
+        parts: list[str] = []
+        if len(rows) <= self._MERGE_PRUNE_KEYS_CAP:
+            for k in keys:
+                vals = sorted({r[k] for r in rows if r[k] is not None},
+                              key=lambda x: (isinstance(x, str), x))
+                lits = [self._prune_literal(v) for v in vals]
+                if lits and all(li is not None for li in lits):
+                    parts.append(f"{k} IN ({', '.join(lits)})")
+        else:
+            agg = source.agg(*[f for k in keys for f in (
+                F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}"))]
+            ).head()
+            for k in keys:
+                for op, v in ((">=", agg[f"mn_{k}"]),
+                              ("<=", agg[f"mx_{k}"])):
+                    lit = self._prune_literal(v)
+                    if lit is not None:
+                        parts.append(f"{k} {op} {lit}")
+        return " AND ".join(parts) or None
+
     @_conflict_retryable
     def merge(self, spark: SparkSession, path: str, source: DataFrame,
               key: str | list[str],
@@ -4623,9 +4797,20 @@ class TxnLogFormat(TableFormat):
         source columns instead WIDEN the target: new columns publish
         with the rewrite's schema, untouched rows read typed NULLs.
 
-        Copy-on-write ``replace_all`` publish with the same
-        ``ConcurrentWriteError`` snapshot guard as ``delete_where``; CHECK
-        constraints re-validate the merged state.  The TARGET must hold at
+        FILE-TARGETED copy-on-write (round 12 — Delta's MERGE shape):
+        the source's merge keys prune the target scan through the
+        per-file stats/bloom tiers (``_merge_key_prune_where``), the
+        files actually HOLDING matched rows are discovered with one
+        keyed semi-join, and ONLY those files rewrite — their unmatched
+        rows restage byte-identical, matched rows update or delete,
+        unmatched source rows append — published as ONE atomic
+        ``rewrite_files`` commit.  Every untouched file keeps its
+        physical identity (and its stable row ids): a daily CDC batch
+        against a 100 TB table rewrites O(matched files), not 100 TB.
+        Same ``ConcurrentWriteError`` snapshot guard as ``delete_where``
+        — and APPEND-TOLERANT under WriteSerializable, so streaming
+        ingest never starves merges; CHECK constraints re-validate the
+        restaged rows (the only new data).  The TARGET must hold at
         most one row per MATCHED merge key (the CDC/dimension contract
         ``streaming/cdc_stream.py`` maintains) — duplicate matched target
         rows would be silently collapsed by the upsert, so they raise
@@ -4633,17 +4818,20 @@ class TxnLogFormat(TableFormat):
         touches are left untouched and legal.  Internal marker columns are
         uniquified per call, so any source column name is safe.
 
-        Scale shape: ONE combined guard+stats aggregation job (each table
-        scanned once), then the staged write (one more scan each) — two
-        passes total, keyed joins only (AQE picks broadcast when the CDC
-        batch is small), never driver-side row loops.  Returns
+        Scale shape: one tiny source-key collection (CDC batches are
+        small by contract; large batches degrade to a min/max agg), ONE
+        stats-pruned probe scan feeding both the guard/metrics
+        aggregation and hot-file discovery, then the hot-file restage —
+        keyed joins only (AQE picks broadcast when the CDC batch is
+        small), never driver-side row loops.  Returns
         ``{"updated": n, "deleted": n, "inserted": n}`` in units of
         affected target/source rows.
 
         Reference parity: the reference applies upserts by full-table
         rewrite in its daily job (DATALAKE_TRANSFORMATION_S3_DAILY_JOB.PY's
-        drop-recreate); this keeps that rewrite cost model but adds
-        atomicity, conflict detection, and time travel."""
+        drop-recreate); this replaces that cost model with file-targeted
+        rewrites and adds atomicity, conflict detection, and time
+        travel."""
         keys = [key] if isinstance(key, str) else list(key)
         commits = self._commits(path)
         if not commits:
@@ -4659,18 +4847,24 @@ class TxnLogFormat(TableFormat):
                 "supported — route inserts through append()")
         track = bool(self._resolve_properties(commits).get(
             "row_tracking"))
-        target = self.read(spark, path, with_row_ids=track)
-        if track:
-            target = target.withColumnRenamed("_row_id",
-                                              self._ROW_ID_COL)
-        # The source is evaluated by TWO jobs (the guard/stats aggregation,
-        # then the staged write).  A non-deterministic source — sampling,
-        # now(), shuffle-order-dependent first() — could pass the
-        # one-row-per-key guard yet materialize different rows in the
-        # committed state, so pin it once; localCheckpoint costs one
-        # materialization of the CDC batch (small by contract).
+        self._check_dv_reserved_columns(spark, path)
+        # The source is evaluated by SEVERAL jobs (key collection for
+        # pruning, the guard/stats aggregation, the staged write).  A
+        # non-deterministic source — sampling, now(), shuffle-order-
+        # dependent first() — could pass the one-row-per-key guard yet
+        # materialize different rows in the committed state, so pin it
+        # once; localCheckpoint costs one materialization of the CDC
+        # batch (small by contract).
         source = source.localCheckpoint(eager=True)
-        tcols = [c for c in target.columns if c != self._ROW_ID_COL]
+        # FILE TARGETING step 1 — the PROBE: scan only files whose
+        # recorded stats/blooms admit a source key (prune string implied
+        # by key ∈ source keys, so every matched target row is in the
+        # candidate set and the semi/anti joins below stay exact)
+        prune = self._merge_key_prune_where(source, keys)
+        probe = self.read(spark, path, where=prune, _with_pos=True)
+        empty_target = "_dv_file" not in probe.columns
+        tcols = [c for c in probe.columns
+                 if c not in ("_dv_file", "_dv_pos")]
         missing = [c for c in tcols if c not in source.columns]
         if missing:
             raise ValueError(
@@ -4682,17 +4876,16 @@ class TxnLogFormat(TableFormat):
             # column — matched/inserted rows take the source values,
             # untouched target rows materialize typed NULLs in the
             # rewrite, and the widened schema publishes with the
-            # replace_all commit like any schema change.  Exactly
+            # rewrite_files commit like any schema change (untouched
+            # FILES map through the synthesized ``evolved_add`` alter —
+            # reads null-fill them).  Exactly
             # Delta's rule, including its sharp edge: helper columns
             # (CDC op flags) get ADDED too — project them off the
             # source first.  Default stays False: extra source columns
             # are consulted by the conditions, then projected away.
             stypes = dict(source.dtypes)
             extra = [c for c in source.columns if c not in tcols]
-            if extra:
-                target = target.withColumns(
-                    {c: F.lit(None).cast(stypes[c]) for c in extra})
-                tcols = tcols + extra
+            tcols = tcols + extra
         del_cond = (F.coalesce(F.expr(matched_delete_condition), F.lit(False))
                     if matched_delete_condition is not None else F.lit(False))
         ins_cond = (F.coalesce(F.expr(insert_condition), F.lit(False))
@@ -4703,24 +4896,45 @@ class TxnLogFormat(TableFormat):
         tag = uuid.uuid4().hex[:8]
         c_del, c_ins = f"_mrg_del_{tag}", f"_mrg_ins_{tag}"
         c_scnt, c_tcnt = f"_mrg_scnt_{tag}", f"_mrg_tcnt_{tag}"
-        types = dict(target.dtypes)
+        types = dict(probe.dtypes)
+        if schema_evolution:
+            types.update({c: stypes[c] for c in extra})
         src = source.withColumn(c_del, del_cond).withColumn(c_ins, ins_cond)
-        # one combined guard + metrics pass: both ambiguity checks and all
-        # three clause counts come out of a single aggregation job
-        t_cnt = target.groupBy(*keys).agg(F.count("*").alias(c_tcnt))
+        # one combined guard + metrics + HOT-FILE pass over the PROBE:
+        # both ambiguity checks, all three clause counts, AND the set of
+        # files holding matched rows come out of a single aggregation
+        # job (the per-key file sets flatten driver-side at hot-file
+        # scale).  The probe's candidate set contains every target row
+        # whose key the source carries (pruning only drops files that
+        # provably hold none), so matched-key counts are exact.
         s_agg = src.groupBy(*keys).agg(F.count("*").alias(c_scnt),
                                        F.first(c_del).alias(c_del),
                                        F.first(c_ins).alias(c_ins))
-        matched_flag = F.col(c_tcnt).isNotNull()
-        row = (s_agg.join(t_cnt, keys, "left")
-               .agg(F.max(c_scnt).alias("max_s"),
-                    F.max(c_tcnt).alias("max_t"),
-                    F.sum((matched_flag & ~F.col(c_del)).cast("long"))
-                     .alias("updated"),
-                    F.sum((matched_flag & F.col(c_del)).cast("long"))
-                     .alias("deleted"),
-                    F.sum((~matched_flag & F.col(c_ins)).cast("long"))
-                     .alias("inserted")).head())
+        if empty_target:
+            row = s_agg.agg(
+                F.max(c_scnt).alias("max_s"),
+                F.lit(None).cast("long").alias("max_t"),
+                F.lit(0).cast("long").alias("updated"),
+                F.lit(0).cast("long").alias("deleted"),
+                F.sum(F.col(c_ins).cast("long")).alias("inserted"),
+                F.lit(None).cast("array<string>").alias("hot")).head()
+        else:
+            c_tf = f"_mrg_tf_{tag}"
+            t_cnt = probe.groupBy(*keys).agg(
+                F.count("*").alias(c_tcnt),
+                F.collect_set("_dv_file").alias(c_tf))
+            matched_flag = F.col(c_tcnt).isNotNull()
+            row = (s_agg.join(t_cnt, keys, "left")
+                   .agg(F.max(c_scnt).alias("max_s"),
+                        F.max(c_tcnt).alias("max_t"),
+                        F.sum((matched_flag & ~F.col(c_del)).cast("long"))
+                         .alias("updated"),
+                        F.sum((matched_flag & F.col(c_del)).cast("long"))
+                         .alias("deleted"),
+                        F.sum((~matched_flag & F.col(c_ins)).cast("long"))
+                         .alias("inserted"),
+                        F.array_sort(F.array_distinct(F.flatten(
+                            F.collect_list(c_tf)))).alias("hot")).head())
         if row["max_s"] is not None and row["max_s"] > 1:
             raise ValueError(
                 "multiple source rows share a merge key — UPDATE SET * is "
@@ -4732,11 +4946,38 @@ class TxnLogFormat(TableFormat):
                 "matches — the upsert would silently collapse them; "
                 "dedupe the target first (compact/apply-latest)")
         as_target = [F.col(c).cast(types[c]).alias(c) for c in tcols]
-        matched = src.join(target.select(*keys), keys, "left_semi")
-        unmatched = src.join(target.select(*keys), keys, "left_anti")
+        # FILE TARGETING step 2 — the HOT SET (from the fused pass
+        # above): only files holding a matched live row rewrite;
+        # everything else keeps its physical identity (and row ids)
+        hot: list[str] = sorted(row["hot"] or [])
+        probe_keys = (probe.select(*keys) if not empty_target
+                      else src.select(*keys).limit(0))
+        matched = src.join(probe_keys, keys, "left_semi")
+        unmatched = src.join(probe_keys, keys, "left_anti")
         upserts = matched.filter(~F.col(c_del)).select(*as_target)
         inserts = unmatched.filter(F.col(c_ins)).select(*as_target)
-        kept = target.join(source.select(*keys), keys, "left_anti")
+        n_ins = int(row["inserted"] or 0)
+        if not hot and n_ins == 0:
+            # no matched files, nothing to insert: a no-op merge
+            # publishes nothing (Delta likewise skips the commit)
+            return {"updated": 0, "deleted": 0, "inserted": 0}
+        cur_hot = None
+        if hot:
+            # exact-scan the hot files (vectors applied); their rows
+            # either restage byte-identical (key untouched), update, or
+            # delete.  Row ids ride as the materialized column so
+            # physical movement never changes identity.
+            cur_hot = self.read(spark, path, _with_pos=True,
+                                _only_files=set(hot), with_row_ids=track)
+            base_cols = [c for c in cur_hot.columns
+                         if c not in ("_dv_file", "_dv_pos", "_row_id")]
+            kept_hot = cur_hot.join(src.select(*keys), keys, "left_anti") \
+                .select(*(base_cols
+                          + ([F.col("_row_id").alias(self._ROW_ID_COL)]
+                             if track else [])))
+            if schema_evolution and extra:
+                kept_hot = kept_hot.withColumns(
+                    {c: F.lit(None).cast(stypes[c]) for c in extra})
         keep_cols = tcols + ([self._ROW_ID_COL] if track else [])
         if track:
             # an UPDATE keeps the matched target row's identity: graft
@@ -4744,46 +4985,73 @@ class TxnLogFormat(TableFormat):
             # one-row-per-matched-key guards above just passed); brand
             # new rows get NULL and read fresh ids from this commit's
             # reserved range
-            upserts = upserts.join(
-                target.select(*keys, self._ROW_ID_COL), keys, "left")
+            if hot:
+                upserts = upserts.join(
+                    cur_hot.select(*keys, F.col("_row_id")
+                                   .alias(self._ROW_ID_COL)),
+                    keys, "left")
+            else:
+                upserts = upserts.withColumn(
+                    self._ROW_ID_COL, F.lit(None).cast("long"))
             inserts = inserts.withColumn(self._ROW_ID_COL,
                                          F.lit(None).cast("long"))
-        new_state = kept.select(*keep_cols).unionByName(upserts) \
-                        .unionByName(inserts)
-        rel = self._stage(new_state, path, None)
-        rec = {"action": "replace_all", "dir": rel, "_row_track": track,
+        new_data = upserts.unionByName(inserts)
+        if hot:
+            new_data = kept_hot.select(*keep_cols).unionByName(new_data)
+        rel = self._stage(new_data, path, None)  # constraints run
+        rec = {"action": "rewrite_files", "dir": rel,
+               "removed_files": hot,
+               "data_change": True,  # rows changed, not just bytes moved
+               "_row_track": track,
                "partition_col": None, "partitions": [],
-               "schema": self._logical_schema_json(new_state.schema)}
+               "schema": self._logical_schema_json(new_data.schema)}
         if schema_evolution and extra:
             # record WHICH columns this merge added (source-typed DDL):
             # _resolve_alters synthesizes the matching alter entry, so
-            # pre-merge files (change feed, time travel) map the new
-            # columns to typed NULLs instead of failing the strict
-            # missing-column check
+            # every UNTOUCHED live file — and pre-merge files via the
+            # change feed / time travel — maps the new columns to typed
+            # NULLs instead of failing the strict missing-column check
             rec["evolved_add"] = {c: stypes[c] for c in extra}
         if self._effective_config(commits)[2]:
             self._check_cdf_reserved_columns(tcols)
             # exact per-row changes, each side keyed off the already-
             # pinned source (localCheckpoint above), so the sidecar and
-            # the committed state cannot diverge
-            t_pre = target.select(*tcols)
-            deleted = (t_pre.join(src.filter(F.col(c_del)).select(*keys),
-                                  keys, "left_semi")
-                       .withColumn("_change_type", F.lit("delete")))
-            upd_pre = (t_pre.join(
-                src.filter(~F.col(c_del)).select(*keys), keys,
-                "left_semi")
-                .withColumn("_change_type", F.lit("update_preimage")))
-            upd_post = upserts.select(*tcols).withColumn(
-                "_change_type", F.lit("update_postimage"))
-            ins = inserts.select(*tcols).withColumn(
-                "_change_type", F.lit("insert"))
-            self._stage_cdf(path, deleted.unionByName(upd_pre)
-                            .unionByName(upd_post).unionByName(ins), rec)
-        self._commit(path, rec, expected_version=head + 1)
+            # the committed state cannot diverge.  Every matched target
+            # row lives in a hot file, so the pre-images come from the
+            # hot scan alone.
+            pieces = []
+            if hot:
+                t_pre = cur_hot.select(*base_cols)
+                if schema_evolution and extra:
+                    t_pre = t_pre.withColumns(
+                        {c: F.lit(None).cast(stypes[c]) for c in extra})
+                t_pre = t_pre.select(*tcols)
+                pieces.append(
+                    t_pre.join(src.filter(F.col(c_del)).select(*keys),
+                               keys, "left_semi")
+                    .withColumn("_change_type", F.lit("delete")))
+                pieces.append(
+                    t_pre.join(src.filter(~F.col(c_del)).select(*keys),
+                               keys, "left_semi")
+                    .withColumn("_change_type",
+                                F.lit("update_preimage")))
+            pieces.append(upserts.select(*tcols).withColumn(
+                "_change_type", F.lit("update_postimage")))
+            pieces.append(inserts.select(*tcols).withColumn(
+                "_change_type", F.lit("insert")))
+            self._stage_cdf(path, reduce(DataFrame.unionByName, pieces),
+                            rec)
+        # vectors on rewritten files materialized above and retire with
+        # them; vectors on untouched files consolidate and STAY LIVE
+        # (rewrite_files replay replaces the whole vector set)
+        dv_rel = self._surviving_dv_rel(spark, path, commits, hot)
+        if dv_rel is not None:
+            rec["dv_dir"] = dv_rel
+        self._commit(path, rec, expected_version=head + 1,
+                     base_schema=self._resolve_schema(commits))
         return {"updated": int(row["updated"] or 0),
                 "deleted": int(row["deleted"] or 0),
-                "inserted": int(row["inserted"] or 0)}
+                "inserted": n_ins}
 
     def restore(self, spark: SparkSession, path: str,
                 version: int | None = None,

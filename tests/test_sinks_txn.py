@@ -1047,7 +1047,7 @@ def test_merge_upsert_cdc_three_clauses(spark, tmp_path):
                  for r in fmt.read(spark, path).collect())
     assert got == [(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0)]
     assert "op" not in fmt.read(spark, path).columns
-    # pre-merge snapshot intact (merge is one replace_all commit)
+    # pre-merge snapshot intact (merge is one atomic commit)
     pre = sorted(r.id for r in
                  fmt.read(spark, path, as_of_version=0).collect())
     assert pre == [1, 2, 3]
@@ -1085,30 +1085,63 @@ def test_merge_rejects_ambiguous_and_short_sources(spark, tmp_path):
 
 
 def test_merge_detects_concurrent_commit(spark, tmp_path):
-    """Merge is read-modify-write like delete_where: a commit landing
-    between snapshot read and publish raises instead of erasing it."""
+    """Merge is read-modify-write like delete_where — and since the
+    round-12 file-targeted rewrite, APPEND-TOLERANT under the default
+    WriteSerializable isolation (its footprint names hot files only, so
+    a pure same-schema append retargets instead of starving merges
+    under streaming ingest).  Strict ``serializable`` keeps the raise;
+    a non-append interleave always raises."""
     from datalake_ingestion_system_spark.sinks import ConcurrentWriteError
 
+    def planted_race(fmt, race):
+        orig_read = fmt.read
+
+        def racing_read(spark_, p, **kw):
+            df = orig_read(spark_, p, **kw)
+            race()
+            fmt.read = orig_read
+            return df
+
+        fmt.read = racing_read
+
+    # 1) WriteSerializable + pure append: retargets, both effects live
     fmt = TxnLogFormat()
     path = str(tmp_path / "t")
     fmt.overwrite_table(
         spark.createDataFrame([(1, 1.0)], "id long, v double"), path)
     racer = TxnLogFormat()
-    orig_read = fmt.read
+    planted_race(fmt, lambda: racer.append(
+        spark.createDataFrame([(7, 7.0)], "id long, v double"), path))
+    got = fmt.merge(spark, path,
+                    spark.createDataFrame([(1, 11.0)],
+                                          "id long, v double"), "id")
+    assert got == {"updated": 1, "deleted": 0, "inserted": 0}
+    state = {r.id: r.v for r in fmt.read(spark, path).collect()}
+    assert state == {1: 11.0, 7: 7.0}  # merge applied, append survived
 
-    def racing_read(spark_, p, **kw):
-        df = orig_read(spark_, p, **kw)
-        racer.append(spark.createDataFrame([(7, 7.0)],
-                                           "id long, v double"), path)
-        fmt.read = orig_read
-        return df
-
-    fmt.read = racing_read
+    # 2) strict serializable: the same interleave raises
+    strict = TxnLogFormat(isolation="serializable")
+    path2 = str(tmp_path / "t2")
+    strict.overwrite_table(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), path2)
+    planted_race(strict, lambda: racer.append(
+        spark.createDataFrame([(7, 7.0)], "id long, v double"), path2))
     with pytest.raises(ConcurrentWriteError, match="advanced"):
-        fmt.merge(spark, path,
-                  spark.createDataFrame([(1, 11.0)], "id long, v double"),
-                  "id")
-    assert sorted(r.id for r in fmt.read(spark, path).collect()) == [1, 7]
+        strict.merge(spark, path2,
+                     spark.createDataFrame([(1, 11.0)],
+                                           "id long, v double"), "id")
+
+    # 3) a NON-append interleave (delete) conflicts even by default
+    fmt3 = TxnLogFormat()
+    path3 = str(tmp_path / "t3")
+    fmt3.overwrite_table(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                              "id long, v double"), path3)
+    planted_race(fmt3, lambda: racer.delete_where(spark, path3, "id = 2"))
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        fmt3.merge(spark, path3,
+                   spark.createDataFrame([(1, 11.0)],
+                                         "id long, v double"), "id")
 
 
 def test_update_where_copy_on_write(spark, tmp_path):
