@@ -45,6 +45,13 @@ HEADLINE = [
     # scan — so log/checkpoint/skipping overhead is the regression
     # canary for the metadata-scale work.
     "q_data_skipping_read",
+    # round 12 (VERDICT r11 item 1): the POINT-CDC merge — a narrow key
+    # batch against a range-staged table must rewrite O(matched files),
+    # not O(table); this canary regresses if MERGE ever loses its file
+    # targeting.  (q_merge_upsert above is the full-overlap worst case —
+    # and from r12 it measures a REAL upsert: the r≤11 pivot predated
+    # the data, so its history is an empty-target insert-only series.)
+    "q_merge_targeted_read",
 ]
 
 

@@ -4749,20 +4749,24 @@ class TxnLogFormat(TableFormat):
         The string rides ``read(where=...)``: the stats/bloom tiers
         prune files driver-side, and the row filter it also applies is
         a superset of the exact key semi-join that follows."""
-        rows = (source.select(*keys).distinct()
-                .limit(self._MERGE_PRUNE_KEYS_CAP + 1).collect())
+        # ONE agg job answers "is the key set small?" AND supplies the
+        # range bounds; only genuinely small batches (the point-CDC
+        # case this targets) pay the second, exact IN-list collection.
+        agg = source.agg(
+            F.approx_count_distinct(F.struct(*keys)).alias("_nd"),
+            *[f for k in keys for f in (
+                F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}"))]
+        ).head()
         parts: list[str] = []
-        if len(rows) <= self._MERGE_PRUNE_KEYS_CAP:
+        if agg["_nd"] <= self._MERGE_PRUNE_KEYS_CAP:
+            rows = source.select(*keys).distinct().collect()
             for k in keys:
                 vals = sorted({r[k] for r in rows if r[k] is not None},
                               key=lambda x: (isinstance(x, str), x))
                 lits = [self._prune_literal(v) for v in vals]
                 if lits and all(li is not None for li in lits):
                     parts.append(f"{k} IN ({', '.join(lits)})")
-        else:
-            agg = source.agg(*[f for k in keys for f in (
-                F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}"))]
-            ).head()
+        if not parts:
             for k in keys:
                 for op, v in ((">=", agg[f"mn_{k}"]),
                               ("<=", agg[f"mx_{k}"])):
@@ -4950,12 +4954,6 @@ class TxnLogFormat(TableFormat):
         # above): only files holding a matched live row rewrite;
         # everything else keeps its physical identity (and row ids)
         hot: list[str] = sorted(row["hot"] or [])
-        probe_keys = (probe.select(*keys) if not empty_target
-                      else src.select(*keys).limit(0))
-        matched = src.join(probe_keys, keys, "left_semi")
-        unmatched = src.join(probe_keys, keys, "left_anti")
-        upserts = matched.filter(~F.col(c_del)).select(*as_target)
-        inserts = unmatched.filter(F.col(c_ins)).select(*as_target)
         n_ins = int(row["inserted"] or 0)
         if not hot and n_ins == 0:
             # no matched files, nothing to insert: a no-op merge
@@ -4963,41 +4961,50 @@ class TxnLogFormat(TableFormat):
             return {"updated": 0, "deleted": 0, "inserted": 0}
         cur_hot = None
         if hot:
-            # exact-scan the hot files (vectors applied); their rows
-            # either restage byte-identical (key untouched), update, or
-            # delete.  Row ids ride as the materialized column so
-            # physical movement never changes identity.
+            # exact-scan the hot files (vectors applied) and route EVERY
+            # output row through ONE full-outer join — matched keys are
+            # always in hot files, so cur_hot ∪ src covers the whole
+            # rewrite: target-only rows restage byte-identical, both-
+            # sides rows take the source values (UPDATE SET *) or drop
+            # (delete clause), source-only rows insert.  One shuffle
+            # join instead of kept-anti + upsert-semi + insert-anti +
+            # row-id graft — and the row id rides the join (NULL on the
+            # source-only side ⇒ fresh ids from this commit's range).
             cur_hot = self.read(spark, path, _with_pos=True,
                                 _only_files=set(hot), with_row_ids=track)
             base_cols = [c for c in cur_hot.columns
                          if c not in ("_dv_file", "_dv_pos", "_row_id")]
-            kept_hot = cur_hot.join(src.select(*keys), keys, "left_anti") \
-                .select(*(base_cols
-                          + ([F.col("_row_id").alias(self._ROW_ID_COL)]
-                             if track else [])))
-            if schema_evolution and extra:
-                kept_hot = kept_hot.withColumns(
-                    {c: F.lit(None).cast(stypes[c]) for c in extra})
-        keep_cols = tcols + ([self._ROW_ID_COL] if track else [])
-        if track:
-            # an UPDATE keeps the matched target row's identity: graft
-            # the id back onto the upsert by merge key (sound — the
-            # one-row-per-matched-key guards above just passed); brand
-            # new rows get NULL and read fresh ids from this commit's
-            # reserved range
-            if hot:
-                upserts = upserts.join(
-                    cur_hot.select(*keys, F.col("_row_id")
-                                   .alias(self._ROW_ID_COL)),
-                    keys, "left")
-            else:
-                upserts = upserts.withColumn(
+            data_cols = [c for c in tcols if c not in keys]
+            scol = {c: f"_mrg_s{i}_{tag}" for i, c in enumerate(data_cols)}
+            src_j = src.select(*keys,
+                               *[F.col(c).alias(scol[c])
+                                 for c in data_cols], c_del, c_ins)
+            c_t = f"_mrg_t_{tag}"
+            t_j = (cur_hot.drop("_dv_file", "_dv_pos")
+                   .withColumn(c_t, F.lit(True)))
+            j = t_j.join(src_j, keys, "full_outer")
+            s_present = F.col(c_ins).isNotNull()
+            t_present = F.col(c_t).isNotNull()
+            routed = j.filter((t_present & ~s_present)
+                              | (t_present & s_present & ~F.col(c_del))
+                              | (~t_present & s_present & F.col(c_ins)))
+            sel = [F.col(k).cast(types[k]).alias(k) for k in keys]
+            for c in data_cols:
+                tgt_side = (F.lit(None) if (schema_evolution
+                                            and c in extra) else F.col(c))
+                sel.append(F.when(s_present, F.col(scol[c]))
+                           .otherwise(tgt_side).cast(types[c]).alias(c))
+            if track:
+                # target-side id for kept/updated rows, NULL (fresh
+                # range) for inserts — Delta row-tracking semantics
+                sel.append(F.col("_row_id").alias(self._ROW_ID_COL))
+            new_data = routed.select(*sel)
+        else:
+            # pure-insert merge (no matched files): no join needed
+            new_data = src.filter(F.col(c_ins)).select(*as_target)
+            if track:
+                new_data = new_data.withColumn(
                     self._ROW_ID_COL, F.lit(None).cast("long"))
-            inserts = inserts.withColumn(self._ROW_ID_COL,
-                                         F.lit(None).cast("long"))
-        new_data = upserts.unionByName(inserts)
-        if hot:
-            new_data = kept_hot.select(*keep_cols).unionByName(new_data)
         rel = self._stage(new_data, path, None)  # constraints run
         rec = {"action": "rewrite_files", "dir": rel,
                "removed_files": hot,
@@ -5017,8 +5024,9 @@ class TxnLogFormat(TableFormat):
             # exact per-row changes, each side keyed off the already-
             # pinned source (localCheckpoint above), so the sidecar and
             # the committed state cannot diverge.  Every matched target
-            # row lives in a hot file, so the pre-images come from the
-            # hot scan alone.
+            # row lives in a hot file, so pre-images, post-images, and
+            # the matched/unmatched split all come from cur_hot + src
+            # (an extra O(changed rows) pass only when the feed is on).
             pieces = []
             if hot:
                 t_pre = cur_hot.select(*base_cols)
@@ -5035,10 +5043,17 @@ class TxnLogFormat(TableFormat):
                                keys, "left_semi")
                     .withColumn("_change_type",
                                 F.lit("update_preimage")))
-            pieces.append(upserts.select(*tcols).withColumn(
-                "_change_type", F.lit("update_postimage")))
-            pieces.append(inserts.select(*tcols).withColumn(
-                "_change_type", F.lit("insert")))
+                hot_keys = cur_hot.select(*keys)
+                pieces.append(
+                    src.join(hot_keys, keys, "left_semi")
+                    .filter(~F.col(c_del)).select(*as_target)
+                    .withColumn("_change_type",
+                                F.lit("update_postimage")))
+                ins_src = src.join(hot_keys, keys, "left_anti")
+            else:
+                ins_src = src
+            pieces.append(ins_src.filter(F.col(c_ins)).select(*as_target)
+                          .withColumn("_change_type", F.lit("insert")))
             self._stage_cdf(path, reduce(DataFrame.unionByName, pieces),
                             rec)
         # vectors on rewritten files materialized above and retire with

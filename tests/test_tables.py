@@ -249,3 +249,87 @@ def test_file_manifest_by_name_and_transform_values(spark, tmp_path):
         assert sum(r.num_records for r in old.collect()) == 16
     finally:
         tables.drop_table(spark, name)
+
+
+def test_sql_router_update_delete(spark, cat):
+    """Round 12 (VERDICT r11 item 3): UPDATE/DELETE as SQL TEXT route to
+    the format API against the registered table."""
+    n = tables.sql(spark, f"UPDATE {cat['name']} SET b = b + 100 "
+                          f"WHERE a < 3")
+    assert n == 3
+    n = tables.sql(spark, f"DELETE FROM {cat['name']} WHERE a = 9;")
+    assert n == 1
+    d = {r.a: r.b for r in tables.table(spark, cat["name"]).collect()}
+    assert d[0] == 100 and d[2] == 104 and d[3] == 6 and 9 not in d
+
+
+def test_sql_router_merge_into(spark, cat):
+    """MERGE INTO as SQL text: subquery source, aliases, tombstone
+    DELETE clause, conditional INSERT — routed to TxnLogFormat.merge."""
+    spark.createDataFrame(
+        [(1, 111, "U"), (2, 0, "D"), (77, 770, "U"), (88, 0, "D")],
+        "a long, b long, op string").createOrReplaceTempView("cdc_b")
+    got = tables.sql(spark, f"""
+        MERGE INTO {cat['name']} AS t
+        USING (SELECT * FROM cdc_b) AS s
+        ON t.a = s.a
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+    """)
+    assert got == {"updated": 1, "deleted": 1, "inserted": 1}
+    d = {r.a: r.b for r in tables.table(spark, cat["name"]).collect()}
+    assert d[1] == 111 and 2 not in d and d[77] == 770 and 88 not in d
+    # table-name source, no aliases, no insert clause
+    spark.createDataFrame([(3, 333, "U")], "a long, b long, op string") \
+        .createOrReplaceTempView("cdc_c")
+    got = tables.sql(spark, f"MERGE INTO {cat['name']} USING cdc_c "
+                            f"ON a = a WHEN MATCHED THEN UPDATE SET *")
+    assert got == {"updated": 1, "deleted": 0, "inserted": 0}
+    assert {r.b for r in tables.table(spark, cat["name"])
+            .filter("a = 3").collect()} == {333}
+
+
+def test_sql_router_maintenance_and_restore(spark, cat):
+    """OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY as SQL text."""
+    tables.sql(spark, f"UPDATE {cat['name']} SET b = 0 WHERE a = 1")
+    tables.sql(spark, f"OPTIMIZE {cat['name']}")
+    h = tables.sql(spark, f"DESCRIBE HISTORY {cat['name']}")
+    acts = [r.action for r in h.collect()]
+    assert acts[0] == "replace_all" and "rewrite_files" in acts
+    assert tables.sql(spark, f"RESTORE TABLE {cat['name']} "
+                             f"TO VERSION AS OF 0") >= 2
+    assert {r.b for r in tables.table(spark, cat["name"])
+            .filter("a = 1").collect()} == {2}
+    swept = tables.sql(spark, f"VACUUM {cat['name']} RETAIN 0 HOURS")
+    assert isinstance(swept, list)
+    # non-DML statements pass through to spark.sql untouched
+    assert tables.sql(spark, "SELECT 41 + 1 AS x").head().x == 42
+
+
+def test_sql_router_unsupported_shapes_raise(spark, cat):
+    spark.createDataFrame([(1, 1, "U")], "a long, b long, op string") \
+        .createOrReplaceTempView("cdc_x")
+    with pytest.raises(ValueError, match="UPDATE"):
+        tables.sql(spark, f"UPDATE {cat['name']} WHERE a = 1")
+    with pytest.raises(ValueError, match="MERGE ON"):
+        tables.sql(spark, f"MERGE INTO {cat['name']} USING cdc_x "
+                          f"ON a < b WHEN MATCHED THEN UPDATE SET *")
+    with pytest.raises(ValueError, match="UPDATE SET \\*"):
+        tables.sql(spark, f"MERGE INTO {cat['name']} USING cdc_x "
+                          f"ON a = a WHEN MATCHED THEN DELETE")
+
+
+def test_history_df_joins_file_manifest(spark, cat):
+    """history_df (table$history) joins $files: rows added per commit."""
+    cat["fmt"].append(spark.range(10, 15).select(
+        F.col("id").alias("a"), F.lit(1).cast("long").alias("b")),
+        cat["path"])
+    h = tables.history_df(spark, cat["name"])
+    m = tables.file_manifest(spark, cat["name"])
+    got = {r.version: r.rows for r in
+           (m.join(h, m.commit_version == h.version)
+            .groupBy("version")
+            .agg(F.sum("num_records").alias("rows")).collect())}
+    assert got == {0: 10, 1: 5}
+    assert h.filter("data_change").count() == 2
