@@ -3700,6 +3700,69 @@ GROUP BY event_type
 """
 
 
+@_q("q_transform_evolution_read")
+def q_transform_evolution_read(spark, sf_dir):
+    """PARTITION EVOLUTION, oracle-verified (round 12 — Iceberg
+    spec-per-commit parity, VERDICT r11 item 5): the table starts under
+    ``bucket(16, event_id)`` (the even ids land there), then
+    ``set_properties`` re-points the transform to ``truncate(1000)``
+    mid-table and the odd ids stage under the NEW spec.  Every commit
+    records ITS OWN transform, so a source-column predicate prunes each
+    era under its write-time spec — bucket equality-prunes the old
+    files, monotone truncate range-prunes the new dirs — asserted
+    inline via scan-file counts (regression = the assert, correctness =
+    the oracle's plain declarative filter; the evolution must be
+    invisible to results).  This is Iceberg's partition-evolution
+    model: old files keep planning under their spec, no rewrite.
+
+    Scale shape: pruning stays a driver-side map over commit metadata
+    and recorded file paths; re-speccing a 100 TB table is ONE
+    set_properties commit, zero data movement."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="evo_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.limit(0), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "event_id",
+                                            "kind": "bucket",
+                                            "param": 16})
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "event_id",
+                                            "kind": "truncate",
+                                            "param": 1000})
+    fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 1), path)
+    full = fmt.read(spark, path)
+    # era-1 point lookup (even id): the bucket spec must prune
+    pt = fmt.read(spark, path, where="event_id = 42")
+    assert len(pt.inputFiles()) < max(len(full.inputFiles()), 2), \
+        "old-spec files must keep pruning after the evolution"
+    return (fmt.read(spark, path,
+                     where="event_id IN (41, 42, 43, 44, 45, 46)")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("event_id").alias("sum_id"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_transform_evolution_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE event_id IN (41, 42, 43, 44, 45, 46)
+GROUP BY event_type
+"""
+
+
 @_q("q_row_tracking_read")
 def q_row_tracking_read(spark, sf_dir):
     """ROW TRACKING end to end, oracle-verified (round 11 — Delta

@@ -890,6 +890,73 @@ GROUP BY event_type
 """
 
 
+@_q("q_cdf_rowid_mirror")
+def q_cdf_rowid_mirror(spark, sf_dir):
+    """ROW-ID replica maintenance (round 12 — VERDICT r11 item 7): the
+    mirror applies changes by the upstream row's STABLE ``_row_id``
+    (``by_row_id=True``; the upstream is row-tracked and its CDF
+    sidecars materialize ids), so a KEY-MUTATING update — the click
+    rows' ``event_id`` shifts by 1,000,000 mid-pipeline — round-trips
+    exactly: the preimage's replica row leaves by identity, not by the
+    now-stale key.  A key-based mirror provably diverges here (the old
+    key's row never leaves).  The replica's rollup — including
+    ``sum(event_id)``, which pins the key mutation — must match the
+    DuckDB oracle's declarative recomputation of the upstream state.
+
+    Scale shape: identical to the key mirror (sync cost follows change
+    volume); identity addressing adds one lineage column to the
+    replica, no extra pass."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+    from ..sources.txnlog_stream import TxnLogDataSource
+    from ..streaming.cdf_mirror import SRC_ROW_ID, start_cdf_mirror
+
+    spark.dataSource.register(TxnLogDataSource)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="ridmir_q_")
+    src, dst = f"{work}/src", f"{work}/dst"
+    fmt = TxnLogFormat()
+    fmt.append(e.limit(0), src)
+    fmt.set_properties(spark, src, row_tracking=True,
+                       change_data_feed=True)
+    fmt.append(e, src)
+    # the key itself mutates — the key-based mirror's blind spot
+    fmt.update_where(spark, src, "event_type = 'click'",
+                     {"event_id": "event_id + 1000000",
+                      "value": "value + 1000"})
+    fmt.delete_where(spark, src, "event_type = 'error'")
+    q = start_cdf_mirror(spark, src, dst, None, f"{work}/ckpt",
+                         by_row_id=True)
+    q.awaitTermination()
+    return (fmt.read(spark, dst).drop(SRC_ROW_ID)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("event_id").alias("sum_id"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_cdf_rowid_mirror"] = """
+WITH live AS (
+  SELECT CASE WHEN event_type = 'click'
+              THEN event_id + 1000000 ELSE event_id END AS event_id,
+         event_type,
+         CASE WHEN event_type = 'click'
+              THEN value + 1000 ELSE value END AS value
+  FROM events
+  WHERE coalesce(event_type <> 'error', TRUE)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM live GROUP BY event_type
+"""
+
+
 @_q("q_txnlog_stream_sink")
 def q_txnlog_stream_sink(spark, sf_dir):
     """The commit log as an exactly-once streaming SINK

@@ -4479,8 +4479,14 @@ class TxnLogFormat(TableFormat):
                "schema": self._logical_schema_json(survivors.schema)}
         if self._effective_config(commits)[2]:
             cdf_rows = (cur_hot.filter(F.coalesce(pred, F.lit(False)))
-                        .drop("_dv_file", "_dv_pos", "_row_id"))
-            self._check_cdf_reserved_columns(cdf_rows.columns)
+                        .drop("_dv_file", "_dv_pos"))
+            if track:
+                # delete rows carry their id (materialized __row_id):
+                # a row-id mirror needs the identity of what vanished
+                cdf_rows = cdf_rows.withColumnRenamed(
+                    "_row_id", self._ROW_ID_COL)
+            self._check_cdf_reserved_columns(
+                [c for c in cdf_rows.columns if c != self._ROW_ID_COL])
             self._stage_cdf(path, cdf_rows
                             .withColumn("_change_type", F.lit("delete")),
                             rec)
@@ -4698,11 +4704,19 @@ class TxnLogFormat(TableFormat):
                "schema": self._logical_schema_json(updated.schema)}
         if self._effective_config(commits)[2]:
             self._check_cdf_reserved_columns(tcols)
-            pre = (cur_hot.filter(hit).select(*tcols)
+            # on a row-tracked table the sidecar rows CARRY their row id
+            # (materialized ``__row_id`` — the CDF reader's rowIds
+            # option coalesces it): pre/post images of the same logical
+            # row share the id, the lineage key that stays joinable
+            # even when the update REWRITES a business-key column
+            idc = ([F.col("_row_id").alias(self._ROW_ID_COL)]
+                   if track else [])
+            pre = (cur_hot.filter(hit).select(*tcols, *idc)
                    .withColumn("_change_type", F.lit("update_preimage")))
-            post = cur_hot.filter(hit).select(*[
+            post = cur_hot.filter(hit).select(*([
                 (F.expr(assignments[c]).cast(types[c]).alias(c))
-                if c in assignments else F.col(c) for c in tcols]) \
+                if c in assignments else F.col(c) for c in tcols]
+                + idc)) \
                 .withColumn("_change_type", F.lit("update_postimage"))
             self._stage_cdf(path, pre.unionByName(post), rec)
         dv_rel = self._surviving_dv_rel(spark, path, commits, hot)
@@ -5028,12 +5042,22 @@ class TxnLogFormat(TableFormat):
             # the matched/unmatched split all come from cur_hot + src
             # (an extra O(changed rows) pass only when the feed is on).
             pieces = []
+            # row-tracked sidecars carry each change row's id
+            # (materialized __row_id): pre/post images of one logical
+            # row share it — the key-independent lineage join.  Merge
+            # INSERTS read NULL (their ids are allocated at commit
+            # time, after the sidecar stages).
+            idc = ([F.col("_row_id").alias(self._ROW_ID_COL)]
+                   if track else [])
+            ins_id = ([F.lit(None).cast("long")
+                       .alias(self._ROW_ID_COL)] if track else [])
             if hot:
-                t_pre = cur_hot.select(*base_cols)
+                t_pre = cur_hot.select(*base_cols, *idc)
                 if schema_evolution and extra:
                     t_pre = t_pre.withColumns(
                         {c: F.lit(None).cast(stypes[c]) for c in extra})
-                t_pre = t_pre.select(*tcols)
+                t_pre = t_pre.select(*tcols, *(
+                    [self._ROW_ID_COL] if track else []))
                 pieces.append(
                     t_pre.join(src.filter(F.col(c_del)).select(*keys),
                                keys, "left_semi")
@@ -5043,16 +5067,21 @@ class TxnLogFormat(TableFormat):
                                keys, "left_semi")
                     .withColumn("_change_type",
                                 F.lit("update_preimage")))
-                hot_keys = cur_hot.select(*keys)
+                hot_keys = cur_hot.select(*keys, *idc)
+                post = (src.join(hot_keys, keys,
+                                 "left_semi" if not track else "inner")
+                        .filter(~F.col(c_del)))
                 pieces.append(
-                    src.join(hot_keys, keys, "left_semi")
-                    .filter(~F.col(c_del)).select(*as_target)
+                    post.select(*as_target, *(
+                        [self._ROW_ID_COL] if track else []))
                     .withColumn("_change_type",
                                 F.lit("update_postimage")))
-                ins_src = src.join(hot_keys, keys, "left_anti")
+                ins_src = src.join(cur_hot.select(*keys), keys,
+                                   "left_anti")
             else:
                 ins_src = src
-            pieces.append(ins_src.filter(F.col(c_ins)).select(*as_target)
+            pieces.append(ins_src.filter(F.col(c_ins))
+                          .select(*as_target, *ins_id)
                           .withColumn("_change_type", F.lit("insert")))
             self._stage_cdf(path, reduce(DataFrame.unionByName, pieces),
                             rec)

