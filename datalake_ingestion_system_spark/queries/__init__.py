@@ -37,45 +37,45 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 # round-6 queries have no green row, so the rotation fronts them
 # automatically.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Round 11: all 50 round-10 fronted/new entries hold green rows in
-    # CORRECTNESS_r10 (50/50 hash-PASS) and are RELEASED.  Fronted now:
-    # the transitive closure of this round's sinks.py rework — (a) ROW
-    # TRACKING threads through read() (with_row_ids plumbing around the
-    # union/DV/alter tail), _commit (in-loop base allocation),
-    # _resolve_live + the checkpoint fold (row_base carry), and EVERY
-    # row-level op (delete/update/dv-update/merge/compact restage
-    # logic, CDF frame selection); (b) hidden PARTITION TRANSFORMS add
-    # dir- and file-level pruning branches to read()'s live loop and a
-    # staging fork to append/overwrite; (c) the compact_due marker adds
-    # a pre-plan hook to read() and _op_depth to the retry wrapper;
-    # (d) the metadata-plan work rewrote _hydrate_checkpoint (arrow
-    # group_by), _sidecar_excluded (distinct-version grouping), and the
-    # live loop's isdir ordering; (e) _log_schema_json wraps every
-    # commit record's schema serialization (catalog breadcrumb strip).
-    # Every txn-riding query is therefore in the closure — the 32
-    # previously-green ones below — plus q_substring_dedup (skew-safe
-    # groupBy keeper replaced the window) and q_dsir_selection (the
-    # featurizer's short-doc bigram guard).  All re-verified locally
-    # this session by a FULL registry sweep at sf0.01 plus the new/
-    # changed queries at all three SFs — the driver must confirm.
-    # q_catalog_table_read, q_partition_transform_read,
-    # q_row_tracking_read, and q_quality_classifier are new and front
-    # automatically.
+    # Round 12: all 50 round-11 window entries hold green rows in
+    # CORRECTNESS_r11 (50/50 hash-PASS) and are RELEASED.  Fronted now:
+    # the transitive closure of this round's sinks.py rework — (a)
+    # MERGE is file-targeted (stats/bloom-pruned probe, fused hot-file
+    # discovery, ONE full-outer-join rewrite, rewrite_files commits,
+    # DV consolidation, append tolerance); (b) row-tracked CDF
+    # sidecars MATERIALIZE row ids on delete/update pre/post rows
+    # (delete_where/update_where/merge sidecar staging changed); (c)
+    # _commit's row-id base now derives from the same listing as the
+    # version claim (TOCTOU fix) and checkpoints offload row_base maps
+    # into the parquet sidecar (fold + hydration changed); (d)
+    # file_manifest re-assembled on the arrow plane; (e) the
+    # process-wide log cache is lock-guarded and read()'s compact_due
+    # hook is broadly best-effort.  Every txn-riding query is in the
+    # closure — the previously-green ones below (q_merge_upsert
+    # additionally CHANGED semantics: its 1995 pivot predated the data
+    # span, degenerating it to an empty-target insert-only merge; now
+    # 1998, a real upsert).  All re-verified locally by a FULL registry
+    # sweep at sf0.01 plus changed queries at all three SFs — the
+    # driver must confirm.  q_merge_targeted_read, q_sql_dml_roundtrip,
+    # q_history_manifest_join, q_transform_evolution_read, and
+    # q_cdf_rowid_mirror are new and front automatically.
+    "q_merge_upsert", "q_merge_schema_evolution", "q_file_manifest",
+    "q_change_data_feed", "q_cdf_replica_mirror",
+    "q_cdf_sidecar_changes", "q_cdf_row_ids", "q_row_tracking_read",
     "q_data_skipping_read", "q_bloom_skipping_read",
     "q_zorder_skipping_read", "q_alter_skipping_read",
     "q_schema_evolution_read", "q_delete_vector_read",
-    "q_dv_compact_read", "q_merge_upsert", "q_targeted_cow_read",
+    "q_dv_compact_read", "q_targeted_cow_read",
     "q_compact_where_read", "q_small_file_compact_read",
     "q_partition_pruned_read", "q_checkpoint_log_read",
     "q_sidecar_checkpoint_read", "q_txnlog_stream_source",
     "q_txnlog_stream_sink", "q_txnlog_stream_pushdown",
-    "q_change_data_feed", "q_cdf_replica_mirror",
-    "q_cdf_sidecar_changes", "q_cdc_stream_apply", "q_rollup_incremental",
-    "q_stream_kmv_distinct", "q_minhash_incremental",
-    "q_merge_schema_evolution", "q_convert_read", "q_auto_compact_read",
+    "q_cdc_stream_apply", "q_rollup_incremental",
+    "q_minhash_incremental", "q_convert_read", "q_auto_compact_read",
     "q_column_default_read", "q_generated_column_read",
     "q_protocol_gated_read", "q_clone_read", "q_identity_column_read",
-    "q_substring_dedup", "q_dsir_selection")
+    "q_catalog_table_read", "q_partition_transform_read",
+    "q_type_widening_read")
 
 
 def _evidence():

@@ -134,3 +134,35 @@ def test_pagerank_mass_is_conserved_within_floor_slack(spark):
     assert all(x > 0 for x in ranks)
     assert ranks == sorted(ranks, reverse=True)
     assert sum(ranks) <= 10 ** 12
+
+
+def test_plan_audit_covers_the_full_registry():
+    """PLANS_full.md (round 12 — the plan-audit quality gate) must hold
+    a section for EVERY registered query: the per-query plan audit is a
+    standing scale-review artifact, and it silently thinned once (r11:
+    65 → 12 plans).  Adding a query without re-running
+    ``python tools/explain_audit.py --full`` fails here; the red-flags
+    section must be present and name no CartesianProduct /
+    row-at-a-time-Python stage."""
+    import os
+    import re
+    import __spark_entry__ as e
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS_full.md")
+    assert os.path.exists(path), \
+        "PLANS_full.md missing — run tools/explain_audit.py --full"
+    text = open(path).read()
+    audited = set(re.findall(r"^## (q\w+)", text, re.MULTILINE))
+    missing = sorted(set(e.queries()) - audited)
+    assert not missing, (
+        f"{len(missing)} registered queries lack a PLANS_full.md "
+        f"section (re-run tools/explain_audit.py --full): "
+        f"{missing[:10]}")
+    assert "## Red flags" in text
+    tail = text.split("## Red flags", 1)[1].split("\n## ")[0]
+    open_lines = [ln for ln in tail.splitlines()
+                  if ln.startswith("- ") and "ADJUDICATED" not in ln]
+    assert not open_lines, (
+        f"un-adjudicated red-flagged plans: {open_lines} — fix the "
+        "plan or record the adjudication in explain_audit.ADJUDICATED")

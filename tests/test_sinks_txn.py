@@ -3534,3 +3534,39 @@ def test_auto_compact_property(spark, tmp_path):
     acts = [r["action"] for r in fmt.history(path)][: len(
         fmt.history(path)) - before]
     assert "rewrite_files" not in acts
+
+
+def test_date_column_stats_prune_files(spark, tmp_path):
+    """DATE min/max record as ISO strings (round 12): a date-column
+    predicate data-skips files — the dominant time-series access
+    pattern — and the ISO total order can never drop a matching row
+    (equality, range, and the merge key-prune path all ride it)."""
+    import datetime as dt
+
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    rows1 = [(i, dt.date(2024, 1, 1 + i)) for i in range(10)]
+    rows2 = [(i, dt.date(2024, 3, 1 + i)) for i in range(10)]
+    fmt.append(spark.createDataFrame(rows1, "id long, d date")
+               .coalesce(1), path)
+    fmt.append(spark.createDataFrame(rows2, "id long, d date")
+               .coalesce(1), path)
+    # recorded stats are ISO strings
+    st = fmt._commits(path)[-1]["stats"]
+    per = next(iter(st.values()))
+    assert per["d"][0] == "2024-03-01" and per["d"][1] == "2024-03-10"
+    full = fmt.read(spark, path)
+    jan = fmt.read(spark, path, where="d < '2024-02-01'")
+    assert jan.count() == 10
+    assert len(jan.inputFiles()) < len(full.inputFiles())
+    eq = fmt.read(spark, path, where="d = '2024-03-05'")
+    assert eq.count() == 1 and len(eq.inputFiles()) == 1
+    # a date-keyed MERGE prunes its probe through the same stats
+    src = spark.createDataFrame(
+        [(dt.date(2024, 3, 5), 999, "U")], "d date, id long, op string")
+    got = fmt.merge(spark, path, src.select("id", "d", "op"), "d",
+                    insert_condition="op <> 'D'")
+    assert got == {"updated": 1, "deleted": 0, "inserted": 0}
+    rec = fmt._commits(path)[-1]
+    assert rec["action"] == "rewrite_files"
+    assert len(rec["removed_files"]) == 1  # only the March file rewrote
