@@ -2285,9 +2285,7 @@ def q_merge_targeted_read(spark, sf_dir):
     fmt.set_properties(spark, path, row_tracking=True)
     # range staging: the narrow key batch provably leaves files cold
     fmt.append(base.repartitionByRange(8, "o_custkey"), path)
-    before = fmt.read(spark, path, with_row_ids=True).select(
-        "o_custkey", F.col("_row_id").alias("rid0"))
-    before = before.localCheckpoint(eager=True)
+    pre_version = fmt._commits(path)[-1]["version"]
     pre_files = {f for e in fmt._resolve_live(fmt._commits(path))
                  for f in (e.get("files") or [])}
     mx = base.agg(F.max("o_custkey")).head()[0]
@@ -2310,12 +2308,25 @@ def q_merge_targeted_read(spark, sf_dir):
     assert removed and removed < pre_files, \
         "a narrow merge batch must leave at least one file untouched"
     after = fmt.read(spark, path, with_row_ids=True)
+    # the pre-merge ids come from TIME TRAVEL (no eager snapshot job):
+    # the same log serves both eras in the one final job
+    before = fmt.read(spark, path, as_of_version=pre_version,
+                      with_row_ids=True).select(
+        "o_custkey", F.col("_row_id").alias("rid0"))
+    # aggregate the witness: any id torn loose reads 'moved' and
+    # creates a row the oracle never emits (hash mismatch); sums pin
+    # the per-row values without collecting the whole table
     return (after.join(before, "o_custkey", "left")
             .select("o_custkey", "n_orders", "total_cents",
                     F.when(F.col("rid0").isNull(), F.lit("fresh"))
                      .when(F.col("_row_id") == F.col("rid0"),
                            F.lit("kept-id"))
-                     .otherwise(F.lit("moved")).alias("id_status")))
+                     .otherwise(F.lit("moved")).alias("id_status"))
+            .groupBy("id_status")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("o_custkey").alias("sum_key"),
+                 F.sum("n_orders").alias("sum_orders"),
+                 F.sum("total_cents").alias("sum_cents")))
 
 
 ORACLE_SQL["q_merge_targeted_read"] = """
@@ -2327,19 +2338,27 @@ WITH base AS (
 ), cut AS (
   SELECT CAST(max(o_custkey) AS BIGINT) // 20 AS k,
          CAST(max(o_custkey) AS BIGINT) + 1 AS ins0 FROM base
+), final AS (
+  SELECT b.o_custkey, b.n_orders,
+         CASE WHEN b.o_custkey <= (SELECT k FROM cut)
+              THEN b.total_cents + 1 ELSE b.total_cents END
+           AS total_cents,
+         'kept-id' AS id_status
+  FROM base b
+  WHERE NOT (b.o_custkey <= (SELECT k FROM cut) AND b.o_custkey % 7 = 0)
+  UNION ALL
+  SELECT (SELECT ins0 FROM cut) + i AS o_custkey,
+         CAST(1 AS BIGINT) AS n_orders,
+         CAST(((SELECT ins0 FROM cut) + i) * 100 AS BIGINT)
+           AS total_cents,
+         'fresh' AS id_status
+  FROM range(5) t(i)
 )
-SELECT b.o_custkey, b.n_orders,
-       CASE WHEN b.o_custkey <= (SELECT k FROM cut)
-            THEN b.total_cents + 1 ELSE b.total_cents END AS total_cents,
-       'kept-id' AS id_status
-FROM base b
-WHERE NOT (b.o_custkey <= (SELECT k FROM cut) AND b.o_custkey % 7 = 0)
-UNION ALL
-SELECT (SELECT ins0 FROM cut) + i AS o_custkey,
-       CAST(1 AS BIGINT) AS n_orders,
-       CAST(((SELECT ins0 FROM cut) + i) * 100 AS BIGINT) AS total_cents,
-       'fresh' AS id_status
-FROM range(5) t(i)
+SELECT id_status, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_custkey) AS BIGINT) AS sum_key,
+       CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+       CAST(sum(total_cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY id_status
 """
 
 

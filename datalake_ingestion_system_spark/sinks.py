@@ -4849,17 +4849,15 @@ class TxnLogFormat(TableFormat):
         The string rides ``read(where=...)``: the stats/bloom tiers
         prune files driver-side, and the row filter it also applies is
         a superset of the exact key semi-join that follows."""
-        # ONE agg job answers "is the key set small?" AND supplies the
-        # range bounds; only genuinely small batches (the point-CDC
-        # case this targets) pay the second, exact IN-list collection.
-        agg = source.agg(
-            F.approx_count_distinct(F.struct(*keys)).alias("_nd"),
-            *[f for k in keys for f in (
-                F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}"))]
-        ).head()
+        # The point-CDC case (small key set — the shape file targeting
+        # exists for) pays exactly ONE job: a bounded distinct-collect
+        # that both answers "is it small?" and supplies the exact
+        # IN-lists.  Only oversized batches run the second min/max agg
+        # for range bounds (a bounded collect can't know them).
+        rows = (source.select(*keys).distinct()
+                .limit(self._MERGE_PRUNE_KEYS_CAP + 1).collect())
         parts: list[str] = []
-        if agg["_nd"] <= self._MERGE_PRUNE_KEYS_CAP:
-            rows = source.select(*keys).distinct().collect()
+        if len(rows) <= self._MERGE_PRUNE_KEYS_CAP:
             for k in keys:
                 vals = sorted({r[k] for r in rows if r[k] is not None},
                               key=lambda x: (isinstance(x, str), x))
@@ -4867,6 +4865,9 @@ class TxnLogFormat(TableFormat):
                 if lits and all(li is not None for li in lits):
                     parts.append(f"{k} IN ({', '.join(lits)})")
         if not parts:
+            agg = source.agg(*[f for k in keys for f in (
+                F.min(k).alias(f"mn_{k}"), F.max(k).alias(f"mx_{k}"))]
+            ).head()
             for k in keys:
                 for op, v in ((">=", agg[f"mn_{k}"]),
                               ("<=", agg[f"mx_{k}"])):
@@ -4880,16 +4881,21 @@ class TxnLogFormat(TableFormat):
               key: str | list[str],
               matched_delete_condition: str | None = None,
               insert_condition: str | None = None,
+              matched_update_condition: str | None = None,
               schema_evolution: bool = False) -> dict:
         """MERGE INTO (Delta upsert analogue), the CDC apply primitive:
 
         - WHEN MATCHED AND ``matched_delete_condition`` THEN DELETE
-        - WHEN MATCHED THEN UPDATE SET *  (source row replaces target row)
+        - WHEN MATCHED [AND ``matched_update_condition``] THEN UPDATE
+          SET *  (source row replaces target row; with a condition,
+          matched rows failing it are left UNTOUCHED — Delta's
+          conditional-update clause)
         - WHEN NOT MATCHED AND ``insert_condition`` THEN INSERT *
 
-        Both conditions are SQL predicates over SOURCE columns (the Delta
+        All conditions are SQL predicates over SOURCE columns (the Delta
         clause-condition shape); ``insert_condition=None`` inserts every
-        unmatched source row.  The canonical CDC call is
+        unmatched source row, ``matched_update_condition=None`` updates
+        every matched, non-deleted one.  The canonical CDC call is
         ``matched_delete_condition="op = 'D'", insert_condition="op <> 'D'"``
         — tombstones delete existing keys and are dropped for absent ones.
         Source may carry extra columns (e.g. ``op``); they are consulted by
@@ -4994,16 +5000,22 @@ class TxnLogFormat(TableFormat):
                     if matched_delete_condition is not None else F.lit(False))
         ins_cond = (F.coalesce(F.expr(insert_condition), F.lit(False))
                     if insert_condition is not None else F.lit(True))
+        upd_cond = (F.coalesce(F.expr(matched_update_condition),
+                               F.lit(False))
+                    if matched_update_condition is not None
+                    else F.lit(True))
         # per-call unique marker names: the docstring invites extra source
         # columns, so fixed names like "_m_del" could collide or be
         # silently clobbered
         tag = uuid.uuid4().hex[:8]
         c_del, c_ins = f"_mrg_del_{tag}", f"_mrg_ins_{tag}"
+        c_upd = f"_mrg_upd_{tag}"
         c_scnt, c_tcnt = f"_mrg_scnt_{tag}", f"_mrg_tcnt_{tag}"
         types = dict(probe.dtypes)
         if schema_evolution:
             types.update({c: stypes[c] for c in extra})
-        src = source.withColumn(c_del, del_cond).withColumn(c_ins, ins_cond)
+        src = (source.withColumn(c_del, del_cond)
+               .withColumn(c_ins, ins_cond).withColumn(c_upd, upd_cond))
         # one combined guard + metrics + HOT-FILE pass over the PROBE:
         # both ambiguity checks, all three clause counts, AND the set of
         # files holding matched rows come out of a single aggregation
@@ -5013,7 +5025,8 @@ class TxnLogFormat(TableFormat):
         # provably hold none), so matched-key counts are exact.
         s_agg = src.groupBy(*keys).agg(F.count("*").alias(c_scnt),
                                        F.first(c_del).alias(c_del),
-                                       F.first(c_ins).alias(c_ins))
+                                       F.first(c_ins).alias(c_ins),
+                                       F.first(c_upd).alias(c_upd))
         if empty_target:
             row = s_agg.agg(
                 F.max(c_scnt).alias("max_s"),
@@ -5028,17 +5041,25 @@ class TxnLogFormat(TableFormat):
                 F.count("*").alias(c_tcnt),
                 F.collect_set("_dv_file").alias(c_tf))
             matched_flag = F.col(c_tcnt).isNotNull()
+            effective = F.col(c_del) | F.col(c_upd)
             row = (s_agg.join(t_cnt, keys, "left")
                    .agg(F.max(c_scnt).alias("max_s"),
                         F.max(c_tcnt).alias("max_t"),
-                        F.sum((matched_flag & ~F.col(c_del)).cast("long"))
+                        F.sum((matched_flag & ~F.col(c_del)
+                               & F.col(c_upd)).cast("long"))
                          .alias("updated"),
                         F.sum((matched_flag & F.col(c_del)).cast("long"))
                          .alias("deleted"),
                         F.sum((~matched_flag & F.col(c_ins)).cast("long"))
                          .alias("inserted"),
+                        # only files whose matched rows actually CHANGE
+                        # (delete or condition-passing update) are hot —
+                        # a conditional update must not rewrite files
+                        # it leaves untouched
                         F.array_sort(F.array_distinct(F.flatten(
-                            F.collect_list(c_tf)))).alias("hot")).head())
+                            F.collect_list(F.when(effective,
+                                                  F.col(c_tf))))))
+                        .alias("hot")).head())
         if row["max_s"] is not None and row["max_s"] > 1:
             raise ValueError(
                 "multiple source rows share a merge key — UPDATE SET * is "
@@ -5050,9 +5071,27 @@ class TxnLogFormat(TableFormat):
                 "matches — the upsert would silently collapse them; "
                 "dedupe the target first (compact/apply-latest)")
         as_target = [F.col(c).cast(types[c]).alias(c) for c in tcols]
+        if matched_update_condition is not None and not empty_target:
+            # With a CONDITIONAL update the hot set names only files
+            # with EFFECTIVE changes — a matched key whose condition
+            # fails keeps its target row in an untouched, unscanned
+            # file, so the routing join below would mistake its source
+            # row for an insert.  Gate the insert flag on true
+            # unmatchedness (one probe-keys anti pass, paid only by
+            # conditional-update merges).
+            c_um = f"_mrg_um_{tag}"
+            unmatched_keys = (src.join(probe.select(*keys), keys,
+                                       "left_anti")
+                              .select(*keys)
+                              .withColumn(c_um, F.lit(True)))
+            src = (src.join(unmatched_keys, keys, "left")
+                   .withColumn(c_ins,
+                               F.col(c_ins) & F.col(c_um).isNotNull())
+                   .drop(c_um))
         # FILE TARGETING step 2 — the HOT SET (from the fused pass
-        # above): only files holding a matched live row rewrite;
-        # everything else keeps its physical identity (and row ids)
+        # above): only files holding a matched live row with an
+        # EFFECTIVE change rewrite; everything else keeps its physical
+        # identity (and its rows' stable ids)
         hot: list[str] = sorted(row["hot"] or [])
         n_ins = int(row["inserted"] or 0)
         if not hot and n_ins == 0:
@@ -5078,7 +5117,8 @@ class TxnLogFormat(TableFormat):
             scol = {c: f"_mrg_s{i}_{tag}" for i, c in enumerate(data_cols)}
             src_j = src.select(*keys,
                                *[F.col(c).alias(scol[c])
-                                 for c in data_cols], c_del, c_ins)
+                                 for c in data_cols],
+                               c_del, c_ins, c_upd)
             c_t = f"_mrg_t_{tag}"
             t_j = (cur_hot.drop("_dv_file", "_dv_pos")
                    .withColumn(c_t, F.lit(True)))
@@ -5089,10 +5129,14 @@ class TxnLogFormat(TableFormat):
                               | (t_present & s_present & ~F.col(c_del))
                               | (~t_present & s_present & F.col(c_ins)))
             sel = [F.col(k).cast(types[k]).alias(k) for k in keys]
+            # a matched row takes the source values only when the
+            # update condition passes (a failing condition leaves it
+            # byte-identical); inserts always take the source side
+            take_src = s_present & (F.col(c_upd) | ~t_present)
             for c in data_cols:
                 tgt_side = (F.lit(None) if (schema_evolution
                                             and c in extra) else F.col(c))
-                sel.append(F.when(s_present, F.col(scol[c]))
+                sel.append(F.when(take_src, F.col(scol[c]))
                            .otherwise(tgt_side).cast(types[c]).alias(c))
             if track:
                 # target-side id for kept/updated rows, NULL (fresh
@@ -5149,14 +5193,14 @@ class TxnLogFormat(TableFormat):
                                keys, "left_semi")
                     .withColumn("_change_type", F.lit("delete")))
                 pieces.append(
-                    t_pre.join(src.filter(~F.col(c_del)).select(*keys),
-                               keys, "left_semi")
+                    t_pre.join(src.filter(~F.col(c_del) & F.col(c_upd))
+                               .select(*keys), keys, "left_semi")
                     .withColumn("_change_type",
                                 F.lit("update_preimage")))
                 hot_keys = cur_hot.select(*keys, *idc)
                 post = (src.join(hot_keys, keys,
                                  "left_semi" if not track else "inner")
-                        .filter(~F.col(c_del)))
+                        .filter(~F.col(c_del) & F.col(c_upd)))
                 pieces.append(
                     post.select(*as_target, *(
                         [self._ROW_ID_COL] if track else []))

@@ -277,8 +277,8 @@ def sql(spark: SparkSession, statement: str):
     - ``UPDATE t SET c = expr[, ...] [WHERE pred]`` → ``update_where``
     - ``DELETE FROM t [WHERE pred]`` → ``delete_where``
     - ``MERGE INTO t [AS a] USING (subquery)|src [AS b] ON a.k = b.k
-      [AND ...] [WHEN MATCHED AND c THEN DELETE] [WHEN MATCHED THEN
-      UPDATE SET *] [WHEN NOT MATCHED [AND c] THEN INSERT *]``
+      [AND ...] [WHEN MATCHED AND c THEN DELETE] [WHEN MATCHED [AND c]
+      THEN UPDATE SET *] [WHEN NOT MATCHED [AND c] THEN INSERT *]``
       → ``merge`` (the API's clause surface: SET */INSERT * only,
       conditions over source columns)
     - ``OPTIMIZE t [WHERE pred] [ZORDER BY (c1, c2)]`` → ``compact``
@@ -419,7 +419,7 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
                 "MERGE ON must equate the SAME column name on both "
                 f"sides for the routed API, got {l!r} = {r!r}")
         keys.append(l)
-    matched_delete, insert_cond = None, None
+    matched_delete, insert_cond, matched_update = None, None, None
     saw_update, saw_insert = False, False
     pat = _re.compile(
         r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
@@ -440,12 +440,7 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
         elif act == "DELETE":
             matched_delete = cond or "true"
         elif act == "UPDATE SET *":
-            if cond:
-                raise ValueError(
-                    "WHEN MATCHED ... UPDATE takes no AND condition in "
-                    "the routed API (UPDATE SET * applies to every "
-                    "matched, non-deleted row)")
-            saw_update = True
+            saw_update, matched_update = True, (cond or None)
         else:
             raise ValueError(f"unsupported MERGE action: {act!r}")
         pos = w.end()
@@ -459,6 +454,7 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
     return TxnLogFormat().merge(
         spark, table_path(spark, _unquote_ident(tname)), source, keys,
         matched_delete_condition=matched_delete,
+        matched_update_condition=matched_update,
         insert_condition=(insert_cond if saw_insert else "false"))
 
 

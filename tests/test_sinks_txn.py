@@ -3570,3 +3570,31 @@ def test_date_column_stats_prune_files(spark, tmp_path):
     rec = fmt._commits(path)[-1]
     assert rec["action"] == "rewrite_files"
     assert len(rec["removed_files"]) == 1  # only the March file rewrote
+
+
+def test_merge_conditional_update_clause(spark, tmp_path):
+    """WHEN MATCHED AND cond THEN UPDATE SET * (Delta conditional
+    update, round 12): matched rows failing the condition stay
+    byte-identical AND their files stay un-rewritten (the hot set only
+    names files with effective changes)."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    # two range files: ks 0-4 and 5-9
+    df = spark.range(10).select(F.col("id").alias("k"),
+                                (F.col("id") * 10).alias("v"))
+    fmt.append(df.repartitionByRange(2, "k"), path)
+    src = spark.createDataFrame(
+        [(1, 111, True), (2, 222, False), (7, 777, False), (50, 500, True)],
+        "k long, v long, apply boolean")
+    got = fmt.merge(spark, path, src, "k",
+                    matched_update_condition="apply")
+    # k=1 updates; k=2 and k=7 matched but untouched; k=50 inserts
+    # (insert_condition defaults to all unmatched — apply is ignored)
+    assert got == {"updated": 1, "deleted": 0, "inserted": 1}
+    d = {r.k: r.v for r in fmt.read(spark, path).collect()}
+    assert d[1] == 111 and d[2] == 20 and d[7] == 70 and d[50] == 500
+    rec = fmt._commits(path)[-1]
+    # only the FIRST range file (holding k=1) rewrote: k=7's file had
+    # no effective change and kept its physical identity
+    assert rec["action"] == "rewrite_files"
+    assert len(rec["removed_files"]) == 1

@@ -288,6 +288,18 @@ def test_sql_router_merge_into(spark, cat):
     assert got == {"updated": 1, "deleted": 0, "inserted": 0}
     assert {r.b for r in tables.table(spark, cat["name"])
             .filter("a = 3").collect()} == {333}
+    # CONDITIONAL update clause (round 12): failing rows stay untouched
+    spark.createDataFrame([(3, 999, "skip"), (4, 444, "go")],
+                          "a long, b long, op string") \
+        .createOrReplaceTempView("cdc_d")
+    got = tables.sql(spark, f"""
+        MERGE INTO {cat['name']} USING cdc_d ON a = a
+        WHEN MATCHED AND op = 'go' THEN UPDATE SET *
+    """)
+    assert got == {"updated": 1, "deleted": 0, "inserted": 0}
+    d = {r.a: r.b for r in tables.table(spark, cat["name"])
+         .filter("a IN (3, 4)").collect()}
+    assert d == {3: 333, 4: 444}
 
 
 def test_sql_router_maintenance_and_restore(spark, cat):
