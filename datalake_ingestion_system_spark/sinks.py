@@ -4882,6 +4882,7 @@ class TxnLogFormat(TableFormat):
               matched_delete_condition: str | None = None,
               insert_condition: str | None = None,
               matched_update_condition: str | None = None,
+              not_matched_by_source_delete_condition: str | None = None,
               schema_evolution: bool = False) -> dict:
         """MERGE INTO (Delta upsert analogue), the CDC apply primitive:
 
@@ -4891,8 +4892,17 @@ class TxnLogFormat(TableFormat):
           matched rows failing it are left UNTOUCHED — Delta's
           conditional-update clause)
         - WHEN NOT MATCHED AND ``insert_condition`` THEN INSERT *
+        - WHEN NOT MATCHED BY SOURCE AND
+          ``not_matched_by_source_delete_condition`` THEN DELETE
+          (Delta's full-sync clause: target rows whose key the source
+          does NOT carry are deleted when the condition — a predicate
+          over TARGET columns; pass ``"true"`` for all — holds.  The
+          candidate scan widens from "files holding matched keys" to
+          "files that may hold a condition-true row" via the ordinary
+          stats tier; a condition like ``region = 'EU'`` keeps the
+          merge targeted, ``"true"`` is a declared full sweep)
 
-        All conditions are SQL predicates over SOURCE columns (the Delta
+        All other conditions are SQL predicates over SOURCE columns (the Delta
         clause-condition shape); ``insert_condition=None`` inserts every
         unmatched source row, ``matched_update_condition=None`` updates
         every matched, non-deleted one.  The canonical CDC call is
@@ -4927,6 +4937,9 @@ class TxnLogFormat(TableFormat):
         ``ValueError`` instead; duplicates on keys the source never
         touches are left untouched and legal.  Internal marker columns are
         uniquified per call, so any source column name is safe.
+
+        With the NOT-MATCHED-BY-SOURCE clause the returned ``deleted``
+        count includes its deletions.
 
         Scale shape: one tiny source-key collection (CDC batches are
         small by contract; large batches degrade to a min/max agg), ONE
@@ -5094,8 +5107,26 @@ class TxnLogFormat(TableFormat):
         # identity (and its rows' stable ids)
         hot: list[str] = sorted(row["hot"] or [])
         n_ins = int(row["inserted"] or 0)
+        nmbs = not_matched_by_source_delete_condition
+        n_nmbs = 0
+        if nmbs is not None and not empty_target:
+            # NOT MATCHED BY SOURCE discovery: files that may hold a
+            # condition-true row come from the ordinary stats tier
+            # (where=nmbs), their actual unmatched hits from one
+            # anti-join pass — a selective condition keeps the sweep
+            # targeted, "true" is a declared full sweep
+            nm_scan = self.read(spark, path, where=nmbs,
+                                _with_pos=True)
+            if "_dv_file" in nm_scan.columns:
+                per_file = (nm_scan
+                            .join(src.select(*keys), keys, "left_anti")
+                            .groupBy("_dv_file")
+                            .agg(F.count("*").alias("_n")).collect())
+                n_nmbs = int(sum(r["_n"] for r in per_file))
+                hot = sorted(set(hot)
+                             | {r["_dv_file"] for r in per_file})
         if not hot and n_ins == 0:
-            # no matched files, nothing to insert: a no-op merge
+            # no touched files, nothing to insert: a no-op merge
             # publishes nothing (Delta likewise skips the commit)
             return {"updated": 0, "deleted": 0, "inserted": 0}
         cur_hot = None
@@ -5125,7 +5156,14 @@ class TxnLogFormat(TableFormat):
             j = t_j.join(src_j, keys, "full_outer")
             s_present = F.col(c_ins).isNotNull()
             t_present = F.col(c_t).isNotNull()
-            routed = j.filter((t_present & ~s_present)
+            keep_tonly = t_present & ~s_present
+            if nmbs is not None:
+                # NOT MATCHED BY SOURCE ... DELETE: a target-only row
+                # passing the condition drops (condition over TARGET
+                # columns — present under their own names on this side)
+                keep_tonly = keep_tonly & ~F.coalesce(F.expr(nmbs),
+                                                      F.lit(False))
+            routed = j.filter(keep_tonly
                               | (t_present & s_present & ~F.col(c_del))
                               | (~t_present & s_present & F.col(c_ins)))
             sel = [F.col(k).cast(types[k]).alias(k) for k in keys]
@@ -5197,6 +5235,11 @@ class TxnLogFormat(TableFormat):
                                .select(*keys), keys, "left_semi")
                     .withColumn("_change_type",
                                 F.lit("update_preimage")))
+                if nmbs is not None:
+                    pieces.append(
+                        t_pre.join(src.select(*keys), keys, "left_anti")
+                        .filter(F.coalesce(F.expr(nmbs), F.lit(False)))
+                        .withColumn("_change_type", F.lit("delete")))
                 hot_keys = cur_hot.select(*keys, *idc)
                 post = (src.join(hot_keys, keys,
                                  "left_semi" if not track else "inner")
@@ -5224,7 +5267,7 @@ class TxnLogFormat(TableFormat):
         self._commit(path, rec, expected_version=head + 1,
                      base_schema=self._resolve_schema(commits))
         return {"updated": int(row["updated"] or 0),
-                "deleted": int(row["deleted"] or 0),
+                "deleted": int(row["deleted"] or 0) + n_nmbs,
                 "inserted": n_ins}
 
     def restore(self, spark: SparkSession, path: str,

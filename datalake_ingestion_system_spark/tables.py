@@ -278,7 +278,8 @@ def sql(spark: SparkSession, statement: str):
     - ``DELETE FROM t [WHERE pred]`` → ``delete_where``
     - ``MERGE INTO t [AS a] USING (subquery)|src [AS b] ON a.k = b.k
       [AND ...] [WHEN MATCHED AND c THEN DELETE] [WHEN MATCHED [AND c]
-      THEN UPDATE SET *] [WHEN NOT MATCHED [AND c] THEN INSERT *]``
+      THEN UPDATE SET *] [WHEN NOT MATCHED [AND c] THEN INSERT *]
+      [WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE]``
       → ``merge`` (the API's clause surface: SET */INSERT * only,
       conditions over source columns)
     - ``OPTIMIZE t [WHERE pred] [ZORDER BY (c1, c2)]`` → ``compact``
@@ -420,19 +421,27 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
                 f"sides for the routed API, got {l!r} = {r!r}")
         keys.append(l)
     matched_delete, insert_cond, matched_update = None, None, None
+    nmbs_delete = None
     saw_update, saw_insert = False, False
     pat = _re.compile(
-        r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+        r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?"
+        r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
         r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)", flags)
     pos, matches = 0, list(pat.finditer(whens))
     if not matches or matches[0].start() != 0:
         raise ValueError(f"unsupported MERGE WHEN clauses: {whens!r}")
     for w in matches:
-        notm, cond, act = w.groups()
+        notm, bysrc, cond, act = w.groups()
         act = _re.sub(r"\s+", " ", act.upper())
         cond = (_strip_alias(cond, [s_alias, t_alias])
                 if cond else None)
-        if notm:
+        if bysrc:
+            if not notm or act != "DELETE":
+                raise ValueError(
+                    "the BY SOURCE form supports only WHEN NOT MATCHED "
+                    "BY SOURCE [AND c] THEN DELETE")
+            nmbs_delete = cond or "true"
+        elif notm:
             if act != "INSERT *":
                 raise ValueError(
                     "WHEN NOT MATCHED supports only THEN INSERT *")
@@ -455,6 +464,7 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
         spark, table_path(spark, _unquote_ident(tname)), source, keys,
         matched_delete_condition=matched_delete,
         matched_update_condition=matched_update,
+        not_matched_by_source_delete_condition=nmbs_delete,
         insert_condition=(insert_cond if saw_insert else "false"))
 
 

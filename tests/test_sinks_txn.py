@@ -3598,3 +3598,35 @@ def test_merge_conditional_update_clause(spark, tmp_path):
     # no effective change and kept its physical identity
     assert rec["action"] == "rewrite_files"
     assert len(rec["removed_files"]) == 1
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE (Delta's
+    full-sync clause, round 12): target rows absent from the source
+    drop when the TARGET-column condition holds; a selective condition
+    keeps the sweep file-targeted via the stats tier."""
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"),
+                                (F.col("id") * 10).alias("v"))
+    fmt.append(df.repartitionByRange(2, "k"), path)
+    # source carries keys 0-4 (+1 fresh); target rows 5-9 are
+    # not-matched-by-source; the condition keeps only v < 80 deletions
+    src = spark.range(5).select(F.col("id").alias("k"),
+                                (F.col("id") + 1000).alias("v"))
+    src = src.unionByName(spark.createDataFrame([(100, 1)],
+                                                "k long, v long"))
+    got = fmt.merge(spark, path, src, "k",
+                    not_matched_by_source_delete_condition="v < 80")
+    # 5 updates (0-4), 1 insert (100), NMBS deletes 5,6,7 (v 50-70)
+    assert got == {"updated": 5, "deleted": 3, "inserted": 1}
+    d = {r.k: r.v for r in fmt.read(spark, path).collect()}
+    assert d == {0: 1000, 1: 1001, 2: 1002, 3: 1003, 4: 1004,
+                 8: 80, 9: 90, 100: 1}
+    # full-sync form: condition "true" + empty-ish source
+    got = fmt.merge(spark, path,
+                    spark.createDataFrame([(8, 888)], "k long, v long"),
+                    "k", not_matched_by_source_delete_condition="true")
+    assert got == {"updated": 1, "deleted": 7, "inserted": 0}
+    assert {(r.k, r.v) for r in fmt.read(spark, path).collect()} \
+        == {(8, 888)}

@@ -345,3 +345,20 @@ def test_history_df_joins_file_manifest(spark, cat):
             .agg(F.sum("num_records").alias("rows")).collect())}
     assert got == {0: 10, 1: 5}
     assert h.filter("data_change").count() == 2
+
+
+def test_sql_router_merge_not_matched_by_source(spark, cat):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE as SQL text (full-sync)."""
+    spark.createDataFrame([(0, 100), (1, 101), (777, 7)],
+                          "a long, b long").createOrReplaceTempView(
+        "cdc_sync")
+    got = tables.sql(spark, f"""
+        MERGE INTO {cat['name']} AS t USING cdc_sync AS s ON t.a = s.a
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.a >= 8 THEN DELETE
+    """)
+    assert got == {"updated": 2, "deleted": 2, "inserted": 1}
+    d = {r.a: r.b for r in tables.table(spark, cat["name"]).collect()}
+    assert d == {0: 100, 1: 101, 2: 4, 3: 6, 4: 8, 5: 10, 6: 12,
+                 7: 14, 777: 7}
