@@ -46,6 +46,9 @@ DEFAULT_SET = [
     "q_pack_bins_global", "q_training_shards_e2e", "q_merge_upsert",
     "q_dv_compact_read", "q_minhash_incremental", "q_data_skipping_read",
     "q_schema_evolution_read", "q_charngram_lm_score",
+    # round 12: the file-targeted merge + SQL-DML + metadata-join tier
+    "q_merge_targeted_read", "q_sql_dml_roundtrip",
+    "q_history_manifest_join", "q_transform_evolution_read",
     # round 8: checkpointed commit log read path
     "q_checkpoint_log_read",
     # round 9: log-level partition pruning + the change data feed
