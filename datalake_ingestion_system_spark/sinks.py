@@ -4248,7 +4248,7 @@ class TxnLogFormat(TableFormat):
             StructField("txn_version", LongType(), True),
             StructField("change_data_recorded", BooleanType(), True)])
         rows = [tuple(
-            ([str(v) for v in r["partitions"]]
+            ([None if v is None else str(v) for v in r["partitions"]]
              if f.name == "partitions" and r.get("partitions") is not None
              else r.get(f.name)) for f in schema.fields)
             for r in self.history(path, limit=limit)]

@@ -288,7 +288,7 @@ def test_model_random_op_sequences_keep_ids_stable_and_unique(
         ever_issued: set = set()
         for _ in range(rng.randint(4, 7)):
             op = rng.choice(["append", "update", "delete", "compact",
-                             "merge"])
+                             "merge", "merge_cond", "merge_nmbs"])
             if op == "append":
                 rows = [(next_k + i, next_k + i)
                         for i in range(rng.randint(1, 3))]
@@ -314,6 +314,30 @@ def test_model_random_op_sequences_keep_ids_stable_and_unique(
                     "k")
                 model[next_k] = None
                 next_k += 1
+            elif op == "merge_cond" and model:
+                # CONDITIONAL update (round 12): the failing row's id
+                # must survive untouched, the passing row's unchanged
+                ks = sorted(model)
+                k_go = rng.choice(ks)
+                k_skip = rng.choice(ks)
+                src = spark.createDataFrame(
+                    [(k_go, -7, True), (k_skip, -8, k_skip == k_go)],
+                    "k long, v long, apply boolean")
+                fmt.merge(spark, path, src.dropDuplicates(["k"]), "k",
+                          matched_update_condition="apply")
+            elif op == "merge_nmbs" and model:
+                # NOT MATCHED BY SOURCE delete (round 12): survivors'
+                # ids stable, victims' ids never reused
+                keep = set(rng.sample(sorted(model),
+                                      max(1, len(model) // 2)))
+                src = spark.createDataFrame(
+                    [(k, 0) for k in sorted(keep)] or [(-1, 0)],
+                    "k long, v long")
+                fmt.merge(spark, path, src, "k",
+                          matched_update_condition="false",
+                          insert_condition="false",
+                          not_matched_by_source_delete_condition="true")
+                model = {k: v for k, v in model.items() if k in keep}
             got = {r.k: r._row_id for r in fmt.read(
                 spark, path, with_row_ids=True).collect()}
             assert set(got) == set(model), f"example {example}"
