@@ -348,14 +348,16 @@ def sql(spark: SparkSession, statement: str):
 
     if head == "VACUUM":
         m = _re.match(rf"VACUUM\s+({_IDENT})"
-                      rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?$",
-                      s, flags)
+                      rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
+                      rf"(\s+DRY\s+RUN)?$", s, flags)
         if not m:
             raise ValueError(
                 "unsupported VACUUM shape — expected: VACUUM t "
-                "[RETAIN n HOURS]")
-        name, hours = m.groups()
+                "[RETAIN n HOURS] [DRY RUN]")
+        name, hours, dry = m.groups()
         kwargs = {"retain_hours": float(hours)} if hours else {}
+        if dry:
+            kwargs["dry_run"] = True
         return vacuum(spark, _unquote_ident(name), **kwargs)
 
     if head == "RESTORE":

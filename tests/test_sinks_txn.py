@@ -3630,3 +3630,50 @@ def test_merge_not_matched_by_source_delete(spark, tmp_path):
     assert got == {"updated": 1, "deleted": 7, "inserted": 0}
     assert {(r.k, r.v) for r in fmt.read(spark, path).collect()} \
         == {(8, 888)}
+
+
+def test_merge_crash_between_stage_and_commit_is_clean(spark, tmp_path,
+                                                       monkeypatch):
+    """A writer dying after staging but before the commit link leaves
+    the table EXACTLY as it was (invisible orphans only); vacuum sweeps
+    the orphans; an unmodified retry succeeds.  The file-targeted merge
+    stages up to three dirs (rewrite data, CDF sidecar, consolidated
+    vectors) — none may become visible without the commit."""
+    fmt = TxnLogFormat(change_data_feed=True)
+    path = str(tmp_path / "t")
+    fmt.append(spark.range(8).select(F.col("id").alias("k"),
+                                     (F.col("id") * 10).alias("v")),
+               path)
+    fmt.delete_where_dv(spark, path, "k = 6")   # a live vector survives
+    before = {(r.k, r.v) for r in fmt.read(spark, path).collect()}
+    head = fmt._commits(path)[-1]["version"]
+    src = spark.createDataFrame([(1, 111, "U"), (2, 0, "D"), (50, 5, "U")],
+                                "k long, v long, op string")
+
+    real_commit = TxnLogFormat._commit
+
+    def dying_commit(self, *a, **k):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(TxnLogFormat, "_commit", dying_commit)
+    with pytest.raises(RuntimeError, match="crash"):
+        fmt.merge(spark, path, src, "k",
+                  matched_delete_condition="op = 'D'",
+                  insert_condition="op <> 'D'")
+    monkeypatch.setattr(TxnLogFormat, "_commit", real_commit)
+    # nothing visible changed
+    assert fmt._commits(path)[-1]["version"] == head
+    assert {(r.k, r.v) for r in fmt.read(spark, path).collect()} \
+        == before
+    # the crashed attempt's staged dirs are unreferenced orphans;
+    # vacuum names them (dry run) and sweeps them
+    orphans = fmt.vacuum(path, retain_hours=0, dry_run=True)
+    assert orphans, "crashed merge must leave sweepable orphans"
+    fmt.vacuum(path, retain_hours=0)
+    # an unmodified retry applies cleanly
+    got = fmt.merge(spark, path, src, "k",
+                    matched_delete_condition="op = 'D'",
+                    insert_condition="op <> 'D'")
+    assert got == {"updated": 1, "deleted": 1, "inserted": 1}
+    d = {r.k: r.v for r in fmt.read(spark, path).collect()}
+    assert d[1] == 111 and 2 not in d and d[50] == 5 and 6 not in d
