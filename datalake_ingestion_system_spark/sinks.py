@@ -2131,7 +2131,8 @@ class TxnLogFormat(TableFormat):
         return F.date_format(c, self._TRANSFORM_FMT[kind])
 
     def _stage_transformed(self, df: DataFrame, path: str,
-                           tr: dict) -> tuple[str, list]:
+                           tr: dict,
+                           check: bool = True) -> tuple[str, list]:
         """Stage ``df`` hive-partitioned by the DERIVED transform value
         and return ``(rel, derived partition values)``.  The derived
         column lives in dir names only: the recorded schema is the
@@ -2155,8 +2156,30 @@ class TxnLogFormat(TableFormat):
             (r[0] for r in staged.select(self._TP_COL).distinct()
              .collect()),
             key=lambda v: (v is None, v))
-        rel = self._stage(staged, path, self._TP_COL)
+        rel = self._stage(staged, path, self._TP_COL, check=check)
         return rel, parts
+
+    def _stage_rewrite(self, df: DataFrame, path: str,
+                       commits: list[dict], rec: dict,
+                       check: bool = True) -> None:
+        """Stage a ROW-LEVEL REWRITE's output, preserving HIDDEN
+        PARTITIONING (round 12): under a ``partition_transform``
+        property the restaged rows land hive-partitioned by the derived
+        value and the record carries the transform — so file-level
+        transform pruning keeps working on rewritten files (Iceberg
+        keeps its spec on rewrites; without this every targeted
+        delete/update/merge/compact decays pruning until the next
+        explicitly-partitioned rewrite).  Flat staging otherwise.
+        Sets ``rec["dir"]`` (+ ``transform``/``partitions``)."""
+        tr = self._resolve_properties(commits).get("partition_transform")
+        if tr and tr["source"] in df.columns:
+            rel, tparts = self._stage_transformed(df, path, tr,
+                                                  check=check)
+            rec["dir"] = rel
+            rec["transform"] = tr
+            rec["partitions"] = tparts
+        else:
+            rec["dir"] = self._stage(df, path, None, check=check)
 
     def append(self, df: DataFrame, path: str,
                txn_app: str | None = None,
@@ -2301,7 +2324,9 @@ class TxnLogFormat(TableFormat):
                 # the commit's data dir (rewritten rows) is an append; its
                 # vector dir is handled by _resolve_dvs
                 live.append({"dir": c["dir"], "removed": {},
-                             "pcol": None, "parts": set(),
+                             "pcol": None,
+                             "parts": set(c.get("partitions") or []),
+                             "transform": c.get("transform"),
                              "version": c["version"],
                              "action": c["action"],
                              "files": c.get("files"),
@@ -2313,7 +2338,9 @@ class TxnLogFormat(TableFormat):
                 # append; the retired source FILES are subtracted by
                 # _resolve_removed_files (file-granular, not dir)
                 live.append({"dir": c["dir"], "removed": {},
-                             "pcol": None, "parts": set(),
+                             "pcol": None,
+                             "parts": set(c.get("partitions") or []),
+                             "transform": c.get("transform"),
                              "version": c["version"],
                              "action": c["action"],
                              "files": c.get("files"),
@@ -4549,7 +4576,6 @@ class TxnLogFormat(TableFormat):
             survivors = survivors.withColumnRenamed(
                 "_row_id", self._ROW_ID_COL)
         rec = {"action": "rewrite_files",
-               "dir": self._stage(survivors, path, None, check=False),
                "removed_files": hot,
                # Delta's dataChange flag: unlike compaction (bytes move,
                # rows identical), this rewrite CHANGES rows — streams and
@@ -4558,6 +4584,7 @@ class TxnLogFormat(TableFormat):
                "_row_track": track,
                "partition_col": None, "partitions": [],
                "schema": self._logical_schema_json(survivors.schema)}
+        self._stage_rewrite(survivors, path, commits, rec, check=False)
         if self._effective_config(commits)[2]:
             cdf_rows = (cur_hot.filter(F.coalesce(pred, F.lit(False)))
                         .drop("_dv_file", "_dv_pos"))
@@ -4703,12 +4730,12 @@ class TxnLogFormat(TableFormat):
             # its id (the vectored-out original is masked, not replaced)
             + ([F.col("_row_id").alias(self._ROW_ID_COL)]
                if track else [])))
-        data_rel = self._stage(rewritten, path, None)  # constraints run
-        dv_rel = self._stage(
+        rec = {"action": "dv_update", "_row_track": track,
+               "partition_col": None, "partitions": []}
+        self._stage_rewrite(rewritten, path, commits, rec)  # checks run
+        rec["dv_dir"] = self._stage(
             matching.select("_dv_file", "_dv_pos"), path, None, check=False)
-        self._commit(path, {"action": "dv_update", "dir": data_rel,
-                            "dv_dir": dv_rel, "_row_track": track,
-                            "partition_col": None, "partitions": []},
+        self._commit(path, rec,
                      expected_version=head + 1,
                      base_schema=self._resolve_schema(commits))
         return n_upd
@@ -4777,12 +4804,12 @@ class TxnLogFormat(TableFormat):
             + ([F.col("_row_id").alias(self._ROW_ID_COL)]
                if track else [])))
         rec = {"action": "rewrite_files",
-               "dir": self._stage(updated, path, None),  # constraints run
                "removed_files": hot,
                "data_change": True,  # rows changed, not just bytes moved
                "_row_track": track,
                "partition_col": None, "partitions": [],
                "schema": self._logical_schema_json(updated.schema)}
+        self._stage_rewrite(updated, path, commits, rec)  # constraints run
         if self._effective_config(commits)[2]:
             self._check_cdf_reserved_columns(tcols)
             # on a row-tracked table the sidecar rows CARRY their row id
@@ -5187,13 +5214,13 @@ class TxnLogFormat(TableFormat):
             if track:
                 new_data = new_data.withColumn(
                     self._ROW_ID_COL, F.lit(None).cast("long"))
-        rel = self._stage(new_data, path, None)  # constraints run
-        rec = {"action": "rewrite_files", "dir": rel,
+        rec = {"action": "rewrite_files",
                "removed_files": hot,
                "data_change": True,  # rows changed, not just bytes moved
                "_row_track": track,
                "partition_col": None, "partitions": [],
                "schema": self._logical_schema_json(new_data.schema)}
+        self._stage_rewrite(new_data, path, commits, rec)  # checks run
         if schema_evolution and extra:
             # record WHICH columns this merge added (source-typed DDL):
             # _resolve_alters synthesizes the matching alter entry, so
@@ -5642,13 +5669,18 @@ class TxnLogFormat(TableFormat):
                     current = (current
                                .repartitionByRange(n, *cluster_by)
                                .sortWithinPartitions(*cluster_by))
-            rel = self._stage(current, path, partition_col)
-            self._commit(path, {"action": "replace_all", "dir": rel,
-                                "partition_col": partition_col,
-                                "partitions": [], "_row_track": track,
-                                "schema": self._logical_schema_json(
-                                    current.schema)},
-                         expected_version=head + 1)
+            rec = {"action": "replace_all",
+                   "partition_col": partition_col,
+                   "partitions": [], "_row_track": track,
+                   "schema": self._logical_schema_json(current.schema)}
+            if partition_col is None and not cluster_by:
+                # the full fold keeps HIDDEN PARTITIONING: restaged
+                # rows land under the effective transform so pruning
+                # never decays through maintenance
+                self._stage_rewrite(current, path, snap, rec)
+            else:
+                rec["dir"] = self._stage(current, path, partition_col)
+            self._commit(path, rec, expected_version=head + 1)
             return None
         if cluster_by:
             raise ValueError(
@@ -5743,12 +5775,12 @@ class TxnLogFormat(TableFormat):
             target = int(target_file_bytes or self._TARGET_FILE_BYTES)
             known = sum(sizes.get(rf, target) for rf in hot)
             survivors = survivors.coalesce(max(1, -(-known // target)))
-        # check=False: every survivor is already a committed, validated row
-        data_rel = self._stage(survivors, path, None, check=False)
-        rec = {"action": "rewrite_files", "dir": data_rel,
+        rec = {"action": "rewrite_files",
                "removed_files": hot, "_row_track": track,
                "partition_col": None, "partitions": [],
                "schema": self._logical_schema_json(survivors.schema)}
+        # check=False: every survivor is already a committed, validated row
+        self._stage_rewrite(survivors, path, commits, rec, check=False)
         retired = 0
         if dv_all is not None:
             remaining = (dv_all.filter(~F.col("_dv_file").isin(hot))

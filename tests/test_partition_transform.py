@@ -400,3 +400,42 @@ def test_transform_evolution_each_era_prunes_under_its_spec(
     fmt2.append(df.limit(0), path)   # triggers fold at the head
     r3 = fmt2.read(spark, path, where="id = 7")
     assert r3.count() == 1 and _nfiles(r3) == 1
+
+
+def test_rewrites_preserve_the_transform_layout(spark, tmp_path):
+    """Row-level rewrites keep HIDDEN PARTITIONING (round 12 — Iceberg
+    keeps its spec on rewrites): after targeted UPDATE, DELETE, MERGE,
+    and a full compact, an equality scan still prunes through the
+    transform — previously every rewrite staged flat and pruning
+    decayed until the next explicitly-partitioned rewrite."""
+    path = str(tmp_path / "rw")
+    df = spark.range(64).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    fmt = _fmt()
+    fmt.append(df.limit(0), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "id",
+                                            "kind": "bucket",
+                                            "param": 8})
+    fmt.append(df, path)
+    baseline = _nfiles(fmt.read(spark, path, where="id = 42"))
+
+    def eq_files():
+        return _nfiles(fmt.read(spark, path, where="id = 42"))
+
+    fmt.update_where(spark, path, "id = 13", {"v": "999"})
+    assert eq_files() <= baseline
+    assert fmt._commits(path)[-1].get("transform"), \
+        "rewrite record must carry the staging transform"
+    fmt.delete_where(spark, path, "id = 20")
+    assert eq_files() <= baseline
+    src = spark.createDataFrame([(42, 4242, "U"), (99, 1, "U")],
+                                "id long, v long, op string")
+    fmt.merge(spark, path, src, "id", insert_condition="op <> 'D'")
+    assert eq_files() <= baseline
+    got = fmt.read(spark, path, where="id = 42")
+    assert got.count() == 1 and got.head().v == 4242
+    fmt.compact(spark, path)
+    assert fmt._commits(path)[-1].get("transform")
+    assert eq_files() == 1  # the fold lays each bucket out exactly
+    full = fmt.read(spark, path)
+    assert full.count() == 64 and "__tp" not in full.columns

@@ -236,14 +236,18 @@ def test_file_manifest_by_name_and_transform_values(spark, tmp_path):
         assert all(r.size_bytes and r.size_bytes > 0 for r in rows)
         tp = [r for r in rows if r.partition_value is not None]
         assert tp and all(r.commit_version == 2 for r in tp)
-        # a rewrite retires its sources from the inventory (the
-        # survivor here is a ZERO-ROW file — the deleted row was alone
-        # in its source file — and a 0-row file records no stats, so
-        # its num_records is legitimately NULL)
+        # a rewrite retires its sources from the inventory.  The
+        # deleted row was alone in its source file, so the rewrite has
+        # ZERO survivors — since round 12's transform-preserving
+        # rewrites the empty hive-partitioned stage writes NO file at
+        # all (better than the old zero-row artifact), so the check is
+        # pure retirement: the source file leaves, rows drop to 15
+        pre_files = {r.file for r in man.collect()}
         fmt.delete_where(spark, path, "a = 0")
         man2 = TxnLogFormat().file_manifest(spark, path)
-        assert sum(r.num_records or 0 for r in man2.collect()) == 15
-        assert man2.filter("action = 'rewrite_files'").count() >= 1
+        rows2 = man2.collect()
+        assert sum(r.num_records or 0 for r in rows2) == 15
+        assert {r.file for r in rows2} < pre_files
         # historical snapshot: the pre-delete inventory
         old = TxnLogFormat().file_manifest(spark, path, as_of_version=2)
         assert sum(r.num_records for r in old.collect()) == 16
