@@ -3782,6 +3782,82 @@ GROUP BY event_type
 """
 
 
+@_q("q_transform_rewrite_read")
+def q_transform_rewrite_read(spark, sf_dir):
+    """TRANSFORM-PRESERVING REWRITES, oracle-verified (round 12 —
+    Iceberg keeps its partition spec on rewrites): a bucket(16)-
+    partitioned events table takes a targeted UPDATE (click values
+    +1000), a targeted DELETE (error rows), and a MERGE (every 50th id
+    doubled, one synthetic insert) — and an equality read afterwards
+    must still prune through the transform (asserted inline via
+    scan-file counts: without round 12's rewrite staging, every one of
+    those ops left flat files the bucket pruner cannot touch and the
+    eq-scan widened per op).  The DuckDB oracle recomputes the final
+    state declaratively — the preserved layout must be invisible to
+    results.
+
+    Scale shape: rewrites stage under the table's transform (one extra
+    partition-values agg at hive-value cardinality); pruning stays a
+    driver-side map over commit metadata forever, no matter how many
+    row-level ops the table absorbs."""
+    import tempfile
+
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="trw_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.limit(0), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "event_id",
+                                            "kind": "bucket",
+                                            "param": 16})
+    fmt.append(e, path)
+    fmt.update_where(spark, path, "event_type = 'click'",
+                     {"value": "value + 1000"})
+    fmt.delete_where(spark, path, "event_type = 'error'")
+    fmt.merge(spark, path,
+              e.filter((F.pmod("event_id", F.lit(50)) == 0)
+                       & (F.col("event_type") != "error"))
+              .withColumn("value", F.col("value") * 2)
+              .withColumn("value",
+                          F.when(F.col("event_type") == "click",
+                                 F.col("value") + 2000)
+                          .otherwise(F.col("value")))
+              .unionByName(spark.createDataFrame(
+                  [(-100, "trw_insert", 5.0)],
+                  "event_id long, event_type string, value double")),
+              "event_id")
+    full = fmt.read(spark, path)
+    pt = fmt.read(spark, path, where="event_id = 42")
+    assert len(pt.inputFiles()) < max(len(full.inputFiles()), 2), \
+        "rewritten files must keep pruning through the transform"
+    return (full.groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents")))
+
+
+ORACLE_SQL["q_transform_rewrite_read"] = """
+WITH merged AS (
+  SELECT event_type,
+         CASE WHEN event_id % 50 = 0 THEN
+                CASE WHEN event_type = 'click'
+                     THEN value * 2 + 2000 ELSE value * 2 END
+              WHEN event_type = 'click' THEN value + 1000
+              ELSE value END AS value
+  FROM events WHERE event_type <> 'error'
+  UNION ALL
+  SELECT 'trw_insert', 5.0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM merged GROUP BY event_type
+"""
+
+
 @_q("q_row_tracking_read")
 def q_row_tracking_read(spark, sf_dir):
     """ROW TRACKING end to end, oracle-verified (round 11 — Delta
