@@ -5673,10 +5673,16 @@ class TxnLogFormat(TableFormat):
                    "partition_col": partition_col,
                    "partitions": [], "_row_track": track,
                    "schema": self._logical_schema_json(current.schema)}
-            if partition_col is None and not cluster_by:
+            if partition_col is None:
                 # the full fold keeps HIDDEN PARTITIONING: restaged
                 # rows land under the effective transform so pruning
-                # never decays through maintenance
+                # never decays through maintenance.  cluster_by/zorder
+                # COMPOSE with it (Iceberg's sort order within a
+                # partition spec): the range/Morton layout above holds
+                # within each task, and the hive write splits each
+                # task's sorted run across its derived values — per-file
+                # stats stay tight on the clustered columns AND the
+                # transform keeps pruning.
                 self._stage_rewrite(current, path, snap, rec)
             else:
                 rec["dir"] = self._stage(current, path, partition_col)

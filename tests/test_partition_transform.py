@@ -439,3 +439,29 @@ def test_rewrites_preserve_the_transform_layout(spark, tmp_path):
     assert eq_files() == 1  # the fold lays each bucket out exactly
     full = fmt.read(spark, path)
     assert full.count() == 64 and "__tp" not in full.columns
+
+
+def test_compact_cluster_by_composes_with_the_transform(spark, tmp_path):
+    """OPTIMIZE ... CLUSTER BY on a transform table keeps the hive
+    layout (Iceberg sort-order-within-spec): the fold's record carries
+    the transform, equality still prunes through it, and rows are
+    exact.  (Per-file stat tightness from the clustering shows at real
+    task counts; AQE coalesces this tiny fixture into one task.)"""
+    path = str(tmp_path / "cc")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 97).alias("v"))
+    fmt = _fmt()
+    fmt.append(df.limit(0), path)
+    fmt.set_properties(spark, path,
+                       partition_transform={"source": "id",
+                                            "kind": "bucket",
+                                            "param": 4})
+    fmt.append(df, path)
+    fmt.compact(spark, path, cluster_by=["v"])
+    assert fmt._commits(path)[-1].get("transform")
+    eq = fmt.read(spark, path, where="id = 500")
+    assert eq.count() == 1 and _nfiles(eq) == 1
+    assert fmt.read(spark, path).count() == 1000
+    # zorder composes the same way
+    fmt.compact(spark, path, cluster_by=["id", "v"], zorder=True)
+    assert fmt._commits(path)[-1].get("transform")
+    assert fmt.read(spark, path, where="id = 500").count() == 1
