@@ -2485,6 +2485,74 @@ FROM events GROUP BY event_id % 3
 """
 
 
+@_q("q_merge_full_sync")
+def q_merge_full_sync(spark, sf_dir):
+    """FULL-SYNC MERGE as SQL text, oracle-verified (round 12 — Delta's
+    ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` through the routed
+    statement layer): the replica table holds every customer snapshot;
+    the source view carries only the high-activity customers (≥ 10
+    orders) with refreshed values; one five-clause-surface MERGE
+    statement — conditional UPDATE, INSERT, and the BY SOURCE delete —
+    makes the replica EXACTLY the source (update existing, insert new,
+    drop vanished).  The DuckDB oracle recomputes the synced state
+    declaratively, so the clause routing, the NMBS candidate scan, and
+    the targeted rewrite are all checked cross-engine through plain SQL
+    strings.
+
+    Scale shape: the BY SOURCE candidate scan rides the ordinary stats
+    tier (here the condition is 'true' — a declared full sweep; a
+    selective condition keeps it file-targeted), everything else is the
+    file-targeted merge's keyed joins."""
+    import tempfile
+    import uuid as _uuid
+
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    o = load(spark, sf_dir, "orders")
+    base = (o.select("o_custkey",
+                     F.floor(F.col("o_totalprice") * 100 + 0.5)
+                      .cast("long").alias("c"))
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("c").cast("long").alias("total_cents")))
+    path = tempfile.mkdtemp(prefix="fsync_q_") + "/t"
+    TxnLogFormat(checkpoint_interval=None).append(base, path)
+    tables.create_table(spark, "txn_fullsync_cust", path, replace=True)
+    (base.filter(F.col("n_orders") >= 10)
+     .withColumn("total_cents", F.col("total_cents") + 7)
+     .createOrReplaceTempView("fsync_src"))
+    tables.sql(spark, """
+        MERGE INTO txn_fullsync_cust AS t
+        USING (SELECT * FROM fsync_src) AS s
+        ON t.o_custkey = s.o_custkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    got = (tables.table(spark, "txn_fullsync_cust")
+           .agg(F.count("*").alias("n_rows"),
+                F.sum("o_custkey").alias("sum_key"),
+                F.sum("n_orders").alias("sum_orders"),
+                F.sum("total_cents").alias("sum_cents")))
+    return got
+
+
+ORACLE_SQL["q_merge_full_sync"] = """
+WITH base AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_custkey) AS BIGINT) AS sum_key,
+       CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+       CAST(sum(total_cents + 7) AS BIGINT) AS sum_cents
+FROM base WHERE n_orders >= 10
+"""
+
+
 @_q("q_convert_read")
 def q_convert_read(spark, sf_dir):
     """CONVERT-in-place round-trip, oracle-verified (Delta CONVERT TO
