@@ -15,6 +15,7 @@ from ..catalog import load, spread
 from ..functions.textfns import char_ngrams, token_count, tokens
 from ..operators import dedup, multimodal, similarity, text
 from ..session import tune
+from .scratch import scratch_dir
 
 QUERIES = {}
 ORACLE_SQL = {}
@@ -159,10 +160,9 @@ def q_minhash_incremental(spark, sf_dir):
     batch touches before any aggregation — cost follows the batch, not
     the corpus; the store append is id-novel-only (crash-replay
     convergent)."""
-    import tempfile
 
     d = load(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="mh_inc_") + "/sigs"
+    path = scratch_dir(prefix="mh_inc_") + "/sigs"
     old = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
     # batch 1 seeds the store (its old-old pairs are yesterday's output)

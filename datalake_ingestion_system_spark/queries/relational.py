@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import epoch_seconds as _epoch, load, register_views
 from ..session import tune
+from .scratch import scratch_dir
 
 QUERIES = {}
 ORACLE_SQL = {}
@@ -2132,7 +2133,6 @@ def q_merge_upsert(spark, sf_dir):
     drop-recreate of the whole output (DATALAKE_TRANSFORMATION_S3_DAILY_
     JOB.PY); ``merge`` keeps that cost model but adds atomicity, conflict
     detection, and time travel."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
@@ -2158,7 +2158,7 @@ def q_merge_upsert(spark, sf_dir):
     source = snap(base.filter(F.col("d") >= pivot)).withColumn(
         "op", F.when(F.col("o_custkey") % 17 == 0, F.lit("D"))
                .otherwise(F.lit("U")))
-    path = tempfile.mkdtemp(prefix="merge_q_") + "/t"
+    path = scratch_dir(prefix="merge_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.overwrite_table(target, path)
     fmt.merge(spark, path, source, "o_custkey",
@@ -2208,14 +2208,13 @@ def q_merge_schema_evolution(spark, sf_dir):
     Scale shape: identical to q_merge_upsert (one combined guard+stats
     aggregation, keyed joins, one staged rewrite) — evolution adds one
     plan-level NULL projection on the target side, no extra pass."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
     evens = e.filter(F.pmod("event_id", F.lit(2)) == 0)
-    path = tempfile.mkdtemp(prefix="mergevo_q_") + "/t"
+    path = scratch_dir(prefix="mergevo_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(evens, path)
     updates = (evens.filter(F.coalesce(F.col("value") > 100, F.lit(False)))
@@ -2268,7 +2267,6 @@ def q_merge_targeted_read(spark, sf_dir):
     per-file stats tier; the hot set is O(matched files); untouched
     files move zero bytes — a daily point-merge against a 100 TB table
     stays O(batch), the Delta MERGE shape."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
@@ -2279,7 +2277,7 @@ def q_merge_targeted_read(spark, sf_dir):
             .groupBy("o_custkey")
             .agg(F.count("*").alias("n_orders"),
                  F.sum("c").cast("long").alias("total_cents")))
-    path = tempfile.mkdtemp(prefix="mergetgt_q_") + "/t"
+    path = scratch_dir(prefix="mergetgt_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=None)
     fmt.append(base.limit(0), path)
     fmt.set_properties(spark, path, row_tracking=True)
@@ -2377,14 +2375,13 @@ def q_sql_dml_roundtrip(spark, sf_dir):
     Scale shape: each statement routes to the file-targeted format op
     it names (stats-pruned UPDATE/DELETE, file-targeted MERGE) — the
     SQL layer adds parsing only, never a scan."""
-    import tempfile
 
     from .. import tables
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="sqldml_q_") + "/t"
+    path = scratch_dir(prefix="sqldml_q_") + "/t"
     TxnLogFormat(checkpoint_interval=None).append(e, path)
     tables.create_table(spark, "txn_sqldml_events", path, replace=True)
     tables.sql(spark, "UPDATE txn_sqldml_events SET value = value + 1000"
@@ -2457,13 +2454,12 @@ def q_history_manifest_join(spark, sf_dir):
     Scale shape: both sides are commit-metadata DataFrames (no storage
     listing, no data scan); the join is version-keyed at history
     scale."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="histjoin_q_") + "/t"
+    path = scratch_dir(prefix="histjoin_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=None)
     for r in (0, 1, 2):
         fmt.append(e.filter(F.pmod("event_id", F.lit(3)) == r), path)
@@ -2503,7 +2499,6 @@ def q_merge_full_sync(spark, sf_dir):
     tier (here the condition is 'true' — a declared full sweep; a
     selective condition keeps it file-targeted), everything else is the
     file-targeted merge's keyed joins."""
-    import tempfile
     import uuid as _uuid
 
     from .. import tables
@@ -2516,7 +2511,7 @@ def q_merge_full_sync(spark, sf_dir):
             .groupBy("o_custkey")
             .agg(F.count("*").alias("n_orders"),
                  F.sum("c").cast("long").alias("total_cents")))
-    path = tempfile.mkdtemp(prefix="fsync_q_") + "/t"
+    path = scratch_dir(prefix="fsync_q_") + "/t"
     TxnLogFormat(checkpoint_interval=None).append(base, path)
     tables.create_table(spark, "txn_fullsync_cust", path, replace=True)
     (base.filter(F.col("n_orders") >= 10)
@@ -2570,13 +2565,12 @@ def q_convert_read(spark, sf_dir):
     object-store seam is the same server-side COPY as clone); the
     commit is the ordinary stats-bearing append every reader already
     plans from."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="convert_q_") + "/t"
+    path = scratch_dir(prefix="convert_q_") + "/t"
     # range-lay the dump so the skipping assertion below is
     # deterministic (disjoint per-file event_id ranges)
     e.repartitionByRange(4, "event_id").write.parquet(path)
@@ -2622,13 +2616,12 @@ def q_auto_compact_read(spark, sf_dir):
     commit-recorded file sizes (metadata scale, free at 100 TB); the
     compaction it launches is the same bounded small-file rewrite the
     manual path uses — O(small files), never O(table)."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="autoc_q_") + "/t"
+    path = scratch_dir(prefix="autoc_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(e.filter(F.pmod("event_id", F.lit(5)) == 0), path)
     fmt.set_properties(None, path, auto_compact={
@@ -2673,13 +2666,12 @@ def q_delete_vector_read(spark, sf_dir):
     one anti-join against the (small) vector union — the point of
     merge-on-read at 100 TB, vs the copy-on-write rewrite
     ``delete_where`` costs."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="dv_q_") + "/t"
+    path = scratch_dir(prefix="dv_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.overwrite_table(e, path)
     fmt.delete_where_dv(spark, path, "event_type = 'error'")
@@ -2717,13 +2709,12 @@ def q_zorder_skipping_read(spark, sf_dir):
     Scale shape: the rewrite is one range shuffle on the z-value; the
     read's pruning is a driver-side stats comparison (file-metadata
     scale); scan cost follows the predicate's 2-D selectivity."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="zorder_q_") + "/t"
+    path = scratch_dir(prefix="zorder_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(e.repartition(8), path)
     fmt.compact(spark, path, cluster_by=["user_id", "value"], zorder=True)
@@ -2765,13 +2756,12 @@ def q_schema_evolution_read(spark, sf_dir):
     Scale shape: the alter is one JSON commit; the read applies a
     rename/projection per historical dir (plan-level, no data movement)
     and unions by name."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="evo_q_") + "/t"
+    path = scratch_dir(prefix="evo_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
     fmt.alter_table(path, rename_columns={"value": "amount"},
@@ -2817,13 +2807,12 @@ def q_data_skipping_read(spark, sf_dir):
     Scale shape: pruning is a driver-side stats comparison over the
     commit metadata (file-cardinality, like Delta's log replay); the
     scan cost follows the predicate's selectivity, not the table size."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="skip_q_") + "/t"
+    path = scratch_dir(prefix="skip_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(e.repartitionByRange(8, "user_id"), path)
     # lower bound 5, not 100: sf0.001's user_id range ends at 14 and a
@@ -2863,13 +2852,12 @@ def q_dv_compact_read(spark, sf_dir):
     Scale shape: the rewrite touches O(rows in hot files); fractions are
     two per-FILE keyed counts; the read after compaction opens only
     surviving files (file pruning, not row filtering)."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="dvc_q_") + "/t"
+    path = scratch_dir(prefix="dvc_q_") + "/t"
     fmt = TxnLogFormat()
     # repartition by range on user_id so the error/negative rows are
     # SKEWED across physical files — some files cross the DV threshold,
@@ -2917,7 +2905,6 @@ def q_alter_skipping_read(spark, sf_dir):
     Scale shape: identical to ``q_data_skipping_read`` — driver-side
     stats comparison at file cardinality; the alter itself is one
     metadata commit, zero files rewritten."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
@@ -2929,7 +2916,7 @@ def q_alter_skipping_read(spark, sf_dir):
         (F.col("user_id") + F.lit(1000000)).cast(uid_type)
         .alias("user_id"),
         "value")
-    path = tempfile.mkdtemp(prefix="altskip_q_") + "/t"
+    path = scratch_dir(prefix="altskip_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(staged.repartitionByRange(8, "uid"), path)
     fmt.alter_table(path, drop_columns=["user_id"],
@@ -2973,13 +2960,12 @@ def q_partition_pruned_read(spark, sf_dir):
     commit metadata (partition-value cardinality); the scan plan width
     follows the predicate's partition selectivity, not the live-dir
     count."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="ppr_q_") + "/t"
+    path = scratch_dir(prefix="ppr_q_") + "/t"
     fmt = TxnLogFormat()
     hot = ["click", "view"]
     fmt.overwrite_partitions(
@@ -3026,13 +3012,12 @@ def q_small_file_compact_read(spark, sf_dir):
     Scale shape: the streaming cure — per-epoch crumbs merge in O(rows
     in small files), cold big files untouched, selection driver-side
     over recorded sizes."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="sfc_q_") + "/t"
+    path = scratch_dir(prefix="sfc_q_") + "/t"
     fmt = TxnLogFormat()
     for i in range(8):
         fmt.append(e.filter(F.pmod(F.col("event_id"), F.lit(8)) == i)
@@ -3076,13 +3061,12 @@ def q_checkpoint_log_read(spark, sf_dir):
     Scale shape: this is the streaming-table metadata path at 100 TB —
     one commit per epoch forever, yet every read replays O(interval)
     log files, scans one batched relation, and never lists storage."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="ckpt_q_") + "/t"
+    path = scratch_dir(prefix="ckpt_q_") + "/t"
     fmt = TxnLogFormat()  # default interval 10: the 11th commit folds
     for i in range(12):
         fmt.append(e.filter(F.pmod(F.col("event_id"), F.lit(12)) == i)
@@ -3128,13 +3112,12 @@ def q_sidecar_checkpoint_read(spark, sf_dir):
     Scale shape: this is the 10⁶-live-file streaming table's cold
     plan — an O(live dirs) JSON parse plus one columnar name read,
     with per-file stats decoded only because the read is filtered."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="sidecar_q_") + "/t"
+    path = scratch_dir(prefix="sidecar_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_sidecar_files=4)
     for i in range(12):
         fmt.append(e.filter(F.pmod(F.col("event_id"), F.lit(12)) == i)
@@ -3177,13 +3160,12 @@ def q_targeted_cow_read(spark, sf_dir):
     Scale shape: each op's predicate read stats-prunes to candidate
     files and the rewrite touches O(matching files), not O(table) —
     the copy-on-write twin of the deletion-vector path's O(rows)."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="cow_q_") + "/t"
+    path = scratch_dir(prefix="cow_q_") + "/t"
     fmt = TxnLogFormat()
     for part in range(3):
         fmt.append(e.filter(F.pmod("event_id", F.lit(3)) == part), path)
@@ -3226,7 +3208,6 @@ def q_cdf_sidecar_changes(spark, sf_dir):
     Scale shape: the sidecar is O(changed rows) written once at commit;
     the feed plans directly from commit-recorded sidecar file names
     (no listing, no snapshot diffing)."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
     from ..sources.txnlog_stream import TxnLogDataSource
@@ -3234,7 +3215,7 @@ def q_cdf_sidecar_changes(spark, sf_dir):
     spark.dataSource.register(TxnLogDataSource)
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="cdfq_") + "/t"
+    path = scratch_dir(prefix="cdfq_") + "/t"
     fmt = TxnLogFormat(change_data_feed=True)
     fmt.append(e, path)
     fmt.delete_where(spark, path, "event_type = 'error'")
@@ -3266,13 +3247,12 @@ def q_bloom_skipping_read(spark, sf_dir):
     Scale shape: filters are built in one distributed pass per commit
     and probed driver-side at file-metadata scale — no false negatives
     by construction, a saturated filter just stops pruning."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars")
-    path = tempfile.mkdtemp(prefix="bloomq_") + "/t"
+    path = scratch_dir(prefix="bloomq_") + "/t"
     fmt = TxnLogFormat(bloom_filter_columns={"doc_id": 65536})
     for stripe in range(3):
         fmt.append(d.filter(F.pmod("doc_id", F.lit(3)) == stripe), path)
@@ -3300,13 +3280,12 @@ def q_compact_where_read(spark, sf_dir):
     Scale shape: the rewrite touches O(may-match small files) — the
     hot partition of a streaming-ingest table compacts without
     rewriting cold history."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="cwq_") + "/t"
+    path = scratch_dir(prefix="cwq_") + "/t"
     fmt = TxnLogFormat()
     for stripe in range(6):
         fmt.append(e.filter(F.pmod("event_id", F.lit(6)) == stripe),
@@ -3385,13 +3364,12 @@ def q_column_default_read(spark, sf_dir):
     add one plan-level literal projection per PRE-alter dir (no data
     movement, no rewrite — exactly why Delta/Spark define EXISTS_DEFAULT
     this way)."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="dflt_q_") + "/t"
+    path = scratch_dir(prefix="dflt_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
     fmt.alter_table(path,
@@ -3441,13 +3419,12 @@ def q_generated_column_read(spark, sf_dir):
     value materializes physically, so stats/bloom skipping and
     partition layout on generated columns work exactly as for stored
     columns — the query-optimization generated columns exist for."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="genc_q_") + "/t"
+    path = scratch_dir(prefix="genc_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0).limit(0), path)
     fmt.set_properties(
@@ -3500,13 +3477,12 @@ def q_protocol_gated_read(spark, sf_dir):
     Scale shape: the protocol is O(features) metadata resolved from the
     same cached checkpoint+tail every plan already parses; the gate
     adds set lookups per plan, no data-path cost at any table size."""
-    import tempfile
 
     from ..sinks import ProtocolError, TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="proto_q_") + "/t"
+    path = scratch_dir(prefix="proto_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=2)
     fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
     fmt.set_protocol(path,
@@ -3520,7 +3496,7 @@ def q_protocol_gated_read(spark, sf_dir):
     assert fmt.details(path)["checkpoint_version"] is not None
 
     # negative half: a future-feature table refuses loudly
-    sibling = tempfile.mkdtemp(prefix="proto_sib_") + "/t"
+    sibling = scratch_dir(prefix="proto_sib_") + "/t"
     fmt.append(e.limit(10), sibling)
     fmt.set_protocol(sibling, reader_features=["row_tracking_v9"],
                      allow_unknown=True)
@@ -3571,13 +3547,12 @@ def q_clone_read(spark, sf_dir):
     threshold) — no data bytes move through compute at any table size,
     and unlike Delta's shallow clone the result survives source vacuum
     (links pin the shared inodes)."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    base = tempfile.mkdtemp(prefix="clone_q_")
+    base = scratch_dir(prefix="clone_q_")
     src, dst = base + "/src", base + "/dst"
     fmt = TxnLogFormat(checkpoint_interval=None)
     fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), src)
@@ -3621,12 +3596,11 @@ def q_identity_column_read(spark, sf_dir):
     count scale) + a codegen projection — no window, no shuffle; the
     identity watermark is one small map riding the commit record, the
     same carrier as the idempotent-txn watermarks."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select("event_id", "event_type")
-    path = tempfile.mkdtemp(prefix="idc_q_") + "/t"
+    path = scratch_dir(prefix="idc_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(e.limit(0), path)
     fmt.set_properties(spark, path,
@@ -3689,7 +3663,6 @@ def q_catalog_table_read(spark, sf_dir):
     pointing at the log — no data moves); the scan plans one
     InputPartition per commit-recorded file (no storage listing) and
     reads arrow record batches executor-side."""
-    import tempfile
 
     from .. import tables
 
@@ -3697,7 +3670,7 @@ def q_catalog_table_read(spark, sf_dir):
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="cat_q_") + "/t"
+    path = scratch_dir(prefix="cat_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=None)
     fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)
     tables.create_table(spark, "txn_catalog_events", path, replace=True)
@@ -3750,13 +3723,12 @@ def q_partition_transform_read(spark, sf_dir):
     Scale shape: pruning is a driver-side map over commit metadata and
     recorded file names; the scan plan width follows bucket
     selectivity (|IN| buckets of n), not table size."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="ptr_q_") + "/t"
+    path = scratch_dir(prefix="ptr_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=None)
     fmt.append(e.limit(0), path)  # schema-bearing seed, zero rows
     fmt.set_properties(spark, path,
@@ -3805,13 +3777,12 @@ def q_transform_evolution_read(spark, sf_dir):
     Scale shape: pruning stays a driver-side map over commit metadata
     and recorded file paths; re-speccing a 100 TB table is ONE
     set_properties commit, zero data movement."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="evo_q_") + "/t"
+    path = scratch_dir(prefix="evo_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=None)
     fmt.append(e.limit(0), path)
     fmt.set_properties(spark, path,
@@ -3868,13 +3839,12 @@ def q_transform_rewrite_read(spark, sf_dir):
     partition-values agg at hive-value cardinality); pruning stays a
     driver-side map over commit metadata forever, no matter how many
     row-level ops the table absorbs."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="trw_q_") + "/t"
+    path = scratch_dir(prefix="trw_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=None)
     fmt.append(e.limit(0), path)
     fmt.set_properties(spark, path,
@@ -3944,13 +3914,12 @@ def q_row_tracking_read(spark, sf_dir):
     single-link-wins serialization as the commit itself); reads derive
     fresh ids from ``base + parquet row index`` — zero storage
     overhead — and only rewritten rows carry a materialized id column."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="rtr_q_") + "/t"
+    path = scratch_dir(prefix="rtr_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=None)
     fmt.append(e.limit(0), path)
     fmt.set_properties(spark, path, row_tracking=True)
@@ -4016,14 +3985,13 @@ def q_cdf_row_ids(spark, sf_dir):
     Scale shape: the feed derives ids executor-side from commit-
     reserved bases + parquet positions (the DV positions it already
     plans from) — no extra reads, no join."""
-    import tempfile
 
     from .. import tables
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="cri_q_") + "/t"
+    path = scratch_dir(prefix="cri_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=None)
     fmt.append(e.limit(0), path)
     fmt.set_properties(spark, path, row_tracking=True)
@@ -4096,13 +4064,12 @@ def q_type_widening_read(spark, sf_dir):
     no data moves at any table size (the reason typeWidening exists:
     an int column that outgrew its type on a 100 TB table must not
     cost a 100 TB rewrite)."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id")
-    path = tempfile.mkdtemp(prefix="wid_q_") + "/t"
+    path = scratch_dir(prefix="wid_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=None)
     fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0)
                .withColumn("user_id", F.col("user_id").cast("int")),
@@ -4150,13 +4117,12 @@ def q_file_manifest(spark, sf_dir):
 
     Scale shape: pure commit metadata — no storage listing, no footer
     read; the row is file-metadata scale like every planning path."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
 
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    path = tempfile.mkdtemp(prefix="fm_q_") + "/t"
+    path = scratch_dir(prefix="fm_q_") + "/t"
     fmt = TxnLogFormat(checkpoint_interval=None)
     for half in (0, 1):
         fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == half)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import ensure_ltz, ensure_ntz, load, table_path
 from ..session import tune
+from .scratch import scratch_dir
 
 QUERIES = {}
 ORACLE_SQL = {}
@@ -497,11 +498,10 @@ def q_cdc_stream_apply(spark, sf_dir):
     latest-wins over a total order (ts, event_id) is independent of how
     the bounded input was micro-batched — the same convergence
     ``tests/test_cdc_stream.py`` asserts."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
     from ..streaming.cdc_stream import start_cdc_upsert_stream
-    workdir = tempfile.mkdtemp(prefix="cdc_stream_q_")
+    workdir = scratch_dir(prefix="cdc_stream_q_")
     table = f"{workdir}/table"
     q = start_cdc_upsert_stream(
         spark, _events_stream(spark, sf_dir), table,
@@ -541,7 +541,6 @@ def q_rollup_incremental(spark, sf_dir):
     and the final table state is returned.  The DuckDB oracle is the
     straight one-shot aggregate, so incremental == full-recompute is
     checked cross-engine, not just in unit tests."""
-    import tempfile
 
     from ..catalog import epoch_seconds, load
     from ..plans.rollup import BUCKET_COL, refresh_rollup
@@ -549,7 +548,7 @@ def q_rollup_incremental(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     mid = (e.select(epoch_seconds("ts").alias("ep"))
            .agg(F.expr("percentile_approx(ep, 0.5)")).head()[0])
-    path = tempfile.mkdtemp(prefix="rollup_q_") + "/rollup"
+    path = scratch_dir(prefix="rollup_q_") + "/rollup"
     refresh_rollup(spark, e.filter(epoch_seconds("ts") < F.lit(int(mid))),
                    path, grace_hours=48, granularity="day")
     refresh_rollup(spark, e, path, grace_hours=48, granularity="day")
@@ -660,13 +659,12 @@ def q_stream_kmv_distinct(spark, sf_dir):
     fate of non-replayable sketch state (cf. ``q_hll_sketch_rollup``).
     State is O(k) per set; estimates are integer-exact (same
     ``(k-1) * 2^52 DIV h_k`` path as ``q_kmv_distinct_sketch``)."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
     from ..streaming.sketch_stream import start_kmv_stream
 
     k, m_num = 64, 63 * (1 << 52)
-    workdir = tempfile.mkdtemp(prefix="kmv_stream_q_")
+    workdir = scratch_dir(prefix="kmv_stream_q_")
     q = start_kmv_stream(
         spark,
         _events_stream(spark, sf_dir).select("event_type", "user_id"),
@@ -724,7 +722,6 @@ def q_txnlog_stream_source(spark, sf_dir):
     Scale shape: offset planning is O(new commits) driver-side metadata;
     file reads are executor-side pyarrow -> Arrow batches (no per-row
     Python); the three-way split rides one keyed repartition."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
     from ..sources.txnlog_stream import TxnLogDataSource
@@ -732,7 +729,7 @@ def q_txnlog_stream_source(spark, sf_dir):
     spark.dataSource.register(TxnLogDataSource)
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="txnsrc_q_") + "/t"
+    path = scratch_dir(prefix="txnsrc_q_") + "/t"
     fmt = TxnLogFormat()
     for part in range(3):  # three commits -> three source versions
         fmt.append(e.filter(F.pmod("event_id", F.lit(3)) == part), path)
@@ -778,7 +775,6 @@ def q_change_data_feed(spark, sf_dir):
     file scans — no snapshot diffing anywhere.  Reference parity: the
     reference ships full daily snapshots (D:319-344); the feed is the
     incremental contract its consumers actually want."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
     from ..sources.txnlog_stream import TxnLogDataSource
@@ -786,7 +782,7 @@ def q_change_data_feed(spark, sf_dir):
     spark.dataSource.register(TxnLogDataSource)
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="cdf_q_") + "/t"
+    path = scratch_dir(prefix="cdf_q_") + "/t"
     fmt = TxnLogFormat()
     fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), path)  # v0
     fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 1), path)  # v1
@@ -850,7 +846,6 @@ def q_cdf_replica_mirror(spark, sf_dir):
     O(commits) metadata + O(vectored rows); the apply touches changed
     keys), not source size — the incremental contract the reference's
     full daily snapshot ship (D:319-344) lacked."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
     from ..sources.txnlog_stream import TxnLogDataSource
@@ -859,7 +854,7 @@ def q_cdf_replica_mirror(spark, sf_dir):
     spark.dataSource.register(TxnLogDataSource)
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    work = tempfile.mkdtemp(prefix="cdfmir_q_")
+    work = scratch_dir(prefix="cdfmir_q_")
     src, dst = f"{work}/src", f"{work}/dst"
     fmt = TxnLogFormat()
     fmt.append(e.filter(F.pmod("event_id", F.lit(2)) == 0), src)   # v0
@@ -906,7 +901,6 @@ def q_cdf_rowid_mirror(spark, sf_dir):
     Scale shape: identical to the key mirror (sync cost follows change
     volume); identity addressing adds one lineage column to the
     replica, no extra pass."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
     from ..sources.txnlog_stream import TxnLogDataSource
@@ -915,7 +909,7 @@ def q_cdf_rowid_mirror(spark, sf_dir):
     spark.dataSource.register(TxnLogDataSource)
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
-    work = tempfile.mkdtemp(prefix="ridmir_q_")
+    work = scratch_dir(prefix="ridmir_q_")
     src, dst = f"{work}/src", f"{work}/dst"
     fmt = TxnLogFormat()
     fmt.append(e.limit(0), src)
@@ -972,7 +966,6 @@ def q_txnlog_stream_sink(spark, sf_dir):
     Scale shape: sink tasks stream Arrow chunks to per-task staged
     files (no task buffering); the epoch commit is O(files) driver
     metadata — the same job-commit cost every table format pays."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
     from ..sources.txnlog_stream import TxnLogDataSource
@@ -980,7 +973,7 @@ def q_txnlog_stream_sink(spark, sf_dir):
     spark.dataSource.register(TxnLogDataSource)
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    work = tempfile.mkdtemp(prefix="txnsink_q_")
+    work = scratch_dir(prefix="txnsink_q_")
     src, dst = f"{work}/src", f"{work}/dst"
     fmt = TxnLogFormat()
     for part in range(3):
@@ -1030,7 +1023,6 @@ def q_txnlog_stream_pushdown(spark, sf_dir):
     a filtered stream over a type-partitioned firehose plans O(matching
     files), not O(commits x files) — this was the last unpruned read
     path (VERDICT r9 item 3)."""
-    import tempfile
 
     from ..sinks import TxnLogFormat
     from ..sources.txnlog_stream import TxnLogDataSource
@@ -1038,7 +1030,7 @@ def q_txnlog_stream_pushdown(spark, sf_dir):
     spark.dataSource.register(TxnLogDataSource)
     e = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value")
-    path = tempfile.mkdtemp(prefix="txnpush_q_") + "/t"
+    path = scratch_dir(prefix="txnpush_q_") + "/t"
     fmt = TxnLogFormat()
     for et in ("click", "error", "purchase", "signup", "view"):
         fmt.append(e.filter(F.col("event_type") == et).coalesce(1), path)
