@@ -366,3 +366,52 @@ def test_sql_router_merge_not_matched_by_source(spark, cat):
     d = {r.a: r.b for r in tables.table(spark, cat["name"]).collect()}
     assert d == {0: 100, 1: 101, 2: 4, 3: 6, 4: 8, 5: 10, 6: 12,
                  7: 14, 777: 7}
+
+
+def test_sql_time_travel_version_as_of(spark, cat):
+    """Round 13 (VERDICT r12 item 3): SELECT ... VERSION AS OF n as SQL
+    text resolves against the registered txnlog table — both eras in
+    one statement, qualified refs through the implicit alias."""
+    cat["fmt"].delete_where(spark, cat["path"], "a >= 5")       # -> v1
+    name = cat["name"]
+    assert tables.sql(
+        spark, f"SELECT count(*) AS n FROM {name} VERSION AS OF 0"
+    ).head().n == 10
+    assert tables.sql(
+        spark, f"SELECT count(*) AS n FROM {name}@v1").head().n == 5
+    # cross-era self-join; explicit alias on one side, implicit on the
+    # other; deleted rows readable only in the old era
+    got = tables.sql(spark, f"""
+        SELECT old.a FROM {name} VERSION AS OF 0 AS old
+        LEFT ANTI JOIN {name}@v1 ON old.a = {name}.a
+        ORDER BY old.a""").collect()
+    assert [r.a for r in got] == [5, 6, 7, 8, 9]
+    # no temp-view debris
+    assert not [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("__tt_")]
+
+
+def test_sql_time_travel_timestamp_as_of(spark, cat):
+    import time
+    t_mid = time.time() + 0.5
+    time.sleep(1.1)  # commit timestamps are file mtimes (second-ish)
+    cat["fmt"].append(spark.range(100, 103).select(
+        F.col("id").alias("a"), F.lit(0).cast("long").alias("b")),
+        cat["path"])
+    name = cat["name"]
+    assert tables.sql(
+        spark, f"SELECT count(*) AS n FROM {name} "
+               f"TIMESTAMP AS OF {t_mid}").head().n == 10
+    assert tables.sql(
+        spark, f"SELECT count(*) AS n FROM {name} "
+               f"TIMESTAMP AS OF {time.time() + 60}").head().n == 13
+
+
+def test_sql_time_travel_errors_and_passthrough(spark, cat):
+    with pytest.raises(ValueError, match="does not exist"):
+        tables.sql(spark, f"SELECT * FROM {cat['name']} "
+                          f"VERSION AS OF 99").collect()
+    # a non-registered name is left to Spark's own resolution
+    spark.range(4).createOrReplaceTempView("tt_plain_v")
+    assert tables.sql(
+        spark, "SELECT count(*) AS n FROM tt_plain_v").head().n == 4
