@@ -807,7 +807,7 @@ def test_vectorized_sidecar_skipping_matches_rowwise(spark, tmp_path):
         # force the row-wise JSON path
         orig = TxnLogFormat._sidecar_excluded
         TxnLogFormat._sidecar_excluded = \
-            lambda self, p, r, m: None
+            lambda self, p, r, m, _want_kept=False: None
         try:
             fresh = TxnLogFormat()
             row = fresh._clause_excluded_files(path, commits, alters,
@@ -859,3 +859,44 @@ def test_process_wide_log_cache_semantics(spark, tmp_path):
     assert len(sk._LOG_CACHE) <= sk._LOG_CACHE_MAX_PATHS
     # evicted paths still read correctly (cache re-fills on demand)
     assert a.read(spark, path).count() == 1
+
+
+def test_kept_mode_survivor_pruning(spark, tmp_path):
+    """Round 13: with a typed sidecar, one clause group, and no alters,
+    the read plan materializes the SURVIVOR list (O(kept)) instead of
+    the excluded set (O(live files)) — and both forms agree with the
+    unpruned filter.  Mixed-era (post-checkpoint tail commits) and
+    retired files must stay correctly handled in kept mode."""
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat(checkpoint_interval=10,
+                       checkpoint_sidecar_files=8)  # force sidecar form
+    for i in range(25):
+        fmt.append(spark.createDataFrame(
+            [(i * 10 + j, f"s{i}") for j in range(4)],
+            "k long, s string").coalesce(1), path)
+    # targeted update retires one file through a rewrite
+    fmt.update_where(spark, path, "k = 55", {"s": "'rewritten'"})
+    commits = fmt._commits(path)
+    assert commits[0]["action"] == "checkpoint"
+    clauses = fmt._skip_clauses("k = 101")
+    # the sidecar pass really returns the kept form here
+    got = fmt._sidecar_excluded(path, commits[0],
+                                _mapped_const(clauses), _want_kept=True)
+    assert isinstance(got, tuple) and isinstance(got[1], dict)
+    kept_files = [rf for fl in got[1].values() for rf in fl]
+    assert len(kept_files) == 1  # one distinct-range file survives
+    # end-to-end: kept-mode read == unpruned filter, across eras
+    for where in ("k = 101", "k = 55", "k < 12", "k >= 240",
+                  "k IN (7, 55, 248)", "k = 99999"):
+        got_rows = sorted(map(tuple, fmt.read(spark, path, where=where)
+                              .collect()))
+        want = sorted(map(tuple, fmt.read(spark, path)
+                          .filter(where).collect()))
+        assert got_rows == want, where
+
+
+def _mapped_const(clauses):
+    def mapped_for(sv):
+        return clauses
+    mapped_for.version_independent = True
+    return mapped_for
