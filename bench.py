@@ -166,6 +166,71 @@ def _metadata_plan_bench(spark, n_commits: int = 600,
             "stream_runs": stream_times}
 
 
+def _merge_canary_bench(spark, sf_dir: str) -> dict:
+    """MERGE-ONLY canary (round 13 — VERDICT r12 item 2): the
+    ``q_merge_targeted_read`` headline number is ~75% fixture
+    scaffolding (range staging, two time-travel reads, the witness
+    join), so it cannot catch a 30% merge regression.  This times
+    ``TxnLogFormat.merge`` ALONE: the range-staged row-tracked table is
+    built untimed, the CDC batch is materialized to a local DataFrame
+    (no source recompute inside the timed region), and each rep
+    restores to the pre-merge version (cheap metadata) before merging —
+    so the three runs measure the same file-targeted point merge:
+    stats/bloom probe, fused hot-file discovery, one full-outer
+    rewrite of O(matched files)."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datalake_ingestion_system_spark.catalog import load
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat
+
+    o = load(spark, sf_dir, "orders")
+    base = (o.select("o_custkey",
+                     F.floor(F.col("o_totalprice") * 100 + 0.5)
+                      .cast("long").alias("c"))
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("c").cast("long").alias("total_cents")))
+    root = tempfile.mkdtemp(prefix="bench_merge_tgt_")
+    path = root + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(base.limit(0), path)
+    fmt.set_properties(spark, path, row_tracking=True)
+    fmt.append(base.repartitionByRange(8, "o_custkey"), path)
+    pre_version = fmt._commits(path)[-1]["version"]
+    mx = int(base.agg(F.max("o_custkey")).head()[0])
+    cut, ins0 = mx // 20, mx + 1
+    updates = (base.filter(F.col("o_custkey") <= cut)
+               .withColumn("total_cents", F.col("total_cents") + 1)
+               .withColumn("op", F.when(F.col("o_custkey") % 7 == 0,
+                                        F.lit("D")).otherwise(F.lit("U"))))
+    inserts = spark.range(ins0, ins0 + 5).select(
+        F.col("id").alias("o_custkey"),
+        F.lit(1).cast("long").alias("n_orders"),
+        (F.col("id") * 100).cast("long").alias("total_cents"),
+        F.lit("U").alias("op"))
+    src = updates.unionByName(inserts)
+    batch = spark.createDataFrame(src.collect(), src.schema)
+    runs = []
+    for rep in range(4):  # rep 0 primes the merge plan's codegen
+        if rep:
+            fmt.restore(spark, path, pre_version)
+        t0 = time.perf_counter()
+        m = fmt.merge(spark, path, batch, "o_custkey",
+                      matched_delete_condition="op = 'D'",
+                      insert_condition="op <> 'D'")
+        dt = round(time.perf_counter() - t0, 3)
+        if rep:
+            runs.append(dt)
+    shutil.rmtree(root, ignore_errors=True)
+    return {"merge_only_sec": round(statistics.median(runs), 3),
+            "runs": runs, "batch_rows": batch.count(),
+            "metrics": m}
+
+
 def _bench_overrides():
     """Per-name production-mode variants timed INSTEAD of the registered
     query. The registry keeps q_minhash_lsh_pairs in verifiable mode (md5 +
@@ -319,6 +384,12 @@ def main() -> None:
         print(f"# {name}: median {per_query[name]:.3f}s of {times} "
               f"({counts[0]} rows)", file=sys.stderr)
 
+    # MERGE-ONLY canary (round 13), tracked outside the headline total:
+    # q_merge_targeted_read keeps its slot for series continuity, but
+    # the number that must stay ~flat round-over-round is this one
+    merge_canary = _merge_canary_bench(spark, sf_dir)
+    print(f"# merge_targeted_only: {merge_canary}", file=sys.stderr)
+
     # metadata-tier depth number, tracked OUTSIDE the headline total so
     # round-over-round query totals stay comparable (BASELINE.md
     # documents its r9 reference point)
@@ -360,6 +431,7 @@ def main() -> None:
         "queries": per_query,
         "runs": raw_runs,
         "protocol": f"median-of-{reps}",
+        "merge_targeted_only": merge_canary,
         "metadata_plan": meta_plan,
         "metadata_plan_deep": meta_deep,
         "clone_deep": clone_deep,
