@@ -362,10 +362,11 @@ def sql(spark: SparkSession, statement: str):
     - ``DELETE FROM t [WHERE pred]`` → ``delete_where``
     - ``MERGE INTO t [AS a] USING (subquery)|src [AS b] ON a.k = b.k
       [AND ...] [WHEN MATCHED AND c THEN DELETE] [WHEN MATCHED [AND c]
-      THEN UPDATE SET *] [WHEN NOT MATCHED [AND c] THEN INSERT *]
+      THEN UPDATE SET * | UPDATE SET col = expr[, ...]]
+      [WHEN NOT MATCHED [AND c] THEN INSERT *]
       [WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE]``
-      → ``merge`` (the API's clause surface: SET */INSERT * only,
-      conditions over source columns)
+      → ``merge`` (conditions over source columns; SET expressions may
+      mix sides via the statement aliases — round 13 column-level SET)
     - ``OPTIMIZE t [WHERE pred] [ZORDER BY (c1, c2)]`` → ``compact``
     - ``VACUUM t [RETAIN n HOURS]`` → ``vacuum``
     - ``RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'``
@@ -510,18 +511,19 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
                 f"sides for the routed API, got {l!r} = {r!r}")
         keys.append(l)
     matched_delete, insert_cond, matched_update = None, None, None
-    nmbs_delete = None
+    nmbs_delete, assignments = None, None
     saw_update, saw_insert = False, False
     pat = _re.compile(
         r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?"
         r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
-        r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)", flags)
+        r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+?)"
+        r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)", flags)
     pos, matches = 0, list(pat.finditer(whens))
     if not matches or matches[0].start() != 0:
         raise ValueError(f"unsupported MERGE WHEN clauses: {whens!r}")
     for w in matches:
-        notm, bysrc, cond, act = w.groups()
-        act = _re.sub(r"\s+", " ", act.upper())
+        notm, bysrc, cond, raw_act = w.groups()
+        act = _re.sub(r"\s+", " ", raw_act.upper()).strip()
         cond = (_strip_alias(cond, [s_alias, t_alias])
                 if cond else None)
         if bysrc:
@@ -538,7 +540,33 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
         elif act == "DELETE":
             matched_delete = cond or "true"
         elif act == "UPDATE SET *":
+            if saw_update:
+                raise ValueError(
+                    "at most one WHEN MATCHED ... UPDATE clause")
             saw_update, matched_update = True, (cond or None)
+        elif act.startswith("UPDATE SET"):
+            # column-level SET (round 13): parse `col = expr[, ...]`
+            # from the RAW clause text; statement aliases normalize to
+            # the API's canonical t./s. qualifiers
+            if saw_update:
+                raise ValueError(
+                    "at most one WHEN MATCHED ... UPDATE clause")
+            saw_update, matched_update = True, (cond or None)
+            raw_set = _re.match(r"UPDATE\s+SET\s+(.*)$", raw_act,
+                                flags).group(1)
+            assignments = {}
+            for a in _split_top(raw_set):
+                ca, eq, ea = a.partition("=")
+                if not eq:
+                    raise ValueError(
+                        f"bad assignment in MERGE UPDATE SET: {a!r}")
+                tgt = _unquote_ident(_strip_alias(ca, [t_alias]))
+                if tgt in assignments:
+                    # Delta's duplicate-SET-column error
+                    raise ValueError(
+                        f"duplicate MERGE assignment to column {tgt!r}")
+                assignments[tgt] = _requalify(ea.strip(),
+                                              t_alias, s_alias)
         else:
             raise ValueError(f"unsupported MERGE action: {act!r}")
         pos = w.end()
@@ -548,13 +576,25 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
     if not saw_update:
         raise ValueError(
             "the routed MERGE requires WHEN MATCHED THEN UPDATE SET * "
-            "(the API's upsert contract)")
+            "or UPDATE SET col = expr (the API's upsert contract)")
     return TxnLogFormat().merge(
         spark, table_path(spark, _unquote_ident(tname)), source, keys,
         matched_delete_condition=matched_delete,
         matched_update_condition=matched_update,
         not_matched_by_source_delete_condition=nmbs_delete,
+        matched_update_assignments=assignments,
         insert_condition=(insert_cond if saw_insert else "false"))
+
+
+def _requalify(expr: str, t_alias: str | None,
+               s_alias: str | None) -> str:
+    """Normalize a MERGE assignment expression's statement aliases to
+    the format API's canonical ``t.`` / ``s.`` qualifiers."""
+    for alias, canon in ((t_alias, "t."), (s_alias, "s.")):
+        if alias and alias not in ("t", "s"):
+            expr = _re.sub(rf"\b{_re.escape(alias)}\s*\.\s*", canon,
+                           expr)
+    return expr.strip()
 
 
 def drop_table(spark: SparkSession, name: str) -> None:
