@@ -2511,6 +2511,61 @@ FROM era0 e0 LEFT JOIN era2 e2 ON e0.event_type = e2.event_type
 """
 
 
+@_q("q_timestamp_skipping_read")
+def q_timestamp_skipping_read(spark, sf_dir):
+    """TIMESTAMP data skipping, oracle-verified (round 13 — VERDICT r12
+    item 5): events commit range-clustered on ``ts`` (8 files with
+    disjoint time ranges; the writer emits INT64-micros parquet, so
+    footers carry real min/max, harvested into canonical fixed-width
+    UTC text — lexicographic == chronological, the r12 date-stats
+    trick widened to instants), then ``read(where="ts >= X")`` — the
+    dominant log-table access pattern — must open only the files whose
+    recorded bounds admit a match (asserted inline via inputFiles; the
+    predicate always re-applies, so pruning stays access-path-only).
+    Clause literals canonicalize through the same UTC text form
+    (``_canonicalize_ts_clauses``), gated on the pinned-UTC session.
+
+    Scale shape: a time-range query against a 100 TB append-mostly log
+    table scans O(matching time span), not O(history) — driver-side
+    stats comparison at file cardinality, zero extra jobs."""
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value")
+    path = scratch_dir(prefix="tskip_q_") + "/t"
+    fmt = TxnLogFormat()
+    fmt.append(e.repartitionByRange(8, "ts"), path)
+    got = fmt.read(spark, path, where="ts >= '2024-01-24 00:00:00'")
+    n_scanned = len(got.inputFiles())
+    assert n_scanned < 8, \
+        f"timestamp stats must prune the cold files, scanned {n_scanned}"
+    return (got.groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                  .alias("value_cents"),
+                 F.min(epoch_seconds_col("ts")).alias("min_epoch"),
+                 F.max(epoch_seconds_col("ts")).alias("max_epoch")))
+
+
+def epoch_seconds_col(c):
+    from ..catalog import epoch_seconds
+    return epoch_seconds(c).cast("long")
+
+
+ORACLE_SQL["q_timestamp_skipping_read"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+         AS min_epoch,
+       CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+         AS max_epoch
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+GROUP BY event_type
+"""
+
+
 @_q("q_merge_set_columns")
 def q_merge_set_columns(spark, sf_dir):
     """COLUMN-LEVEL MERGE SET, oracle-verified (round 13 — VERDICT r12

@@ -927,7 +927,35 @@ class TxnLogFormat(TableFormat):
                                 mnmx[name] = None
                                 continue
                         import datetime as _dt
-                        if (type(mn) is _dt.date
+                        if isinstance(mn, _dt.datetime):
+                            # TIMESTAMP stats in canonical fixed-width
+                            # text (round 13): 'YYYY-MM-DD
+                            # HH:MM:SS.ffffff' — lexicographic ==
+                            # chronological, LTZ instants rendered in
+                            # UTC (clause literals canonicalize through
+                            # the same path, `_canonicalize_ts_clauses`,
+                            # gated on the pinned-UTC session).  Only
+                            # micro/milli units: a nanos file's stats
+                            # truncate to µs, so its max could under-
+                            # bound — record unknown instead.
+                            unit = _re_mod.search(
+                                r"timeUnit=(\w+)", str(st.logical_type))
+                            if (not isinstance(mx, _dt.datetime)
+                                    or (mn.tzinfo is None)
+                                    != (mx.tzinfo is None)
+                                    or unit is None or unit.group(1)
+                                    not in ("microseconds",
+                                            "milliseconds")):
+                                mnmx[name] = None
+                                continue
+                            if mn.tzinfo is not None:
+                                mn = mn.astimezone(
+                                    _dt.timezone.utc).replace(tzinfo=None)
+                                mx = mx.astimezone(
+                                    _dt.timezone.utc).replace(tzinfo=None)
+                            mn = mn.strftime("%Y-%m-%d %H:%M:%S.%f")
+                            mx = mx.strftime("%Y-%m-%d %H:%M:%S.%f")
+                        elif (type(mn) is _dt.date
                                 and type(mx) is _dt.date):
                             # DATE stats as ISO strings (round 12):
                             # lexicographic order on the fixed
@@ -936,13 +964,10 @@ class TxnLogFormat(TableFormat):
                             # ('1998-01-01') parses to the same string
                             # — so date-column predicates data-skip,
                             # the dominant time-series access pattern.
-                            # datetime.datetime (a date subclass) is
-                            # deliberately excluded: tz-annotation
-                            # variants make its text order unreliable.
                             mn, mx = mn.isoformat(), mx.isoformat()
                         if not isinstance(mn, (int, float, str, bool)):
-                            # timestamps/decimals etc: stringify loses
-                            # the comparison semantics — record unknown
+                            # decimals etc: stringify loses the
+                            # comparison semantics — record unknown
                             mnmx[name] = None
                             continue
                         if name in mnmx:
@@ -3124,6 +3149,70 @@ class TxnLogFormat(TableFormat):
             clauses.append((col, "=" if op == "==" else op, val))
         return clauses
 
+    @staticmethod
+    def _canon_ts_literal(v) -> str | None:
+        """A clause literal in the canonical timestamp-stat text form
+        ('YYYY-MM-DD HH:MM:SS.ffffff', aware inputs rendered in UTC),
+        or None when the literal is not a parsable timestamp (the
+        clause is then dropped from PRUNING — the scan predicate still
+        applies)."""
+        if not isinstance(v, str):
+            return None
+        import datetime as _dt
+        try:
+            dt = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    def _canonicalize_ts_clauses(self, clauses: list,
+                                 commits: list[dict]) -> list:
+        """Timestamp data skipping (round 13 — VERDICT r12 item 5):
+        clause literals on timestamp columns rewrite into the same
+        canonical fixed-width UTC text the stats tier records, so
+        ``event_time >= X`` — the dominant log-table access pattern —
+        prunes through the ordinary string min/max machinery.
+        TIMESTAMP_NTZ compares wall-clock text (timezone-free, always
+        safe); TIMESTAMP (LTZ) stats are UTC instants, so its clauses
+        canonicalize only under the engine's pinned-UTC session
+        (``session.tune``; a SPARK_GRAFT_TZ override interprets
+        literals in that zone, where text comparison would lie — those
+        clauses drop from pruning instead).  Unparsable literals and
+        null tests pass through; every consumer of
+        ``_clause_excluded_files`` inherits this rewrite."""
+        if not clauses:
+            return clauses
+        sj = self._resolve_schema(commits)
+        if not sj:
+            return clauses
+        types = {f["name"]: f["type"]
+                 for f in json.loads(sj)["fields"]
+                 if isinstance(f["type"], str)}
+        if not any(types.get(c) in ("timestamp", "timestamp_ntz")
+                   for c, _op, _lit in clauses):
+            return clauses
+        utc = os.environ.get("SPARK_GRAFT_TZ", "UTC") == "UTC"
+        out = []
+        for col, op, lit in clauses:
+            t = types.get(col)
+            if (t not in ("timestamp", "timestamp_ntz")
+                    or op in ("isnull", "notnull")):
+                out.append((col, op, lit))
+                continue
+            if t == "timestamp" and not utc:
+                continue  # session-zone literal vs UTC stats: no prune
+            if op == "in":
+                cs = tuple(self._canon_ts_literal(v) for v in lit)
+                if all(c is not None for c in cs):
+                    out.append((col, op, cs))
+            else:
+                c = self._canon_ts_literal(lit)
+                if c is not None:
+                    out.append((col, op, c))
+        return out
+
     def _clause_excluded_files(self, path: str, commits: list[dict],
                                alters: list[dict],
                                clauses: list,
@@ -3157,6 +3246,7 @@ class TxnLogFormat(TableFormat):
         term), while the survivor list is O(files actually scanned).
         Only the one-group fast path emits it; every mixed-clause /
         alter / untyped case keeps the skip-set form."""
+        clauses = self._canonicalize_ts_clauses(clauses, commits)
         skip: set[str] = set()
         vmap: dict[int, list] = {}
 

@@ -3677,3 +3677,61 @@ def test_merge_crash_between_stage_and_commit_is_clean(spark, tmp_path,
     assert got == {"updated": 1, "deleted": 1, "inserted": 1}
     d = {r.k: r.v for r in fmt.read(spark, path).collect()}
     assert d[1] == 111 and 2 not in d and d[50] == 5 and 6 not in d
+
+
+def test_timestamp_stats_prune_files(spark, tmp_path):
+    """TIMESTAMP min/max record as canonical fixed-width UTC text
+    (round 13): `ts >= X` — the dominant log-table access pattern —
+    data-skips files, for BOTH the LTZ and NTZ flavors, with the
+    predicate re-applied so a pruning bug can never drop rows."""
+    import datetime as dt
+
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    mk = lambda mo: [(i, dt.datetime(2024, mo, 1 + i, 12, 0, 0, 250000))
+                     for i in range(10)]
+    for flavor in ("timestamp", "timestamp_ntz"):
+        p = f"{path}_{flavor}"
+        fmt.append(spark.createDataFrame(
+            mk(1), f"id long, ts {flavor}").coalesce(1), p)
+        fmt.append(spark.createDataFrame(
+            mk(3), f"id long, ts {flavor}").coalesce(1), p)
+        st = fmt._commits(p)[-1]["stats"]
+        per = next(iter(st.values()))
+        assert per["ts"][0] == "2024-03-01 12:00:00.250000", flavor
+        assert per["ts"][1] == "2024-03-10 12:00:00.250000", flavor
+        full = fmt.read(spark, p)
+        jan = fmt.read(spark, p, where="ts < '2024-02-01'")
+        assert jan.count() == 10, flavor
+        assert len(jan.inputFiles()) < len(full.inputFiles()), flavor
+        eq = fmt.read(spark, p,
+                      where="ts = '2024-03-05 12:00:00.25'")
+        assert eq.count() == 1, flavor
+        assert len(eq.inputFiles()) == 1, flavor
+        # boundary: >= exactly the recorded min must keep the file
+        lo = fmt.read(spark, p, where="ts >= '2024-01-01 12:00:00.25'")
+        assert lo.count() == 20, flavor
+
+
+def test_timestamp_skipping_gated_off_non_utc(spark, tmp_path,
+                                              monkeypatch):
+    """An LTZ clause under a non-UTC SPARK_GRAFT_TZ pin must NOT prune
+    (the literal's instant depends on the session zone) — while NTZ
+    clauses, being wall-clock, keep pruning."""
+    import datetime as dt
+
+    fmt = TxnLogFormat()
+    path = str(tmp_path / "t")
+    rows = [(i, dt.datetime(2024, 1, 1 + i, 12, 0)) for i in range(5)]
+    fmt.append(spark.createDataFrame(rows, "id long, ts timestamp")
+               .coalesce(1), path)
+    fmt.append(spark.createDataFrame(
+        [(i, dt.datetime(2024, 3, 1 + i, 12, 0)) for i in range(5)],
+        "id long, ts timestamp").coalesce(1), path)
+    monkeypatch.setenv("SPARK_GRAFT_TZ", "Asia/Tokyo")
+    commits = fmt._commits(path)
+    clauses = fmt._skip_clauses("ts < '2024-02-01'")
+    assert fmt._canonicalize_ts_clauses(clauses, commits) == []
+    monkeypatch.setenv("SPARK_GRAFT_TZ", "UTC")
+    assert fmt._canonicalize_ts_clauses(clauses, commits) == [
+        ("ts", "<", "2024-02-01 00:00:00.000000")]
