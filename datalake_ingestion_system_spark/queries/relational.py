@@ -2511,6 +2511,100 @@ FROM era0 e0 LEFT JOIN era2 e2 ON e0.event_type = e2.event_type
 """
 
 
+@_q("q_merge_identity_insert")
+def q_merge_identity_insert(spark, sf_dir):
+    """MERGE into an IDENTITY table, oracle-verified (round 13 —
+    VERDICT r12 item 7): a per-customer table carries a GENERATED
+    ALWAYS AS IDENTITY column; a CDC batch (updates, tombstones, and
+    inserts — the source supplies NO identity values) merges, and the
+    witness joins the post-state against the pre-merge snapshot via
+    time travel: surviving rows must KEEP their allocated identity
+    ('kept-id'), inserts read fresh values ('fresh'), and per-group
+    ``count(distinct rid) == count(*)`` pins uniqueness — a duplicated
+    or reassigned identity value changes a count the DuckDB oracle
+    derives declaratively, so it hash-mismatches loudly.  (Raw
+    identity VALUES are allocation-order dependent, like Delta's, so
+    the witness pins properties, not values.)
+
+    Scale shape: allocation rides only the insert slice (one bounded
+    per-partition count job on the CDC batch); the merge keeps its
+    file-targeted O(matched files) rewrite."""
+    from ..sinks import TxnLogFormat
+
+    o = load(spark, sf_dir, "orders")
+    base = (o.select("o_custkey",
+                     F.floor(F.col("o_totalprice") * 100 + 0.5)
+                      .cast("long").alias("c"))
+            .groupBy("o_custkey")
+            .agg(F.sum("c").cast("long").alias("total_cents")))
+    path = scratch_dir(prefix="midq_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(base.limit(0), path)
+    fmt.set_properties(spark, path,
+                       identity_columns={"rid": {"start": 1000,
+                                                 "step": 3}})
+    fmt.append(base.repartitionByRange(8, "o_custkey"), path)
+    pre_version = fmt._commits(path)[-1]["version"]
+    mx = int(base.agg(F.max("o_custkey")).head()[0])
+    cut, ins0 = mx // 20, mx + 1
+    updates = (base.filter(F.col("o_custkey") <= cut)
+               .withColumn("total_cents", F.col("total_cents") + 7)
+               .withColumn("op", F.when(F.col("o_custkey") % 9 == 0,
+                                        F.lit("D")).otherwise(F.lit("U"))))
+    inserts = spark.range(ins0, ins0 + 4).select(
+        F.col("id").alias("o_custkey"),
+        (F.col("id") * 10).cast("long").alias("total_cents"),
+        F.lit("U").alias("op"))
+    fmt.merge(spark, path, updates.unionByName(inserts), "o_custkey",
+              matched_delete_condition="op = 'D'",
+              insert_condition="op <> 'D'")
+    after = fmt.read(spark, path)
+    before = fmt.read(spark, path, as_of_version=pre_version).select(
+        "o_custkey", F.col("rid").alias("rid0"))
+    return (after.join(before, "o_custkey", "left")
+            .select("o_custkey", "total_cents", "rid",
+                    F.when(F.col("rid0").isNull(), F.lit("fresh"))
+                     .when(F.col("rid") == F.col("rid0"),
+                           F.lit("kept-id"))
+                     .otherwise(F.lit("reassigned")).alias("id_status"))
+            .groupBy("id_status")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("rid").alias("n_distinct_ids"),
+                 F.sum("o_custkey").alias("sum_key"),
+                 F.sum("total_cents").alias("sum_cents")))
+
+
+ORACLE_SQL["q_merge_identity_insert"] = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_custkey
+), cut AS (
+  SELECT CAST(max(o_custkey) AS BIGINT) // 20 AS k,
+         CAST(max(o_custkey) AS BIGINT) + 1 AS ins0 FROM base
+), final AS (
+  SELECT b.o_custkey,
+         CASE WHEN b.o_custkey <= (SELECT k FROM cut)
+              THEN b.total_cents + 7 ELSE b.total_cents END
+           AS total_cents,
+         'kept-id' AS id_status
+  FROM base b
+  WHERE NOT (b.o_custkey <= (SELECT k FROM cut) AND b.o_custkey % 9 = 0)
+  UNION ALL
+  SELECT (SELECT ins0 FROM cut) + i,
+         CAST(((SELECT ins0 FROM cut) + i) * 10 AS BIGINT),
+         'fresh'
+  FROM range(4) t(i)
+)
+SELECT id_status, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_ids,
+       CAST(sum(o_custkey) AS BIGINT) AS sum_key,
+       CAST(sum(total_cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY id_status
+"""
+
+
 @_q("q_timestamp_skipping_read")
 def q_timestamp_skipping_read(spark, sf_dir):
     """TIMESTAMP data skipping, oracle-verified (round 13 — VERDICT r12

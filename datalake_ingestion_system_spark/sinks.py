@@ -5244,14 +5244,25 @@ class TxnLogFormat(TableFormat):
         if not commits:
             raise FileNotFoundError(f"no committed table at {path}")
         head = commits[-1]["version"]
-        if self._resolve_properties(commits).get("identity_columns"):
-            # a MERGE insert would need fresh identity allocation mid-
-            # rewrite, and an update could silently rewrite allocated
-            # values — Delta likewise rejected MERGE on identity tables
-            # for years; append() is the identity-allocating ingest path
-            raise ValueError(
-                "merge into a table with identity columns is not "
-                "supported — route inserts through append()")
+        ident = self._resolve_properties(commits).get(
+            "identity_columns") or {}
+        if ident:
+            # MERGE into identity tables (round 13 — VERDICT r12 item
+            # 7): the INSERT branch allocates fresh values from the
+            # r11 watermark allocator; matched rows keep their target
+            # values.  GENERATED ALWAYS discipline holds — the source
+            # never supplies identity columns, and they cannot key the
+            # merge (the source could never carry the key).
+            supplied = sorted(set(ident) & set(source.columns))
+            if supplied:
+                raise ValueError(
+                    f"columns {supplied} are GENERATED ALWAYS AS "
+                    "IDENTITY — merge sources never supply them")
+            bad = sorted(set(ident) & set(keys))
+            if bad:
+                raise ValueError(
+                    f"identity columns {bad} cannot be merge keys — "
+                    "a source can never carry generated values")
         track = bool(self._resolve_properties(commits).get(
             "row_tracking"))
         self._check_dv_reserved_columns(spark, path)
@@ -5288,7 +5299,12 @@ class TxnLogFormat(TableFormat):
                         f"MERGE assignment targets merge key {c!r} — "
                         "key columns route the upsert and cannot be "
                         "reassigned")
-        missing = [c for c in tcols if c not in source.columns]
+                if c in ident:
+                    raise ValueError(
+                        f"column {c!r} is GENERATED ALWAYS AS IDENTITY "
+                        "— merge never reassigns it")
+        missing = [c for c in tcols
+                   if c not in source.columns and c not in ident]
         no_insert = (insert_condition is not None
                      and insert_condition.strip().lower() == "false")
         if missing and (assignments is None or not no_insert):
@@ -5437,6 +5453,7 @@ class TxnLogFormat(TableFormat):
             # publishes nothing (Delta likewise skips the commit)
             return {"updated": 0, "deleted": 0, "inserted": 0}
         cur_hot = None
+        ins_alloc = ident_high = None
         if hot:
             # exact-scan the hot files (vectors applied) and route EVERY
             # output row through ONE full-outer join — matched keys are
@@ -5503,6 +5520,11 @@ class TxnLogFormat(TableFormat):
                                .cast(types[c]).alias(c))
             else:
                 for c in data_cols:
+                    if c in ident:
+                        # GENERATED ALWAYS: matched/kept rows keep the
+                        # target value; the insert slice allocates below
+                        sel.append(F.col(c).cast(types[c]).alias(c))
+                        continue
                     tgt_side = (F.lit(None) if (schema_evolution
                                                 and c in extra)
                                 else F.col(c))
@@ -5513,13 +5535,39 @@ class TxnLogFormat(TableFormat):
                 # target-side id for kept/updated rows, NULL (fresh
                 # range) for inserts — Delta row-tracking semantics
                 sel.append(F.col("_row_id").alias(self._ROW_ID_COL))
-            new_data = routed.select(*sel)
+            if ident and n_ins:
+                # identity allocation rides ONLY the insert slice: the
+                # kept/updated slice keeps its values byte-identical,
+                # the slice allocates from the commit-snapshot
+                # watermark (pinned by _with_identity's checkpoint)
+                out_cols = ([*keys, *data_cols]
+                            + ([self._ROW_ID_COL] if track else []))
+                named = dict(zip(out_cols, sel))
+                kept_part = routed.filter(~ins_row).select(*sel)
+                ins_raw = routed.filter(ins_row).select(
+                    *[named[c] for c in out_cols if c not in ident])
+                ins_alloc, ident_high = self._with_identity(
+                    ins_raw, commits)
+                ins_alloc = ins_alloc.select(
+                    *[F.col(c).cast(types[c]).alias(c)
+                      if c in ident else F.col(c) for c in out_cols])
+                new_data = kept_part.unionByName(ins_alloc)
+            else:
+                new_data = routed.select(*sel)
         else:
             # pure-insert merge (no matched files): no join needed
-            new_data = src.filter(F.col(c_ins)).select(*as_target)
+            ins_cols = [c for c in tcols if c not in ident]
+            new_data = src.filter(F.col(c_ins)).select(
+                *[F.col(c).cast(types[c]).alias(c) for c in ins_cols])
+            if ident:
+                new_data, ident_high = self._with_identity(
+                    new_data, commits)
+                new_data = new_data.select(
+                    *[F.col(c).cast(types[c]).alias(c) for c in tcols])
             if track:
                 new_data = new_data.withColumn(
                     self._ROW_ID_COL, F.lit(None).cast("long"))
+            ins_alloc = new_data
         rec = {"action": "rewrite_files",
                "removed_files": hot,
                "data_change": True,  # rows changed, not just bytes moved
@@ -5597,9 +5645,18 @@ class TxnLogFormat(TableFormat):
                                    "left_anti")
             else:
                 ins_src = src
-            pieces.append(ins_src.filter(F.col(c_ins))
-                          .select(*as_target, *ins_id)
-                          .withColumn("_change_type", F.lit("insert")))
+            if ident:
+                # the allocated insert slice IS the post-state: ride it
+                # so the sidecar carries the generated values (empty
+                # when this merge inserted nothing)
+                if ins_alloc is not None and n_ins:
+                    pieces.append(ins_alloc.withColumn(
+                        "_change_type", F.lit("insert")))
+            else:
+                pieces.append(ins_src.filter(F.col(c_ins))
+                              .select(*as_target, *ins_id)
+                              .withColumn("_change_type",
+                                          F.lit("insert")))
             self._stage_cdf(path, reduce(DataFrame.unionByName, pieces),
                             rec)
         # vectors on rewritten files materialized above and retire with
@@ -5608,8 +5665,12 @@ class TxnLogFormat(TableFormat):
         dv_rel = self._surviving_dv_rel(spark, path, commits, hot)
         if dv_rel is not None:
             rec["dv_dir"] = dv_rel
+        if ident_high:
+            rec["identity_high"] = ident_high
         self._commit(path, rec, expected_version=head + 1,
-                     base_schema=self._resolve_schema(commits))
+                     base_schema=self._resolve_schema(commits),
+                     identity_cols=(frozenset(ident)
+                                    if ident_high else None))
         return {"updated": int(row["updated"] or 0),
                 "deleted": int(row["deleted"] or 0) + n_nmbs,
                 "inserted": n_ins}

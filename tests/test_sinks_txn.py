@@ -14,7 +14,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from datalake_ingestion_system_spark.plans import ingest as ing
-from datalake_ingestion_system_spark.sinks import TxnLogFormat
+from datalake_ingestion_system_spark.sinks import (ConcurrentWriteError,
+                                                   TxnLogFormat)
 from datalake_ingestion_system_spark.sources import registry
 
 
@@ -3207,13 +3208,18 @@ def test_identity_columns_allocate_and_conflict(spark, tmp_path):
     with pytest.raises(ValueError, match="ALWAYS AS IDENTITY"):
         fmt.append(spark.createDataFrame([("x", 999)],
                                          "v string, rid long"), path)
-    # UPDATE may not assign it; MERGE is rejected outright
+    # UPDATE may not assign it; a MERGE source may not supply it and
+    # it may not key the merge (round 13: merge itself is now legal —
+    # the insert branch allocates, see test_merge_identity_insert)
     with pytest.raises(ValueError, match="IDENTITY"):
         fmt.update_where(spark, path, "v = 'c'", {"rid": "0"})
-    with pytest.raises(ValueError, match="identity"):
+    with pytest.raises(ValueError, match="never supply"):
         fmt.merge(spark, path,
                   spark.createDataFrame([("c", 1)], "v string, rid long"),
                   "v")
+    with pytest.raises(ValueError, match="cannot be merge keys"):
+        fmt.merge(spark, path,
+                  spark.createDataFrame([("c",)], "v string"), "rid")
     # allocation is unique and dense across multi-partition appends
     fmt.append(spark.createDataFrame(
         [(f"p{i}",) for i in range(20)], "v string").repartition(6), path)
@@ -3735,3 +3741,80 @@ def test_timestamp_skipping_gated_off_non_utc(spark, tmp_path,
     monkeypatch.setenv("SPARK_GRAFT_TZ", "UTC")
     assert fmt._canonicalize_ts_clauses(clauses, commits) == [
         ("ts", "<", "2024-02-01 00:00:00.000000")]
+
+
+def test_merge_identity_insert(spark, tmp_path):
+    """Round 13 (VERDICT r12 item 7): MERGE into an identity table —
+    the INSERT branch allocates fresh values from the r11 watermark
+    allocator, matched rows keep their target values byte-identical,
+    and a concurrent allocating writer forces a conflict-retry that
+    never duplicates a value."""
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([], "k long, v long"), path)
+    fmt.set_properties(spark, path,
+                       identity_columns={"rid": {"start": 100,
+                                                 "step": 10}})
+    fmt.append(spark.createDataFrame(
+        [(1, 11), (2, 22), (3, 33)], "k long, v long"), path)
+    before = {r.k: r.rid for r in fmt.read(spark, path).collect()}
+    src = spark.createDataFrame(
+        [(2, 222, "U"), (3, 0, "D"), (7, 77, "U"), (8, 88, "U")],
+        "k long, v long, op string")
+    got = fmt.merge(spark, path, src, "k",
+                    matched_delete_condition="op = 'D'",
+                    insert_condition="op <> 'D'")
+    assert got == {"updated": 1, "deleted": 1, "inserted": 2}
+    rows = {r.k: (r.v, r.rid) for r in fmt.read(spark, path).collect()}
+    assert rows[1] == (11, before[1])      # untouched keeps its value
+    assert rows[2] == (222, before[2])     # updated KEEPS its identity
+    assert 3 not in rows
+    new_ids = {rows[7][1], rows[8][1]}
+    assert len(new_ids) == 2 and all(i > max(before.values())
+                                     for i in new_ids)
+    all_ids = [r[1] for r in rows.values()]
+    assert len(all_ids) == len(set(all_ids))
+    assert fmt.details(path)["identity_high"]["rid"] == max(new_ids)
+
+    # column-level SET may never touch the identity column
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        fmt.merge(spark, path, src, "k",
+                  matched_update_assignments={"rid": "1"},
+                  insert_condition="false")
+
+    # concurrent allocating APPEND between the merge's snapshot and
+    # its publish: the conflict retry re-allocates, no duplicates
+    racer = TxnLogFormat()
+    orig_stage = fmt._stage
+    raced = {}
+
+    def stage_then_race(df, p, pcol, **kw):
+        rel = orig_stage(df, p, pcol, **kw)
+        if "done" not in raced:
+            raced["done"] = True
+            racer.append(spark.createDataFrame([(90, 900)],
+                                               "k long, v long"), path)
+        return rel
+
+    fmt._stage = stage_then_race
+    # without a retry budget the interleaved allocation must CONFLICT
+    # loudly (identity_high overlap is never a benign interleave) ...
+    with pytest.raises(ConcurrentWriteError):
+        fmt.merge(spark, path, spark.createDataFrame(
+            [(50, 500, "U")], "k long, v long, op string"), "k",
+            insert_condition="op <> 'D'")
+    # ... and with one, the retry recomputes against the new head and
+    # re-allocates past the racer's watermark
+    raced.clear()
+    fmt._stage = stage_then_race
+    try:
+        got = fmt.merge(spark, path, spark.createDataFrame(
+            [(50, 500, "U")], "k long, v long, op string"), "k",
+            insert_condition="op <> 'D'", retries=1)
+    finally:
+        fmt._stage = orig_stage
+    assert got["inserted"] == 1
+    final = fmt.read(spark, path).collect()
+    ids = sorted(r.rid for r in final if r.rid is not None)
+    assert len(ids) == len(set(ids)), "duplicate identity values"
+    assert {r.k for r in final} == {1, 2, 7, 8, 90, 50}
