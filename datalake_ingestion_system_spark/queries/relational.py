@@ -2511,6 +2511,67 @@ FROM era0 e0 LEFT JOIN era2 e2 ON e0.event_type = e2.event_type
 """
 
 
+@_q("q_table_changes_sql")
+def q_table_changes_sql(spark, sf_dir):
+    """``table_changes()`` as SQL text, oracle-verified (round 13 —
+    Delta's CDF SQL function, the feed's daily-driver surface): a
+    CDF-enabled table takes an append, a targeted DELETE, and a
+    targeted UPDATE; the per-row feed for versions 1.. is then queried
+    purely through SQL — change counts, user counts, value sums, and
+    the commit-version bounds per change type must match the oracle's
+    declarative reconstruction.  The router substitutes a temp view
+    over the batch change-feed reader (commit-recorded sidecar files,
+    no listing, no snapshot diff — ``tables._rewrite_table_changes``).
+
+    Scale shape: the feed plans O(commits in range) metadata and scans
+    only the recorded sidecar files — a day's changes off a 100 TB
+    table cost O(that day's changed rows)."""
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    path = scratch_dir(prefix="tcsql_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None, change_data_feed=True)
+    fmt.append(e, path)                                        # v0
+    fmt.delete_where(spark, path, "event_type = 'error'")      # v1
+    fmt.update_where(spark, path, "value > 100",
+                     {"value": "value + 1000"})                # v2
+    tables.create_table(spark, "txn_tc_events", path, replace=True)
+    return tables.sql(spark, """
+        SELECT _change_type AS change_type,
+               count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users,
+               sum(cast(floor(value * 100 + 0.5) AS bigint))
+                 AS value_cents,
+               min(_commit_version) AS v_lo,
+               max(_commit_version) AS v_hi
+        FROM table_changes('txn_tc_events', 1)
+        GROUP BY _change_type
+    """)
+
+
+ORACLE_SQL["q_table_changes_sql"] = """
+WITH chg AS (
+  SELECT 'delete' AS change_type, user_id, value,
+         CAST(1 AS BIGINT) AS v
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'update_preimage', user_id, value, CAST(2 AS BIGINT)
+  FROM events WHERE event_type <> 'error' AND value > 100
+  UNION ALL
+  SELECT 'update_postimage', user_id, value + 1000, CAST(2 AS BIGINT)
+  FROM events WHERE event_type <> 'error' AND value > 100
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(min(v) AS BIGINT) AS v_lo, CAST(max(v) AS BIGINT) AS v_hi
+FROM chg GROUP BY change_type
+"""
+
+
 @_q("q_merge_identity_insert")
 def q_merge_identity_insert(spark, sf_dir):
     """MERGE into an IDENTITY table, oracle-verified (round 13 —

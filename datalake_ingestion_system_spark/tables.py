@@ -198,6 +198,33 @@ def details(spark: SparkSession, name: str) -> dict:
     return TxnLogFormat().details(table_path(spark, name))
 
 
+def details_df(spark: SparkSession, name: str) -> DataFrame:
+    """``DESCRIBE DETAIL t`` as a one-row DataFrame (the SQL-router
+    shape): integer metadata keeps its type, nested structures render
+    as canonical JSON text."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    d = details(spark, name)
+    fields, vals = [], []
+    for k, v in d.items():
+        if isinstance(v, bool):
+            vals.append(str(v).lower())
+            fields.append(StructField(k, StringType()))
+        elif isinstance(v, int):
+            vals.append(v)
+            fields.append(StructField(k, LongType()))
+        elif v is None:
+            vals.append(None)
+            fields.append(StructField(k, LongType()))
+        elif isinstance(v, (dict, list)):
+            vals.append(json.dumps(v, sort_keys=True, default=str))
+            fields.append(StructField(k, StringType()))
+        else:
+            vals.append(str(v))
+            fields.append(StructField(k, StringType()))
+    return spark.createDataFrame([tuple(vals)], StructType(fields))
+
+
 def file_manifest(spark: SparkSession, name: str,
                   **kwargs) -> DataFrame:
     """The live file inventory by name (Iceberg ``table$files``)."""
@@ -277,6 +304,48 @@ _TT_PAT = _re.compile(
     _re.IGNORECASE | _re.DOTALL)
 
 
+#: ``FROM|JOIN table_changes('t', start [, end])`` — Delta's CDF SQL
+#: surface; start/end are version ints or quoted timestamps
+_TC_PAT = _re.compile(
+    rf"\b(FROM|JOIN)\s+TABLE_CHANGES\s*\(\s*'([^']+)'\s*,\s*"
+    rf"(\d+|'[^']*')\s*(?:,\s*(\d+|'[^']*')\s*)?\)"
+    rf"(?:\s+(?:AS\s+)?(?!(?:{_TT_KW})\b)([A-Za-z_]\w*))?",
+    _re.IGNORECASE | _re.DOTALL)
+
+
+def _rewrite_table_changes(spark: SparkSession, s: str
+                           ) -> tuple[str, list[str]]:
+    """Substitute each ``table_changes('t', start[, end])`` reference
+    (Delta's CDF SQL function — the feed's daily-driver surface) with a
+    temp view over the txnlog batch change-feed reader: per-row changes
+    tagged ``_change_type`` with ``_commit_version`` /
+    ``_commit_timestamp``, planned from commit-recorded sidecar files
+    (no listing, no snapshot diffing).  Integer bounds are versions,
+    quoted bounds are timestamps — exactly Delta's argument shapes."""
+    views: list[str] = []
+
+    def repl(m: "_re.Match[str]") -> str:
+        kw, name, start, end, alias = m.groups()
+        path = table_path(spark, _unquote_ident(name))
+        ensure_registered(spark)
+        reader = (spark.read.format("txnlog")
+                  .option("readChangeFeed", "true"))
+        reader = reader.option(
+            *(("startingVersion", start) if start.isdigit()
+              else ("startingTimestamp", start.strip("'"))))
+        if end is not None:
+            reader = reader.option(
+                *(("endingVersion", end) if end.isdigit()
+                  else ("endingTimestamp", end.strip("'"))))
+        import uuid as _uuid
+        vname = f"__tc_{_uuid.uuid4().hex[:12]}"
+        reader.load(path).createOrReplaceTempView(vname)
+        views.append(vname)
+        return f"{kw} {vname} AS {alias or name.split('.')[-1]}"
+
+    return _TC_PAT.sub(repl, s), views
+
+
 def _rewrite_time_travel(spark: SparkSession, s: str
                          ) -> tuple[str, list[str]]:
     """Substitute each time-travel table reference with a temp view over
@@ -331,9 +400,11 @@ def _sql_time_travel_passthrough(spark: SparkSession, s: str,
     references keep resolving.  Views are dropped once the plan is
     analyzed (the analyzer inlines view plans, so execution never
     re-reads them)."""
-    if not _TT_PAT.search(s):
+    if not (_TT_PAT.search(s) or _TC_PAT.search(s)):
         return spark.sql(statement)
     rewritten, views = _rewrite_time_travel(spark, s)
+    rewritten, tc_views = _rewrite_table_changes(spark, rewritten)
+    views += tc_views
     try:
         df = spark.sql(rewritten)
         df.schema  # force analysis: view subplans inline into the plan
@@ -375,6 +446,10 @@ def sql(spark: SparkSession, statement: str):
     - ``SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF 'ts'``
       (and the ``t@vN`` shorthand) → historical temp-view substitution
       (round 13; see ``_sql_time_travel_passthrough``)
+    - ``SELECT ... FROM table_changes('t', start[, end])`` → the batch
+      change-feed reader (Delta's CDF SQL function; integer bounds are
+      versions, quoted bounds timestamps — round 13)
+    - ``DESCRIBE DETAIL t`` → ``details_df``
 
     Returns what the routed API returns (a DataFrame for pass-through /
     DESCRIBE HISTORY, affected-row counts / metrics dicts for DML).
@@ -469,6 +544,10 @@ def sql(spark: SparkSession, statement: str):
                       s, flags)
         if m:
             return history_df(spark, _unquote_ident(m.group(1)))
+        m = _re.match(rf"(?:DESCRIBE|DESC)\s+DETAIL\s+({_IDENT})$",
+                      s, flags)
+        if m:
+            return details_df(spark, _unquote_ident(m.group(1)))
         # plain DESCRIBE forms are Spark's own
         return spark.sql(statement)
 

@@ -460,3 +460,30 @@ def test_merge_assignments_api_reject_shapes(spark, cat):
     with pytest.raises(ValueError, match="insert_condition='false'"):
         fmt.merge(spark, path, part, "a",
                   matched_update_assignments={"b": "t.b + s.delta"})
+
+
+def test_sql_table_changes_and_describe_detail(spark, cat):
+    """Round 13: table_changes('t', start[, end]) as SQL text reads the
+    batch change feed; DESCRIBE DETAIL returns the one-row metadata
+    frame."""
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat
+    path = cat["path"] + "_cdf"
+    fmt = TxnLogFormat(checkpoint_interval=None, change_data_feed=True)
+    fmt.append(spark.createDataFrame([(1, 10), (2, 20)],
+                                     "a long, b long"), path)     # v0
+    fmt.delete_where(spark, path, "a = 1")                        # v1
+    name = cat["name"] + "_cdf"
+    tables.create_table(spark, name, path)
+    try:
+        got = tables.sql(
+            spark, f"SELECT a, _change_type AS ct, _commit_version AS v"
+                   f" FROM table_changes('{name}', 1) ORDER BY a"
+        ).collect()
+        assert [(r.a, r.ct, r.v) for r in got] == [(1, "delete", 1)]
+        d = tables.sql(spark, f"DESCRIBE DETAIL {name}").head()
+        assert d.version == 1 and d.num_dv_dirs >= 0
+        assert "a" in d.schema and d.checkpoint_version is None
+        assert not [t.name for t in spark.catalog.listTables()
+                    if t.name.startswith("__tc_")]
+    finally:
+        tables.drop_table(spark, name)
