@@ -29,53 +29,47 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 
 # Queries whose implementation or oracle changed AFTER their last green
 # driver row belong back in the sampled prefix until re-verified.
-# Round 6: the perf rework touched these green queries' implementations
-# (bucketed as-of cogroup; contamination explode_outer restructure; spread
-# guard in the rolling/winnow/chargram/minhash paths) — semantics are
-# partitioning-independent by design and locally re-verified, but the
-# driver should confirm.  q_embedding_quantize (oracle fix) and the new
-# round-6 queries have no green row, so the rotation fronts them
-# automatically.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Round 12: all 50 round-11 window entries hold green rows in
-    # CORRECTNESS_r11 (50/50 hash-PASS) and are RELEASED.  Fronted now:
-    # the transitive closure of this round's sinks.py rework — (a)
-    # MERGE is file-targeted (stats/bloom-pruned probe, fused hot-file
-    # discovery, ONE full-outer-join rewrite, rewrite_files commits,
-    # DV consolidation, append tolerance); (b) row-tracked CDF
-    # sidecars MATERIALIZE row ids on delete/update pre/post rows
-    # (delete_where/update_where/merge sidecar staging changed); (c)
-    # _commit's row-id base now derives from the same listing as the
-    # version claim (TOCTOU fix) and checkpoints offload row_base maps
-    # into the parquet sidecar (fold + hydration changed); (d)
-    # file_manifest re-assembled on the arrow plane; (e) the
-    # process-wide log cache is lock-guarded and read()'s compact_due
-    # hook is broadly best-effort.  Every txn-riding query is in the
-    # closure — the previously-green ones below (q_merge_upsert
-    # additionally CHANGED semantics: its 1995 pivot predated the data
-    # span, degenerating it to an empty-target insert-only merge; now
-    # 1998, a real upsert).  All re-verified locally by a FULL registry
-    # sweep at sf0.01 plus changed queries at all three SFs — the
-    # driver must confirm.  q_merge_targeted_read, q_sql_dml_roundtrip,
-    # q_history_manifest_join, q_transform_evolution_read, and
-    # q_cdf_rowid_mirror are new and front automatically.
-    "q_merge_upsert", "q_merge_schema_evolution", "q_file_manifest",
-    "q_change_data_feed", "q_cdf_replica_mirror",
-    "q_cdf_sidecar_changes", "q_cdf_row_ids", "q_row_tracking_read",
-    "q_data_skipping_read", "q_bloom_skipping_read",
-    "q_zorder_skipping_read", "q_alter_skipping_read",
-    "q_schema_evolution_read", "q_delete_vector_read",
-    "q_dv_compact_read", "q_targeted_cow_read",
-    "q_compact_where_read", "q_small_file_compact_read",
-    "q_partition_pruned_read", "q_checkpoint_log_read",
-    "q_sidecar_checkpoint_read", "q_txnlog_stream_source",
-    "q_txnlog_stream_sink", "q_txnlog_stream_pushdown",
-    "q_cdc_stream_apply", "q_rollup_incremental",
-    "q_minhash_incremental", "q_convert_read", "q_auto_compact_read",
-    "q_column_default_read", "q_generated_column_read",
-    "q_protocol_gated_read", "q_clone_read", "q_identity_column_read",
-    "q_catalog_table_read", "q_partition_transform_read",
-    "q_type_widening_read")
+    # Round 13: all 50 round-12 window entries hold green rows in
+    # CORRECTNESS_r12 (50/50) and are RELEASED.  Fronted now: the
+    # transitive closure of this round's sinks/tables rework — (a)
+    # data skipping materializes O(survivors) instead of the excluded
+    # set (read()'s live-entry loop consumes a kept-by-dir map; every
+    # txnlog read rides it); (b) MERGE gains column-level UPDATE SET
+    # assignments and identity-insert allocation (routing join, CDF
+    # postimage, commit identity conflict surface all touched); (c)
+    # timestamp stats record as canonical UTC text and clause literals
+    # canonicalize inside _clause_excluded_files (every pruning
+    # consumer); (d) writers emit INT64-micros parquet instead of
+    # INT96; (e) the registry's staged tables moved to self-cleaning
+    # scratch dirs (mechanical, but the fingerprints changed).  The
+    # set below is tools/verify_local.py --changed-since b977310's
+    # mechanical answer, re-verified green at ALL THREE SFs this
+    # session (49/49 per SF, 0 fail) plus the five new round-13
+    # queries (which front automatically; listed for explicitness).
+    "q_alter_skipping_read", "q_auto_compact_read",
+    "q_bloom_skipping_read", "q_catalog_table_read",
+    "q_cdc_stream_apply", "q_cdf_replica_mirror", "q_cdf_row_ids",
+    "q_cdf_rowid_mirror", "q_cdf_sidecar_changes",
+    "q_change_data_feed", "q_checkpoint_log_read", "q_clone_read",
+    "q_column_default_read", "q_compact_where_read", "q_convert_read",
+    "q_data_skipping_read", "q_delete_vector_read",
+    "q_dv_compact_read", "q_file_manifest", "q_generated_column_read",
+    "q_history_manifest_join", "q_identity_column_read",
+    "q_merge_full_sync", "q_merge_identity_insert",
+    "q_merge_schema_evolution", "q_merge_set_columns",
+    "q_merge_targeted_read", "q_merge_upsert",
+    "q_minhash_incremental", "q_partition_pruned_read",
+    "q_partition_transform_read", "q_protocol_gated_read",
+    "q_rollup_incremental", "q_row_tracking_read",
+    "q_schema_evolution_read", "q_sidecar_checkpoint_read",
+    "q_small_file_compact_read", "q_sql_dml_roundtrip",
+    "q_stream_kmv_distinct", "q_table_changes_sql",
+    "q_targeted_cow_read", "q_time_travel_sql",
+    "q_timestamp_skipping_read", "q_transform_evolution_read",
+    "q_transform_rewrite_read", "q_txnlog_stream_pushdown",
+    "q_txnlog_stream_sink", "q_txnlog_stream_source",
+    "q_type_widening_read", "q_zorder_skipping_read")
 
 
 def _evidence():
