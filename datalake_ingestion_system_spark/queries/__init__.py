@@ -45,8 +45,12 @@ _FORCE_FRONT: tuple[str, ...] = (
     # scratch dirs (mechanical, but the fingerprints changed).  The
     # set below is tools/verify_local.py --changed-since b977310's
     # mechanical answer, re-verified green at ALL THREE SFs this
-    # session (49/49 per SF, 0 fail) plus the five new round-13
-    # queries (which front automatically; listed for explicitness).
+    # session (49/49 per SF, 0 fail) plus the new round-13 queries
+    # (which front automatically; listed for explicitness).  One
+    # closure member is deliberately released to keep the prefix at
+    # the driver's 50-slot window: q_stream_kmv_distinct's only change
+    # is the mechanical scratch-dir rename (no engine code in its
+    # path), and it is 3-SF green in this session's sweep.
     "q_alter_skipping_read", "q_auto_compact_read",
     "q_bloom_skipping_read", "q_catalog_table_read",
     "q_cdc_stream_apply", "q_cdf_replica_mirror", "q_cdf_row_ids",
@@ -64,7 +68,7 @@ _FORCE_FRONT: tuple[str, ...] = (
     "q_rollup_incremental", "q_row_tracking_read",
     "q_schema_evolution_read", "q_sidecar_checkpoint_read",
     "q_small_file_compact_read", "q_sql_dml_roundtrip",
-    "q_stream_kmv_distinct", "q_table_changes_sql",
+    "q_table_changes_sql", "q_alter_ctas_sql",
     "q_targeted_cow_read", "q_time_travel_sql",
     "q_timestamp_skipping_read", "q_transform_evolution_read",
     "q_transform_rewrite_read", "q_txnlog_stream_pushdown",

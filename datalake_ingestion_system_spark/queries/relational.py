@@ -2511,6 +2511,59 @@ FROM era0 e0 LEFT JOIN era2 e2 ON e0.event_type = e2.event_type
 """
 
 
+@_q("q_alter_ctas_sql")
+def q_alter_ctas_sql(spark, sf_dir):
+    """SQL-TEXT schema evolution + CTAS, oracle-verified (round 13): a
+    registered table evolves purely through SQL — ``ADD COLUMN ...
+    DEFAULT`` (pre-alter rows materialize the default, metadata-only),
+    ``RENAME COLUMN``, a routed ``UPDATE`` touching the new column —
+    and then ``CREATE TABLE ... USING txnlog ... AS SELECT`` derives an
+    aggregate table in one statement; the final read must match the
+    oracle's declarative reconstruction.  Together with DML and time
+    travel this closes the reference's SQL-first workflow: a user can
+    create, evolve, mutate, and derive tables without leaving SQL text
+    (reference README.md:34,:51).
+
+    Scale shape: both ALTERs are metadata-only commits (no file
+    touched); the UPDATE is stats-pruned copy-on-write; the CTAS costs
+    exactly its SELECT plus one staged write."""
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = scratch_dir(prefix="actas_q_")
+    TxnLogFormat(checkpoint_interval=None).append(e, root + "/t")
+    tables.create_table(spark, "txn_actas_events", root + "/t",
+                        replace=True)
+    tables.sql(spark, "ALTER TABLE txn_actas_events ADD COLUMNS "
+                      "(bonus double DEFAULT 2.5)")
+    tables.sql(spark, "ALTER TABLE txn_actas_events "
+                      "RENAME COLUMN value TO amount")
+    tables.sql(spark, "UPDATE txn_actas_events SET bonus = 5.0 "
+                      "WHERE event_type = 'click'")
+    tables.sql(spark, f"""
+        CREATE OR REPLACE TABLE txn_actas_agg USING txnlog
+        OPTIONS (path '{root}/agg')
+        AS SELECT event_type, count(*) AS n_rows,
+                  sum(cast(floor(amount * 100 + 0.5) AS bigint))
+                    AS amount_cents,
+                  sum(cast(floor(bonus * 100 + 0.5) AS bigint))
+                    AS bonus_cents
+           FROM txn_actas_events GROUP BY event_type""")
+    return tables.table(spark, "txn_actas_agg")
+
+
+ORACLE_SQL["q_alter_ctas_sql"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS amount_cents,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 500
+                     ELSE 250 END) AS BIGINT) AS bonus_cents
+FROM events GROUP BY event_type
+"""
+
+
 @_q("q_table_changes_sql")
 def q_table_changes_sql(spark, sf_dir):
     """``table_changes()`` as SQL text, oracle-verified (round 13 —

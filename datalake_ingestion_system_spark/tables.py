@@ -492,6 +492,43 @@ def sql(spark: SparkSession, statement: str):
     if head == "MERGE":
         return _route_merge(spark, s, flags)
 
+    if head == "ALTER":
+        routed = _route_alter(spark, s, flags)
+        if routed is not NotImplemented:
+            return routed
+        return spark.sql(statement)  # non-txnlog / unrouted ALTER
+
+    if head == "CREATE":
+        m = _re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+"
+            rf"USING\s+txnlog\s+"
+            rf"(?:OPTIONS\s*\(\s*path\s+'([^']+)'\s*\)|"
+            rf"LOCATION\s+'([^']+)')\s+AS\s+(.+)$", s, flags)
+        if m:
+            # CTAS (round 13): Spark's Python-DS bridge exposes no
+            # CTAS hook, so the router runs the SELECT (time-travel /
+            # table_changes rewrites included, via recursion), commits
+            # it, and registers the catalog entry — one statement, the
+            # Delta CTAS shape.  OR REPLACE overwrites table data AND
+            # re-registers; plain CREATE refuses an existing log.
+            replace, name, p1, p2, select = m.groups()
+            path = os.path.abspath(p1 or p2)
+            df = sql(spark, select)
+            fmt = TxnLogFormat()
+            exists = os.path.isdir(fmt._log_dir(path))
+            if exists and not replace:
+                raise ValueError(
+                    f"a txnlog table already exists at {path} — use "
+                    "CREATE OR REPLACE TABLE to overwrite it")
+            if exists:
+                fmt.overwrite_table(df, path)
+            else:
+                fmt.append(df, path)
+            create_table(spark, _unquote_ident(name), path,
+                         replace=bool(replace))
+            return None
+        return spark.sql(statement)  # plain DDL: Spark's own bridge
+
     if head == "OPTIMIZE":
         m = _re.match(rf"OPTIMIZE\s+({_IDENT})(?:\s+WHERE\s+(.*?))?"
                       rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$", s, flags)
@@ -552,6 +589,143 @@ def sql(spark: SparkSession, statement: str):
         return spark.sql(statement)
 
     return _sql_time_travel_passthrough(spark, s, statement)
+
+
+#: canonical property-name aliases accepted by SET TBLPROPERTIES —
+#: Delta's spellings map onto the format API's kwargs
+_PROP_ALIASES = {
+    "delta.enablechangedatafeed": "change_data_feed",
+    "delta.enablerowtracking": "row_tracking",
+    "delta.autooptimize.autocompact": "auto_compact",
+}
+_PROP_KWARGS = frozenset((
+    "constraints", "bloom_filter_columns", "change_data_feed",
+    "generated_columns", "identity_columns", "auto_compact",
+    "partition_transform", "row_tracking"))
+
+
+def _prop_value(tok: str):
+    """A TBLPROPERTIES value literal → its Python form: booleans,
+    numbers, quoted strings; a quoted JSON object/array decodes (the
+    structured properties — identity specs, transforms — ride as
+    JSON text in SQL)."""
+    t = tok.strip()
+    if t.startswith(("'", '"')) and t.endswith(t[0]) and len(t) >= 2:
+        t = t[1:-1]
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if _re.fullmatch(r"-?\d+", t):
+        return int(t)
+    if _re.fullmatch(r"-?\d+\.\d+", t):
+        return float(t)
+    if t.startswith(("{", "[")):
+        try:
+            return json.loads(t)
+        except ValueError:
+            pass
+    return t
+
+
+def _route_alter(spark: SparkSession, s: str, flags: int):
+    """Route the supported ``ALTER TABLE`` shapes (round 13) to the
+    format API against the registered table — metadata-only schema
+    evolution and table properties as SQL text:
+
+    - ``ADD COLUMN[S] [(]c type [DEFAULT lit][, ...][)]``
+    - ``RENAME COLUMN a TO b``
+    - ``DROP COLUMN[S] [(]c[, ...][)]``
+    - ``ALTER COLUMN c TYPE t`` (widening)
+    - ``SET TBLPROPERTIES (k = v[, ...])`` / ``UNSET TBLPROPERTIES``
+
+    Returns ``NotImplemented`` when the statement names a table the
+    catalog doesn't resolve to a txnlog path (Spark's own ALTER forms
+    then apply); raises on unsupported clause shapes against a
+    resolved table.  The catalog registration refreshes after schema
+    changes so the stored scan schema never goes stale."""
+    m = _re.match(rf"ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", s, flags)
+    if not m:
+        return NotImplemented
+    name, rest = m.groups()
+    name = _unquote_ident(name)
+    try:
+        path = table_path(spark, name)
+    except Exception:
+        return NotImplemented
+    fmt = TxnLogFormat()
+    if not os.path.isdir(fmt._log_dir(path)):
+        return NotImplemented  # catalog table, but not a txnlog one
+
+    mm = _re.match(r"ADD\s+COLUMNS?\s*\(?\s*(.*?)\)?\s*$", rest, flags)
+    if mm:
+        adds: dict[str, str] = {}
+        defaults: dict = {}
+        for spec in _split_top(mm.group(1)):
+            sm = _re.match(
+                r"^\s*(`[^`]+`|\w+)\s+([A-Za-z_]\w*(?:\([^)]*\))?)"
+                r"(?:\s+DEFAULT\s+(.+?))?\s*$", spec, flags)
+            if not sm:
+                raise ValueError(
+                    f"unsupported ADD COLUMN spec: {spec!r} — expected "
+                    "`name type [DEFAULT literal]`")
+            cn, ct, dflt = sm.groups()
+            adds[_unquote_ident(cn)] = ct.lower()
+            if dflt is not None:
+                defaults[_unquote_ident(cn)] = _prop_value(dflt)
+        v = fmt.alter_table(path, add_columns=adds,
+                            column_defaults=defaults or None)
+        refresh_table(spark, name)
+        return v
+
+    mm = _re.match(r"RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+"
+                   r"(`[^`]+`|\w+)\s*$", rest, flags)
+    if mm:
+        v = fmt.alter_table(path, rename_columns={
+            _unquote_ident(mm.group(1)): _unquote_ident(mm.group(2))})
+        refresh_table(spark, name)
+        return v
+
+    mm = _re.match(r"DROP\s+COLUMNS?\s*\(?\s*(.*?)\)?\s*$", rest, flags)
+    if mm:
+        v = fmt.alter_table(path, drop_columns=[
+            _unquote_ident(c) for c in _split_top(mm.group(1))])
+        refresh_table(spark, name)
+        return v
+
+    mm = _re.match(r"ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+TYPE\s+"
+                   r"([A-Za-z_]\w*)\s*$", rest, flags)
+    if mm:
+        v = fmt.alter_table(path, widen_columns={
+            _unquote_ident(mm.group(1)): mm.group(2).lower()})
+        refresh_table(spark, name)
+        return v
+
+    mm = _re.match(r"(UN)?SET\s+TBLPROPERTIES\s*\(\s*(.*?)\s*\)\s*$",
+                   rest, flags)
+    if mm:
+        unset, body = mm.groups()
+        kwargs: dict = {}
+        for item in _split_top(body):
+            if unset:
+                key, val = item, None
+            else:
+                key, eq, val_tok = item.partition("=")
+                if not eq:
+                    raise ValueError(
+                        f"bad TBLPROPERTIES entry: {item!r}")
+                val = _prop_value(val_tok)
+            key = _unquote_ident(key.strip().strip("'\""))
+            key = _PROP_ALIASES.get(key.lower(), key)
+            if key not in _PROP_KWARGS:
+                raise ValueError(
+                    f"unknown table property {key!r} — supported: "
+                    f"{sorted(_PROP_KWARGS)}")
+            kwargs[key] = val
+        return fmt.set_properties(spark, path, **kwargs)
+
+    raise ValueError(
+        "unsupported ALTER TABLE shape — expected ADD/RENAME/DROP "
+        "COLUMN, ALTER COLUMN c TYPE t, or [UN]SET TBLPROPERTIES")
 
 
 def _route_merge(spark: SparkSession, s: str, flags: int):

@@ -487,3 +487,41 @@ def test_sql_table_changes_and_describe_detail(spark, cat):
                     if t.name.startswith("__tc_")]
     finally:
         tables.drop_table(spark, name)
+
+
+def test_sql_router_alter_table_and_ctas(spark, cat, tmp_path):
+    """Round 13: ALTER TABLE schema evolution / TBLPROPERTIES and
+    CREATE TABLE ... AS SELECT as SQL text, routed to the format API
+    with the catalog registration kept fresh."""
+    name = cat["name"]
+    tables.sql(spark, f"ALTER TABLE {name} ADD COLUMNS "
+                      f"(tag string DEFAULT 'x', score double)")
+    tables.sql(spark, f"ALTER TABLE {name} RENAME COLUMN b TO val")
+    tables.sql(spark, f"ALTER TABLE {name} DROP COLUMN score")
+    assert spark.table(name).columns == ["a", "val", "tag"]
+    got = tables.table(spark, name).filter("a = 3").head()
+    assert (got.val, got.tag) == (6, "x")
+    tables.sql(spark, f"ALTER TABLE {name} SET TBLPROPERTIES "
+                      f"('delta.enableChangeDataFeed' = true)")
+    assert cat["fmt"]._resolve_properties(
+        cat["fmt"]._commits(cat["path"])).get("change_data_feed") is True
+    with pytest.raises(ValueError, match="unknown table property"):
+        tables.sql(spark, f"ALTER TABLE {name} SET TBLPROPERTIES "
+                          f"('zz' = 1)")
+    # CTAS end to end, then OR REPLACE
+    p2 = str(tmp_path / "ctas")
+    tables.sql(spark, f"CREATE TABLE {name}_c USING txnlog OPTIONS "
+                      f"(path '{p2}') AS SELECT a, val * 10 AS big "
+                      f"FROM {name} WHERE a < 2")
+    try:
+        assert sorted(map(tuple, tables.table(
+            spark, f"{name}_c").collect())) == [(0, 0), (1, 20)]
+        with pytest.raises(ValueError, match="already exists"):
+            tables.sql(spark, f"CREATE TABLE {name}_c USING txnlog "
+                              f"OPTIONS (path '{p2}') AS SELECT 1 AS x")
+        tables.sql(spark, f"CREATE OR REPLACE TABLE {name}_c USING "
+                          f"txnlog OPTIONS (path '{p2}') AS "
+                          f"SELECT 9 AS only_row")
+        assert tables.table(spark, f"{name}_c").collect()[0][0] == 9
+    finally:
+        tables.drop_table(spark, f"{name}_c")
