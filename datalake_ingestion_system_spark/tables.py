@@ -450,6 +450,14 @@ def sql(spark: SparkSession, statement: str):
       change-feed reader (Delta's CDF SQL function; integer bounds are
       versions, quoted bounds timestamps — round 13)
     - ``DESCRIBE DETAIL t`` → ``details_df``
+    - ``ALTER TABLE t ADD|RENAME|DROP COLUMN ... / ALTER COLUMN c TYPE
+      t / ADD|DROP CONSTRAINT / [UN]SET TBLPROPERTIES`` →
+      ``alter_table`` / ``set_properties`` (catalog refreshed;
+      non-txnlog ALTERs pass through — round 13)
+    - ``CREATE [OR REPLACE] TABLE n USING txnlog OPTIONS (path)|
+      LOCATION AS SELECT ...`` → CTAS (round 13)
+    - ``INSERT OVERWRITE [TABLE] t <select>`` → ``overwrite_table``
+      (plain INSERT INTO stays on Spark's bridge — round 13)
 
     Returns what the routed API returns (a DataFrame for pass-through /
     DESCRIBE HISTORY, affected-row counts / metrics dicts for DML).
@@ -497,6 +505,25 @@ def sql(spark: SparkSession, statement: str):
         if routed is not NotImplemented:
             return routed
         return spark.sql(statement)  # non-txnlog / unrouted ALTER
+
+    if head == "INSERT":
+        m = _re.match(rf"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_IDENT})"
+                      rf"\s+(.+)$", s, flags)
+        if m:
+            # INSERT OVERWRITE as SQL text (the Python-DS bridge only
+            # dispatches plain INSERT INTO): full-table replace as one
+            # atomic replace_all commit, old state stays time-travelable
+            name, select = m.groups()
+            try:
+                path = table_path(spark, _unquote_ident(name))
+            except Exception:
+                return spark.sql(statement)  # non-txnlog: Spark's own
+            fmt = TxnLogFormat()
+            if not os.path.isdir(fmt._log_dir(path)):
+                return spark.sql(statement)
+            fmt.overwrite_table(sql(spark, select), path)
+            return None
+        return spark.sql(statement)  # plain INSERT INTO: the bridge
 
     if head == "CREATE":
         m = _re.match(
@@ -700,6 +727,35 @@ def _route_alter(spark: SparkSession, s: str, flags: int):
         refresh_table(spark, name)
         return v
 
+    mm = _re.match(r"ADD\s+CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s*"
+                   r"\((.*)\)\s*$", rest, flags)
+    if mm:
+        # Delta ALTER TABLE ... ADD CONSTRAINT parity: merges into the
+        # table's CHECK set (set_properties validates EXISTING rows
+        # first, Delta's rule); duplicate names raise
+        cname = _unquote_ident(mm.group(1))
+        cur = dict(fmt._resolve_properties(fmt._commits(path))
+                   .get("constraints") or {})
+        if cname in cur:
+            raise ValueError(
+                f"constraint {cname!r} already exists on {name}")
+        cur[cname] = mm.group(2).strip()
+        return fmt.set_properties(spark, path, constraints=cur)
+
+    mm = _re.match(r"DROP\s+CONSTRAINT\s+(`[^`]+`|\w+)\s*$", rest,
+                   flags)
+    if mm:
+        cname = _unquote_ident(mm.group(1))
+        cur = dict(fmt._resolve_properties(fmt._commits(path))
+                   .get("constraints") or {})
+        if cname not in cur:
+            raise ValueError(
+                f"no constraint {cname!r} on {name} — defined: "
+                f"{sorted(cur) or 'none'}")
+        del cur[cname]
+        return fmt.set_properties(spark, path,
+                                  constraints=cur or None)
+
     mm = _re.match(r"(UN)?SET\s+TBLPROPERTIES\s*\(\s*(.*?)\s*\)\s*$",
                    rest, flags)
     if mm:
@@ -725,7 +781,8 @@ def _route_alter(spark: SparkSession, s: str, flags: int):
 
     raise ValueError(
         "unsupported ALTER TABLE shape — expected ADD/RENAME/DROP "
-        "COLUMN, ALTER COLUMN c TYPE t, or [UN]SET TBLPROPERTIES")
+        "COLUMN, ALTER COLUMN c TYPE t, ADD/DROP CONSTRAINT, or "
+        "[UN]SET TBLPROPERTIES")
 
 
 def _route_merge(spark: SparkSession, s: str, flags: int):

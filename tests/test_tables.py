@@ -525,3 +525,28 @@ def test_sql_router_alter_table_and_ctas(spark, cat, tmp_path):
         assert tables.table(spark, f"{name}_c").collect()[0][0] == 9
     finally:
         tables.drop_table(spark, f"{name}_c")
+
+
+def test_sql_router_constraints_and_insert_overwrite(spark, cat):
+    """Round 13: ADD/DROP CONSTRAINT and INSERT OVERWRITE as SQL text."""
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat
+    name, path, fmt = cat["name"], cat["path"], cat["fmt"]
+    tables.sql(spark, f"ALTER TABLE {name} ADD CONSTRAINT b_pos "
+                      f"CHECK (b >= 0)")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        fmt.append(spark.createDataFrame([(50, -1)], "a long, b long"),
+                   path)
+    with pytest.raises(ValueError, match="already exists"):
+        tables.sql(spark, f"ALTER TABLE {name} ADD CONSTRAINT b_pos "
+                          f"CHECK (b > 5)")
+    tables.sql(spark, f"ALTER TABLE {name} DROP CONSTRAINT b_pos")
+    with pytest.raises(ValueError, match="no constraint"):
+        tables.sql(spark, f"ALTER TABLE {name} DROP CONSTRAINT zz")
+    fmt.append(spark.createDataFrame([(50, -1)], "a long, b long"), path)
+    pre = fmt._commits(path)[-1]["version"]
+    tables.sql(spark, f"INSERT OVERWRITE {name} SELECT 7 AS a, 70 AS b")
+    assert sorted(map(tuple, tables.table(spark, name).collect())) \
+        == [(7, 70)]
+    # the replaced state stays one time travel away
+    assert TxnLogFormat().read(spark, path,
+                               as_of_version=pre).count() == 11
