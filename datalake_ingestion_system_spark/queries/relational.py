@@ -2511,6 +2511,73 @@ FROM era0 e0 LEFT JOIN era2 e2 ON e0.event_type = e2.event_type
 """
 
 
+@_q("q_scd2_dimension")
+def q_scd2_dimension(spark, sf_dir):
+    """SCD TYPE-2 dimension, oracle-verified (round 13): per-customer
+    version rows (one per order date, price/count attributes) land in
+    TWO append batches split at a date pivot — O(batch) ingest, no row
+    ever rewritten — and ``scd2_view`` derives each version's validity
+    interval and currency with one window pass; per-currency counts,
+    attribute sums, and total validity-span days must match the
+    oracle's declarative window reconstruction.  The warehouse shape
+    Delta users hand-roll with a two-clause MERGE per batch, re-based
+    on append-only event sourcing (operators/scd2.py's design note).
+
+    Scale shape: ingest is an atomic append per batch; the validity
+    window runs over the dimension only (the broadcast side at fact
+    scale), partitioned by key — one shuffle of dimension-sized data."""
+    from ..operators import scd2
+    from ..sinks import TxnLogFormat
+
+    o = load(spark, sf_dir, "orders")
+    changes = (o.groupBy("o_custkey", "o_orderdate")
+               .agg(F.max(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                          .cast("long")).alias("price_cents"),
+                    F.count("*").alias("n_orders")))
+    path = scratch_dir(prefix="scd2_q_") + "/dim"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    scd2.scd2_append(spark, path,
+                     changes.filter("o_orderdate < '1996-01-01'"),
+                     "o_custkey", "o_orderdate", fmt=fmt)
+    scd2.scd2_append(spark, path,
+                     changes.filter("o_orderdate >= '1996-01-01'"),
+                     "o_custkey", "o_orderdate", fmt=fmt)
+    v = scd2.scd2_view(fmt.read(spark, path), "o_custkey",
+                       "o_orderdate")
+    return (v.groupBy(F.when(F.col("_is_current"), F.lit("current"))
+                       .otherwise(F.lit("closed")).alias("state"))
+            .agg(F.count("*").alias("n_versions"),
+                 F.countDistinct("o_custkey").alias("n_keys"),
+                 F.sum("price_cents").alias("sum_price_cents"),
+                 F.sum("n_orders").alias("sum_orders"),
+                 F.sum(F.datediff("_valid_to", "o_orderdate"))
+                  .alias("span_days")))
+
+
+ORACLE_SQL["q_scd2_dimension"] = """
+WITH ver AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS price_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey, o_orderdate
+), w AS (
+  SELECT *, lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate) AS valid_to
+  FROM ver
+)
+SELECT CASE WHEN valid_to IS NULL THEN 'current' ELSE 'closed' END
+         AS state,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+       CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+       CAST(sum(date_diff('day', o_orderdate, valid_to)) AS BIGINT)
+         AS span_days
+FROM w GROUP BY 1
+"""
+
+
 @_q("q_alter_ctas_sql")
 def q_alter_ctas_sql(spark, sf_dir):
     """SQL-TEXT schema evolution + CTAS, oracle-verified (round 13): a
