@@ -47,13 +47,15 @@ _FORCE_FRONT: tuple[str, ...] = (
     # mechanical answer, re-verified green at ALL THREE SFs this
     # session (49/49 per SF, 0 fail) plus the new round-13 queries
     # (which front automatically; listed for explicitness).  One
-    # closure member is deliberately released to keep the prefix at
-    # the driver's 50-slot window: q_stream_kmv_distinct's only change
-    # is the mechanical scratch-dir rename (no engine code in its
-    # path), and it is 3-SF green in this session's sweep.
+    # Two closure members are deliberately released to keep the
+    # prefix at the driver's 50-slot window: q_stream_kmv_distinct and
+    # q_catalog_table_read, whose only change is the mechanical
+    # scratch-dir rename (no r13 engine code in their data paths), and
+    # both are 3-SF green in this session's sweep.
     "q_alter_skipping_read", "q_auto_compact_read",
-    "q_bloom_skipping_read", "q_catalog_table_read",
-    "q_cdc_stream_apply", "q_cdf_replica_mirror", "q_cdf_row_ids",
+    "q_bloom_skipping_read",
+    "q_cdc_stream_apply", "q_scd2_dimension",
+    "q_cdf_replica_mirror", "q_cdf_row_ids",
     "q_cdf_rowid_mirror", "q_cdf_sidecar_changes",
     "q_change_data_feed", "q_checkpoint_log_read", "q_clone_read",
     "q_column_default_read", "q_compact_where_read", "q_convert_read",
