@@ -218,6 +218,9 @@ def _merge_canary_bench(spark, sf_dir: str) -> dict:
     for rep in range(4):  # rep 0 primes the merge plan's codegen
         if rep:
             fmt.restore(spark, path, pre_version)
+        # untimed clean-heap start, same discipline as the headline
+        # loop (see the ContextCleaner note there)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         m = fmt.merge(spark, path, batch, "o_custkey",
                       matched_delete_condition="op = 'D'",
@@ -367,6 +370,16 @@ def main() -> None:
             # show it bleeding across the first TWO timed runs otherwise.
             # Steady-state per-query cost is the number that scales.
             fn(spark, sf_dir).collect()
+            # untimed GC between priming and the timed reps (round 13 —
+            # the named cause of the r11/r12 "session load drift"): the
+            # pinned heap can go many minutes without a collection, and
+            # Spark's ContextCleaner is weak-ref driven — uncollected
+            # dead broadcast/shuffle state from EARLIER queries slowed
+            # later ones 6-12x (q05 measured 1.0s clean vs 6-12s dirty,
+            # same session).  Timed reps start from a clean driver;
+            # session.py's periodicGC.interval=45s bounds the window
+            # for everything else.
+            spark.sparkContext._jvm.System.gc()
         times, counts = [], []
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -95,6 +95,18 @@ def get_spark(app_name: str = "datalake_ingestion_system_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # ContextCleaner STARVATION guard (round 13 — the named cause
+        # of the "session load drift" chased since r11): with a large
+        # or pinned heap the JVM may not GC for many minutes, and
+        # Spark's cleaner is WEAK-REFERENCE driven — no GC means dead
+        # broadcast/shuffle/RDD state from completed queries is never
+        # unregistered, and every later query's broadcast build churns
+        # through it (measured: q05 1.0s with GC vs 6-12s and rising
+        # without, same session).  Spark's own remedy, a periodic
+        # driver System.gc(), default 30min — far too slow for a
+        # query-per-second driver; 45s bounds the garbage window.
+        # Static conf: must precede SparkContext creation.
+        .config("spark.cleaner.periodicGC.interval", "45s")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
