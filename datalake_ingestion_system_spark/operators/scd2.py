@@ -109,3 +109,40 @@ def scd2_as_of(versions: DataFrame, key: str, order_col: str,
     if op_col is not None:
         out = out.filter(F.col(op_col) != F.lit("D"))
     return out.drop("_valid_to", "_is_current")
+
+
+def start_scd2_stream(spark: SparkSession, changes: DataFrame,
+                      path: str, key: str, order_col: str,
+                      checkpoint_dir: str,
+                      fmt: TxnLogFormat | None = None,
+                      txn_app: str | None = None,
+                      available_now: bool = True):
+    """Streaming SCD2 ingest — the ``cdc_stream`` counterpart for
+    history-keeping dimensions: each micro-batch of change records
+    appends as version rows via :func:`scd2_append`, exactly-once
+    through the commit log's idempotent-transaction dedup (epoch id =
+    txn version, Delta sink txnAppId parity — a redelivered epoch is
+    SKIPPED, not re-appended).  Because ingest is append-only there is
+    no read-modify-write window at all: concurrent readers always see
+    a complete set of version rows, and ``scd2_view`` stays correct
+    mid-stream.  Returns the StreamingQuery.
+
+    The WIPED-CHECKPOINT footgun applies exactly as in
+    ``cdc_stream.start_cdc_upsert_stream``: a reset checkpoint restarts
+    epoch ids at 0 while the old (app, epoch) records remain in the
+    log — pass a fresh ``txn_app`` when reprocessing."""
+    fmt = fmt or TxnLogFormat()
+    app = txn_app or f"scd2:{checkpoint_dir}"
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return  # empty epoch: no commit
+        scd2_append(spark, path, batch, key, order_col, fmt=fmt,
+                    txn_app=app, txn_version=epoch_id)
+
+    return (changes.writeStream
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**({"availableNow": True} if available_now
+                        else {"processingTime": "10 seconds"}))
+            .start())

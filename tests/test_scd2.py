@@ -9,6 +9,8 @@ as-of lookup fact pipelines join through.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from datalake_ingestion_system_spark.operators import scd2
@@ -75,3 +77,32 @@ def test_scd2_append_dedup_and_replay(spark, tmp_path):
     scd2.scd2_append(spark, path, dup, "k", "ts", fmt=fmt,
                      txn_app="dimload", txn_version=1)
     assert fmt.read(spark, path).count() == 1
+
+
+def test_scd2_streaming_ingest_exactly_once(spark, tmp_path):
+    """start_scd2_stream: micro-batches append version rows
+    exactly-once (epoch = txn version); the derived view is correct
+    after the drain, and a REPLAYED epoch is skipped, not duplicated."""
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [(1, 10, "bronze"), (2, 10, "gold"), (1, 20, "silver")],
+        "k long, ts long, tier string").write.parquet(src_dir + "/b1")
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "dim")
+    changes = (spark.readStream.schema("k long, ts long, tier string")
+               .parquet(src_dir + "/*"))
+    q = scd2.start_scd2_stream(spark, changes, path, "k", "ts",
+                               str(tmp_path / "ckpt"), fmt=fmt,
+                               txn_app="scd2test")
+    q.awaitTermination()
+    assert fmt.read(spark, path).count() == 3
+    cur = scd2.scd2_current(fmt.read(spark, path), "k", "ts")
+    assert {(r.k, r.tier) for r in cur.collect()} \
+        == {(1, "silver"), (2, "gold")}
+    # replayed epoch (same app + epoch id) must be a no-op
+    scd2.scd2_append(
+        spark, path, spark.createDataFrame(
+            [(9, 9, "x")], "k long, ts long, tier string"),
+        "k", "ts", fmt=fmt, txn_app="scd2test", txn_version=0)
+    assert fmt.read(spark, path).count() == 3
