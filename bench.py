@@ -381,7 +381,15 @@ def main() -> None:
             # for everything else.
             spark.sparkContext._jvm.System.gc()
         times, counts = [], []
-        for _ in range(reps):
+        for rep in range(reps):
+            if rep:
+                # clean-heap start for EVERY timed rep, not just the
+                # first: the heavy fixture-building canaries run ~30
+                # jobs per rep, enough to re-accumulate uncleaned
+                # broadcast/shuffle state within the rep sequence
+                # (q_merge_targeted_read measured rising reps
+                # [5.0, 7.7, 15.1] without this)
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             n = len(fn(spark, sf_dir).collect())
             times.append(round(time.perf_counter() - t0, 3))
