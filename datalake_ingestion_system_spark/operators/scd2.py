@@ -107,7 +107,10 @@ def scd2_as_of(versions: DataFrame, key: str, order_col: str,
               | (F.col("_valid_to") > F.lit(as_of))))
     out = v.filter(hit)
     if op_col is not None:
-        out = out.filter(F.col(op_col) != F.lit("D"))
+        # NULL op = not a tombstone (the same coalesce rule as
+        # scd2_view — CDC feeds often set op only on deletes)
+        out = out.filter(F.coalesce(F.col(op_col) != F.lit("D"),
+                                    F.lit(True)))
     return out.drop("_valid_to", "_is_current")
 
 

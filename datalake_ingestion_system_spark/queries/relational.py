@@ -2818,13 +2818,8 @@ def q_timestamp_skipping_read(spark, sf_dir):
             .agg(F.count("*").alias("n_rows"),
                  F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
                   .alias("value_cents"),
-                 F.min(epoch_seconds_col("ts")).alias("min_epoch"),
-                 F.max(epoch_seconds_col("ts")).alias("max_epoch")))
-
-
-def epoch_seconds_col(c):
-    from ..catalog import epoch_seconds
-    return epoch_seconds(c).cast("long")
+                 F.min(_epoch("ts").cast("long")).alias("min_epoch"),
+                 F.max(_epoch("ts").cast("long")).alias("max_epoch")))
 
 
 ORACLE_SQL["q_timestamp_skipping_read"] = """

@@ -3176,11 +3176,13 @@ class TxnLogFormat(TableFormat):
         prunes through the ordinary string min/max machinery.
         TIMESTAMP_NTZ compares wall-clock text (timezone-free, always
         safe); TIMESTAMP (LTZ) stats are UTC instants, so its clauses
-        canonicalize only under the engine's pinned-UTC session
-        (``session.tune``; a SPARK_GRAFT_TZ override interprets
-        literals in that zone, where text comparison would lie — those
-        clauses drop from pruning instead).  Unparsable literals and
-        null tests pass through; every consumer of
+        canonicalize only when the ACTIVE session provably evaluates
+        literals in UTC (``spark.sql.session.timeZone`` checked first
+        — the authoritative setting however it was configured — with
+        the SPARK_GRAFT_TZ env as the sessionless fallback, e.g. the
+        DSv2 pushdown worker; an unknown or non-UTC zone drops LTZ
+        clauses from pruning instead of lying).  Unparsable literals
+        and null tests pass through; every consumer of
         ``_clause_excluded_files`` inherits this rewrite."""
         if not clauses:
             return clauses
@@ -3193,7 +3195,16 @@ class TxnLogFormat(TableFormat):
         if not any(types.get(c) in ("timestamp", "timestamp_ntz")
                    for c, _op, _lit in clauses):
             return clauses
-        utc = os.environ.get("SPARK_GRAFT_TZ", "UTC") == "UTC"
+        tzname = None
+        try:
+            sess = SparkSession.getActiveSession()
+            if sess is not None:
+                tzname = sess.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            pass
+        if tzname is None:
+            tzname = os.environ.get("SPARK_GRAFT_TZ")
+        utc = tzname in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
         out = []
         for col, op, lit in clauses:
             t = types.get(col)
@@ -5100,40 +5111,46 @@ class TxnLogFormat(TableFormat):
         ``t.x`` → the bare target column, ``s.x`` → its aliased source
         column, a bare name → its only side (keys resolve to the
         coalesced join column; a name live on BOTH sides raises Delta's
-        ambiguous-reference error and must be qualified).  Quoted
-        string literals pass through untouched."""
-        tset, sset = set(tcols), set(source_cols)
+        ambiguous-reference error and must be qualified).  All lookups
+        are CASE-INSENSITIVE, matching Spark's resolver (``T.X`` and
+        ``s.Delta`` are legal spellings).  Quoted string literals pass
+        through untouched."""
+        tset = {c.lower() for c in tcols}
+        sset = {c.lower() for c in source_cols}
+        keyset = {k.lower() for k in keys}
+        plane = {c.lower(): v for c, v in s_plane.items()}
 
         def resolve(qual: str | None, name: str) -> str:
+            low = name.lower()
             if qual == "t":
-                if name not in tset:
+                if low not in tset:
                     raise ValueError(
                         f"MERGE assignment references t.{name}, not a "
                         "target column")
                 return name
             if qual == "s":
-                if name not in sset:
+                if low not in sset:
                     raise ValueError(
                         f"MERGE assignment references s.{name}, not a "
                         "source column")
-                return name if name in keys else s_plane[name]
-            if name in keys:
+                return name if low in keyset else plane[low]
+            if low in keyset:
                 return name  # equi-joined: one coalesced column
-            if name in tset and name in sset:
+            if low in tset and low in sset:
                 raise ValueError(
                     f"ambiguous column {name!r} in MERGE assignment — "
                     "qualify it as t.{0} or s.{0}".format(name))
-            if name in tset:
+            if low in tset:
                 return name
-            if name in sset:
-                return s_plane[name]
+            if low in sset:
+                return plane[low]
             return name  # SQL keyword / literal word: untouched
 
         def sub(m) -> str:
             qual, name = m.group(1), m.group(2)
             if qual is None and name.lower() in cls._MERGE_EXPR_KEYWORDS:
                 return m.group(0)
-            return resolve(qual, name)
+            return resolve(qual.lower() if qual else None, name)
 
         out = []
         for i, seg in enumerate(_re_mod.split(r"('(?:[^']|'')*')", expr)):
@@ -5141,7 +5158,7 @@ class TxnLogFormat(TableFormat):
                 out.append(seg)  # quoted literal
                 continue
             out.append(_re_mod.sub(
-                r"(?<![\w.`])(?:\b(t|s)\s*\.\s*)?([A-Za-z_]\w*)\b"
+                r"(?<![\w.`])(?:\b([tTsS])\s*\.\s*)?([A-Za-z_]\w*)\b"
                 r"(?!\s*\()", sub, seg))
         return "".join(out)
 
@@ -5290,19 +5307,34 @@ class TxnLogFormat(TableFormat):
                     "matched_update_assignments and schema_evolution "
                     "are mutually exclusive — evolve with UPDATE SET * "
                     "or pre-shape the source")
-            for c in assignments:
-                if c not in tcols:
+            # CASE-INSENSITIVE target resolution (Spark's resolver
+            # rule): normalize each assignment onto the stored column
+            # name, so `SET V = ...` binds and case-variant duplicates
+            # still raise
+            canon = {c.lower(): c for c in tcols}
+            keyset = {k.lower() for k in keys}
+            identset = {c.lower() for c in ident}
+            norm: dict[str, str] = {}
+            for c, ex in assignments.items():
+                cl = c.lower()
+                if cl not in canon:
                     raise ValueError(
                         f"MERGE assignment targets unknown column {c!r}")
-                if c in keys:
+                if cl in keyset:
                     raise ValueError(
                         f"MERGE assignment targets merge key {c!r} — "
                         "key columns route the upsert and cannot be "
                         "reassigned")
-                if c in ident:
+                if cl in identset:
                     raise ValueError(
                         f"column {c!r} is GENERATED ALWAYS AS IDENTITY "
                         "— merge never reassigns it")
+                if canon[cl] in norm:
+                    raise ValueError(
+                        f"duplicate MERGE assignment to column "
+                        f"{canon[cl]!r}")
+                norm[canon[cl]] = ex
+            assignments = norm
         missing = [c for c in tcols
                    if c not in source.columns and c not in ident]
         no_insert = (insert_condition is not None

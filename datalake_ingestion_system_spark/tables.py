@@ -215,7 +215,12 @@ def details_df(spark: SparkSession, name: str) -> DataFrame:
             fields.append(StructField(k, LongType()))
         elif v is None:
             vals.append(None)
-            fields.append(StructField(k, LongType()))
+            # only the known-numeric metadata fields keep LongType when
+            # absent; anything else stays a (null) string so a column's
+            # type can never flip with table state
+            fields.append(StructField(
+                k, LongType() if k in ("checkpoint_version", "version")
+                else StringType()))
         elif isinstance(v, (dict, list)):
             vals.append(json.dumps(v, sort_keys=True, default=str))
             fields.append(StructField(k, StringType()))
@@ -326,7 +331,10 @@ def _rewrite_table_changes(spark: SparkSession, s: str
 
     def repl(m: "_re.Match[str]") -> str:
         kw, name, start, end, alias = m.groups()
-        path = table_path(spark, _unquote_ident(name))
+        try:
+            path = table_path(spark, _unquote_ident(name))
+        except Exception:
+            return m.group(0)  # not a registered table: Spark's own
         ensure_registered(spark)
         reader = (spark.read.format("txnlog")
                   .option("readChangeFeed", "true"))
@@ -540,13 +548,20 @@ def sql(spark: SparkSession, statement: str):
             # re-registers; plain CREATE refuses an existing log.
             replace, name, p1, p2, select = m.groups()
             path = os.path.abspath(p1 or p2)
-            df = sql(spark, select)
             fmt = TxnLogFormat()
             exists = os.path.isdir(fmt._log_dir(path))
             if exists and not replace:
                 raise ValueError(
                     f"a txnlog table already exists at {path} — use "
                     "CREATE OR REPLACE TABLE to overwrite it")
+            if not replace and spark.catalog.tableExists(
+                    _quote(_unquote_ident(name))):
+                # fail BEFORE committing data: a name collision must
+                # not leave an orphaned committed table at the path
+                raise ValueError(
+                    f"catalog table {name} already exists — use "
+                    "CREATE OR REPLACE TABLE")
+            df = sql(spark, select)
             if exists:
                 fmt.overwrite_table(df, path)
             else:
@@ -785,6 +800,30 @@ def _route_alter(spark: SparkSession, s: str, flags: int):
         "[UN]SET TBLPROPERTIES")
 
 
+def _mask_quoted(s: str) -> str:
+    """Same-length copy of ``s`` with quoted-literal CONTENT blanked
+    (doubled '' escapes respected): regex scans over the mask cannot
+    match keywords inside string literals, while match SPANS still
+    index the raw text for extraction."""
+    out, i, n = list(s), 0, len(s)
+    while i < n:
+        if s[i] == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _route_merge(spark: SparkSession, s: str, flags: int):
     """Parse the supported ``MERGE INTO`` surface and route to
     ``TxnLogFormat.merge`` (see ``sql``)."""
@@ -828,11 +867,17 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
         r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
         r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+?)"
         r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)", flags)
-    pos, matches = 0, list(pat.finditer(whens))
+    # scan the QUOTE-MASKED text so a literal containing "when
+    # matched" (or clause keywords) can never mis-split the statement;
+    # groups are sliced from the RAW text by span
+    pos, matches = 0, list(pat.finditer(_mask_quoted(whens)))
     if not matches or matches[0].start() != 0:
         raise ValueError(f"unsupported MERGE WHEN clauses: {whens!r}")
     for w in matches:
-        notm, bysrc, cond, raw_act = w.groups()
+        notm, bysrc = w.group(1), w.group(2)
+        cond = (whens[w.start(3):w.end(3)]
+                if w.group(3) is not None else None)
+        raw_act = whens[w.start(4):w.end(4)]
         act = _re.sub(r"\s+", " ", raw_act.upper()).strip()
         cond = (_strip_alias(cond, [s_alias, t_alias])
                 if cond else None)
@@ -901,9 +946,9 @@ def _requalify(expr: str, t_alias: str | None,
     """Normalize a MERGE assignment expression's statement aliases to
     the format API's canonical ``t.`` / ``s.`` qualifiers."""
     for alias, canon in ((t_alias, "t."), (s_alias, "s.")):
-        if alias and alias not in ("t", "s"):
+        if alias and alias.lower() not in ("t", "s"):
             expr = _re.sub(rf"\b{_re.escape(alias)}\s*\.\s*", canon,
-                           expr)
+                           expr, flags=_re.IGNORECASE)
     return expr.strip()
 
 

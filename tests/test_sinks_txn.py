@@ -3719,11 +3719,11 @@ def test_timestamp_stats_prune_files(spark, tmp_path):
         assert lo.count() == 20, flavor
 
 
-def test_timestamp_skipping_gated_off_non_utc(spark, tmp_path,
-                                              monkeypatch):
-    """An LTZ clause under a non-UTC SPARK_GRAFT_TZ pin must NOT prune
-    (the literal's instant depends on the session zone) — while NTZ
-    clauses, being wall-clock, keep pruning."""
+def test_timestamp_skipping_gated_off_non_utc(spark, tmp_path):
+    """An LTZ clause under a non-UTC SESSION timezone must NOT prune
+    (the literal's instant depends on the session zone — checked on
+    the ACTIVE session's spark.sql.session.timeZone, however it was
+    configured) — while NTZ clauses, being wall-clock, keep pruning."""
     import datetime as dt
 
     fmt = TxnLogFormat()
@@ -3734,11 +3734,19 @@ def test_timestamp_skipping_gated_off_non_utc(spark, tmp_path,
     fmt.append(spark.createDataFrame(
         [(i, dt.datetime(2024, 3, 1 + i, 12, 0)) for i in range(5)],
         "id long, ts timestamp").coalesce(1), path)
-    monkeypatch.setenv("SPARK_GRAFT_TZ", "Asia/Tokyo")
     commits = fmt._commits(path)
     clauses = fmt._skip_clauses("ts < '2024-02-01'")
-    assert fmt._canonicalize_ts_clauses(clauses, commits) == []
-    monkeypatch.setenv("SPARK_GRAFT_TZ", "UTC")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        assert fmt._canonicalize_ts_clauses(clauses, commits) == []
+        # ... and the END-TO-END read stays CORRECT: the Tokyo-zone
+        # literal is 2024-01-31T15:00Z, so the January file (instants
+        # at 12:00Z) must keep ALL its rows despite its canonical-UTC
+        # stats ending before the naive literal text
+        got = fmt.read(spark, path, where="ts < '2024-02-01'")
+        assert got.count() == 5
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert fmt._canonicalize_ts_clauses(clauses, commits) == [
         ("ts", "<", "2024-02-01 00:00:00.000000")]
 

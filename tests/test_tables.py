@@ -550,3 +550,56 @@ def test_sql_router_constraints_and_insert_overwrite(spark, cat):
     # the replaced state stays one time travel away
     assert TxnLogFormat().read(spark, path,
                                as_of_version=pre).count() == 11
+
+
+def test_merge_set_case_insensitive_and_quoted_literals(spark, cat):
+    """Round-13 review fixes: UPPERCASE qualifiers/aliases and bare
+    names resolve like Spark's case-insensitive resolver; a SET string
+    literal containing 'when matched' cannot mis-split the clauses."""
+    spark.createDataFrame([(1, 100)], "a long, delta long"
+                          ).createOrReplaceTempView("mset_ci_cdc")
+    got = tables.sql(spark, f"""
+        MERGE INTO {cat['name']} AS TGT USING mset_ci_cdc AS SRC
+        ON TGT.a = SRC.a
+        WHEN MATCHED THEN UPDATE SET b = TGT.B + SRC.DELTA
+    """)
+    assert got["updated"] == 1
+    assert tables.table(spark, cat["name"]).filter("a = 1"
+                                                   ).head().b == 102
+    # quoted-keyword literal in the SET expression (and a trailing
+    # second assignment after it) must not mis-split the WHEN clauses
+    got = tables.sql(spark, f"""
+        MERGE INTO {cat['name']} t USING mset_ci_cdc s ON t.a = s.a
+        WHEN MATCHED AND s.delta > 0 THEN UPDATE SET b = length(
+            'when matched then update') + t.b
+    """)
+    assert got["updated"] == 1
+    # case-variant duplicate target still raises
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat
+    with pytest.raises(ValueError, match="duplicate MERGE assignment"):
+        TxnLogFormat().merge(
+            spark, cat["path"],
+            spark.createDataFrame([(1, 1)], "a long, delta long"), "a",
+            matched_update_assignments={"b": "1", "B": "2"},
+            insert_condition="false")
+
+
+def test_table_changes_unregistered_name_passes_through(spark):
+    spark.range(3).createOrReplaceTempView("tc_plain_view")
+    # table_changes over an unresolvable name leaves the statement to
+    # Spark, whose own error names the missing function/table
+    with pytest.raises(Exception) as ei:
+        tables.sql(spark,
+                   "SELECT * FROM table_changes('no_such_t', 1)"
+                   ).collect()
+    assert "no_such_t" in str(ei.value) or "table_changes" in str(
+        ei.value)
+
+
+def test_ctas_name_collision_commits_nothing(spark, cat, tmp_path):
+    p2 = str(tmp_path / "orphan")
+    with pytest.raises(ValueError, match="already exists"):
+        tables.sql(spark, f"CREATE TABLE {cat['name']} USING txnlog "
+                          f"OPTIONS (path '{p2}') AS SELECT 1 AS x")
+    import os
+    assert not os.path.isdir(p2), "no orphaned table may be committed"
