@@ -919,7 +919,16 @@ class TxnLogFormat(TableFormat):
                         if not st.has_min_max or mnmx.get(name, ()) is None:
                             mnmx[name] = None
                             continue
-                        mn, mx = st.min, st.max
+                        try:
+                            mn, mx = st.min, st.max
+                        except Exception:
+                            # pyarrow can't decode stats for every
+                            # physical type (e.g. DECIMAL raises
+                            # ArrowNotImplementedError) — record
+                            # unknown; comparison pruning stays off for
+                            # the column, the write itself must succeed
+                            mnmx[name] = None
+                            continue
                         if isinstance(mn, bytes):
                             try:
                                 mn, mx = mn.decode(), mx.decode()
