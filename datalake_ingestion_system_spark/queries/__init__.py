@@ -30,52 +30,30 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 # Queries whose implementation or oracle changed AFTER their last green
 # driver row belong back in the sampled prefix until re-verified.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Round 13: all 50 round-12 window entries hold green rows in
-    # CORRECTNESS_r12 (50/50) and are RELEASED.  Fronted now: the
-    # transitive closure of this round's sinks/tables rework — (a)
-    # data skipping materializes O(survivors) instead of the excluded
-    # set (read()'s live-entry loop consumes a kept-by-dir map; every
-    # txnlog read rides it); (b) MERGE gains column-level UPDATE SET
-    # assignments and identity-insert allocation (routing join, CDF
-    # postimage, commit identity conflict surface all touched); (c)
-    # timestamp stats record as canonical UTC text and clause literals
-    # canonicalize inside _clause_excluded_files (every pruning
-    # consumer); (d) writers emit INT64-micros parquet instead of
-    # INT96; (e) the registry's staged tables moved to self-cleaning
-    # scratch dirs (mechanical, but the fingerprints changed).  The
-    # set below is tools/verify_local.py --changed-since b977310's
-    # mechanical answer, re-verified green at ALL THREE SFs this
-    # session (49/49 per SF, 0 fail) plus the new round-13 queries
-    # (which front automatically; listed for explicitness).  One
-    # Two closure members are deliberately released to keep the
-    # prefix at the driver's 50-slot window: q_stream_kmv_distinct and
-    # q_catalog_table_read, whose only change is the mechanical
-    # scratch-dir rename (no r13 engine code in their data paths), and
-    # both are 3-SF green in this session's sweep.
-    "q_alter_skipping_read", "q_auto_compact_read",
-    "q_bloom_skipping_read",
-    "q_cdc_stream_apply", "q_scd2_dimension",
-    "q_cdf_replica_mirror", "q_cdf_row_ids",
-    "q_cdf_rowid_mirror", "q_cdf_sidecar_changes",
-    "q_change_data_feed", "q_checkpoint_log_read", "q_clone_read",
-    "q_column_default_read", "q_compact_where_read", "q_convert_read",
-    "q_data_skipping_read", "q_delete_vector_read",
-    "q_dv_compact_read", "q_file_manifest", "q_generated_column_read",
-    "q_history_manifest_join", "q_identity_column_read",
-    "q_merge_full_sync", "q_merge_identity_insert",
-    "q_merge_schema_evolution", "q_merge_set_columns",
-    "q_merge_targeted_read", "q_merge_upsert",
-    "q_minhash_incremental", "q_partition_pruned_read",
-    "q_partition_transform_read", "q_protocol_gated_read",
-    "q_rollup_incremental", "q_row_tracking_read",
-    "q_schema_evolution_read", "q_sidecar_checkpoint_read",
-    "q_small_file_compact_read", "q_sql_dml_roundtrip",
-    "q_table_changes_sql", "q_alter_ctas_sql",
-    "q_targeted_cow_read", "q_time_travel_sql",
-    "q_timestamp_skipping_read", "q_transform_evolution_read",
-    "q_transform_rewrite_read", "q_txnlog_stream_pushdown",
+    # Round 14: all 50 round-13 window entries hold green rows in
+    # CORRECTNESS_r13 (50/50) and are RELEASED.  Fronted now: the
+    # transitive closure of this round's work — (a) the SQL router's
+    # quote-masking rework (every regex arm now scans the mask and
+    # slices raw text: all tables.sql / tables.* consumers), (b) the
+    # clone link-helper refactor and the publish/refs machinery
+    # (q_clone_read, the new q_wap_publish_read), (c) the streaming
+    # source's capBase seeding (q_txnlog_stream_*), (d) history's
+    # additive publish fields (q_history_manifest_join).  The three
+    # NEW queries (q_create_table_sql, q_catalog_join_broadcast,
+    # q_wap_publish_read) front automatically as never-sampled;
+    # listed for explicitness.  All entries below are 3-SF green in
+    # this session's local sweeps; remaining prefix slots fill with
+    # already-green rotated entries (harmless re-confirmation).
+    "q_alter_ctas_sql", "q_auto_compact_read",
+    "q_catalog_join_broadcast", "q_catalog_table_read",
+    "q_cdf_row_ids", "q_checkpoint_log_read", "q_clone_read",
+    "q_compact_where_read", "q_create_table_sql",
+    "q_history_manifest_join", "q_merge_full_sync",
+    "q_merge_set_columns", "q_sql_dml_roundtrip",
+    "q_table_changes_sql", "q_time_travel_sql",
+    "q_timestamp_skipping_read", "q_txnlog_stream_pushdown",
     "q_txnlog_stream_sink", "q_txnlog_stream_source",
-    "q_type_widening_read", "q_zorder_skipping_read")
+    "q_wap_publish_read")
 
 
 def _evidence():

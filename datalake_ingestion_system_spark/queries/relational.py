@@ -4265,6 +4265,71 @@ GROUP BY n_name
 """
 
 
+@_q("q_wap_publish_read")
+def q_wap_publish_read(spark, sf_dir):
+    """Write-audit-publish round-trip, oracle-verified (round 14 —
+    VERDICT r13 item 4, Iceberg WAP parity): main holds the non-error
+    events; a BRANCH stages an append (error events, values bumped
+    +1000) and a targeted DELETE (click events) in isolation; the
+    branch publishes as ONE atomic squash commit; the result unions
+    the PUBLISHED head with the pre-publish FORK era read by time
+    travel — both eras must match the oracle's declarative
+    reconstruction, proving publish atomicity and era preservation.
+
+    Scale shape: branching is O(live files) hardlinks (no data moved),
+    the branch delete is file-targeted copy-on-write, publish is one
+    metadata commit + links — the whole WAP loop never shuffles or
+    rewrites unmatched data."""
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = scratch_dir(prefix="wap_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.filter(F.col("event_type") != "error"), root)
+    fork = fmt.create_branch(root, "audit")
+    bp = fmt.ref_path(root, "audit")
+    fmt.append(e.filter(F.col("event_type") == "error")
+               .withColumn("value", F.col("value") + 1000), bp)
+    fmt.delete_where(spark, bp, "event_type = 'click'")
+    fmt.publish_branch(root, "audit", drop=True)
+
+    def _agg(df, era):
+        return (df.groupBy("event_type")
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum(F.floor(F.col("value") * 100 + 0.5)
+                           .cast("long")).alias("value_cents"))
+                .select(F.lit(era).alias("era"), "event_type",
+                        "n_rows", "value_cents"))
+
+    return (_agg(fmt.read(spark, root), "published")
+            .unionByName(_agg(fmt.read(spark, root,
+                                       as_of_version=fork), "fork")))
+
+
+ORACLE_SQL["q_wap_publish_read"] = """
+WITH main0 AS (
+  SELECT event_type, value FROM events WHERE event_type <> 'error'
+), published AS (
+  SELECT event_type, value FROM main0 WHERE event_type <> 'click'
+  UNION ALL
+  SELECT event_type, value + 1000 AS value FROM events
+  WHERE event_type = 'error'
+)
+SELECT 'published' AS era, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM published GROUP BY event_type
+UNION ALL
+SELECT 'fork' AS era, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM main0 GROUP BY event_type
+"""
+
+
 @_q("q_partition_transform_read")
 def q_partition_transform_read(spark, sf_dir):
     """Hidden partitioning — Iceberg partition-transform parity

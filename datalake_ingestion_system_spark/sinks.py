@@ -3905,6 +3905,7 @@ class TxnLogFormat(TableFormat):
              as_of_timestamp: float | str | None = None,
              where: str | None = None,
              with_row_ids: bool = False,
+             ref: str | None = None,
              _with_pos: bool = False,
              _only_files: set | None = None) -> DataFrame:
         """Current state, or — with ``as_of_version`` — TIME TRAVEL: the
@@ -3933,7 +3934,27 @@ class TxnLogFormat(TableFormat):
         MATERIALIZED ``__row_id`` their rewrite carried over, so the id
         survives physical movement (the primitive incremental-MV
         maintenance and CDF-precise lineage need).  Rows written before
-        the property was enabled read NULL (compact once to assign)."""
+        the property was enabled read NULL (compact once to assign).
+
+        ``ref`` (round 14 — Iceberg ref parity): read a named BRANCH
+        (the write-audit-publish staging table — dispatches to its own
+        root, time-travel kwargs apply within the branch) or a TAG
+        (an immutable version pin — a named time-travel alias)."""
+        if ref is not None:
+            info = self._load_ref(path, ref)
+            if info.get("type") == "branch":
+                return self.read(
+                    spark, self.ref_path(path, ref),
+                    as_of_version=as_of_version,
+                    as_of_timestamp=as_of_timestamp, where=where,
+                    with_row_ids=with_row_ids)
+            if as_of_version is not None or as_of_timestamp is not None:
+                raise ValueError(
+                    f"ref {ref!r} is a tag — an immutable version pin; "
+                    "don't combine it with as_of_*")
+            return self.read(spark, path,
+                             as_of_version=info["version"], where=where,
+                             with_row_ids=with_row_ids)
         # the head resolution stays UNGATED when a time-travel target is
         # given: the gate applies to the prefix actually read (below),
         # so a protocol upgrade never locks out pre-upgrade snapshots
@@ -4443,6 +4464,12 @@ class TxnLogFormat(TableFormat):
                 row["txn_version"] = c.get("txn_version")
             if c.get("cdf_dir"):
                 row["change_data_recorded"] = True
+            if c.get("publish_ref"):
+                # a WAP publish squash rides a checkpoint-form record
+                # but IS a data change; surface its audit trail
+                row["publish_ref"] = c["publish_ref"]
+                row["publish_span"] = c.get("publish_span")
+                row["data_change"] = True
             rows.append(row)
             if limit is not None and len(rows) >= limit:
                 break
@@ -5830,26 +5857,7 @@ class TxnLogFormat(TableFormat):
         removed = self._resolve_removed_files(commits)
 
         def link(rf: str) -> None:
-            s, d = os.path.join(src, rf), os.path.join(dst, rf)
-            os.makedirs(os.path.dirname(d), exist_ok=True)
-            try:
-                os.link(s, d)  # a missing source file raises LOUDLY —
-                # a live entry naming a vacuumed file is corruption,
-                # and a clone must never silently drop rows
-            except FileExistsError:
-                # a RACING cloner of the same source (or a retried
-                # clone) already linked this name; same inode means
-                # same bytes — converge instead of failing, the seed
-                # record's link below still picks the single winner
-                if not os.path.samefile(s, d):
-                    raise
-            except OSError as err:
-                import errno
-                if err.errno == errno.EXDEV:  # cross-device: real copy
-                    import shutil
-                    shutil.copy2(s, d)
-                else:
-                    raise
+            self._link_rel(src, dst, rf)
 
         for e in live:
             # every live dir must exist at dst even when empty — read()
@@ -5877,6 +5885,264 @@ class TxnLogFormat(TableFormat):
         # log whose pre-checkpoint records were pruned
         self._emit_checkpoint(dst, rec, stats, fbytes, all_files,
                               raw_too=True)
+        return v
+
+    @staticmethod
+    def _link_rel(src_root: str, dst_root: str, rf: str) -> None:
+        """Hardlink the table-relative file ``rf`` from one table root
+        into another (clone / branch publish): a missing source raises
+        LOUDLY — a live entry naming a vacuumed file is corruption and
+        state transfer must never silently drop rows; an existing
+        same-inode destination converges (racing twin, or a branch
+        file the destination already holds); cross-device falls back
+        to a real copy (object stores: a server-side copy per file)."""
+        s, d = os.path.join(src_root, rf), os.path.join(dst_root, rf)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)
+        except FileExistsError:
+            if not os.path.samefile(s, d):
+                raise
+        except OSError as err:
+            import errno
+            if err.errno == errno.EXDEV:  # cross-device: real copy
+                import shutil
+                shutil.copy2(s, d)
+            else:
+                raise
+
+    # -- branches / tags / write-audit-publish (round 14) ----------------
+
+    #: refs live INSIDE the table directory, beside ``_txn_data`` —
+    #: vacuum sweeps only ``_txn_data`` and the log, so branch data is
+    #: structurally out of its reach, and hardlinks keep shared inodes
+    #: alive even when main vacuums a file a branch still references
+    #: (the same property that makes ``clone`` vacuum-immune)
+    _REFS_DIR = "_txn_refs"
+
+    def ref_path(self, path: str, name: str) -> str:
+        """The branch table's own root (a full txnlog table — every
+        format API works against it)."""
+        self._check_ref_name(name)
+        return os.path.join(path, self._REFS_DIR, name)
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        if not _re_mod.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(
+                f"invalid ref name {name!r} — letters/digits/._- only, "
+                "starting with a letter or digit")
+
+    def _ref_meta_path(self, path: str, name: str) -> str:
+        self._check_ref_name(name)
+        return os.path.join(path, self._REFS_DIR, f"{name}.ref.json")
+
+    def _load_ref(self, path: str, name: str) -> dict:
+        try:
+            with open(self._ref_meta_path(path, name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no ref {name!r} at {path} — defined: "
+                f"{[r['name'] for r in self.list_refs(path)] or 'none'}"
+            ) from None
+
+    def _write_ref_meta(self, path: str, name: str, info: dict,
+                        replace: bool = False) -> None:
+        meta = self._ref_meta_path(path, name)
+        os.makedirs(os.path.dirname(meta), exist_ok=True)
+        tmp = meta + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(info, f)
+            f.flush()
+            os.fsync(f.fileno())
+        if replace:
+            os.replace(tmp, meta)
+            return
+        try:
+            os.link(tmp, meta)  # O_EXCL create: refs are race-safe
+        except FileExistsError:
+            raise FileExistsError(
+                f"ref {name!r} already exists at {path}") from None
+        finally:
+            os.unlink(tmp)
+
+    def create_branch(self, path: str, name: str,
+                      version: int | None = None) -> int:
+        """Create branch ``name`` from the table's state at ``version``
+        (default: head) — Iceberg branch / Delta-on-WAP parity, the
+        ISOLATION half of write-audit-publish: the branch is a
+        hardlink CLONE under ``<table>/_txn_refs/<name>`` (O(live
+        files) link calls, zero data moved, every record
+        table-relative — the state-fold portability ``clone`` proves),
+        so every format API — append, merge, delete, constraints,
+        time travel — works against ``ref_path(path, name)`` without
+        touching main.  Returns the fork version recorded for the
+        strict fast-forward check at publish time."""
+        meta = self._ref_meta_path(path, name)
+        if os.path.exists(meta):
+            raise FileExistsError(
+                f"ref {name!r} already exists at {path}")
+        v = self.clone(path, self.ref_path(path, name), version=version)
+        self._write_ref_meta(path, name, {
+            "name": name, "type": "branch", "fork_version": v,
+            "created_ts": _time_mod.time()})
+        return v
+
+    def create_tag(self, path: str, name: str,
+                   version: int | None = None) -> int:
+        """Create immutable tag ``name`` pinning ``version`` (default:
+        head) — Iceberg tag parity: a named time-travel alias
+        (``read(..., ref=name)``), zero data, zero log writes.  The
+        tag file is created O_EXCL, so tags never silently move."""
+        commits = self._commits(path, upto=version, _gate=False)
+        if not commits:
+            raise ValueError(
+                f"version {version} does not exist at {path}"
+                if version is not None
+                else f"no committed table at {path}")
+        v = commits[-1]["version"]
+        self._write_ref_meta(path, name, {
+            "name": name, "type": "tag", "version": v,
+            "created_ts": _time_mod.time()})
+        return v
+
+    def list_refs(self, path: str) -> list[dict]:
+        """Every ref's metadata record, sorted by name."""
+        root = os.path.join(path, self._REFS_DIR)
+        out = []
+        try:
+            names = os.listdir(root)
+        except FileNotFoundError:
+            return []
+        for n in sorted(names):
+            if n.endswith(".ref.json"):
+                try:
+                    with open(os.path.join(root, n)) as f:
+                        out.append(json.load(f))
+                except (OSError, ValueError):
+                    continue  # racing drop_ref
+        return out
+
+    def drop_ref(self, path: str, name: str) -> None:
+        """Delete a ref: the tag pin, or the whole branch table (its
+        hardlinked files only drop THIS link — main's data is
+        untouched, the clone property)."""
+        info = self._load_ref(path, name)
+        os.unlink(self._ref_meta_path(path, name))
+        if info.get("type") == "branch":
+            import shutil
+            shutil.rmtree(self.ref_path(path, name), ignore_errors=True)
+
+    def publish_branch(self, path: str, name: str,
+                       drop: bool = False) -> int:
+        """PUBLISH a branch back to main — the Iceberg
+        write-audit-publish fast-forward, as ONE atomic squash commit:
+        the branch's head state folds through ``_fold_record`` (the
+        same portable state record checkpoints and clones use), branch
+        data files hardlink into main, and the record publishes with
+        ``action == "checkpoint"`` at ``fork + 1`` — a shape every
+        resolver already replays as a state RESET wherever it appears,
+        so reads at or above the publish plan from it while every
+        pre-publish version stays time-travelable from the raw prefix
+        (both eras queryable).  Strict fast-forward: if main advanced
+        past the fork, raises ``ConcurrentWriteError`` (re-branch and
+        re-apply); the version claim itself is the same single-link
+        race every commit uses, so a writer sneaking in between the
+        head check and the link also aborts cleanly — never a partial
+        publish.
+
+        Version flattening: folded entry/stat/txn version markers
+        above the fork remap to the publish version — they are ERA
+        MARKERS (stream offsets, CDF spans, alter-aware stats
+        mapping) and must never exceed a version that exists on main,
+        else a stream could record offsets beyond the head and
+        silently skip later commits.  Consequently a branch that
+        EVOLVED THE SCHEMA after forking refuses to squash (intra-
+        branch column-mapping eras cannot flatten); apply schema
+        changes on main before branching.  The change feed refuses to
+        cross the publish (folded span — same rule as clone seeds and
+        checkpoint-pruned logs) and a streaming reader sees it as a
+        data-changed fold.
+
+        Scale shape: O(branch live files) link calls + one commit +
+        one checkpoint — no data movement, no shuffle, driver-side at
+        file-metadata scale.  ``drop=True`` removes the branch after
+        publishing; otherwise the ref re-points at the published
+        version for further WAP rounds."""
+        info = self._load_ref(path, name)
+        if info.get("type") != "branch":
+            raise ValueError(f"ref {name!r} is a tag — tags are "
+                             "immutable pins and cannot publish")
+        bpath = self.ref_path(path, name)
+        fork = info["fork_version"]
+        bcommits = self._commits(bpath)
+        if not bcommits:
+            raise FileNotFoundError(f"no committed branch at {bpath}")
+        bhead = bcommits[-1]["version"]
+        mcommits = self._commits(path)
+        mhead = mcommits[-1]["version"] if mcommits else -1
+        if bhead == info.get("branch_head_published", fork):
+            return mhead  # nothing staged: publish is a no-op
+        if mhead != fork:
+            raise ConcurrentWriteError(
+                f"table advanced to version {mhead} since branch "
+                f"{name!r} forked at {fork} — WAP publish is strict "
+                "fast-forward; re-branch from the new head and "
+                "re-apply the audited writes")
+        balters = self._resolve_alters(bcommits)
+        if any(a["version"] > fork for a in balters):
+            raise ValueError(
+                f"branch {name!r} evolved the schema after forking — "
+                "the squash publish flattens the branch into one "
+                "commit and cannot represent intra-branch column-"
+                "mapping eras; apply schema changes on main before "
+                "branching")
+        rec, stats, fbytes, all_files = self._fold_record(bpath, bhead)
+        v_pub = fork + 1
+        for e in rec["state"]["live"]:
+            if e["version"] > fork:
+                e["version"] = v_pub
+        for app, pair in (rec.get("txn_latest") or {}).items():
+            if pair[1] > fork:
+                pair[1] = v_pub
+        rec["stats"] = {rf: [v_pub if sv > fork else sv, cols]
+                        for rf, (sv, cols) in stats.items()}
+        rec["file_bytes"] = fbytes
+        rec["state"]["data_changed"] = True
+        rec["publish_ref"] = name
+        rec["publish_span"] = [fork + 1, bhead]
+        removed = set(rec["state"]["removed_files"])
+        for e in rec["state"]["live"]:
+            os.makedirs(os.path.join(path, e["dir"]), exist_ok=True)
+            files = e.get("files")
+            if files is None:  # legacy pre-recording entry: one walk
+                full = os.path.join(bpath, e["dir"])
+                files = [_relfile(os.path.join(dp, fn))
+                         for dp, _dns, fns in os.walk(full)
+                         for fn in fns if fn.endswith(".parquet")]
+            for rf in files:
+                if rf not in removed:
+                    self._link_rel(bpath, path, rf)
+        for dvd in rec["state"]["dvs"]:
+            os.makedirs(os.path.join(path, dvd), exist_ok=True)
+            for dp, _dns, fns in os.walk(os.path.join(bpath, dvd)):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        self._link_rel(bpath, path,
+                                       _relfile(os.path.join(dp, fn)))
+        v = self._commit(path, rec, expected_version=v_pub)
+        # immediate proper checkpoint at the publish: O(tail) plans and
+        # the sidecar form for deep tables (the inline squash record
+        # alone would make every cold plan parse O(files) JSON)
+        self._write_checkpoint(path, v)
+        if drop:
+            self.drop_ref(path, name)
+        else:
+            info.update({"fork_version": v,
+                         "branch_head_published": bhead,
+                         "published_ts": _time_mod.time()})
+            self._write_ref_meta(path, name, info, replace=True)
         return v
 
     def convert(self, spark: SparkSession, path: str) -> int:

@@ -671,6 +671,25 @@ class TxnLogStreamReader(DataSourceStreamReader):
                 "pass startingVersion OR startingTimestamp, not both")
         self._fmt = TxnLogFormat()
         self._planned_through: int | None = None
+        #: ``option("capBase", v)`` (round 14 — the ``drain_stream``
+        #: seam): seed the rate-cap bookkeeping with offset version
+        #: ``v`` BEFORE the first ``latestOffset``.  Why it exists:
+        #: the micro-batch engine calls ``latestOffset()`` before
+        #: ``initialOffset()`` on the runner (traced against 4.1.2),
+        #: so an unseeded first call cannot cap — the documented
+        #: "first batch unbounded" caveat's precise mechanism.  A
+        #: caller that KNOWS the resume point (``drain_stream`` reads
+        #: it from the checkpoint's own offsets log; a fresh drain
+        #: derives it from startingVersion) passes it here; the value
+        #: must be at or above the stream's committed offset, else
+        #: the capped ``latestOffset`` could regress the checkpoint.
+        #: Seeding also pins ``initialOffset`` to leave the cap base
+        #: alone (it runs AFTER the first latestOffset and would
+        #: otherwise reset a restart's base to the backlog start).
+        raw = options.get("capbase")
+        self._cap_seeded = raw is not None
+        if raw is not None:
+            self._planned_through = int(raw)
 
     def _data_schema(self) -> StructType:
         if not self.read_change_feed:
@@ -696,7 +715,8 @@ class TxnLogStreamReader(DataSourceStreamReader):
             start = _first_version_at_or_after(
                 self._fmt, self.path, commits,
                 self.starting_timestamp) - 1
-        self._planned_through = start  # fresh stream: cap from here
+        if not self._cap_seeded:
+            self._planned_through = start  # fresh stream: cap from here
         return {"version": start}
 
     def latestOffset(self) -> dict:

@@ -178,6 +178,47 @@ def vacuum(spark: SparkSession, name: str, **vacuum_kwargs):
                                  **vacuum_kwargs)
 
 
+def create_branch(spark: SparkSession, name: str, branch: str,
+                  version: int | None = None) -> int:
+    """Branch-by-name (round 14 — Iceberg ref parity; see
+    ``TxnLogFormat.create_branch``): fork the write-audit-publish
+    staging table under the registered table's ``_txn_refs``."""
+    return TxnLogFormat().create_branch(table_path(spark, name),
+                                        branch, version=version)
+
+
+def create_tag(spark: SparkSession, name: str, tag: str,
+               version: int | None = None) -> int:
+    """Tag-by-name: an immutable version pin (named time travel)."""
+    return TxnLogFormat().create_tag(table_path(spark, name), tag,
+                                     version=version)
+
+
+def publish_branch(spark: SparkSession, name: str, branch: str,
+                   drop: bool = False) -> int:
+    """WAP publish-by-name: atomically fast-forward the registered
+    table to the audited branch state (``TxnLogFormat.
+    publish_branch``); the catalog entry needs no refresh — branch
+    schema evolution cannot publish, so the stored schema holds."""
+    return TxnLogFormat().publish_branch(table_path(spark, name),
+                                         branch, drop=drop)
+
+
+def read_ref(spark: SparkSession, name: str, ref: str,
+             **read_kwargs) -> DataFrame:
+    """Name-first read of a branch or tag (``read(..., ref=...)``)."""
+    return TxnLogFormat().read(spark, table_path(spark, name),
+                               ref=ref, **read_kwargs)
+
+
+def list_refs(spark: SparkSession, name: str) -> list[dict]:
+    return TxnLogFormat().list_refs(table_path(spark, name))
+
+
+def drop_ref(spark: SparkSession, name: str, ref: str) -> None:
+    TxnLogFormat().drop_ref(table_path(spark, name), ref)
+
+
 def history(spark: SparkSession, name: str,
             limit: int | None = None) -> list[dict]:
     """DESCRIBE HISTORY-by-name."""
