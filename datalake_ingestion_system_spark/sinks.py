@@ -5986,6 +5986,11 @@ class TxnLogFormat(TableFormat):
         v = self.clone(path, self.ref_path(path, name), version=version)
         self._write_ref_meta(path, name, {
             "name": name, "type": "branch", "fork_version": v,
+            # the branch's own numbering base — never re-pointed (the
+            # fork_version above moves to the published main version
+            # after each WAP round; era decisions must compare BRANCH
+            # versions against this, not against main numbering)
+            "seed_version": v,
             "created_ts": _time_mod.time()})
         return v
 
@@ -6082,7 +6087,8 @@ class TxnLogFormat(TableFormat):
         bhead = bcommits[-1]["version"]
         mcommits = self._commits(path)
         mhead = mcommits[-1]["version"] if mcommits else -1
-        if bhead == info.get("branch_head_published", fork):
+        seed = info.get("seed_version", fork)
+        if bhead == info.get("branch_head_published", seed):
             return mhead  # nothing staged: publish is a no-op
         if mhead != fork:
             raise ConcurrentWriteError(
@@ -6091,7 +6097,7 @@ class TxnLogFormat(TableFormat):
                 "fast-forward; re-branch from the new head and "
                 "re-apply the audited writes")
         balters = self._resolve_alters(bcommits)
-        if any(a["version"] > fork for a in balters):
+        if any(a["version"] > seed for a in balters):
             raise ValueError(
                 f"branch {name!r} evolved the schema after forking — "
                 "the squash publish flattens the branch into one "
@@ -6100,18 +6106,36 @@ class TxnLogFormat(TableFormat):
                 "branching")
         rec, stats, fbytes, all_files = self._fold_record(bpath, bhead)
         v_pub = fork + 1
+        # era remap across WAP ROUNDS: a branch version at or below
+        # the seed IS a real main version (the clone preserved main
+        # numbering); one covered by an EARLIER publish maps to the
+        # main version that round claimed (a stream committed past
+        # that round must never see its entries re-stamped with a
+        # newer version — duplicate delivery); only versions staged
+        # SINCE the last publish map to this round's squash
+        history = [tuple(h) for h in info.get("publish_history", [])]
+
+        def _mapv(bv: int) -> int:
+            if bv <= seed:
+                return bv
+            for bh, mv in history:  # oldest round first
+                if bv <= bh:
+                    return mv
+            return v_pub
+
         for e in rec["state"]["live"]:
-            if e["version"] > fork:
-                e["version"] = v_pub
+            e["version"] = _mapv(e["version"])
         for app, pair in (rec.get("txn_latest") or {}).items():
-            if pair[1] > fork:
-                pair[1] = v_pub
-        rec["stats"] = {rf: [v_pub if sv > fork else sv, cols]
+            pair[1] = _mapv(pair[1])
+        rec["stats"] = {rf: [_mapv(sv), cols]
                         for rf, (sv, cols) in stats.items()}
         rec["file_bytes"] = fbytes
         rec["state"]["data_changed"] = True
         rec["publish_ref"] = name
-        rec["publish_span"] = [fork + 1, bhead]
+        # the BRANCH-commit range this round folds (audit trail; main
+        # sees it all as the one version the commit below claims)
+        prev_bhead = history[-1][0] if history else seed
+        rec["publish_span"] = [prev_bhead + 1, bhead]
         removed = set(rec["state"]["removed_files"])
         for e in rec["state"]["live"]:
             os.makedirs(os.path.join(path, e["dir"]), exist_ok=True)
@@ -6141,6 +6165,8 @@ class TxnLogFormat(TableFormat):
         else:
             info.update({"fork_version": v,
                          "branch_head_published": bhead,
+                         "publish_history": [list(h) for h in history]
+                         + [[bhead, v]],
                          "published_ts": _time_mod.time()})
             self._write_ref_meta(path, name, info, replace=True)
         return v

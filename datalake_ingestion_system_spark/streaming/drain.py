@@ -114,12 +114,20 @@ def drain_stream(spark: SparkSession, path: str, batch_fn,
         if base is None:
             sv = next((v for k, v in opts.items()
                        if k.lower() == "startingversion"), None)
-            if sv is None:
+            st = next((v for k, v in opts.items()
+                       if k.lower() == "startingtimestamp"), None)
+            if sv is not None:
+                if str(sv).lower() == "latest":
+                    base = target
+                elif str(sv).isdigit():
+                    base = int(sv) - 1
+            elif st is None:
                 base = -1
-            elif str(sv).lower() == "latest":
-                base = target
-            elif str(sv).isdigit():
-                base = int(sv) - 1
+            # startingTimestamp with no offsets log: leave unseeded —
+            # a capped base below the timestamp's resolved version
+            # would make latestOffset plan PRE-timestamp commits the
+            # reader's initialOffset excludes; the first batch runs
+            # uncapped instead (the documented caveat), then caps
         if base is not None:
             opts["capBase"] = str(base)
     q = (spark.readStream.format("txnlog").options(**opts).load(path)
@@ -135,19 +143,12 @@ def drain_stream(spark: SparkSession, path: str, batch_fn,
             if p and p.get("sources"):
                 end = p["sources"][0].get("endOffset")
                 if end:
-                    if isinstance(end, str):
-                        # Python DS offsets surface as the reader
-                        # dict's repr (single quotes), not JSON
-                        try:
-                            end = json.loads(end)
-                        except ValueError:
-                            import ast
-                            end = ast.literal_eval(end)
-                    v = end["version"]
+                    v = (_parse_offset(end) if isinstance(end, str)
+                         else end.get("version"))
                     # the progress entry reports a COMMITTED batch —
                     # once it covers the pinned head, the backlog (as
                     # of entry) is fully delivered
-                    if v >= target:
+                    if v is not None and v >= target:
                         return target
             if time.time() > deadline:
                 raise TimeoutError(

@@ -296,8 +296,14 @@ def stats(spark: SparkSession, name: str) -> dict:
     d = details(spark, name)
     rows = [r.num_records for r in file_manifest(spark, name)
             .select("num_records").collect()]  # file-metadata scale
+    # num_rows is the PHYSICAL per-file count — on a table with live
+    # deletion vectors the logical row count is lower and not known
+    # from metadata alone, so it reports None rather than an
+    # overcount (size_in_bytes stays physical: that IS what a scan
+    # reads, the number broadcast planning wants)
     return {"size_in_bytes": d["size_bytes"],
-            "num_rows": (None if any(r is None for r in rows)
+            "num_rows": (None if d["num_dv_dirs"]
+                         or any(r is None for r in rows)
                          else sum(rows)),
             "num_files": d["num_live_files"]}
 
@@ -321,12 +327,18 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split ``s`` on ``sep`` at paren depth 0, outside string literals
     — the minimal SQL-aware tokenizer the DML router needs (assignment
     lists, conjunct lists).  SQL's doubled-quote escape falls out of
-    close-then-reopen."""
-    parts, cur, depth, q = [], [], 0, None
+    close-then-reopen; backslash escapes are tracked explicitly so the
+    tokenizer and ``_mask_quoted`` agree on where a literal ends (a
+    ``\\'`` inside a literal must not close it and expose a comma)."""
+    parts, cur, depth, q, esc = [], [], 0, None, False
     for ch in s:
         if q:
             cur.append(ch)
-            if ch == q:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == q:
                 q = None
         elif ch in "'\"":
             q = ch
@@ -625,19 +637,24 @@ def sql(spark: SparkSession, statement: str):
             # version 0 and registers the name in one statement.
             replace, name, cols, p1, p2 = m.groups()
             path = os.path.abspath(p1 or p2)
-            if _re.search(
-                    r"\bDEFAULT\b|\bGENERATED\b|\bPRIMARY\s+KEY\b"
-                    r"|\bCONSTRAINT\b|\bCHECK\b",
-                    _mask_quoted(cols), flags):
-                raise ValueError(
-                    "column DEFAULT/GENERATED/constraint clauses are "
-                    "not supported in the column list — CREATE the "
-                    "table, then ALTER TABLE ADD CONSTRAINT / "
-                    "set_properties(identity_columns=..., "
-                    "generated_columns=..., ...)")
             try:
+                # the DDL-schema parser decides what's valid (so a
+                # struct FIELD named `check` or `default` parses
+                # fine); the keyword scan below only shapes the error
+                # message when it refuses
                 schema = StructType.fromDDL(cols)
             except Exception as e:
+                if _re.search(
+                        r"\bDEFAULT\b|\bGENERATED\b|\bPRIMARY\s+KEY\b"
+                        r"|\bCONSTRAINT\b|\bCHECK\b",
+                        _mask_quoted(cols), flags):
+                    raise ValueError(
+                        "column DEFAULT/GENERATED/constraint clauses "
+                        "are not supported in the column list — "
+                        "CREATE the table, then ALTER TABLE ADD "
+                        "CONSTRAINT / set_properties("
+                        "identity_columns=..., generated_columns=..., "
+                        "...)") from None
                 raise ValueError(
                     f"cannot parse CREATE TABLE column list {cols!r} "
                     f"— expected `name type [NOT NULL][, ...]`: {e}"
@@ -920,24 +937,29 @@ def _route_alter(spark: SparkSession, s: str, flags: int):
 
 
 def _mask_quoted(s: str) -> str:
-    """Same-length copy of ``s`` with quoted-literal CONTENT blanked
-    (doubled ``''`` and backslash escapes respected — Spark's default
-    string-literal grammar): regex scans over the mask cannot match
-    keywords inside string literals, while match SPANS still index the
-    raw text for extraction.  EVERY router regex arm must scan the mask
-    and slice the raw statement by span (round 14 — VERDICT r13 item 1:
-    the unmasked ``_TT_PAT`` rewrite silently edited string literals
-    containing ``FROM t VERSION AS OF n``)."""
+    """Same-length copy of ``s`` with quoted-literal CONTENT blanked —
+    BOTH quote characters (Spark's default grammar treats single- and
+    double-quoted tokens as string literals; identifiers use
+    backticks), doubled-quote and backslash escapes respected: regex
+    scans over the mask cannot match keywords inside string literals,
+    while match SPANS still index the raw text for extraction.  EVERY
+    router regex arm must scan the mask and slice the raw statement by
+    span (round 14 — VERDICT r13 item 1: the unmasked ``_TT_PAT``
+    rewrite silently edited string literals containing ``FROM t
+    VERSION AS OF n``).  Not supported: sessions running with ANSI
+    ``doubleQuotedIdentifiers`` (the router would blank identifier
+    content) — the routed verbs use backtick identifiers throughout."""
     out, i, n = list(s), 0, len(s)
     while i < n:
-        if s[i] == "'":
+        if s[i] in "'\"":
+            q = s[i]
             j = i + 1
             while j < n:
                 if s[j] == "\\" and j + 1 < n:
                     j += 2
                     continue
-                if s[j] == "'":
-                    if j + 1 < n and s[j + 1] == "'":
+                if s[j] == q:
+                    if j + 1 < n and s[j + 1] == q:
                         j += 2
                         continue
                     break

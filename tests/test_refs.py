@@ -215,3 +215,37 @@ def test_publish_after_drop_then_cdf_refuses_folded_span(spark, tbl):
             .option("readChangeFeed", "true")
             .option("startingVersion", str(v + 1)).load(path))
     assert feed.count() == 1
+
+
+def test_repeated_publish_preserves_prior_round_versions(spark, tbl):
+    """Review r14: a second WAP round must NOT re-stamp entries the
+    first round already published — a stream committed past round 1
+    would otherwise see them at a newer version and re-emit (duplicate
+    delivery).  The era map rides the ref's publish_history."""
+    fmt, path = tbl["fmt"], tbl["path"]
+    fmt.create_branch(path, "w2")
+    bp = fmt.ref_path(path, "w2")
+    fmt.append(spark.range(500, 502).select(
+        F.col("id").alias("k"), F.col("id").alias("v")), bp)
+    v1 = fmt.publish_branch(path, "w2")        # round 1
+    fmt.append(spark.range(600, 601).select(
+        F.col("id").alias("k"), F.col("id").alias("v")), bp)
+    v2 = fmt.publish_branch(path, "w2")        # round 2
+    assert (v1, v2) == (2, 3)
+    raw = os.path.join(path, "_txn_log", f"{v2:012d}.json")
+    with open(raw) as f:
+        rec = json.load(f)
+    by_version = {}
+    for e in rec["state"]["live"]:
+        for rf in e.get("files") or []:
+            by_version.setdefault(e["version"], 0)
+        by_version[e["version"]] = by_version.get(e["version"], 0) + 1
+    # round-1 entries keep v1; only the new append carries v2; the
+    # original main-era entries keep their real versions (0, 1)
+    vs = sorted({e["version"] for e in rec["state"]["live"]})
+    assert vs == [0, 1, v1, v2]
+    assert rec["publish_span"] == [3, 3]  # branch commit 3 only
+    # and the data is right across all three eras
+    assert fmt.read(spark, path).count() == 18
+    assert fmt.read(spark, path, as_of_version=v1).count() == 17
+    assert fmt.read(spark, path, as_of_version=1).count() == 15

@@ -782,3 +782,74 @@ def test_stats_and_name_first_broadcast_plan(spark, cat):
     plan = j._jdf.queryExecution().explainString(mode)
     assert "BroadcastHashJoin" in plan, plan
     assert j.count() == 1000
+
+
+def test_sql_vacuum_dry_run_arm(spark, cat):
+    """``VACUUM t RETAIN n HOURS DRY RUN`` through the router: the dry
+    run lists exactly what the real vacuum then removes, and deletes
+    nothing itself."""
+    name, path, fmt = cat["name"], cat["path"], cat["fmt"]
+    fmt.overwrite_table(spark.range(3).select(
+        F.col("id").alias("a"), F.col("id").alias("b")), path)
+    would = tables.sql(spark, f"VACUUM {name} RETAIN 0 HOURS DRY RUN")
+    assert would, "the superseded pre-overwrite dir must be listed"
+    assert tables.table(spark, name, as_of_version=0).count() == 10 \
+        , "dry run must not delete (old version still readable)"
+    real = tables.sql(spark, f"VACUUM {name} RETAIN 0 HOURS")
+    assert sorted(real) == sorted(would)
+    with pytest.raises(Exception, match="[Vv]acuum|exist|missing"):
+        tables.table(spark, name, as_of_version=0).collect()
+
+
+def test_double_quoted_literals_also_masked(spark, cat):
+    """Review r14: Spark's default grammar treats double-quoted tokens
+    as string literals too — the mask must blank them, or the r13 bug
+    class survives through the other quote character."""
+    n = cat["name"]
+    q = (f'SELECT "FROM {n} VERSION AS OF 3" AS msg, count(*) AS c '
+         f"FROM {n} GROUP BY 1")
+    row = tables.sql(spark, q).head()
+    assert row.msg == f"FROM {n} VERSION AS OF 3" and row.c == 10
+    tables.sql(spark, f'UPDATE {n} SET b = length("x where y") '
+                      f"WHERE a = 1")
+    assert dict(map(tuple, tables.table(spark, n).collect()))[1] == 9
+
+
+def test_backslash_escaped_quote_in_assignment_list(spark, cat):
+    """Review r14: the tokenizer and the mask must agree on where a
+    literal ends — a backslash-escaped quote inside a SET literal
+    must not expose the comma to the assignment splitter."""
+    n = cat["name"]
+    tables.sql(spark, f"ALTER TABLE {n} ADD COLUMN note string")
+    tables.sql(spark,
+               f"UPDATE {n} SET note = 'it\\'s a, b', b = 77 "
+               f"WHERE a = 2")
+    got = tables.table(spark, n).filter("a = 2").head()
+    assert (got.note, got.b) == ("it's a, b", 77)
+
+
+def test_schema_first_create_struct_field_keywords(spark, tmp_path):
+    """Review r14: a struct FIELD named check/default must parse (the
+    DDL parser decides validity; the keyword scan only shapes the
+    refusal message for real DEFAULT clauses)."""
+    import uuid as _uuid
+    name = f"kw_{_uuid.uuid4().hex[:8]}"
+    tables.sql(spark, f"CREATE TABLE {name} (id bigint, "
+                      f"audit struct<check:int,`default`:string>) "
+                      f"USING txnlog OPTIONS "
+                      f"(path '{tmp_path / 'kw'}')")
+    try:
+        assert spark.table(name).schema["audit"].dataType.simpleString() \
+            == "struct<check:int,default:string>"
+    finally:
+        tables.drop_table(spark, name)
+
+
+def test_stats_num_rows_unknown_under_deletion_vectors(spark, cat):
+    """Review r14: physical per-file counts overcount a DV table's
+    live rows — stats() must report num_rows=None, never a lie."""
+    assert tables.stats(spark, cat["name"])["num_rows"] == 10
+    cat["fmt"].delete_where_dv(spark, cat["path"], "a >= 5")
+    st = tables.stats(spark, cat["name"])
+    assert st["num_rows"] is None
+    assert st["size_in_bytes"] > 0
