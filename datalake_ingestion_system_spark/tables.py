@@ -460,10 +460,16 @@ def _rewrite_time_travel(spark: SparkSession, s: str
         if atv is not None:
             kwargs = {"as_of_version": int(atv)}
         elif kind.upper() == "VERSION":
-            if not val.isdigit():
+            if val[:1] in "'\"":
+                # Iceberg parity (round 14): VERSION AS OF '<name>'
+                # resolves a named ref — branch head or tag pin
+                kwargs = {"ref": val.strip().strip("'\"")}
+            elif not val.isdigit():
                 raise ValueError(
-                    f"VERSION AS OF takes an integer version, got {val!r}")
-            kwargs = {"as_of_version": int(val)}
+                    f"VERSION AS OF takes an integer version or a "
+                    f"quoted ref name, got {val!r}")
+            else:
+                kwargs = {"as_of_version": int(val)}
         else:
             v = val.strip().strip("'\"")
             kwargs = {"as_of_timestamp":
@@ -550,6 +556,13 @@ def sql(spark: SparkSession, statement: str):
       t / ADD|DROP CONSTRAINT / [UN]SET TBLPROPERTIES`` →
       ``alter_table`` / ``set_properties`` (catalog refreshed;
       non-txnlog ALTERs pass through — round 13)
+    - ``ALTER TABLE t CREATE|DROP BRANCH|TAG name [AS OF VERSION n] /
+      PUBLISH BRANCH b [AND DROP]`` → the refs/WAP surface, and
+      ``SELECT ... FROM t VERSION AS OF '<ref-name>'`` reads a branch
+      head or tag pin by name (Iceberg parity — round 14)
+    - ``CREATE [OR REPLACE] TABLE t (col type [, ...]) USING txnlog
+      OPTIONS (path)|LOCATION`` → schema-first empty-table DDL
+      (round 14)
     - ``CREATE [OR REPLACE] TABLE n USING txnlog OPTIONS (path)|
       LOCATION AS SELECT ...`` → CTAS (round 13)
     - ``INSERT OVERWRITE [TABLE] t <select>`` → ``overwrite_table``
@@ -907,6 +920,40 @@ def _route_alter(spark: SparkSession, s: str, flags: int):
         return fmt.set_properties(spark, path,
                                   constraints=cur or None)
 
+    mm = _match_masked(r"CREATE\s+(BRANCH|TAG)\s+(`[^`]+`|[\w.-]+)"
+                       r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+                       rest, flags)
+    if mm:
+        # Iceberg ref DDL (round 14): branches fork the WAP staging
+        # clone, tags pin a version — both as ALTER TABLE text
+        kind, rname, ver = mm.groups()
+        rname = _unquote_ident(rname)
+        v = int(ver) if ver is not None else None
+        if kind.upper() == "BRANCH":
+            return fmt.create_branch(path, rname, version=v)
+        return fmt.create_tag(path, rname, version=v)
+
+    mm = _match_masked(r"DROP\s+(BRANCH|TAG)\s+(`[^`]+`|[\w.-]+)\s*$",
+                       rest, flags)
+    if mm:
+        kind, rname = mm.groups()
+        rname = _unquote_ident(rname)
+        info = fmt._load_ref(path, rname)
+        if info.get("type") != kind.lower():
+            raise ValueError(
+                f"ref {rname!r} is a {info.get('type')}, not a "
+                f"{kind.lower()}")
+        return fmt.drop_ref(path, rname)
+
+    mm = _match_masked(r"PUBLISH\s+BRANCH\s+(`[^`]+`|[\w.-]+)"
+                       r"(\s+AND\s+DROP)?\s*$", rest, flags)
+    if mm:
+        # the WAP fast-forward as SQL text (engine extension — Iceberg
+        # exposes this as a stored procedure CALL)
+        rname, dropit = mm.groups()
+        return fmt.publish_branch(path, _unquote_ident(rname),
+                                  drop=bool(dropit))
+
     mm = _match_masked(r"(UN)?SET\s+TBLPROPERTIES\s*\(\s*(.*?)\s*\)"
                        r"\s*$", rest, flags)
     if mm:
@@ -932,8 +979,9 @@ def _route_alter(spark: SparkSession, s: str, flags: int):
 
     raise ValueError(
         "unsupported ALTER TABLE shape — expected ADD/RENAME/DROP "
-        "COLUMN, ALTER COLUMN c TYPE t, ADD/DROP CONSTRAINT, or "
-        "[UN]SET TBLPROPERTIES")
+        "COLUMN, ALTER COLUMN c TYPE t, ADD/DROP CONSTRAINT, "
+        "CREATE/DROP BRANCH|TAG [AS OF VERSION n], PUBLISH BRANCH b "
+        "[AND DROP], or [UN]SET TBLPROPERTIES")
 
 
 def _mask_quoted(s: str) -> str:

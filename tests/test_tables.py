@@ -853,3 +853,34 @@ def test_stats_num_rows_unknown_under_deletion_vectors(spark, cat):
     st = tables.stats(spark, cat["name"])
     assert st["num_rows"] is None
     assert st["size_in_bytes"] > 0
+
+
+def test_sql_branch_tag_ddl_and_named_time_travel(spark, cat):
+    """Round 14: Iceberg ref DDL as ALTER TABLE text, the WAP publish
+    as SQL, and VERSION AS OF '<ref-name>' resolving branches and
+    tags in a SELECT."""
+    n = cat["name"]
+    tables.sql(spark, f"ALTER TABLE {n} CREATE TAG genesis "
+                      f"AS OF VERSION 0")
+    tables.sql(spark, f"ALTER TABLE {n} CREATE BRANCH audit")
+    # write to the branch through the format API; main untouched
+    cat["fmt"].append(spark.range(900, 903).select(
+        F.col("id").alias("a"), F.col("id").alias("b")),
+        cat["fmt"].ref_path(cat["path"], "audit"))
+    assert tables.sql(
+        spark, f"SELECT count(*) AS c FROM {n} "
+               f"VERSION AS OF 'audit'").head().c == 13
+    assert tables.sql(
+        spark, f"SELECT count(*) AS c FROM {n} "
+               f"VERSION AS OF 'genesis'").head().c == 10
+    assert spark.table(n).count() == 10  # main still pre-publish
+    tables.sql(spark, f"ALTER TABLE {n} PUBLISH BRANCH audit AND DROP")
+    assert tables.table(spark, n).count() == 13
+    assert [r["name"] for r in tables.list_refs(spark, n)] \
+        == ["genesis"]
+    with pytest.raises(ValueError, match="is a tag"):
+        tables.sql(spark, f"ALTER TABLE {n} DROP BRANCH genesis")
+    tables.sql(spark, f"ALTER TABLE {n} DROP TAG genesis")
+    assert tables.list_refs(spark, n) == []
+    with pytest.raises(ValueError, match="no ref"):
+        tables.sql(spark, f"SELECT * FROM {n} VERSION AS OF 'ghost'")
