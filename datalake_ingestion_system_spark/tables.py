@@ -765,6 +765,67 @@ def sql(spark: SparkSession, statement: str):
         return TxnLogFormat().restore(
             spark, path, timestamp=val.strip().strip("'\""))
 
+    if head == "ANALYZE":
+        # ANALYZE TABLE t COMPUTE STATISTICS (round 14): the numbers
+        # are already commit-recorded — this is a metadata READ, not a
+        # scan job (the one way this deliberately differs from Spark's
+        # ANALYZE, which would scan; at 100 TB the log already knows).
+        # Returned as a one-row frame so the SQL surface stays
+        # DataFrame-shaped; the planner hook the numbers would feed is
+        # closed by the 4.1 bridge (see ``stats``).
+        m = _match_masked(rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE"
+                          rf"\s+STATISTICS$", s, flags)
+        if not m:
+            raise ValueError(
+                "unsupported ANALYZE shape — expected: ANALYZE TABLE "
+                "t COMPUTE STATISTICS")
+        st = stats(spark, _unquote_ident(m.group(1)))
+        from pyspark.sql.types import (LongType, StructField,
+                                       StructType)
+        return spark.createDataFrame(
+            [(st["size_in_bytes"], st["num_rows"], st["num_files"])],
+            StructType([StructField("size_in_bytes", LongType()),
+                        StructField("num_rows", LongType()),
+                        StructField("num_files", LongType())]))
+
+    if head == "SHOW":
+        m = _match_masked(rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})$", s,
+                          flags)
+        if m:
+            # the txnlog-level properties (constraints, CDF, identity,
+            # transforms, ...) — Spark's own SHOW TBLPROPERTIES sees
+            # only the catalog entry's stored options, which for a
+            # Python-DS table carry none of the format's state
+            try:
+                path = table_path(spark, _unquote_ident(m.group(1)))
+            except Exception:
+                return spark.sql(statement)  # non-txnlog: Spark's own
+            props = TxnLogFormat().properties(path)
+            rows = [(k, v if isinstance(v, str)
+                     else json.dumps(v, sort_keys=True, default=str))
+                    for k, v in sorted(props.items())]
+            from pyspark.sql.types import (StringType, StructField,
+                                           StructType)
+            return spark.createDataFrame(
+                rows, StructType([StructField("key", StringType()),
+                                  StructField("value", StringType())]))
+        m = _match_masked(rf"SHOW\s+REFS\s+(?:FROM\s+|IN\s+)?"
+                          rf"({_IDENT})$", s, flags)
+        if m:
+            # engine extension: the refs inventory as a frame
+            refs = list_refs(spark, _unquote_ident(m.group(1)))
+            from pyspark.sql.types import (LongType, StringType,
+                                           StructField, StructType)
+            schema = StructType([
+                StructField("name", StringType()),
+                StructField("type", StringType()),
+                StructField("version", LongType())])
+            rows = [(r.get("name"), r.get("type"),
+                     r.get("version", r.get("fork_version")))
+                    for r in refs]
+            return spark.createDataFrame(rows, schema)
+        return spark.sql(statement)  # other SHOW forms: Spark's own
+
     if head in ("DESCRIBE", "DESC"):
         m = _match_masked(rf"(?:DESCRIBE|DESC)\s+HISTORY\s+({_IDENT})$",
                           s, flags)

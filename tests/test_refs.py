@@ -249,3 +249,80 @@ def test_repeated_publish_preserves_prior_round_versions(spark, tbl):
     assert fmt.read(spark, path).count() == 18
     assert fmt.read(spark, path, as_of_version=v1).count() == 17
     assert fmt.read(spark, path, as_of_version=1).count() == 15
+
+
+def test_racing_publishers_one_wins_atomically(spark, tbl):
+    """Two threads publish DIFFERENT branches forked from the same
+    version: exactly one squash claims fork+1, the loser aborts with
+    ConcurrentWriteError mid-flight (the single-link version race),
+    and the table is the winner's state — never a blend, never a
+    partial publish."""
+    import threading
+
+    fmt, path = tbl["fmt"], tbl["path"]
+    for b, lo in (("ra", 700), ("rb", 800)):
+        fmt.create_branch(path, b)
+        fmt.append(spark.range(lo, lo + 2).select(
+            F.col("id").alias("k"), F.col("id").alias("v")),
+            fmt.ref_path(path, b))
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def publish(b):
+        try:
+            barrier.wait()
+            results[b] = fmt.publish_branch(path, b)
+        except ConcurrentWriteError as e:
+            results[b] = e
+
+    ts = [threading.Thread(target=publish, args=(b,))
+          for b in ("ra", "rb")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wins = [b for b, r in results.items() if isinstance(r, int)]
+    errs = [b for b, r in results.items()
+            if isinstance(r, ConcurrentWriteError)]
+    assert len(wins) == 1 and len(errs) == 1, results
+    got = fmt.read(spark, path)
+    assert got.count() == 17  # base 15 + exactly ONE branch's 2 rows
+    lo = 700 if wins[0] == "ra" else 800
+    assert got.filter(f"k >= {lo} AND k < {lo + 2}").count() == 2
+    other = 800 if lo == 700 else 700
+    assert got.filter(f"k >= {other} AND k < {other + 2}").count() == 0
+
+
+def test_crash_mid_publish_leaves_main_clean(spark, tbl, monkeypatch):
+    """A publisher dying between the data-file links and the commit
+    must leave main byte-identical (links are invisible until the
+    record publishes — orphans are ordinary died-writer debris vacuum
+    sweeps after retention), the branch intact, and a retried publish
+    must succeed and converge on the same links."""
+    fmt, path = tbl["fmt"], tbl["path"]
+    fmt.create_branch(path, "cr")
+    fmt.append(spark.range(900, 903).select(
+        F.col("id").alias("k"), F.col("id").alias("v")),
+        fmt.ref_path(path, "cr"))
+
+    real_commit = TxnLogFormat._commit
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated crash after links, before commit")
+
+    monkeypatch.setattr(TxnLogFormat, "_commit", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fmt.publish_branch(path, "cr")
+    monkeypatch.setattr(TxnLogFormat, "_commit", real_commit)
+    # main unchanged: the orphan-linked dirs are not referenced by any
+    # commit, so reads and history are byte-identical
+    assert fmt.read(spark, path).count() == 15
+    assert fmt._commits(path)[-1]["version"] == 1
+    # dry-run vacuum sees the orphan dirs as ordinary debris (age
+    # guard keeps them; zero retention would list them)
+    orphans = fmt.vacuum(path, retain_hours=0.0, dry_run=True)
+    assert orphans, "the crash-linked dirs must be sweepable"
+    # the retry converges on the already-linked files and publishes
+    v = fmt.publish_branch(path, "cr")
+    assert fmt.read(spark, path).count() == 18
+    assert fmt.read(spark, path, as_of_version=v).count() == 18

@@ -884,3 +884,29 @@ def test_sql_branch_tag_ddl_and_named_time_travel(spark, cat):
     assert tables.list_refs(spark, n) == []
     with pytest.raises(ValueError, match="no ref"):
         tables.sql(spark, f"SELECT * FROM {n} VERSION AS OF 'ghost'")
+
+
+def test_sql_analyze_show_tblproperties_show_refs(spark, cat):
+    """Round 14: ANALYZE TABLE t COMPUTE STATISTICS returns the
+    commit-recorded numbers as a one-row frame (metadata read, no
+    scan); SHOW TBLPROPERTIES surfaces the txnlog-level properties
+    Spark's own catalog view cannot see; SHOW REFS inventories
+    branches and tags."""
+    n = cat["name"]
+    row = tables.sql(
+        spark, f"ANALYZE TABLE {n} COMPUTE STATISTICS").head()
+    assert row.num_rows == 10 and row.num_files >= 1
+    assert row.size_in_bytes > 0
+    tables.sql(spark, f"ALTER TABLE {n} SET TBLPROPERTIES "
+                      f"('delta.enableChangeDataFeed' = true)")
+    props = {r.key: r.value for r in tables.sql(
+        spark, f"SHOW TBLPROPERTIES {n}").collect()}
+    assert props.get("change_data_feed") == "true"
+    tables.sql(spark, f"ALTER TABLE {n} CREATE TAG t0 AS OF VERSION 0")
+    tables.sql(spark, f"ALTER TABLE {n} CREATE BRANCH dev")
+    refs = {(r.name, r.type, r.version) for r in tables.sql(
+        spark, f"SHOW REFS {n}").collect()}
+    assert refs == {("t0", "tag", 0), ("dev", "branch", 1)}
+    with pytest.raises(ValueError, match="unsupported ANALYZE"):
+        tables.sql(spark, f"ANALYZE TABLE {n} COMPUTE STATISTICS "
+                          f"FOR ALL COLUMNS")
