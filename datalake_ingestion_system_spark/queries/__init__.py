@@ -51,6 +51,7 @@ _FORCE_FRONT: tuple[str, ...] = (
     "q_history_manifest_join", "q_merge_full_sync",
     "q_merge_set_columns", "q_sql_dml_roundtrip",
     "q_table_changes_sql", "q_time_travel_sql",
+    "q_refs_sql", "q_stream_drain",
     "q_timestamp_skipping_read", "q_txnlog_stream_pushdown",
     "q_txnlog_stream_sink", "q_txnlog_stream_source",
     "q_wap_publish_read")

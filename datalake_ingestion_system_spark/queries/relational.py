@@ -4307,6 +4307,74 @@ def q_wap_publish_read(spark, sf_dir):
                                        as_of_version=fork), "fork")))
 
 
+@_q("q_refs_sql")
+def q_refs_sql(spark, sf_dir):
+    """Ref DDL + named time travel entirely as SQL text, oracle-
+    verified (round 14): a registered table takes ``ALTER TABLE ...
+    CREATE TAG pre AS OF VERSION 0`` and ``CREATE BRANCH audit``; the
+    audit batch (error events, +500) stages on the branch; ``PUBLISH
+    BRANCH audit AND DROP`` fast-forwards main atomically; the final
+    statement reads the HEAD and the TAG — ``VERSION AS OF 'pre'``,
+    the Iceberg named-ref read — in one UNION, and both eras must
+    match the oracle's declarative reconstruction.
+
+    Scale shape: tag = one O_EXCL metadata file; branch = O(live
+    files) hardlinks; publish = one squash commit — the audited-
+    promotion loop costs metadata, not data."""
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = scratch_dir(prefix="refs_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.filter(F.col("event_type") != "error"), root)
+    tables.create_table(spark, "txn_refs_events", root, replace=True)
+    tables.sql(spark, "ALTER TABLE txn_refs_events CREATE TAG pre "
+                      "AS OF VERSION 0")
+    tables.sql(spark, "ALTER TABLE txn_refs_events CREATE BRANCH "
+                      "audit")
+    fmt.append(e.filter(F.col("event_type") == "error")
+               .withColumn("value", F.col("value") + 500),
+               fmt.ref_path(root, "audit"))
+    tables.sql(spark, "ALTER TABLE txn_refs_events PUBLISH BRANCH "
+                      "audit AND DROP")
+    return tables.sql(spark, """
+        SELECT 'head' AS era, event_type, count(*) AS n_rows,
+               sum(cast(floor(value * 100 + 0.5) AS bigint))
+                 AS value_cents
+        FROM txn_refs_events GROUP BY event_type
+        UNION ALL
+        SELECT 'tagged' AS era, event_type, count(*) AS n_rows,
+               sum(cast(floor(value * 100 + 0.5) AS bigint))
+                 AS value_cents
+        FROM txn_refs_events VERSION AS OF 'pre'
+        GROUP BY event_type""")
+
+
+ORACLE_SQL["q_refs_sql"] = """
+WITH main0 AS (
+  SELECT event_type, value FROM events WHERE event_type <> 'error'
+), head AS (
+  SELECT event_type, value FROM main0
+  UNION ALL
+  SELECT event_type, value + 500 AS value FROM events
+  WHERE event_type = 'error'
+)
+SELECT 'head' AS era, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM head GROUP BY event_type
+UNION ALL
+SELECT 'tagged' AS era, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM main0 GROUP BY event_type
+"""
+
+
 ORACLE_SQL["q_wap_publish_read"] = """
 WITH main0 AS (
   SELECT event_type, value FROM events WHERE event_type <> 'error'

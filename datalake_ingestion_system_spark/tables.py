@@ -52,7 +52,8 @@ import os
 import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
 
 from .sinks import PATH_METADATA_KEY, TxnLogFormat
 from .sources.txnlog_stream import (TxnLogDataSource, _meta_path,
@@ -780,8 +781,6 @@ def sql(spark: SparkSession, statement: str):
                 "unsupported ANALYZE shape — expected: ANALYZE TABLE "
                 "t COMPUTE STATISTICS")
         st = stats(spark, _unquote_ident(m.group(1)))
-        from pyspark.sql.types import (LongType, StructField,
-                                       StructType)
         return spark.createDataFrame(
             [(st["size_in_bytes"], st["num_rows"], st["num_files"])],
             StructType([StructField("size_in_bytes", LongType()),
@@ -804,8 +803,6 @@ def sql(spark: SparkSession, statement: str):
             rows = [(k, v if isinstance(v, str)
                      else json.dumps(v, sort_keys=True, default=str))
                     for k, v in sorted(props.items())]
-            from pyspark.sql.types import (StringType, StructField,
-                                           StructType)
             return spark.createDataFrame(
                 rows, StructType([StructField("key", StringType()),
                                   StructField("value", StringType())]))
@@ -814,8 +811,6 @@ def sql(spark: SparkSession, statement: str):
         if m:
             # engine extension: the refs inventory as a frame
             refs = list_refs(spark, _unquote_ident(m.group(1)))
-            from pyspark.sql.types import (LongType, StringType,
-                                           StructField, StructType)
             schema = StructType([
                 StructField("name", StringType()),
                 StructField("type", StringType()),
