@@ -6029,11 +6029,19 @@ class TxnLogFormat(TableFormat):
                     continue  # racing drop_ref
         return out
 
-    def drop_ref(self, path: str, name: str) -> None:
+    def drop_ref(self, path: str, name: str,
+                 expect_type: str | None = None) -> None:
         """Delete a ref: the tag pin, or the whole branch table (its
         hardlinked files only drop THIS link — main's data is
-        untouched, the clone property)."""
+        untouched, the clone property).  ``expect_type``
+        (``"branch"``/``"tag"``) makes kind-scoped DDL atomic: the
+        check and the drop share ONE metadata load, so a concurrent
+        drop-and-recreate as the other kind can't slip between them."""
         info = self._load_ref(path, name)
+        if expect_type is not None and info.get("type") != expect_type:
+            raise ValueError(
+                f"ref {name!r} is a {info.get('type')}, not a "
+                f"{expect_type}")
         os.unlink(self._ref_meta_path(path, name))
         if info.get("type") == "branch":
             import shutil

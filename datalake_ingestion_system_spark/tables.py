@@ -767,19 +767,23 @@ def sql(spark: SparkSession, statement: str):
             spark, path, timestamp=val.strip().strip("'\""))
 
     if head == "ANALYZE":
-        # ANALYZE TABLE t COMPUTE STATISTICS (round 14): the numbers
-        # are already commit-recorded — this is a metadata READ, not a
-        # scan job (the one way this deliberately differs from Spark's
-        # ANALYZE, which would scan; at 100 TB the log already knows).
-        # Returned as a one-row frame so the SQL surface stays
-        # DataFrame-shaped; the planner hook the numbers would feed is
-        # closed by the 4.1 bridge (see ``stats``).
+        # ANALYZE TABLE t COMPUTE STATISTICS over a TXNLOG table
+        # (round 14): the numbers are already commit-recorded — a
+        # metadata READ, not a scan job (deliberately unlike Spark's
+        # ANALYZE; at 100 TB the log already knows).  Every other
+        # shape (NOSCAN / FOR COLUMNS / PARTITION / ANALYZE TABLES)
+        # and every non-txnlog table passes through to Spark's own
+        # ANALYZE — the router's pass-through contract.
         m = _match_masked(rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE"
                           rf"\s+STATISTICS$", s, flags)
         if not m:
-            raise ValueError(
-                "unsupported ANALYZE shape — expected: ANALYZE TABLE "
-                "t COMPUTE STATISTICS")
+            return spark.sql(statement)
+        try:
+            path = table_path(spark, _unquote_ident(m.group(1)))
+        except Exception:
+            return spark.sql(statement)
+        if not os.path.isdir(TxnLogFormat()._log_dir(path)):
+            return spark.sql(statement)  # registered, but not txnlog
         st = stats(spark, _unquote_ident(m.group(1)))
         return spark.createDataFrame(
             [(st["size_in_bytes"], st["num_rows"], st["num_files"])],
@@ -798,8 +802,13 @@ def sql(spark: SparkSession, statement: str):
             try:
                 path = table_path(spark, _unquote_ident(m.group(1)))
             except Exception:
-                return spark.sql(statement)  # non-txnlog: Spark's own
-            props = TxnLogFormat().properties(path)
+                return spark.sql(statement)  # unresolvable: Spark's own
+            fmt = TxnLogFormat()
+            if not os.path.isdir(fmt._log_dir(path)):
+                # registered but NOT a txnlog table (parquet/Delta):
+                # Spark's own SHOW TBLPROPERTIES sees its real props
+                return spark.sql(statement)
+            props = fmt.properties(path)
             rows = [(k, v if isinstance(v, str)
                      else json.dumps(v, sort_keys=True, default=str))
                     for k, v in sorted(props.items())]
@@ -993,13 +1002,8 @@ def _route_alter(spark: SparkSession, s: str, flags: int):
                        rest, flags)
     if mm:
         kind, rname = mm.groups()
-        rname = _unquote_ident(rname)
-        info = fmt._load_ref(path, rname)
-        if info.get("type") != kind.lower():
-            raise ValueError(
-                f"ref {rname!r} is a {info.get('type')}, not a "
-                f"{kind.lower()}")
-        return fmt.drop_ref(path, rname)
+        return fmt.drop_ref(path, _unquote_ident(rname),
+                            expect_type=kind.lower())
 
     mm = _match_masked(r"PUBLISH\s+BRANCH\s+(`[^`]+`|[\w.-]+)"
                        r"(\s+AND\s+DROP)?\s*$", rest, flags)

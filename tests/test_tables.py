@@ -907,6 +907,27 @@ def test_sql_analyze_show_tblproperties_show_refs(spark, cat):
     refs = {(r.name, r.type, r.version) for r in tables.sql(
         spark, f"SHOW REFS {n}").collect()}
     assert refs == {("t0", "tag", 0), ("dev", "branch", 1)}
-    with pytest.raises(ValueError, match="unsupported ANALYZE"):
-        tables.sql(spark, f"ANALYZE TABLE {n} COMPUTE STATISTICS "
-                          f"FOR ALL COLUMNS")
+
+
+def test_sql_analyze_show_pass_through_non_txnlog(spark, tmp_path):
+    """Review r14: ANALYZE/SHOW arms keep the router's pass-through
+    contract — non-txnlog tables and unsupported ANALYZE shapes go to
+    Spark's OWN statements (which work on Spark-native tables),
+    never an empty frame or a router refusal."""
+    import uuid as _uuid
+    name = f"pq_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {name} (a INT) USING parquet "
+              f"LOCATION '{tmp_path / 'pq'}' "
+              f"TBLPROPERTIES ('owner.team' = 'data')")
+    try:
+        spark.sql(f"INSERT INTO {name} VALUES (1), (2)")
+        # Spark's own ANALYZE runs (both the routed shape and NOSCAN)
+        tables.sql(spark, f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        tables.sql(spark, f"ANALYZE TABLE {name} COMPUTE STATISTICS "
+                          f"NOSCAN")
+        # Spark's own SHOW TBLPROPERTIES sees the real properties
+        props = {r.key: r.value for r in tables.sql(
+            spark, f"SHOW TBLPROPERTIES {name}").collect()}
+        assert props.get("owner.team") == "data"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
