@@ -38,12 +38,13 @@ _FORCE_FRONT: tuple[str, ...] = (
     # clone link-helper refactor and the publish/refs machinery
     # (q_clone_read, the new q_wap_publish_read), (c) the streaming
     # source's capBase seeding (q_txnlog_stream_*), (d) history's
-    # additive publish fields (q_history_manifest_join).  The three
+    # additive publish fields (q_history_manifest_join).  The five
     # NEW queries (q_create_table_sql, q_catalog_join_broadcast,
-    # q_wap_publish_read) front automatically as never-sampled;
-    # listed for explicitness.  All entries below are 3-SF green in
-    # this session's local sweeps; remaining prefix slots fill with
-    # already-green rotated entries (harmless re-confirmation).
+    # q_wap_publish_read, q_refs_sql, q_stream_drain) front
+    # automatically as never-sampled; listed for explicitness.  All
+    # entries below are 3-SF green in this session's local sweeps;
+    # remaining prefix slots fill with already-green rotated entries
+    # (harmless re-confirmation).
     "q_alter_ctas_sql", "q_auto_compact_read",
     "q_catalog_join_broadcast", "q_catalog_table_read",
     "q_cdf_row_ids", "q_checkpoint_log_read", "q_clone_read",
