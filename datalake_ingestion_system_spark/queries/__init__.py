@@ -46,6 +46,7 @@ _FORCE_FRONT: tuple[str, ...] = (
     # remaining prefix slots fill with already-green rotated entries
     # (harmless re-confirmation).
     "q_alter_ctas_sql", "q_auto_compact_read",
+    "q_catalog_dv_read",
     "q_catalog_join_broadcast", "q_catalog_table_read",
     "q_cdf_row_ids", "q_checkpoint_log_read", "q_clone_read",
     "q_compact_where_read", "q_create_table_sql",

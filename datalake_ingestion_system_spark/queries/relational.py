@@ -4307,6 +4307,53 @@ def q_wap_publish_read(spark, sf_dir):
                                        as_of_version=fork), "fork")))
 
 
+@_q("q_catalog_dv_read")
+def q_catalog_dv_read(spark, sf_dir):
+    """Deletion vectors through the CATALOG scan (round 14 — the last
+    refused snapshot shape closed): a table takes a merge-on-read
+    DELETE (vector only) and a merge-on-read UPDATE (vector +
+    rewrite), then is read purely name-first via ``spark.table`` —
+    the Python-DS arrow reader subtracts each file's vectored rows
+    executor-side, and the per-type rollup must match the oracle's
+    declarative reconstruction (deleted rows gone, updated rows
+    exactly once with new values).
+
+    Scale shape: vectors resolve driver-side at plan time (O(deleted
+    rows) — the cost the CDF planner already pays); partitions carry
+    only their own drop lists; the subtraction is one boolean-mask
+    filter per file, no shuffle, no rewrite of unmatched data."""
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = scratch_dir(prefix="catdv_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e, path)
+    fmt.delete_where_dv(spark, path, "event_type = 'error'")
+    fmt.update_where_dv(spark, path, "event_type = 'click'",
+                        {"value": "value + 1000"})
+    tables.create_table(spark, "txn_catdv_events", path, replace=True)
+    return (spark.table("txn_catdv_events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5)
+                       .cast("long")).alias("value_cents")))
+
+
+ORACLE_SQL["q_catalog_dv_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(
+           (CASE WHEN event_type = 'click' THEN value + 1000
+                 ELSE value END) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE event_type <> 'error'
+GROUP BY event_type
+"""
+
+
 @_q("q_refs_sql")
 def q_refs_sql(spark, sf_dir):
     """Ref DDL + named time travel entirely as SQL text, oracle-

@@ -159,7 +159,8 @@ class _FilePartition(InputPartition):
     def __init__(self, abs_path: str, mapping: list,
                  positions: list | None = None,
                  cdf: tuple | None = None,
-                 row_ids: tuple | None = None):
+                 row_ids: tuple | None = None,
+                 drop_positions: list | None = None):
         self.abs_path = abs_path
         #: [(src_name | None, tgt_name, arrow_type)] aligned to the
         #: stream's schema; src None = column added after this file
@@ -173,6 +174,11 @@ class _FilePartition(InputPartition):
         #: row-tracking identity: ``(base | None,)`` appends a
         #: ``_row_id`` column (see ``_read_arrow_batches``)
         self.row_ids = row_ids
+        #: DELETION-VECTOR subtraction (round 14): parquet row indices
+        #: to DROP — the batch snapshot's merge-on-read complement of
+        #: ``positions``' take (O(deleted) ints in the partition, the
+        #: same payload scale the CDF planner ships)
+        self.drop_positions = drop_positions
 
 
 def _row_base_map(commits: list[dict]) -> dict[str, int]:
@@ -231,7 +237,8 @@ def _mapping_for(version: int, alters: list[dict],
 def _read_arrow_batches(abs_path: str, mapping: list,
                         positions: list | None = None,
                         cdf: tuple | None = None,
-                        row_ids: tuple | None = None):
+                        row_ids: tuple | None = None,
+                        drop_positions: list | None = None):
     """Executor-side file read: Arrow batches aligned to the stream's
     schema via the per-file column mapping (historical names inverted,
     later-added columns null-filled).  ``positions`` restricts to the
@@ -250,6 +257,15 @@ def _read_arrow_batches(abs_path: str, mapping: list,
     import pyarrow as pa
     import pyarrow.parquet as pq
     tbl = pq.read_table(abs_path)
+    if drop_positions is not None:
+        # merge-on-read DV subtraction, executor-side: a boolean keep
+        # mask over parquet row order — O(file rows) bitmap build per
+        # file, never a shipped survivor list (which would be O(rows)
+        # ints in the PARTITION; the drop list is O(deleted))
+        import numpy as np
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        keep[drop_positions] = False
+        tbl = tbl.filter(pa.array(keep))
     missing = [m[0] for m in mapping
                if m[0] is not None and m[0] not in tbl.column_names]
     if missing:
@@ -1038,11 +1054,13 @@ def _first_version_at_or_after(fmt: TxnLogFormat, path: str,
 
 class TxnLogBatchReader(DataSourceReader):
     """Batch counterpart: the current LIVE file set as one parallel scan,
-    with the same per-file column mapping for alters.  Refuses tables
-    with live deletion vectors or partition-overwrite subtractions —
-    those need the anti-join/value-filter replay only
-    ``TxnLogFormat.read`` performs (a bare file scan would resurrect
-    deleted rows).
+    with the same per-file column mapping for alters.  DELETION
+    VECTORS apply merge-on-read (round 14): live vectors resolve
+    driver-side into per-file drop positions and each partition
+    subtracts its own rows — ``spark.table(name)`` serves DV tables
+    with the same rows as ``TxnLogFormat.read``.  Still refused:
+    partition-overwrite subtractions (they need the value-filter
+    replay only ``TxnLogFormat.read`` performs).
 
     Hive-partitioned (``overwrite_partitions``) dirs are refused too —
     their partition column lives in directory names, not the staged
@@ -1136,10 +1154,18 @@ class TxnLogBatchReader(DataSourceReader):
                                    self.ignore_changes,
                                    clauses=self._clauses,
                                    row_ids=self.row_ids)
-        if fmt._resolve_dvs(commits):
-            raise ValueError(
-                "table has live deletion vectors — use TxnLogFormat."
-                "read (the txnlog batch source is a plain file scan)")
+        # DELETION VECTORS (round 14 — the last refused snapshot
+        # shape): live vectors resolve driver-side into per-file drop
+        # positions (O(deleted rows), the same plan-time cost the CDF
+        # planner pays), and each partition subtracts its own rows
+        # executor-side — merge-on-read through the catalog scan, so
+        # ``spark.table(name)`` serves DV tables with the SAME rows as
+        # ``TxnLogFormat.read``
+        dvmap: dict[str, list[int]] = {}
+        for dv_rel in fmt._resolve_dvs(commits):
+            for f, ps in _dv_pairs(self.path, dv_rel).items():
+                dvmap.setdefault(f, []).extend(ps)
+        dvmap = {f: sorted(set(ps)) for f, ps in dvmap.items()}
         live = fmt._resolve_live(commits)
         if any(e["removed"] for e in live):
             raise ValueError(
@@ -1160,19 +1186,21 @@ class TxnLogBatchReader(DataSourceReader):
         for e in live:
             mapping = _mapping_for(e["version"], alters, self.schema)
             for ap in _data_files(self.path, e["dir"], e.get("files")):
-                if _relfile(ap) in removed or _relfile(ap) in skip:
+                rf = _relfile(ap)
+                if rf in removed or rf in skip:
                     continue
-                parts.append(_FilePartition(ap, mapping))
+                parts.append(_FilePartition(
+                    ap, mapping, drop_positions=dvmap.get(rf)))
         return parts
 
     def read(self, partition: _FilePartition):
         if partition is None:
             return  # Spark models an empty partitions() as one None
-        yield from _read_arrow_batches(partition.abs_path,
-                                       partition.mapping,
-                                       partition.positions, partition.cdf,
-                                       row_ids=getattr(partition,
-                                                       "row_ids", None))
+        yield from _read_arrow_batches(
+            partition.abs_path, partition.mapping,
+            partition.positions, partition.cdf,
+            row_ids=getattr(partition, "row_ids", None),
+            drop_positions=getattr(partition, "drop_positions", None))
 
 
 class TxnLogPushdownBatchReader(TxnLogBatchReader):

@@ -29,8 +29,9 @@ Two read paths, deliberately:
 
 - ``spark.table(name)`` / SQL — the REAL session catalog, scanned
   through the registered Python data source's arrow batch reader.
-  Fine for name-first exploration, INSERT, and streams; loudly refused
-  for snapshots that need DV/subtraction replay.
+  Fine for name-first exploration, INSERT, and streams; deletion
+  vectors apply merge-on-read (round 14); loudly refused only for
+  partition-overwrite subtraction replay.
 - ``tables.table(spark, name)`` — resolves the name to its path, then
   ``TxnLogFormat.read``: the full-featured JVM parquet scan (DVs,
   column mapping, time travel, data skipping).  Use in pipelines.
@@ -137,8 +138,9 @@ def show_create(spark: SparkSession, name: str) -> str:
 def table(spark: SparkSession, name: str, **read_kwargs) -> DataFrame:
     """Name-first read over the FULL-FEATURED JVM scan: resolves
     ``name`` through the session catalog, then reads via
-    ``TxnLogFormat.read`` (DVs, column mapping, time travel, data
-    skipping — everything the arrow batch source refuses).
+    ``TxnLogFormat.read`` (column mapping, time travel, data skipping,
+    subtraction replay — the shapes the arrow batch source lacks; DVs
+    are served by BOTH paths since round 14).
     ``read_kwargs`` pass through (``as_of_version=``, ``where=``, ...).
     """
     return TxnLogFormat().read(spark, table_path(spark, name),

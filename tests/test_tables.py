@@ -132,13 +132,19 @@ def test_fast_path_table_reads_via_jvm_scan(spark, cat):
     assert tables.table(spark, cat["name"]).count() == 11
 
 
-def test_fast_path_serves_dv_tables_the_arrow_scan_refuses(spark, cat):
-    """DV tables: the catalog's arrow scan refuses loudly (a bare file
-    scan would resurrect deleted rows); tables.table serves them."""
+def test_catalog_scan_applies_deletion_vectors(spark, cat):
+    """DV tables through the catalog scan (round 14): live vectors
+    subtract merge-on-read executor-side, so spark.table(name) serves
+    the SAME rows as the JVM read — consolidations included."""
     cat["fmt"].delete_where_dv(spark, cat["path"], "a >= 5")
-    with pytest.raises(Exception, match="deletion vectors"):
-        spark.table(cat["name"]).count()
-    assert tables.table(spark, cat["name"]).count() == 5
+    assert spark.table(cat["name"]).count() == 5
+    cat["fmt"].update_where_dv(spark, cat["path"], "a = 2",
+                               {"b": "b + 100"})
+    got = sorted(map(tuple, spark.table(cat["name"]).collect()))
+    want = sorted(map(tuple, tables.table(spark, cat["name"])
+                      .collect()))
+    assert got == want
+    assert dict(got)[2] == 104  # the DV-updated row, exactly once
 
 
 def test_create_table_with_schema_seeds_an_empty_log(spark, tmp_path):

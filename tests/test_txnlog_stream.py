@@ -106,15 +106,24 @@ def test_batch_source_matches_format_read(registered, tmp_path):
         == ["id", "s"]
 
 
-def test_batch_source_refuses_dv_tables(registered, tmp_path):
+def test_batch_source_applies_dv_tables(registered, tmp_path):
+    """Round 14: the batch source serves DV tables merge-on-read
+    (per-file drop positions subtracted executor-side) — the same
+    rows as the JVM read, before AND after compaction retires the
+    vectors."""
     spark = registered
     path = str(tmp_path / "t")
     fmt = TxnLogFormat()
-    fmt.append(_mk(spark, (1, "a"), (2, "b")), path)
+    fmt.append(_mk(spark, (1, "a"), (2, "b"), (3, "c")), path)
     fmt.delete_where_dv(spark, path, "id = 1")
-    with pytest.raises(Exception, match="deletion vectors"):
-        spark.read.format("txnlog").load(path).collect()
-    # after compaction retires the vectors, the plain scan is legal again
+    assert sorted(r.id for r in
+                  spark.read.format("txnlog").load(path).collect()) \
+        == [2, 3]
+    # a second vector stacks (consolidation path)
+    fmt.delete_where_dv(spark, path, "id = 3")
+    assert [r.id for r in
+            spark.read.format("txnlog").load(path).collect()] == [2]
+    # compaction retires the vectors; the plain scan stays identical
     fmt.compact(spark, path)
     assert [r.id for r in
             spark.read.format("txnlog").load(path).collect()] == [2]
