@@ -4341,6 +4341,60 @@ def q_catalog_dv_read(spark, sf_dir):
                        .cast("long")).alias("value_cents")))
 
 
+@_q("q_catalog_partition_read")
+def q_catalog_partition_read(spark, sf_dir):
+    """Hive-partitioned dynamic-overwrite table through the CATALOG
+    scan (round 15 — the last refused snapshot shapes closed): the
+    reference's canonical layout is a dynamic partition overwrite per
+    snapshot date (``TRANSFERRED_DATE=<d>`` dirs, reference D:339,
+    Athena partition pruning README.md:34).  Here a table is built
+    exactly that way — an initial partitioned overwrite, a second
+    overwrite REPLACING one partition (clicks, values bumped +1000),
+    and a flat append mixing dir-constant and in-file layouts — then
+    read purely name-first via ``spark.table``: the partition column
+    comes back from ``col=value`` path segments as plan-time typed
+    constants, and the replaced partition's subtraction drops whole
+    files plan-side.  The rollup must match the oracle's declarative
+    reconstruction.
+
+    Scale shape: partition values resolve at PLAN time from commit
+    records (no storage listing, no re-inference); the subtraction is
+    file-granular metadata, never a data-side filter for
+    dir-partitioned dirs; flat dirs get an O(replaced values)
+    executor-side typed anti-filter — no shuffle, no rewrite."""
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = scratch_dir(prefix="catpart_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.overwrite_partitions(
+        e.filter(F.col("event_type") != "view"), path, "event_type")
+    fmt.overwrite_partitions(
+        e.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") + 1000), path, "event_type")
+    fmt.append(e.filter(F.col("event_type") == "view"), path)
+    tables.create_table(spark, "txn_catpart_events", path, replace=True)
+    return (spark.table("txn_catpart_events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5)
+                       .cast("long")).alias("value_cents")))
+
+
+ORACLE_SQL["q_catalog_partition_read"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(
+           (CASE WHEN event_type = 'click' THEN value + 1000
+                 ELSE value END) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 ORACLE_SQL["q_catalog_dv_read"] = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_rows,

@@ -160,7 +160,9 @@ class _FilePartition(InputPartition):
                  positions: list | None = None,
                  cdf: tuple | None = None,
                  row_ids: tuple | None = None,
-                 drop_positions: list | None = None):
+                 drop_positions: list | None = None,
+                 constants: dict | None = None,
+                 anti: list | None = None):
         self.abs_path = abs_path
         #: [(src_name | None, tgt_name, arrow_type)] aligned to the
         #: stream's schema; src None = column added after this file
@@ -179,6 +181,22 @@ class _FilePartition(InputPartition):
         #: ``positions``' take (O(deleted) ints in the partition, the
         #: same payload scale the CDF planner ships)
         self.drop_positions = drop_positions
+        #: HIVE-PARTITION constants (round 15): {write-time column
+        #: name: raw directory-value string | None} for columns whose
+        #: value lives in this file's ``col=value`` path segments, not
+        #: the file itself — injected executor-side as a constant
+        #: column cast to the stream schema's type (the plan-time twin
+        #: of Spark's basePath partition discovery, but typed from the
+        #: commit-recorded schema instead of re-inferred)
+        self.constants = constants
+        #: PARTITION-OVERWRITE subtraction (round 15):
+        #: [(current column name, [recorded string values],
+        #: null_removed)] anti-filters a later dynamic overwrite
+        #: replaced in this commit's dir — the executor-side twin of
+        #: ``TxnLogFormat.read``'s post-scan value filter, O(replaced
+        #: values) per partition (config-scale by the overwrite
+        #: writer's contract)
+        self.anti = anti
 
 
 def _row_base_map(commits: list[dict]) -> dict[str, int]:
@@ -210,6 +228,41 @@ def _data_files(path: str, rel: str,
     return out
 
 
+#: Spark/Hive's NULL partition directory value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: sentinel distinguishing "column has no path constant" from a NULL
+#: partition constant (which is a legitimate ``None`` value)
+_NO_CONST = object()
+
+
+def _unescape_hive(v: str) -> str:
+    """Invert Spark's hive path escaping (``PartitioningUtils
+    .escapePathName``): special ASCII chars are written as ``%XX``
+    (uppercase hex), everything else raw — so a plain byte-wise
+    ``%XX`` → chr substitution is exact (a literal ``%`` in data is
+    itself escaped as ``%25``)."""
+    import re
+    return re.sub(r"%([0-9A-Fa-f]{2})",
+                  lambda m: chr(int(m.group(1), 16)), v)
+
+
+def _hive_constants(rel_under_dir: str) -> dict:
+    """{column name: value string | None} parsed from the ``col=value``
+    directory segments between a commit's staged dir and its data file
+    — the plan-time source for ``_FilePartition.constants``.  ``None``
+    is the hive NULL partition (also what an empty-string value writes
+    as, matching how Spark reads it back)."""
+    out: dict = {}
+    for seg in rel_under_dir.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        out[_unescape_hive(k)] = (None if v == _HIVE_NULL
+                                  else _unescape_hive(v))
+    return out
+
+
 def _mapping_for(version: int, alters: list[dict],
                  schema: StructType) -> list:
     """Per-target-column source name in a file written at ``version``:
@@ -238,7 +291,9 @@ def _read_arrow_batches(abs_path: str, mapping: list,
                         positions: list | None = None,
                         cdf: tuple | None = None,
                         row_ids: tuple | None = None,
-                        drop_positions: list | None = None):
+                        drop_positions: list | None = None,
+                        constants: dict | None = None,
+                        anti: list | None = None):
     """Executor-side file read: Arrow batches aligned to the stream's
     schema via the per-file column mapping (historical names inverted,
     later-added columns null-filled).  ``positions`` restricts to the
@@ -267,7 +322,8 @@ def _read_arrow_batches(abs_path: str, mapping: list,
         keep[drop_positions] = False
         tbl = tbl.filter(pa.array(keep))
     missing = [m[0] for m in mapping
-               if m[0] is not None and m[0] not in tbl.column_names]
+               if m[0] is not None and m[0] not in tbl.column_names
+               and not (constants and m[0] in constants)]
     if missing:
         raise ValueError(
             f"staged file {abs_path} lacks columns {missing} of the "
@@ -294,6 +350,30 @@ def _read_arrow_batches(abs_path: str, mapping: list,
     cols, names = [], []
     for src, tgt, patype, *rest in mapping:
         dflt = rest[0] if rest else None  # pre-defaults 3-tuple compat
+        if src is not None and constants and src in constants \
+                and src not in tbl.column_names:
+            # HIVE-PARTITION constant: the value lives in this file's
+            # directory name — inject it as a constant column typed
+            # from the stream schema (Spark's basePath partition
+            # discovery, done plan-side with the commit-recorded type
+            # instead of re-inference)
+            v = constants[src]
+            if v is None:
+                cols.append(pa.nulls(tbl.num_rows, type=patype))
+            else:
+                try:
+                    cols.append(pa.repeat(
+                        pa.array([v], type=pa.string())
+                        .cast(patype)[0], tbl.num_rows))
+                except (pa.ArrowInvalid,
+                        pa.ArrowNotImplementedError) as exc:
+                    raise ValueError(
+                        f"hive partition value {v!r} for column "
+                        f"{src!r} of {abs_path} does not parse as "
+                        f"{patype} — read the table with "
+                        "TxnLogFormat.read") from exc
+            names.append(tgt)
+            continue
         if src is not None:
             col = tbl[src]
             if col.type != patype:
@@ -344,7 +424,38 @@ def _read_arrow_batches(abs_path: str, mapping: list,
     if id_col is not None:
         cols.append(id_col)
         names.append("_row_id")
-    yield from pa.table(dict(zip(names, cols))).to_batches()
+    out = pa.table(dict(zip(names, cols)))
+    if anti:
+        # PARTITION-OVERWRITE subtraction, executor-side and AFTER the
+        # column mapping — the same post-scan order as
+        # ``TxnLogFormat.read`` (renames inverted and alter defaults
+        # materialized first, so default-filled rows participate).
+        # The recorded strings (Spark cast-to-string of the written
+        # values) parse back through arrow into the mapped column's
+        # type and compare natively — typed membership sidesteps
+        # arrow-vs-Spark string-format divergence.  Anti columns keep
+        # their write-time names: alter_table refuses renaming or
+        # dropping a column with live overwrite bookkeeping.
+        import pyarrow.compute as pc
+        for col, vals, null_removed in anti:
+            if col not in out.column_names:
+                continue  # post-scan parity: absent column → no filter
+            c = out[col]
+            try:
+                vset = pa.array(vals, type=pa.string()).cast(c.type)
+            except (pa.ArrowInvalid,
+                    pa.ArrowNotImplementedError) as exc:
+                raise ValueError(
+                    "cannot replay the partition-overwrite subtraction "
+                    f"on {col!r} against {abs_path}: recorded values "
+                    f"{vals!r} do not parse as {c.type} — read the "
+                    "table with TxnLogFormat.read") from exc
+            keep = pc.invert(pc.fill_null(
+                pc.is_in(c, value_set=vset), False))
+            if null_removed:
+                keep = pc.and_(keep, pc.is_valid(c))
+            out = out.filter(keep)
+    yield from out.to_batches()
 
 
 #: names of the change-feed metadata columns (Delta CDF parity)
@@ -1058,13 +1169,19 @@ class TxnLogBatchReader(DataSourceReader):
     VECTORS apply merge-on-read (round 14): live vectors resolve
     driver-side into per-file drop positions and each partition
     subtracts its own rows — ``spark.table(name)`` serves DV tables
-    with the same rows as ``TxnLogFormat.read``.  Still refused:
-    partition-overwrite subtractions (they need the value-filter
-    replay only ``TxnLogFormat.read`` performs).
+    with the same rows as ``TxnLogFormat.read``.
 
-    Hive-partitioned (``overwrite_partitions``) dirs are refused too —
-    their partition column lives in directory names, not the staged
-    files, so a bare file scan could not supply it.
+    HIVE-PARTITIONED (``overwrite_partitions``) dirs and
+    PARTITION-OVERWRITE subtractions serve too (round 15 — the last
+    refused snapshot shapes, the reference's canonical
+    ``TRANSFERRED_DATE=<d>`` dynamic-overwrite layout, D:339): each
+    file's ``col=value`` path segments resolve at plan time into typed
+    constants the executor injects as columns, and a later overwrite's
+    value subtraction either skips whole files plan-side (when the
+    subtracted column IS the file's path constant) or ships as an
+    O(replaced values) typed anti-filter applied executor-side after
+    column mapping — the same post-scan order as
+    ``TxnLogFormat.read``, no shuffle, no rewrite.
 
     FILTER PUSHDOWN (``option("pushdown", "true")``, Spark 4.1 DSv2
     ``pushFilters``): equality / range / IN / IS [NOT] NULL conjuncts
@@ -1167,30 +1284,82 @@ class TxnLogBatchReader(DataSourceReader):
                 dvmap.setdefault(f, []).extend(ps)
         dvmap = {f: sorted(set(ps)) for f, ps in dvmap.items()}
         live = fmt._resolve_live(commits)
-        if any(e["removed"] for e in live):
-            raise ValueError(
-                "table has partition-overwrite subtractions — use "
-                "TxnLogFormat.read")
-        if any(e["pcol"] for e in live):
-            raise ValueError(
-                "table has hive-partitioned (overwrite_partitions) dirs "
-                "— their partition column lives in directory names, not "
-                "the staged files; use TxnLogFormat.read")
         removed = fmt._resolve_removed_files(commits)
         alters = fmt._resolve_alters(commits)
         skip: set[str] = set()
+        pcol_types: dict[str, str] = {}
         if self._clauses:
             skip = fmt._clause_excluded_files(
                 self.path, commits, alters, self._clauses)
+            sj = fmt._resolve_schema(commits)
+            if sj:
+                pcol_types = {
+                    f["name"]: f["type"]
+                    for f in json.loads(sj)["fields"]
+                    if isinstance(f["type"], str)}
+        schema_names = set(self.schema.names)
         parts = []
         for e in live:
+            # LOG-LEVEL partition pruning + all-replaced dirs — the
+            # same dir-granular checks TxnLogFormat.read applies before
+            # any file work (round 15: hive-partitioned and
+            # partition-overwrite tables now serve through this scan)
+            if e["pcol"] and e["parts"] <= e["removed"].get(
+                    e["pcol"], set()):
+                continue  # every partition this dir holds re-overwritten
+            if self._clauses and e["pcol"] \
+                    and TxnLogFormat._partition_provably_empty(
+                        e["pcol"], e["parts"], self._clauses,
+                        pcol_types.get(e["pcol"])):
+                continue
+            if self._clauses and e.get("transform") and e["parts"] \
+                    and fmt._transform_provably_empty(
+                        e["transform"], e["parts"], self._clauses,
+                        pcol_types.get(e["transform"]["source"])):
+                continue
+            # a later dynamic overwrite's value subtraction, split at
+            # plan time: terms on a column whose value is a PATH
+            # CONSTANT for a given file resolve here (whole-file skip
+            # or keep); the rest ship as executor-side anti-filters
+            anti_all = [
+                (col, sorted(v for v in vals if v is not None),
+                 None in vals)
+                for col, vals in e["removed"].items()]
             mapping = _mapping_for(e["version"], alters, self.schema)
             for ap in _data_files(self.path, e["dir"], e.get("files")):
                 rf = _relfile(ap)
                 if rf in removed or rf in skip:
                     continue
+                consts = anti = None
+                sub = rf[len(e["dir"]) + 1:] \
+                    if rf.startswith(e["dir"] + "/") else rf
+                if "=" in sub:
+                    hive = _hive_constants(sub)
+                    consts = {k: v for k, v in hive.items()
+                              if k in schema_names} or None
+                if anti_all:
+                    anti, drop_file = [], False
+                    for col, vals, null_removed in anti_all:
+                        cv = (consts or {}).get(col, _NO_CONST)
+                        if cv is _NO_CONST:
+                            anti.append((col, vals, null_removed))
+                        elif (cv is None and null_removed) \
+                                or (cv is not None and cv in vals):
+                            drop_file = True
+                            break
+                    if drop_file:
+                        continue
+                    anti = anti or None
+                if consts and self._clauses and any(
+                        TxnLogFormat._partition_provably_empty(
+                            col, {v}, self._clauses,
+                            pcol_types.get(col))
+                        for col, v in consts.items()):
+                    continue  # file-level partition pruning via the
+                    # path constant: no row here can match the clause
                 parts.append(_FilePartition(
-                    ap, mapping, drop_positions=dvmap.get(rf)))
+                    ap, mapping, drop_positions=dvmap.get(rf),
+                    constants=consts, anti=anti))
         return parts
 
     def read(self, partition: _FilePartition):
@@ -1200,7 +1369,9 @@ class TxnLogBatchReader(DataSourceReader):
             partition.abs_path, partition.mapping,
             partition.positions, partition.cdf,
             row_ids=getattr(partition, "row_ids", None),
-            drop_positions=getattr(partition, "drop_positions", None))
+            drop_positions=getattr(partition, "drop_positions", None),
+            constants=getattr(partition, "constants", None),
+            anti=getattr(partition, "anti", None))
 
 
 class TxnLogPushdownBatchReader(TxnLogBatchReader):

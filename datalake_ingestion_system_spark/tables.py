@@ -30,8 +30,10 @@ Two read paths, deliberately:
 - ``spark.table(name)`` / SQL — the REAL session catalog, scanned
   through the registered Python data source's arrow batch reader.
   Fine for name-first exploration, INSERT, and streams; deletion
-  vectors apply merge-on-read (round 14); loudly refused only for
-  partition-overwrite subtraction replay.
+  vectors apply merge-on-read (round 14); hive-partitioned dirs and
+  partition-overwrite subtractions serve via plan-time path constants
+  and executor-side anti-filters (round 15) — every snapshot shape
+  the format writes now reads name-first.
 - ``tables.table(spark, name)`` — resolves the name to its path, then
   ``TxnLogFormat.read``: the full-featured JVM parquet scan (DVs,
   column mapping, time travel, data skipping).  Use in pipelines.
@@ -138,9 +140,10 @@ def show_create(spark: SparkSession, name: str) -> str:
 def table(spark: SparkSession, name: str, **read_kwargs) -> DataFrame:
     """Name-first read over the FULL-FEATURED JVM scan: resolves
     ``name`` through the session catalog, then reads via
-    ``TxnLogFormat.read`` (column mapping, time travel, data skipping,
-    subtraction replay — the shapes the arrow batch source lacks; DVs
-    are served by BOTH paths since round 14).
+    ``TxnLogFormat.read`` (column mapping, time travel, data skipping
+    — plus planner-visible file statistics the Python-DS bridge can't
+    report; every snapshot shape is served by BOTH paths since round
+    15, so this route is now purely the performance choice).
     ``read_kwargs`` pass through (``as_of_version=``, ``where=``, ...).
     """
     return TxnLogFormat().read(spark, table_path(spark, name),
