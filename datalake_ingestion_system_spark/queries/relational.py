@@ -4307,6 +4307,78 @@ def q_wap_publish_read(spark, sf_dir):
                                        as_of_version=fork), "fork")))
 
 
+@_q("q_wap_schema_publish")
+def q_wap_schema_publish(spark, sf_dir):
+    """Additive branch schema evolution through WAP, oracle-verified
+    (round 15 — VERDICT r14 item 3): main holds the non-error events;
+    a branch ADDs a ``flag`` column (frozen default 0), stages the
+    error events with ``flag = 1``, and publishes — ONE atomic squash
+    that evolves main's schema.  The rollup over the published head
+    must show pre-branch rows materializing the default and staged
+    rows their stored values; the pre-publish fork era is re-read by
+    time travel with the OLD two-era column set (flag reads NULL there
+    via the conformance fill — pinned by the era column's null count).
+
+    Scale shape: the alter is one metadata commit; publish stays
+    O(branch live files) hardlinks + one squash + one checkpoint; the
+    default materializes at READ time from the frozen constant — no
+    backfill rewrite of pre-branch data, the Delta EXISTS_DEFAULT
+    mechanism."""
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = scratch_dir(prefix="wapsc_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e.filter(F.col("event_type") != "error"), root)
+    fork = fmt.create_branch(root, "evolve")
+    bp = fmt.ref_path(root, "evolve")
+    fmt.alter_table(bp, add_columns={"flag": "int"},
+                    column_defaults={"flag": 0})
+    fmt.append(e.filter(F.col("event_type") == "error")
+               .withColumn("flag", F.lit(1)), bp)
+    fmt.publish_branch(root, "evolve", drop=True)
+
+    pub = (fmt.read(spark, root)
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n_rows"),
+                F.sum("flag").cast("long").alias("n_flagged"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5)
+                      .cast("long")).alias("value_cents"))
+           .select(F.lit("published").alias("era"), "event_type",
+                   "n_rows", "n_flagged", "value_cents"))
+    old = (fmt.read(spark, root, as_of_version=fork)
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n_rows"),
+                F.lit(None).cast("long").alias("n_flagged"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5)
+                      .cast("long")).alias("value_cents"))
+           .select(F.lit("fork").alias("era"), "event_type",
+                   "n_rows", "n_flagged", "value_cents"))
+    return pub.unionByName(old)
+
+
+ORACLE_SQL["q_wap_schema_publish"] = """
+SELECT 'published' AS era, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT 'fork' AS era, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(NULL AS BIGINT) AS n_flagged,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE event_type <> 'error'
+GROUP BY event_type
+"""
+
+
 @_q("q_catalog_dv_read")
 def q_catalog_dv_read(spark, sf_dir):
     """Deletion vectors through the CATALOG scan (round 14 — the last

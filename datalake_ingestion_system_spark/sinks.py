@@ -6070,10 +6070,12 @@ class TxnLogFormat(TableFormat):
         MARKERS (stream offsets, CDF spans, alter-aware stats
         mapping) and must never exceed a version that exists on main,
         else a stream could record offsets beyond the head and
-        silently skip later commits.  Consequently a branch that
-        EVOLVED THE SCHEMA after forking refuses to squash (intra-
-        branch column-mapping eras cannot flatten); apply schema
-        changes on main before branching.  The change feed refuses to
+        silently skip later commits.  ADDITIVE branch schema evolution
+        (ADD COLUMN, with or without a default) publishes when the
+        ALTER precedes the span's staged data (round 15 — the markers
+        then flatten losslessly; see the gate in the body); renames /
+        drops / widenings still refuse — apply those on main before
+        branching.  The change feed refuses to
         cross the publish (folded span — same rule as clone seeds and
         checkpoint-pruned logs) and a streaming reader sees it as a
         data-changed fold.
@@ -6104,14 +6106,49 @@ class TxnLogFormat(TableFormat):
                 f"{name!r} forked at {fork} — WAP publish is strict "
                 "fast-forward; re-branch from the new head and "
                 "re-apply the audited writes")
+        history = [tuple(h) for h in info.get("publish_history", [])]
+        span_lo = history[-1][0] if history else seed
         balters = self._resolve_alters(bcommits)
-        if any(a["version"] > seed for a in balters):
-            raise ValueError(
-                f"branch {name!r} evolved the schema after forking — "
-                "the squash publish flattens the branch into one "
-                "commit and cannot represent intra-branch column-"
-                "mapping eras; apply schema changes on main before "
-                "branching")
+        # ADDITIVE-ONLY branch schema evolution publishes (round 15 —
+        # VERDICT r14 item 3): an intra-branch ALTER that only ADDS
+        # columns flattens losslessly PROVIDED no data commit in this
+        # round's span predates it — then every era marker maps
+        # cleanly: files from main/earlier rounds keep markers BELOW
+        # the remapped alter (they predate it: null-fill / frozen
+        # default applies), and this round's staged files share the
+        # alter's publish version (marker equality = the alter is
+        # skipped, exactly `_source_column`'s `>` comparator — they
+        # physically carry the column).  Renames / drops / type
+        # widenings still refuse: their per-era mapping inversions
+        # cannot share one flattened marker with the data they map.
+        span_alters = [a for a in balters if a["version"] > span_lo]
+        if span_alters:
+            if any(a.get("rename") or a.get("drop") or a.get("widen")
+                   for a in span_alters):
+                raise ValueError(
+                    f"branch {name!r} renamed, dropped, or widened "
+                    "columns after forking — the squash publish "
+                    "flattens the branch into one commit and cannot "
+                    "represent intra-branch column-mapping eras; only "
+                    "additive (ADD COLUMN) branch evolution publishes "
+                    "— apply other schema changes on main before "
+                    "branching")
+            first_data = min(
+                (c["version"] for c in bcommits
+                 if c["version"] > span_lo
+                 and c["action"] not in ("alter", "set_properties",
+                                         "set_protocol")),
+                default=None)
+            last_alter = max(a["version"] for a in span_alters)
+            if first_data is not None and first_data < last_alter:
+                raise ValueError(
+                    f"branch {name!r} staged data at version "
+                    f"{first_data} BEFORE its ADD COLUMN at "
+                    f"{last_alter} — the squash gives both one "
+                    "version, so the pre-alter files would wrongly "
+                    "read as carrying the column; ALTER first, then "
+                    "stage (or publish the pre-alter data in its own "
+                    "round)")
         rec, stats, fbytes, all_files = self._fold_record(bpath, bhead)
         v_pub = fork + 1
         # era remap across WAP ROUNDS: a branch version at or below
@@ -6121,7 +6158,6 @@ class TxnLogFormat(TableFormat):
         # that round must never see its entries re-stamped with a
         # newer version — duplicate delivery); only versions staged
         # SINCE the last publish map to this round's squash
-        history = [tuple(h) for h in info.get("publish_history", [])]
 
         def _mapv(bv: int) -> int:
             if bv <= seed:
@@ -6135,6 +6171,12 @@ class TxnLogFormat(TableFormat):
             e["version"] = _mapv(e["version"])
         for app, pair in (rec.get("txn_latest") or {}).items():
             pair[1] = _mapv(pair[1])
+        # alter era markers flatten with everything else (COPIES — the
+        # resolver returns the cached commit records themselves); see
+        # the additive-only gate above for why this is lossless
+        rec["state"]["alters"] = [
+            {**a, "version": _mapv(a["version"])}
+            for a in rec["state"]["alters"]]
         rec["stats"] = {rf: [_mapv(sv), cols]
                         for rf, (sv, cols) in stats.items()}
         rec["file_bytes"] = fbytes

@@ -132,17 +132,89 @@ def test_published_version_markers_never_exceed_head(spark, tbl):
     assert all(sv <= v for sv, _ in rec["stats"].values())
 
 
-def test_publish_refuses_branch_schema_evolution(spark, tbl):
+def test_publish_additive_branch_schema_evolution(spark, tbl):
+    """Round 15 (VERDICT r14 item 3): an ADD COLUMN branch publishes —
+    the real WAP add-a-column flow: ALTER on the branch (with a
+    default), backfill/stage AFTER it, publish — main's schema evolves
+    atomically, pre-branch rows read the frozen default, staged rows
+    their stored values, and the fork era stays time-travelable with
+    the OLD schema."""
+    fmt, path = tbl["fmt"], tbl["path"]
+    fork = fmt.create_branch(path, "s")
+    bp = fmt.ref_path(path, "s")
+    fmt.alter_table(bp, add_columns={"extra": "int"},
+                    column_defaults={"extra": 7})
+    fmt.append(spark.range(100, 102).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit(1).alias("extra")), bp)
+    v = fmt.publish_branch(path, "s", drop=True)
+    main = fmt.read(spark, path)
+    assert main.columns == ["k", "v", "extra"]
+    assert main.count() == 17
+    got = {r.k: r.extra for r in main.collect()}
+    assert got[0] == 7 and got[100] == 1 and got[101] == 1
+    # fork era: old two-column schema
+    old = fmt.read(spark, path, as_of_version=fork)
+    assert old.columns == ["k", "v"] and old.count() == 15
+    # main still writable post-evolution and reads consistently
+    fmt.append(spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.lit(2).alias("extra")), path)
+    assert fmt.read(spark, path).count() == 18
+    assert v == fork + 1
+
+
+def test_publish_refuses_non_additive_and_data_before_alter(spark, tbl):
+    """The refusals that REMAIN (and must stay loud): renames / drops /
+    widenings cannot flatten, and an additive alter with data staged
+    BEFORE it in the same round would mis-mark the pre-alter files."""
     fmt, path = tbl["fmt"], tbl["path"]
     fmt.create_branch(path, "s")
     bp = fmt.ref_path(path, "s")
-    fmt.alter_table(bp, add_columns={"extra": "string"})
-    with pytest.raises(ValueError, match="schema"):
+    fmt.alter_table(bp, rename_columns={"v": "w"})
+    with pytest.raises(ValueError, match="renamed, dropped"):
         fmt.publish_branch(path, "s")
-    # main untouched and still writable
+    fmt.drop_ref(path, "s")
+    fmt.create_branch(path, "s2")
+    bp2 = fmt.ref_path(path, "s2")
+    fmt.append(spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").alias("v")), bp2)
+    fmt.alter_table(bp2, add_columns={"extra": "int"})
+    with pytest.raises(ValueError, match="BEFORE its ADD COLUMN"):
+        fmt.publish_branch(path, "s2")
+    # main untouched and still writable after both refusals
     fmt.append(spark.range(1).select(
         F.col("id").alias("k"), F.col("id").alias("v")), path)
     assert fmt.read(spark, path).count() == 16
+
+
+def test_publish_additive_multi_round_wap(spark, tbl):
+    """Two additive WAP rounds on the SAME kept branch: round 2's
+    alter must not re-apply to round 1's published files (era map
+    through publish_history), and each round's defaults land on
+    exactly the rows that predate its alter."""
+    fmt, path = tbl["fmt"], tbl["path"]
+    fmt.create_branch(path, "w")
+    bp = fmt.ref_path(path, "w")
+    fmt.alter_table(bp, add_columns={"a1": "int"},
+                    column_defaults={"a1": 1})
+    fmt.append(spark.range(100, 101).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.lit(10).alias("a1")), bp)
+    v1 = fmt.publish_branch(path, "w")          # round 1
+    fmt.alter_table(bp, add_columns={"a2": "int"},
+                    column_defaults={"a2": 2})
+    fmt.append(spark.range(200, 201).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.lit(10).alias("a1"), F.lit(20).alias("a2")), bp)
+    v2 = fmt.publish_branch(path, "w", drop=True)  # round 2
+    assert v2 == v1 + 1
+    main = fmt.read(spark, path)
+    assert main.columns == ["k", "v", "a1", "a2"]
+    got = {r.k: (r.a1, r.a2) for r in main.collect()}
+    assert got[0] == (1, 2)        # pre-branch: both defaults
+    assert got[100] == (10, 2)     # round-1 row: stored a1, default a2
+    assert got[200] == (10, 20)    # round-2 row: both stored
 
 
 def test_tags_pin_versions_immutably(spark, tbl):
