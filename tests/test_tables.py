@@ -981,3 +981,38 @@ def test_sql_router_accepts_comments(spark, cat):
     assert rows[0].n == 10
     # passthrough statements keep Spark's own comment handling
     assert tables.sql(spark, "SELECT 1 AS x -- plain").collect()[0].x == 1
+
+
+def test_sql_select_routes_to_jvm_scan_and_broadcasts(spark, cat):
+    """Round 15 (VERDICT r14 item 4): a plain SELECT through the
+    router substitutes registered txnlog references with the JVM
+    parquet scan — real commit-recorded file sizes reach Catalyst, so
+    a small dimension joins as BroadcastHashJoin PRE-AQE with no hint
+    — and resolution is per-statement, so a write between two calls is
+    visible (nothing pinned, nothing stale)."""
+    name = cat["name"]
+    df = tables.sql(spark, f"SELECT a, b FROM {name} WHERE a < 3")
+    plan0 = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonScan" not in plan0
+    assert sorted((r.a, r.b) for r in df.collect()) \
+        == [(0, 0), (1, 2), (2, 4)]
+    spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("a"), F.col("id").alias("v")) \
+        .createOrReplaceTempView("jv_fact_v")
+    j = tables.sql(
+        spark, f"SELECT f.a, count(*) AS n FROM jv_fact_v f "
+               f"JOIN {name} d ON f.a = d.a GROUP BY f.a")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = j._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan, plan
+    assert j.count() == 10
+    # freshness: an append between calls is visible to the next call
+    cat["fmt"].append(spark.createDataFrame([(99, 99)], "a long, b long"),
+                      cat["path"])
+    assert tables.sql(spark, f"SELECT count(*) AS n FROM {name}") \
+        .collect()[0].n == 11
+    # CTE names never rewrite; unregistered names stay Spark's own
+    assert tables.sql(
+        spark, "WITH c AS (SELECT 1 AS x) SELECT count(*) AS n FROM c"
+    ).collect()[0].n == 1
