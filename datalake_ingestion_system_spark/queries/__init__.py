@@ -30,33 +30,30 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 # Queries whose implementation or oracle changed AFTER their last green
 # driver row belong back in the sampled prefix until re-verified.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Round 14: all 50 round-13 window entries hold green rows in
-    # CORRECTNESS_r13 (50/50) and are RELEASED.  Fronted now: the
-    # transitive closure of this round's work — (a) the SQL router's
-    # quote-masking rework (every regex arm now scans the mask and
-    # slices raw text: all tables.sql / tables.* consumers), (b) the
-    # clone link-helper refactor and the publish/refs machinery
-    # (q_clone_read, the new q_wap_publish_read), (c) the streaming
-    # source's capBase seeding (q_txnlog_stream_*), (d) history's
-    # additive publish fields (q_history_manifest_join).  The five
-    # NEW queries (q_create_table_sql, q_catalog_join_broadcast,
-    # q_wap_publish_read, q_refs_sql, q_stream_drain) front
-    # automatically as never-sampled; listed for explicitness.  All
-    # entries below are 3-SF green in this session's local sweeps;
-    # remaining prefix slots fill with already-green rotated entries
-    # (harmless re-confirmation).
-    "q_alter_ctas_sql", "q_auto_compact_read",
-    "q_catalog_dv_read",
-    "q_catalog_join_broadcast", "q_catalog_table_read",
-    "q_cdf_row_ids", "q_checkpoint_log_read", "q_clone_read",
-    "q_compact_where_read", "q_create_table_sql",
-    "q_history_manifest_join", "q_merge_full_sync",
-    "q_merge_set_columns", "q_sql_dml_roundtrip",
-    "q_table_changes_sql", "q_time_travel_sql",
-    "q_refs_sql", "q_stream_drain",
-    "q_timestamp_skipping_read", "q_txnlog_stream_pushdown",
-    "q_txnlog_stream_sink", "q_txnlog_stream_source",
-    "q_wap_publish_read")
+    # Round 15: all 50 round-14 window entries hold green rows in
+    # CORRECTNESS_r14 (50/50) and are RELEASED.  Fronted now: the
+    # transitive closure of this round's work — (a) the catalog batch
+    # reader's hive-partition constants + overwrite anti-filters and
+    # the shared _read_arrow_batches signature (all catalog-scan and
+    # txnlog-stream consumers), (b) the router's comment stripping and
+    # the SELECT→JVM-scan substitution (every tables.sql consumer,
+    # time travel included), (c) publish_branch's additive-evolution
+    # gate + alter-marker remap (q_wap_*, q_refs_sql, q_clone_read).
+    # The two NEW queries (q_catalog_partition_read,
+    # q_wap_schema_publish) front automatically as never-sampled;
+    # listed for explicitness.  All entries below are 3-SF green in
+    # this session's local sweeps; remaining prefix slots fill with
+    # already-green rotated entries (harmless re-confirmation).
+    "q_catalog_partition_read", "q_wap_schema_publish",
+    "q_catalog_dv_read", "q_catalog_table_read",
+    "q_catalog_join_broadcast",
+    "q_wap_publish_read", "q_refs_sql", "q_clone_read",
+    "q_sql_dml_roundtrip", "q_time_travel_sql", "q_alter_ctas_sql",
+    "q_create_table_sql", "q_table_changes_sql",
+    "q_txnlog_stream_source", "q_txnlog_stream_sink",
+    "q_txnlog_stream_pushdown", "q_stream_drain",
+    "q_cdf_row_ids", "q_cdf_rowid_mirror", "q_cdf_replica_mirror",
+    "q_history_manifest_join")
 
 
 def _evidence():
