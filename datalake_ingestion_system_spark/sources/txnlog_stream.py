@@ -1297,7 +1297,6 @@ class TxnLogBatchReader(DataSourceReader):
                     f["name"]: f["type"]
                     for f in json.loads(sj)["fields"]
                     if isinstance(f["type"], str)}
-        schema_names = set(self.schema.names)
         parts = []
         for e in live:
             # LOG-LEVEL partition pruning + all-replaced dirs — the
@@ -1326,6 +1325,11 @@ class TxnLogBatchReader(DataSourceReader):
                  None in vals)
                 for col, vals in e["removed"].items()]
             mapping = _mapping_for(e["version"], alters, self.schema)
+            # path keys carry the column's WRITE-TIME name — filter by
+            # the mapping's SOURCE names, not current schema names, so
+            # a renamed compact() staging column (staged_pcol carries
+            # no rename guard) still resolves (round 15 review fix)
+            src_names = {m[0] for m in mapping if m[0] is not None}
             for ap in _data_files(self.path, e["dir"], e.get("files")):
                 rf = _relfile(ap)
                 if rf in removed or rf in skip:
@@ -1336,7 +1340,7 @@ class TxnLogBatchReader(DataSourceReader):
                 if "=" in sub:
                     hive = _hive_constants(sub)
                     consts = {k: v for k, v in hive.items()
-                              if k in schema_names} or None
+                              if k in src_names} or None
                 if anti_all:
                     anti, drop_file = [], False
                     for col, vals, null_removed in anti_all:

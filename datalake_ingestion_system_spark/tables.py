@@ -329,6 +329,15 @@ def refresh_table(spark: SparkSession, name: str) -> None:
     create_table(spark, name, table_path(spark, name), replace=True)
 
 
+def _comment_start(s: str, i: int) -> bool:
+    """True iff a SQL comment starts at ``i`` — ``--`` or ``/*``, but
+    NOT ``/*+``: Spark's lexer tokenizes ``/*+ ... */`` as a JOIN /
+    partitioning HINT (HENT_START), and stripping one would silently
+    drop user BROADCAST/REPARTITION hints from routed statements."""
+    return s.startswith("--", i) or (
+        s.startswith("/*", i) and not s.startswith("/*+", i))
+
+
 def _comment_end(s: str, i: int) -> int:
     """End index (exclusive) of the SQL comment starting at ``i`` —
     ``--`` runs to (not including) the newline; ``/* */`` nests like
@@ -371,9 +380,17 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
                 esc = True
             elif ch == q:
                 q = None
-        elif s.startswith("--", i) or s.startswith("/*", i):
+        elif _comment_start(s, i):
             cur.append(" ")
             i = _comment_end(s, i)
+            continue
+        elif ch == "`":
+            # backquoted identifier: verbatim — `a--b` is a name, not
+            # a comment (round 15 review fix)
+            j = s.find("`", i + 1)
+            j = n if j == -1 else j + 1
+            cur.append(s[i:j])
+            i = j
             continue
         elif ch in "'\"":
             q = ch
@@ -415,7 +432,7 @@ def _strip_comments(s: str) -> str:
             if ch == q:
                 q = None
             i += 1
-        elif s.startswith("--", i) or s.startswith("/*", i):
+        elif _comment_start(s, i):
             i = _comment_end(s, i)
             out.append(" ")
         elif ch in "'\"`":
@@ -451,9 +468,10 @@ def _unquote_ident(name: str) -> str:
 #: tokens that may legally FOLLOW a table reference — never captured as
 #: an implicit alias by the time-travel rewrite below
 _TT_KW = ("WHERE|GROUP|ORDER|LIMIT|JOIN|ON|LEFT|RIGHT|FULL|INNER|CROSS"
-          "|NATURAL|UNION|INTERSECT|EXCEPT|HAVING|WHEN|USING|SEMI|ANTI"
-          "|LATERAL|WINDOW|QUALIFY|SELECT|VALUES|WITH|TABLESAMPLE"
-          "|PIVOT|UNPIVOT|DISTRIBUTE|CLUSTER|SORT|AS")
+          "|NATURAL|UNION|INTERSECT|EXCEPT|MINUS|HAVING|WHEN|USING"
+          "|SEMI|ANTI|LATERAL|WINDOW|QUALIFY|SELECT|VALUES|WITH"
+          "|TABLESAMPLE|PIVOT|UNPIVOT|DISTRIBUTE|CLUSTER|SORT|AS"
+          "|OFFSET")
 
 #: ``FROM|JOIN <table> VERSION AS OF n | TIMESTAMP AS OF 'ts' | @vN``
 #: with an optional trailing ``[AS] alias``
@@ -462,7 +480,7 @@ _TT_PAT = _re.compile(
     rf"(?:@v(\d+)\b"
     rf"|\b(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
     rf"(\d+(?:\.\d+)?|'[^']*'|\"[^\"]*\"))"
-    rf"(?:\s+(?:AS\s+)?(?!(?:{_TT_KW})\b)([A-Za-z_]\w*))?",
+    rf"(?:\s+(?:AS\s+)?(?!(?:{_TT_KW})\b)([A-Za-z_]\w*|`[^`]+`))?",
     _re.IGNORECASE | _re.DOTALL)
 
 
@@ -471,7 +489,7 @@ _TT_PAT = _re.compile(
 _TC_PAT = _re.compile(
     rf"\b(FROM|JOIN)\s+TABLE_CHANGES\s*\(\s*'([^']+)'\s*,\s*"
     rf"(\d+|'[^']*')\s*(?:,\s*(\d+|'[^']*')\s*)?\)"
-    rf"(?:\s+(?:AS\s+)?(?!(?:{_TT_KW})\b)([A-Za-z_]\w*))?",
+    rf"(?:\s+(?:AS\s+)?(?!(?:{_TT_KW})\b)([A-Za-z_]\w*|`[^`]+`))?",
     _re.IGNORECASE | _re.DOTALL)
 
 
@@ -573,32 +591,75 @@ def _rewrite_plain_refs(spark: SparkSession, s: str
     views (which shadow catalog tables, preserving Spark's
     resolution), other providers — pass through untouched."""
     views: list[str] = []
+    masked = _mask_quoted(s)
+    # names DEFINED by this statement — CTEs and WINDOW clauses
+    # (``name AS (``) — are never catalog references, even when a
+    # catalog table of the same name exists (the CTE shadows it in
+    # Spark's own resolution; review fix)
+    local_names = {m.group(1).lower() for m in _re.finditer(
+        r"\b([A-Za-z_]\w*)\s+AS\s*\(", masked, _re.IGNORECASE)}
+    memo: dict[str, str | None] = {}
+
+    def _in_relation_position(pos: int) -> bool:
+        """False when the FROM/JOIN at ``pos`` sits inside a paren
+        group that is NOT a subquery — e.g. ``extract(year FROM ts)``,
+        ``trim(BOTH x FROM y)``, ``substring(a FROM 1)`` — where the
+        word after the innermost open paren is an expression, not
+        SELECT/WITH/VALUES.  Conservative: a non-subquery group only
+        SKIPS the rewrite (the reference falls back to the catalog
+        scan — correct rows either way, review fix)."""
+        depth_stack: list[int] = []
+        for i, ch in enumerate(masked[:pos]):
+            if ch == "(":
+                depth_stack.append(i)
+            elif ch == ")" and depth_stack:
+                depth_stack.pop()
+        if not depth_stack:
+            return True
+        after = masked[depth_stack[-1] + 1:pos].lstrip()
+        word = after.split(None, 1)[0].upper() if after.split() else ""
+        word = word.lstrip("(")
+        return word in ("SELECT", "WITH", "VALUES", "")
 
     def repl(m: "_re.Match[str]") -> str:
         kw, name, alias = m.groups()
         tname = _unquote_ident(name)
-        if tname.startswith(("__tt_", "__tc_", "__jv_")):
-            return m.group(0)  # this statement's own rewrite views
-        try:
-            df_cat = spark.table(_quote(tname))
-            path = _meta_path(df_cat.schema)
-            if not path:
-                return m.group(0)  # temp view / non-txnlog provider
-        except Exception:
+        if tname.startswith(("__tt_", "__tc_", "__jv_")) \
+                or tname.lower() in local_names:
             return m.group(0)
-        df = TxnLogFormat().read(spark, path)
-        cat_cols = df_cat.columns
-        if df.columns != cat_cols \
-                and sorted(df.columns) == sorted(cat_cols):
-            # hive-partition discovery appends partition columns last;
-            # conform to the registered order so SELECT * is identical
-            # on both routes
-            df = df.select(*cat_cols)
-        import uuid as _uuid
-        vname = f"__jv_{_uuid.uuid4().hex[:12]}"
-        df.createOrReplaceTempView(vname)
-        views.append(vname)
-        return f"{kw} {vname} AS {alias or tname.split('.')[-1]}"
+        if not _in_relation_position(m.start(2)):
+            return m.group(0)
+        if tname not in memo:
+            memo[tname] = None
+            try:
+                # resolution-order guard (review fix): a TEMP VIEW of
+                # the same name shadows the catalog table, and a view
+                # DERIVED from a txnlog table inherits the breadcrumb
+                # through field metadata — consult the catalog's own
+                # entry type, not just the breadcrumb
+                if spark.catalog.getTable(tname).tableType == "TEMPORARY":
+                    return m.group(0)
+                df_cat = spark.table(_quote(tname))
+                path = _meta_path(df_cat.schema)
+                if path:
+                    df = TxnLogFormat().read(spark, path)
+                    cat_cols = df_cat.columns
+                    if df.columns != cat_cols \
+                            and sorted(df.columns) == sorted(cat_cols):
+                        # hive-partition discovery appends partition
+                        # columns last; conform to the registered order
+                        # so SELECT * is identical on both routes
+                        df = df.select(*cat_cols)
+                    import uuid as _uuid
+                    vname = f"__jv_{_uuid.uuid4().hex[:12]}"
+                    df.createOrReplaceTempView(vname)
+                    views.append(vname)
+                    memo[tname] = vname
+            except Exception:
+                pass  # unresolvable name: Spark's own error surfaces
+        if memo[tname] is None:
+            return m.group(0)
+        return f"{kw} {memo[tname]} AS {alias or tname.split('.')[-1]}"
 
     return _sub_masked(_PLAIN_REF_PAT, repl, s), views
 
@@ -608,7 +669,7 @@ def _rewrite_plain_refs(spark: SparkSession, s: str
 #: ``_rewrite_plain_refs`` substitutes
 _PLAIN_REF_PAT = _re.compile(
     rf"\b(FROM|JOIN)\s+({_IDENT})"
-    rf"(?:\s+(?:AS\s+)?(?!(?:{_TT_KW})\b)([A-Za-z_]\w*))?",
+    rf"(?:\s+(?:AS\s+)?(?!(?:{_TT_KW})\b)([A-Za-z_]\w*|`[^`]+`))?",
     _re.IGNORECASE | _re.DOTALL)
 
 
@@ -1208,11 +1269,18 @@ def _mask_quoted(s: str) -> str:
     backtick identifiers throughout."""
     out, i, n = list(s), 0, len(s)
     while i < n:
-        if s.startswith("--", i) or s.startswith("/*", i):
+        if _comment_start(s, i):
             j = _comment_end(s, i)
             for k in range(i, min(j, n)):
                 out[k] = " "
             i = j
+        elif s[i] == "`":
+            # BACKQUOTED IDENTIFIER: skip the span untouched — a quote
+            # or comment marker inside `a--b` / `it's` is identifier
+            # content, never a literal or comment start (round 15
+            # review fix: blanking here broke routing of such names)
+            j = s.find("`", i + 1)
+            i = n if j == -1 else j + 1
         elif s[i] in "'\"":
             q = s[i]
             j = i + 1

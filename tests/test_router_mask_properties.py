@@ -117,7 +117,11 @@ _NO_NL = st.text(
     alphabet=st.characters(blacklist_characters="\n",
                            blacklist_categories=("Cs",)),
     max_size=20)
-_NO_CLOSE = _NO_NL.filter(lambda t: "*/" not in t and "/*" not in t)
+_NO_CLOSE = _NO_NL.filter(
+    # no nested open/close, and no leading "+" — "/*+" is a Spark JOIN
+    # HINT (HENT_START), deliberately NOT treated as a comment
+    lambda t: "*/" not in t and "/*" not in t
+    and not t.startswith("+"))
 
 
 @given(pre=_PLAIN, comment=_NO_NL, post=_PLAIN)
@@ -187,3 +191,37 @@ def test_split_top_ignores_separators_inside_comments(items, comment):
     parts = [f"{c} = '{_esc(v)}'" for c, v in items]
     s = f" /* a, b {comment} */ , /* {comment} */ ".join(parts)
     assert tables._split_top(s) == parts
+
+
+_HINT = st.text(
+    # hint bodies are identifiers / numbers / parens / commas — never
+    # quotes or comment markers (Spark's hint grammar)
+    alphabet=st.characters(blacklist_characters="'\"`\n/*-",
+                           blacklist_categories=("Cs",)),
+    max_size=20)
+
+
+@given(hint=_HINT, post=_PLAIN)
+@_SET
+def test_hints_are_not_comments(hint, post):
+    """``/*+ ... */`` is Spark's JOIN/partitioning HINT token, not a
+    comment: the mask keeps it and _strip_comments leaves the
+    statement byte-identical."""
+    s = "SELECT /*+" + hint + "*/ 1 " + post
+    assert tables._mask_quoted(s) == s
+    assert tables._strip_comments(s) == s
+
+
+@given(inner=_CONTENT.filter(lambda t: "`" not in t))
+@_SET
+def test_backquoted_identifiers_are_opaque_to_mask_and_strip(inner):
+    """Comment markers and quotes INSIDE a backquoted identifier are
+    name content: the mask keeps the span verbatim (so keyword scans
+    and tokenizers still see SET/WHERE after `a--b`), and
+    _strip_comments never eats from inside one."""
+    ident = "`" + inner + "--x/*y'z\"w`"
+    s = f"UPDATE t SET {ident} = 1 WHERE k = 0"
+    assert tables._mask_quoted(s) == s
+    assert tables._strip_comments(s) == s
+    assert tables._split_top(f"{ident} = 1, b = 2") \
+        == [f"{ident} = 1", "b = 2"]

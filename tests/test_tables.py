@@ -1016,3 +1016,102 @@ def test_sql_select_routes_to_jvm_scan_and_broadcasts(spark, cat):
     assert tables.sql(
         spark, "WITH c AS (SELECT 1 AS x) SELECT count(*) AS n FROM c"
     ).collect()[0].n == 1
+
+
+def test_sql_rewrite_respects_shadowing_and_hints(spark, cat, tmp_path):
+    """Round-15 review fixes for the JVM substitution and comment
+    stripping: (a) a CTE that shadows a catalog table name binds to
+    the CTE; (b) a temp view DERIVED from a txnlog table (breadcrumb
+    inherited through field metadata) is never rewritten to the base
+    table; (c) ``/*+ ... */`` join/partitioning HINTS are not
+    comments and survive stripping; (d) OFFSET and backquoted aliases
+    parse; (e) ``extract(year FROM ts)`` is an expression, not a
+    table reference, even when a table named ``ts`` exists; (f) a
+    backquoted column named ``a--b`` routes through UPDATE and
+    SELECT."""
+    name = cat["name"]
+    # (a) CTE shadowing: the filter must apply
+    n = tables.sql(
+        spark, f"WITH {name} AS (SELECT * FROM {name} WHERE a >= 8) "
+               f"SELECT count(*) AS n FROM {name}").collect()[0].n
+    assert n == 2
+    # (b) derived temp view keeps its own plan
+    spark.table(name).where("a >= 8").createOrReplaceTempView("rv_pos")
+    assert tables.sql(spark, "SELECT count(*) AS n FROM rv_pos") \
+        .collect()[0].n == 2
+    # (c) hints survive the comment stripper
+    df = tables.sql(spark, f"SELECT /*+ REPARTITION(7) */ a FROM {name}")
+    assert df.rdd.getNumPartitions() == 7
+    # (d) OFFSET + backquoted alias
+    assert [r.a for r in tables.sql(
+        spark, f"SELECT a FROM {name} ORDER BY a LIMIT 2 OFFSET 5"
+    ).collect()] == [5, 6]
+    assert [r.a for r in tables.sql(
+        spark, f"SELECT `e`.a FROM {name} `e` WHERE `e`.a = 1"
+    ).collect()] == [1]
+    # (e) FROM inside extract/substring is expression context
+    path2 = str(tmp_path / "ts_tbl")
+    TxnLogFormat().append(spark.range(3).select(F.col("id").alias("x")),
+                          path2)
+    tables.create_table(spark, "ts", path2, replace=True)
+    try:
+        got = tables.sql(
+            spark, "SELECT extract(year FROM ts) AS y FROM "
+                   "(SELECT timestamp'2024-03-04 00:00:00' AS ts)"
+        ).collect()[0].y
+        assert got == 2024
+        assert tables.sql(
+            spark, "SELECT substring('hello' FROM 2 FOR 3) AS s"
+        ).collect()[0].s == "ell"
+    finally:
+        tables.drop_table(spark, "ts")
+    # (f) backquoted column with comment markers in its name
+    path3 = str(tmp_path / "dashy")
+    TxnLogFormat().append(spark.range(3).select(
+        F.col("id").alias("k"), F.col("id").alias("a--b")), path3)
+    tables.create_table(spark, "rv_dashy", path3, replace=True)
+    try:
+        assert tables.sql(
+            spark, "UPDATE rv_dashy SET `a--b` = `a--b` + 10 "
+                   "WHERE k = 0") == 1
+        assert tables.sql(
+            spark, "SELECT `a--b` AS ab FROM rv_dashy WHERE k = 0"
+        ).collect()[0].ab == 10
+    finally:
+        tables.drop_table(spark, "rv_dashy")
+
+
+def test_sql_rewrite_memoizes_self_joins(spark, cat):
+    """One temp view per distinct table per statement — a self-join
+    resolves the log once (round-15 review efficiency fix) — and the
+    join result is correct."""
+    from datalake_ingestion_system_spark.tables import _rewrite_plain_refs
+    name = cat["name"]
+    _rw, views = _rewrite_plain_refs(
+        spark, f"SELECT * FROM {name} x JOIN {name} y ON x.a = y.a")
+    try:
+        assert len(views) == 1
+    finally:
+        for v in views:
+            spark.catalog.dropTempView(v)
+    assert tables.sql(
+        spark, f"SELECT count(*) AS n FROM {name} x "
+               f"JOIN {name} y ON x.a = y.a").collect()[0].n == 10
+
+
+def test_batch_source_renamed_compact_staging_column(spark, tmp_path):
+    """compact(partition_col=...) staging survives a LATER rename of
+    that column (staged_pcol carries no rename guard): the path
+    constant resolves by the file-era SOURCE name through the mapping
+    (round-15 review fix)."""
+    tables.ensure_registered(spark)
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "p string, v int"), path)
+    fmt.compact(spark, path, partition_col="p")
+    fmt.alter_table(path, rename_columns={"p": "q"})
+    got = sorted(tuple(r) for r in
+                 spark.read.format("txnlog").load(path).collect())
+    ref = sorted((r.q, r.v) for r in fmt.read(spark, path).collect())
+    assert got == ref == [("a", 1), ("b", 2)]
