@@ -45,6 +45,7 @@ _FORCE_FRONT: tuple[str, ...] = (
     # this session's local sweeps; remaining prefix slots fill with
     # already-green rotated entries (harmless re-confirmation).
     "q_catalog_partition_read", "q_wap_schema_publish",
+    "q_cdf_partition_overwrite",
     "q_catalog_dv_read", "q_catalog_table_read",
     "q_catalog_join_broadcast",
     "q_wap_publish_read", "q_refs_sql", "q_clone_read",

@@ -4307,6 +4307,62 @@ def q_wap_publish_read(spark, sf_dir):
                                        as_of_version=fork), "fork")))
 
 
+@_q("q_cdf_partition_overwrite")
+def q_cdf_partition_overwrite(spark, sf_dir):
+    """Change feed ACROSS a dynamic partition overwrite (round 15 —
+    the one rewrite shape with per-row identity in the log): the
+    reference's canonical snapshot-date overwrite becomes consumable
+    CDC — the feed reconstructs the replaced partition's rows as
+    ``delete`` preimages (pre-state files matching the recorded
+    values, earlier subtractions and vectors applied first) and the
+    staged dir as ``insert`` postimages.  The per-type/<change-type>
+    rollup must match the oracle's declarative reconstruction.
+
+    Scale shape: pre-state resolves driver-side from the log; the
+    preimage plan touches only files that can hold a replaced value
+    (dir-level parts intersection, file-level path constants), each
+    shipping an O(replaced values) typed selection — never a snapshot
+    diff, never a shuffle."""
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    path = scratch_dir(prefix="cdfpo_q_") + "/t"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.overwrite_partitions(e, path, "event_type")
+    fmt.overwrite_partitions(
+        e.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") + 1000), path, "event_type")
+    tables.ensure_registered(spark)
+    feed = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 1).load(path))
+    return (feed.groupBy("_change_type", "event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5)
+                       .cast("long")).alias("value_cents"))
+            .select(F.col("_change_type").alias("change_type"),
+                    "event_type", "n_rows", "value_cents"))
+
+
+ORACLE_SQL["q_cdf_partition_overwrite"] = """
+SELECT 'delete' AS change_type, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE event_type = 'click'
+GROUP BY event_type
+UNION ALL
+SELECT 'insert' AS change_type, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor((value + 1000) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM events WHERE event_type = 'click'
+GROUP BY event_type
+"""
+
+
 @_q("q_wap_schema_publish")
 def q_wap_schema_publish(spark, sf_dir):
     """Additive branch schema evolution through WAP, oracle-verified

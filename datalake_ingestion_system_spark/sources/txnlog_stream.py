@@ -162,7 +162,8 @@ class _FilePartition(InputPartition):
                  row_ids: tuple | None = None,
                  drop_positions: list | None = None,
                  constants: dict | None = None,
-                 anti: list | None = None):
+                 anti: list | None = None,
+                 sel: list | None = None):
         self.abs_path = abs_path
         #: [(src_name | None, tgt_name, arrow_type)] aligned to the
         #: stream's schema; src None = column added after this file
@@ -197,6 +198,11 @@ class _FilePartition(InputPartition):
         #: values) per partition (config-scale by the overwrite
         #: writer's contract)
         self.anti = anti
+        #: SELECTION (round 15, change-feed preimages of a dynamic
+        #: overwrite): keep ONLY rows matching — [(column, [recorded
+        #: string values], null_in)] — the inverse of ``anti``, same
+        #: typed membership, applied after it
+        self.sel = sel
 
 
 def _row_base_map(commits: list[dict]) -> dict[str, int]:
@@ -293,7 +299,8 @@ def _read_arrow_batches(abs_path: str, mapping: list,
                         row_ids: tuple | None = None,
                         drop_positions: list | None = None,
                         constants: dict | None = None,
-                        anti: list | None = None):
+                        anti: list | None = None,
+                        sel: list | None = None):
     """Executor-side file read: Arrow batches aligned to the stream's
     schema via the per-file column mapping (historical names inverted,
     later-added columns null-filled).  ``positions`` restricts to the
@@ -454,6 +461,29 @@ def _read_arrow_batches(abs_path: str, mapping: list,
                 pc.is_in(c, value_set=vset), False))
             if null_removed:
                 keep = pc.and_(keep, pc.is_valid(c))
+            out = out.filter(keep)
+    if sel:
+        # SELECTION (change-feed overwrite preimages): keep ONLY the
+        # rows a dynamic overwrite replaced — typed membership over
+        # the mapped table, the exact inverse of the ``anti`` filter
+        import pyarrow.compute as pc
+        for col, vals, null_in in sel:
+            if col not in out.column_names:
+                if not null_in:
+                    out = out.slice(0, 0)
+                continue  # absent column reads NULL: only null_in keeps
+            c = out[col]
+            try:
+                vset = pa.array(vals, type=pa.string()).cast(c.type)
+            except (pa.ArrowInvalid,
+                    pa.ArrowNotImplementedError) as exc:
+                raise ValueError(
+                    "cannot replay the overwrite selection on "
+                    f"{col!r} against {abs_path}: recorded values "
+                    f"{vals!r} do not parse as {c.type}") from exc
+            keep = pc.fill_null(pc.is_in(c, value_set=vset), False)
+            if null_in:
+                keep = pc.or_(keep, pc.is_null(c))
             out = out.filter(keep)
     yield from out.to_batches()
 
@@ -665,14 +695,110 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                                row_ids=((None,) if row_ids else None))
                 for ap in _data_files(path, c["cdf_dir"],
                                       c.get("cdf_files")))
+        elif c["action"] == "overwrite":
+            # DYNAMIC PARTITION OVERWRITE (round 15): unlike a full
+            # rewrite, the log DOES carry per-row change identity —
+            # the commit records exactly which partition VALUES were
+            # replaced, so the preimage is the pre-state live rows
+            # matching those values and the postimage is the staged
+            # dir.  Plan shape: pre-state resolves driver-side from
+            # the log (O(log)); preimage partitions are only the
+            # pre-live files that can hold a replaced value (dir-level
+            # parts intersection + file-level path constants), each
+            # shipping an O(replaced values) typed selection; deletes
+            # already applied before this commit (earlier overwrite
+            # subtractions, deletion vectors) are subtracted so no row
+            # re-emits.
+            pcol, vals = c["partition_col"], c["partitions"]
+            null_in = any(x is None for x in vals)
+            non_null = sorted(x for x in vals if x is not None)
+            vset = set(vals)
+            mapping = _mapping_for(v, alters, data_schema)
+            src_names = {m[0] for m in mapping if m[0] is not None}
+            for ap in _data_files(path, c["dir"], c.get("files")):
+                rf = _relfile(ap)
+                if rf in skip:
+                    continue
+                sub = rf[len(c["dir"]) + 1:] \
+                    if rf.startswith(c["dir"] + "/") else rf
+                consts = ({k: w for k, w in _hive_constants(sub).items()
+                           if k in src_names} or None) if "=" in sub \
+                    else None
+                parts.append(_FilePartition(
+                    ap, mapping, cdf=("insert", v, ts),
+                    row_ids=rid(rf), constants=consts))
+            pre = [x for x in commits if x["version"] < v]
+            pre_live = fmt._resolve_live(pre)
+            pre_removed = fmt._resolve_removed_files(pre)
+            pre_dvmap: dict[str, list[int]] = {}
+            for dv_rel in fmt._resolve_dvs(pre):
+                for f, ps in _dv_pairs(path, dv_rel).items():
+                    pre_dvmap.setdefault(f, []).extend(ps)
+            pre_dvmap = {f: sorted(set(ps))
+                         for f, ps in pre_dvmap.items()}
+            for e in pre_live:
+                if e["pcol"] == pcol and e["parts"] \
+                        and not (set(e["parts"]) & vset):
+                    continue  # no replaced value lives in this dir
+                if e["pcol"] and e["parts"] <= e["removed"].get(
+                        e["pcol"], set()):
+                    continue  # dir fully re-overwritten before v
+                emap = _mapping_for(e["version"], alters, data_schema)
+                esrc = {m[0] for m in emap if m[0] is not None}
+                anti_all = [
+                    (col, sorted(x for x in av if x is not None),
+                     None in av)
+                    for col, av in e["removed"].items()]
+                for ap in _data_files(path, e["dir"], e.get("files")):
+                    rf = _relfile(ap)
+                    if rf in pre_removed or rf in skip:
+                        continue
+                    sub = rf[len(e["dir"]) + 1:] \
+                        if rf.startswith(e["dir"] + "/") else rf
+                    consts = ({k: w for k, w
+                               in _hive_constants(sub).items()
+                               if k in esrc} or None) if "=" in sub \
+                        else None
+                    sel = [(pcol, non_null, null_in)]
+                    cv = (consts or {}).get(pcol, _NO_CONST)
+                    if cv is not _NO_CONST:
+                        # path-constant file: whole-file member or skip
+                        if (cv is None and not null_in) or (
+                                cv is not None and cv not in vset):
+                            continue
+                        sel = None
+                    anti, drop_file = [], False
+                    for col, avals, null_removed in anti_all:
+                        acv = (consts or {}).get(col, _NO_CONST)
+                        if acv is _NO_CONST:
+                            anti.append((col, avals, null_removed))
+                        elif (acv is None and null_removed) or (
+                                acv is not None and acv in avals):
+                            drop_file = True
+                            break
+                    if drop_file:
+                        continue
+                    if rf in pre_dvmap and bases is not None:
+                        raise ValueError(
+                            f"change feed with rowIds over commit {v} "
+                            f"(partition overwrite): source file {rf} "
+                            "carries deletion vectors, and row ids "
+                            "cannot be aligned after their "
+                            "subtraction — read without rowIds, or "
+                            "compact before the overwrite")
+                    parts.append(_FilePartition(
+                        ap, emap, cdf=("delete", v, ts),
+                        row_ids=rid(rf), constants=consts,
+                        anti=anti or None, sel=sel,
+                        drop_positions=pre_dvmap.get(rf)))
         elif not ignore_changes:
             raise ValueError(
                 f"commit {v} is a full rewrite ({c['action']}); the "
                 "change feed emits per-row changes only for append / "
-                "deletion-vector commits — use diff_versions for "
-                "snapshot diffs, or set option('ignoreChanges', "
-                "'true') to skip rewrites (their changes will not be "
-                "emitted)")
+                "deletion-vector / dynamic-partition-overwrite "
+                "commits — use diff_versions for snapshot diffs, or "
+                "set option('ignoreChanges', 'true') to skip rewrites "
+                "(their changes will not be emitted)")
     return parts
 
 
@@ -1057,11 +1183,14 @@ class TxnLogStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         if partition is None:
             return  # fully-pruned/metadata-only batch plans no files
-        yield from _read_arrow_batches(partition.abs_path,
-                                       partition.mapping,
-                                       partition.positions, partition.cdf,
-                                       row_ids=getattr(partition,
-                                                       "row_ids", None))
+        yield from _read_arrow_batches(
+            partition.abs_path, partition.mapping,
+            partition.positions, partition.cdf,
+            row_ids=getattr(partition, "row_ids", None),
+            drop_positions=getattr(partition, "drop_positions", None),
+            constants=getattr(partition, "constants", None),
+            anti=getattr(partition, "anti", None),
+            sel=getattr(partition, "sel", None))
 
     def commit(self, end: dict) -> None:
         pass  # the table's own log is the source of truth; nothing to ack
@@ -1375,7 +1504,8 @@ class TxnLogBatchReader(DataSourceReader):
             row_ids=getattr(partition, "row_ids", None),
             drop_positions=getattr(partition, "drop_positions", None),
             constants=getattr(partition, "constants", None),
-            anti=getattr(partition, "anti", None))
+            anti=getattr(partition, "anti", None),
+            sel=getattr(partition, "sel", None))
 
 
 class TxnLogPushdownBatchReader(TxnLogBatchReader):

@@ -622,7 +622,7 @@ def _rewrite_plain_refs(spark: SparkSession, s: str
         return word in ("SELECT", "WITH", "VALUES", "")
 
     def repl(m: "_re.Match[str]") -> str:
-        kw, name, alias = m.groups()
+        kw, name, sample, alias = m.groups()
         tname = _unquote_ident(name)
         if tname.startswith(("__tt_", "__tc_", "__jv_")) \
                 or tname.lower() in local_names:
@@ -659,7 +659,9 @@ def _rewrite_plain_refs(spark: SparkSession, s: str
                 pass  # unresolvable name: Spark's own error surfaces
         if memo[tname] is None:
             return m.group(0)
-        return f"{kw} {memo[tname]} AS {alias or tname.split('.')[-1]}"
+        smp = f" {sample}" if sample else ""
+        return (f"{kw} {memo[tname]}{smp} "
+                f"AS {alias or tname.split('.')[-1]}")
 
     return _sub_masked(_PLAIN_REF_PAT, repl, s), views
 
@@ -669,6 +671,11 @@ def _rewrite_plain_refs(spark: SparkSession, s: str
 #: ``_rewrite_plain_refs`` substitutes
 _PLAIN_REF_PAT = _re.compile(
     rf"\b(FROM|JOIN)\s+({_IDENT})"
+    # optional TABLESAMPLE, captured so the rewrite can re-emit it
+    # BEFORE the alias (Spark's grammar: sample precedes tableAlias —
+    # `FROM v AS t TABLESAMPLE(...)` is a parse error)
+    rf"(?:\s+(TABLESAMPLE\s*\((?:[^()]|\([^()]*\))*\)"
+    rf"(?:\s+REPEATABLE\s*\(\d+\))?))?"
     rf"(?:\s+(?:AS\s+)?(?!(?:{_TT_KW})\b)([A-Za-z_]\w*|`[^`]+`))?",
     _re.IGNORECASE | _re.DOTALL)
 

@@ -1357,3 +1357,87 @@ def test_drain_stream_bounded_batches_exactly_once(spark, tmp_path):
                          max_commits_per_trigger=3)
     assert head2 == 11
     assert sum(n for _e, n in seen if n > 0) == 2
+
+
+def test_change_feed_reconstructs_partition_overwrites(registered,
+                                                       tmp_path):
+    """Round 15: a DYNAMIC partition overwrite has per-row change
+    identity in the log (the commit records exactly which values were
+    replaced), so the feed reconstructs it — preimage rows tagged
+    ``delete`` from the pre-state files matching the replaced values,
+    the staged dir tagged ``insert`` — across chained overwrites, the
+    NULL partition, flat appends mixed in, and replay equality with
+    the live snapshot."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), (None, 9)], "p string, v int"),
+        path, "p")                                             # v0
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [("a", 10)], "p string, v int"), path, "p")            # v1
+    fmt.append(spark.createDataFrame(
+        [("c", 100)], "p string, v int"), path)                # v2
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [(None, 90), ("b", 30)], "p string, v int"), path, "p")  # v3
+    feed = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true").load(path)
+            .select("p", "v", "_change_type", "_commit_version"))
+    rows = sorted([tuple(r) for r in feed.collect()],
+                  key=lambda t: (t[3], t[2], t[0] or "", t[1]))
+    assert rows == sorted([
+        ("a", 1, "insert", 0), ("a", 2, "insert", 0),
+        ("b", 3, "insert", 0), (None, 9, "insert", 0),
+        ("a", 1, "delete", 1), ("a", 2, "delete", 1),
+        ("a", 10, "insert", 1),
+        ("c", 100, "insert", 2),
+        ("b", 3, "delete", 3), (None, 9, "delete", 3),
+        ("b", 30, "insert", 3), (None, 90, "insert", 3)],
+        key=lambda t: (t[3], t[2], t[0] or "", t[1]))
+    # range selection: only the last commit's changes
+    part = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 3).load(path)
+            .select("p", "v", "_change_type"))
+    assert sorted([tuple(r) for r in part.collect()],
+                  key=lambda t: (t[2], t[0] or "")) == [
+        (None, 9, "delete"), ("b", 3, "delete"),
+        (None, 90, "insert"), ("b", 30, "insert")]
+    # replay equality: inserts minus deletes == the live snapshot
+    live = sorted([(r.p, r.v) for r in
+                   TxnLogFormat().read(spark, path).collect()],
+                  key=lambda t: (t[0] is None, t[0] or "", t[1]))
+    assert live == [("a", 10), ("b", 30), ("c", 100), (None, 90)]
+
+
+def test_change_feed_overwrite_subtracts_flat_dirs_and_still_refuses_replace_all(
+        registered, tmp_path):
+    """The preimage SELECTION applies executor-side when the replaced
+    value lives in a flat append's DATA (not the path), and a value
+    replaced twice never re-emits from the original dir (the earlier
+    overwrite's subtraction applies before the selection).  Full
+    rewrites (replace_all) keep refusing — they genuinely have no
+    per-row identity."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "p string, v int"), path)        # v0 flat
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [("a", 10)], "p string, v int"), path, "p")            # v1
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [("a", 11)], "p string, v int"), path, "p")            # v2
+    feed = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true").load(path)
+            .select("p", "v", "_change_type", "_commit_version"))
+    rows = sorted(tuple(r) for r in feed.collect())
+    assert rows == [
+        ("a", 1, "delete", 1),     # from the FLAT dir, data-side sel
+        ("a", 1, "insert", 0), ("a", 10, "delete", 2),
+        ("a", 10, "insert", 1),    # v2 deletes v1's row, NOT v0's again
+        ("a", 11, "insert", 2), ("b", 2, "insert", 0)]
+    fmt.overwrite_table(spark.createDataFrame(
+        [("z", 0)], "p string, v int"), path)                  # v3
+    with pytest.raises(Exception, match="full rewrite"):
+        (spark.read.format("txnlog")
+         .option("readChangeFeed", "true").load(path).collect())
