@@ -556,12 +556,17 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
       ``change_data_feed=True`` format — Delta's ``_change_data``) →
       the recorded change rows verbatim, each row's own
       ``_change_type`` passed through
-    - ``replace_all``/``overwrite``/``restore``, and ``rewrite_files``
-      WITH ``data_change`` (targeted copy-on-write DELETE/UPDATE),
-      without a sidecar → raise: the rewrite has no per-row change
-      identity in the log — diffing snapshots is the batch
-      ``diff_versions`` API's job.  Under ``ignoreChanges`` they are
-      skipped (Delta's caveat verbatim).
+    - ``overwrite`` (dynamic partition overwrite, round 15) → the
+      replaced partitions' pre-state rows tagged ``delete`` (selected
+      by the commit-recorded values, earlier subtractions and vectors
+      applied first), the staged dir tagged ``insert`` — the one
+      rewrite shape whose per-row identity the log carries
+    - ``replace_all``/``restore``, and ``rewrite_files`` WITH
+      ``data_change`` (targeted copy-on-write DELETE/UPDATE), without
+      a sidecar → raise: the rewrite has no per-row change identity
+      in the log — diffing snapshots is the batch ``diff_versions``
+      API's job.  Under ``ignoreChanges`` they are skipped (Delta's
+      caveat verbatim).
 
     Preimage rows are fetched by parquet row position from the files the
     vector names (the executor ``take``s those positions), mapped

@@ -1441,3 +1441,30 @@ def test_change_feed_overwrite_subtracts_flat_dirs_and_still_refuses_replace_all
     with pytest.raises(Exception, match="full rewrite"):
         (spark.read.format("txnlog")
          .option("readChangeFeed", "true").load(path).collect())
+
+
+def test_streaming_change_feed_crosses_partition_overwrite(
+        registered, tmp_path):
+    """The STREAMING change feed consumes a dynamic overwrite
+    mid-stream: the next micro-batch carries the replaced rows as
+    deletes plus the new rows as inserts, each exactly once."""
+    spark = registered
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    fmt = TxnLogFormat()
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "p string, v int"), path, "p")   # v0
+    q = (spark.readStream.format("txnlog")
+         .option("readChangeFeed", "true").load(path)
+         .writeStream.format("memory").queryName("cdc_ow")
+         .option("checkpointLocation", ck).start())
+    q.processAllAvailable()
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [("a", 10)], "p string, v int"), path, "p")            # v1
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.p, r.v, r._change_type, r._commit_version)
+                 for r in spark.sql("select * from cdc_ow").collect())
+    assert got == [
+        ("a", 1, "delete", 1), ("a", 1, "insert", 0),
+        ("a", 10, "insert", 1), ("b", 2, "insert", 0)]
