@@ -269,6 +269,33 @@ def _hive_constants(rel_under_dir: str) -> dict:
     return out
 
 
+def _consts_and_anti(rf: str, rel_dir: str, src_names: set,
+                     anti_all: list) -> tuple:
+    """Per-file plan step shared by the batch snapshot reader and the
+    change feed's overwrite arm: parse the file's hive path constants
+    (filtered to the mapping's file-era SOURCE names), then split a
+    later overwrite's value subtraction into a whole-file verdict
+    (the subtracted column IS this file's path constant) vs an
+    executor-side residual.  Returns ``(consts, anti, drop_file)``."""
+    consts = None
+    sub = rf[len(rel_dir) + 1:] if rf.startswith(rel_dir + "/") else rf
+    if "=" in sub:
+        consts = {k: v for k, v in _hive_constants(sub).items()
+                  if k in src_names} or None
+    anti = None
+    if anti_all:
+        anti = []
+        for col, vals, null_removed in anti_all:
+            cv = (consts or {}).get(col, _NO_CONST)
+            if cv is _NO_CONST:
+                anti.append((col, vals, null_removed))
+            elif (cv is None and null_removed) \
+                    or (cv is not None and cv in vals):
+                return consts, None, True
+        anti = anti or None
+    return consts, anti, False
+
+
 def _mapping_for(version: int, alters: list[dict],
                  schema: StructType) -> list:
     """Per-target-column source name in a file written at ``version``:
@@ -621,6 +648,10 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
         return _mapping_for(wv, alters, data_schema)
 
     parts: list[_FilePartition] = []
+    #: per-call deletion-vector read memo for the overwrite arm —
+    #: k chained overwrites re-resolve pre-state k times (in-memory
+    #: commit replay, cheap) but must read each DV FILE only once
+    _dv_memo: dict[str, dict] = {}
     if cp is not None and start_v < cp["version"]:
         changed = TxnLogFormat._checkpoint_span_changed(cp)
         if changed and not ignore_changes:
@@ -718,17 +749,29 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
             null_in = any(x is None for x in vals)
             non_null = sorted(x for x in vals if x is not None)
             vset = set(vals)
+
+            def fwd(name: str) -> str:
+                # sel/anti filters apply EXECUTOR-side to the MAPPED
+                # table (current names).  The subtraction bookkeeping
+                # was live until at least this commit, so any rename
+                # of these columns has version > v (the alter guard) —
+                # map the write-time name forward through exactly
+                # those (review fix: a post-compact rename otherwise
+                # silently zeroed the preimage selection)
+                for a in alters:
+                    if a["version"] > v:
+                        name = (a.get("rename") or {}).get(name, name)
+                return name
+
+            sel_col = fwd(pcol)
             mapping = _mapping_for(v, alters, data_schema)
             src_names = {m[0] for m in mapping if m[0] is not None}
             for ap in _data_files(path, c["dir"], c.get("files")):
                 rf = _relfile(ap)
                 if rf in skip:
                     continue
-                sub = rf[len(c["dir"]) + 1:] \
-                    if rf.startswith(c["dir"] + "/") else rf
-                consts = ({k: w for k, w in _hive_constants(sub).items()
-                           if k in src_names} or None) if "=" in sub \
-                    else None
+                consts, _anti, _df = _consts_and_anti(
+                    rf, c["dir"], src_names, None)
                 parts.append(_FilePartition(
                     ap, mapping, cdf=("insert", v, ts),
                     row_ids=rid(rf), constants=consts))
@@ -737,7 +780,9 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
             pre_removed = fmt._resolve_removed_files(pre)
             pre_dvmap: dict[str, list[int]] = {}
             for dv_rel in fmt._resolve_dvs(pre):
-                for f, ps in _dv_pairs(path, dv_rel).items():
+                if dv_rel not in _dv_memo:
+                    _dv_memo[dv_rel] = _dv_pairs(path, dv_rel)
+                for f, ps in _dv_memo[dv_rel].items():
                     pre_dvmap.setdefault(f, []).extend(ps)
             pre_dvmap = {f: sorted(set(ps))
                          for f, ps in pre_dvmap.items()}
@@ -750,6 +795,9 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                     continue  # dir fully re-overwritten before v
                 emap = _mapping_for(e["version"], alters, data_schema)
                 esrc = {m[0] for m in emap if m[0] is not None}
+                # WRITE-TIME names here (path constants are keyed by
+                # them); the surviving executor residual maps forward
+                # below, since it applies to the mapped (current) table
                 anti_all = [
                     (col, sorted(x for x in av if x is not None),
                      None in av)
@@ -758,13 +806,14 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                     rf = _relfile(ap)
                     if rf in pre_removed or rf in skip:
                         continue
-                    sub = rf[len(e["dir"]) + 1:] \
-                        if rf.startswith(e["dir"] + "/") else rf
-                    consts = ({k: w for k, w
-                               in _hive_constants(sub).items()
-                               if k in esrc} or None) if "=" in sub \
-                        else None
-                    sel = [(pcol, non_null, null_in)]
+                    consts, anti, drop_file = _consts_and_anti(
+                        rf, e["dir"], esrc, anti_all)
+                    if drop_file:
+                        continue
+                    if anti:
+                        anti = [(fwd(col), avs, nr)
+                                for col, avs, nr in anti]
+                    sel = [(sel_col, non_null, null_in)]
                     cv = (consts or {}).get(pcol, _NO_CONST)
                     if cv is not _NO_CONST:
                         # path-constant file: whole-file member or skip
@@ -772,17 +821,6 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                                 cv is not None and cv not in vset):
                             continue
                         sel = None
-                    anti, drop_file = [], False
-                    for col, avals, null_removed in anti_all:
-                        acv = (consts or {}).get(col, _NO_CONST)
-                        if acv is _NO_CONST:
-                            anti.append((col, avals, null_removed))
-                        elif (acv is None and null_removed) or (
-                                acv is not None and acv in avals):
-                            drop_file = True
-                            break
-                    if drop_file:
-                        continue
                     if rf in pre_dvmap and bases is not None:
                         raise ValueError(
                             f"change feed with rowIds over commit {v} "
@@ -794,7 +832,7 @@ def _cdf_partitions(fmt: TxnLogFormat, path: str,
                     parts.append(_FilePartition(
                         ap, emap, cdf=("delete", v, ts),
                         row_ids=rid(rf), constants=consts,
-                        anti=anti or None, sel=sel,
+                        anti=anti, sel=sel,
                         drop_positions=pre_dvmap.get(rf)))
         elif not ignore_changes:
             raise ValueError(
@@ -1468,26 +1506,10 @@ class TxnLogBatchReader(DataSourceReader):
                 rf = _relfile(ap)
                 if rf in removed or rf in skip:
                     continue
-                consts = anti = None
-                sub = rf[len(e["dir"]) + 1:] \
-                    if rf.startswith(e["dir"] + "/") else rf
-                if "=" in sub:
-                    hive = _hive_constants(sub)
-                    consts = {k: v for k, v in hive.items()
-                              if k in src_names} or None
-                if anti_all:
-                    anti, drop_file = [], False
-                    for col, vals, null_removed in anti_all:
-                        cv = (consts or {}).get(col, _NO_CONST)
-                        if cv is _NO_CONST:
-                            anti.append((col, vals, null_removed))
-                        elif (cv is None and null_removed) \
-                                or (cv is not None and cv in vals):
-                            drop_file = True
-                            break
-                    if drop_file:
-                        continue
-                    anti = anti or None
+                consts, anti, drop_file = _consts_and_anti(
+                    rf, e["dir"], src_names, anti_all)
+                if drop_file:
+                    continue
                 if consts and self._clauses and any(
                         TxnLogFormat._partition_provably_empty(
                             col, {v}, self._clauses,

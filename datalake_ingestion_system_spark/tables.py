@@ -524,7 +524,8 @@ def _rewrite_table_changes(spark: SparkSession, s: str
         vname = f"__tc_{_uuid.uuid4().hex[:12]}"
         reader.load(path).createOrReplaceTempView(vname)
         views.append(vname)
-        return f"{kw} {vname} AS {alias or name.split('.')[-1]}"
+        return (f"{kw} {vname} AS "
+                f"{alias or '`' + name.split('.')[-1].replace('`', '') + '`'}")
 
     return _sub_masked(_TC_PAT, repl, s), views
 
@@ -568,7 +569,8 @@ def _rewrite_time_travel(spark: SparkSession, s: str
         vname = f"__tt_{_uuid.uuid4().hex[:12]}"
         df.createOrReplaceTempView(vname)
         views.append(vname)
-        return f"{kw} {vname} AS {alias or tname.split('.')[-1]}"
+        return (f"{kw} {vname} AS "
+                f"{alias or '`' + tname.split('.')[-1] + '`'}")
 
     return _sub_masked(_TT_PAT, repl, s), views
 
@@ -596,8 +598,11 @@ def _rewrite_plain_refs(spark: SparkSession, s: str
     # (``name AS (``) — are never catalog references, even when a
     # catalog table of the same name exists (the CTE shadows it in
     # Spark's own resolution; review fix)
-    local_names = {m.group(1).lower() for m in _re.finditer(
-        r"\b([A-Za-z_]\w*)\s+AS\s*\(", masked, _re.IGNORECASE)}
+    local_names = {
+        (m.group(1) or m.group(2)).lower()
+        for m in _re.finditer(
+            r"(?:`([^`]+)`|\b([A-Za-z_]\w*))\s+AS\s*\(", masked,
+            _re.IGNORECASE)}
     memo: dict[str, str | None] = {}
 
     def _in_relation_position(pos: int) -> bool:
@@ -632,12 +637,13 @@ def _rewrite_plain_refs(spark: SparkSession, s: str
         if tname not in memo:
             memo[tname] = None
             try:
-                # resolution-order guard (review fix): a TEMP VIEW of
-                # the same name shadows the catalog table, and a view
-                # DERIVED from a txnlog table inherits the breadcrumb
-                # through field metadata — consult the catalog's own
-                # entry type, not just the breadcrumb
-                if spark.catalog.getTable(tname).tableType == "TEMPORARY":
+                # resolution-order guard (review fix): a TEMP or
+                # PERSISTENT VIEW of the same name — including one
+                # DERIVED from a txnlog table, whose field metadata
+                # inherits the location breadcrumb — must keep its own
+                # plan; only real TABLE entries rewrite
+                if spark.catalog.getTable(tname).tableType \
+                        not in ("EXTERNAL", "MANAGED"):
                     return m.group(0)
                 df_cat = spark.table(_quote(tname))
                 path = _meta_path(df_cat.schema)
@@ -660,8 +666,10 @@ def _rewrite_plain_refs(spark: SparkSession, s: str
         if memo[tname] is None:
             return m.group(0)
         smp = f" {sample}" if sample else ""
+        # implicit alias re-emitted BACKQUOTED: the leaf may start
+        # with a digit or otherwise not parse bare (review fix)
         return (f"{kw} {memo[tname]}{smp} "
-                f"AS {alias or tname.split('.')[-1]}")
+                f"AS {alias or '`' + tname.split('.')[-1] + '`'}")
 
     return _sub_masked(_PLAIN_REF_PAT, repl, s), views
 
@@ -674,7 +682,10 @@ _PLAIN_REF_PAT = _re.compile(
     # optional TABLESAMPLE, captured so the rewrite can re-emit it
     # BEFORE the alias (Spark's grammar: sample precedes tableAlias —
     # `FROM v AS t TABLESAMPLE(...)` is a parse error)
-    rf"(?:\s+(TABLESAMPLE\s*\((?:[^()]|\([^()]*\))*\)"
+    # three paren levels cover BUCKET ... ON f(g(x), n); deeper nesting
+    # fails the capture and errors loudly at parse, never silently
+    rf"(?:\s+(TABLESAMPLE\s*\((?:[^()]"
+    rf"|\((?:[^()]|\([^()]*\))*\))*\)"
     rf"(?:\s+REPEATABLE\s*\(\d+\))?))?"
     rf"(?:\s+(?:AS\s+)?(?!(?:{_TT_KW})\b)([A-Za-z_]\w*|`[^`]+`))?",
     _re.IGNORECASE | _re.DOTALL)

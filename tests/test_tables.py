@@ -1115,3 +1115,34 @@ def test_batch_source_renamed_compact_staging_column(spark, tmp_path):
                  spark.read.format("txnlog").load(path).collect())
     ref = sorted((r.q, r.v) for r in fmt.read(spark, path).collect())
     assert got == ref == [("a", 1), ("b", 2)]
+
+
+def test_sql_rewrite_view_and_quoting_guards(spark, cat):
+    """Second-review fixes: (a) a PERSISTENT view derived from a
+    txnlog table keeps its own plan (only EXTERNAL/MANAGED catalog
+    entries rewrite); (b) a CTE defined with a BACKQUOTED name shadows
+    like its bare spelling; (c) the implicit alias re-emits
+    backquoted; (d) every Spark-supported TABLESAMPLE form parses
+    after the rewrite (sample precedes alias)."""
+    name = cat["name"]
+    spark.sql(f"CREATE OR REPLACE VIEW rv_perm_v AS "
+              f"SELECT * FROM {name} WHERE a >= 8")
+    try:
+        assert tables.sql(
+            spark, "SELECT count(*) AS n FROM rv_perm_v"
+        ).collect()[0].n == 2
+    finally:
+        spark.sql("DROP VIEW rv_perm_v")
+    n = tables.sql(
+        spark, f"WITH `{name}` AS (SELECT * FROM {name} WHERE a >= 8) "
+               f"SELECT count(*) AS n FROM `{name}`").collect()[0].n
+    assert n == 2
+    assert len(tables.sql(
+        spark, f"SELECT * FROM {name} TABLESAMPLE (3 ROWS)"
+    ).collect()) == 3
+    assert len(tables.sql(
+        spark, f"SELECT * FROM {name} "
+               f"TABLESAMPLE (50 PERCENT) REPEATABLE (7)"
+    ).collect()) > 0
+    tables.sql(spark, f"SELECT * FROM {name} "
+                      f"TABLESAMPLE (BUCKET 1 OUT OF 2)").collect()

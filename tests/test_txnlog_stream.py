@@ -1468,3 +1468,29 @@ def test_streaming_change_feed_crosses_partition_overwrite(
     assert got == [
         ("a", 1, "delete", 1), ("a", 1, "insert", 0),
         ("a", 10, "insert", 1), ("b", 2, "insert", 0)]
+
+
+def test_change_feed_overwrite_survives_post_compact_rename(
+        registered, tmp_path):
+    """Second-review fix: a rename of the overwrite's partition column
+    is legal once a compact clears the live bookkeeping — the feed's
+    preimage selection and residual anti-filters map the write-time
+    name FORWARD through post-commit renames, so a historical
+    overwrite range still reconstructs (previously the selection
+    silently matched nothing and the deletes vanished)."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "p string, v int"), path)        # v0
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [("a", 10)], "p string, v int"), path, "p")            # v1
+    fmt.compact(spark, path)                                   # v2
+    fmt.alter_table(path, rename_columns={"p": "q"})           # v3
+    feed = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 1)
+            .option("endingVersion", 1).load(path)
+            .select("q", "v", "_change_type"))
+    assert sorted(tuple(r) for r in feed.collect()) == [
+        ("a", 1, "delete"), ("a", 10, "insert")]
