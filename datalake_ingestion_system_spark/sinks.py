@@ -6133,11 +6133,17 @@ class TxnLogFormat(TableFormat):
                     "additive (ADD COLUMN) branch evolution publishes "
                     "— apply other schema changes on main before "
                     "branching")
+            # "data" = a commit that stages FILES whose era marker the
+            # squash would flatten to v_pub: checkpoint folds metadata
+            # only (ADVICE r15 — a periodic auto-checkpoint landing
+            # before the ADD COLUMN must not refuse the publish);
+            # dv_update stays counted — it appends rewritten-row dirs
+            # at its own version (see _resolve_live)
             first_data = min(
                 (c["version"] for c in bcommits
                  if c["version"] > span_lo
                  and c["action"] not in ("alter", "set_properties",
-                                         "set_protocol")),
+                                         "set_protocol", "checkpoint")),
                 default=None)
             last_alter = max(a["version"] for a in span_alters)
             if first_data is not None and first_data < last_alter:

@@ -473,7 +473,18 @@ def _read_arrow_batches(abs_path: str, mapping: list,
         import pyarrow.compute as pc
         for col, vals, null_removed in anti:
             if col not in out.column_names:
-                continue  # post-scan parity: absent column → no filter
+                # INVARIANT, not parity (ADVICE r15): anti columns keep
+                # their write-time names because ``alter_table`` refuses
+                # renaming or dropping a column with live overwrite
+                # bookkeeping — absence here means a write path bypassed
+                # that guard, and skipping the term would silently
+                # resurrect the replaced partition's rows
+                raise ValueError(
+                    f"partition-overwrite subtraction column {col!r} is "
+                    f"absent from the mapped output of {abs_path} — the "
+                    "rename/drop guard on overwrite bookkeeping was "
+                    "bypassed; read the table with TxnLogFormat.read "
+                    "and repair the log")
             c = out[col]
             try:
                 vset = pa.array(vals, type=pa.string()).cast(c.type)

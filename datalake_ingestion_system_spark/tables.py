@@ -54,6 +54,7 @@ import json
 import os
 import re as _re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (LongType, StringType, StructField,
                                StructType)
@@ -569,8 +570,11 @@ def _rewrite_time_travel(spark: SparkSession, s: str
         vname = f"__tt_{_uuid.uuid4().hex[:12]}"
         df.createOrReplaceTempView(vname)
         views.append(vname)
+        # leaf re-emitted backquoted with embedded backticks stripped
+        # (ADVICE r15 — `_rewrite_table_changes` parity: a quoted name
+        # containing a backtick must not emit unparseable SQL)
         return (f"{kw} {vname} AS "
-                f"{alias or '`' + tname.split('.')[-1] + '`'}")
+                f"{alias or '`' + tname.split('.')[-1].replace('`', '') + '`'}")
 
     return _sub_masked(_TT_PAT, repl, s), views
 
@@ -667,9 +671,10 @@ def _rewrite_plain_refs(spark: SparkSession, s: str
             return m.group(0)
         smp = f" {sample}" if sample else ""
         # implicit alias re-emitted BACKQUOTED: the leaf may start
-        # with a digit or otherwise not parse bare (review fix)
+        # with a digit or otherwise not parse bare (review fix);
+        # embedded backticks stripped (ADVICE r15)
         return (f"{kw} {memo[tname]}{smp} "
-                f"AS {alias or '`' + tname.split('.')[-1] + '`'}")
+                f"AS {alias or '`' + tname.split('.')[-1].replace('`', '') + '`'}")
 
     return _sub_masked(_PLAIN_REF_PAT, repl, s), views
 
@@ -729,6 +734,18 @@ def _sql_time_travel_passthrough(spark: SparkSession, s: str,
         df = spark.sql(rewritten)
         df.schema  # force analysis: view subplans inline into the plan
         return df
+    except AnalysisException:
+        # A PLAIN-ref rewrite that breaks resolution — e.g. columns
+        # qualified with the multi-part table name (``SELECT
+        # default.t.c FROM default.t``), which no single-part view
+        # alias can satisfy — degrades to the pre-rewrite plan: the
+        # catalog scan Spark can dispatch natively (ADVICE r15).
+        # Time-travel rewrites have no native fallback (the Python-DS
+        # bridge cannot dispatch VERSION/TIMESTAMP AS OF), so their
+        # analysis errors stay loud.
+        if need_tt:
+            raise
+        return spark.sql(statement)
     finally:
         for v in views:
             spark.catalog.dropTempView(v)

@@ -457,3 +457,40 @@ def test_branch_maintenance_matrix_compact_vacuum(spark, tbl):
         F.col("id").alias("k"), F.col("id").alias("v")), bp2)
     fmt.publish_branch(path, "b2", drop=True)
     assert fmt.read(spark, path).count() == 17
+
+
+def test_publish_checkpoint_before_alter_is_not_data(spark, tbl):
+    """ADVICE r15: a checkpoint commit landing on the branch BEFORE the
+    ADD COLUMN folds metadata only — it stages no files, so it must not
+    trigger the data-before-alter refusal (the auto-checkpoint cadence
+    can land one at any version)."""
+    fmt, path = tbl["fmt"], tbl["path"]
+    fork = fmt.create_branch(path, "ck")
+    bp = fmt.ref_path(path, "ck")
+    # a fileless metadata commit advances the branch head past the
+    # fork, then an explicit checkpoint folds at that head — exactly
+    # the shape an interval auto-checkpoint produces mid-branch
+    fmt.set_properties(spark, bp, change_data_feed=True)
+    ck_v = fmt.checkpoint(bp)
+    assert ck_v == fork + 1
+    fmt.alter_table(bp, add_columns={"extra": "int"},
+                    column_defaults={"extra": 7})
+    fmt.append(spark.range(100, 102).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit(1).alias("extra")), bp)
+    v = fmt.publish_branch(path, "ck", drop=True)
+    assert v == fork + 1
+    main = fmt.read(spark, path)
+    assert main.columns == ["k", "v", "extra"]
+    assert main.count() == 17
+    got = {r.k: r.extra for r in main.collect()}
+    assert got[0] == 7 and got[100] == 1 and got[101] == 1
+    # the genuine refusal stays loud: real data staged before the alter
+    fmt.create_branch(path, "bad")
+    bp2 = fmt.ref_path(path, "bad")
+    fmt.append(spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.lit(0).alias("extra")), bp2)
+    fmt.alter_table(bp2, add_columns={"more": "int"})
+    with pytest.raises(ValueError, match="BEFORE its ADD COLUMN"):
+        fmt.publish_branch(path, "bad")

@@ -1146,3 +1146,32 @@ def test_sql_rewrite_view_and_quoting_guards(spark, cat):
     ).collect()) > 0
     tables.sql(spark, f"SELECT * FROM {name} "
                       f"TABLESAMPLE (BUCKET 1 OUT OF 2)").collect()
+
+
+def test_sql_multipart_qualified_columns_fall_back(spark, cat):
+    """ADVICE r15: the plain-ref JVM rewrite aliases a table to its
+    single-part leaf, which can never satisfy ``db.table.col``
+    qualification — the router must degrade to the native catalog scan
+    instead of surfacing the rewrite's AnalysisException."""
+    n = cat["name"]
+    df = tables.sql(
+        spark,
+        f"SELECT default.{n}.a FROM default.{n} "
+        f"WHERE default.{n}.b >= 10")
+    assert sorted(r.a for r in df.collect()) == [5, 6, 7, 8, 9]
+    # sanity: the single-part shape still takes the JVM rewrite and
+    # agrees on the same rows
+    df2 = tables.sql(spark, f"SELECT a FROM {n} WHERE b >= 10")
+    assert sorted(r.a for r in df2.collect()) == [5, 6, 7, 8, 9]
+
+
+def test_sql_time_travel_analysis_errors_stay_loud(spark, cat):
+    """The fallback is plain-refs-only: a time-travel statement has no
+    Spark-native plan to degrade to, so its analysis error (here, a
+    nonexistent column) must propagate, not silently re-route."""
+    from pyspark.errors import AnalysisException
+    n = cat["name"]
+    with pytest.raises(AnalysisException):
+        tables.sql(
+            spark,
+            f"SELECT no_such_col FROM {n} VERSION AS OF 0").collect()

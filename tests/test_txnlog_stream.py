@@ -1494,3 +1494,26 @@ def test_change_feed_overwrite_survives_post_compact_rename(
             .select("q", "v", "_change_type"))
     assert sorted(tuple(r) for r in feed.collect()) == [
         ("a", 1, "delete"), ("a", 10, "insert")]
+
+
+def test_anti_filter_absent_column_raises(tmp_path):
+    """ADVICE r15: an overwrite-subtraction term whose column is absent
+    from the mapped output means a write path bypassed the rename/drop
+    guard on live overwrite bookkeeping — the executor must fail loudly
+    instead of silently resurrecting the replaced partition's rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_ingestion_system_spark.sources.txnlog_stream import (
+        _read_arrow_batches)
+
+    f = str(tmp_path / "f.parquet")
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), f)
+    mapping = [("a", "a", pa.int64())]
+    # present column still filters (the healthy path)
+    (out,) = list(_read_arrow_batches(
+        f, mapping, anti=[("a", ["1"], False)]))
+    assert out.column("a").to_pylist() == [2]
+    with pytest.raises(ValueError, match="absent from the mapped"):
+        list(_read_arrow_batches(
+            f, mapping, anti=[("gone", ["1"], False)]))
