@@ -5084,3 +5084,75 @@ SELECT 'rewrite_files', CAST(1 AS BIGINT),
        CAST(err_kept AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT)
 FROM base
 """
+
+
+@_q("q_dml_subquery")
+def q_dml_subquery(spark, sf_dir):
+    """SUBQUERY PREDICATES in routed DML (round 16): ``DELETE`` with an
+    IN-subquery, ``UPDATE`` with a correlated ``EXISTS``, and ``DELETE``
+    against a scalar-subquery threshold — all as SQL text through
+    ``tables.sql``, all against other REGISTERED relations.  Spark 4's
+    analyzer resolves subqueries inside ``DataFrame.filter`` expressions,
+    so the file-targeted copy-on-write DML path (stats-pruned candidate
+    scan, hot-file rewrite, one atomic ``rewrite_files`` commit) serves
+    them unchanged — this query pins that capability against the oracle's
+    declarative reconstruction.  Delta itself refused subqueries in
+    UPDATE/DELETE WHERE for years; a 100 TB right-to-be-forgotten purge
+    is exactly ``DELETE WHERE user_id IN (SELECT ...)``.
+
+    Scale shape: the IN/EXISTS subqueries plan as broadcast semi-joins
+    against the candidate scan (dimension side is small); only files
+    holding matching rows rewrite."""
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "subq_customer")
+    o.createOrReplaceTempView("subq_orders_src")
+    path = scratch_dir(prefix="dmlsubq_q_") + "/t"
+    TxnLogFormat(checkpoint_interval=None).append(o, path)
+    tables.create_table(spark, "txn_subq_orders", path, replace=True)
+    tables.sql(spark, """
+        DELETE FROM txn_subq_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM subq_customer
+                            WHERE c_mktsegment = 'BUILDING')""")
+    tables.sql(spark, """
+        UPDATE txn_subq_orders SET o_totalprice = o_totalprice + 1
+        WHERE EXISTS (SELECT 1 FROM subq_customer c
+                      WHERE c.c_custkey = o_custkey
+                        AND c.c_acctbal < 0)""")
+    tables.sql(spark, """
+        DELETE FROM txn_subq_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 3 / 2
+                              FROM subq_orders_src)""")
+    return (tables.table(spark, "txn_subq_orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                       .cast("long")).alias("price_cents")))
+
+
+ORACLE_SQL["q_dml_subquery"] = """
+WITH d1 AS (
+  SELECT * FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey
+                      AND c.c_mktsegment = 'BUILDING')
+), u2 AS (
+  SELECT o_orderstatus,
+         CASE WHEN EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = d1.o_custkey
+                             AND c.c_acctbal < 0)
+              THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM d1
+), d3 AS (
+  SELECT * FROM u2
+  WHERE o_totalprice <= (SELECT avg(o_totalprice) * 3 / 2 FROM orders)
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS price_cents
+FROM d3 GROUP BY o_orderstatus
+"""

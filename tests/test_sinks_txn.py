@@ -3826,3 +3826,43 @@ def test_merge_identity_insert(spark, tmp_path):
     ids = sorted(r.rid for r in final if r.rid is not None)
     assert len(ids) == len(set(ids)), "duplicate identity values"
     assert {r.k for r in final} == {1, 2, 7, 8, 90, 50}
+
+
+def test_dml_subquery_predicates_all_paths(spark, tmp_path):
+    """Round 16: IN / correlated-EXISTS / scalar subqueries resolve in
+    every row-level DML predicate — copy-on-write AND merge-on-read
+    (DV) variants — because Spark 4's analyzer resolves subqueries
+    inside DataFrame.filter expressions.  Pins the capability the
+    q_dml_subquery oracle query exercises end-to-end."""
+    from pyspark.sql import functions as F
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")), path)
+    spark.createDataFrame([(2,), (3,), (7,)], "kk long") \
+         .createOrReplaceTempView("dmlsq_keys")
+    # copy-on-write UPDATE with correlated EXISTS
+    assert fmt.update_where(
+        spark, path,
+        "EXISTS (SELECT 1 FROM dmlsq_keys x WHERE x.kk = k)",
+        {"v": "v + 100"}) == 3
+    # merge-on-read DELETE with IN-subquery: writes a deletion vector
+    v0 = fmt._commits(path)[-1]["version"]
+    assert fmt.delete_where_dv(
+        spark, path, "k IN (SELECT kk FROM dmlsq_keys)") == 3
+    assert fmt._commits(path)[-1]["action"] == "add_dv"
+    # merge-on-read UPDATE against a scalar-subquery threshold
+    assert fmt.update_where_dv(
+        spark, path,
+        "v > (SELECT max(kk) * 2 FROM dmlsq_keys)", {"v": "0.0"}) == 2
+    got = {r.k: r.v for r in fmt.read(spark, path).collect()}
+    assert got == {0: 0.0, 1: 2.0, 4: 8.0, 5: 10.0, 6: 12.0,
+                   8: 0.0, 9: 0.0}
+    # copy-on-write DELETE with NOT IN (NULL-free) subquery: none of
+    # the 7 surviving keys sit in {2, 3}, so all of them match
+    assert fmt.delete_where(
+        spark, path, "k NOT IN (SELECT kk FROM dmlsq_keys WHERE kk < 5)"
+        ) == 7
+    assert sorted(r.k for r in fmt.read(spark, path).collect()) == []
+    # pre-DV rows stay time-travelable
+    assert fmt.read(spark, path, as_of_version=v0).count() == 10
