@@ -5156,3 +5156,70 @@ SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
               AS BIGINT) AS price_cents
 FROM d3 GROUP BY o_orderstatus
 """
+
+
+@_q("q_matview_incremental")
+def q_matview_incremental(spark, sf_dir):
+    """INCREMENTALLY-MAINTAINED MATERIALIZED AGGREGATE (round 16 —
+    ``matview.py``): build an aggregate MV over a CDF-enabled events
+    copy, run a mixed DML round (append into existing + new groups,
+    UPDATE inside a group, full-group DELETE), then ``REFRESH
+    MATERIALIZED VIEW`` — which recomputes ONLY the groups the change
+    feed dirtied and merges them in one commit (changed groups update,
+    new insert, vanished delete).  The oracle recomputes the final
+    state declaratively; equality proves refresh-equals-full-recompute
+    — including ``count(DISTINCT ...)``, which additive IVM cannot
+    maintain and the re-aggregate-dirty-groups strategy serves exactly.
+
+    Scale shape: the dirty-key set ships as an IN-literal into the
+    stats/bloom pruning tier when small (here), or a broadcast
+    semi-join past ``prune_key_limit`` — refresh cost is O(rows in
+    dirty groups), never O(table)."""
+    from .. import matview, tables
+    from ..sinks import TxnLogFormat
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    base = scratch_dir(prefix="matview_q_")
+    src, mv = base + "/src", base + "/mv"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(e, src)
+    fmt.set_properties(None, src, change_data_feed=True)
+    matview.create_materialized_aggregate(
+        spark, src, mv, ["event_type"],
+        {"n": "count(*)",
+         "d_users": "count(distinct user_id)",
+         "val_cents": "sum(cast(floor(value * 100 + 0.5) as bigint))"})
+    tables.create_table(spark, "txn_mv_demo", mv, replace=True)
+    fmt.append(
+        e.filter(F.pmod("event_id", F.lit(7)) == 0)
+         .select("event_id", "user_id",
+                 F.lit("replay").alias("event_type"),
+                 (F.col("value") * 3).alias("value")), src)
+    fmt.update_where(spark, src, "event_type = 'click'",
+                     {"value": "value + 10"})
+    fmt.delete_where(spark, src, "event_type = 'error'")
+    tables.sql(spark, "REFRESH MATERIALIZED VIEW txn_mv_demo")
+    return spark.table("txn_mv_demo")
+
+
+ORACLE_SQL["q_matview_incremental"] = """
+WITH allr AS (
+  SELECT user_id, event_type, value FROM events
+  UNION ALL
+  SELECT user_id, 'replay' AS event_type, value * 3 AS value
+  FROM events WHERE event_id % 7 = 0
+), upd AS (
+  SELECT user_id, event_type,
+         CASE WHEN event_type = 'click' THEN value + 10 ELSE value END
+           AS value
+  FROM allr
+), fin AS (
+  SELECT * FROM upd WHERE event_type <> 'error'
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS d_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS val_cents
+FROM fin GROUP BY event_type
+"""

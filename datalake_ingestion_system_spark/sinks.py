@@ -2612,6 +2612,7 @@ class TxnLogFormat(TableFormat):
                        auto_compact: dict | None = ...,
                        partition_transform: dict | None = ...,
                        row_tracking: bool | None = ...,
+                       user_properties: dict | None = ...,
                        validate_constraints: bool = True) -> int:
         """Persist table-level PROPERTIES in the log (Delta
         ``ALTER TABLE ... SET TBLPROPERTIES`` parity) as one
@@ -2782,6 +2783,46 @@ class TxnLogFormat(TableFormat):
                     row_tracking, bool):
                 raise ValueError("row_tracking must be True/False/None")
             props["row_tracking"] = row_tracking
+        if user_properties is not ...:
+            #: GENERIC user properties (round 16 — Delta accepts
+            #: arbitrary TBLPROPERTIES keys; the engine-interpreted
+            #: names above are a reserved namespace).  STRING values
+            #: only (Delta stores strings); ``None`` unsets a key.
+            #: Stored under one ``user_properties`` dict in the props
+            #: record, merged per KEY here against the current resolved
+            #: state so the wholesale per-commit property replay stays
+            #: untouched.  The materialized-aggregate spec
+            #: (``matview.py``) rides this as ``mv_spec``.
+            if user_properties is not None and (
+                    not isinstance(user_properties, dict)
+                    or not all(isinstance(k, str)
+                               and (v is None or isinstance(v, str))
+                               for k, v in user_properties.items())):
+                raise ValueError(
+                    "user_properties must be {str: str | None} "
+                    "(None unsets a key) or None to clear all")
+            reserved = set(user_properties or ()) & {
+                "constraints", "bloom_filter_columns",
+                "change_data_feed", "generated_columns",
+                "identity_columns", "auto_compact",
+                "partition_transform", "row_tracking",
+                "user_properties"}
+            if reserved:
+                raise ValueError(
+                    f"user property keys {sorted(reserved)} collide "
+                    "with engine-interpreted property names — set "
+                    "those through their typed arguments")
+            if user_properties is None:
+                props["user_properties"] = None
+            else:
+                cur_up = dict(self._resolve_properties(
+                    self._commits(path)).get("user_properties") or {})
+                for k, v in user_properties.items():
+                    if v is None:
+                        cur_up.pop(k, None)
+                    else:
+                        cur_up[k] = v
+                props["user_properties"] = cur_up or None
         if not props:
             raise ValueError("no properties given")
         commits = self._commits(path)

@@ -802,6 +802,15 @@ def sql(spark: SparkSession, statement: str):
       LOCATION AS SELECT ...`` → CTAS (round 13)
     - ``INSERT OVERWRITE [TABLE] t <select>`` → ``overwrite_table``
       (plain INSERT INTO stays on Spark's bridge — round 13)
+    - ``CREATE MATERIALIZED VIEW n [USING txnlog] LOCATION '<p>' AS
+      SELECT <keys, agg AS alias, ...> FROM t [WHERE p] GROUP BY keys``
+      / ``REFRESH MATERIALIZED VIEW n`` / ``DROP MATERIALIZED VIEW
+      [IF EXISTS] n`` → ``matview`` (round 16): an incrementally-
+      maintained aggregate — REFRESH recomputes only the groups the
+      source's change feed dirtied since the last refresh
+    - ``SET TBLPROPERTIES`` additionally accepts ARBITRARY keys
+      (round 16 — Delta parity): unknown names store as string-valued
+      user properties, surfaced flat by ``SHOW TBLPROPERTIES``
 
     Returns what the routed API returns (a DataFrame for pass-through /
     DESCRIBE HISTORY, affected-row counts / metrics dicts for DML).
@@ -874,6 +883,57 @@ def sql(spark: SparkSession, statement: str):
         return spark.sql(statement)  # plain INSERT INTO: the bridge
 
     if head == "CREATE":
+        m = _match_masked(
+            rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+"
+            rf"(?:USING\s+txnlog\s+)?"
+            rf"(?:OPTIONS\s*\(\s*path\s+'([^']+)'\s*\)|"
+            rf"LOCATION\s+'([^']+)')\s+AS\s+(.+)$", s, flags)
+        if m:
+            # INCREMENTALLY-MAINTAINED materialized aggregate (round
+            # 16, matview.py): the definition must be a single-table
+            # GROUP BY over a REGISTERED txnlog source with the change
+            # feed on; REFRESH MATERIALIZED VIEW advances it by
+            # recomputing only the groups the change feed dirtied.
+            name, p1, p2, select = m.groups()
+            mv_path = os.path.abspath(p1 or p2)
+            sm = _match_masked(
+                rf"SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
+                rf"(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+)$",
+                select.strip(), flags)
+            if not sm:
+                raise ValueError(
+                    "CREATE MATERIALIZED VIEW body must be "
+                    "`SELECT <keys and aggregates AS alias> FROM "
+                    "<registered table> [WHERE pred] GROUP BY <keys>`")
+            items, src_name, where, keys_s = sm.groups()
+            src_path = table_path(spark, _unquote_ident(src_name))
+            keys = [_unquote_ident(k) for k in _split_top(keys_s)]
+            for k in keys:
+                if not _re.fullmatch(r"[A-Za-z_]\w*", k):
+                    raise ValueError(
+                        f"GROUP BY item {k!r} must be a plain source "
+                        "column (materialize derived keys as "
+                        "generated columns on the source)")
+            aggs: dict[str, str] = {}
+            for item in _split_top(items):
+                if _unquote_ident(item) in keys:
+                    continue
+                am = _match_masked(
+                    r"(.+?)\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)\s*$",
+                    item.strip(), flags)
+                if not am:
+                    raise ValueError(
+                        f"aggregate select item {item!r} needs an "
+                        "`AS alias` (the MV's stored column name)")
+                aggs[_unquote_ident(am.group(2))] = am.group(1)
+            from . import matview
+            if spark.catalog.tableExists(_quote(_unquote_ident(name))):
+                raise ValueError(
+                    f"catalog table {name} already exists")
+            matview.create_materialized_aggregate(
+                spark, src_path, mv_path, keys, aggs, where=where)
+            create_table(spark, _unquote_ident(name), mv_path)
+            return None
         m = _match_masked(
             rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s*"
             rf"\(\s*(.+?)\s*\)\s+USING\s+txnlog\s+"
@@ -955,6 +1015,29 @@ def sql(spark: SparkSession, statement: str):
                          replace=bool(replace))
             return None
         return spark.sql(statement)  # plain DDL: Spark's own bridge
+
+    if head == "REFRESH":
+        m = _match_masked(rf"REFRESH\s+MATERIALIZED\s+VIEW\s+"
+                          rf"({_IDENT})$", s, flags)
+        if m:
+            from . import matview
+            return matview.refresh(
+                spark, table_path(spark, _unquote_ident(m.group(1))))
+        return spark.sql(statement)  # REFRESH TABLE etc: Spark's own
+
+    if head == "DROP":
+        m = _match_masked(rf"DROP\s+MATERIALIZED\s+VIEW\s+"
+                          rf"(IF\s+EXISTS\s+)?({_IDENT})$", s, flags)
+        if m:
+            # catalog entry only — the stored aggregate stays on disk
+            # (DROP TABLE semantics for external tables)
+            ife, name = m.groups()
+            name = _unquote_ident(name)
+            if ife and not spark.catalog.tableExists(_quote(name)):
+                return None
+            drop_table(spark, name)
+            return None
+        return spark.sql(statement)  # plain DROP: Spark's own
 
     if head == "OPTIMIZE":
         m = _match_masked(rf"OPTIMIZE\s+({_IDENT})(?:\s+WHERE\s+(.*?))?"
@@ -1046,7 +1129,10 @@ def sql(spark: SparkSession, statement: str):
                 # registered but NOT a txnlog table (parquet/Delta):
                 # Spark's own SHOW TBLPROPERTIES sees its real props
                 return spark.sql(statement)
-            props = fmt.properties(path)
+            props = dict(fmt.properties(path))
+            # user properties surface FLAT, their own key per row —
+            # exactly how the user set them (round 16)
+            props.update(props.pop("user_properties", None) or {})
             rows = [(k, v if isinstance(v, str)
                      else json.dumps(v, sort_keys=True, default=str))
                     for k, v in sorted(props.items())]
@@ -1257,22 +1343,28 @@ def _route_alter(spark: SparkSession, s: str, flags: int):
     if mm:
         unset, body = mm.groups()
         kwargs: dict = {}
+        user_props: dict = {}
         for item in _split_top(body):
             if unset:
-                key, val = item, None
+                key, val, raw = item, None, None
             else:
                 key, eq, val_tok = item.partition("=")
                 if not eq:
                     raise ValueError(
                         f"bad TBLPROPERTIES entry: {item!r}")
                 val = _prop_value(val_tok)
+                raw = val_tok.strip().strip("'\"")
             key = _unquote_ident(key.strip().strip("'\""))
             key = _PROP_ALIASES.get(key.lower(), key)
-            if key not in _PROP_KWARGS:
-                raise ValueError(
-                    f"unknown table property {key!r} — supported: "
-                    f"{sorted(_PROP_KWARGS)}")
-            kwargs[key] = val
+            if key in _PROP_KWARGS:
+                kwargs[key] = val
+            else:
+                # arbitrary keys are USER properties (round 16 — Delta
+                # accepts any TBLPROPERTIES key; values stay the raw
+                # unquoted string, Delta's storage form)
+                user_props[key] = None if unset else raw
+        if user_props:
+            kwargs["user_properties"] = user_props
         return fmt.set_properties(spark, path, **kwargs)
 
     raise ValueError(

@@ -511,9 +511,13 @@ def test_sql_router_alter_table_and_ctas(spark, cat, tmp_path):
                       f"('delta.enableChangeDataFeed' = true)")
     assert cat["fmt"]._resolve_properties(
         cat["fmt"]._commits(cat["path"])).get("change_data_feed") is True
-    with pytest.raises(ValueError, match="unknown table property"):
-        tables.sql(spark, f"ALTER TABLE {name} SET TBLPROPERTIES "
-                          f"('zz' = 1)")
+    # round 16: an unknown key is a USER property (Delta accepts
+    # arbitrary TBLPROPERTIES keys), stored as the raw string
+    tables.sql(spark, f"ALTER TABLE {name} SET TBLPROPERTIES "
+                      f"('zz' = 1)")
+    up = cat["fmt"]._resolve_properties(
+        cat["fmt"]._commits(cat["path"])).get("user_properties")
+    assert up == {"zz": "1"}
     # CTAS end to end, then OR REPLACE
     p2 = str(tmp_path / "ctas")
     tables.sql(spark, f"CREATE TABLE {name}_c USING txnlog OPTIONS "
