@@ -5223,3 +5223,76 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          AS val_cents
 FROM fin GROUP BY event_type
 """
+
+
+@_q("q_merge_insert_values")
+def q_merge_insert_values(spark, sf_dir):
+    """MERGE with a COLUMN-LIST INSERT (round 16): ``WHEN NOT MATCHED
+    THEN INSERT (col, ...) VALUES (expr, ...)`` — Delta's second merge
+    form after SET-column updates.  Listed columns take their VALUES
+    expression over source columns, every unlisted target column reads
+    NULL, and the matched slice takes a column-level SET — the whole
+    statement as routed SQL text, against the oracle's declarative
+    left-join reconstruction.
+
+    Scale shape: identical to every routed merge — stats/bloom key
+    pruning picks the candidate files, only files with effective
+    changes rewrite, the insert expressions evaluate on the one
+    full-outer routing join."""
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    path = scratch_dir(prefix="mergeins_q_") + "/t"
+    TxnLogFormat(checkpoint_interval=None).append(o, path)
+    tables.create_table(spark, "txn_miv_orders", path, replace=True)
+    (o.filter(F.pmod("o_orderkey", F.lit(5)) == 0)
+      .select("o_orderkey",
+              (F.col("o_totalprice") * 0.5).alias("np"),
+              F.lit("U").alias("op"))
+      .unionByName(spark.createDataFrame(
+          [(-1, 111.0, "I"), (-2, 222.0, "I"), (-3, 333.0, "D")],
+          "o_orderkey long, np double, op string"))
+      .createOrReplaceTempView("miv_cdc"))
+    tables.sql(spark, """
+        MERGE INTO txn_miv_orders AS t
+        USING (SELECT * FROM miv_cdc) AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.np
+        WHEN NOT MATCHED AND s.op = 'I' THEN
+          INSERT (o_orderkey, o_totalprice)
+          VALUES (s.o_orderkey, s.np * 2)
+    """)
+    return (tables.table(spark, "txn_miv_orders")
+            .groupBy(F.coalesce("o_orderstatus", F.lit("(null)"))
+                     .alias("status"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.when(F.col("o_custkey").isNull(), 1)
+                       .otherwise(0)).alias("null_cust"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                       .cast("long")).alias("price_cents")))
+
+
+ORACLE_SQL["q_merge_insert_values"] = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 0.5 AS np
+  FROM orders WHERE o_orderkey % 5 = 0
+), upd AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.np
+              ELSE o.o_totalprice END AS o_totalprice
+  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.o_orderkey
+), fin AS (
+  SELECT * FROM upd
+  UNION ALL SELECT -1, NULL, NULL, 222.0
+  UNION ALL SELECT -2, NULL, NULL, 444.0
+)
+SELECT coalesce(o_orderstatus, '(null)') AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_cust,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS price_cents
+FROM fin GROUP BY coalesce(o_orderstatus, '(null)')
+"""

@@ -5239,6 +5239,64 @@ class TxnLogFormat(TableFormat):
                 r"(?!\s*\()", sub, seg))
         return "".join(out)
 
+    @classmethod
+    def _rewrite_insert_assignment(cls, expr: str, keys: list[str],
+                                   tcols: list[str],
+                                   source_cols: list[str],
+                                   s_plane: dict[str, str]) -> str:
+        """Rewrite a MERGE ``INSERT (col, ...) VALUES (expr, ...)``
+        value expression onto the given SOURCE plane (round 16): an
+        insert row has no target side, so ``t.x`` and bare target-only
+        names refuse loudly; ``s.x`` and bare source names map through
+        ``s_plane`` (identity on the pure-insert path, the aliased
+        join plane otherwise); merge keys resolve to the coalesced
+        join column.  Same case-insensitive resolver and quoted-
+        literal discipline as ``_rewrite_merge_assignment``."""
+        tset = {c.lower() for c in tcols}
+        sset = {c.lower() for c in source_cols}
+        keyset = {k.lower() for k in keys}
+        plane = {c.lower(): v for c, v in s_plane.items()}
+
+        def resolve(qual: str | None, name: str) -> str:
+            low = name.lower()
+            if qual == "t":
+                raise ValueError(
+                    f"MERGE INSERT VALUES references t.{name} — an "
+                    "inserted row has no target side; use source "
+                    "columns")
+            if qual == "s":
+                if low not in sset:
+                    raise ValueError(
+                        f"MERGE INSERT VALUES references s.{name}, "
+                        "not a source column")
+                return name if low in keyset else plane[low]
+            if low in keyset:
+                return name
+            if low in sset:
+                return plane[low]
+            if low in tset:
+                raise ValueError(
+                    f"MERGE INSERT VALUES references target-only "
+                    f"column {name!r} — an inserted row has no target "
+                    "side")
+            return name  # SQL keyword / literal word: untouched
+
+        def sub(m) -> str:
+            qual, name = m.group(1), m.group(2)
+            if qual is None and name.lower() in cls._MERGE_EXPR_KEYWORDS:
+                return m.group(0)
+            return resolve(qual.lower() if qual else None, name)
+
+        out = []
+        for i, seg in enumerate(_re_mod.split(r"('(?:[^']|'')*')", expr)):
+            if i % 2:
+                out.append(seg)  # quoted literal
+                continue
+            out.append(_re_mod.sub(
+                r"(?<![\w.`])(?:\b([tTsS])\s*\.\s*)?([A-Za-z_]\w*)\b"
+                r"(?!\s*\()", sub, seg))
+        return "".join(out)
+
     @_conflict_retryable
     def merge(self, spark: SparkSession, path: str, source: DataFrame,
               key: str | list[str],
@@ -5247,6 +5305,7 @@ class TxnLogFormat(TableFormat):
               matched_update_condition: str | None = None,
               not_matched_by_source_delete_condition: str | None = None,
               matched_update_assignments: dict[str, str] | None = None,
+              insert_assignments: dict[str, str] | None = None,
               schema_evolution: bool = False) -> dict:
         """MERGE INTO (Delta upsert analogue), the CDC apply primitive:
 
@@ -5270,6 +5329,17 @@ class TxnLogFormat(TableFormat):
           clause (``insert_condition="false"``), since INSERT * needs
           every target column.
         - WHEN NOT MATCHED AND ``insert_condition`` THEN INSERT *
+        - ... THEN INSERT (col, ...) VALUES (expr, ...) via
+          ``insert_assignments`` (round 16 — Delta's column-list
+          INSERT): each listed target column takes its expression over
+          SOURCE columns (``s.<col>`` or bare; ``t.`` refuses — an
+          inserted row has no target side), every unlisted column
+          reads NULL.  The list must cover every merge key (a NULL-
+          keyed insert is almost always a bug — Delta permits it,
+          this API refuses).  With it the source may be PARTIAL even
+          alongside an INSERT clause; identity columns stay GENERATED
+          ALWAYS (never listed), and ``schema_evolution`` is mutually
+          exclusive (INSERT * evolves).
         - WHEN NOT MATCHED BY SOURCE AND
           ``not_matched_by_source_delete_condition`` THEN DELETE
           (Delta's full-sync clause: target rows whose key the source
@@ -5412,17 +5482,58 @@ class TxnLogFormat(TableFormat):
                         f"{canon[cl]!r}")
                 norm[canon[cl]] = ex
             assignments = norm
+        ins_asg = insert_assignments
+        if ins_asg is not None:
+            # column-list INSERT (round 16): same case-insensitive
+            # normalization discipline as the SET assignments
+            if schema_evolution:
+                raise ValueError(
+                    "insert_assignments and schema_evolution are "
+                    "mutually exclusive — INSERT * evolves, or "
+                    "pre-shape the source")
+            if not ins_asg:
+                raise ValueError(
+                    "insert_assignments needs at least one column")
+            canon_i = {c.lower(): c for c in tcols}
+            identset_i = {c.lower() for c in ident}
+            norm_i: dict[str, str] = {}
+            for c, ex in ins_asg.items():
+                cl = c.lower()
+                # identity first: a declared identity column may not
+                # exist physically yet (allocated on next write), so
+                # the unknown-column check would mask the real error
+                if cl in identset_i:
+                    raise ValueError(
+                        f"column {c!r} is GENERATED ALWAYS AS "
+                        "IDENTITY — merge inserts never supply it")
+                if cl not in canon_i:
+                    raise ValueError(
+                        f"MERGE INSERT targets unknown column {c!r}")
+                if canon_i[cl] in norm_i:
+                    raise ValueError(
+                        f"duplicate MERGE INSERT assignment to "
+                        f"column {canon_i[cl]!r}")
+                norm_i[canon_i[cl]] = ex
+            missing_keys = [k for k in keys if k not in norm_i]
+            if missing_keys:
+                raise ValueError(
+                    f"MERGE INSERT column list must include every "
+                    f"merge key — missing {missing_keys} (a NULL-"
+                    "keyed insert is refused)")
+            ins_asg = norm_i
         missing = [c for c in tcols
                    if c not in source.columns and c not in ident]
         no_insert = (insert_condition is not None
                      and insert_condition.strip().lower() == "false")
-        if missing and (assignments is None or not no_insert):
+        if missing and (assignments is None
+                        or not (no_insert or ins_asg is not None)):
             raise ValueError(
                 f"merge source is missing target columns: {missing}"
                 + ("" if assignments is None else
                    " — with column assignments a PARTIAL source is "
-                   "legal only without an INSERT clause (pass "
-                   "insert_condition='false'); INSERT * needs every "
+                   "legal only without an INSERT * clause (pass "
+                   "insert_condition='false' or give "
+                   "insert_assignments); INSERT * needs every "
                    "target column"))
         if schema_evolution:
             # Delta schema autoMerge (UPDATE SET * / INSERT * with
@@ -5603,7 +5714,20 @@ class TxnLogFormat(TableFormat):
             routed = j.filter(keep_tonly
                               | (t_present & s_present & ~F.col(c_del))
                               | (~t_present & s_present & F.col(c_ins)))
-            sel = [F.col(k).cast(types[k]).alias(k) for k in keys]
+            ins_j = ({c: F.expr(self._rewrite_insert_assignment(
+                          ex, keys, tcols, list(source.columns), scol))
+                      for c, ex in ins_asg.items()}
+                     if ins_asg is not None else None)
+            if ins_j is None:
+                sel = [F.col(k).cast(types[k]).alias(k) for k in keys]
+            else:
+                # column-list INSERT: an inserted row's key takes its
+                # VALUES expression (validated to cover every key);
+                # matched/kept rows keep the coalesced join key
+                sel = [F.when(~F.col(c_t).isNotNull()
+                              & F.col(c_ins).isNotNull(), ins_j[k])
+                       .otherwise(F.col(k))
+                       .cast(types[k]).alias(k) for k in keys]
             # a matched row takes the source values only when the
             # update condition passes (a failing condition leaves it
             # byte-identical); inserts always take the source side
@@ -5623,7 +5747,13 @@ class TxnLogFormat(TableFormat):
                 for c in data_cols:
                     upd_val = assigned.get(c, F.col(c))
                     pieces = F.when(upd_row, upd_val)
-                    if c in scol:  # source carries it: inserts take it
+                    if ins_j is not None:
+                        # column-list INSERT: listed columns take their
+                        # expression; unlisted fall through to the
+                        # target side, NULL on an insert row
+                        if c in ins_j:
+                            pieces = pieces.when(ins_row, ins_j[c])
+                    elif c in scol:  # source carries it: inserts take it
                         pieces = pieces.when(ins_row, F.col(scol[c]))
                     sel.append(pieces.otherwise(F.col(c))
                                .cast(types[c]).alias(c))
@@ -5637,9 +5767,19 @@ class TxnLogFormat(TableFormat):
                     tgt_side = (F.lit(None) if (schema_evolution
                                                 and c in extra)
                                 else F.col(c))
-                    sel.append(F.when(take_src, F.col(scol[c]))
-                               .otherwise(tgt_side)
-                               .cast(types[c]).alias(c))
+                    if ins_j is not None:
+                        # UPDATE SET * + column-list INSERT: updates
+                        # take the source value, inserts their VALUES
+                        # expression (NULL when unlisted)
+                        sel.append(
+                            F.when(upd_row, F.col(scol[c]))
+                            .when(ins_row, ins_j.get(c, F.lit(None)))
+                            .otherwise(tgt_side)
+                            .cast(types[c]).alias(c))
+                    else:
+                        sel.append(F.when(take_src, F.col(scol[c]))
+                                   .otherwise(tgt_side)
+                                   .cast(types[c]).alias(c))
             if track:
                 # target-side id for kept/updated rows, NULL (fresh
                 # range) for inserts — Delta row-tracking semantics
@@ -5666,8 +5806,19 @@ class TxnLogFormat(TableFormat):
         else:
             # pure-insert merge (no matched files): no join needed
             ins_cols = [c for c in tcols if c not in ident]
-            new_data = src.filter(F.col(c_ins)).select(
-                *[F.col(c).cast(types[c]).alias(c) for c in ins_cols])
+            if ins_asg is not None:
+                # column-list INSERT on the raw source plane
+                idp = {c: c for c in source.columns}
+                new_data = src.filter(F.col(c_ins)).select(
+                    *[(F.expr(self._rewrite_insert_assignment(
+                           ins_asg[c], keys, tcols,
+                           list(source.columns), idp))
+                       if c in ins_asg else F.lit(None))
+                      .cast(types[c]).alias(c) for c in ins_cols])
+            else:
+                new_data = src.filter(F.col(c_ins)).select(
+                    *[F.col(c).cast(types[c]).alias(c)
+                      for c in ins_cols])
             if ident:
                 new_data, ident_high = self._with_identity(
                     new_data, commits)
@@ -5762,8 +5913,20 @@ class TxnLogFormat(TableFormat):
                     pieces.append(ins_alloc.withColumn(
                         "_change_type", F.lit("insert")))
             else:
+                if ins_asg is not None:
+                    # the sidecar's insert rows carry the ASSIGNED
+                    # values (raw source plane — ins_src is src-shaped)
+                    idp = {c: c for c in source.columns}
+                    ins_tgt = [
+                        (F.expr(self._rewrite_insert_assignment(
+                             ins_asg[c], keys, tcols,
+                             list(source.columns), idp))
+                         if c in ins_asg else F.lit(None))
+                        .cast(types[c]).alias(c) for c in tcols]
+                else:
+                    ins_tgt = as_target
                 pieces.append(ins_src.filter(F.col(c_ins))
-                              .select(*as_target, *ins_id)
+                              .select(*ins_tgt, *ins_id)
                               .withColumn("_change_type",
                                           F.lit("insert")))
             self._stage_cdf(path, reduce(DataFrame.unionByName, pieces),

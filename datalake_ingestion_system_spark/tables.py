@@ -479,7 +479,11 @@ _TT_KW = ("WHERE|GROUP|ORDER|LIMIT|JOIN|ON|LEFT|RIGHT|FULL|INNER|CROSS"
 _TT_PAT = _re.compile(
     rf"\b(FROM|JOIN)\s+({_IDENT})\s*"
     rf"(?:@v(\d+)\b"
-    rf"|\b(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    # SQL:2011 / Iceberg spellings accepted alongside Delta's (round
+    # 16): FOR SYSTEM_TIME AS OF 'ts' / FOR SYSTEM_VERSION AS OF n —
+    # Spark's own grammar parses the FOR-temporal clause identically
+    rf"|\b(?:FOR\s+)?(VERSION|TIMESTAMP|SYSTEM_VERSION|SYSTEM_TIME)"
+    rf"\s+AS\s+OF\s+"
     rf"(\d+(?:\.\d+)?|'[^']*'|\"[^\"]*\"))"
     rf"(?:\s+(?:AS\s+)?(?!(?:{_TT_KW})\b)([A-Za-z_]\w*|`[^`]+`))?",
     _re.IGNORECASE | _re.DOTALL)
@@ -547,9 +551,12 @@ def _rewrite_time_travel(spark: SparkSession, s: str
             path = table_path(spark, tname)
         except Exception:
             return m.group(0)
+        kind_u = (kind or "").upper().replace(
+            "SYSTEM_VERSION", "VERSION").replace(
+            "SYSTEM_TIME", "TIMESTAMP")
         if atv is not None:
             kwargs = {"as_of_version": int(atv)}
-        elif kind.upper() == "VERSION":
+        elif kind_u == "VERSION":
             if val[:1] in "'\"":
                 # Iceberg parity (round 14): VERSION AS OF '<name>'
                 # resolves a named ref — branch head or tag pin
@@ -771,7 +778,8 @@ def sql(spark: SparkSession, statement: str):
     - ``MERGE INTO t [AS a] USING (subquery)|src [AS b] ON a.k = b.k
       [AND ...] [WHEN MATCHED AND c THEN DELETE] [WHEN MATCHED [AND c]
       THEN UPDATE SET * | UPDATE SET col = expr[, ...]]
-      [WHEN NOT MATCHED [AND c] THEN INSERT *]
+      [WHEN NOT MATCHED [AND c] THEN INSERT * |
+       INSERT (col, ...) VALUES (expr, ...)]
       [WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE]``
       → ``merge`` (conditions over source columns; SET expressions may
       mix sides via the statement aliases — round 13 column-level SET)
@@ -1534,12 +1542,14 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
                 f"sides for the routed API, got {l!r} = {r!r}")
         keys.append(l)
     matched_delete, insert_cond, matched_update = None, None, None
-    nmbs_delete, assignments = None, None
+    nmbs_delete, assignments, ins_assignments = None, None, None
     saw_update, saw_insert = False, False
     pat = _re.compile(
         r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?"
         r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
-        r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+?)"
+        r"(DELETE|INSERT\s+\*"
+        r"|INSERT\s*\([^()]*\)\s*VALUES\s*\(.+?\)"
+        r"|UPDATE\s+SET\s+.+?)"
         r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)", flags)
     # scan the QUOTE-MASKED text so a literal containing "when
     # matched" (or clause keywords) can never mis-split the statement;
@@ -1562,10 +1572,39 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
                     "BY SOURCE [AND c] THEN DELETE")
             nmbs_delete = cond or "true"
         elif notm:
-            if act != "INSERT *":
+            if act == "INSERT *":
+                saw_insert, insert_cond = True, (cond or None)
+            elif act.startswith("INSERT"):
+                # column-list INSERT (round 16): INSERT (c, ...)
+                # VALUES (e, ...) — parsed from the RAW clause text,
+                # statement aliases normalized to t./s.
+                im = _match_masked(
+                    r"INSERT\s*\(([^()]*)\)\s*VALUES\s*\((.+)\)\s*$",
+                    raw_act, flags)
+                if not im:
+                    raise ValueError(
+                        f"unsupported MERGE INSERT form: {raw_act!r} "
+                        "— expected INSERT * or INSERT (col, ...) "
+                        "VALUES (expr, ...)")
+                cols = [_unquote_ident(_strip_alias(c, [t_alias]))
+                        for c in _split_top(im.group(1))]
+                exprs = _split_top(im.group(2))
+                if len(cols) != len(exprs) or not cols:
+                    raise ValueError(
+                        f"MERGE INSERT lists {len(cols)} columns but "
+                        f"{len(exprs)} VALUES expressions")
+                ins_assignments = {}
+                for c, ex in zip(cols, exprs):
+                    if c in ins_assignments:
+                        raise ValueError(
+                            f"duplicate MERGE INSERT column {c!r}")
+                    ins_assignments[c] = _requalify(ex.strip(),
+                                                    t_alias, s_alias)
+                saw_insert, insert_cond = True, (cond or None)
+            else:
                 raise ValueError(
-                    "WHEN NOT MATCHED supports only THEN INSERT *")
-            saw_insert, insert_cond = True, (cond or None)
+                    "WHEN NOT MATCHED supports only THEN INSERT * or "
+                    "INSERT (col, ...) VALUES (expr, ...)")
         elif act == "DELETE":
             matched_delete = cond or "true"
         elif act == "UPDATE SET *":
@@ -1612,6 +1651,7 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
         matched_update_condition=matched_update,
         not_matched_by_source_delete_condition=nmbs_delete,
         matched_update_assignments=assignments,
+        insert_assignments=ins_assignments,
         insert_condition=(insert_cond if saw_insert else "false"))
 
 

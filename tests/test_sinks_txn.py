@@ -3866,3 +3866,96 @@ def test_dml_subquery_predicates_all_paths(spark, tmp_path):
     assert sorted(r.k for r in fmt.read(spark, path).collect()) == []
     # pre-DV rows stay time-travelable
     assert fmt.read(spark, path, as_of_version=v0).count() == 10
+
+
+def test_merge_insert_assignments_api(spark, tmp_path):
+    """Round 16: column-list INSERT — listed columns take their
+    expression over SOURCE columns, unlisted read NULL, the CDF
+    sidecar carries the assigned values, and the pure-insert branch
+    (no matched files) evaluates the same expressions."""
+    from pyspark.sql import functions as F
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        "k long, name string, v double"), path)
+    fmt.set_properties(None, path, change_data_feed=True)
+    src = spark.createDataFrame(
+        [(2, 20.0, "U"), (3, 30.0, "I"), (4, 40.0, "D")],
+        "k long, val double, op string")
+    m = fmt.merge(spark, path, src, "k",
+                  matched_update_assignments={"v": "s.val"},
+                  insert_condition="op <> 'D'",
+                  insert_assignments={"k": "s.k", "v": "s.val * 10"})
+    assert m == {"updated": 1, "deleted": 0, "inserted": 1}
+    rows = sorted((r.k, r.name, r.v)
+                  for r in fmt.read(spark, path).collect())
+    assert rows == [(1, "a", 1.0), (2, "b", 20.0), (3, None, 300.0)]
+    from datalake_ingestion_system_spark.tables import ensure_registered
+    ensure_registered(spark)
+    feed = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 2).load(path))
+    ins = [(r.k, r.name, r.v) for r in
+           feed.filter("_change_type = 'insert'").collect()]
+    assert ins == [(3, None, 300.0)]
+    # pure-insert branch: no key matches at all
+    src2 = spark.createDataFrame([(50, 5.0)], "k long, val double")
+    m2 = fmt.merge(spark, path, src2, "k",
+                   matched_update_assignments={"v": "s.val"},
+                   insert_assignments={"k": "k", "v": "val + 0.25"})
+    assert m2["inserted"] == 1
+    assert (50, None, 5.25) in {
+        (r.k, r.name, r.v) for r in fmt.read(spark, path).collect()}
+
+
+def test_merge_insert_assignments_reject_shapes(spark, tmp_path):
+    from pyspark.sql import functions as F
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame(
+        [(1, 1.0)], "k long, v double"), path)
+    src = spark.createDataFrame([(2, 5.0)], "k long, val double")
+
+    def merge(**kw):
+        return fmt.merge(spark, path, src, "k",
+                         matched_update_assignments={"v": "s.val"},
+                         **kw)
+    with pytest.raises(ValueError, match="include every merge key"):
+        merge(insert_assignments={"v": "val"})
+    with pytest.raises(ValueError, match="unknown column"):
+        merge(insert_assignments={"k": "k", "zz": "1"})
+    with pytest.raises(ValueError, match="t.v"):
+        merge(insert_assignments={"k": "k", "v": "t.v + 1"})
+    with pytest.raises(ValueError, match="target-only"):
+        merge(insert_assignments={"k": "k", "v": "v + 1"})
+    with pytest.raises(ValueError, match="at least one column"):
+        merge(insert_assignments={})
+    with pytest.raises(ValueError, match="duplicate MERGE INSERT"):
+        merge(insert_assignments={"k": "k", "v": "val", "V": "val"})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        fmt.merge(spark, path, src, "k",
+                  insert_assignments={"k": "k", "v": "val"},
+                  schema_evolution=True)
+    # identity columns stay GENERATED ALWAYS even in the INSERT list
+    path2 = str(tmp_path / "t2")
+    fmt.append(spark.createDataFrame([(1, 1.0)], "k long, v double"),
+               path2)
+    fmt.set_properties(spark, path2, identity_columns={
+        "rid": {"start": 1, "step": 1}})
+    # materialize the identity column (first post-declare append
+    # allocates it) so the merge sees the full schema
+    fmt.append(spark.createDataFrame([(5, 5.0)], "k long, v double"),
+               path2)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        fmt.merge(spark, path2, src, "k",
+                  matched_update_assignments={"v": "s.val"},
+                  insert_assignments={"k": "k", "rid": "9"})
+    # and an identity table still allocates for the insert slice
+    m = fmt.merge(spark, path2, src, "k",
+                  matched_update_assignments={"v": "s.val"},
+                  insert_assignments={"k": "k", "v": "val * 2"})
+    assert m["inserted"] == 1
+    got = {(r.k, r.v): r.rid
+           for r in fmt.read(spark, path2).collect()}
+    assert got[(2, 10.0)] is not None

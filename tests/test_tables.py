@@ -1179,3 +1179,70 @@ def test_sql_time_travel_analysis_errors_stay_loud(spark, cat):
         tables.sql(
             spark,
             f"SELECT no_such_col FROM {n} VERSION AS OF 0").collect()
+
+
+def test_sql_merge_insert_column_list(spark, cat):
+    """Round 16: WHEN NOT MATCHED THEN INSERT (col, ...) VALUES
+    (expr, ...) — listed columns take their expressions (statement
+    aliases normalized), unlisted columns read NULL, and the refusal
+    shapes stay loud."""
+    n = cat["name"]
+    spark.createDataFrame(
+        [(3, 33, "U"), (100, 7, "I"), (200, 8, "D")],
+        "a long, nv long, op string").createOrReplaceTempView("milist")
+    r = tables.sql(spark, f"""
+        MERGE INTO {n} AS t USING (SELECT * FROM milist) AS s
+        ON t.a = s.a
+        WHEN MATCHED THEN UPDATE SET b = s.nv
+        WHEN NOT MATCHED AND s.op <> 'D' THEN
+          INSERT (a, b) VALUES (s.a, s.nv * 100)
+    """)
+    assert r == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = {x.a: x.b for x in spark.table(n).collect()}
+    assert got[3] == 33 and got[100] == 700 and 200 not in got
+    with pytest.raises(ValueError, match="columns but"):
+        tables.sql(spark, f"""
+            MERGE INTO {n} USING (SELECT * FROM milist) s ON a = a
+            WHEN MATCHED THEN UPDATE SET b = s.nv
+            WHEN NOT MATCHED THEN INSERT (a, b) VALUES (s.a)""")
+    with pytest.raises(ValueError, match="duplicate MERGE INSERT"):
+        tables.sql(spark, f"""
+            MERGE INTO {n} USING (SELECT * FROM milist) s ON a = a
+            WHEN MATCHED THEN UPDATE SET b = s.nv
+            WHEN NOT MATCHED THEN
+              INSERT (a, a) VALUES (s.a, s.a)""")
+    # a literal containing clause keywords must not derail the parse
+    spark.createDataFrame(
+        [(300, "when matched then delete")], "a long, txt string"
+        ).createOrReplaceTempView("milist2")
+    r2 = tables.sql(spark, f"""
+        MERGE INTO {n} USING (SELECT * FROM milist2) s ON a = a
+        WHEN MATCHED THEN UPDATE SET b = 0
+        WHEN NOT MATCHED THEN
+          INSERT (a, b) VALUES (s.a, length('values (x)'))
+    """)
+    assert r2["inserted"] == 1
+    assert {x.b for x in spark.table(n).filter("a = 300").collect()} \
+        == {10}
+
+
+def test_time_travel_system_time_spellings(spark, cat):
+    """Round 16: the SQL:2011 / Iceberg temporal spellings route like
+    Delta's — FOR SYSTEM_VERSION AS OF n and FOR SYSTEM_TIME AS OF
+    'ts' (plus bare FOR VERSION AS OF)."""
+    n = cat["name"]
+    cat["fmt"].delete_where(spark, cat["path"], "a >= 5")  # -> v1
+    assert tables.sql(
+        spark, f"SELECT count(*) AS c FROM {n} "
+               f"FOR SYSTEM_VERSION AS OF 0").head().c == 10
+    assert tables.sql(
+        spark, f"SELECT count(*) AS c FROM {n} "
+               f"FOR VERSION AS OF 1").head().c == 5
+    hist = cat["fmt"].history(cat["path"])
+    ts0 = next(h["ts"] for h in hist if h["version"] == 0)
+    import datetime as _dt
+    iso = _dt.datetime.fromtimestamp(
+        ts0, _dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+    assert tables.sql(
+        spark, f"SELECT count(*) AS c FROM {n} "
+               f"FOR SYSTEM_TIME AS OF '{iso}'").head().c == 10
