@@ -256,6 +256,62 @@ def _merge_canary_bench(spark, sf_dir: str) -> dict:
             "metrics": m}
 
 
+def _matview_canary_bench(spark, sf_dir: str) -> dict:
+    """MATERIALIZED-VIEW refresh canary (round 16): the matview claim
+    is refresh cost O(rows in dirty groups), never O(table).  The
+    source is one group per orders custkey; each rep appends a
+    10-group batch (untimed — the write being reacted to), then times
+    ``matview.refresh`` alone: change-feed dirty-key planning, the
+    IN-literal-pruned recompute, and the one-commit merge.  The
+    full-rebuild reference — the same aggregate over the whole source
+    into a fresh MV — is timed once; the ratio is the incremental win
+    and should WIDEN with scale factor."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datalake_ingestion_system_spark import matview
+    from datalake_ingestion_system_spark.catalog import load
+    from datalake_ingestion_system_spark.sinks import TxnLogFormat
+
+    aggs = {"n": "count(*)",
+            "cents": "sum(cast(floor(l_extendedprice * 100 + 0.5) "
+                     "as bigint))"}
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    root = tempfile.mkdtemp(prefix="bench_matview_")
+    src, mv = root + "/src", root + "/mv"
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    fmt.append(li.repartitionByRange(16, "l_orderkey"), src)
+    fmt.set_properties(None, src, change_data_feed=True)
+    matview.create_materialized_aggregate(
+        spark, src, mv, ["l_orderkey"], aggs)
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    matview.create_materialized_aggregate(
+        spark, src, root + "/mv_full", ["l_orderkey"], aggs)
+    full_sec = round(time.perf_counter() - t0, 3)
+    runs, m = [], {}
+    for rep in range(4):  # rep 0 primes codegen, same as merge canary
+        batch = spark.range(rep * 10, rep * 10 + 10).select(
+            (F.col("id") + 100_000_000).alias("l_orderkey"),
+            F.lit(5.0).alias("l_extendedprice"))
+        fmt.append(batch, src)
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        m = matview.refresh(spark, mv)
+        dt = round(time.perf_counter() - t0, 3)
+        if rep:
+            runs.append(dt)
+    shutil.rmtree(root, ignore_errors=True)
+    return {"refresh_10g_sec": round(statistics.median(runs), 3),
+            "full_rebuild_sec": full_sec, "runs": runs,
+            "dirty_groups": m.get("dirty_groups"),
+            "mode": m.get("mode")}
+
+
 def _bench_overrides():
     """Per-name production-mode variants timed INSTEAD of the registered
     query. The registry keeps q_minhash_lsh_pairs in verifiable mode (md5 +
@@ -433,6 +489,10 @@ def main() -> None:
     merge_canary = _merge_canary_bench(spark, sf_dir)
     print(f"# merge_targeted_only: {merge_canary}", file=sys.stderr)
 
+    # matview refresh canary (round 16), outside the headline total
+    mv_canary = _matview_canary_bench(spark, sf_dir)
+    print(f"# matview_refresh: {mv_canary}", file=sys.stderr)
+
     # metadata-tier depth number, tracked OUTSIDE the headline total so
     # round-over-round query totals stay comparable (BASELINE.md
     # documents its r9 reference point)
@@ -475,6 +535,7 @@ def main() -> None:
         "runs": raw_runs,
         "protocol": f"median-of-{reps}",
         "merge_targeted_only": merge_canary,
+        "matview_refresh": mv_canary,
         "metadata_plan": meta_plan,
         "metadata_plan_deep": meta_deep,
         "clone_deep": clone_deep,
@@ -495,6 +556,8 @@ def main() -> None:
         "queries": per_query,
         "protocol": f"median-of-{reps}",
         "merge_only_sec": merge_canary["merge_only_sec"],
+        "mv_refresh_sec": mv_canary["refresh_10g_sec"],
+        "mv_full_rebuild_sec": mv_canary["full_rebuild_sec"],
         "meta_plan_sec": meta_plan["plan_first_action_sec"],
         "meta_deep_sec": meta_deep["plan_first_action_sec"],
         "clone_deep_sec": clone_deep["clone_sec"],

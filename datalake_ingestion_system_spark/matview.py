@@ -171,12 +171,75 @@ def _key_predicate(keys: list[str], rows: list) -> str | None:
     return " OR ".join(parts) if parts else None
 
 
+def _key_literal(v) -> str | None:
+    """One key value as a SQL literal, or None when not embeddable."""
+    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+        return None
+    if isinstance(v, str):
+        if "'" in v or "\\" in v:
+            return None
+        return "'" + v + "'"
+    return repr(v)
+
+
+def _in_literal(keys: list[str], rows: list) -> str | None:
+    """``key IN (...)`` / ``(k1, k2) IN ((..), ...)`` over collected
+    key tuples — None when any value is not literal-embeddable."""
+    tuples = []
+    for r in rows:
+        lits = [_key_literal(r[i]) for i in range(len(keys))]
+        if any(x is None for x in lits):
+            return None
+        tuples.append(lits)
+    if len(keys) == 1:
+        return (f"{keys[0]} IN "
+                f"({', '.join(sorted(t[0] for t in tuples))})")
+    body = ", ".join("(" + ", ".join(t) + ")" for t in tuples)
+    return f"({', '.join(keys)}) IN ({body})"
+
+
+def _append_only_dirs(window: list, keys: list[str],
+                      src: str) -> list[str] | None:
+    """The window's staged data dirs IF every commit is a plain
+    append whose recorded schema carries every group key under its
+    current name — else None (the change-feed path handles rewrites,
+    DVs, overwrites, alters, hive layouts, and folded checkpoints).
+    Conservative by construction: any unexpected shape falls back."""
+    if not window:
+        return None
+    dirs = []
+    for c in window:
+        if c.get("action") != "append" or c.get("transform") \
+                or c.get("pcol") or not c.get("dir") \
+                or not c.get("schema"):
+            return None
+        try:
+            names = {f["name"] for f in
+                     json.loads(c["schema"])["fields"]}
+        except (ValueError, KeyError, TypeError):
+            return None
+        if not set(keys) <= names:
+            return None
+        dirs.append(os.path.join(src, c["dir"]))
+    return dirs
+
+
 def refresh(spark: SparkSession, mv_path: str,
             prune_key_limit: int = PRUNE_KEY_LIMIT) -> dict:
     """Advance the MV to the source head; returns refresh metrics.
     Idempotent: a crash between the data merge and the spec bump makes
     the next refresh recompute the same dirty groups to the same
-    values (recomputation reads base data, never combines deltas)."""
+    values (recomputation reads base data, never combines deltas).
+
+    Cost discipline (the canary in ``bench.py`` tracks it): the change
+    feed evaluates ONCE — a single grouped pass yields each dirty key
+    with a removal flag (could this group have shrunk?).  Small dirty
+    sets collect to the driver: the recompute scan prunes files via an
+    IN-literal, and the vanished-group merge clause scopes to the
+    REMOVAL keys as literals (stats-prunable on the MV side) — or is
+    dropped entirely for append-only windows, the trickle-refresh
+    common case.  Past ``prune_key_limit`` the grouped delta persists
+    and the recompute semi-joins the full scan."""
     from .tables import ensure_registered
 
     fmt = TxnLogFormat(checkpoint_interval=None)
@@ -187,61 +250,100 @@ def refresh(spark: SparkSession, mv_path: str,
     if head <= last:
         return {"refreshed_to": last, "dirty_groups": 0, "mode": "noop"}
 
-    ensure_registered(spark)
-    delta = (spark.read.format("txnlog")
-             .option("readChangeFeed", "true")
-             .option("startingVersion", str(last + 1))
-             .option("endingVersion", str(head)).load(src))
-    if spec.get("where"):
-        # the spec filter narrows the dirty set symmetrically: an
-        # update moving a row OUT of the filter set still dirties its
-        # old group (the preimage row passes), one moving it IN
-        # dirties the new group (the postimage passes); rows never in
-        # the set never dirty anything
-        delta = delta.filter(spec["where"])
-    dirty = delta.select(*keys).distinct()
-    _refuse_null_keys(dirty)
-    dirty_rows = dirty.collect() \
-        if dirty.limit(prune_key_limit + 1).count() <= prune_key_limit \
-        else None
-
-    snap = fmt.read(spark, src, as_of_version=head,
-                    where=(_key_predicate(keys, dirty_rows)
-                           if dirty_rows else None))
-    mode = "pruned" if dirty_rows else "semi-join"
-    if dirty_rows is not None:
-        n_dirty = len(dirty_rows)
-        if n_dirty == 0:
-            _bump(fmt, mv_path, spec, head)
-            return {"refreshed_to": head, "dirty_groups": 0,
-                    "mode": "noop"}
-        dirty = spark.createDataFrame(
-            dirty_rows, snap.select(*keys).schema)
-        dirty = F.broadcast(dirty)
+    window = [c for c in fmt._commits(src)
+              if last < c["version"] <= head]
+    fast_dirs = _append_only_dirs(window, keys, src)
+    if fast_dirs is not None and not spec.get("where"):
+        # APPEND-ONLY window fast path (the trickle-refresh common
+        # case): the dirty keys are exactly the keys in the staged
+        # files, read directly by the JVM parquet scan — no change-
+        # feed machinery, no Python workers in the hot loop.  Appends
+        # remove nothing, so no group can vanish (_rm = 0 throughout).
+        grouped = (spark.read.parquet(*fast_dirs).select(*keys)
+                   .groupBy(*keys).agg(F.lit(0).alias("_rm")))
     else:
-        n_dirty = dirty.count()
+        ensure_registered(spark)
+        delta = (spark.read.format("txnlog")
+                 .option("readChangeFeed", "true")
+                 .option("startingVersion", str(last + 1))
+                 .option("endingVersion", str(head)).load(src))
+        if spec.get("where"):
+            # the spec filter narrows the dirty set symmetrically: an
+            # update moving a row OUT of the filter set still dirties
+            # its old group (the preimage row passes), one moving it
+            # IN dirties the new group (the postimage passes); rows
+            # never in the set never dirty anything
+            delta = delta.filter(spec["where"])
+        rm_flag = F.col("_change_type").isin(
+            "delete", "update_preimage").cast("int")
+        grouped = delta.groupBy(*keys).agg(F.max(rm_flag).alias("_rm"))
+    probe = grouped.limit(prune_key_limit + 1).collect()
+    if not probe:
+        _bump(fmt, mv_path, spec, head)
+        return {"refreshed_to": head, "dirty_groups": 0,
+                "mode": "noop"}
+    pruned = len(probe) <= prune_key_limit
+    nmbs, dview = None, None
+    import uuid
+    if pruned:
+        if any(r[k] is None for r in probe for k in keys):
+            raise ValueError(
+                f"NULL value in group key column(s) {keys} — "
+                "materialized aggregates require non-null keys; "
+                "filter them in the spec's where clause or aggregate "
+                "a coalesced generated column instead")
+        n_dirty = len(probe)
+        snap = fmt.read(spark, src, as_of_version=head,
+                        where=_key_predicate(keys, probe))
+        dirty = F.broadcast(spark.createDataFrame(
+            [tuple(r[k] for k in keys) for r in probe],
+            snap.select(*keys).schema))
+        rm_rows = [r for r in probe if r["_rm"]]
+        if rm_rows:
+            # only groups that LOST rows can vanish; literals let the
+            # merge's target-side scan stats-prune
+            nmbs = _in_literal(keys, rm_rows)
+            if nmbs is None:  # un-embeddable value: subquery fallback
+                dview = f"__mv_rm_{uuid.uuid4().hex[:12]}"
+                spark.createDataFrame(
+                    [tuple(r[k] for k in keys) for r in rm_rows],
+                    snap.select(*keys).schema
+                ).createOrReplaceTempView(dview)
+        mode = "pruned"
+    else:
+        grouped = grouped.persist()
+        try:
+            _refuse_null_keys(grouped.select(*keys))
+        except ValueError:
+            grouped.unpersist()
+            raise
+        n_dirty = grouped.count()
+        snap = fmt.read(spark, src, as_of_version=head)
+        dirty = grouped.select(*keys)
+        dview = f"__mv_rm_{uuid.uuid4().hex[:12]}"
+        grouped.filter("_rm = 1").select(*keys) \
+               .createOrReplaceTempView(dview)
+        mode = "semi-join"
+    if dview is not None:
+        key_tuple = ("(" + ", ".join(keys) + ")" if len(keys) > 1
+                     else keys[0])
+        nmbs = (f"{key_tuple} IN "
+                f"(SELECT {', '.join(keys)} FROM {dview})")
     cond = None
     for k in keys:
         c = snap[k].eqNullSafe(dirty[k])
         cond = c if cond is None else cond & c
     recomputed = _aggregate(snap.join(dirty, cond, "left_semi"), spec)
-
-    # the merge evaluates this via read(where=...) over the TARGET —
-    # bare column names, no alias
-    key_tuple = "(" + ", ".join(keys) + ")" \
-        if len(keys) > 1 else keys[0]
-    sel = ", ".join(keys)
-    import uuid
-    dview = f"__mv_dirty_{uuid.uuid4().hex[:12]}"
-    dirty.createOrReplaceTempView(dview)
     try:
         metrics = fmt.merge(
             spark, mv_path, recomputed, key=list(keys),
-            # vanished groups: dirty keys absent from the recompute
-            not_matched_by_source_delete_condition=(
-                f"{key_tuple} IN (SELECT {sel} FROM {dview})"))
+            # vanished groups: removal keys absent from the recompute
+            not_matched_by_source_delete_condition=nmbs)
     finally:
-        spark.catalog.dropTempView(dview)
+        if dview is not None:
+            spark.catalog.dropTempView(dview)
+        if not pruned:
+            grouped.unpersist()
     _bump(fmt, mv_path, spec, head)
     return {"refreshed_to": head, "dirty_groups": n_dirty,
             "mode": mode, **{k: metrics.get(k) for k in
