@@ -356,3 +356,39 @@ def _bump(fmt: TxnLogFormat, mv_path: str, spec: dict,
         None, mv_path,
         user_properties={MV_SPEC_PROP: json.dumps(
             {**spec, "last_version": head})})
+
+
+def refresh_stream(spark: SparkSession, mv_path: str,
+                   checkpoint_dir: str,
+                   trigger_sec: float | None = None,
+                   prune_key_limit: int = PRUNE_KEY_LIMIT):
+    """CONTINUOUS maintenance: attach a Structured-Streaming query to
+    the SOURCE table's commit stream whose only job is to trigger an
+    idempotent :func:`refresh` per micro-batch — the streaming analogue
+    of Databricks' scheduled materialized-view refresh, with the
+    txnlog stream as the scheduler.  The batch DataFrame itself is
+    never acted on (refresh replans its own window from the log, and
+    is idempotent + spec-version-gated), so the trigger costs plan
+    time only; ``ignoreChanges`` is set so UPDATE/DELETE/compaction
+    commits keep triggering instead of failing the stream — the
+    change-feed path inside refresh handles them exactly.
+
+    Returns the live ``StreamingQuery`` (stop it with ``q.stop()``;
+    ``q.processAllAvailable()`` barriers a test to caught-up)."""
+    from .sources.txnlog_stream import TxnLogDataSource
+
+    spark.dataSource.register(TxnLogDataSource)
+    fmt = TxnLogFormat(checkpoint_interval=None)
+    spec = _spec(fmt, mv_path)
+
+    def _on_batch(df, epoch_id):
+        refresh(spark, mv_path, prune_key_limit=prune_key_limit)
+
+    w = (spark.readStream.format("txnlog")
+         .option("ignoreChanges", "true")
+         .load(spec["source"])
+         .writeStream.foreachBatch(_on_batch)
+         .option("checkpointLocation", checkpoint_dir))
+    if trigger_sec is not None:
+        w = w.trigger(processingTime=f"{trigger_sec} seconds")
+    return w.start()

@@ -228,3 +228,27 @@ def test_user_properties_roundtrip_and_show(spark, tmp_path):
     with pytest.raises(ValueError, match="must be"):
         fmt.set_properties(None, path, user_properties={"k": 3})
     tables.drop_table(spark, name)
+
+
+def test_refresh_stream_continuous(spark, src, tmp_path):
+    """refresh_stream: the source's commit stream triggers idempotent
+    refreshes — appends AND row-level changes (ignoreChanges) keep the
+    MV caught up without a scheduler."""
+    mv = str(tmp_path / "mv")
+    aggs = {"n": "count(*)", "s": "sum(v)"}
+    fmt = _fmt()
+    matview.create_materialized_aggregate(spark, src, mv, ["g"], aggs)
+    q = matview.refresh_stream(
+        spark, mv, str(tmp_path / "ckpt"))
+    try:
+        fmt.append(spark.createDataFrame(
+            [("e", 9.0), ("a", 1.0)], "g string, v double"), src)
+        q.processAllAvailable()
+        assert _mv(spark, mv) == _full(spark, fmt, src, ["g"], aggs)
+        # a row-level delete (data-change commit) still triggers
+        fmt.delete_where(spark, src, "g = 'c'")
+        q.processAllAvailable()
+        assert _mv(spark, mv) == _full(spark, fmt, src, ["g"], aggs)
+        assert not any(r[0] == "c" for r in _mv(spark, mv))
+    finally:
+        q.stop()
