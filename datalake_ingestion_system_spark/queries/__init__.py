@@ -30,31 +30,35 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 # Queries whose implementation or oracle changed AFTER their last green
 # driver row belong back in the sampled prefix until re-verified.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Round 15: all 50 round-14 window entries hold green rows in
-    # CORRECTNESS_r14 (50/50) and are RELEASED.  Fronted now: the
-    # transitive closure of this round's work — (a) the catalog batch
-    # reader's hive-partition constants + overwrite anti-filters and
-    # the shared _read_arrow_batches signature (all catalog-scan and
-    # txnlog-stream consumers), (b) the router's comment stripping and
-    # the SELECT→JVM-scan substitution (every tables.sql consumer,
-    # time travel included), (c) publish_branch's additive-evolution
-    # gate + alter-marker remap (q_wap_*, q_refs_sql, q_clone_read).
-    # The two NEW queries (q_catalog_partition_read,
-    # q_wap_schema_publish) front automatically as never-sampled;
-    # listed for explicitness.  All entries below are 3-SF green in
-    # this session's local sweeps; remaining prefix slots fill with
-    # already-green rotated entries (harmless re-confirmation).
-    "q_catalog_partition_read", "q_wap_schema_publish",
-    "q_cdf_partition_overwrite",
-    "q_catalog_dv_read", "q_catalog_table_read",
-    "q_catalog_join_broadcast",
-    "q_wap_publish_read", "q_refs_sql", "q_clone_read",
+    # Round 16: all 50 round-15 window entries hold green rows in
+    # CORRECTNESS_r15 (50/50) and are RELEASED.  Fronted now: the
+    # THREE new queries (q_dml_subquery, q_matview_incremental,
+    # q_merge_insert_values — the mechanical --changed-since answer,
+    # 3-SF green) plus the transitive closure of this round's operator
+    # edits — (a) merge internals (insert_assignments touched the
+    # routing-join projection, pure-insert branch, and CDF insert
+    # slice: every q_merge_*), (b) the router (TT FOR-spellings,
+    # plain-ref AnalysisException fallback, CREATE/REFRESH/DROP MV
+    # arms, generic TBLPROPERTIES: the q_*_sql set + catalog JVM-read
+    # queries), (c) publish gate checkpoint exclusion (q_wap_*,
+    # q_refs_sql, q_clone_read), (d) the batch-scan anti-filter raise
+    # (partition/CDF/stream consumers).  All entries below re-verified
+    # green at sf0.01 this session (the three new ones at ALL THREE
+    # SFs); remaining prefix slots fill with rotated-green entries.
+    "q_dml_subquery", "q_matview_incremental", "q_merge_insert_values",
+    "q_merge_upsert", "q_merge_targeted_read", "q_merge_set_columns",
+    "q_merge_identity_insert", "q_merge_full_sync",
+    "q_merge_schema_evolution",
     "q_sql_dml_roundtrip", "q_time_travel_sql", "q_alter_ctas_sql",
-    "q_create_table_sql", "q_table_changes_sql",
+    "q_create_table_sql", "q_table_changes_sql", "q_refs_sql",
+    "q_wap_publish_read", "q_wap_schema_publish",
+    "q_catalog_partition_read", "q_catalog_dv_read",
+    "q_catalog_table_read", "q_catalog_join_broadcast",
+    "q_clone_read", "q_auto_compact_read", "q_compact_where_read",
     "q_txnlog_stream_source", "q_txnlog_stream_sink",
     "q_txnlog_stream_pushdown", "q_stream_drain",
-    "q_cdf_row_ids", "q_cdf_rowid_mirror", "q_cdf_replica_mirror",
-    "q_history_manifest_join")
+    "q_cdf_partition_overwrite", "q_cdf_row_ids",
+    "q_cdf_rowid_mirror", "q_change_data_feed")
 
 
 def _evidence():
