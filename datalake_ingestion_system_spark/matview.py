@@ -99,6 +99,16 @@ def create_materialized_aggregate(
             f"source {src} does not record a change feed — run "
             "set_properties(change_data_feed=True) on it first; "
             "refresh plans dirty groups from table_changes")
+    if os.path.isdir(fmt._log_dir(mv_path)):
+        # review fix: DROP MATERIALIZED VIEW leaves the stored
+        # aggregate on disk (external-table semantics) — a re-CREATE
+        # at the same location would APPEND a second full aggregate
+        # (duplicate group rows, and the next refresh's merge aborts
+        # on the one-row-per-key guard)
+        raise ValueError(
+            f"a txnlog table already exists at {mv_path} — drop its "
+            "data (vacuum retention 0 after delete, or remove the "
+            "directory) or pick a fresh location")
     if not group_keys or not aggregates:
         raise ValueError("need at least one group key and one aggregate")
     overlap = set(group_keys) & set(aggregates)
@@ -107,10 +117,20 @@ def create_materialized_aggregate(
             f"aliases {sorted(overlap)} are both group keys and "
             "aggregate outputs")
     head = commits[-1]["version"]
+    snap = fmt.read(spark, src, as_of_version=head)
+    # canonicalize key case onto the stored column names (review fix:
+    # DataFrame resolution is case-insensitive, but the refresh-time
+    # Row lookups and the parquet fast path are not)
+    canon = {c.lower(): c for c in snap.columns}
+    missing = [k for k in group_keys if k.lower() not in canon]
+    if missing:
+        raise ValueError(
+            f"group key column(s) {missing} not in the source schema "
+            f"{snap.columns}")
+    group_keys = [canon[k.lower()] for k in group_keys]
     spec = {"source": src, "keys": list(group_keys),
             "aggs": dict(aggregates), "where": where,
             "last_version": head}
-    snap = fmt.read(spark, src, as_of_version=head)
     _refuse_null_keys(
         (snap.filter(where) if where else snap).select(*group_keys))
     fmt.append(_aggregate(snap, spec), mv_path)
@@ -148,27 +168,13 @@ def _key_predicate(keys: list[str], rows: list) -> str | None:
     """Dirty keys as an IN-literal predicate for file pruning — single
     key only (tuple-IN literals do not reach the stats tier); composite
     keys prune on the FIRST key column.  Returns None when a value is
-    not literal-embeddable (then the semi-join path runs alone)."""
-    col = keys[0]
-    vals = {r[0] for r in rows}
-    has_null = None in vals
-    vals.discard(None)
-    lits = []
-    for v in vals:
-        if isinstance(v, bool) or not isinstance(v, (int, float, str)):
-            return None
-        if isinstance(v, str):
-            if "'" in v or "\\" in v:
-                return None
-            lits.append("'" + v + "'")
-        else:
-            lits.append(repr(v))
-    parts = []
-    if lits:
-        parts.append(f"{col} IN ({', '.join(sorted(lits))})")
-    if has_null:
-        parts.append(f"{col} IS NULL")
-    return " OR ".join(parts) if parts else None
+    not literal-embeddable (then the recompute filters via the
+    semi-join alone).  NULL keys cannot reach here — refresh refuses
+    them before building the predicate."""
+    lits = {_key_literal(r[0]) for r in rows}
+    if None in lits:
+        return None
+    return f"{keys[0]} IN ({', '.join(sorted(lits))})"
 
 
 def _key_literal(v) -> str | None:
@@ -277,8 +283,14 @@ def refresh(spark: SparkSession, mv_path: str,
         rm_flag = F.col("_change_type").isin(
             "delete", "update_preimage").cast("int")
         grouped = delta.groupBy(*keys).agg(F.max(rm_flag).alias("_rm"))
+    # persist BEFORE the probe: past the limit the semi-join path
+    # reuses the grouped delta three more times (null check, count,
+    # removal view) — without the cache the change feed would fully
+    # re-evaluate in exactly the large-dirty-set case (review fix)
+    grouped = grouped.persist()
     probe = grouped.limit(prune_key_limit + 1).collect()
     if not probe:
+        grouped.unpersist()
         _bump(fmt, mv_path, spec, head)
         return {"refreshed_to": head, "dirty_groups": 0,
                 "mode": "noop"}
@@ -287,6 +299,7 @@ def refresh(spark: SparkSession, mv_path: str,
     import uuid
     if pruned:
         if any(r[k] is None for r in probe for k in keys):
+            grouped.unpersist()
             raise ValueError(
                 f"NULL value in group key column(s) {keys} — "
                 "materialized aggregates require non-null keys; "
@@ -311,7 +324,6 @@ def refresh(spark: SparkSession, mv_path: str,
                 ).createOrReplaceTempView(dview)
         mode = "pruned"
     else:
-        grouped = grouped.persist()
         try:
             _refuse_null_keys(grouped.select(*keys))
         except ValueError:
@@ -342,8 +354,7 @@ def refresh(spark: SparkSession, mv_path: str,
     finally:
         if dview is not None:
             spark.catalog.dropTempView(dview)
-        if not pruned:
-            grouped.unpersist()
+        grouped.unpersist()
     _bump(fmt, mv_path, spec, head)
     return {"refreshed_to": head, "dirty_groups": n_dirty,
             "mode": mode, **{k: metrics.get(k) for k in

@@ -6337,18 +6337,31 @@ class TxnLogFormat(TableFormat):
                     "additive (ADD COLUMN) branch evolution publishes "
                     "— apply other schema changes on main before "
                     "branching")
-            # "data" = a commit that stages FILES whose era marker the
-            # squash would flatten to v_pub: checkpoint folds metadata
-            # only (ADVICE r15 — a periodic auto-checkpoint landing
-            # before the ADD COLUMN must not refuse the publish);
-            # dv_update stays counted — it appends rewritten-row dirs
-            # at its own version (see _resolve_live)
-            first_data = min(
-                (c["version"] for c in bcommits
-                 if c["version"] > span_lo
-                 and c["action"] not in ("alter", "set_properties",
-                                         "set_protocol", "checkpoint")),
-                default=None)
+            # "data" = anything that staged FILES whose era marker the
+            # squash would flatten to v_pub.  A checkpoint RECORD is
+            # metadata only (ADVICE r15 — a fileless auto-checkpoint
+            # landing before the ADD COLUMN must not refuse the
+            # publish), but data commits FOLDED UNDER it must still
+            # count — their live entries keep their original staging
+            # versions inside the fold (round-16 review fix: without
+            # this, append → checkpoint → ADD COLUMN → publish would
+            # bypass the gate and mis-mark the folded files as
+            # carrying the column).  dv_update stays counted — it
+            # appends rewritten-row dirs at its own version
+            # (see _resolve_live).
+            data_versions = [
+                c["version"] for c in bcommits
+                if c["version"] > span_lo
+                and c["action"] not in ("alter", "set_properties",
+                                        "set_protocol", "checkpoint")]
+            for c in bcommits:
+                if c["action"] == "checkpoint" \
+                        and c["version"] > span_lo:
+                    data_versions += [
+                        e["version"]
+                        for e in (c.get("state") or {}).get("live", [])
+                        if e["version"] > span_lo]
+            first_data = min(data_versions, default=None)
             last_alter = max(a["version"] for a in span_alters)
             if first_data is not None and first_data < last_alter:
                 raise ValueError(

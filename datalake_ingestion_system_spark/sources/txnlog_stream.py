@@ -473,12 +473,23 @@ def _read_arrow_batches(abs_path: str, mapping: list,
         import pyarrow.compute as pc
         for col, vals, null_removed in anti:
             if col not in out.column_names:
-                # INVARIANT, not parity (ADVICE r15): anti columns keep
-                # their write-time names because ``alter_table`` refuses
-                # renaming or dropping a column with live overwrite
-                # bookkeeping — absence here means a write path bypassed
-                # that guard, and skipping the term would silently
-                # resurrect the replaced partition's rows
+                if cdf is not None:
+                    # HISTORICAL change-feed replay: once compaction
+                    # retires the overwrite bookkeeping, dropping the
+                    # column is legal (alter_table's guard checks LIVE
+                    # entries only) — a window replay then maps files
+                    # to the current column-less schema, and the term
+                    # simply cannot apply (pre-round-16 behavior,
+                    # review fix: the snapshot invariant below does
+                    # not hold here)
+                    continue
+                # SNAPSHOT read INVARIANT (ADVICE r15): anti columns
+                # keep their write-time names because ``alter_table``
+                # refuses renaming or dropping a column with LIVE
+                # overwrite bookkeeping — absence here means a write
+                # path bypassed that guard, and skipping the term
+                # would silently resurrect the replaced partition's
+                # rows
                 raise ValueError(
                     f"partition-overwrite subtraction column {col!r} is "
                     f"absent from the mapped output of {abs_path} — the "

@@ -1361,7 +1361,15 @@ def _route_alter(spark: SparkSession, s: str, flags: int):
                     raise ValueError(
                         f"bad TBLPROPERTIES entry: {item!r}")
                 val = _prop_value(val_tok)
-                raw = val_tok.strip().strip("'\"")
+                # matched-pair strip + doubled-quote collapse (review
+                # fix: a blanket .strip("'\"") corrupts values that
+                # BEGIN or END with a quote character)
+                vt = val_tok.strip()
+                if len(vt) >= 2 and vt[0] == vt[-1] \
+                        and vt[0] in "'\"":
+                    raw = vt[1:-1].replace(vt[0] * 2, vt[0])
+                else:
+                    raw = vt
             key = _unquote_ident(key.strip().strip("'\""))
             key = _PROP_ALIASES.get(key.lower(), key)
             if key in _PROP_KWARGS:
@@ -1572,6 +1580,12 @@ def _route_merge(spark: SparkSession, s: str, flags: int):
                     "BY SOURCE [AND c] THEN DELETE")
             nmbs_delete = cond or "true"
         elif notm:
+            if saw_insert:
+                # review fix: last-wins would silently drop the
+                # earlier clause's shape (the routed API carries ONE
+                # insert condition + one column list)
+                raise ValueError(
+                    "at most one WHEN NOT MATCHED ... INSERT clause")
             if act == "INSERT *":
                 saw_insert, insert_cond = True, (cond or None)
             elif act.startswith("INSERT"):

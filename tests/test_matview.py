@@ -252,3 +252,45 @@ def test_refresh_stream_continuous(spark, src, tmp_path):
         assert not any(r[0] == "c" for r in _mv(spark, mv))
     finally:
         q.stop()
+
+
+def test_create_refuses_existing_location_and_canonicalizes_case(
+        spark, src, tmp_path):
+    """Round-16 review fixes: (a) re-CREATE at a location already
+    holding a txnlog table refuses (DROP leaves data; an append would
+    double every group), (b) case-variant group keys canonicalize
+    onto the stored column names so refresh's Row lookups work."""
+    mv = str(tmp_path / "mv")
+    fmt = _fmt()
+    matview.create_materialized_aggregate(
+        spark, src, mv, ["G"], {"s": "sum(v)"})  # case-variant key
+    assert matview._spec(fmt, mv)["keys"] == ["g"]  # canonicalized
+    fmt.append(spark.createDataFrame(
+        [("a", 5.0)], "g string, v double"), src)
+    m = matview.refresh(spark, mv)  # Row lookups must not crash
+    assert m["dirty_groups"] == 1
+    assert _mv(spark, mv) == _full(spark, fmt, src, ["g"],
+                                   {"s": "sum(v)"})
+    with pytest.raises(ValueError, match="already exists"):
+        matview.create_materialized_aggregate(
+            spark, src, mv, ["g"], {"s": "sum(v)"})
+    with pytest.raises(ValueError, match="not in the source schema"):
+        matview.create_materialized_aggregate(
+            spark, src, str(tmp_path / "mv2"), ["nope"],
+            {"s": "sum(v)"})
+
+
+def test_user_property_values_with_quote_edges(spark, tmp_path):
+    """Round-16 review fix: values beginning/ending with a quote
+    character survive, and doubled-quote escapes collapse."""
+    import uuid
+    path = str(tmp_path / "t")
+    _fmt().append(spark.range(1).select(F.col("id").alias("k")), path)
+    name = f"upq_{uuid.uuid4().hex[:8]}"
+    tables.create_table(spark, name, path)
+    tables.sql(spark, f"ALTER TABLE {name} SET TBLPROPERTIES("
+                      f"'q1' = '\"v\"', 'q2' = 'it''s')")
+    rows = {r.key: r.value for r in
+            tables.sql(spark, f"SHOW TBLPROPERTIES {name}").collect()}
+    assert rows["q1"] == '"v"' and rows["q2"] == "it's"
+    tables.drop_table(spark, name)

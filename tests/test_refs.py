@@ -494,3 +494,23 @@ def test_publish_checkpoint_before_alter_is_not_data(spark, tbl):
     fmt.alter_table(bp2, add_columns={"more": "int"})
     with pytest.raises(ValueError, match="BEFORE its ADD COLUMN"):
         fmt.publish_branch(path, "bad")
+
+
+def test_publish_refuses_data_folded_under_checkpoint(spark, tbl):
+    """Round-16 review fix: data staged BEFORE the ADD COLUMN must
+    refuse the publish even when a checkpoint folded the staging
+    commit away — the folded live entries keep their versions, and
+    the gate reads them out of the fold."""
+    fmt, path = tbl["fmt"], tbl["path"]
+    fmt.create_branch(path, "fold")
+    bp = fmt.ref_path(path, "fold")
+    fmt.append(spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").alias("v")), bp)
+    fmt.checkpoint(bp)  # folds the pre-alter append
+    fmt.alter_table(bp, add_columns={"extra": "int"})
+    with pytest.raises(ValueError, match="BEFORE its ADD COLUMN"):
+        fmt.publish_branch(path, "fold")
+    # main untouched and still writable
+    fmt.append(spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").alias("v")), path)
+    assert fmt.read(spark, path).count() == 16

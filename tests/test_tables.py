@@ -1246,3 +1246,18 @@ def test_time_travel_system_time_spellings(spark, cat):
     assert tables.sql(
         spark, f"SELECT count(*) AS c FROM {n} "
                f"FOR SYSTEM_TIME AS OF '{iso}'").head().c == 10
+
+
+def test_sql_merge_duplicate_not_matched_refuses(spark, cat):
+    """Round-16 review fix: a second WHEN NOT MATCHED clause refuses
+    instead of silently replacing the first."""
+    n = cat["name"]
+    spark.range(1).selectExpr("id AS a", "id AS b") \
+         .createOrReplaceTempView("dupnm")
+    with pytest.raises(ValueError, match="at most one WHEN NOT "
+                                         "MATCHED"):
+        tables.sql(spark, f"""
+            MERGE INTO {n} USING (SELECT * FROM dupnm) s ON a = a
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.b = 0 THEN INSERT *
+            WHEN NOT MATCHED THEN INSERT (a, b) VALUES (s.a, s.b)""")

@@ -1517,3 +1517,31 @@ def test_anti_filter_absent_column_raises(tmp_path):
     with pytest.raises(ValueError, match="absent from the mapped"):
         list(_read_arrow_batches(
             f, mapping, anti=[("gone", ["1"], False)]))
+
+
+def test_change_feed_replays_after_legal_column_drop(registered,
+                                                     tmp_path):
+    """Round-16 review fix: once compaction retires the overwrite
+    bookkeeping, dropping the column is legal — a HISTORICAL window
+    replay then maps to the current column-less schema and the
+    subtraction term simply cannot apply; the feed must not raise
+    (the loud invariant holds for snapshot reads only)."""
+    spark = registered
+    path = str(tmp_path / "t")
+    fmt = TxnLogFormat()
+    fmt.append(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "p string, v int"), path)        # v0
+    fmt.overwrite_partitions(spark.createDataFrame(
+        [("a", 10)], "p string, v int"), path, "p")            # v1
+    fmt.compact(spark, path)                                   # v2
+    fmt.alter_table(path, drop_columns=["p"])                  # v3
+    feed = (spark.read.format("txnlog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 0)
+            .option("endingVersion", 1).load(path)
+            .select("v", "_change_type"))
+    got = sorted(tuple(r) for r in feed.collect())
+    # window inserts replay (mapped to the p-less schema); the
+    # overwrite emits its images as before the drop, minus p
+    assert (1, "insert") in got and (2, "insert") in got
+    assert (10, "insert") in got
