@@ -46,6 +46,7 @@ _FORCE_FRONT: tuple[str, ...] = (
     # green at sf0.01 this session (the three new ones at ALL THREE
     # SFs); remaining prefix slots fill with rotated-green entries.
     "q_dml_subquery", "q_matview_incremental", "q_merge_insert_values",
+    "q_convert_parquet",
     "q_merge_upsert", "q_merge_targeted_read", "q_merge_set_columns",
     "q_merge_identity_insert", "q_merge_full_sync",
     "q_merge_schema_evolution",

@@ -5296,3 +5296,48 @@ SELECT coalesce(o_orderstatus, '(null)') AS status,
               AS BIGINT) AS price_cents
 FROM fin GROUP BY coalesce(o_orderstatus, '(null)')
 """
+
+
+@_q("q_convert_parquet")
+def q_convert_parquet(spark, sf_dir):
+    """CONVERT TO TXNLOG (round 16 — Delta CONVERT TO DELTA parity):
+    a hive-partitioned plain-parquet directory becomes a transactional
+    table with ZERO data movement (hardlinks + one footer-stats
+    commit), then serves the full surface — catalog scan, data
+    skipping, row-level DELETE — queried here through routed SQL
+    against the oracle's reconstruction over the ORIGINAL rows.
+
+    Scale shape: conversion is O(files) metadata work — the 100 TB
+    migration path that never rewrites a byte; the post-convert
+    aggregate prunes partitions through the recorded hive constants."""
+    from .. import tables
+    from ..sinks import TxnLogFormat
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    base = scratch_dir(prefix="convert_q_")
+    src, dst = base + "/plain", base + "/t"
+    o.write.partitionBy("o_orderstatus").parquet(src)
+    # re-runnable in one session (3-SF sweeps): the arm refuses
+    # existing names, so release the previous registration first
+    if spark.catalog.tableExists("txn_converted_orders"):
+        tables.drop_table(spark, "txn_converted_orders")
+    tables.sql(spark, f"CONVERT TO TXNLOG parquet.`{src}` "
+                      f"LOCATION '{dst}' AS txn_converted_orders")
+    tables.sql(spark, "DELETE FROM txn_converted_orders "
+                      "WHERE o_orderkey % 10 = 0")
+    return tables.sql(spark, """
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))
+                 AS price_cents
+        FROM txn_converted_orders GROUP BY o_orderstatus""")
+
+
+ORACLE_SQL["q_convert_parquet"] = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS price_cents
+FROM orders WHERE o_orderkey % 10 <> 0
+GROUP BY o_orderstatus
+"""

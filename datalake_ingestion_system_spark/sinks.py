@@ -6000,6 +6000,100 @@ class TxnLogFormat(TableFormat):
                                    "partition_col": None, "partitions": [],
                                    "schema": schema})
 
+    def convert_parquet(self, spark: SparkSession, src_dir: str,
+                        path: str) -> int:
+        """CONVERT an existing plain-parquet directory into a txnlog
+        table at ``path`` (Delta ``CONVERT TO DELTA`` parity) with ZERO
+        data movement: every data file HARDLINKS into one fresh
+        ``_txn_data`` staging dir — its hive ``col=value`` structure
+        preserved, cross-device falling back to a copy — and ONE
+        append-form version-0 commit publishes, with schema read from
+        the files (Spark's own parquet inference, partition-column
+        discovery included) and footer stats / file list / sizes
+        harvested by the ordinary ``_commit`` pipeline, so data
+        skipping works from the first query.  The source directory is
+        left untouched (readers of the plain layout keep working);
+        ``path`` must not already hold a txnlog table.
+
+        Hive layouts (ONE ``col=value`` level, the same single-pcol
+        shape every hive producer here records) convert with the
+        partition column TYPED BY SPARK'S PATH INFERENCE — the type
+        lives in the path string, not the files, so the converted
+        table reads exactly what ``spark.read.parquet(src_dir)``
+        reads (numeric-looking values come back numeric; Delta's
+        CONVERT demands an explicit PARTITIONED BY schema for the
+        same reason).  Deeper layouts refuse loudly.
+
+        Scale shape: O(files) driver-side link syscalls plus one footer
+        read per file — no scan, no shuffle, no rewrite; at 100 TB
+        this is the migration path that doesn't pay 100 TB of I/O."""
+        if os.path.isdir(self._log_dir(path)):
+            raise ValueError(
+                f"a txnlog table already exists at {path} — convert "
+                "into a fresh location")
+        src_dir = os.path.abspath(src_dir)
+        files = []
+        for dp, dns, fns in os.walk(src_dir):
+            dns[:] = [d for d in dns if not d.startswith(("_", "."))]
+            for fn in fns:
+                if fn.endswith(".parquet") and not fn.startswith(
+                        ("_", ".")):
+                    files.append(os.path.relpath(
+                        os.path.join(dp, fn), src_dir))
+        if not files:
+            raise FileNotFoundError(
+                f"no parquet files under {src_dir}")
+        # hive layout from the PATHS (one level supported — the same
+        # single-pcol shape every other hive producer here records)
+        pcols, pvals = [], set()
+        for rf in files:
+            segs = [s for s in rf.split(os.sep)[:-1] if "=" in s]
+            names = [s.split("=", 1)[0] for s in segs]
+            if names:
+                if pcols and names != pcols:
+                    raise ValueError(
+                        f"inconsistent hive layout under {src_dir}: "
+                        f"{names} vs {pcols}")
+                pcols = names
+                pvals.add(segs[0].split("=", 1)[1])
+        if len(pcols) > 1:
+            raise ValueError(
+                f"{src_dir} is partitioned {len(pcols)} levels deep "
+                f"({pcols}) — convert supports one hive level; "
+                "flatten deeper layouts or ingest via append")
+        # schema via Spark's reader: basePath discovery types the
+        # hive partition columns exactly as post-convert reads will
+        df = (spark.read.option("basePath", src_dir)
+              .parquet(src_dir))
+        rel = os.path.join("_txn_data", uuid.uuid4().hex)
+        for rf in sorted(files):
+            s = os.path.join(src_dir, rf)
+            d = os.path.join(path, rel, rf)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            try:
+                os.link(s, d)
+            except OSError as err:
+                import errno
+                if err.errno == errno.EXDEV:
+                    import shutil
+                    shutil.copy2(s, d)
+                else:
+                    raise
+        rec = {"action": "append", "dir": rel,
+               "_row_track": False,
+               "converted_from": src_dir,
+               "schema": _log_schema_json(df.schema)}
+        if pcols:
+            # the live entry adopts this as its pcol, routing reads
+            # through the basePath-discovery scan (hive values live in
+            # the path segments, not the files) — the arrow batch
+            # reader types them from the recorded schema as usual
+            rec["partition_col"] = pcols[0]
+            from urllib.parse import unquote as _unq
+            rec["partitions"] = sorted(_unq(v) for v in pvals)
+        return self._commit(path, rec, expected_version=0,
+                            base_schema=rec["schema"])
+
     def clone(self, src: str, dst: str,
               version: int | None = None,
               timestamp: float | str | None = None) -> int:

@@ -1024,6 +1024,26 @@ def sql(spark: SparkSession, statement: str):
             return None
         return spark.sql(statement)  # plain DDL: Spark's own bridge
 
+    if head == "CONVERT":
+        m = _match_masked(
+            rf"CONVERT\s+TO\s+TXNLOG\s+parquet\s*\.\s*`([^`]+)`"
+            rf"\s+LOCATION\s+'([^']+)'"
+            rf"(?:\s+AS\s+({_IDENT}))?$", s, flags)
+        if m:
+            # Delta CONVERT-TO-DELTA parity (round 16): hardlink the
+            # plain-parquet directory's files into a fresh txnlog
+            # table — zero data movement — optionally registering it
+            src_dir, dest, name = m.groups()
+            v = TxnLogFormat().convert_parquet(
+                spark, src_dir, os.path.abspath(dest))
+            if name:
+                create_table(spark, _unquote_ident(name),
+                             os.path.abspath(dest))
+            return v
+        raise ValueError(
+            "unsupported CONVERT shape — expected CONVERT TO TXNLOG "
+            "parquet.`<src-dir>` LOCATION '<dest>' [AS name]")
+
     if head == "REFRESH":
         m = _match_masked(rf"REFRESH\s+MATERIALIZED\s+VIEW\s+"
                           rf"({_IDENT})$", s, flags)
