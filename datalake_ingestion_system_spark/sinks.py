@@ -19,6 +19,7 @@ become redundant (they stay harmless).
 from __future__ import annotations
 
 import json
+import math
 import os
 import re as _re_mod
 import time as _time_mod
@@ -3912,14 +3913,24 @@ class TxnLogFormat(TableFormat):
         it (a checkpoint record carries the running max through its
         version, so the fold is exact across the fold-point).  A cutoff
         below the checkpoint's ts re-resolves against the raw history;
-        if vacuum pruned it, the documented horizon error surfaces."""
+        if vacuum pruned it, the documented horizon error surfaces.
+
+        Comparison is at MICROSECOND granularity: commit ``ts`` floats
+        carry sub-µs bits, but every rendered form of a commit time —
+        ``history()`` rows, ISO strings in ``FOR SYSTEM_TIME AS OF`` —
+        truncates to µs, so a cutoff copied from one must select that
+        commit (raw-float compare made the copied cutoff land a few ns
+        BEFORE its own commit and miss it)."""
+        cut_us = math.floor(cutoff * 1e6)
+
         def resolve(cs: list[dict]) -> int | None:
             eligible, run_max = [], None
             for c in cs:
                 ts = c.get("ts")
                 if ts is not None:
                     run_max = ts if run_max is None else max(run_max, ts)
-                if run_max is not None and run_max <= cutoff:
+                if (run_max is not None
+                        and math.floor(run_max * 1e6) <= cut_us):
                     eligible.append(c["version"])
             return max(eligible) if eligible else None
 
