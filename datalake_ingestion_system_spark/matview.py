@@ -297,6 +297,7 @@ def refresh(spark: SparkSession, mv_path: str,
     pruned = len(probe) <= prune_key_limit
     nmbs, dview = None, None
     import uuid
+    mpw = None
     if pruned:
         if any(r[k] is None for r in probe for k in keys):
             grouped.unpersist()
@@ -306,11 +307,52 @@ def refresh(spark: SparkSession, mv_path: str,
                 "filter them in the spec's where clause or aggregate "
                 "a coalesced generated column instead")
         n_dirty = len(probe)
+        # merge-side pruning (round 16, perf): the dirty keys are
+        # already collected, so hand merge its key-prune predicate
+        # instead of letting it re-derive the same thing with one more
+        # distinct-collect job; per-key IN conjuncts, each implied by
+        # key ∈ dirty keys ⊇ recomputed keys (the merge contract)
+        parts = []
+        for k in keys:
+            lits = {TxnLogFormat._prune_literal(r[k]) for r in probe}
+            if None in lits:
+                parts = []
+                break
+            parts.append(f"{k} IN ({', '.join(sorted(lits))})")
+        mpw = " AND ".join(parts) or None
+        # EXACT single-key predicate (round 16, perf): when the one
+        # group key renders as faithful SQL literals (ints / safe
+        # strings — _prune_literal's round-trip guarantee), the
+        # read-side row filter alone selects exactly the dirty groups'
+        # rows, so the broadcast semi-join below is redundant — and
+        # skipping it removes a driver-built DataFrame whose pickled
+        # rows re-spawn Python workers on every downstream evaluation
+        # of the recompute plan (measured: the dominant refresh cost).
+        exact = (len(keys) == 1 and mpw is not None
+                 and all(isinstance(r[keys[0]], (int, str))
+                         and not isinstance(r[keys[0]], bool)
+                         for r in probe))
         snap = fmt.read(spark, src, as_of_version=head,
-                        where=_key_predicate(keys, probe))
-        dirty = F.broadcast(spark.createDataFrame(
-            [tuple(r[k] for k in keys) for r in probe],
-            snap.select(*keys).schema))
+                        where=(mpw if exact
+                               else _key_predicate(keys, probe)))
+        if exact:
+            dirty = None
+        else:
+            # Arrow path (round 16, perf): createDataFrame over pandas
+            # ships the keys as Arrow batches once; the list-of-rows
+            # form builds a pickled RDD that re-runs Python workers on
+            # EVERY action consuming the join (measured 3.5x per
+            # action).  Fall back to the row path for key types pandas
+            # cannot carry faithfully.
+            key_rows = [tuple(r[k] for k in keys) for r in probe]
+            key_schema = snap.select(*keys).schema
+            try:
+                import pandas as pd
+                dirty = spark.createDataFrame(
+                    pd.DataFrame(key_rows, columns=keys), key_schema)
+            except Exception:
+                dirty = spark.createDataFrame(key_rows, key_schema)
+            dirty = F.broadcast(dirty)
         rm_rows = [r for r in probe if r["_rm"]]
         if rm_rows:
             # only groups that LOST rows can vanish; literals let the
@@ -341,16 +383,21 @@ def refresh(spark: SparkSession, mv_path: str,
                      else keys[0])
         nmbs = (f"{key_tuple} IN "
                 f"(SELECT {', '.join(keys)} FROM {dview})")
-    cond = None
-    for k in keys:
-        c = snap[k].eqNullSafe(dirty[k])
-        cond = c if cond is None else cond & c
-    recomputed = _aggregate(snap.join(dirty, cond, "left_semi"), spec)
+    if dirty is None:
+        recomputed = _aggregate(snap, spec)
+    else:
+        cond = None
+        for k in keys:
+            c = snap[k].eqNullSafe(dirty[k])
+            cond = c if cond is None else cond & c
+        recomputed = _aggregate(snap.join(dirty, cond, "left_semi"),
+                                spec)
     try:
         metrics = fmt.merge(
             spark, mv_path, recomputed, key=list(keys),
             # vanished groups: removal keys absent from the recompute
-            not_matched_by_source_delete_condition=nmbs)
+            not_matched_by_source_delete_condition=nmbs,
+            _key_prune_where=mpw)
     finally:
         if dview is not None:
             spark.catalog.dropTempView(dview)

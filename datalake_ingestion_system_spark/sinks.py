@@ -5317,7 +5317,8 @@ class TxnLogFormat(TableFormat):
               not_matched_by_source_delete_condition: str | None = None,
               matched_update_assignments: dict[str, str] | None = None,
               insert_assignments: dict[str, str] | None = None,
-              schema_evolution: bool = False) -> dict:
+              schema_evolution: bool = False,
+              _key_prune_where: str | None = None) -> dict:
         """MERGE INTO (Delta upsert analogue), the CDC apply primitive:
 
         - WHEN MATCHED AND ``matched_delete_condition`` THEN DELETE
@@ -5452,8 +5453,14 @@ class TxnLogFormat(TableFormat):
         # FILE TARGETING step 1 — the PROBE: scan only files whose
         # recorded stats/blooms admit a source key (prune string implied
         # by key ∈ source keys, so every matched target row is in the
-        # candidate set and the semi/anti joins below stay exact)
-        prune = self._merge_key_prune_where(source, keys)
+        # candidate set and the semi/anti joins below stay exact).
+        # ``_key_prune_where`` (round 16, perf): a caller that already
+        # knows the source's key set driver-side (matview.refresh holds
+        # the collected dirty keys) passes the implied predicate
+        # directly and skips this distinct-collect job; the contract is
+        # the same — every source key must satisfy it.
+        prune = (_key_prune_where if _key_prune_where is not None
+                 else self._merge_key_prune_where(source, keys))
         probe = self.read(spark, path, where=prune, _with_pos=True)
         empty_target = "_dv_file" not in probe.columns
         tcols = [c for c in probe.columns
