@@ -564,6 +564,17 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
     })
+    if len(line) >= 1900 and os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        # the 2000-char driver stdout-capture window only matters for
+        # the default headline mode (whose line is ~700 chars and must
+        # keep its "queries" map parseable); the SPARK_GRAFT_BENCH_ALL
+        # coverage sweep has ~240 per-query entries and used to CRASH
+        # on the length guard after doing all the work — drop the
+        # per-query map from ITS stdout line (BENCH_DETAIL.json
+        # carries it) instead of dying
+        slim = json.loads(line)
+        del slim["queries"]
+        line = json.dumps(slim)
     assert len(line) < 1900, f"stdout line too long ({len(line)})"
     print(line)
 

@@ -338,21 +338,14 @@ def refresh(spark: SparkSession, mv_path: str,
         if exact:
             dirty = None
         else:
-            # Arrow path (round 16, perf): createDataFrame over pandas
-            # ships the keys as Arrow batches once; the list-of-rows
-            # form builds a pickled RDD that re-runs Python workers on
-            # EVERY action consuming the join (measured 3.5x per
-            # action).  Fall back to the row path for key types pandas
-            # cannot carry faithfully.
-            key_rows = [tuple(r[k] for k in keys) for r in probe]
-            key_schema = snap.select(*keys).schema
-            try:
-                import pandas as pd
-                dirty = spark.createDataFrame(
-                    pd.DataFrame(key_rows, columns=keys), key_schema)
-            except Exception:
-                dirty = spark.createDataFrame(key_rows, key_schema)
-            dirty = F.broadcast(dirty)
+            # Arrow path (round 16, perf): the list-of-rows form builds
+            # a pickled RDD that re-runs Python workers on EVERY action
+            # consuming the join (measured ~3x per action); local_df
+            # ships the keys as one Arrow batch, row fallback included.
+            from .localrel import local_df
+            dirty = F.broadcast(local_df(
+                spark, [tuple(r[k] for k in keys) for r in probe],
+                snap.select(*keys).schema))
         rm_rows = [r for r in probe if r["_rm"]]
         if rm_rows:
             # only groups that LOST rows can vanish; literals let the

@@ -215,7 +215,8 @@ def seed_word_weights(spark, good_words, bad_words,
     fixture the oracle gate can rebuild verbatim in SQL."""
     rows = ([(w, int(w_micro)) for w in good_words]
             + [(w, -int(w_micro)) for w in bad_words])
-    vocab = spark.createDataFrame(rows, "g string, w long")
+    from ..localrel import local_df
+    vocab = local_df(spark, rows, "g string, w long")
     return (vocab.select(
         _bucket_col(F.col("g"), n_buckets, verifiable).alias("b"),
         F.col("w"))
@@ -333,7 +334,9 @@ def mixture_sample(docs: DataFrame, id_col: str, source_col: str,
     spark = docs.sparkSession
     from pyspark.sql.types import (IntegerType, LongType, StructField,
                                    StructType)
-    bounds = spark.createDataFrame(
+    from ..localrel import local_df
+    bounds = local_df(
+        spark,
         [(s, below[s], need_at.get(s, 0)) for s in quota],
         StructType([docs.schema[source_col],
                     StructField("_bb", IntegerType()),

@@ -304,7 +304,8 @@ def pack_bins_prefix(df: DataFrame, id_col: str, weight_col: Column | str,
     off_fields = ([staged.schema[part_col]] if part_col else []) + [
         T.StructField("_bkt", T.IntegerType(), False),
         T.StructField("_off", T.LongType(), False)]
-    off = spark.createDataFrame(off_rows, T.StructType(off_fields))
+    from ..localrel import local_df
+    off = local_df(spark, off_rows, T.StructType(off_fields))
     # qualified refs: the explicit join condition keeps BOTH sides' key
     # columns in scope, so bare names would be ambiguous here
     w = (Window.partitionBy(*[ranged[k] for k in keys])

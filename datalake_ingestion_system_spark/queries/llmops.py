@@ -3194,7 +3194,8 @@ def _pq_sub_errors(e, cb, D: int = 8):
     spark = e.sparkSession
     cells = [(pos, k, float(cb[k][pos]))
              for k in range(len(cb)) for pos in range(len(cb[0]))]
-    cbdf = spark.createDataFrame(cells, "pos int, k int, cv double")
+    from ..localrel import local_df
+    cbdf = local_df(spark, cells, "pos int, k int, cv double")
     dims = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
     d = F.col("x") - F.col("cv")
     return (dims.join(F.broadcast(cbdf), "pos")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import epoch_seconds as _epoch, load, register_views
+from ..localrel import local_df
 from ..session import tune
 from .scratch import scratch_dir
 
@@ -297,7 +298,8 @@ def q_join_interval_config(spark, sf_dir):
     config lookup ``STARTDATE <= d AND ENDDATE > d AND TABLE = t`` (D:294-299,
     SURVEY J1), rebuilt as ONE declarative join instead of a SQL probe per file.
     Unmatched rows route to 'OUTOFCONFIG' exactly like D:348-352."""
-    epochs = spark.createDataFrame(
+    epochs = local_df(
+        spark,
         [("BUILDING", "1995-01-01", "1997-01-01", "epoch_A"),
          ("BUILDING", "1997-01-01", "1999-01-01", "epoch_B"),
          ("MACHINERY", "1995-01-01", "2000-01-01", "epoch_M"),
@@ -2394,7 +2396,7 @@ def q_sql_dml_roundtrip(spark, sf_dir):
              (F.col("value") * 2).alias("value"),
              F.when(F.pmod("event_id", F.lit(20)) == 0, F.lit("D"))
               .otherwise(F.lit("U")).alias("op"))
-     .unionByName(spark.createDataFrame(
+     .unionByName(local_df(spark, 
          [(-100, "sql_merge_insert", 5.0, "U")],
          "event_id long, event_type string, value double, op string"))
      .createOrReplaceTempView("sqldml_cdc"))
@@ -4787,7 +4789,7 @@ def q_transform_rewrite_read(spark, sf_dir):
                           F.when(F.col("event_type") == "click",
                                  F.col("value") + 2000)
                           .otherwise(F.col("value")))
-              .unionByName(spark.createDataFrame(
+              .unionByName(local_df(spark, 
                   [(-100, "trw_insert", 5.0)],
                   "event_id long, event_type string, value double")),
               "event_id")
@@ -5251,7 +5253,7 @@ def q_merge_insert_values(spark, sf_dir):
       .select("o_orderkey",
               (F.col("o_totalprice") * 0.5).alias("np"),
               F.lit("U").alias("op"))
-      .unionByName(spark.createDataFrame(
+      .unionByName(local_df(spark, 
           [(-1, 111.0, "I"), (-2, 222.0, "I"), (-3, 333.0, "D")],
           "o_orderkey long, np double, op string"))
       .createOrReplaceTempView("miv_cdc"))

@@ -4403,8 +4403,12 @@ class TxnLogFormat(TableFormat):
             rb_rows = [(rf, base) for e in live
                        for rf, base in (e.get("row_base") or {}).items()]
             if rb_rows:
-                rb_df = spark.createDataFrame(
-                    rb_rows, "_dv_file string, _rb long")
+                # Arrow-built (round 16, perf): the list form's pickled
+                # RDD re-ran Python workers inside every row-id read's
+                # broadcast build (see localrel.local_df)
+                from .localrel import local_df
+                rb_df = local_df(spark, rb_rows,
+                                 "_dv_file string, _rb long")
                 out = out.join(F.broadcast(rb_df), "_dv_file", "left")
             else:
                 out = out.withColumn("_rb", F.lit(None).cast("long"))
