@@ -4941,8 +4941,20 @@ class TxnLogFormat(TableFormat):
                                    path: str) -> None:
         """Vector ops reserve _dv_file/_dv_pos for the physical row
         identity; creating a vector over a table whose DATA carries either
-        name would make every subsequent read ambiguous."""
-        bad = {"_dv_file", "_dv_pos"} & set(self.read(spark, path).columns)
+        name would make every subsequent read ambiguous.
+
+        Column names come from the commit-recorded schema (every write
+        and alter records it, so it IS the current logical schema) —
+        building a full read plan here cost every DML entry point a
+        driver-side plan construction just to list columns; the read
+        fallback only remains for pre-schema-recording legacy logs."""
+        commits = self._commits(path)
+        sj = self._resolve_schema(commits) if commits else None
+        if sj is not None:
+            cols = {f["name"] for f in json.loads(sj)["fields"]}
+        else:
+            cols = set(self.read(spark, path).columns)
+        bad = {"_dv_file", "_dv_pos"} & cols
         if bad:
             raise ValueError(
                 f"table columns {sorted(bad)} are reserved for deletion "
