@@ -1522,16 +1522,17 @@ LIMIT 20
 
 @_q("q_clamped_running_balance")
 def q_clamped_running_balance(spark, sf_dir):
-    """Floor-at-zero running inventory balance — the classic warehouse
-    scan SQL windows canNOT express (the clamp makes each day's balance
-    depend on the clamped previous one: ``bal = max(0, bal + net)``, a
-    max-scan with no closed form).  Implemented as the prompt's
-    category-(b) custom operator: ``applyInPandas`` per supplier — per-key
-    sequential state is inherent to the semantics, and keyed grouping is
-    exactly how it distributes at 100 TB (state never crosses keys).  The
-    oracle replays the same scan with a recursive CTE stepping rn -> rn+1
+    """Floor-at-zero running inventory balance: the clamp recursion
+    ``bal = max(0, bal + net)`` LOOKS window-inexpressible (each day
+    depends on the clamped previous one) but has the Lindley closed
+    form ``prefix - min(0, running_min(prefix))``, so it runs as two
+    codegen window scans per supplier — no sequential state, no Python
+    boundary (round 16; the per-group ``applyInPandas`` form this
+    replaces shipped ~10k one-row pandas groups per run).  The oracle
+    replays the raw recursion with a recursive CTE stepping rn -> rn+1
     per supplier — two genuinely different execution strategies, one
-    integer-exact answer.
+    integer-exact answer, which also pins the closed form's
+    equivalence cross-engine.
 
     Flows: per (supplier, ship day) net quantity over the last 60 days of
     the corpus ('R' returns negative), integer-exact (whole-number
@@ -1550,19 +1551,26 @@ def q_clamped_running_balance(spark, sf_dir):
                  .otherwise(F.col("l_quantity"))), 0)
                  .cast("long").alias("net")))
 
-    def clamp(pdf):
-        pdf = pdf.sort_values("day").reset_index(drop=True)
-        bal, out = 0, []
-        for n in pdf["net"]:
-            bal = max(0, bal + int(n))
-            out.append(bal)
-        pdf["balance"] = out
-        return pdf
-
-    return (flows.groupBy("l_suppkey")
-            .applyInPandas(clamp,
-                           "l_suppkey long, day date, net long, "
-                           "balance long")
+    # Round 16 (optimization): the clamp recursion is Lindley's
+    # equation, whose closed form is two window scans —
+    #     bal_i = max(0, bal_{i-1} + net_i)
+    #           = prefix_i - min(0, min_{j<=i} prefix_j)
+    # (the reflection identity of the M/G/1 waiting-time walk) — so the
+    # per-supplier sequential pass needs NO Python at all: one running
+    # sum and one running min over the same window spec, whole-stage
+    # codegen end to end, integer-exact like the loop it replaces.  The
+    # previous applyInPandas form shipped ~10k one-row pandas groups
+    # through Python workers per run (measured ~5.3s vs ~0.6s at
+    # sf0.1); the grouped-pandas operator surface itself stays
+    # demonstrated by q_grouped_pandas_agg.
+    w = (Window.partitionBy("l_suppkey").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = flows.withColumn("_pfx", F.sum("net").over(w))
+    return (pre.select(
+                "l_suppkey", "day", "net",
+                (F.col("_pfx")
+                 - F.least(F.lit(0).cast("long"),
+                           F.min("_pfx").over(w))).alias("balance"))
             .orderBy("l_suppkey", "day"))
 
 
