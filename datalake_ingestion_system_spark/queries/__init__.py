@@ -45,6 +45,22 @@ _FORCE_FRONT: tuple[str, ...] = (
     # (partition/CDF/stream consumers).  All entries below re-verified
     # green at sf0.01 this session (the three new ones at ALL THREE
     # SFs); remaining prefix slots fill with rotated-green entries.
+    # Round 16 OPTIMIZATION round additions: the mechanical
+    # --changed-since answer for this round's edits (all 3-SF green
+    # this session) — q_clamped_running_balance (Lindley closed-form
+    # rewrite), q_join_interval_config / q_transform_rewrite_read
+    # (local_df Arrow-built constants) — plus the transitive closure of
+    # the operator edits: localrel.local_df consumers (row-id file-base
+    # table: every with_row_ids read; DSIR vocab / mixture bounds /
+    # pack-bins offsets / PQ codebook), the merge _key_prune_where
+    # kwarg + matview exact-IN recompute, and the DML
+    # reserved-column check now reading the commit-recorded schema
+    # (delete/update entry points).
+    "q_clamped_running_balance", "q_join_interval_config",
+    "q_transform_rewrite_read", "q_dsir_selection",
+    "q_quality_classifier", "q_mixture_sample", "q_pack_bins_global",
+    "q_training_shards_e2e", "q_pq_adc_topk", "q_delete_vector_read",
+    "q_dv_compact_read",
     "q_dml_subquery", "q_matview_incremental", "q_merge_insert_values",
     "q_convert_parquet",
     "q_merge_upsert", "q_merge_targeted_read", "q_merge_set_columns",
