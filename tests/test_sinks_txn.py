@@ -970,8 +970,11 @@ def test_delete_where_detects_concurrent_commit(spark, tmp_path):
 
     fmt.read = racing_overwrite
     try:
+        # "v > 2" matches id=3 in the op's own snapshot (v < 0 matches
+        # nothing after scenario 1, which would be a clean serializable
+        # no-op rather than a conflict)
         with pytest.raises(ConcurrentWriteError, match="advanced"):
-            fmt.delete_where(spark, path, "v < 0")
+            fmt.delete_where(spark, path, "v > 2")
     finally:
         fmt.read = orig_read
     # nothing lost: the overwrite's state is intact, no delete applied
@@ -997,12 +1000,17 @@ def test_retry_on_conflict_recomputes_against_new_head(spark, tmp_path):
     raced = {"done": False}
 
     def racing_read(spark_, p, **kw):
-        df = orig_read(spark_, p, **kw)
+        # fire BEFORE the predicate read: delete_where resolved its
+        # head from _commits already, and the racer's v<0 row lands in
+        # the candidate scan, so the rewrite footprint overlaps the
+        # interleaved append -> genuine conflict -> retry (round 16:
+        # the reserved-column check no longer provides an extra read
+        # between head resolution and the candidate scan)
         if not raced["done"]:
             raced["done"] = True
             racer.append(spark.createDataFrame(
                 [(3, -3.0)], "id long, v double"), path)
-        return df
+        return orig_read(spark_, p, **kw)
 
     fmt.read = racing_read
     try:
@@ -2433,10 +2441,12 @@ def test_dv_delete_tolerates_interleaved_append(spark, tmp_path):
         spark.createDataFrame([(1, -1.0), (2, 2.0)], "id long, v double"),
         path)
     racer = TxnLogFormat()
-    # on_call=2: fire AFTER the predicate read (call 1 is the reserved-
-    # column check), so the op's snapshot provably excludes the racer
+    # on_call=1: fire AFTER the predicate read (the reserved-column
+    # check resolves from the commit-recorded schema since round 16, so
+    # the predicate read is the op's first and only pre-commit read),
+    # so the op's snapshot provably excludes the racer
     orig = _interpose_append(fmt, racer, spark, path,
-                             [(3, -3.0)], "id long, v double", on_call=2)
+                             [(3, -3.0)], "id long, v double", on_call=1)
     try:
         n = fmt.delete_where_dv(spark, path, "v < 0")
     finally:
@@ -2459,7 +2469,7 @@ def test_dv_update_tolerates_interleaved_append(spark, tmp_path):
         path)
     racer = TxnLogFormat()
     orig = _interpose_append(fmt, racer, spark, path,
-                             [(3, 30.0)], "id long, v double", on_call=2)
+                             [(3, 30.0)], "id long, v double", on_call=1)
     try:
         n = fmt.update_where_dv(spark, path, "id = 1", {"v": "v + 0.5"})
     finally:
@@ -2569,7 +2579,9 @@ def test_dv_delete_conflicts_on_interleaved_overwrite(spark, tmp_path):
     def racing_read(spark_, p, **kw):
         df_ = orig_read(spark_, p, **kw)
         calls["n"] += 1
-        if calls["n"] == 2:
+        # call 1 is the predicate read (the reserved-column check reads
+        # the commit-recorded schema since round 16, no scan)
+        if calls["n"] == 1:
             racer.overwrite_table(spark.createDataFrame(
                 [(7, -7.0)], "id long, v double"), path)
         return df_
@@ -2597,7 +2609,7 @@ def test_serializable_isolation_keeps_strict_conflicts(spark, tmp_path):
         path)
     racer = TxnLogFormat()
     orig = _interpose_append(fmt, racer, spark, path,
-                             [(3, -3.0)], "id long, v double", on_call=2)
+                             [(3, -3.0)], "id long, v double", on_call=1)
     try:
         with pytest.raises(ConcurrentWriteError, match="advanced"):
             fmt.delete_where_dv(spark, path, "v < 0")
