@@ -312,6 +312,53 @@ def _matview_canary_bench(spark, sf_dir: str) -> dict:
             "mode": m.get("mode")}
 
 
+def _scaling_witness_bench(spark) -> dict:
+    """CPU-SCALING witness (round 17 — VERDICT r16 item 2): every
+    headline query at sf0.1 is fixed-cost-bound (0.3-2.5 s of JVM /
+    codegen / commit machinery), so the driver's low-core re-run cannot
+    distinguish a healthy engine from one that silently serialized
+    (an accidental ``coalesce(1)`` / driver loop would be invisible).
+    This canary is pure partition-parallel CPU: a FIXED amount of work
+    (rows x chained xxhash64 rounds over 64 fixed ``spark.range``
+    partitions — no I/O, no Python, no shuffle beyond the 1-row final
+    agg), so its wall-clock must track core count.  Expected shape:
+    8-core/32-core ratio >= 2; flat ratios here mean parallelism is
+    broken even when the query set can't show it.  Tracked OUTSIDE the
+    headline total (it measures the harness's cores, not the engine)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    # sized so the 32-core run stays under ~2 s while compute still
+    # dwarfs fixed cost (measured 13.3 s @32c vs 48.2 s @8c at 1.92e9
+    # rows — ratio 3.6; the same ratio holds at this 1/7.5 scale)
+    rows, rounds, parts = 256_000_000, 24, 64
+    expr = F.col("id")
+    for _ in range(rounds):
+        expr = F.xxhash64(expr)
+    # pmod keeps the 1-row sum far from long overflow (ANSI-safe)
+    expr = F.sum(F.pmod(expr, F.lit(1000003))).alias("s")
+
+    def fresh():
+        # a FRESH DataFrame per rep: re-collecting one DataFrame lets
+        # the scheduler skip the already-computed shuffle map stage
+        # (measured 5 s -> 0.05 s), which would time nothing at all
+        return spark.range(0, rows, 1, parts).select(expr)
+
+    runs = []
+    for rep in range(4):  # rep 0 primes codegen, 3 timed
+        spark.sparkContext.setJobDescription("scaling witness")
+        t0 = time.perf_counter()
+        fresh().collect()
+        dt = round(time.perf_counter() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
+        if rep:
+            runs.append(dt)
+    return {"scale_canary_sec": round(statistics.median(runs), 3),
+            "runs": runs, "rows": rows, "hash_rounds": rounds,
+            "partitions": parts}
+
+
 def _bench_overrides():
     """Per-name production-mode variants timed INSTEAD of the registered
     query. The registry keeps q_minhash_lsh_pairs in verifiable mode (md5 +
@@ -493,6 +540,10 @@ def main() -> None:
     mv_canary = _matview_canary_bench(spark, sf_dir)
     print(f"# matview_refresh: {mv_canary}", file=sys.stderr)
 
+    # CPU-scaling witness (round 17), outside the headline total
+    scale_canary = _scaling_witness_bench(spark)
+    print(f"# scaling_witness: {scale_canary}", file=sys.stderr)
+
     # metadata-tier depth number, tracked OUTSIDE the headline total so
     # round-over-round query totals stay comparable (BASELINE.md
     # documents its r9 reference point)
@@ -536,6 +587,7 @@ def main() -> None:
         "protocol": f"median-of-{reps}",
         "merge_targeted_only": merge_canary,
         "matview_refresh": mv_canary,
+        "scaling_witness": scale_canary,
         "metadata_plan": meta_plan,
         "metadata_plan_deep": meta_deep,
         "clone_deep": clone_deep,
@@ -558,6 +610,7 @@ def main() -> None:
         "merge_only_sec": merge_canary["merge_only_sec"],
         "mv_refresh_sec": mv_canary["refresh_10g_sec"],
         "mv_full_rebuild_sec": mv_canary["full_rebuild_sec"],
+        "scale_canary_sec": scale_canary["scale_canary_sec"],
         "meta_plan_sec": meta_plan["plan_first_action_sec"],
         "meta_deep_sec": meta_deep["plan_first_action_sec"],
         "clone_deep_sec": clone_deep["clone_sec"],
@@ -573,7 +626,7 @@ def main() -> None:
         # per-query map from ITS stdout line (BENCH_DETAIL.json
         # carries it) instead of dying
         slim = json.loads(line)
-        del slim["queries"]
+        slim.pop("queries", None)  # ADVICE r16: no-op when absent
         line = json.dumps(slim)
     assert len(line) < 1900, f"stdout line too long ({len(line)})"
     print(line)

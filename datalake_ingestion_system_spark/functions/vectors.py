@@ -35,3 +35,13 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; null-safe on zero-norm vectors (returns NULL)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0, dot(a, b) / denom)
+
+# Round-17 rejected experiment (recorded so it is not re-chased): a
+# fixed-dim UNROLLED dot/l2_norm — 64 element_at terms in the same
+# left-associated order, meant to trade the interpreted higher-order
+# fold for whole-stage codegen — was bit-identical (0 mismatches on a
+# 54k-pair sample) but measured 2-3x SLOWER than the aggregate/zip_with
+# form on 0.25-2M-pair joins (e.g. 2.75 s vs 6.07 s on ~0.8M pairs;
+# 11.3 s vs 20.9 s on 2M).  The 128-term expression tree exceeds what
+# codegen handles gracefully; ArrayAggregate's interpreted loop is the
+# faster engine here.  OPTIMIZATION_r17.md carries the numbers.

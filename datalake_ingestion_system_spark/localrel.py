@@ -18,7 +18,14 @@ quotas); data-scale frames should come from storage, not the driver.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
+#: one warning per process (ADVICE r16): the blanket fallback must not
+#: silently regress every converted site to the pickled-row path
+_warned_fallback = False
 from pyspark.sql.types import (BooleanType, ByteType, DateType, DoubleType,
                                FloatType, IntegerType, LongType, ShortType,
                                StringType, StructType)
@@ -43,7 +50,8 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         if not (isinstance(st, StructType)
                 and all(isinstance(f.dataType, _SAFE_TYPES)
                         for f in st.fields)):
-            raise ValueError("no exact Arrow mapping")
+            # deliberate downgrade (unsafe column type) — not a failure
+            return spark.createDataFrame(rows, schema)
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_type
         rows = list(rows)
@@ -52,5 +60,12 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
              for i, f in enumerate(st.fields)],
             names=[f.name for f in st.fields])
         return spark.createDataFrame(table, st)
-    except Exception:
+    except Exception as e:
+        global _warned_fallback
+        if not _warned_fallback:
+            _warned_fallback = True
+            _log.warning(
+                "local_df Arrow path unavailable (%s: %s) — falling "
+                "back to the pickled-row form; further fallbacks are "
+                "silent", type(e).__name__, e)
         return spark.createDataFrame(rows, schema)

@@ -296,7 +296,13 @@ def refresh(spark: SparkSession, mv_path: str,
                 "mode": "noop"}
     pruned = len(probe) <= prune_key_limit
     nmbs, dview = None, None
-    import uuid
+    import hashlib
+
+    # deterministic per-MV view name (round 17 — plan-text stability):
+    # a per-call uuid made every semi-join refresh plan textually
+    # unique; refreshes of the same MV can reuse compiled plan shapes.
+    # Concurrent refreshes of the SAME MV are already a write conflict.
+    dname = f"__mv_rm_{hashlib.md5(mv_path.encode()).hexdigest()[:12]}"
     mpw = None
     if pruned:
         if any(r[k] is None for r in probe for k in keys):
@@ -352,7 +358,7 @@ def refresh(spark: SparkSession, mv_path: str,
             # merge's target-side scan stats-prune
             nmbs = _in_literal(keys, rm_rows)
             if nmbs is None:  # un-embeddable value: subquery fallback
-                dview = f"__mv_rm_{uuid.uuid4().hex[:12]}"
+                dview = dname
                 spark.createDataFrame(
                     [tuple(r[k] for k in keys) for r in rm_rows],
                     snap.select(*keys).schema
@@ -367,7 +373,7 @@ def refresh(spark: SparkSession, mv_path: str,
         n_dirty = grouped.count()
         snap = fmt.read(spark, src, as_of_version=head)
         dirty = grouped.select(*keys)
-        dview = f"__mv_rm_{uuid.uuid4().hex[:12]}"
+        dview = dname
         grouped.filter("_rm = 1").select(*keys) \
                .createOrReplaceTempView(dview)
         mode = "semi-join"

@@ -30,52 +30,34 @@ _MODULE_ORDER = (llmops, streaming_q, functional, relational, tpch)
 # Queries whose implementation or oracle changed AFTER their last green
 # driver row belong back in the sampled prefix until re-verified.
 _FORCE_FRONT: tuple[str, ...] = (
-    # Round 16: all 50 round-15 window entries hold green rows in
-    # CORRECTNESS_r15 (50/50) and are RELEASED.  Fronted now: the
-    # THREE new queries (q_dml_subquery, q_matview_incremental,
-    # q_merge_insert_values — the mechanical --changed-since answer,
-    # 3-SF green) plus the transitive closure of this round's operator
-    # edits — (a) merge internals (insert_assignments touched the
-    # routing-join projection, pure-insert branch, and CDF insert
-    # slice: every q_merge_*), (b) the router (TT FOR-spellings,
-    # plain-ref AnalysisException fallback, CREATE/REFRESH/DROP MV
-    # arms, generic TBLPROPERTIES: the q_*_sql set + catalog JVM-read
-    # queries), (c) publish gate checkpoint exclusion (q_wap_*,
-    # q_refs_sql, q_clone_read), (d) the batch-scan anti-filter raise
-    # (partition/CDF/stream consumers).  All entries below re-verified
-    # green at sf0.01 this session (the three new ones at ALL THREE
-    # SFs); remaining prefix slots fill with rotated-green entries.
-    # Round 16 OPTIMIZATION round additions: the mechanical
-    # --changed-since answer for this round's edits (all 3-SF green
-    # this session) — q_clamped_running_balance (Lindley closed-form
-    # rewrite), q_join_interval_config / q_transform_rewrite_read
-    # (local_df Arrow-built constants) — plus the transitive closure of
-    # the operator edits: localrel.local_df consumers (row-id file-base
-    # table: every with_row_ids read; DSIR vocab / mixture bounds /
-    # pack-bins offsets / PQ codebook), the merge _key_prune_where
-    # kwarg + matview exact-IN recompute, and the DML
-    # reserved-column check now reading the commit-recorded schema
-    # (delete/update entry points).
-    "q_clamped_running_balance", "q_join_interval_config",
-    "q_transform_rewrite_read", "q_dsir_selection",
-    "q_quality_classifier", "q_mixture_sample", "q_pack_bins_global",
-    "q_training_shards_e2e", "q_pq_adc_topk", "q_delete_vector_read",
-    "q_dv_compact_read",
-    "q_dml_subquery", "q_matview_incremental", "q_merge_insert_values",
-    "q_convert_parquet",
+    # Round 17 (OPTIMIZATION round 2): all 50 round-16 window entries
+    # hold green rows in CORRECTNESS_r16 (50/50) and are RELEASED.
+    # Fronted now: the transitive closure of this round's operator
+    # edits — (a) SINGLE-PASS copy-on-write (merge / delete_where /
+    # update_where fuse the probe and rewrite scans over a cached
+    # candidate read when the candidate set is small; NMBS widening
+    # falls back): every q_merge_*, every DML/CDF/mirror consumer,
+    # (b) deterministic merge marker tags + matview temp-view names
+    # (plan/codegen-cache stability), (c) µs time-travel derivation
+    # through datetime.fromtimestamp on both sides (ADVICE r16),
+    # (d) q_pagerank_bipartite body (pre-partitioned+pre-sorted static
+    # sides, scalar node count).  All entries re-verified green at ALL
+    # THREE SFs this session; remaining prefix slots fill with
+    # rotated-green entries.
+    "q_pagerank_bipartite",
     "q_merge_upsert", "q_merge_targeted_read", "q_merge_set_columns",
     "q_merge_identity_insert", "q_merge_full_sync",
-    "q_merge_schema_evolution",
-    "q_sql_dml_roundtrip", "q_time_travel_sql", "q_alter_ctas_sql",
-    "q_create_table_sql", "q_table_changes_sql", "q_refs_sql",
-    "q_wap_publish_read", "q_wap_schema_publish",
-    "q_catalog_partition_read", "q_catalog_dv_read",
-    "q_catalog_table_read", "q_catalog_join_broadcast",
-    "q_clone_read", "q_auto_compact_read", "q_compact_where_read",
-    "q_txnlog_stream_source", "q_txnlog_stream_sink",
-    "q_txnlog_stream_pushdown", "q_stream_drain",
-    "q_cdf_partition_overwrite", "q_cdf_row_ids",
-    "q_cdf_rowid_mirror", "q_change_data_feed")
+    "q_merge_schema_evolution", "q_merge_insert_values",
+    "q_dml_subquery", "q_matview_incremental", "q_convert_parquet",
+    "q_convert_read", "q_sql_dml_roundtrip", "q_time_travel_sql",
+    "q_alter_ctas_sql", "q_create_table_sql", "q_table_changes_sql",
+    "q_catalog_dv_read", "q_delete_vector_read", "q_dv_compact_read",
+    "q_targeted_cow_read", "q_transform_rewrite_read",
+    "q_row_tracking_read", "q_small_file_compact_read",
+    "q_file_manifest", "q_history_manifest_join",
+    "q_protocol_gated_read", "q_clone_read", "q_wap_publish_read",
+    "q_cdf_sidecar_changes", "q_cdf_row_ids", "q_cdf_rowid_mirror",
+    "q_cdf_replica_mirror", "q_change_data_feed")
 
 
 def _evidence():

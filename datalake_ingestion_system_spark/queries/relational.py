@@ -1257,15 +1257,24 @@ def q_pagerank_bipartite(spark, sf_dir):
     anywhere.  Undirected edges mean no dangling-mass correction is needed
     (every node has out-degree >= 1).
 
-    Scale shape: per iteration = one hash join (edges |x| ranks on src; at
-    1000 executors you'd pre-partition both by src and reuse the exchange)
-    + one partial-agg shuffle on dst.  The static ``edges``/``deg`` frames
-    are materialized once (``localCheckpoint``) so the 5-iteration plan
-    stays LINEAR — without it each iteration re-derives the orders|x|
-    lineitem distinct from parquet and the plan balloons to 136 scans
-    (measured; 13s -> ~3s at sf0.01).  On a cluster the same call (or
-    ``checkpoint()`` to reliable storage) also truncates lineage for
-    fault-tolerant long chains.  Top-20 is TakeOrderedAndProject."""
+    Scale shape: per iteration = one hash join (edges |x| ranks on src)
+    + one partial-agg shuffle on dst.  The static ``edges``/``deg``
+    frames are materialized once (``localCheckpoint``) so the
+    5-iteration plan stays LINEAR — without it each iteration re-derives
+    the orders|x| lineitem distinct from parquet and the plan balloons
+    to 136 scans (measured; 13s -> ~3s at sf0.01).  Round 17 (guide
+    §2.4 partitioning reuse): the static sides are checkpointed
+    PRE-PARTITIONED AND PRE-SORTED on their join keys —
+    ``localCheckpoint`` preserves outputPartitioning/outputOrdering, so
+    each iteration's sort-merge join exchanges and sorts ONLY the
+    O(nodes) rank side; the O(edges) side is never re-shuffled or
+    re-sorted (at 100 TB the edge table is the one you cannot afford to
+    move five times).  Partition count stays env-derived (the session's
+    shuffle partitions), never a local constant.  On a cluster the same
+    call (or ``checkpoint()`` to reliable storage) also truncates
+    lineage for fault-tolerant long chains.  Top-20 is
+    TakeOrderedAndProject."""
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = (o.join(li, o.o_orderkey == li.l_orderkey)
@@ -1274,18 +1283,38 @@ def q_pagerank_bipartite(spark, sf_dir):
                      F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
                      .alias("p_node"))
              .distinct())
-    edges = (pairs.select(F.col("c_node").alias("src"),
-                          F.col("p_node").alias("dst"))
-             .unionAll(pairs.select(F.col("p_node").alias("src"),
-                                    F.col("c_node").alias("dst")))
-             .localCheckpoint(eager=True))
-    deg = (edges.groupBy(F.col("src").alias("node"))
-           .agg(F.count("*").alias("out_deg"))
-           .localCheckpoint(eager=True))
-    nn = deg.agg(F.count("*").alias("n"))  # 1-row, broadcast below
-    ranks = (deg.crossJoin(F.broadcast(nn))
-             .select("node", "out_deg", "n",
-                     F.expr("1000000000000 DIV n").alias("rank_fp")))
+    # AQE is toggled off around the two checkpoint actions ONLY: under
+    # AQE the checkpointed LogicalRDD reports Unknown partitioning
+    # (measured — every iteration then re-exchanges AND re-sorts the
+    # edge side), while the non-AQE plan's hash partitioning and sort
+    # order are captured and reused.  (persist() would also preserve
+    # them but its cache is plan-keyed — a repeated invocation would
+    # silently reuse the previous run's cache instead of recomputing.)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = (pairs.select(F.col("c_node").alias("src"),
+                              F.col("p_node").alias("dst"))
+                 .unionAll(pairs.select(F.col("p_node").alias("src"),
+                                        F.col("c_node").alias("dst")))
+                 .repartition(p, "src").sortWithinPartitions("src")
+                 .localCheckpoint(eager=True))
+        deg = (edges.groupBy(F.col("src").alias("node"))
+               .agg(F.count("*").alias("out_deg"))
+               .repartition(p, "node").sortWithinPartitions("node")
+               .localCheckpoint(eager=True))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    # node count as a DRIVER SCALAR (round 17): the old 1-row ``nn``
+    # aggregate was re-embedded (agg + exchange + broadcast + cross
+    # join) in all six plan levels for what is one metadata-scale
+    # number.  Python ``//`` equals Spark's bigint DIV (and DuckDB's
+    # ``//``) for these strictly positive operands, so the constants
+    # are bit-identical to the old in-plan form.
+    n = deg.count()
+    ranks = deg.select("node", "out_deg",
+                       F.lit(1000000000000 // n).cast("long")
+                       .alias("rank_fp"))
     for _ in range(5):
         contrib = (ranks
                    .select(F.col("node").alias("src"),
@@ -1293,10 +1322,9 @@ def q_pagerank_bipartite(spark, sf_dir):
                    .join(edges, "src")
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum("contrib").alias("s")))
-        ranks = (deg.crossJoin(F.broadcast(nn))
-                 .join(contrib, "node", "left")
-                 .select("node", "out_deg", "n",
-                         (F.expr("150000000000 DIV n")
+        ranks = (deg.join(contrib, "node", "left")
+                 .select("node", "out_deg",
+                         (F.lit(150000000000 // n).cast("long")
                           + F.expr("(85 * coalesce(s, 0)) DIV 100"))
                          .alias("rank_fp")))
     return (ranks.select("node", "out_deg", "rank_fp")
@@ -2404,7 +2432,7 @@ def q_sql_dml_roundtrip(spark, sf_dir):
              (F.col("value") * 2).alias("value"),
              F.when(F.pmod("event_id", F.lit(20)) == 0, F.lit("D"))
               .otherwise(F.lit("U")).alias("op"))
-     .unionByName(local_df(spark, 
+     .unionByName(local_df(spark,
          [(-100, "sql_merge_insert", 5.0, "U")],
          "event_id long, event_type string, value double, op string"))
      .createOrReplaceTempView("sqldml_cdc"))
@@ -4797,7 +4825,7 @@ def q_transform_rewrite_read(spark, sf_dir):
                           F.when(F.col("event_type") == "click",
                                  F.col("value") + 2000)
                           .otherwise(F.col("value")))
-              .unionByName(local_df(spark, 
+              .unionByName(local_df(spark,
                   [(-100, "trw_insert", 5.0)],
                   "event_id long, event_type string, value double")),
               "event_id")
@@ -5261,7 +5289,7 @@ def q_merge_insert_values(spark, sf_dir):
       .select("o_orderkey",
               (F.col("o_totalprice") * 0.5).alias("np"),
               F.lit("U").alias("op"))
-      .unionByName(local_df(spark, 
+      .unionByName(local_df(spark,
           [(-1, 111.0, "I"), (-2, 222.0, "I"), (-3, 333.0, "D")],
           "o_orderkey long, np double, op string"))
       .createOrReplaceTempView("miv_cdc"))

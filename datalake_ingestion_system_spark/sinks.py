@@ -3920,8 +3920,21 @@ class TxnLogFormat(TableFormat):
         ``history()`` rows, ISO strings in ``FOR SYSTEM_TIME AS OF`` —
         truncates to µs, so a cutoff copied from one must select that
         commit (raw-float compare made the copied cutoff land a few ns
-        BEFORE its own commit and miss it)."""
-        cut_us = math.floor(cutoff * 1e6)
+        BEFORE its own commit and miss it).  Both sides derive their µs
+        through ``datetime.fromtimestamp`` — the SAME transform every
+        rendered form uses (round-half-even; ADVICE r16: a float
+        ``floor(ts * 1e6)`` could disagree with the rendered µs by one
+        at boundary values, re-opening the miss)."""
+        import datetime as _dt
+
+        _ep = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        _us = _dt.timedelta(microseconds=1)
+
+        def us_of(ts: float) -> int:
+            return (_dt.datetime.fromtimestamp(ts, _dt.timezone.utc)
+                    - _ep) // _us
+
+        cut_us = us_of(cutoff)
 
         def resolve(cs: list[dict]) -> int | None:
             eligible, run_max = [], None
@@ -3929,8 +3942,7 @@ class TxnLogFormat(TableFormat):
                 ts = c.get("ts")
                 if ts is not None:
                     run_max = ts if run_max is None else max(run_max, ts)
-                if (run_max is not None
-                        and math.floor(run_max * 1e6) <= cut_us):
+                if run_max is not None and us_of(run_max) <= cut_us:
                     eligible.append(c["version"])
             return max(eligible) if eligible else None
 
@@ -3959,7 +3971,9 @@ class TxnLogFormat(TableFormat):
              with_row_ids: bool = False,
              ref: str | None = None,
              _with_pos: bool = False,
-             _only_files: set | None = None) -> DataFrame:
+             _only_files: set | None = None,
+             _prune_only: bool = False,
+             _plan_info: dict | None = None) -> DataFrame:
         """Current state, or — with ``as_of_version`` — TIME TRAVEL: the
         state after commit ``as_of_version`` landed, by replaying exactly
         that log prefix (versions are the log's serialization order, so
@@ -3991,7 +4005,16 @@ class TxnLogFormat(TableFormat):
         ``ref`` (round 14 — Iceberg ref parity): read a named BRANCH
         (the write-audit-publish staging table — dispatches to its own
         root, time-travel kwargs apply within the branch) or a TAG
-        (an immutable version pin — a named time-travel alias)."""
+        (an immutable version pin — a named time-travel alias).
+
+        ``_prune_only`` (round 17, single-pass copy-on-write): apply
+        ``where`` at the METADATA tiers only (dir/file pruning) and
+        skip the row filter — the caller gets every row of every
+        surviving file.  ``_plan_info`` (same round), when a dict,
+        is filled with the planned scan targets: ``paths`` (absolute
+        file paths) and ``exact`` (False when a legacy dir scan hides
+        the file list) — the driver-side size gate for fusing the
+        probe and rewrite scans."""
         if ref is not None:
             info = self._load_ref(path, ref)
             if info.get("type") == "branch":
@@ -4180,6 +4203,9 @@ class TxnLogFormat(TableFormat):
                 df = df.filter(keep)
             return df
 
+        if _plan_info is not None:
+            _plan_info["exact"] = True
+            _plan_info["paths"] = []
         parts_list = []
         #: SCAN BATCHING: a streaming table accumulates hundreds of
         #: uniform append commits; scanning each as its own DataFrame and
@@ -4287,6 +4313,12 @@ class TxnLogFormat(TableFormat):
                         if not kept:
                             continue  # every file here was rewritten
                         scan_target = kept
+            if _plan_info is not None:
+                if files is None and scan_target == [full]:
+                    # legacy dir scan: file list unknown driver-side
+                    _plan_info["exact"] = False
+                else:
+                    _plan_info["paths"].extend(scan_target)
             if (e["pcol"] is None and e.get("staged_pcol") is None
                     and e.get("schema")):
                 era = sum(1 for a in alters
@@ -4362,9 +4394,10 @@ class TxnLogFormat(TableFormat):
             if with_row_ids and self._ROW_ID_COL in out.columns:
                 keep_cols.append(self._ROW_ID_COL)
             out = out.select(*keep_cols)
-        if where is not None:
+        if where is not None and not _prune_only:
             # the predicate always applies in full — file skipping above
-            # only narrowed the access path
+            # only narrowed the access path (``_prune_only`` callers
+            # re-apply it themselves where they need it)
             out = out.filter(F.expr(where))
         if dvs:
             if out.columns.count("_dv_file") > 1:
@@ -4839,21 +4872,36 @@ class TxnLogFormat(TableFormat):
         head = commits[-1]["version"]
         self._check_dv_reserved_columns(spark, path)
         pred = F.expr(predicate)
-        # stats-pruned candidate scan: only files that can hold a match
-        matching = self.read(spark, path, where=predicate,
-                             _with_pos=True)
-        if "_dv_file" not in matching.columns:
+        track = bool(self._resolve_properties(commits).get(
+            "row_tracking"))
+        # stats-pruned candidate scan, SINGLE-PASS when small (round 17,
+        # guide §1.2/§6): the candidate files are read once without the
+        # row filter and cached, so the hot-file discovery, the survivor
+        # restage, and the change-feed pass share one scan; large or
+        # inexact candidate sets keep the two-pass shape (narrow probe +
+        # exact hot-file scan) — see ``_fuse_candidates``
+        plan_info: dict = {}
+        cand = self.read(spark, path, where=predicate, _with_pos=True,
+                         with_row_ids=track, _prune_only=True,
+                         _plan_info=plan_info)
+        if "_dv_file" not in cand.columns:
             return 0  # zero-live-row table: nothing to delete
-        hot, n_del = self._hot_files(matching.filter(pred))
+        fused = self._fuse_candidates(
+            plan_info, self._effective_config(commits)[2], track)
+        if fused:
+            cand = cand.persist()
+        hot, n_del = self._hot_files(cand.filter(pred))
         if n_del == 0:
+            if fused:
+                cand.unpersist()
             return 0
         # exact-scan the hot files; their SURVIVORS restage — carrying
         # their stable row ids as the materialized column when the
         # table tracks rows (physical movement must not change identity)
-        track = bool(self._resolve_properties(commits).get(
-            "row_tracking"))
-        cur_hot = self.read(spark, path, _with_pos=True,
-                            _only_files=set(hot), with_row_ids=track)
+        cur_hot = (cand.filter(F.col("_dv_file").isin(hot)) if fused
+                   else self.read(spark, path, _with_pos=True,
+                                  _only_files=set(hot),
+                                  with_row_ids=track))
         survivors = (cur_hot.filter(~pred | pred.isNull())
                      .drop("_dv_file", "_dv_pos"))
         if track:
@@ -4885,8 +4933,12 @@ class TxnLogFormat(TableFormat):
         dv_rel = self._surviving_dv_rel(spark, path, commits, hot)
         if dv_rel is not None:
             rec["dv_dir"] = dv_rel
-        self._commit(path, rec, expected_version=head + 1,
-                     base_schema=self._resolve_schema(commits))
+        try:
+            self._commit(path, rec, expected_version=head + 1,
+                         base_schema=self._resolve_schema(commits))
+        finally:
+            if fused:
+                cand.unpersist()
         return n_del
 
     @_conflict_retryable
@@ -5063,12 +5115,21 @@ class TxnLogFormat(TableFormat):
         head = commits[-1]["version"]
         self._check_dv_reserved_columns(spark, path)
         pred = F.expr(predicate)
-        matching = self.read(spark, path, where=predicate,
-                             _with_pos=True)
-        if "_dv_file" not in matching.columns:
+        track = bool(self._resolve_properties(commits).get(
+            "row_tracking"))
+        # same SINGLE-PASS candidate scan as delete_where (round 17):
+        # one cached read serves hot-file discovery, the rewrite, and
+        # the change-feed pre/post images when the candidate set is
+        # provably small; two-pass otherwise
+        plan_info: dict = {}
+        cand = self.read(spark, path, where=predicate, _with_pos=True,
+                         with_row_ids=track, _prune_only=True,
+                         _plan_info=plan_info)
+        if "_dv_file" not in cand.columns:
             return 0  # zero-live-row table: nothing to update
         unknown = [c for c in assignments
-                   if c not in matching.columns or c.startswith("_dv_")]
+                   if c not in cand.columns or c.startswith("_dv_")
+                   or c == "_row_id"]
         if unknown:
             raise ValueError(
                 f"UPDATE SET references columns not in the table: {unknown}")
@@ -5078,13 +5139,19 @@ class TxnLogFormat(TableFormat):
             raise ValueError(
                 f"columns {ident_set} are GENERATED ALWAYS AS IDENTITY "
                 "— UPDATE cannot assign them")
-        hot, n_upd = self._hot_files(matching.filter(pred))
+        fused = self._fuse_candidates(
+            plan_info, self._effective_config(commits)[2], track)
+        if fused:
+            cand = cand.persist()
+        hot, n_upd = self._hot_files(cand.filter(pred))
         if n_upd == 0:
+            if fused:
+                cand.unpersist()
             return 0
-        track = bool(self._resolve_properties(commits).get(
-            "row_tracking"))
-        cur_hot = self.read(spark, path, _with_pos=True,
-                            _only_files=set(hot), with_row_ids=track)
+        cur_hot = (cand.filter(F.col("_dv_file").isin(hot)) if fused
+                   else self.read(spark, path, _with_pos=True,
+                                  _only_files=set(hot),
+                                  with_row_ids=track))
         # SQL UPDATE semantics: a NULL predicate leaves the row unchanged
         hit = F.coalesce(pred, F.lit(False))
         tcols = [c for c in cur_hot.columns
@@ -5126,14 +5193,72 @@ class TxnLogFormat(TableFormat):
         dv_rel = self._surviving_dv_rel(spark, path, commits, hot)
         if dv_rel is not None:
             rec["dv_dir"] = dv_rel
-        self._commit(path, rec, expected_version=head + 1,
-                     base_schema=self._resolve_schema(commits))
+        try:
+            self._commit(path, rec, expected_version=head + 1,
+                         base_schema=self._resolve_schema(commits))
+        finally:
+            if fused:
+                cand.unpersist()
         return n_upd
 
     #: max distinct source merge-key tuples collected for exact IN-list
     #: file pruning; larger CDC batches degrade to per-key min/max
     #: ranges (one tiny agg job) — the candidate set only widens
     _MERGE_PRUNE_KEYS_CAP = 1024
+
+    #: SINGLE-PASS copy-on-write gate (round 17, guide §1.2/§6): merge /
+    #: delete_where / update_where fuse their stats-pruned probe scan and
+    #: the hot-file rewrite scan into ONE cached candidate scan — but
+    #: only when the candidate files are provably small (count capped,
+    #: recorded on-disk bytes under the cap), because the fused form
+    #: caches every candidate row wide: for a well-pruned CDC merge that
+    #: is O(matched files) and the cache removes a scan plus a second
+    #: read-plan construction (and every change-feed pass re-reads it
+    #: free); for an unprunable predicate over a 100 TB table it would
+    #: materialize the table, so those fall back to the classic two-pass
+    #: shape (narrow probe + exact hot-file scan).  The byte cap is
+    #: env-tunable for real clusters (``SPARK_GRAFT_COW_FUSE_MAX_BYTES``;
+    #: executors hold the cache, so scale it with aggregate memory).
+    _FUSE_MAX_FILES = 1024
+
+    @staticmethod
+    def _fuse_bytes_cap() -> int:
+        return int(os.environ.get("SPARK_GRAFT_COW_FUSE_MAX_BYTES",
+                                  str(256 << 20)))
+
+    @classmethod
+    def _fuse_candidates(cls, info: dict, cdf_on: bool,
+                         track: bool) -> bool:
+        """True when the planned candidate scan (``read(_plan_info=)``)
+        is small enough to cache for the single-pass rewrite AND the
+        cache replaces enough repeated work to pay for itself.  Both
+        conditions were set empirically (same-session env-flip A/Bs,
+        sf0.1): without the change data feed the rewrite reads the hot
+        rows ONCE, so fusing trades a narrow column-pruned probe scan
+        for a wide cache write (measured neutral-to-negative, ~0.1-0.3
+        s/call slower); with the feed ON but tracking OFF the pre/post
+        passes are cheap page-cached parquet re-scans and the cache
+        encode still loses (~0.1-0.3 s); with BOTH on, every re-scan
+        also re-pays the row-id broadcast join + coalesce, and the
+        cache wins (update 1.64→1.47 / 1.32→1.07; the mirror pipelines
+        are exactly this shape).  At real-I/O scale the cache saves
+        actual re-reads, but the gate follows what is measured, not
+        what is hoped."""
+        if not (cdf_on and track):
+            return False
+        paths = info.get("paths")
+        if not info.get("exact") or paths is None \
+                or len(paths) > cls._FUSE_MAX_FILES:
+            return False
+        cap, total = cls._fuse_bytes_cap(), 0
+        for p in paths:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                return False  # let the exact-scan path raise its error
+            if total > cap:
+                return False
+        return True
 
     @staticmethod
     def _prune_literal(v) -> str | None:
@@ -5477,10 +5602,31 @@ class TxnLogFormat(TableFormat):
         # the same — every source key must satisfy it.
         prune = (_key_prune_where if _key_prune_where is not None
                  else self._merge_key_prune_where(source, keys))
-        probe = self.read(spark, path, where=prune, _with_pos=True)
-        empty_target = "_dv_file" not in probe.columns
+        # SINGLE-PASS probe-and-restage (round 17, guide §1.2/§6): read
+        # the candidate files ONCE without the row filter (pruning is
+        # purely access-path — ``_prune_only``) and, when the candidate
+        # set is provably small (``_fuse_candidates``), cache it: the
+        # probe aggregation, the hot-file rewrite, and every change-feed
+        # pass share ONE scan instead of re-reading the hot files per
+        # consumer.  Large/inexact candidate sets keep the classic
+        # two-pass shape (narrow probe agg + exact hot-file scan).  The
+        # probe below re-applies ``prune`` as a plain filter — row-
+        # equivalent to the old ``read(where=prune)`` form, and every
+        # consumer joins on the merge keys, so the unfiltered rows of
+        # the cache are never counted.
+        plan_info: dict = {}
+        cand = self.read(spark, path, where=prune, _with_pos=True,
+                         with_row_ids=track, _prune_only=True,
+                         _plan_info=plan_info)
+        empty_target = "_dv_file" not in cand.columns
+        fused = not empty_target and self._fuse_candidates(
+            plan_info, self._effective_config(commits)[2], track)
+        if fused:
+            cand = cand.persist()
+        probe = (cand.filter(F.expr(prune)) if prune is not None
+                 else cand)
         tcols = [c for c in probe.columns
-                 if c not in ("_dv_file", "_dv_pos")]
+                 if c not in ("_dv_file", "_dv_pos", "_row_id")]
         assignments = matched_update_assignments
         if assignments is not None:
             if schema_evolution:
@@ -5594,10 +5740,19 @@ class TxnLogFormat(TableFormat):
                                F.lit(False))
                     if matched_update_condition is not None
                     else F.lit(True))
-        # per-call unique marker names: the docstring invites extra source
-        # columns, so fixed names like "_m_del" could collide or be
-        # silently clobbered
-        tag = uuid.uuid4().hex[:8]
+        # DETERMINISTIC marker names (round 17, guide §5 — plan/codegen
+        # caches): a per-call uuid tag made every merge plan textually
+        # unique, so repeated merges re-paid Janino compilation of an
+        # identical plan shape.  The tag only needs to dodge caller
+        # column names (the docstring invites extra source columns) —
+        # derive it from what it must avoid, bumping on collision, so
+        # same-shaped merges emit identical generated code.
+        _avoid = set(source.columns) | set(tcols)
+        _n = 0
+        while any(c.startswith("_mrg_") and c.endswith(f"_{_n}")
+                  for c in _avoid):
+            _n += 1
+        tag = str(_n)
         c_del, c_ins = f"_mrg_del_{tag}", f"_mrg_ins_{tag}"
         c_upd = f"_mrg_upd_{tag}"
         c_scnt, c_tcnt = f"_mrg_scnt_{tag}", f"_mrg_tcnt_{tag}"
@@ -5651,11 +5806,15 @@ class TxnLogFormat(TableFormat):
                                                   F.col(c_tf))))))
                         .alias("hot")).head())
         if row["max_s"] is not None and row["max_s"] > 1:
+            if fused:
+                cand.unpersist()
             raise ValueError(
                 "multiple source rows share a merge key — UPDATE SET * is "
                 "ambiguous (pre-aggregate the source to one row per key, "
                 "e.g. latest-wins by a CDC ordering column)")
         if row["max_t"] is not None and row["max_t"] > 1:
+            if fused:
+                cand.unpersist()
             raise ValueError(
                 "target holds multiple rows for a merge key the source "
                 "matches — the upsert would silently collapse them; "
@@ -5702,9 +5861,20 @@ class TxnLogFormat(TableFormat):
                 n_nmbs = int(sum(r["_n"] for r in per_file))
                 hot = sorted(set(hot)
                              | {r["_dv_file"] for r in per_file})
+                if fused and not set(hot) <= {
+                        _relfile(p) for p in plan_info["paths"]}:
+                    # NMBS widened the hot set BEYOND the key-pruned
+                    # candidate scan: the cached plan cannot supply
+                    # those files' rows (they would silently drop
+                    # instead of restaging) — fall back to the exact
+                    # hot-file read for this merge
+                    cand.unpersist()
+                    fused = False
         if not hot and n_ins == 0:
             # no touched files, nothing to insert: a no-op merge
             # publishes nothing (Delta likewise skips the commit)
+            if fused:
+                cand.unpersist()
             return {"updated": 0, "deleted": 0, "inserted": 0}
         cur_hot = None
         ins_alloc = ident_high = None
@@ -5718,8 +5888,10 @@ class TxnLogFormat(TableFormat):
             # join instead of kept-anti + upsert-semi + insert-anti +
             # row-id graft — and the row id rides the join (NULL on the
             # source-only side ⇒ fresh ids from this commit's range).
-            cur_hot = self.read(spark, path, _with_pos=True,
-                                _only_files=set(hot), with_row_ids=track)
+            cur_hot = (cand.filter(F.col("_dv_file").isin(hot)) if fused
+                       else self.read(spark, path, _with_pos=True,
+                                      _only_files=set(hot),
+                                      with_row_ids=track))
             base_cols = [c for c in cur_hot.columns
                          if c not in ("_dv_file", "_dv_pos", "_row_id")]
             data_cols = [c for c in tcols if c not in keys]
@@ -5973,10 +6145,17 @@ class TxnLogFormat(TableFormat):
             rec["dv_dir"] = dv_rel
         if ident_high:
             rec["identity_high"] = ident_high
-        self._commit(path, rec, expected_version=head + 1,
-                     base_schema=self._resolve_schema(commits),
-                     identity_cols=(frozenset(ident)
-                                    if ident_high else None))
+        try:
+            self._commit(path, rec, expected_version=head + 1,
+                         base_schema=self._resolve_schema(commits),
+                         identity_cols=(frozenset(ident)
+                                        if ident_high else None))
+        finally:
+            # the staged output is durable — the cache served its last
+            # consumer (a failed commit also releases it; the weak-ref
+            # ContextCleaner would reclaim a leak, this is just prompt)
+            if fused:
+                cand.unpersist()
         return {"updated": int(row["updated"] or 0),
                 "deleted": int(row["deleted"] or 0) + n_nmbs,
                 "inserted": n_ins}

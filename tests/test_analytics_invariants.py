@@ -9,6 +9,8 @@ contracts — checks no amount of two-engine agreement subsumes.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -19,6 +21,7 @@ def _q(name):
     return e.queries()[name]
 
 
+@pytest.mark.slow
 def test_fifo_matches_exactly_min_of_bought_and_sold(spark):
     """FIFO conservation: per part, total matched quantity equals
     min(total bought, total sold) — over-matching (the review-caught

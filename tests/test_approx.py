@@ -7,6 +7,8 @@ against the exact computation, not a hash match.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalake_ingestion_system_spark.queries.relational import QUERIES as RQ
@@ -41,6 +43,7 @@ def test_percentile_approx_within_tolerance(spark):
                 (row.o_orderpriority, c, row[c], exact)
 
 
+@pytest.mark.slow
 def test_watermark_append_emits_subset_of_batch_windows(spark):
     emitted = SQ["q_stream_watermark_late_data"](spark, SF).collect()
     assert emitted, "bounded stream should seal at least one window"

@@ -30,6 +30,7 @@ def _files(df):
     return {f.removeprefix("file://") for f in df.inputFiles()}
 
 
+@pytest.mark.slow
 def test_bloom_prunes_absent_equality_and_in(spark, tmp_path):
     fmt = TxnLogFormat(bloom_filter_columns=["name", "uid"])
     path = str(tmp_path / "t")
@@ -199,6 +200,7 @@ def test_bloom_all_null_file_proves_absence(spark, tmp_path):
     assert len(_files(got)) == 1  # the all-null file is pruned
 
 
+@pytest.mark.slow
 def test_bloom_composes_with_batch_source_pushdown(spark, tmp_path):
     """The DSv2 batch source's pushFilters prunes through the SAME
     _clause_excluded_files tier as read(where=...) — bloom filters must

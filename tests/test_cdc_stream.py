@@ -99,6 +99,7 @@ def test_replayed_epoch_is_idempotent(spark, tmp_path):
     assert _state(spark, table) == first == {1: ("update", 11.0)}
 
 
+@pytest.mark.slow
 def test_delete_then_reinsert(spark, tmp_path):
     src = str(tmp_path / "src")
     table = str(tmp_path / "table")
@@ -150,6 +151,7 @@ def _mirror_rows(spark, fmt, path):
     return sorted(tuple(r) for r in fmt.read(spark, path).collect())
 
 
+@pytest.mark.slow
 def test_cdf_mirror_tracks_source_exactly(spark, tmp_path):
     """The replica follows the upstream table through appends, DV
     deletes, and DV updates — after each availableNow drain the replica
@@ -195,6 +197,7 @@ def test_cdf_mirror_tracks_source_exactly(spark, tmp_path):
     assert fmt._commits(dst)[-1]["version"] == head
 
 
+@pytest.mark.slow
 def test_cdf_mirror_delete_then_reinsert_same_batch(spark, tmp_path):
     """Within one drained batch the LATEST change per key wins: delete
     at v2 then re-insert at v3 leaves the key present with the new
@@ -219,6 +222,7 @@ def test_cdf_mirror_delete_then_reinsert_same_batch(spark, tmp_path):
     assert _mirror_rows(spark, fmt, dst) == [(1, 9.0), (2, 2.0)]
 
 
+@pytest.mark.slow
 def test_cdf_mirror_by_row_id_key_mutating_update(spark, tmp_path):
     """ROW-ID mirror (round 12): a KEY-REWRITING upstream update must
     round-trip — the key-based mirror's blind spot (the preimage's key

@@ -34,6 +34,7 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
+@pytest.mark.slow
 def test_checkpoint_is_pure_metadata(spark, tmp_path):
     """A mixed history (appends, dynamic-partition overwrite, DV delete,
     alter, restore) must read byte-identical before a checkpoint, after
@@ -79,6 +80,7 @@ def test_checkpoint_is_pure_metadata(spark, tmp_path):
     fmt.checkpoint(path)
 
 
+@pytest.mark.slow
 def test_auto_checkpoint_every_interval(spark, tmp_path):
     fmt = TxnLogFormat(checkpoint_interval=3)
     path = str(tmp_path / "t")
@@ -135,6 +137,7 @@ def test_checkpointed_read_plans_from_o_tail_files(tmp_path):
     assert all(e["files"] for e in live)
 
 
+@pytest.mark.slow
 def test_vacuum_log_retention_and_horizon_error(spark, tmp_path):
     """``vacuum(log_retain_hours=0)`` prunes commit files strictly below
     the checkpoint (never at/after it); the current read and every
@@ -181,6 +184,7 @@ def test_vacuum_log_retention_and_horizon_error(spark, tmp_path):
     assert hist[-1]["action"] == "checkpoint"
 
 
+@pytest.mark.slow
 def test_log_pruning_folds_pre_checkpoint_restore_first(spark, tmp_path):
     """A tail ``restore`` targeting a pre-checkpoint version resolves
     through the raw prefix; pruning that prefix would brick every read.
@@ -226,6 +230,7 @@ def test_txn_watermarks_survive_checkpoint_and_pruning(spark, tmp_path):
         == [0, 1, 2, 3, 4]
 
 
+@pytest.mark.slow
 def test_stream_plans_backlog_from_checkpoint_without_walk(
         spark, tmp_path, monkeypatch):
     """A FRESH stream over a checkpointed, log-pruned, append-only table
@@ -280,6 +285,7 @@ def test_stream_raises_on_missing_committed_version(spark, tmp_path):
         reader.partitions({"version": -1}, {"version": 2})
 
 
+@pytest.mark.slow
 def test_uniform_appends_read_as_one_scan(spark, tmp_path):
     """Scan batching: N uniform append commits must read as ONE parquet
     relation (schema pinned from the commit record), not an N-way
@@ -307,6 +313,7 @@ def test_uniform_appends_read_as_one_scan(spark, tmp_path):
     assert plan2.count("Scan parquet") == 2
 
 
+@pytest.mark.slow
 def test_details_is_metadata_only(spark, tmp_path):
     """DESCRIBE DETAIL analogue: file counts/bytes come from the
     commit-recorded sizes (no storage walk), reflect retirements and
@@ -364,6 +371,7 @@ def _stream_reader(schema, path, **opts):
     return TxnLogStreamReader(schema, {"path": path, **opts})
 
 
+@pytest.mark.slow
 def test_stream_detects_restore_folded_into_checkpoint(spark, tmp_path):
     """ADVICE r8 medium: ``_resolve_live`` replays a RESTORE into pure
     append entries, so a checkpoint that folds one used to look
@@ -554,6 +562,7 @@ def test_reader_survives_concurrent_checkpoint_and_prune(tmp_path):
     assert len(fmt._resolve_live(commits)) == 40
 
 
+@pytest.mark.slow
 def test_checkpoint_sidecar_forms_and_threshold(spark, tmp_path):
     """VERDICT r8 item 1 (Delta multi-part parquet-checkpoint parity):
     below ``checkpoint_sidecar_files`` the checkpoint JSON stays
@@ -659,6 +668,7 @@ def test_checkpoint_sidecar_missing_degrades_conservatively(
     assert d["size_unknown_files"] == 4    # sizes unknown, not wrong
 
 
+@pytest.mark.slow
 def test_checkpoint_schema_dictionary_and_file_markers(spark, tmp_path):
     """Checkpoint JSON is O(live dirs), never O(files x schema bytes):
     per-entry schemas dictionary-encode into ``state.schemas`` (one
@@ -759,6 +769,7 @@ def test_sidecar_hydration_keeps_retired_files_subtracted(
     assert fresh.details(path)["num_removed_files"] == 4
 
 
+@pytest.mark.slow
 def test_vectorized_sidecar_skipping_matches_rowwise(spark, tmp_path):
     """The typed-column vectorized skipping path must prune EXACTLY the
     files the row-wise JSON path prunes — across int/string/null-count
@@ -823,6 +834,7 @@ def test_vectorized_sidecar_skipping_matches_rowwise(spark, tmp_path):
         assert got == want, where
 
 
+@pytest.mark.slow
 def test_process_wide_log_cache_semantics(spark, tmp_path):
     """Round-11 snapshot cache: parsed records (and a checkpoint's
     hydration) are shared across instances — sound because log files
@@ -861,6 +873,7 @@ def test_process_wide_log_cache_semantics(spark, tmp_path):
     assert a.read(spark, path).count() == 1
 
 
+@pytest.mark.slow
 def test_kept_mode_survivor_pruning(spark, tmp_path):
     """Round 13: with a typed sidecar, one clause group, and no alters,
     the read plan materializes the SURVIVOR list (O(kept)) instead of

@@ -172,6 +172,7 @@ def test_simhash_near_dups_close_in_hamming(spark, corpus):
     assert min(far) > 6                              # unrelated: many bits
 
 
+@pytest.mark.slow
 def test_repeated_invocations_leave_no_cached_blocks(spark, corpus):
     """ADVICE r1: the banding/shingle persists must be released — a long
     session (the 66-query bench) must not accumulate executor storage."""
@@ -280,6 +281,7 @@ def _est_jaccard_reference(d, min_agree=16):
     return scored, sigs
 
 
+@pytest.mark.slow
 def test_incremental_minhash_matches_one_shot(spark, tmp_path):
     """Round 7: feeding the corpus as two batches through the signature
     store must find exactly the one-shot pipeline's candidate structure
@@ -320,6 +322,7 @@ def test_incremental_minhash_matches_one_shot(spark, tmp_path):
     assert sorted((r.id_a, r.id_b) for r in p3.collect()) == got
 
 
+@pytest.mark.slow
 def test_streaming_near_dup_ingestion(spark, tmp_path):
     """streaming/dedup_stream: documents arriving file-by-file are
     near-dup-checked against the accumulating signature store; after the
@@ -464,6 +467,7 @@ def test_substring_dedup_removed_equals_interval_union(spark):
             assert r.chars_removed >= 40
 
 
+@pytest.mark.slow
 def test_substring_dedup_groupby_keeper_equals_window_rank(spark):
     """Round 11 replaced the keep-first window (`row_number` over
     `partitionBy(h1,h2)` — every occurrence of a hot gram in ONE task's
@@ -515,6 +519,7 @@ def test_substring_dedup_groupby_keeper_equals_window_rank(spark):
     assert new_cut == old_cut
 
 
+@pytest.mark.slow
 def test_substring_dedup_hot_gram_plan_is_skew_safe(spark):
     """Planted hot-gram fixture (the judge's round-10 skew flag): one
     40-gram repeated ~10^5 times across 250 docs.  The window

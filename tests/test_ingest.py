@@ -59,6 +59,7 @@ def test_quarantine_schema(spark, landing):
         {"badname.CSV.GZ", "CUSTOMER_MASTER_20190699_023000.CSV.GZ"}
 
 
+@pytest.mark.slow
 def test_idempotent_rerun(spark, landing):
     rep1 = run(spark, landing)
     rep2 = run(spark, landing)
@@ -88,6 +89,7 @@ def test_discover_grammar(spark, landing):
     assert rows["CUSTOMER_MASTER_20190699_023000.CSV.GZ"][1] is None
 
 
+@pytest.mark.slow
 def test_partition_overwrite_on_reprocess(spark, landing, tmp_path):
     """Reprocessing a file replaces exactly its partition (K1 semantics)."""
     run(spark, landing)
@@ -105,6 +107,7 @@ def test_partition_overwrite_on_reprocess(spark, landing, tmp_path):
     assert df.filter(F.col("TRANSFERRED_DATE") == "2019-06-15").count() == 2
 
 
+@pytest.mark.slow
 def test_max_files_per_run_drains_backlog(spark, landing):
     """Bounded driver memory (VERDICT r1): each pass takes only the N oldest
     pending files; idempotent re-runs drain the backlog to convergence."""
@@ -122,6 +125,7 @@ def test_max_files_per_run_drains_backlog(spark, landing):
     assert rep.processed == 0 and rep.empty == 0
 
 
+@pytest.mark.slow
 def test_cand_paths_collect_is_bounded_by_cap(spark, landing, monkeypatch):
     """VERDICT r4 item 8: the driver-side candidate-path collect must never
     exceed max_files_per_run entries — the asserted driver-memory bound."""
@@ -137,6 +141,7 @@ def test_cand_paths_collect_is_bounded_by_cap(spark, landing, monkeypatch):
     assert observed and all(n <= 2 for n in observed)
 
 
+@pytest.mark.slow
 def test_uncapped_large_backlog_warns_toward_streaming(spark, landing,
                                                        monkeypatch):
     """An un-capped batch run over a backlog beyond the soft cap must warn

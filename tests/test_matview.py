@@ -108,6 +108,7 @@ def test_noop_and_idempotent_crash_replay(spark, src, tmp_path):
     assert _mv(spark, mv) == state
 
 
+@pytest.mark.slow
 def test_composite_keys_and_where_filter(spark, tmp_path):
     src = str(tmp_path / "src")
     mv = str(tmp_path / "mv")
@@ -230,6 +231,7 @@ def test_user_properties_roundtrip_and_show(spark, tmp_path):
     tables.drop_table(spark, name)
 
 
+@pytest.mark.slow
 def test_refresh_stream_continuous(spark, src, tmp_path):
     """refresh_stream: the source's commit stream triggers idempotent
     refreshes — appends AND row-level changes (ignoreChanges) keep the

@@ -15,6 +15,8 @@ drawn small, deadline disabled, and the session reused.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -32,6 +34,7 @@ _SET = settings(max_examples=8, deadline=None,
 
 @given(texts=st.lists(_texts, min_size=1, max_size=8))
 @_SET
+@pytest.mark.slow
 def test_minhash_invariant_under_partitioning(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -46,6 +49,7 @@ def test_minhash_invariant_under_partitioning(spark, texts):
 @given(keys=st.lists(st.integers(0, 5), min_size=0, max_size=30),
        salts=st.integers(1, 5))
 @_SET
+@pytest.mark.slow
 def test_salted_join_equivalent_to_plain(spark, keys, salts):
     fact = spark.createDataFrame(
         [(k, i) for i, k in enumerate(keys)] or [(None, None)],
@@ -83,6 +87,7 @@ def test_operators_accept_empty_input(spark):
     assert all(r.n_rows == 0 for r in prof)
 
 
+@pytest.mark.slow
 def test_empty_corpus_scalar_guards(spark, tmp_path):
     """The driver-scalar class ADVICE r4 flagged on bm25 (float(None) on an
     empty corpus), swept across every other `.head()[0]` site: full

@@ -1,6 +1,8 @@
 """Unit tests for ranking (TF-IDF / BM25), PII redaction, and the
 TermStats UDTF — hand-computed expectations on tiny corpora."""
 
+import pytest
+
 import math
 
 import pyspark.sql.functions as F
@@ -112,6 +114,7 @@ def test_weighted_sample_deterministic_and_biased(spark):
     assert all(r.u < r.quality / 200.0 for r in rows)
 
 
+@pytest.mark.slow
 def test_dsir_weights_invariants(spark):
     """DSIR selection invariants: weights are partitioning-invariant,
     target rows are never scored, a candidate sharing the target's

@@ -122,6 +122,7 @@ def test_vacuum_sweeps_only_unreferenced_old_dirs(spark, tmp_path):
     assert fmt.vacuum(path, retain_hours=1.0) == []
 
 
+@pytest.mark.slow
 def test_txnlog_matches_model_under_random_op_sequences(spark, tmp_path):
     """Model-based check: any interleaving of append / overwrite_partitions /
     compact must leave read() equal to a trivial in-memory model — the
@@ -166,6 +167,7 @@ def test_txnlog_matches_model_under_random_op_sequences(spark, tmp_path):
         assert got == sorted(expect), f"example {example}"
 
 
+@pytest.mark.slow
 def test_ingest_end_to_end_through_txnlog(spark, landing):
     """The full ingest protocol (overwrite_partitions + two appends +
     state read-back) through the transactional format: same converged
@@ -185,6 +187,7 @@ def test_ingest_end_to_end_through_txnlog(spark, landing):
     assert fmt.read(spark, landing["state"]).count() == 3
 
 
+@pytest.mark.slow
 def test_maintenance_flow_through_txnlog(spark, landing, tmp_path):
     """The maintenance tier (schema-evolution merge + user-zone replication
     + config backup) routed through the transactional format end-to-end on
@@ -215,6 +218,7 @@ def test_maintenance_flow_through_txnlog(spark, landing, tmp_path):
     assert fmt.read(spark, bkp).count() == 4
 
 
+@pytest.mark.slow
 def test_ingest_crash_recovery_through_txnlog(spark, landing, monkeypatch):
     """Kill the run after the data commit, before state: the re-run must
     re-process the same files via partition overwrite and converge to
@@ -432,6 +436,7 @@ def test_multiprocess_writers_race_one_log(tmp_path):
     assert leftovers == []
 
 
+@pytest.mark.slow
 def test_two_spark_processes_full_stack_race(spark, tmp_path):
     """Full-stack two-process race: each subprocess builds its OWN
     SparkSession and drives the public API (append with idempotent txns,
@@ -735,6 +740,7 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     assert len(fmt._commits(path)) == n_commits
 
 
+@pytest.mark.slow
 def test_txnlog_model_with_restore_and_delete(spark, tmp_path):
     """Model check extended over the round-6 ops: random interleavings of
     append / overwrite_partitions / delete_where / update_where / DV
@@ -1490,6 +1496,7 @@ def test_txn_cache_tracks_other_writers_incrementally(spark, tmp_path):
     assert sorted(r.v for r in a.read(spark, path).collect()) == [1, 2]
 
 
+@pytest.mark.slow
 def test_compact_rewrites_only_dv_heavy_files(spark, tmp_path):
     """VERDICT r6 item 3: ``compact(rewrite_dv_threshold=...)`` must
     materialize ONLY files whose deletion-vector fraction meets the
@@ -1564,6 +1571,7 @@ def test_compact_dv_retires_fully_deleted_file(spark, tmp_path):
         == [100, 101, 102, 103]
 
 
+@pytest.mark.slow
 def test_compact_small_files_merges_by_recorded_size(spark, tmp_path):
     """Round-8 size-targeted compaction (Delta OPTIMIZE bin-packing):
     files below ``small_file_bytes`` — selected from COMMIT-RECORDED
@@ -1598,6 +1606,7 @@ def test_compact_small_files_merges_by_recorded_size(spark, tmp_path):
         == {"rewritten_files": 0, "retired_dv_entries": 0}
 
 
+@pytest.mark.slow
 def test_compact_small_files_composes_with_dvs(spark, tmp_path):
     """Size and DV criteria compose in ONE rewrite_files commit: the
     small files merge, vectors pointing at rewritten files retire, and
@@ -1779,6 +1788,7 @@ def test_data_skipping_still_prunes_after_rename(spark, tmp_path):
     assert fmt.read(spark, path, where="c <= 5").count() == 0
 
 
+@pytest.mark.slow
 def test_null_count_stats_prune_is_null_clauses(spark, tmp_path):
     """Round-8 nullCount stats (Delta parity): commit records carry
     per-column null counts, so ``IS NULL`` skips files with zero nulls,
@@ -2165,6 +2175,7 @@ def test_timestamp_travel_monotonizes_backward_clock_steps(spark,
     assert got == [1, 2]  # both versions' effective ts collapse to 100
 
 
+@pytest.mark.slow
 def test_partition_predicate_prunes_whole_dirs(spark, tmp_path,
                                                monkeypatch):
     """Log-level partition pruning (VERDICT r8 item 2): a conjunct on a
@@ -2211,6 +2222,7 @@ def test_partition_predicate_prunes_whole_dirs(spark, tmp_path,
         == [("2024-01-02", 2), ("2024-01-03", 3)]
 
 
+@pytest.mark.slow
 def test_partition_pruning_null_int_and_conservative_types(
         spark, tmp_path):
     """The null partition prunes via IS [NOT] NULL; integer partitions
@@ -2668,6 +2680,7 @@ def test_maintenance_never_starved_by_append_storm(spark, tmp_path):
     assert "append" in actions  # the storm genuinely interleaved the log
 
 
+@pytest.mark.slow
 def test_targeted_delete_update_preserve_untouched_files(spark, tmp_path):
     """File-targeted DELETE/UPDATE (Delta parity): only files holding
     matching rows are rewritten — every other file keeps its physical
@@ -2705,6 +2718,7 @@ def test_targeted_delete_update_preserve_untouched_files(spark, tmp_path):
     assert 101 not in got and 103 not in got and 104 in got
 
 
+@pytest.mark.slow
 def test_vacuum_sweeps_retired_files_in_live_dirs(spark, tmp_path):
     """Files retired by a targeted rewrite live inside still-referenced
     dirs — the dir sweep can't free them.  The file-level sweep deletes
@@ -2782,6 +2796,7 @@ def test_history_reports_every_retained_commit(spark, tmp_path):
     assert all(r["version"] >= cp_v for r in h2)
 
 
+@pytest.mark.slow
 def test_table_properties_bind_every_writer(spark, tmp_path):
     """Delta TBLPROPERTIES parity: constraints / bloom columns /
     change_data_feed persisted by set_properties are enforced and
@@ -2853,6 +2868,7 @@ def test_set_properties_validates_existing_rows(spark, tmp_path):
         fmt.append(spark.createDataFrame([(-1,)], "v long"), path)
 
 
+@pytest.mark.slow
 def test_table_properties_survive_checkpoint_and_streams(
         spark, tmp_path):
     """Properties fold into the checkpoint (log-prune-proof) and their
@@ -2940,6 +2956,7 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert cps_after == cps_before  # no checkpoint published
 
 
+@pytest.mark.slow
 def test_compact_where_scopes_the_rewrite(spark, tmp_path):
     """OPTIMIZE ... WHERE parity: the size-targeted rewrite touches only
     files that MAY hold matching rows; provably-empty files keep their
@@ -3194,6 +3211,7 @@ def test_generated_columns_compute_validate_and_skip(spark, tmp_path):
                        validate_constraints=False)  # NOCHECK analogue
 
 
+@pytest.mark.slow
 def test_identity_columns_allocate_and_conflict(spark, tmp_path):
     """GENERATED ALWAYS AS IDENTITY: appends allocate dense unique
     values from a never-decreasing commit-recorded watermark; writers
@@ -3650,6 +3668,7 @@ def test_merge_not_matched_by_source_delete(spark, tmp_path):
         == {(8, 888)}
 
 
+@pytest.mark.slow
 def test_merge_crash_between_stage_and_commit_is_clean(spark, tmp_path,
                                                        monkeypatch):
     """A writer dying after staging but before the commit link leaves
@@ -3697,6 +3716,7 @@ def test_merge_crash_between_stage_and_commit_is_clean(spark, tmp_path,
     assert d[1] == 111 and 2 not in d and d[50] == 5 and 6 not in d
 
 
+@pytest.mark.slow
 def test_timestamp_stats_prune_files(spark, tmp_path):
     """TIMESTAMP min/max record as canonical fixed-width UTC text
     (round 13): `ts >= X` — the dominant log-table access pattern —
@@ -3763,6 +3783,7 @@ def test_timestamp_skipping_gated_off_non_utc(spark, tmp_path):
         ("ts", "<", "2024-02-01 00:00:00.000000")]
 
 
+@pytest.mark.slow
 def test_merge_identity_insert(spark, tmp_path):
     """Round 13 (VERDICT r12 item 7): MERGE into an identity table —
     the INSERT branch allocates fresh values from the r11 watermark
@@ -3840,6 +3861,7 @@ def test_merge_identity_insert(spark, tmp_path):
     assert {r.k for r in final} == {1, 2, 7, 8, 90, 50}
 
 
+@pytest.mark.slow
 def test_dml_subquery_predicates_all_paths(spark, tmp_path):
     """Round 16: IN / correlated-EXISTS / scalar subqueries resolve in
     every row-level DML predicate — copy-on-write AND merge-on-read
@@ -3880,6 +3902,7 @@ def test_dml_subquery_predicates_all_paths(spark, tmp_path):
     assert fmt.read(spark, path, as_of_version=v0).count() == 10
 
 
+@pytest.mark.slow
 def test_merge_insert_assignments_api(spark, tmp_path):
     """Round 16: column-list INSERT — listed columns take their
     expression over SOURCE columns, unlisted read NULL, the CDF
@@ -3921,6 +3944,7 @@ def test_merge_insert_assignments_api(spark, tmp_path):
         (r.k, r.name, r.v) for r in fmt.read(spark, path).collect()}
 
 
+@pytest.mark.slow
 def test_merge_insert_assignments_reject_shapes(spark, tmp_path):
     from pyspark.sql import functions as F
     fmt = TxnLogFormat(checkpoint_interval=None)

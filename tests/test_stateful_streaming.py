@@ -8,6 +8,8 @@ would restart counts at zero and/or open a spurious session.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 import time
@@ -23,6 +25,7 @@ def _mk_events(spark, rows):
         rows, "user_id long, ts timestamp, value double")
 
 
+@pytest.mark.slow
 def test_state_carries_across_batches(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     m = dt.timedelta(minutes=1)

@@ -28,6 +28,7 @@ def _mk(spark, *rows):
     return spark.createDataFrame(list(rows), "id int, s string")
 
 
+@pytest.mark.slow
 def test_stream_emits_appends_and_resumes_from_checkpoint(
         registered, tmp_path):
     spark = registered
@@ -63,6 +64,7 @@ def test_stream_emits_appends_and_resumes_from_checkpoint(
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
 
 
+@pytest.mark.slow
 def test_stream_fails_on_data_change_unless_ignored(registered, tmp_path):
     spark = registered
     path = str(tmp_path / "t")
@@ -276,6 +278,7 @@ def test_stream_schema_evolution_check_covers_rename_drop_and_folds(
         r2.partitions({"version": -1}, {"version": 2})
 
 
+@pytest.mark.slow
 def test_max_commits_per_trigger_caps_each_batch(spark, tmp_path):
     """Rate limiting (Delta maxFilesPerTrigger analogue at commit
     granularity): with maxCommitsPerTrigger=3, a fresh stream over a
@@ -325,6 +328,7 @@ def _cdf_rows(df):
                   for r in df.collect())
 
 
+@pytest.mark.slow
 def test_batch_change_feed_emits_tagged_changes(registered, tmp_path):
     """Full-range batch CDF: appends as insert, DV delete as delete, DV
     update as pre+postimage — and a compaction emits NOTHING (bytes
@@ -395,6 +399,7 @@ def test_batch_change_feed_refuses_full_rewrites(registered, tmp_path):
          .option("readChangeFeed", "true").load(path).collect())
 
 
+@pytest.mark.slow
 def test_streams_skip_compaction_but_refuse_targeted_rewrites(
         registered, tmp_path):
     """Delta OPTIMIZE parity: a ``rewrite_files`` commit WITHOUT
@@ -437,6 +442,7 @@ def test_streams_skip_compaction_but_refuse_targeted_rewrites(
     q2.stop()
 
 
+@pytest.mark.slow
 def test_change_feed_sidecar_covers_delete_update_merge(
         registered, tmp_path):
     """With change_data_feed=True (Delta enableChangeDataFeed parity),
@@ -504,6 +510,7 @@ def test_change_feed_sidecar_covers_delete_update_merge(
         == [(4, "d", "delete", 4)]
 
 
+@pytest.mark.slow
 def test_stream_change_feed_emits_and_resumes(registered, tmp_path):
     """Streaming CDF: each commit becomes a tagged micro-batch; restart
     from the sink checkpoint resumes exactly after the last change."""
@@ -598,6 +605,7 @@ def test_change_feed_over_folded_checkpoint_span(registered, tmp_path):
 # -- batch filter pushdown (Spark 4.1 DSv2 pushFilters) --------------------
 
 
+@pytest.mark.slow
 def test_batch_pushdown_prunes_from_commit_stats(registered, tmp_path):
     """option('pushdown','true'): pushed conjuncts prune files via the
     commit-recorded stats (the read(where=...) data-skipping tier);
@@ -902,6 +910,7 @@ def test_writer_commit_gathers_only_message_files(registered, tmp_path):
     assert os.path.exists(os.path.join(path, dead.relfiles[0]))
 
 
+@pytest.mark.slow
 def test_change_feed_reconstructs_state_under_random_ops(
         registered, tmp_path):
     """Model check: over random sequences of the CDF-compatible op
@@ -1013,6 +1022,7 @@ def test_batch_change_feed_timestamp_bounds(registered, tmp_path):
         feed(startingVersion="0", startingTimestamp=str(ts[0]))
 
 
+@pytest.mark.slow
 def test_stream_starting_version_and_timestamp(registered, tmp_path):
     """Delta streaming startingVersion parity: a FRESH stream begins at
     the given commit ('latest' = only new commits); restarts still
@@ -1071,6 +1081,7 @@ def test_stream_starting_version_and_timestamp(registered, tmp_path):
     assert got == [(9, "z"), (10, "y")]
 
 
+@pytest.mark.slow
 def test_stream_where_pushdown_prunes_planned_files(registered, tmp_path):
     """option('where', ...) on the STREAMING source: files provably
     empty for the predicate never enter the micro-batch plan (the
@@ -1168,6 +1179,7 @@ def test_stream_cdf_where_pushdown_prunes_change_partitions(
     assert tags == ["delete", "insert"]
 
 
+@pytest.mark.slow
 def test_batch_where_option_and_cdf_pushdown_pruning(registered, tmp_path):
     """The BATCH reader takes the same option('where', ...) as the
     stream (no session conf needed), and pushed/where conjuncts prune
@@ -1256,6 +1268,7 @@ def test_max_files_per_trigger_caps_each_batch(spark, tmp_path):
                                     "maxfilespertrigger": "0"})
 
 
+@pytest.mark.slow
 def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
     """Delta's byte-granular soft cap: batches advance until the next
     commit's recorded byte total would blow the budget; an oversized
@@ -1287,6 +1300,7 @@ def test_max_bytes_per_trigger_soft_cap(spark, tmp_path):
                                     "maxbytespertrigger": "-1"})
 
 
+@pytest.mark.slow
 def test_ignore_deletes_skips_delete_only_commits(registered, tmp_path):
     """Delta ignoreDeletes parity: deletion-vector commits (and
     survivor-less targeted rewrites) skip silently; a commit that ADDS
@@ -1315,6 +1329,7 @@ def test_ignore_deletes_skips_delete_only_commits(registered, tmp_path):
     q.stop()
 
 
+@pytest.mark.slow
 def test_drain_stream_bounded_batches_exactly_once(spark, tmp_path):
     """Round 14 (VERDICT r13 item 6): a 10-commit backlog drains in
     maxCommitsPerTrigger-bounded micro-batches with Spark's own
@@ -1359,6 +1374,7 @@ def test_drain_stream_bounded_batches_exactly_once(spark, tmp_path):
     assert sum(n for _e, n in seen if n > 0) == 2
 
 
+@pytest.mark.slow
 def test_change_feed_reconstructs_partition_overwrites(registered,
                                                        tmp_path):
     """Round 15: a DYNAMIC partition overwrite has per-row change
@@ -1410,6 +1426,7 @@ def test_change_feed_reconstructs_partition_overwrites(registered,
     assert live == [("a", 10), ("b", 30), ("c", 100), (None, 90)]
 
 
+@pytest.mark.slow
 def test_change_feed_overwrite_subtracts_flat_dirs_and_still_refuses_replace_all(
         registered, tmp_path):
     """The preimage SELECTION applies executor-side when the replaced
