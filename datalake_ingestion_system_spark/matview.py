@@ -259,7 +259,8 @@ def refresh(spark: SparkSession, mv_path: str,
     window = [c for c in fmt._commits(src)
               if last < c["version"] <= head]
     fast_dirs = _append_only_dirs(window, keys, src)
-    if fast_dirs is not None and not spec.get("where"):
+    fast = fast_dirs is not None and not spec.get("where")
+    if fast:
         # APPEND-ONLY window fast path (the trickle-refresh common
         # case): the dirty keys are exactly the keys in the staged
         # files, read directly by the JVM parquet scan — no change-
@@ -286,8 +287,13 @@ def refresh(spark: SparkSession, mv_path: str,
     # persist BEFORE the probe: past the limit the semi-join path
     # reuses the grouped delta three more times (null check, count,
     # removal view) — without the cache the change feed would fully
-    # re-evaluate in exactly the large-dirty-set case (review fix)
-    grouped = grouped.persist()
+    # re-evaluate in exactly the large-dirty-set case (review fix).
+    # The append-only fast path SKIPS the cache (round 17, guide §5):
+    # its grouped plan is one cheap parquet scan of the staged files,
+    # so the trickle-refresh common case no longer pays a cache write
+    # in its probe job (unpersist on a non-persisted frame is a no-op).
+    if not fast:
+        grouped = grouped.persist()
     probe = grouped.limit(prune_key_limit + 1).collect()
     if not probe:
         grouped.unpersist()
